@@ -1,0 +1,36 @@
+"""Parquet read/write layer (reference: S1/S9, nshmdb.py:104-131,263-308).
+
+The reference opens one SQLite file and re-attaches it to DuckDB for
+analytics; here one engine serves both paths: Parquet scans with Catalyst
+pushdown for analytics, the same scans + broadcast joins for point reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nshm2022db_spark.schemas import STAR_TABLES
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Schema comes from parquet footers (already
+    explicit at write time); Catalyst prunes columns / pushes filters into
+    the scan."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All ten testdata tables as DataFrames keyed by name."""
+    return {name: read_table(spark, sf_dir, name) for name in STAR_TABLES}
+
+
+def write_table(df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None) -> None:
+    """Bulk sink (reference: executemany/to_sql appends, nshmdb.py:263-308).
+
+    At 100 TB scale pass partition_by (e.g. fault_system) so downstream
+    queries get partition pruning.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

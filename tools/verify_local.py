@@ -1,0 +1,119 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the same sf dir, then compares: row count, column-name set, and an
+order-insensitive value comparison (columns sorted by name, rows sorted,
+floats compared to 1e-9 relative). Exit 1 on any mismatch.
+
+Usage: python tools/verify_local.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import datetime, timezone
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from nshm2022db_spark.schemas import STAR_TABLES  # noqa: E402
+from nshm2022db_spark.session import get_spark  # noqa: E402
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None) if v.tzinfo in (None, timezone.utc) else v.astimezone(timezone.utc).replace(tzinfo=None)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rowset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        [tuple(_norm(r[i]) for i in order) for r in rows],
+        key=lambda t: tuple((x is None, str(type(x)), x if not isinstance(x, tuple) else str(x)) for x in t),
+    )
+
+
+def _values_close(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b:
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_values_close(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as mod
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    spark = get_spark("verify_local")
+
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only check, {len(srows)} rows (no oracle)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            continue
+
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            sset, dset = _rowset(srows, scols), _rowset(drows, dcols)
+            bad = [
+                (i, a, b)
+                for i, (a, b) in enumerate(zip(sset, dset))
+                if not _values_close(a, b)
+            ]
+            if bad:
+                i, a, b = bad[0]
+                problems.append(f"{len(bad)} differing rows; first at sorted idx {i}:\n  spark : {a}\n  duckdb: {b}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"ok   {name}: {len(srows)} rows match oracle")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
