@@ -96,3 +96,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brand#1 parts but no Brand#2/#3, ≤4 distinct brands, totalprice ≥ 1000,
     top-100 by totalprice (reference semantics: query.py:318-333)."""
     return advanced_query(_star_tables(spark, sf_dir), FLAGSHIP_DSL, **_FLAGSHIP_KW)
+
+
+# Populate the registry: importing each family module runs its @register
+# decorators. Bottom import is deliberate (modules import `register` back
+# from here).
+from nshm2022db_spark.queries import relational  # noqa: E402,F401

@@ -8,6 +8,7 @@ pushdown for analytics, the same scans + broadcast joins for point reads.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nshm2022db_spark.schemas import STAR_TABLES
 
@@ -16,7 +17,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Schema comes from parquet footers (already
     explicit at write time); Catalyst prunes columns / pushes filters into
     the scan."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as long nanoseconds (see session.py nanosAsLong);
+        # integer `div` — a double division would lose precision on
+        # ~1.7e18 ns epochs (> 2^53).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
