@@ -1,0 +1,88 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the `noop` sink: the full physical plan runs
+(scan → shuffle → agg) without collect() driver-marshalling noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nshm2022db_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship + the widest shuffles/joins + one per operator
+# family that matters at scale. Names must exist in the registry.
+HEADLINE = [
+    "advanced_query_dsl",
+    "join_5way_agg",
+    "groupby_agg",
+    "weighted_branch_merge",
+    "topk_global",
+    "topk_per_group",
+    "window_running_sum",
+    "explode_tokens",
+    "events_tumbling_window",
+    "asof_nearest_ge",
+    "count_distinct",
+    "ragged_csv_roundtrip",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "knn_bruteforce",
+    "knn_lsh_bucketed",
+    "text_quality_score",
+    "text_fingerprint",
+    "multimodal_decode_meta",
+]
+
+
+def _run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as mod
+
+    qs = mod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n.startswith("bench_only_")
+    ]
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footer caches outside the timed region.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _run(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

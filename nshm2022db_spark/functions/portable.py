@@ -1,0 +1,134 @@
+"""Engine-portable expression builders.
+
+Every extension operator (dedup, similarity, text analysis) is verified
+against a DuckDB oracle by value hash, so each primitive here is emitted
+TWICE from one template: a Spark SQL fragment (wrapped in F.expr) and a
+DuckDB fragment. The pairs are kept adjacent and tested for agreement
+(tests/test_portable.py) — if you change one side, change the other.
+
+Determinism rules that make exact cross-engine matches possible:
+  * integer hashing is polynomial-mod arithmetic (p = 1e9+7) — no
+    engine-native hash() anywhere (murmur seeds differ between engines);
+  * floating-point reductions are SEQUENTIAL LEFT FOLDS on both sides
+    (Spark `aggregate`, DuckDB `list_reduce` with a prepended init) —
+    same products, same order, IEEE doubles match bit-for-bit;
+  * randomness is a fixed multiplicative-congruence formula evaluated
+    in-plan, never a driver-side RNG.
+"""
+
+from __future__ import annotations
+
+P = 1_000_000_007  # hash modulus; a*x stays < 2^63 for a,x < p
+
+# CAREFUL: Spark SQL string literals process backslash escapes ('\s' → 's'),
+# DuckDB string literals do not — regex patterns need one extra backslash
+# level on the Spark side only.
+SPARK_TOKEN_SPLIT = r"\\s+"
+DUCK_TOKEN_SPLIT = r"\s+"
+
+
+# -- whitespace tokens -------------------------------------------------------
+
+def spark_tokens(col: str) -> str:
+    return f"filter(split({col}, '{SPARK_TOKEN_SPLIT}'), t -> t <> '')"
+
+
+def duck_tokens(col: str) -> str:
+    return f"list_filter(string_split_regex({col}, '{DUCK_TOKEN_SPLIT}'), t -> t <> '')"
+
+
+# -- polynomial char hash of a string → bigint in [0, p) ---------------------
+
+def spark_char_hash(col: str) -> str:
+    return (
+        f"aggregate(transform(split({col}, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        f"0L, (acc, c) -> (acc * 31 + c) % {P})"
+    )
+
+
+def duck_char_hash(col: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(regexp_extract_all({col}, '.'), c -> ord(c)::BIGINT)), "
+        f"(acc, c) -> (acc * 31 + c) % {P})"
+    )
+
+
+# -- token 3-gram shingles (distinct) ----------------------------------------
+# Guard: Spark sequence(1, 0) yields [1, 0] (descending!) so the size >= 3
+# case must be explicit; DuckDB range(1, n) is empty for n <= 1.
+
+def spark_shingles(tokens_expr: str) -> str:
+    return (
+        f"array_distinct(CASE WHEN size({tokens_expr}) >= 3 THEN "
+        f"transform(sequence(1, size({tokens_expr}) - 2), "
+        f"i -> concat_ws(' ', {tokens_expr}[i-1], {tokens_expr}[i], {tokens_expr}[i+1])) "
+        f"ELSE array() END)"
+    )
+
+
+def duck_shingles(tokens_expr: str) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({tokens_expr}) - 1, 1)), "
+        f"i -> {tokens_expr}[i] || ' ' || {tokens_expr}[i+1] || ' ' || {tokens_expr}[i+2]))"
+    )
+
+
+# -- sequential-fold double dot product of two float arrays ------------------
+
+def spark_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+# -- deterministic pseudo-random hyperplane component ------------------------
+# r_{j,i} = frac((j*DIM + i) * 2654435761 / 1000003) - 0.5, computed with
+# exact integer mod then one double division — identical on both engines.
+
+HYPERPLANE_MULT = 2_654_435_761
+HYPERPLANE_MOD = 1_000_003
+
+
+def spark_hyperplane_dot(vec: str, j: int, dim: int) -> str:
+    return (
+        f"aggregate(zip_with({vec}, transform(sequence(0, {dim - 1}), "
+        f"i -> CAST((({j} * {dim} + i) * {HYPERPLANE_MULT}) % {HYPERPLANE_MOD} AS DOUBLE) "
+        f"/ {HYPERPLANE_MOD}.0 - 0.5), "
+        f"(x, r) -> CAST(x AS DOUBLE) * r), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def duck_hyperplane_dot(vec: str, j: int, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> {vec}[i]::DOUBLE * "
+        f"(((({j} * {dim} + (i - 1)) * {HYPERPLANE_MULT}) % {HYPERPLANE_MOD})::DOUBLE "
+        f"/ {HYPERPLANE_MOD}.0 - 0.5))), (acc, v) -> acc + v)"
+    )
+
+
+# -- minhash parameter table (fixed, shared by both engines) -----------------
+# h_i(x) = (a_i * x + b_i) mod p ; a_i, b_i derived from a fixed LCG so the
+# oracle SQL can inline the same literals.
+
+def minhash_params(k: int) -> list[tuple[int, int, int]]:
+    params = []
+    state = 88172645463325252
+    for i in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = state % (P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % P
+        params.append((i, a, b))
+    return params

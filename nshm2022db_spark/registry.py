@@ -102,3 +102,5 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decorators. Bottom import is deliberate (modules import `register` back
 # from here).
 from nshm2022db_spark.queries import relational  # noqa: E402,F401
+from nshm2022db_spark.extensions import dedup, multimodal, similarity, text  # noqa: E402,F401
+from nshm2022db_spark.streaming import events  # noqa: E402,F401

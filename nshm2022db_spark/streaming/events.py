@@ -1,0 +1,159 @@
+"""Streaming aggregations over events: tumbling, sliding, session windows.
+
+Each registered query runs a real Structured Streaming job (file source →
+withWatermark → windowed agg → memory sink, processAllAvailable) and
+returns the materialized result. With a single-batch file replay nothing
+is late, so each has an exact batch-SQL oracle — tumbling/sliding via
+bucket arithmetic, session windows via the lag/gap-cumsum islands idiom.
+
+On a cluster the same plans run against Kafka with the watermark bounding
+state; the memory sink here exists so the driver's batch-compare contract
+can observe streaming results synchronously.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nshm2022db_spark.registry import register
+
+_counter = itertools.count()
+
+# events.ts is TIMESTAMP(NANOS) in the parquet; with nanosAsLong (see
+# session.py) the streaming schema sees a long we convert ourselves.
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), False),
+    ]
+)
+
+
+def _stream_dir(sf: str) -> str:
+    """The file source requires a DIRECTORY; expose the single events
+    parquet through a symlink in a scratch dir (testdata is read-only)."""
+    d = os.path.join(tempfile.gettempdir(), f"events_stream_{abs(hash(sf))}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf, "events.parquet"), link)
+    return d
+
+
+def _event_stream(spark: SparkSession, sf: str) -> DataFrame:
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .parquet(_stream_dir(sf))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    return stream.withWatermark("ts", "1 hour")
+
+
+def _run_to_memory(agg: DataFrame, name: str) -> DataFrame:
+    spark = agg.sparkSession
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize before the in-memory sink table goes away.
+    out = spark.sql(f"SELECT * FROM {name}")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+@register(
+    "stream_tumbling_window",
+    """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+              COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window × event_type — the streaming twin of the
+    batch events_tumbling_window query, run through a real streaming job."""
+    agg = (
+        _event_stream(spark, sf)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+    return _run_to_memory(agg, f"stream_tumbling_{next(_counter)}")
+
+
+@register(
+    "stream_sliding_window",
+    """WITH buckets AS (
+           -- every event is in exactly two 1h/30min windows: the one
+           -- starting at its 30-minute bucket and the one 30min earlier
+           SELECT e.value,
+                  time_bucket(INTERVAL '30 minutes', ts) - INTERVAL (o.off) MINUTE
+                      AS window_start
+           FROM events e, (SELECT unnest([0, 30]) AS off) o)
+       SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+       FROM buckets GROUP BY 1""",
+)
+def stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): every event lands in two
+    overlapping windows; the oracle reproduces that by unioning the two
+    bucket offsets."""
+    agg = (
+        _event_stream(spark, sf)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+    return _run_to_memory(agg, f"stream_sliding_{next(_counter)}")
+
+
+@register(
+    "stream_session_window",
+    """WITH gaps AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 10 MINUTE
+                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events),
+        sessions AS (
+           SELECT user_id, ts, value,
+                  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM gaps)
+       SELECT user_id, MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+              COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+       FROM sessions GROUP BY user_id, session_id""",
+)
+def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (10-minute gap) per user via the native
+    session_window operator; the oracle derives the same islands with the
+    lag/gap-cumsum idiom (window end = last event + gap, matching Spark)."""
+    agg = (
+        _event_stream(spark, sf)
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "total",
+        )
+    )
+    return _run_to_memory(agg, f"stream_session_{next(_counter)}")

@@ -1,0 +1,152 @@
+"""Extension operator tests: planted near-duplicates, portable-hash
+agreement between Spark and DuckDB, multimodal stub behavior."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.extensions.multimodal import HAVE_PIL, decode_image_real
+from nshm2022db_spark.functions.portable import (
+    duck_char_hash,
+    duck_dot,
+    duck_shingles,
+    duck_tokens,
+    spark_char_hash,
+    spark_dot,
+    spark_shingles,
+    spark_tokens,
+)
+
+
+class TestPortablePrimitives:
+    """Every portable pair must agree exactly — these pin the contract."""
+
+    CASES = [
+        "hello world this is a test",
+        "a b",
+        "  spaced   out   tokens here  ",
+        "punct, and; stuff!",
+    ]
+
+    def test_char_hash_agreement(self, spark):
+        con = duckdb.connect()
+        for s in self.CASES:
+            sv = spark.range(1).select(
+                F.expr(spark_char_hash(f"'{s}'")).alias("h")
+            ).collect()[0].h
+            dv = con.sql(f"SELECT {duck_char_hash(repr(s))} AS h").fetchone()[0]
+            assert sv == dv, s
+
+    def test_shingles_agreement(self, spark):
+        con = duckdb.connect()
+        for s in self.CASES:
+            sv = spark.range(1).select(
+                F.expr(f"array_sort({spark_shingles(spark_tokens(repr(s)))})").alias("x")
+            ).collect()[0].x
+            dv = con.sql(
+                f"SELECT list_sort({duck_shingles(duck_tokens(repr(s)))}) AS x"
+            ).fetchone()[0]
+            assert sv == dv, s
+
+    def test_dot_fold_bitwise_identical(self, spark):
+        con = duckdb.connect()
+        a = [0.1, -0.25, 3.375, 1e-7]
+        b = [2.5, 0.125, -1.0, 1e7]
+        sv = spark.range(1).select(
+            F.expr(
+                spark_dot(f"array({','.join(map(str, a))})", f"array({','.join(map(str, b))})")
+            ).alias("d")
+        ).collect()[0].d
+        dv = con.sql(
+            f"SELECT {duck_dot(f'[{str(a)[1:-1]}]', f'[{str(b)[1:-1]}]')} AS d"
+        ).fetchone()[0]
+        assert sv == dv  # exact: same fold order, IEEE doubles
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    """A tiny documents/embeddings corpus with planted near-duplicates,
+    written as parquet so extension queries can run against it."""
+    d = tmp_path_factory.mktemp("planted")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different content about spark shuffles and parquet scans"
+    docs = spark.createDataFrame(
+        [
+            (0, base, "en", "s", len(base)),
+            (1, near, "en", "s", len(near)),
+            (2, other, "en", "s", len(other)),
+            (3, base, "en", "s", len(base)),  # exact dup of 0
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.99, 0.1, 0.0, 0.0], 0),   # near-dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0], 1),
+            (3, [-1.0, 0.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+class TestDedup:
+    def test_exact_finds_planted_copy(self, spark, planted):
+        from nshm2022db_spark.extensions.dedup import dedup_exact
+
+        got = {r.survivor_id: r.n_copies for r in dedup_exact(spark, planted).collect()}
+        assert got[0] == 2  # docs 0 and 3 collapse
+        assert got[1] == 1 and got[2] == 1
+
+    def test_jaccard_finds_near_dup_pair(self, spark, planted):
+        from nshm2022db_spark.extensions.dedup import dedup_ngram_jaccard
+
+        pairs = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, planted).collect()}
+        assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
+        assert not any(2 in p for p in pairs)
+
+    def test_minhash_lsh_finds_exact_dup(self, spark, planted):
+        from nshm2022db_spark.extensions.dedup import dedup_minhash_lsh
+
+        pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup_minhash_lsh(spark, planted).collect()}
+        assert pairs[(0, 3)] == 1.0  # identical docs always share all bands
+
+    def test_simhash_exact_dup_hamming_zero(self, spark, planted):
+        from nshm2022db_spark.extensions.dedup import dedup_simhash
+
+        got = {(r.doc_a, r.doc_b): r.hamming for r in dedup_simhash(spark, planted).collect()}
+        assert got[(0, 3)] == 0
+
+
+class TestSimilarity:
+    def test_knn_nearest_is_planted_neighbor(self, spark, planted):
+        from nshm2022db_spark.extensions.similarity import knn_bruteforce
+
+        top = {
+            r.query_id: r.neighbor_id
+            for r in knn_bruteforce(spark, planted).filter("rank = 1").collect()
+        }
+        assert top[0] == 1 and top[1] == 0
+
+
+class TestMultimodal:
+    def test_real_decode_is_clearly_stubbed(self):
+        if HAVE_PIL:
+            pytest.skip("PIL unexpectedly present")
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image_real(b"\x89PNG")
+
+    def test_fake_decode_metadata_deterministic(self, spark, planted):
+        from nshm2022db_spark.extensions.multimodal import multimodal_decode_meta
+
+        out = {r.media_id: r for r in multimodal_decode_meta(spark, planted).collect()}
+        assert out[0].n_bytes == out[3].n_bytes  # same payload → same meta
+        assert out[0].media_type == "image" and out[1].media_type == "audio"
+        assert out[0].width == 64 + out[0].n_bytes % 1024
