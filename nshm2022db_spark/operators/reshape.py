@@ -20,10 +20,18 @@ def unpivot_wide(
     value_name: str,
 ) -> DataFrame:
     """Wide → long. Spark's native ``unpivot`` (≥3.4) — one narrow
-    projection per input row, no shuffle."""
+    projection per input row, no shuffle.
+
+    Columns resolve via backticked expressions: MFD bin headers are
+    literal floats like "6.5" and bare F.col/df[...] read the dot as a
+    struct accessor."""
+
+    def c(name: str):
+        return F.expr(f"`{name.replace('`', '``')}`").alias(name)
+
     return df.unpivot(
-        [F.col(c) for c in id_cols],
-        [F.col(c) for c in value_cols],
+        [c(x) for x in id_cols],
+        [c(x) for x in value_cols],
         var_name,
         value_name,
     )

@@ -1,0 +1,170 @@
+"""NSHMDB API integration tests — the reference's Alpine Fault fixture
+(/root/reference/tests/test_nshmdb.py:21-33) translated to Parquet, plus
+its golden expectations (:73-133) and the ETL pipeline round trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.api import NSHMDB
+from nshm2022db_spark.etl import (
+    merge_branches,
+    parse_mfd_wide,
+    parse_rupture_indices,
+    stack_fault_systems,
+)
+from nshm2022db_spark import schemas
+
+
+@pytest.fixture(scope="module")
+def db(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nshmdb"))
+    db = NSHMDB.create(spark, path)
+    mk = spark.createDataFrame
+    # Alpine Fault canonical fixture + a second fault/rupture for joins
+    db.insert("parent_fault", mk([(1, "Alpine Fault"), (2, "Hope Fault")], schemas.PARENT_FAULT))
+    db.insert(
+        "fault",
+        mk([(1, 1, 3, 90.0, None, 1), (2, 2, 3, 45.0, 1, 2)], schemas.FAULT),
+    )
+    db.insert(
+        "fault_plane",
+        mk(
+            [
+                (1, -42.0, 172.0, -42.0, 173.0, -43.0, 173.0, -43.0, 172.0, 0.0, 10.0, 1),
+                (2, -41.0, 171.0, -41.0, 172.0, -42.0, 172.0, -42.0, 171.0, 0.0, 12.0, 2),
+            ],
+            schemas.FAULT_PLANE,
+        ),
+    )
+    db.insert(
+        "rupture",
+        mk(
+            [
+                (1, 3, 1, 100.0, 6.5, 10.0, 0.01),
+                (2, 3, 2, 250.0, 7.1, 30.0, 0.002),
+            ],
+            schemas.RUPTURE,
+        ),
+    )
+    db.insert(
+        "rupture_faults", mk([(1, 1, 1), (2, 2, 1), (3, 2, 2)], schemas.RUPTURE_FAULTS)
+    )
+    db.insert(
+        "magnitude_frequency_distribution",
+        mk([(1, 1, 6.5, 0.01), (2, 1, 7.0, 0.004), (3, 2, 7.2, 0.001)], schemas.MFD),
+    )
+    return db
+
+
+class TestPointLookups:
+    def test_get_fault_corners_golden(self, db):
+        # reference golden corners (WGS84 before projection),
+        # tests/test_nshmdb.py:73-83
+        fault = db.get_fault(3, 1)
+        assert len(fault.planes) == 1
+        np.testing.assert_allclose(
+            fault.planes[0].corners,
+            [[-42.0, 172.0, 0.0], [-42.0, 173.0, 0.0], [-43.0, 173.0, 10.0], [-43.0, 172.0, 10.0]],
+        )
+
+    def test_projection_hook_applies(self, db, spark):
+        shifted = NSHMDB(spark, db.path, projection=lambda c: c + 1.0)
+        assert shifted.get_fault(3, 1).planes[0].corners[0, 0] == -41.0
+
+    def test_get_fault_info(self, db):
+        info = db.get_fault_info(3, 1)
+        assert (info.name, info.rake, info.tect_type) == ("Alpine Fault", 90.0, None)
+
+    def test_get_fault_info_missing_raises(self, db):
+        with pytest.raises(KeyError):
+            db.get_fault_info(1, 999)
+
+    def test_get_rupture_with_geometry(self, db):
+        # reference: tests/test_nshmdb.py:92-102
+        r = db.get_rupture(3, 1)
+        assert (r.magnitude, r.area, r.length, r.rate) == (6.5, 100.0, 10.0, 0.01)
+        assert set(r.faults) == {"Alpine Fault: Section 1"}
+
+    def test_rupture_spanning_two_faults(self, db):
+        r = db.get_rupture(3, 2)
+        assert set(r.faults) == {"Alpine Fault: Section 1", "Hope Fault: Section 2"}
+
+    def test_get_rupture_fault_info_includes_system(self, db):
+        infos = db.get_rupture_fault_info(3, 2)
+        assert {i.name for i in infos} == {"Alpine Fault", "Hope Fault"}
+
+    def test_fault_names_and_ids(self, db):
+        assert db.get_fault_names() == {"Alpine Fault", "Hope Fault"}
+        assert db.get_fault_ids() == {1, 2}
+
+
+class TestRates:
+    def test_most_likely_fault_golden(self, db):
+        # reference golden: most_likely_fault(Crustal, 1, {'Alpine Fault': 6.5})
+        # == {'Alpine Fault': 0.01} (tests/test_nshmdb.py:130-133)
+        assert db.most_likely_fault(3, 1, {"Alpine Fault": 6.5}) == {"Alpine Fault": 0.01}
+
+    def test_nearest_ge_rounds_up(self, db):
+        # 6.7 rounds up to bin 7.0 → rate 0.004
+        assert db.most_likely_fault(3, 1, {"Alpine Fault": 6.7}) == {"Alpine Fault": 0.004}
+
+    def test_nearest_ge_clamps_to_max(self, db):
+        # 9.0 beyond max bin 7.0 → clamped → rate 0.004
+        assert db.most_likely_fault(3, 1, {"Alpine Fault": 9.0}) == {"Alpine Fault": 0.004}
+
+
+class TestAdvancedQueryOnDomain:
+    def test_query_golden(self, db):
+        # reference golden: DSL "Alpine Fault" → rupture nshm 1, mag 6.5,
+        # rate 0.01 first (tests/test_nshmdb.py:120-127)
+        hits = db.query("Alpine Fault")
+        assert [(h.rupture_nshm_id, h.magnitude, h.rate) for h in hits] == [
+            (1, 6.5, 0.01),
+            (2, 7.1, 0.002),
+        ]
+        assert set(hits[1].faults) == {"Alpine Fault: Section 1", "Hope Fault: Section 2"}
+
+    def test_query_negation_with_geometry(self, db):
+        hits = db.query("Alpine Fault & !Hope Fault")
+        assert [h.rupture_nshm_id for h in hits] == [1]
+
+
+class TestParentFaultUpsert:
+    def test_insert_or_ignore(self, db, spark):
+        db.insert_parent_faults(
+            spark.createDataFrame([("Alpine Fault",), ("Kakapo",)], "name string")
+        )
+        names = db.get_fault_names()
+        assert names == {"Alpine Fault", "Hope Fault", "Kakapo"}
+        ids = {
+            r.parent_id
+            for r in db.table("parent_fault").select("parent_id").collect()
+        }
+        assert ids == {1, 2, 3}  # dense continuation from MAX(id)
+
+
+class TestETL:
+    def test_mfd_unpivot_drops_zero_rates(self, spark):
+        wide = spark.createDataFrame(
+            [(1, 0.01, 0.0), (2, 0.02, 0.004)],
+            "nshm_id long, `6.5` double, `7.0` double",
+        )
+        got = sorted(tuple(r) for r in parse_mfd_wide(wide).collect())
+        assert got == [(1, 6.5, 0.01), (2, 6.5, 0.02), (2, 7.0, 0.004)]
+
+    def test_ragged_indices(self, spark):
+        lines = spark.createDataFrame([("5,2,11,12",)], "value string")
+        got = sorted(tuple(r) for r in parse_rupture_indices(lines).collect())
+        assert got == [(5, 11), (5, 12)]
+
+    def test_branch_merge_then_stack(self, spark):
+        b1 = spark.createDataFrame([(1, 0.01)], "nshm_id long, rate double")
+        b2 = spark.createDataFrame([(1, 0.03)], "nshm_id long, rate double")
+        merged = merge_branches([(0.75, b1), (0.25, b2)], ["nshm_id"])
+        sys2 = spark.createDataFrame([(9, 0.5)], "nshm_id long, rate double")
+        got = sorted(tuple(r) for r in stack_fault_systems([merged, sys2]).collect())
+        assert got == [(1, 0.015), (9, 0.5)]
