@@ -20,12 +20,12 @@ from pyspark.sql import functions as F
 
 from nshm2022db_spark.functions.portable import (
     P,
-    duck_char_hash,
-    duck_shingles,
+    duck_shingle_hashes,
+    duck_token_hashes,
     duck_tokens,
     minhash_params,
-    spark_char_hash,
-    spark_shingles,
+    spark_shingle_hashes,
+    spark_token_hashes,
     spark_tokens,
 )
 from nshm2022db_spark.registry import register
@@ -43,17 +43,28 @@ _PARAMS_SQL = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, a, b in _PARAM
 
 
 def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct token-3-gram shingles."""
-    sh = spark_shingles(spark_tokens("text"))
+    """(doc_id, x) exploded distinct token-3-gram shingles, HASHED to
+    int64 immediately: every downstream join/aggregate keys on a long
+    instead of a string, and the regex/array work runs exactly once.
+
+    Cached (memory+disk): the inverted index is reused 2-4× inside each
+    dedup plan; at warehouse scale this materializes as its own table.
+
+    Tokens are hashed once per token, shingle hash = arithmetic combine of
+    3 consecutive token hashes — the char-level fold never runs per
+    shingle (functions.portable.spark_shingle_hashes)."""
     return (
         read_table(spark, sf, "documents")
-        .select("doc_id", F.explode(F.expr(sh)).alias("s"))
+        .select("doc_id", F.expr(spark_token_hashes(spark_tokens("text"))).alias("hx"))
+        .select("doc_id", F.explode(F.expr(spark_shingle_hashes("hx"))).alias("x"))
+        .cache()
     )
 
 
 _DUCK_EX = f"""
-    ex AS (SELECT doc_id, unnest({duck_shingles(duck_tokens('text'))}) AS s
-           FROM documents),
+    ex AS (SELECT doc_id, unnest({duck_shingle_hashes('hx')}) AS x
+           FROM (SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hx
+                 FROM documents)),
     sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)
 """
 
@@ -91,7 +102,7 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     f"""WITH {_DUCK_EX},
         common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
@@ -111,7 +122,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         ex.alias("a")
         .join(
             ex.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -134,7 +145,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, h0..h{k-1}) — min over shingles of (a·x + b) mod p."""
-    ex = _doc_shingles(spark, sf).withColumn("x", F.expr(spark_char_hash("s")))
+    ex = _doc_shingles(spark, sf)
     aggs = [
         F.min(F.expr(f"({a}L * x + {b}L) % {P}")).alias(f"h{i}") for i, a, b in _PARAMS
     ]
@@ -145,9 +156,8 @@ def _minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_minhash_lsh",
     f"""WITH {_DUCK_EX},
         params(i, a, b) AS (SELECT * FROM (VALUES {_PARAMS_SQL})),
-        xs AS (SELECT doc_id, {duck_char_hash('s')} AS x FROM ex),
         mh AS (SELECT doc_id, i, MIN((a * x + b) % {P}) AS h
-               FROM xs CROSS JOIN params GROUP BY doc_id, i),
+               FROM ex CROSS JOIN params GROUP BY doc_id, i),
         bands AS (SELECT doc_id, i // {MINHASH_K // MINHASH_BANDS} AS band_id,
                          string_agg(h::VARCHAR, ',' ORDER BY i) AS sig
                   FROM mh GROUP BY 1, 2),
@@ -156,7 +166,7 @@ def _minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
                    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
         common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
                    FROM cand c JOIN ex a ON a.doc_id = c.doc_a
-                               JOIN ex b ON b.doc_id = c.doc_b AND a.s = b.s
+                               JOIN ex b ON b.doc_id = c.doc_b AND a.x = b.x
                    GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
@@ -199,7 +209,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         cand.join(ex.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
-        .join(ex.alias("b"), (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.s") == F.col("b.s")))
+        .join(ex.alias("b"), (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.x") == F.col("b.x")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -223,9 +233,7 @@ def _simhash(spark: SparkSession, sf: str) -> DataFrame:
     vocabulary, token SETS are near-identical across documents and a
     token-based sketch collides for almost every pair; 3-gram sequences
     carry word order and separate unrelated docs."""
-    toks = _doc_shingles(spark, sf).withColumnRenamed("s", "t").withColumn(
-        "x", F.expr(spark_char_hash("t"))
-    )
+    toks = _doc_shingles(spark, sf)
     sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(F.expr(f"CASE WHEN shiftright(x, {j}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"s{j}")
@@ -239,8 +247,9 @@ def _simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _DUCK_SIMHASH = f"""
-    tok AS (SELECT doc_id, unnest({duck_shingles(duck_tokens('text'))}) AS t FROM documents),
-    xs AS (SELECT doc_id, {duck_char_hash('t')} AS x FROM tok),
+    xs AS (SELECT doc_id, unnest({duck_shingle_hashes('hx')}) AS x
+           FROM (SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hx
+                 FROM documents)),
     sums AS (SELECT doc_id,
                     {', '.join(f"SUM(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
                                for j in range(SIMHASH_BITS))}

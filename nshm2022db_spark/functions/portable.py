@@ -74,6 +74,35 @@ def duck_shingles(tokens_expr: str) -> str:
     )
 
 
+# -- hashed token 3-gram shingles (distinct), cheap form ---------------------
+# Hash each TOKEN once (char-level fold), then combine three consecutive
+# token hashes arithmetically: (h1·31² + h2·31 + h3) mod p. ~15× less char
+# work than hashing shingle strings; identical on both engines.
+
+def spark_token_hashes(tokens_expr: str) -> str:
+    return f"transform({tokens_expr}, t -> {spark_char_hash('t')})"
+
+
+def spark_shingle_hashes(hx: str) -> str:
+    return (
+        f"array_distinct(CASE WHEN size({hx}) >= 3 THEN "
+        f"transform(sequence(1, size({hx}) - 2), "
+        f"i -> ({hx}[i-1] * 961 + {hx}[i] * 31 + {hx}[i+1]) % {P}) "
+        f"ELSE array() END)"
+    )
+
+
+def duck_token_hashes(tokens_expr: str) -> str:
+    return f"list_transform({tokens_expr}, t -> {duck_char_hash('t')})"
+
+
+def duck_shingle_hashes(hx: str) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({hx}) - 1, 1)), "
+        f"i -> ({hx}[i] * 961 + {hx}[i+1] * 31 + {hx}[i+2]) % {P}))"
+    )
+
+
 # -- sequential-fold double dot product of two float arrays ------------------
 
 def spark_dot(a: str, b: str) -> str:

@@ -96,7 +96,11 @@ def advanced_query(
         .alias("b")
         .join(dim, on=F.col(f"b.{t.bridge_dim_key}") == F.col(f"d.{t.dim_key}"), how="inner")
         .groupBy(F.col(f"b.{t.bridge_fact_key}"))
-        .agg(*aggs.values(), F.countDistinct(t.name_col).alias("__n_names"))
+        # size(collect_set) not countDistinct: a distinct aggregate plans a
+        # SECOND full shuffle of the bridge (Expand + re-exchange); the name
+        # domain is small (parent faults / brands), so a per-group set is
+        # bounded and the whole aggregation stays one exchange.
+        .agg(*aggs.values(), F.size(F.collect_set(t.name_col)).alias("__n_names"))
     )
 
     flags = {atom: F.col(f"__m{i}") for i, atom in enumerate(atom_names(tree))}
