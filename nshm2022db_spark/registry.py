@@ -101,6 +101,6 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Populate the registry: importing each family module runs its @register
 # decorators. Bottom import is deliberate (modules import `register` back
 # from here).
-from nshm2022db_spark.queries import relational  # noqa: E402,F401
+from nshm2022db_spark.queries import geometry, relational  # noqa: E402,F401
 from nshm2022db_spark.extensions import dedup, multimodal, similarity, text  # noqa: E402,F401
 from nshm2022db_spark.streaming import events  # noqa: E402,F401
