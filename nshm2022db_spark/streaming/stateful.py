@@ -1,0 +1,134 @@
+"""Custom stateful streaming operator: per-user activity profile.
+
+The reference has no streaming surface (SURVEY §2.10); this is part of the
+north-star extension scope. The operator keeps arbitrary per-key state the
+built-in windowed aggregates can't express — a running profile per user
+(event count, value total, first/last seen, distinct event-type set held
+IN state) — via ``applyInPandasWithState``: Arrow-batched, one state row
+per key in the state store, emitting an updated profile row every
+micro-batch the key appears in.
+
+At scale this is the canonical keyed-state pattern: state is partitioned
+by the grouping key across executors, each micro-batch shuffles only that
+batch's rows to their key's partition, and idle-key expiry would hang off
+the event-time watermark (NoTimeout here — the profile is cumulative by
+design).
+
+Correctness contract: on a single-batch file replay the final profile per
+user equals the batch GROUP BY — that is the registered DuckDB oracle.
+Multi-batch accumulation (the part a batch query can't see) is pinned by
+tests/test_stateful_stream.py, which replays the same events split across
+four files with maxFilesPerTrigger=1 and asserts the final state matches
+the batch answer.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from nshm2022db_spark.registry import register
+from nshm2022db_spark.streaming.events import _event_stream
+
+_counter = itertools.count()
+
+PROFILE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+        T.StructField("first_ts", T.TimestampNTZType(), False),
+        T.StructField("last_ts", T.TimestampNTZType(), False),
+        T.StructField("n_types", T.IntegerType(), False),
+    ]
+)
+
+# State: counters + first/last micros + the distinct-type set, serialized
+# as a sorted comma-join (the event-type alphabet is small and closed).
+PROFILE_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("min_us", T.LongType()),
+        T.StructField("max_us", T.LongType()),
+        T.StructField("types", T.StringType()),
+    ]
+)
+
+
+def _update_profile(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total, min_us, max_us, types = (
+        state.get if state.exists else (0, 0.0, None, None, "")
+    )
+    seen = set(types.split(",")) - {""}
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        lo, hi = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+        min_us = lo if min_us is None else min(min_us, lo)
+        max_us = hi if max_us is None else max(max_us, hi)
+        seen.update(pdf["event_type"].unique().tolist())
+    state.update((n, total, min_us, max_us, ",".join(sorted(seen))))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n": [n],
+            "total": [round(total, 2)],
+            "first_ts": [pd.to_datetime(min_us, unit="us")],
+            "last_ts": [pd.to_datetime(max_us, unit="us")],
+            "n_types": [len(seen)],
+        }
+    )
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """events stream → per-user cumulative profile updates (one row per
+    (user, micro-batch) in update mode)."""
+    with_us = events.withColumn("ts_us", F.unix_micros("ts"))
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        PROFILE_OUTPUT,
+        PROFILE_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _run_update_to_memory(updates: DataFrame, name: str) -> DataFrame:
+    spark = updates.sparkSession
+    q = (
+        updates.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+@register(
+    "stream_stateful_profile",
+    """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+              MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+              COUNT(DISTINCT event_type) AS n_types
+       FROM events GROUP BY user_id""",
+)
+def stream_stateful_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom keyed-state operator over the events stream; single-batch
+    replay makes the final state equal the batch GROUP BY (the oracle)."""
+    updates = user_profile_stream(_event_stream(spark, sf))
+    return _run_update_to_memory(updates, f"stream_stateful_{next(_counter)}")
