@@ -182,3 +182,110 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.filter(F.col("cos") >= COS_TAU).select(
         "vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path beyond one-shot LSH
+# ---------------------------------------------------------------------------
+
+IVF_C_LO, IVF_C_HI = 100, 108  # 8 sampled-centroid vectors (fixed ids)
+IVF_NPROBE = 2
+
+
+@register(
+    "knn_ivf",
+    f"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+                  FROM embeddings
+                  WHERE vec_id >= {IVF_C_LO} AND vec_id < {IVF_C_HI}),
+        lists AS (
+            SELECT e.vec_id, any_value(e.embedding) AS embedding,
+                   arg_max(c.centroid_id, {_duck_cos('e.embedding', 'c.cv')})
+                       AS centroid_id
+            FROM embeddings e CROSS JOIN c GROUP BY e.vec_id),
+        qp AS (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_duck_cos('q.embedding', 'c.cv')} DESC,
+                                c.centroid_id) AS prk
+            FROM embeddings q CROSS JOIN c WHERE q.vec_id < {N_QUERIES}),
+        probes AS (SELECT query_id, qv, centroid_id FROM qp
+                   WHERE prk <= {IVF_NPROBE}),
+        scored AS (
+            SELECT p.query_id, l.vec_id AS neighbor_id,
+                   {_duck_cos('p.qv', 'l.embedding')} AS cos
+            FROM probes p JOIN lists l ON l.centroid_id = p.centroid_id
+                                      AND l.vec_id <> p.query_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank
+        FROM ranked WHERE rank <= {KNN_K}""",
+)
+def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: 8 sampled centroid vectors; every corpus vector joins its
+    argmax-cosine centroid's inverted list (map-side max_by — 8→1 rows per
+    key before any shuffle); queries probe their nprobe={IVF_NPROBE}
+    nearest lists and rank exactly within candidates.
+
+    Scale shape: centroids broadcast; assignment is one pass over the
+    corpus with partial aggregation; the candidate join shuffles by
+    centroid_id (list id). Here C=8 — on a real corpus C is 10⁴-10⁵ so the
+    list key fans out; ties on cosine are measure-zero with distinct
+    real-valued vectors (both engines fall back on argmax order only for
+    exact-double ties)."""
+    emb = read_table(spark, sf, "embeddings")
+    cents = F.broadcast(
+        emb.filter((F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+        )
+    )
+    lists = (
+        emb.crossJoin(cents)
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            F.expr(_spark_cos("embedding", "cv")).alias("ccos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.any_value(F.col("embedding")).alias("embedding"),
+            F.expr("max_by(centroid_id, ccos)").alias("centroid_id"),
+        )
+    )
+    qp = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(cents)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "centroid_id",
+            F.expr(_spark_cos("embedding", "cv")).alias("qcos"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("centroid_id")
+    )
+    probes = F.broadcast(
+        qp.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= IVF_NPROBE)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = lists.alias("l").join(
+        probes,
+        (F.col("l.centroid_id") == probes["centroid_id"])
+        & (F.col("l.vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("l.vec_id").alias("neighbor_id"),
+        F.expr(_spark_cos("qv", "l.embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"), "rank")
+    )

@@ -417,6 +417,29 @@ def rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "cube_agg",
+    """SELECT l_returnflag, l_linestatus,
+              GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+              COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference: CUBE over (returnflag, linestatus) with the
+    grouping-id bitmask disambiguating aggregated-away NULLs from data
+    NULLs — one shuffle, all 4 grouping sets in a single pass."""
+    return (
+        read_table(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 windows / §2.6 sort & top-k
 # ---------------------------------------------------------------------------

@@ -136,6 +136,31 @@ class TestSimilarity:
         assert top[0] == 1 and top[1] == 0
 
 
+    def test_knn_ivf_shape_and_bound(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.similarity import (
+            KNN_K,
+            N_QUERIES,
+            knn_bruteforce,
+            knn_ivf,
+        )
+
+        ivf = knn_ivf(spark, sf_dir).collect()
+        per_query = {}
+        for r in ivf:
+            per_query.setdefault(r.query_id, []).append(r)
+        assert set(per_query) == set(range(N_QUERIES))
+        assert all(len(v) == KNN_K for v in per_query.values())
+
+        # ANN is bounded by the exact search: per query, IVF's best cosine
+        # can never beat brute force's best.
+        brute1 = {
+            r.query_id: r.cos
+            for r in knn_bruteforce(spark, sf_dir).filter("rank = 1").collect()
+        }
+        ivf1 = {r.query_id: r.cos for r in knn_ivf(spark, sf_dir).filter("rank = 1").collect()}
+        assert all(ivf1[q] <= brute1[q] + 1e-9 for q in ivf1)
+
+
 class TestMultimodal:
     def test_real_decode_is_clearly_stubbed(self):
         if HAVE_PIL:
