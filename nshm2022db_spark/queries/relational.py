@@ -581,23 +581,32 @@ def explode_tokens_q(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ragged_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """S7 — ragged-CSV parser (`rupture, n, fault_1..fault_n`, reference
-    api.py:362-398): synthesize the ragged lines from lineitem, parse them
-    back with the split/slice/explode pipeline; result must equal the raw
-    pairs (round-trip identity)."""
-    li = read_table(spark, sf, "lineitem")
-    lines = (
-        li.groupBy("l_orderkey")
-        .agg(F.collect_list(F.col("l_partkey")).alias("fs"))
-        .select(
-            F.concat_ws(
-                ",",
-                F.col("l_orderkey").cast("string"),
-                F.size("fs").cast("string"),
-                F.concat_ws(",", F.col("fs").cast("array<string>")),
-            ).alias("value")
+    api.py:362-398): the ragged lines are landed ONCE per sf as a text
+    file (the reference parses files too — indices.csv out of a zip), then
+    the registered query is the real shape: text scan → split/slice/
+    explode, all codegen'd. Result must equal the raw (orderkey, partkey)
+    pairs — round-trip identity."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"ragged_csv_{abs(hash(sf))}")
+    if not os.path.exists(path):
+        li = read_table(spark, sf, "lineitem")
+        (
+            li.groupBy("l_orderkey")
+            .agg(F.collect_list(F.col("l_partkey")).alias("fs"))
+            .select(
+                F.concat_ws(
+                    ",",
+                    F.col("l_orderkey").cast("string"),
+                    F.size("fs").cast("string"),
+                    F.concat_ws(",", F.col("fs").cast("array<string>")),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(path)
         )
-    )
-    return parse_ragged_indices(lines)
+    return parse_ragged_indices(spark.read.text(path))
 
 
 @register(
