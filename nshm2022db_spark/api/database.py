@@ -159,6 +159,150 @@ class NSHMDB:
         contract, as in the reference."""
         self._append(name, df)
 
+    def insert_many_faults(self, faults: list[FaultInfo]) -> None:
+        """Bulk fault + geometry insert (reference nshmdb.py:250-311):
+        upsert parent names, assign dense surrogate fault_ids from
+        MAX(fault_id)+1 in list order, flatten each plane's 4 corners to
+        the fault_plane row layout.
+
+        Deviation from the reference (documented): first fault_id is
+        MAX+1 even on an empty table (reference starts at 0 only when
+        empty, nshmdb.py:272) — parent_fault keys already start at 1 here,
+        so both surrogate families are consistently 1-based."""
+        spark = self.spark
+        self.insert_parent_faults(
+            spark.createDataFrame([(f.name,) for f in faults], "name string")
+        )
+        parent_ids = {
+            r["name"]: r["parent_id"] for r in self.table("parent_fault").collect()
+        }
+        offset = int(
+            self.table("fault")
+            .agg(F.coalesce(F.max("fault_id"), F.lit(0)))
+            .collect()[0][0]
+        )
+
+        fault_rows, plane_rows = [], []
+        for i, f in enumerate(faults):
+            fid = offset + 1 + i
+            fault_rows.append(
+                (fid, f.fault_nshm_id, f.fault_system, f.rake, f.tect_type,
+                 parent_ids[f.name])
+            )
+            for plane in (f.fault.planes if f.fault else []):
+                c = plane.corners
+                plane_rows.append(
+                    tuple(float(c[j][k]) for j in range(4) for k in (0, 1))
+                    + (float(c[0][2]), float(c[2][2]), fid, len(plane_rows))
+                )
+        self._append(
+            "fault",
+            spark.createDataFrame(fault_rows, schemas.NSHM_TABLES["fault"]),
+        )
+        if plane_rows:
+            corner_cols = [
+                f"{c}_{ax}"
+                for c in _CORNERS
+                for ax in ("lat", "lon")
+            ]
+            schema_str = (
+                ", ".join(f"{c} double" for c in corner_cols)
+                + ", top_depth double, bottom_depth double"
+                + ", fault_id long, __seq long"
+            )
+            planes = spark.createDataFrame(plane_rows, schema_str)
+            existing_max = int(
+                self.table("fault_plane")
+                .agg(F.coalesce(F.max("plane_id"), F.lit(0)))
+                .collect()[0][0]
+            )
+            from nshm2022db_spark.operators import dense_surrogate_keys
+
+            self._append(
+                "fault_plane",
+                dense_surrogate_keys(
+                    planes, ["__seq"], "plane_id", offset=existing_max
+                ).drop("__seq"),
+            )
+
+    def _resolve_fault_ids(self, df: DataFrame) -> DataFrame:
+        """Natural (fault_system, fault_nshm_id) → surrogate fault_id
+        broadcast left join (reference left-merge, nshmdb.py:313-322)."""
+        idmap = self.table("fault").select(
+            "fault_system", F.col("nshm_id").alias("fault_nshm_id"), "fault_id"
+        )
+        return df.join(F.broadcast(idmap), ["fault_system", "fault_nshm_id"], "left")
+
+    def _resolve_rupture_ids(self, df: DataFrame) -> DataFrame:
+        """Natural (fault_system, rupture_nshm_id) → surrogate rupture_id
+        (reference nshmdb.py:324-334)."""
+        idmap = self.table("rupture").select(
+            "fault_system", F.col("nshm_id").alias("rupture_nshm_id"), "rupture_id"
+        )
+        return df.join(F.broadcast(idmap), ["fault_system", "rupture_nshm_id"], "left")
+
+    def insert_many_ruptures(
+        self, ruptures: DataFrame, rupture_faults: DataFrame
+    ) -> None:
+        """Bulk rupture + bridge insert (reference nshmdb.py:336-366).
+
+        ``ruptures``: columns (nshm_id, fault_system, magnitude, area,
+        len, rate). ``rupture_faults``: NATURAL keys — (rupture_nshm_id,
+        fault_nshm_id, fault_system) — resolved to surrogates via the two
+        broadcast id-map joins before the bridge append."""
+        offset = int(
+            self.table("rupture")
+            .agg(F.coalesce(F.max("rupture_id"), F.lit(0)))
+            .collect()[0][0]
+        )
+        from nshm2022db_spark.operators import dense_surrogate_keys
+
+        self._append(
+            "rupture",
+            dense_surrogate_keys(
+                ruptures, ["fault_system", "nshm_id"], "rupture_id", offset=offset
+            ),
+        )
+        bridge = self._resolve_rupture_ids(self._resolve_fault_ids(rupture_faults))
+        b_offset = int(
+            self.table("rupture_faults")
+            .agg(F.coalesce(F.max("rupture_fault_id"), F.lit(0)))
+            .collect()[0][0]
+        )
+        self._append(
+            "rupture_faults",
+            dense_surrogate_keys(
+                bridge.select("rupture_id", "fault_id"),
+                ["rupture_id", "fault_id"],
+                "rupture_fault_id",
+                offset=b_offset,
+            ),
+        )
+
+    def insert_magnitude_frequency_distribution(self, mfds: DataFrame) -> None:
+        """Bulk MFD insert (reference nshmdb.py:452-468): resolve
+        (fault_system, nshm_id) → fault_id, append (fault_id, magnitude,
+        rate) with dense entry ids."""
+        resolved = self._resolve_fault_ids(
+            mfds.withColumnRenamed("nshm_id", "fault_nshm_id")
+        )
+        offset = int(
+            self.table("magnitude_frequency_distribution")
+            .agg(F.coalesce(F.max("entry_id"), F.lit(0)))
+            .collect()[0][0]
+        )
+        from nshm2022db_spark.operators import dense_surrogate_keys
+
+        self._append(
+            "magnitude_frequency_distribution",
+            dense_surrogate_keys(
+                resolved.select("fault_id", "magnitude", "rate"),
+                ["fault_id", "magnitude"],
+                "entry_id",
+                offset=offset,
+            ),
+        )
+
     # -- point lookups (reference: nshmdb.py:368-527) ------------------------
 
     def _fault_rows(self, fault_system: int, fault_nshm_id: int):

@@ -52,3 +52,54 @@ def stack_fault_systems(solutions: list[DataFrame]) -> DataFrame:
     """Concatenate per-fault-system solution frames (U1, reference
     api.py:525-562). unionByName so column order never matters."""
     return reduce(lambda a, b: a.unionByName(b), solutions)
+
+
+# -- S6: CSV scans with the reference's column contracts ---------------------
+# Explicit schemas, never inference — headers carry spaces/units exactly as
+# the solution zips ship them (reference api.py:340-356).
+
+RUPTURE_RATES_SCHEMA = "`Rupture Index` long, `Annual Rate` double"
+RUPTURE_PROPERTIES_SCHEMA = (
+    "`Rupture Index` long, Magnitude double, `Area (m^2)` double, `Length (m)` double"
+)
+
+
+def read_rupture_csvs(spark, rates_path: str, properties_path: str, fault_system: int) -> DataFrame:
+    """Rupture properties ⋈ rates on `Rupture Index` (S6+J9+U4, reference
+    api.py:323-356): two header CSV scans with explicit schemas, an
+    equi-join on the index, and the rename to engine column names."""
+    rates = spark.read.csv(rates_path, header=True, schema=RUPTURE_RATES_SCHEMA)
+    props = spark.read.csv(
+        properties_path, header=True, schema=RUPTURE_PROPERTIES_SCHEMA
+    )
+    return (
+        props.join(rates, "Rupture Index")
+        .select(
+            F.col("Rupture Index").alias("nshm_id"),
+            F.col("Magnitude").alias("magnitude"),
+            F.col("Area (m^2)").alias("area"),
+            F.col("Length (m)").alias("len"),
+            F.col("Annual Rate").alias("rate"),
+        )
+        .withColumn("fault_system", F.lit(fault_system))
+    )
+
+
+def read_mfd_csv(spark, path: str, fault_system: int) -> DataFrame:
+    """Wide MFD CSV (`Section Index` + one column per magnitude bin) → long
+    (nshm_id, magnitude, rate, fault_system) with zero rates dropped
+    (S6+U2+P5, reference api.py:292-320). Bin headers are data, so the
+    header row names the columns and every bin is cast to double before
+    the unpivot."""
+    raw = spark.read.csv(path, header=True)
+    value_cols = [c for c in raw.columns if c != "Section Index"]
+    # bin headers are literal floats ("6.5") — backticked expr, F.col would
+    # read the dot as a struct accessor
+    typed = raw.select(
+        F.col("Section Index").cast("long").alias("nshm_id"),
+        *[
+            F.expr(f"`{c.replace('`', '``')}`").cast("double").alias(c)
+            for c in value_cols
+        ],
+    )
+    return parse_mfd_wide(typed).withColumn("fault_system", F.lit(fault_system))

@@ -610,6 +610,48 @@ def ragged_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "csv_scan_join",
+    """SELECT o_orderkey AS nshm_id,
+              ROUND(o_totalprice / 1000, 6) AS magnitude,
+              CAST(o_custkey AS DOUBLE) AS area,
+              CAST(o_orderkey % 97 AS DOUBLE) AS len,
+              ROUND(o_totalprice / 1e6, 8) AS rate,
+              3 AS fault_system
+       FROM orders""",
+)
+def csv_scan_join(spark: SparkSession, sf: str) -> DataFrame:
+    """S6+J9+U4 — header-CSV scans of rupture rates + properties with
+    explicit schemas, joined on `Rupture Index` and renamed (reference
+    api.py:323-356). The two CSVs are landed once per sf from orders with
+    deterministic formulas; the oracle recomputes them from orders
+    directly, so the compare verifies the CSV round trip + join."""
+    import os
+    import tempfile
+
+    from nshm2022db_spark.etl.ingest import read_rupture_csvs
+
+    base = os.path.join(tempfile.gettempdir(), f"rupture_csvs_{abs(hash(sf))}")
+    rates_p, props_p = os.path.join(base, "rates"), os.path.join(base, "props")
+    if not os.path.exists(base):
+        orders = read_table(spark, sf, "orders")
+        (
+            orders.select(
+                F.col("o_orderkey").alias("Rupture Index"),
+                F.round(F.col("o_totalprice") / 1e6, 8).alias("Annual Rate"),
+            ).write.mode("overwrite").csv(rates_p, header=True)
+        )
+        (
+            orders.select(
+                F.col("o_orderkey").alias("Rupture Index"),
+                F.round(F.col("o_totalprice") / 1000, 6).alias("Magnitude"),
+                F.col("o_custkey").cast("double").alias("Area (m^2)"),
+                (F.col("o_orderkey") % 97).cast("double").alias("Length (m)"),
+            ).write.mode("overwrite").csv(props_p, header=True)
+        )
+    return read_rupture_csvs(spark, rates_p, props_p, fault_system=3)
+
+
+@register(
     "intersect_types",
     """SELECT p_type FROM part WHERE p_brand = 'Brand#1'
        INTERSECT

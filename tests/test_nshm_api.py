@@ -168,3 +168,128 @@ class TestETL:
         sys2 = spark.createDataFrame([(9, 0.5)], "nshm_id long, rate double")
         got = sorted(tuple(r) for r in stack_fault_systems([merged, sys2]).collect())
         assert got == [(1, 0.015), (9, 0.5)]
+
+
+class TestBulkInserts:
+    """Round-trip the reference's bulk-insert surface
+    (nshmdb.py:250-366,452-468): insert through the API, read back through
+    the point-access paths."""
+
+    @pytest.fixture()
+    def fresh(self, spark, tmp_path_factory):
+        return NSHMDB.create(spark, str(tmp_path_factory.mktemp("bulkdb")))
+
+    def test_insert_many_faults_roundtrip(self, spark, fresh):
+        from nshm2022db_spark.api.database import Fault, FaultInfo, Plane
+
+        corners = np.array(
+            [
+                [-42.0, 172.0, 0.0],
+                [-42.0, 173.0, 0.0],
+                [-43.0, 173.0, 10.0],
+                [-43.0, 172.0, 10.0],
+            ]
+        )
+        faults = [
+            FaultInfo(3, 101, "Alpine Fault", 90.0, None, Fault([Plane(corners)])),
+            FaultInfo(3, 102, "Hope Fault", 45.0, 1, None),
+        ]
+        fresh.insert_many_faults(faults)
+
+        info = fresh.get_fault_info(3, 102)
+        assert info.name == "Hope Fault" and info.rake == 45.0
+        got = fresh.get_fault(3, 101)
+        assert np.allclose(got.planes[0].corners, corners)
+        # dense, 1-based surrogate keys in list order
+        ids = {r.nshm_id: r.fault_id for r in fresh.table("fault").collect()}
+        assert ids == {101: 1, 102: 2}
+
+    def test_insert_ruptures_and_mfd_roundtrip(self, spark, fresh):
+        from nshm2022db_spark.api.database import Fault, FaultInfo, Plane
+
+        corners = np.array(
+            [[-42.0, 172.0, 0.0], [-42.0, 173.0, 0.0],
+             [-43.0, 173.0, 10.0], [-43.0, 172.0, 10.0]]
+        )
+        fresh.insert_many_faults(
+            [FaultInfo(3, 101, "Alpine Fault", 90.0, None, Fault([Plane(corners)]))]
+        )
+        fresh.insert_many_ruptures(
+            spark.createDataFrame(
+                [(11, 3, 7.2, 500.0, 80.0, 0.004)],
+                "nshm_id long, fault_system int, magnitude double, area double,"
+                " len double, rate double",
+            ),
+            spark.createDataFrame(
+                [(11, 101, 3)],
+                "rupture_nshm_id long, fault_nshm_id long, fault_system int",
+            ),
+        )
+        rupture = fresh.get_rupture(3, 11)
+        assert rupture.magnitude == 7.2 and rupture.rate == 0.004
+        # section label format, reference nshmdb.py:559-563
+        assert list(rupture.faults) == ["Alpine Fault: Section 101"]
+
+        fresh.insert_magnitude_frequency_distribution(
+            spark.createDataFrame(
+                [(101, 3, 6.5, 0.01), (101, 3, 7.0, 0.002)],
+                "nshm_id long, fault_system int, magnitude double, rate double",
+            )
+        )
+        mfd = fresh.table("magnitude_frequency_distribution").collect()
+        assert {(r.magnitude, r.rate) for r in mfd} == {(6.5, 0.01), (7.0, 0.002)}
+        assert all(r.fault_id == 1 for r in mfd)
+
+
+class TestCsvAndPlots:
+    def test_read_rupture_csvs(self, spark, tmp_path):
+        from nshm2022db_spark.etl.ingest import read_rupture_csvs
+
+        (tmp_path / "rates.csv").write_text(
+            "Rupture Index,Annual Rate\n1,0.004\n2,0.001\n"
+        )
+        (tmp_path / "props.csv").write_text(
+            'Rupture Index,Magnitude,"Area (m^2)","Length (m)"\n'
+            "1,7.2,500.0,80000.0\n2,6.8,200.0,30000.0\n"
+        )
+        got = sorted(
+            tuple(r)
+            for r in read_rupture_csvs(
+                spark, str(tmp_path / "rates.csv"), str(tmp_path / "props.csv"), 3
+            ).collect()
+        )
+        assert got == [
+            (1, 7.2, 500.0, 80000.0, 0.004, 3),
+            (2, 6.8, 200.0, 30000.0, 0.001, 3),
+        ]
+
+    def test_read_mfd_csv_melts_and_drops_zero(self, spark, tmp_path):
+        from nshm2022db_spark.etl.ingest import read_mfd_csv
+
+        (tmp_path / "mfds.csv").write_text(
+            "Section Index,6.5,7.0\n101,0.01,0.0\n102,0.02,0.004\n"
+        )
+        got = sorted(
+            tuple(r) for r in read_mfd_csv(spark, str(tmp_path / "mfds.csv"), 2).collect()
+        )
+        assert got == [
+            (101, 6.5, 0.01, 2),
+            (102, 6.5, 0.02, 2),
+            (102, 7.0, 0.004, 2),
+        ]
+
+    def test_plot_region_and_stub(self):
+        from nshm2022db_spark.api.database import Fault, Plane
+        from nshm2022db_spark.plots import plot_region, plot_rupture
+        from nshm2022db_spark.plots.rupture import plane_rings
+
+        corners = np.array(
+            [[-42.0, 172.0, 0.0], [-42.0, 173.0, 0.0],
+             [-43.0, 173.0, 10.0], [-43.0, 172.0, 10.0]]
+        )
+        faults = [Fault([Plane(corners)])]
+        assert plot_region(faults) == (171.5, 173.5, -43.25, -41.75)
+        (ring,) = plane_rings(faults)
+        assert ring[0][-1] == ring[0][0] and len(ring[0]) == 5
+        with pytest.raises(NotImplementedError, match="matplotlib"):
+            plot_rupture("t", faults, "/tmp/x.png")
