@@ -1,0 +1,91 @@
+"""Physical-plan shape regression tests.
+
+Correctness is pinned by the DuckDB oracles; these tests pin the SCALE
+properties — the plan shapes that keep the same code fast at 1000× the
+data. If a refactor silently turns a broadcast join into a sort-merge
+join, drops a pushed filter, or plans a full sort for a top-k, these fail
+even though every value still matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+class TestPlanShapes:
+    def test_point_lookup_pushes_predicate_and_prunes_columns(self, spark, sf_dir):
+        from nshm2022db_spark.queries.relational import point_lookup
+
+        plan = _plan(point_lookup(spark, sf_dir))
+        assert "PushedFilters: [IsNotNull(s_suppkey), EqualTo(s_suppkey,5)" in plan
+        # column pruning: the scan schema must not carry s_comment etc.
+        assert "s_phone" not in plan
+
+    def test_star_join_broadcasts_all_dims(self, spark, sf_dir):
+        from nshm2022db_spark.queries.relational import join_5way_agg
+
+        plan = _plan(join_5way_agg(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 2  # nation, region at least
+        assert "SortMergeJoin" not in plan
+
+    def test_topk_is_take_ordered_not_full_sort(self, spark, sf_dir):
+        from nshm2022db_spark.queries.relational import topk_global
+
+        plan = _plan(topk_global(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_advanced_query_single_wide_shuffle_and_topk(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["advanced_query_dsl"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan  # dim side never shuffles
+        # exactly one exchange moves bridge-sized data: the groupBy on the
+        # fact key; every other exchange is a broadcast
+        assert plan.count("hashpartitioning(") <= 2
+
+    def test_advanced_query_no_python_udfs(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["advanced_query_dsl"](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_groupby_agg_has_mapside_partials(self, spark, sf_dir):
+        from nshm2022db_spark.queries.relational import groupby_agg
+
+        plan = _plan(groupby_agg(spark, sf_dir))
+        # partial aggregation before the exchange: the shuffle carries one
+        # row per (group, partition), not the raw table
+        assert "partial_sum" in plan and plan.count("HashAggregate") >= 2
+
+    def test_knn_bruteforce_broadcasts_queries(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.similarity import knn_bruteforce
+
+        plan = _plan(knn_bruteforce(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_dedup_exact_is_single_aggregate(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.dedup import dedup_exact
+
+        plan = _plan(dedup_exact(spark, sf_dir))
+        # one partial + one final HashAggregate pair, one exchange
+        assert plan.count("hashpartitioning(") == 1
+        assert "SortAggregate" not in plan
+
+    def test_geometry_planes_has_no_shuffle(self, spark, sf_dir):
+        from nshm2022db_spark.queries.geometry import geometry_planes
+        from nshm2022db_spark.functions.geo import traces_to_planes
+        from nshm2022db_spark.queries.geometry import _synth_geojson
+        from nshm2022db_spark.sources.geojson import read_fault_geojson
+
+        # the mapInPandas pipeline itself (before the cosmetic orderBy in
+        # the registered query) must be exchange-free
+        faults = read_fault_geojson(spark, _synth_geojson(spark, sf_dir))
+        plan = _plan(traces_to_planes(faults))
+        assert "Exchange" not in plan
