@@ -47,9 +47,15 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "knn_bruteforce",
     "knn_lsh_bucketed",
+    "knn_ivf",
     "text_quality_score",
     "text_fingerprint",
     "multimodal_decode_meta",
+    "cube_agg",
+    "csv_scan_join",
+    "geojson_scan",
+    "geometry_planes",
+    "stream_stateful_profile",
 ]
 
 
