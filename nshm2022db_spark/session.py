@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # bucketed tables (sources.parquet.write_bucketed) need a catalog;
+        # keep the warehouse + derby metastore out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/derby"
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -41,3 +41,23 @@ def write_table(df: DataFrame, path: str, mode: str = "append", partition_by: li
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-managed bucketed table: rows are hash-bucketed (and
+    optionally sorted) on the join key AT WRITE TIME, so every later join
+    or aggregation on that key is exchange-free — the shuffle is paid once
+    per dataset instead of once per query. This is the co-located-join
+    strategy for repeated fact⋈fact joins at 100 TB
+    (tests/test_plans.py pins the no-Exchange plan)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -1,0 +1,88 @@
+"""Scale-operator tests: bucketed co-located joins (shuffle paid at write
+time) and salted skew joins (correctness vs the plain join, salt visible
+in the shuffle keys)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.operators.skew import salted_join, top_frequency_keys
+from nshm2022db_spark.sources import read_table
+from nshm2022db_spark.sources.parquet import write_bucketed
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+class TestBucketedJoin:
+    def test_colocated_join_is_exchange_free(self, spark, sf_dir):
+        orders = read_table(spark, sf_dir, "orders")
+        li = read_table(spark, sf_dir, "lineitem")
+        write_bucketed(orders, "orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b",
+            ["o_orderkey"],
+            8,
+            ["o_orderkey"],
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # disable broadcast so the join must co-locate by key
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("orders_b").join(
+                spark.table("lineitem_b"), "o_orderkey"
+            )
+            plan = _plan(joined)
+            assert "Exchange" not in plan  # bucketing replaces the shuffle
+            # and the result matches the plain join
+            n_plain = orders.join(
+                li, orders.o_orderkey == li.l_orderkey
+            ).count()
+            assert joined.count() == n_plain
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS orders_b")
+            spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+class TestSaltedJoin:
+    @pytest.fixture()
+    def skewed(self, spark):
+        # 10k rows of key 1 (hot), 100 spread over 2-101
+        left = spark.range(10_100).select(
+            F.when(F.col("id") < 10_000, F.lit(1))
+            .otherwise(F.col("id") - 9_998)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1, 102).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        return left, right
+
+    def test_salted_matches_plain(self, spark, skewed):
+        left, right = skewed
+        plain = left.join(right, "k")
+        salted = salted_join(left, right, ["k"], n_salts=4)
+        assert salted.count() == plain.count()
+        assert (
+            salted.agg(F.sum(F.col("v") * F.col("w"))).collect()[0][0]
+            == plain.agg(F.sum(F.col("v") * F.col("w"))).collect()[0][0]
+        )
+
+    def test_hot_key_variant_matches_plain(self, spark, skewed):
+        left, right = skewed
+        hot = top_frequency_keys(left, ["k"], top_n=1)
+        assert hot.collect()[0][0] == 1  # the planted hot key
+        salted = salted_join(left, right, ["k"], n_salts=4, hot_keys=hot)
+        assert salted.count() == left.join(right, "k").count()
+
+    def test_salt_appears_in_shuffle_key(self, spark, skewed):
+        left, right = skewed
+        plan = _plan(salted_join(left, right, ["k"], n_salts=4))
+        assert "__salt" in plan
