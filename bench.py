@@ -56,6 +56,7 @@ HEADLINE = [
     "geojson_scan",
     "geometry_planes",
     "stream_stateful_profile",
+    "stream_stream_join",
 ]
 
 

@@ -103,4 +103,4 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from here).
 from nshm2022db_spark.queries import geometry, relational  # noqa: E402,F401
 from nshm2022db_spark.extensions import dedup, multimodal, similarity, text  # noqa: E402,F401
-from nshm2022db_spark.streaming import events, stateful  # noqa: E402,F401
+from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F401

@@ -59,10 +59,10 @@ def _event_stream(spark: SparkSession, sf: str) -> DataFrame:
     return stream.withWatermark("ts", "1 hour")
 
 
-def _run_to_memory(agg: DataFrame, name: str) -> DataFrame:
+def _run_to_memory(agg: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     spark = agg.sparkSession
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
