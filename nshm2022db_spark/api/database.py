@@ -100,17 +100,24 @@ def _planes_from_rows(rows) -> list[tuple[str, Plane]]:
 class NSHMDB:
     """Parquet-directory database with the reference's method surface."""
 
+    # fact tables partitioned by fault_system when partition_facts=True:
+    # natural-key lookups and per-system queries then prune 2/3 of the
+    # data at the file-listing level (SURVEY §1.4 / §4 scale note)
+    _PARTITIONED = ("fault", "rupture")
+
     def __init__(
         self,
         spark: SparkSession,
         path: str,
         projection: Callable[[np.ndarray], np.ndarray] | None = None,
+        partition_facts: bool = False,
     ):
         self.spark = spark
         self.path = path
         # hook for WGS→projected-CRS conversion (reference applies NZTM on
         # read, nshmdb.py:414,564); identity by default
         self.projection = projection
+        self.partition_facts = partition_facts
 
     # -- lifecycle (reference: create/with-context, nshmdb.py:104-163) ------
 
@@ -122,11 +129,22 @@ class NSHMDB:
         os.makedirs(path, exist_ok=True)
         for name, schema in schemas.NSHM_TABLES.items():
             if not os.path.exists(db._table_path(name)):
-                spark.createDataFrame([], schema).write.parquet(db._table_path(name))
+                if db._partition_cols(name):
+                    # partitioned layout: an empty dir IS the empty table
+                    os.makedirs(db._table_path(name), exist_ok=True)
+                else:
+                    spark.createDataFrame([], schema).write.parquet(
+                        db._table_path(name)
+                    )
         return db
 
     def _table_path(self, name: str) -> str:
         return os.path.join(self.path, f"{name}.parquet")
+
+    def _partition_cols(self, name: str) -> list[str]:
+        if self.partition_facts and name in self._PARTITIONED:
+            return ["fault_system"]
+        return []
 
     def table(self, name: str) -> DataFrame:
         return self.spark.read.schema(schemas.NSHM_TABLES[name]).parquet(
@@ -134,9 +152,13 @@ class NSHMDB:
         )
 
     def _append(self, name: str, df: DataFrame) -> None:
-        df.select(
+        writer = df.select(
             *[F.col(f.name).cast(f.dataType) for f in schemas.NSHM_TABLES[name].fields]
-        ).write.mode("append").parquet(self._table_path(name))
+        ).write.mode("append")
+        pcols = self._partition_cols(name)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(self._table_path(name))
 
     # -- inserts (reference: nshmdb.py:250-366,452-468) ----------------------
 

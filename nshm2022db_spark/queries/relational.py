@@ -418,6 +418,40 @@ def rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "approx_count_distinct",
+    """SELECT n_name, COUNT(DISTINCT c_custkey) AS exact_n, true AS within_5pct
+       FROM nation JOIN customer ON c_nationkey = n_nationkey
+       GROUP BY n_name""",
+)
+def approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference scale path: HyperLogLog++ distinct counting — the
+    sketch that replaces exact COUNT(DISTINCT)'s Expand+double-shuffle at
+    100 TB (constant memory per group, one pass). The sketch itself can't
+    hash-match another engine, so the CONTRACT is oracled instead: the
+    query emits whether Spark's approx landed within 5% of exact (rsd is
+    2.5%); the oracle asserts `true` with the exact count alongside — any
+    bound violation hash-mismatches."""
+    nation = F.broadcast(read_table(spark, sf, "nation"))
+    customer = read_table(spark, sf, "customer")
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("exact_n"),
+            F.approx_count_distinct("c_custkey", 0.01).alias("__approx"),
+        )
+        .select(
+            "n_name",
+            "exact_n",
+            (
+                F.abs(F.col("__approx") - F.col("exact_n"))
+                <= 0.05 * F.col("exact_n")
+            ).alias("within_5pct"),
+        )
+    )
+
+
+@register(
     "cube_agg",
     """SELECT l_returnflag, l_linestatus,
               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,

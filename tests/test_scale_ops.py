@@ -86,3 +86,37 @@ class TestSaltedJoin:
         left, right = skewed
         plan = _plan(salted_join(left, right, ["k"], n_salts=4))
         assert "__salt" in plan
+
+
+class TestPartitionPruning:
+    def test_partitioned_facts_prune_by_fault_system(self, spark, tmp_path):
+        import numpy as np
+
+        from nshm2022db_spark.api import NSHMDB
+        from nshm2022db_spark.api.database import Fault, FaultInfo, Plane
+
+        db = NSHMDB.create(
+            spark, str(tmp_path / "pdb"), partition_facts=True
+        )
+        corners = np.array(
+            [[-42.0, 172.0, 0.0], [-42.0, 173.0, 0.0],
+             [-43.0, 173.0, 10.0], [-43.0, 172.0, 10.0]]
+        )
+        db.insert_many_faults(
+            [
+                FaultInfo(3, 101, "Alpine Fault", 90.0, None, Fault([Plane(corners)])),
+                FaultInfo(1, 201, "Hikurangi", 90.0, None, None),
+            ]
+        )
+        # round trip across partitions
+        assert db.get_fault_info(3, 101).name == "Alpine Fault"
+        assert db.get_fault_info(1, 201).name == "Hikurangi"
+
+        # the natural-key filter must reach the file listing as a
+        # PartitionFilter, not just a data filter
+        q = db.table("fault").filter(
+            (F.col("fault_system") == 3) & (F.col("nshm_id") == 101)
+        )
+        plan = _plan(q)
+        assert "PartitionFilters: [" in plan
+        assert "fault_system" in plan.split("PartitionFilters")[1].split("]")[0]
