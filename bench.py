@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_clusters",
     "knn_bruteforce",
     "knn_lsh_bucketed",
     "knn_ivf",

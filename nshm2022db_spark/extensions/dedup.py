@@ -307,3 +307,89 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(doc_id) + (doc_a, doc_b) undirected pairs → (doc_id, cluster_id)
+    where cluster_id = min doc_id reachable (the survivor).
+
+    Pregel-style label propagation: every vertex starts labeled with its
+    own id; each round, labels flow across edges and each vertex keeps the
+    min; stop when a round changes nothing. Rounds needed = component
+    diameter — near-dup clusters are shallow (pairs all share content), so
+    this converges in 2-4 rounds. Each round is one join + one min-agg,
+    both on the same key — at 100 TB persist labels per round (here
+    localCheckpoint) to cut lineage, and AQE handles the skew of a giant
+    component."""
+    labels = vertices.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    # undirected: propagate both ways
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+
+    for _ in range(max_iter):
+        incoming = (
+            both.join(labels, both.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("in_label"))
+        )
+        updated = (
+            labels.join(incoming, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("in_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_DUCK_EX},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        edges AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_TAU}),
+        bidir AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+                  UNION ALL SELECT doc_b, doc_a FROM edges),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT b.dst, r.label FROM reach r JOIN bidir b ON b.src = r.node)
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM reach GROUP BY node""",
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    jaccard-threshold candidate graph; cluster_id = smallest member
+    (the canonical survivor a dedup pipeline keeps). Oracle: recursive-CTE
+    min-label reachability over the identical edge set."""
+    docs = read_table(spark, sf, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    return connected_components(docs, pairs)

@@ -125,6 +125,15 @@ class TestDedup:
         assert got[(0, 3)] == 0
 
 
+    def test_clusters_transitive(self, spark, planted):
+        from nshm2022db_spark.extensions.dedup import dedup_clusters
+
+        labels = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, planted).collect()}
+        # 0 ~ 1 (near), 0 == 3 (exact) => one cluster labeled by min id 0
+        assert labels[0] == labels[1] == labels[3] == 0
+        assert labels[2] == 2  # unrelated doc is its own cluster
+
+
 class TestSimilarity:
     def test_knn_nearest_is_planted_neighbor(self, spark, planted):
         from nshm2022db_spark.extensions.similarity import knn_bruteforce
