@@ -329,10 +329,16 @@ def connected_components(
     localCheckpoint) to cut lineage, and AQE handles the skew of a giant
     component."""
     labels = vertices.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
-    # undirected: propagate both ways
-    both = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # undirected: propagate both ways. Materialize ONCE — the edge set may
+    # be an expensive candidate pipeline (jaccard join) and every round
+    # re-reads it.
+    both = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iter):
         incoming = (

@@ -61,12 +61,20 @@ def _event_stream(spark: SparkSession, sf: str) -> DataFrame:
 
 def _run_to_memory(agg: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     spark = agg.sparkSession
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # State-store partition count is fixed from this conf at query start:
+    # 32 stores (x4 for a stream-stream join) is pure overhead for a
+    # file-replay micro-batch — on a real cluster size it to throughput.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:

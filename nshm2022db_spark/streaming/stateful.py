@@ -104,12 +104,18 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
 
 def _run_update_to_memory(updates: DataFrame, name: str) -> DataFrame:
     spark = updates.sparkSession
-    q = (
-        updates.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # see events._run_to_memory: bound state-store partitions for replay
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
