@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5 notes it has none).
+
+Two laws pinned over randomized inputs:
+* DSL round trip: any expression tree, rendered fully parenthesized,
+  parses back to the same tree; and the compiled SQL predicate evaluated
+  by DuckDB agrees with a 5-line reference evaluator on random
+  membership assignments.
+* nearest-≥ semantics: the distributed asof operator agrees with the
+  reference's np.searchsorted formulation (nshmdb.py:215-221) on random
+  domains and targets, including the clamp-to-max edge.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nshm2022db_spark.dsl.compiler import atom_names, compile_to_sql_predicate
+from nshm2022db_spark.dsl.parser import And, Name, Not, Or, parse_query
+
+ATOMS = ["Alpine Fault", "Hope Fault", "Kakapo", "Brand#1", "F-2: Section 9"]
+
+
+def trees(depth: int = 4):
+    leaf = st.sampled_from(ATOMS).map(Name)
+    return st.recursive(
+        leaf,
+        lambda sub: st.one_of(
+            st.tuples(sub, sub).map(lambda p: And(p[0], p[1])),
+            st.tuples(sub, sub).map(lambda p: Or(p[0], p[1])),
+            sub.map(Not),
+        ),
+        max_leaves=8,
+    )
+
+
+def render(t) -> str:
+    """Fully parenthesized rendering — parse must invert it exactly."""
+    if isinstance(t, Name):
+        return t.value
+    if isinstance(t, Not):
+        return f"!({render(t.operand)})"
+    op = "&" if isinstance(t, And) else "|"
+    return f"({render(t.left)} {op} {render(t.right)})"
+
+
+def evaluate(t, members: set[str]) -> bool:
+    """Reference semantics: membership of atoms under &, |, !."""
+    if isinstance(t, Name):
+        return t.value in members
+    if isinstance(t, Not):
+        return not evaluate(t.operand, members)
+    if isinstance(t, And):
+        return evaluate(t.left, members) and evaluate(t.right, members)
+    return evaluate(t.left, members) or evaluate(t.right, members)
+
+
+class TestDSLProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(trees())
+    def test_render_parse_roundtrip(self, tree):
+        assert parse_query(render(tree)) == tree
+
+    @settings(max_examples=100, deadline=None)
+    @given(trees(), st.sets(st.sampled_from(ATOMS)))
+    def test_sql_codegen_agrees_with_reference_evaluator(self, tree, members):
+        atoms = atom_names(tree)
+        flags = {a: f"f{i}" for i, a in enumerate(atoms)}
+        sql = compile_to_sql_predicate(tree, flags)
+        cols = ", ".join(
+            f"{str(a in members).lower()} AS f{i}" for i, a in enumerate(atoms)
+        )
+        got = duckdb.sql(f"SELECT ({sql}) AS r FROM (SELECT {cols})").fetchone()[0]
+        assert got == evaluate(tree, members)
+
+
+class TestAsofProperty:
+    def test_matches_searchsorted_reference(self, spark):
+        """One Spark job over 200 random targets vs the reference's
+        np.searchsorted + clamp (nshmdb.py:215-221) on a random domain."""
+        from nshm2022db_spark.operators.asof import nearest_ge_lookup
+
+        rng = np.random.default_rng(7)
+        domain_vals = np.unique(rng.uniform(0, 1000, 300).round(3))
+        targets_vals = np.concatenate(
+            [
+                rng.uniform(-100, 1100, 190).round(3),
+                domain_vals[:5],  # exact hits
+                [domain_vals.max(), domain_vals.max() + 1e-9],  # clamp edge
+                [-1e9, 1e9, 0.0],
+            ]
+        )
+        domain = spark.createDataFrame([(float(v),) for v in domain_vals], "v double")
+        targets = spark.createDataFrame(
+            [(float(t),) for t in np.unique(targets_vals)], "t double"
+        )
+        got = {
+            r.t: r.rounded
+            for r in nearest_ge_lookup(domain, "v", targets, "t").collect()
+        }
+
+        # reference formulation, nshmdb.py:215-221
+        srt = np.sort(domain_vals)
+        for t in np.unique(targets_vals):
+            idx = min(int(np.searchsorted(srt, t)), len(srt) - 1)
+            assert got[float(t)] == float(srt[idx]), t
