@@ -98,6 +98,50 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return advanced_query(_star_tables(spark, sf_dir), FLAGSHIP_DSL, **_FLAGSHIP_KW)
 
 
+# Two more DSL shapes through the same pipeline+oracle generator: pure
+# negation with a zero lower bound (the reference silently DROPS 0 bounds
+# via truthiness, query.py:298-314 — honoring them is a documented
+# deviation the oracle now pins), and an OR-chain with a magnitude-style
+# second bound column.
+
+_NEG_DSL = "!Brand#2 & !Brand#3"
+_NEG_KW = dict(rate_bounds=(0.0, 50_000.0), limit=100)
+
+
+@register(
+    "advanced_query_negation",
+    advanced_query_oracle_sql(_FLAGSHIP_ORACLE_NAMES, _NEG_DSL, **_NEG_KW),
+)
+def advanced_query_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL `!Brand#2 & !Brand#3` with a 0.0 lower rate bound."""
+    return advanced_query(_star_tables(spark, sf_dir), _NEG_DSL, **_NEG_KW)
+
+
+_OR_DSL = "Brand#4 | (Brand#5 & !Brand#1)"
+_OR_KW = dict(magnitude_bounds=(None, 30000.0), limit=50, fault_count_limit=3)
+
+
+def _star_tables_mag(spark: SparkSession, sf_dir: str) -> AdvancedQueryTables:
+    t = _star_tables(spark, sf_dir)
+    t.magnitude_col = "o_totalprice"
+    return t
+
+
+import dataclasses as _dc  # noqa: E402
+
+_OR_ORACLE_NAMES = _dc.replace(_FLAGSHIP_ORACLE_NAMES, magnitude_col="o_totalprice")
+
+
+@register(
+    "advanced_query_or_bounds",
+    advanced_query_oracle_sql(_OR_ORACLE_NAMES, _OR_DSL, **_OR_KW),
+)
+def advanced_query_or_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL OR-chain with compound NOT, an upper magnitude-style bound, and
+    a distinct-name cap."""
+    return advanced_query(_star_tables_mag(spark, sf_dir), _OR_DSL, **_OR_KW)
+
+
 # Populate the registry: importing each family module runs its @register
 # decorators. Bottom import is deliberate (modules import `register` back
 # from here).
