@@ -778,3 +778,72 @@ def events_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
     )
+
+
+@register(
+    "events_funnel",
+    """WITH firsts AS (
+           SELECT user_id,
+                  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+                  MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                      AS any_purchase_ts
+           FROM events GROUP BY user_id),
+        conv AS (
+           SELECT f.user_id, f.signup_ts,
+                  MIN(e.ts) AS converted_ts
+           FROM firsts f
+           LEFT JOIN events e
+             ON e.user_id = f.user_id AND e.event_type = 'purchase'
+            AND e.ts >= f.signup_ts
+           WHERE f.signup_ts IS NOT NULL
+           GROUP BY f.user_id, f.signup_ts)
+       SELECT user_id, signup_ts, converted_ts,
+              converted_ts IS NOT NULL AS converted,
+              ROUND(EPOCH(converted_ts - signup_ts) / 3600.0, 4)
+                  AS hours_to_convert
+       FROM conv""",
+)
+def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential funnel: per signed-up user, the first purchase AT or
+    after their first signup, conversion flag, and hours-to-convert.
+    One conditional aggregate pass for the anchor event + one range-
+    predicate aggregation for the conversion — the standard two-step
+    funnel shape, all map-side-combinable."""
+    ev = read_table(spark, sf, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "signup_ts"
+            )
+        )
+        .filter(F.col("signup_ts").isNotNull())
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        firsts.join(
+            purchases,
+            (firsts.user_id == purchases.user_id)
+            & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .drop(purchases.user_id)
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("converted_ts"))
+    )
+    return conv.select(
+        "user_id",
+        "signup_ts",
+        "converted_ts",
+        F.col("converted_ts").isNotNull().alias("converted"),
+        F.round(
+            (
+                F.col("converted_ts").cast("double")
+                - F.col("signup_ts").cast("double")
+            )
+            / 3600.0,
+            4,
+        ).alias("hours_to_convert"),
+    )
