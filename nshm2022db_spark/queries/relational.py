@@ -780,6 +780,52 @@ def events_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["o_custkey", "o_totalprice"]
+
+
+@register(
+    "table_profile",
+    " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n,
+                  COUNT(*) - COUNT({c}) AS n_null,
+                  COUNT(DISTINCT {c}) AS n_distinct,
+                  ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS min_v,
+                  ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS max_v,
+                  ROUND(CAST(AVG({c}) AS DOUBLE), 4) AS avg_v
+           FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Data profiling: per-column count/nulls/distinct/min/max/mean in ONE
+    pass over the table — all columns' aggregates compute in a single
+    scan + single reduce, then unpivot to one row per column. The
+    first thing a training-data pipeline runs against a new 100 TB drop;
+    a per-column loop would be N scans."""
+    orders = read_table(spark, sf, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__avg"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct, {c}__min, {c}__max, {c}__avg"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n, n_null, n_distinct, min_v, max_v, avg_v)"
+        )
+    )
+
+
 @register(
     "events_funnel",
     """WITH firsts AS (
