@@ -340,13 +340,17 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Convergence check: labels only ever DECREASE under min-propagation,
+    # so the label sum strictly decreases until the fixed point — a
+    # single-column aggregate, no comparison join needed.
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iter):
         incoming = (
             both.join(labels, both.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("in_label"))
         )
-        updated = (
+        labels = (
             labels.join(incoming, "doc_id", "left")
             .select(
                 "doc_id",
@@ -356,16 +360,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
