@@ -301,6 +301,76 @@ class NSHMDB:
             ),
         )
 
+    def insert_solution(self, sol: dict) -> None:
+        """Ingest a composite solution (sources.nshm_api.composite_solution
+        output) END-TO-END as DataFrames — the distributed twin of the
+        reference's driver-side object pipeline (api.py:595-622 →
+        nshmdb.py:250-366,452-468). Nothing but the tiny parent-name and
+        id maps ever reaches the driver; plane construction runs as a
+        shuffle-free mapInPandas over the trace partitions.
+
+        ``sol`` keys: faults (fault_nshm_id, name, rake, dip, dip_dir,
+        top_depth, bottom_depth, trace, fault_system),
+        rupture_properties (nshm_id, magnitude, area, len, rate,
+        fault_system), rupture_join_table (rupture_id, fault_id —
+        NATURAL ids — fault_system), magnitude_frequency_distribution
+        (nshm_id, magnitude, rate, fault_system) or None."""
+        from nshm2022db_spark.functions.geo import traces_to_planes
+        from nshm2022db_spark.operators import dense_surrogate_keys
+
+        faults = sol["faults"]
+        self.insert_parent_faults(faults.select("name"))
+        parent_map = F.broadcast(self.table("parent_fault"))
+
+        offset = int(
+            self.table("fault")
+            .agg(F.coalesce(F.max("fault_id"), F.lit(0)))
+            .collect()[0][0]
+        )
+        keyed = dense_surrogate_keys(
+            faults, ["fault_system", "fault_nshm_id"], "fault_id", offset=offset
+        ).localCheckpoint(eager=True)  # keys must not be recomputed per branch below
+        self._append(
+            "fault",
+            keyed.join(parent_map, "name").select(
+                "fault_id",
+                F.col("fault_nshm_id").alias("nshm_id"),
+                "fault_system",
+                "rake",
+                F.lit(None).cast("int").alias("tect_type"),  # api.py:285
+                "parent_id",
+            ),
+        )
+
+        planes = traces_to_planes(keyed, id_cols=["fault_id"])
+        p_offset = int(
+            self.table("fault_plane")
+            .agg(F.coalesce(F.max("plane_id"), F.lit(0)))
+            .collect()[0][0]
+        )
+        self._append(
+            "fault_plane",
+            dense_surrogate_keys(
+                planes, ["fault_id", "segment_idx"], "plane_id", offset=p_offset
+            ),
+        )
+
+        self.insert_many_ruptures(
+            sol["rupture_properties"].select(
+                "nshm_id", "fault_system", "magnitude", "area", "len", "rate"
+            ),
+            sol["rupture_join_table"].select(
+                F.col("rupture_id").alias("rupture_nshm_id"),
+                F.col("fault_id").alias("fault_nshm_id"),
+                "fault_system",
+            ),
+        )
+        mfds = sol.get("magnitude_frequency_distribution")
+        if mfds is not None:
+            self.insert_magnitude_frequency_distribution(
+                mfds.select("nshm_id", "fault_system", "magnitude", "rate")
+            )
+
     def insert_magnitude_frequency_distribution(self, mfds: DataFrame) -> None:
         """Bulk MFD insert (reference nshmdb.py:452-468): resolve
         (fault_system, nshm_id) → fault_id, append (fault_id, magnitude,

@@ -213,22 +213,27 @@ def planes_from_trace(
 
 _CORNERS = ("top_left", "top_right", "bottom_right", "bottom_left")
 
-PLANE_ROW_SCHEMA = T.StructType(
-    [T.StructField("fault_nshm_id", T.LongType(), False)]
-    + [
-        T.StructField(f"{c}_{ax}", T.DoubleType(), False)
-        for c in _CORNERS
-        for ax in ("lat", "lon")
-    ]
-    + [
-        T.StructField("top_depth", T.DoubleType(), False),
-        T.StructField("bottom_depth", T.DoubleType(), False),
-        T.StructField("segment_idx", T.IntegerType(), False),
-    ]
-)
+
+def _plane_row_schema(id_fields: list[T.StructField]) -> T.StructType:
+    return T.StructType(
+        list(id_fields)
+        + [
+            T.StructField(f"{c}_{ax}", T.DoubleType(), False)
+            for c in _CORNERS
+            for ax in ("lat", "lon")
+        ]
+        + [
+            T.StructField("top_depth", T.DoubleType(), False),
+            T.StructField("bottom_depth", T.DoubleType(), False),
+            T.StructField("segment_idx", T.IntegerType(), False),
+        ]
+    )
 
 
-def _planes_batch(batch: pd.DataFrame) -> pd.DataFrame:
+PLANE_ROW_SCHEMA = _plane_row_schema([T.StructField("fault_nshm_id", T.LongType(), False)])
+
+
+def _planes_batch(batch: pd.DataFrame, id_cols: list[str], out_cols: list[str]) -> pd.DataFrame:
     rows = []
     for r in batch.itertuples(index=False):
         trace = np.asarray([[p[0], p[1]] for p in r.trace], dtype=np.float64)
@@ -236,7 +241,7 @@ def _planes_batch(batch: pd.DataFrame) -> pd.DataFrame:
         for seg, corners in enumerate(
             planes_from_trace(trace, r.top_depth, r.bottom_depth, r.dip, dip_dir)
         ):
-            flat = {"fault_nshm_id": r.fault_nshm_id}
+            flat = {c: getattr(r, c) for c in id_cols}
             for (cname, (lat, lon, _)) in zip(_CORNERS, corners):
                 flat[f"{cname}_lat"] = lat
                 flat[f"{cname}_lon"] = lon
@@ -244,25 +249,35 @@ def _planes_batch(batch: pd.DataFrame) -> pd.DataFrame:
             flat["bottom_depth"] = r.bottom_depth
             flat["segment_idx"] = seg
             rows.append(flat)
-    return pd.DataFrame(rows, columns=[f.name for f in PLANE_ROW_SCHEMA.fields])
+    return pd.DataFrame(rows, columns=out_cols)
 
 
-def traces_to_planes(traces: DataFrame) -> DataFrame:
-    """Distributed plane construction: input columns (fault_nshm_id, trace:
-    array<array<double>> of [lon, lat], top_depth, bottom_depth, dip,
-    dip_dir nullable) → one fault_plane row per trace segment.
+def traces_to_planes(
+    traces: DataFrame, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Distributed plane construction: input columns (``id_cols`` —
+    default [fault_nshm_id] — plus trace: array<array<double>> of
+    [lon, lat], top_depth, bottom_depth, dip, dip_dir nullable) → one
+    fault_plane row per trace segment, id columns passed through (include
+    fault_system when frames span systems — nshm ids are only unique per
+    system, schema.sql:47).
 
     ``mapInPandas`` keeps this embarrassingly parallel — no shuffle, no
     state; each Arrow batch of faults expands independently, so at 100 TB
     the cost is one pass over the trace partitions.
     """
-    cols = ["fault_nshm_id", "trace", "top_depth", "bottom_depth", "dip", "dip_dir"]
+    id_cols = id_cols or ["fault_nshm_id"]
+    schema = _plane_row_schema(
+        [traces.schema[c] for c in id_cols]
+    )
+    out_cols = [f.name for f in schema.fields]
+    cols = [*id_cols, "trace", "top_depth", "bottom_depth", "dip", "dip_dir"]
 
     def gen(batches: Iterable[pd.DataFrame]):
         for b in batches:
-            yield _planes_batch(b)
+            yield _planes_batch(b, id_cols, out_cols)
 
-    return traces.select(*cols).mapInPandas(gen, PLANE_ROW_SCHEMA)
+    return traces.select(*cols).mapInPandas(gen, schema)
 
 
 @F.pandas_udf(T.DoubleType())

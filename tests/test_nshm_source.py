@@ -163,3 +163,48 @@ def test_land_and_composite_pipeline(spark, tmp_path):
 def test_composite_solution_empty_raises(spark):
     with pytest.raises(ValueError, match="No solutions to stack"):
         api.composite_solution(spark, {"CRU": []})
+
+
+def test_insert_solution_end_to_end(spark, tmp_path):
+    """Landed zips → composite_solution → NSHMDB.insert_solution →
+    point-access reads; the full distributed ingest path."""
+    from nshm2022db_spark.api import NSHMDB
+
+    zips = {}
+    for node_id, (ra, rb) in {"nA": (0.01, 0.002), "nB": (0.03, 0.004)}.items():
+        p = str(tmp_path / f"{node_id}.zip")
+        _make_branch_zip(p, ra, rb)
+        zips[f"https://files/{node_id}.zip"] = p
+
+    def fetcher(payload):
+        nid = payload["variables"]["id"]
+        return {"data": {"node": {"file_url": f"https://files/{nid}.zip"}}}
+
+    def download(url, dest):
+        with open(zips[url], "rb") as s, open(dest, "wb") as d:
+            d.write(s.read())
+
+    landed = api.land_branch_zips(
+        fetcher, download, {"CRU": [(0.75, "nA"), (0.25, "nB")]},
+        str(tmp_path / "landing"),
+    )
+    sol = api.composite_solution(spark, landed)
+
+    db = NSHMDB.create(spark, str(tmp_path / "soldb"))
+    db.insert_solution(sol)
+
+    info = db.get_fault_info(3, 7)
+    assert info.name == "Alpine Fault" and info.rake == 180.0
+    fault = db.get_fault(3, 7)
+    assert len(fault.planes) == 1  # 2-point trace -> 1 segment
+    # top edge echoes the trace (lat, lon, depth)
+    import numpy as np
+
+    assert np.allclose(fault.planes[0].corners[0], [-42.0, 172.0, 0.0])
+
+    r = db.get_rupture(3, 101)
+    assert r.rate == pytest.approx(0.015) and r.magnitude == 7.2
+    assert list(r.faults) == ["Alpine Fault: Section 7"]
+
+    rates = db.most_likely_fault(3, 101, {"Alpine Fault": 6.0})
+    assert rates["Alpine Fault"] == pytest.approx(0.015)  # 6.5 bin, weighted
