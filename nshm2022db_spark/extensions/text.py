@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nshm2022db_spark.functions.portable import (
+    P,
     duck_char_hash,
     duck_tokens,
     spark_char_hash,
@@ -39,6 +40,39 @@ LANG_MARKERS = {
 def _norm(col: str, duck: bool) -> str:
     flags = ", 'g'" if duck else ""
     return f"lower(regexp_replace(trim({col}), '\\\\s+', ' '{flags}))"
+
+
+_SAMPLE_RATES = {"en": 50, "de": 80, "fr": 20}  # percent kept per stratum
+# multiplier < p keeps id*a below 2^63 (same overflow discipline as P)
+_SAMPLE_A, _SAMPLE_B = 48_271, 11
+
+
+def _bucket(expr_id: str) -> str:
+    """Deterministic 0-99 bucket from the doc id — an affine hash mod 100,
+    identical arithmetic on both engines."""
+    return f"((({expr_id} * {_SAMPLE_A} + {_SAMPLE_B}) % {P}) % 100)"
+
+
+@register(
+    "stratified_sample",
+    f"""SELECT doc_id, lang FROM documents
+       WHERE CASE lang
+               WHEN 'en' THEN {_bucket('doc_id')} < {_SAMPLE_RATES['en']}
+               WHEN 'de' THEN {_bucket('doc_id')} < {_SAMPLE_RATES['de']}
+               WHEN 'fr' THEN {_bucket('doc_id')} < {_SAMPLE_RATES['fr']}
+               ELSE FALSE END""",
+)
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling — per-language keep rates via an
+    affine-hash bucket of the doc id, NOT `sampleBy`: reproducible across
+    runs, engines, and partitionings (rerunning a 100 TB curation job
+    must select the same documents), pure filter pushdown, no shuffle."""
+    docs = read_table(spark, sf, "documents")
+    bucket = F.expr(_bucket("doc_id"))
+    keep = F.lit(False)
+    for lang, rate in _SAMPLE_RATES.items():
+        keep = F.when(F.col("lang") == lang, bucket < rate).otherwise(keep)
+    return docs.filter(keep).select("doc_id", "lang")
 
 
 @register(

@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # split size for file scans: 128m default is right for local SSD;
+        # at 100 TB on object storage raise toward 256-512m so task count
+        # stays ~4x cores and listing/scheduling overhead amortizes
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PARTITION_BYTES", "134217728"),
+        )
         # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long ns and convert in the
         # source layer (sources.parquet.read_table).
