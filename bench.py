@@ -53,6 +53,12 @@ HEADLINE = [
     "text_fingerprint",
     "multimodal_decode_meta",
     "cube_agg",
+    "approx_count_distinct",
+    "table_profile",
+    "events_funnel",
+    "stratified_sample",
+    "advanced_query_negation",
+    "advanced_query_or_bounds",
     "csv_scan_join",
     "geojson_scan",
     "geometry_planes",
