@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nshm2022db_spark.registry import ORACLES, QUERIES, flagship
+from nshm2022db_spark.registry import ORACLES, QUERIES, ensure_driver_order, flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,10 +21,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, in driver
+    order (the gate verifies a fixed-size prefix — see registry.py)."""
+    ensure_driver_order()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
+    ensure_driver_order()
     return dict(ORACLES)

@@ -37,6 +37,15 @@ MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows
 SIMHASH_BITS = 32
 SIMHASH_HAMMING_MAX = 3
+# A shingle appearing in k documents contributes k² candidate pairs to the
+# inverted-index self-join — a stop-shingle ("in the", boilerplate headers)
+# makes that quadratic at corpus scale. Shingles with document frequency
+# above this cap are dropped from the jaccard shingle SETS (candidates,
+# intersection and union alike, so the score stays a true set Jaccard of
+# the capped sets; the DuckDB oracle applies the identical cap). At the
+# sf0.01 gate (500 docs) the cap is inert; at 100 TB it bounds the join
+# fan-out per shingle to CAP².
+SHINGLE_DF_CAP = 1000
 
 _PARAMS = minhash_params(MINHASH_K)
 _PARAMS_SQL = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, a, b in _PARAMS)
@@ -61,10 +70,38 @@ def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def capped_shingles(ex: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Drop shingles whose document frequency exceeds df_cap (the
+    stop-shingle suppression the jaccard path relies on at scale). The hot
+    set is tiny by construction (≤ total-shingle-rows / df_cap under Zipf,
+    a handful in practice), so the anti-join's build side stays small; no
+    explicit broadcast hint — AQE converts it when it fits."""
+    hot = (
+        ex.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("x")
+    )
+    return ex.join(hot, "x", "left_anti")
+
+
+# Uncapped shingle sets (minhash/simhash sketches hash ALL shingles; their
+# banding already bounds the candidate join).
 _DUCK_EX = f"""
     ex AS (SELECT doc_id, unnest({duck_shingle_hashes('hx')}) AS x
            FROM (SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hx
                  FROM documents)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)
+"""
+
+# Capped twin for the jaccard inverted-index path (and the cluster pipeline
+# built on it): identical stop-shingle suppression on the oracle side.
+_DUCK_EX_CAPPED = f"""
+    ex_all AS (SELECT doc_id, unnest({duck_shingle_hashes('hx')}) AS x
+               FROM (SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hx
+                     FROM documents)),
+    hot AS (SELECT x FROM ex_all GROUP BY x HAVING count(*) > {SHINGLE_DF_CAP}),
+    ex AS (SELECT * FROM ex_all WHERE x NOT IN (SELECT x FROM hot)),
     sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)
 """
 
@@ -97,26 +134,11 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""WITH {_DUCK_EX},
-        common AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-            FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-               ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-        FROM common
-        JOIN sz sa ON sa.doc_id = doc_a
-        JOIN sz sb ON sb.doc_id = doc_b
-        WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_TAU}""",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup via token-3-gram Jaccard ≥ τ, computed with an inverted
-    index (shingle → docs) self-join — candidates are only doc pairs that
-    SHARE a shingle, never all pairs. |A∩B| from the join, |A∪B| from the
-    per-doc shingle counts."""
-    ex = _doc_shingles(spark, sf)
+def ngram_jaccard_pairs(ex: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """(doc_id, x) shingle rows → (doc_a, doc_b, jaccard) pairs with
+    Jaccard ≥ τ via inverted-index self-join. Pure pipeline over an
+    already-prepared shingle set (capped or not) so tests can drive it
+    with synthetic shingles."""
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         ex.alias("a")
@@ -133,9 +155,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return (
         common.join(F.broadcast(sz.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
         .join(F.broadcast(sz.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= JACCARD_TAU)
+        .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {_DUCK_EX_CAPPED},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM common
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_TAU}""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup via token-3-gram Jaccard ≥ τ, computed with an inverted
+    index (shingle → docs) self-join — candidates are only doc pairs that
+    SHARE a shingle, never all pairs. |A∩B| from the join, |A∪B| from the
+    per-doc shingle counts. Shingles hotter than SHINGLE_DF_CAP are dropped
+    first (capped_shingles) so no single shingle can fan the self-join out
+    quadratically."""
+    ex = capped_shingles(_doc_shingles(spark, sf))
+    return ngram_jaccard_pairs(ex)
 
 
 # ---------------------------------------------------------------------------
@@ -344,6 +391,7 @@ def connected_components(
     # so the label sum strictly decreases until the fixed point — a
     # single-column aggregate, no comparison join needed.
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         incoming = (
             both.join(labels, both.src == labels.doc_id)
@@ -362,14 +410,24 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # A chain-shaped component longer than max_iter would otherwise
+        # return silently-wrong labels (the oracle computes full
+        # reachability). Fail loudly; callers with genuinely deep graphs
+        # should raise max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "component diameter exceeds max_iter — raise max_iter"
+        )
     return labels
 
 
 @register(
     "dedup_clusters",
-    f"""WITH RECURSIVE {_DUCK_EX},
+    f"""WITH RECURSIVE {_DUCK_EX_CAPPED},
         common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
             FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id

@@ -13,13 +13,24 @@ from pyspark.sql import functions as F
 from nshm2022db_spark.schemas import STAR_TABLES
 
 
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
+    rejects outright unless this legacy conf is on. It is a runtime conf,
+    so setting it here makes the read work in ANY session — not just ones
+    built by our session factory (session.py sets it too, but the driver
+    builds its own session)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Schema comes from parquet footers (already
     explicit at write time); Catalyst prunes columns / pushes filters into
     the scan."""
+    if name == "events":
+        ensure_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as long nanoseconds (see session.py nanosAsLong);
+        # ts arrives as long nanoseconds (via nanosAsLong above);
         # integer `div` — a double division would lose precision on
         # ~1.7e18 ns epochs (> 2^53).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

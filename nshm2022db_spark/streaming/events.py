@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nshm2022db_spark.registry import register
+from nshm2022db_spark.sources.parquet import ensure_nanos_as_long
 
 _counter = itertools.count()
 
@@ -41,8 +42,13 @@ _RAW_SCHEMA = T.StructType(
 
 def _stream_dir(sf: str) -> str:
     """The file source requires a DIRECTORY; expose the single events
-    parquet through a symlink in a scratch dir (testdata is read-only)."""
-    d = os.path.join(tempfile.gettempdir(), f"events_stream_{abs(hash(sf))}")
+    parquet through a symlink in a scratch dir (testdata is read-only).
+    Keyed on a stable digest of the sf path — builtin hash() is salted
+    per process, so it would re-land every run."""
+    import hashlib
+
+    key = hashlib.sha1(sf.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
@@ -51,6 +57,7 @@ def _stream_dir(sf: str) -> str:
 
 
 def _event_stream(spark: SparkSession, sf: str) -> DataFrame:
+    ensure_nanos_as_long(spark)
     stream = (
         spark.readStream.schema(_RAW_SCHEMA)
         .parquet(_stream_dir(sf))
@@ -64,6 +71,11 @@ def _run_to_memory(agg: DataFrame, name: str, output_mode: str = "complete") -> 
     # State-store partition count is fixed from this conf at query start:
     # 32 stores (x4 for a stream-stream join) is pure overhead for a
     # file-replay micro-batch — on a real cluster size it to throughput.
+    # NOTE: this briefly mutates the session-global conf, so any query
+    # planned CONCURRENTLY in the same session would pick up the
+    # 8-partition setting. The harness (driver gate, pytest, bench) plans
+    # queries sequentially, which is the assumption here; a shared
+    # interactive session should instead set the conf once at startup.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

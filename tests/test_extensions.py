@@ -133,6 +133,86 @@ class TestDedup:
         assert labels[0] == labels[1] == labels[3] == 0
         assert labels[2] == 2  # unrelated doc is its own cluster
 
+    def test_shingle_cap_keeps_candidates_linear(self, spark):
+        """One ubiquitous shingle must not make the inverted-index
+        self-join quadratic: with the df cap the candidate count stays at
+        the number of genuinely-shared shingle pairs (linear in docs); the
+        uncapped join explodes to all C(n,2) pairs."""
+        from nshm2022db_spark.extensions.dedup import (
+            capped_shingles,
+            ngram_jaccard_pairs,
+        )
+
+        n = 60
+        rows = []
+        for d in range(n):
+            rows.append((d, 999))            # ubiquitous stop-shingle
+            rows.append((d, 1000 + d))       # unique
+            rows.append((d, 3000 + d // 2))  # shared with the pair buddy
+        ex = spark.createDataFrame(rows, "doc_id long, x long")
+
+        def n_candidates(e):
+            return (
+                e.alias("a")
+                .join(
+                    e.alias("b"),
+                    (F.col("a.x") == F.col("b.x"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select("a.doc_id", "b.doc_id")
+                .distinct()
+                .count()
+            )
+
+        assert n_candidates(ex) == n * (n - 1) // 2  # hot shingle → quadratic
+        capped = capped_shingles(ex, df_cap=5)
+        assert n_candidates(capped) == n // 2  # only the planted buddies
+
+        # And the capped sets still resolve the planted near-dup pairs:
+        # buddies share 1 of their 2 surviving shingles → jaccard 1/3.
+        pairs = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(capped, tau=0.3).collect()}
+        assert pairs == {(2 * i, 2 * i + 1) for i in range(n // 2)}
+
+    def test_connected_components_raises_on_non_convergence(self, spark):
+        from nshm2022db_spark.extensions.dedup import connected_components
+
+        verts = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(verts, chain, max_iter=1)
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(verts, chain, max_iter=10).collect()
+        }
+        assert set(labels.values()) == {0}
+
+
+class TestDriverOrder:
+    def test_driver_order_window(self):
+        """The driver gate verifies the FIRST 50 registered queries; pin
+        that every name in the explicit order exists and that all
+        previously-unverified families sit inside the window."""
+        from nshm2022db_spark.registry import (
+            _DRIVER_ORDER,
+            ORACLES,
+            QUERIES,
+            ensure_driver_order,
+        )
+
+        ensure_driver_order()
+        missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
+        assert not missing, f"_DRIVER_ORDER names not registered: {missing}"
+        assert len(_DRIVER_ORDER) == len(set(_DRIVER_ORDER))
+        names = list(QUERIES)
+        assert names[: len(_DRIVER_ORDER)] == _DRIVER_ORDER
+        window = set(names[:50])
+        for fam in ("knn_", "text_", "stream_", "stratified", "dedup_embedding"):
+            assert any(n.startswith(fam) or fam in n for n in window), fam
+        # ORACLES iterates in the same order (driver zips them).
+        assert [n for n in QUERIES if n in ORACLES] == list(ORACLES)
+
 
 class TestSimilarity:
     def test_knn_nearest_is_planted_neighbor(self, spark, planted):
