@@ -53,7 +53,8 @@ HEADLINE = [
     "text_fingerprint",
     "multimodal_decode_meta",
     "cube_agg",
-    "approx_count_distinct",
+    "approx_count_distinct_sketch",  # sketch-only; the oracled exact+sketch
+    # contract query stays out of the headline list (it times both aggs)
     "table_profile",
     "events_funnel",
     "stratified_sample",

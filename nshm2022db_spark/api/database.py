@@ -247,6 +247,26 @@ class NSHMDB:
                 ).drop("__seq"),
             )
 
+    @staticmethod
+    def _assert_resolved(df: DataFrame, id_cols: list[str], what: str) -> DataFrame:
+        """Fail loudly if any natural key failed to resolve to a surrogate
+        (NULL id after the left join). The reference's dict-lookup merge
+        surfaces a missing key as a KeyError; the join-based resolution
+        would otherwise append NULL ids that point lookups silently drop.
+        One cheap aggregate per ingest batch."""
+        cond = None
+        for c in id_cols:
+            term = F.col(c).isNull()
+            cond = term if cond is None else (cond | term)
+        n_bad = df.filter(cond).count()
+        if n_bad:
+            raise ValueError(
+                f"{what}: {n_bad} rows reference natural keys not present in "
+                f"the target tables (NULL {id_cols} after resolution); "
+                "insert the referenced faults/ruptures first"
+            )
+        return df
+
     def _resolve_fault_ids(self, df: DataFrame) -> DataFrame:
         """Natural (fault_system, fault_nshm_id) → surrogate fault_id
         broadcast left join (reference left-merge, nshmdb.py:313-322)."""
@@ -285,7 +305,11 @@ class NSHMDB:
                 ruptures, ["fault_system", "nshm_id"], "rupture_id", offset=offset
             ),
         )
-        bridge = self._resolve_rupture_ids(self._resolve_fault_ids(rupture_faults))
+        bridge = self._assert_resolved(
+            self._resolve_rupture_ids(self._resolve_fault_ids(rupture_faults)),
+            ["rupture_id", "fault_id"],
+            "insert_many_ruptures bridge",
+        )
         b_offset = int(
             self.table("rupture_faults")
             .agg(F.coalesce(F.max("rupture_fault_id"), F.lit(0)))
@@ -301,7 +325,13 @@ class NSHMDB:
             ),
         )
 
-    def insert_solution(self, sol: dict) -> None:
+    def insert_solution(
+        self,
+        sol: dict,
+        include_faults: bool = True,
+        include_ruptures: bool = True,
+        include_mfds: bool = True,
+    ) -> None:
         """Ingest a composite solution (sources.nshm_api.composite_solution
         output) END-TO-END as DataFrames — the distributed twin of the
         reference's driver-side object pipeline (api.py:595-622 →
@@ -314,11 +344,23 @@ class NSHMDB:
         rupture_properties (nshm_id, magnitude, area, len, rate,
         fault_system), rupture_join_table (rupture_id, fault_id —
         NATURAL ids — fault_system), magnitude_frequency_distribution
-        (nshm_id, magnitude, rate, fault_system) or None."""
+        (nshm_id, magnitude, rate, fault_system) or None.
+
+        The three include_* flags mirror the reference CLI's
+        --skip-*-creation options (scripts/nshm_db_generator.py:57-59);
+        as there, skipping faults while inserting ruptures only works
+        against a database that already has the faults (unresolvable
+        bridge keys raise via _assert_resolved)."""
         from nshm2022db_spark.functions.geo import traces_to_planes
         from nshm2022db_spark.operators import dense_surrogate_keys
 
         faults = sol["faults"]
+        if not include_faults:
+            if include_ruptures:
+                self._insert_solution_ruptures(sol)
+            if include_mfds:
+                self._insert_solution_mfds(sol)
+            return
         self.insert_parent_faults(faults.select("name"))
         parent_map = F.broadcast(self.table("parent_fault"))
 
@@ -355,6 +397,12 @@ class NSHMDB:
             ),
         )
 
+        if include_ruptures:
+            self._insert_solution_ruptures(sol)
+        if include_mfds:
+            self._insert_solution_mfds(sol)
+
+    def _insert_solution_ruptures(self, sol: dict) -> None:
         self.insert_many_ruptures(
             sol["rupture_properties"].select(
                 "nshm_id", "fault_system", "magnitude", "area", "len", "rate"
@@ -365,6 +413,8 @@ class NSHMDB:
                 "fault_system",
             ),
         )
+
+    def _insert_solution_mfds(self, sol: dict) -> None:
         mfds = sol.get("magnitude_frequency_distribution")
         if mfds is not None:
             self.insert_magnitude_frequency_distribution(
@@ -375,8 +425,12 @@ class NSHMDB:
         """Bulk MFD insert (reference nshmdb.py:452-468): resolve
         (fault_system, nshm_id) → fault_id, append (fault_id, magnitude,
         rate) with dense entry ids."""
-        resolved = self._resolve_fault_ids(
-            mfds.withColumnRenamed("nshm_id", "fault_nshm_id")
+        resolved = self._assert_resolved(
+            self._resolve_fault_ids(
+                mfds.withColumnRenamed("nshm_id", "fault_nshm_id")
+            ),
+            ["fault_id"],
+            "insert_magnitude_frequency_distribution",
         )
         offset = int(
             self.table("magnitude_frequency_distribution")

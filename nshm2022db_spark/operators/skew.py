@@ -39,7 +39,21 @@ def salted_join(
     rows carrying those keys are salted/replicated; the remainder joins
     on the natural keys — the replication cost is then proportional to
     the hot subset, not the whole right side.
+
+    Only left-preserving join types are supported: the right side is
+    REPLICATED across all ``n_salts`` sub-keys, so any right-preserving
+    type ('right', 'full', 'right_outer', ...) would emit every unmatched
+    right row once per salt — silently wrong. Flip the sides and use
+    'left' instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only ({sorted(allowed)}); "
+            f"got how={how!r} — unmatched right rows would be duplicated "
+            f"n_salts={n_salts} times. Swap the sides instead."
+        )
     if hot_keys is not None:
         hk = F.broadcast(hot_keys.select(*on).distinct())
         left_hot = left.join(hk, on, "left_semi")

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,10 +33,12 @@ _N_TRACE_POINTS = 4
 
 def _synth_geojson(spark: SparkSession, sf: str) -> str:
     """Deterministic FeatureCollection derived from nation (25 rows at any
-    sf). Formulas must match the SQL in the geojson_scan oracle."""
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"fault_geojson_{abs(hash(sf))}"
-    )
+    sf). Formulas must match the SQL in the geojson_scan oracle. The
+    write itself is atomic (tmp + os.replace), so no landing marker is
+    needed — just a process-stable path key."""
+    from nshm2022db_spark.sources.scratch import scratch_path
+
+    out_dir = scratch_path("fault_geojson", sf)
     path = os.path.join(out_dir, "faults.json")
     if os.path.exists(path):
         return path

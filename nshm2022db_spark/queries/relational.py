@@ -451,6 +451,23 @@ def approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("approx_count_distinct_sketch")  # rows-only: sketch values are
+# engine-specific; the oracled contract lives in approx_count_distinct
+def approx_count_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """The HLL sketch ALONE — the bench headline entry. The oracled
+    `approx_count_distinct` query computes exact+sketch to pin the error
+    contract, which made its bench number measure both aggregations
+    (VERDICT r01 "What's wrong" #4); this variant is the pure one-pass
+    sketch whose timing reflects what actually runs at 100 TB."""
+    nation = F.broadcast(read_table(spark, sf, "nation"))
+    customer = read_table(spark, sf, "customer")
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.approx_count_distinct("c_custkey", 0.01).alias("approx_n"))
+    )
+
+
 @register(
     "cube_agg",
     """SELECT l_returnflag, l_linestatus,
@@ -621,10 +638,12 @@ def ragged_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     explode, all codegen'd. Result must equal the raw (orderkey, partkey)
     pairs — round-trip identity."""
     import os
-    import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), f"ragged_csv_{abs(hash(sf))}")
-    if not os.path.exists(path):
+    from nshm2022db_spark.sources.scratch import is_landed, mark_landed, scratch_path
+
+    base = scratch_path("ragged_csv", sf)
+    path = os.path.join(base, "indices")
+    if not is_landed(base):
         li = read_table(spark, sf, "lineitem")
         (
             li.groupBy("l_orderkey")
@@ -640,6 +659,7 @@ def ragged_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             .write.mode("overwrite")
             .text(path)
         )
+        mark_landed(base)
     return parse_ragged_indices(spark.read.text(path))
 
 
@@ -660,13 +680,13 @@ def csv_scan_join(spark: SparkSession, sf: str) -> DataFrame:
     deterministic formulas; the oracle recomputes them from orders
     directly, so the compare verifies the CSV round trip + join."""
     import os
-    import tempfile
 
     from nshm2022db_spark.etl.ingest import read_rupture_csvs
+    from nshm2022db_spark.sources.scratch import is_landed, mark_landed, scratch_path
 
-    base = os.path.join(tempfile.gettempdir(), f"rupture_csvs_{abs(hash(sf))}")
+    base = scratch_path("rupture_csvs", sf)
     rates_p, props_p = os.path.join(base, "rates"), os.path.join(base, "props")
-    if not os.path.exists(base):
+    if not is_landed(base):
         orders = read_table(spark, sf, "orders")
         (
             orders.select(
@@ -682,6 +702,7 @@ def csv_scan_join(spark: SparkSession, sf: str) -> DataFrame:
                 (F.col("o_orderkey") % 97).cast("double").alias("Length (m)"),
             ).write.mode("overwrite").csv(props_p, header=True)
         )
+        mark_landed(base)  # both dirs written — landing is complete
     return read_rupture_csvs(spark, rates_p, props_p, fault_system=3)
 
 

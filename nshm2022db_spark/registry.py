@@ -231,6 +231,7 @@ _DRIVER_ORDER = [
     "geometry_planes",
     "table_profile",
     "multimodal_frame_sample",
+    "approx_count_distinct_sketch",
 ]
 
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,10 +44,9 @@ def _stream_dir(sf: str) -> str:
     parquet through a symlink in a scratch dir (testdata is read-only).
     Keyed on a stable digest of the sf path — builtin hash() is salted
     per process, so it would re-land every run."""
-    import hashlib
+    from nshm2022db_spark.sources.scratch import scratch_path
 
-    key = hashlib.sha1(sf.encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
+    d = scratch_path("events_stream", sf)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):

@@ -104,7 +104,8 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
 
 def _run_update_to_memory(updates: DataFrame, name: str) -> DataFrame:
     spark = updates.sparkSession
-    # see events._run_to_memory: bound state-store partitions for replay
+    # see events._run_to_memory: bound state-store partitions for replay;
+    # same single-threaded-planning assumption (the conf flip is global).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

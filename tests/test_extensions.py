@@ -249,6 +249,18 @@ class TestSimilarity:
         ivf1 = {r.query_id: r.cos for r in knn_ivf(spark, sf_dir).filter("rank = 1").collect()}
         assert all(ivf1[q] <= brute1[q] + 1e-9 for q in ivf1)
 
+    def test_knn_ivf_recall_vs_bruteforce(self, spark):
+        """The k-means-refined inverted lists must recover a solid share
+        of the exact top-k (pipeline is fully deterministic — fixed seed
+        centroids + rounded means — so this is a stable number, measured
+        0.6 at sf0.01 with nprobe=2 of 8 lists; chance level is 0.25)."""
+        from nshm2022db_spark.extensions.similarity import knn_bruteforce, knn_ivf
+
+        sf = "/root/testdata/sf0.01"
+        brute = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(spark, sf).collect()}
+        ivf = {(r.query_id, r.neighbor_id) for r in knn_ivf(spark, sf).collect()}
+        assert len(brute & ivf) / len(brute) >= 0.5
+
 
 class TestMultimodal:
     def test_real_decode_is_clearly_stubbed(self):

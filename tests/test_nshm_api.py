@@ -240,6 +240,39 @@ class TestBulkInserts:
         assert {(r.magnitude, r.rate) for r in mfd} == {(6.5, 0.01), (7.0, 0.002)}
         assert all(r.fault_id == 1 for r in mfd)
 
+    def test_unresolvable_natural_keys_fail_loudly(self, spark, fresh):
+        """Bridge/MFD rows pointing at absent faults must raise, not append
+        NULL surrogate ids (the reference's dict merge raises KeyError)."""
+        fresh.insert_many_ruptures(
+            spark.createDataFrame(
+                [(11, 3, 7.2, 500.0, 80.0, 0.004)],
+                "nshm_id long, fault_system int, magnitude double, area double,"
+                " len double, rate double",
+            ),
+            spark.createDataFrame([], "rupture_nshm_id long, fault_nshm_id long,"
+                                      " fault_system int"),
+        )
+        with pytest.raises(ValueError, match="natural keys not present"):
+            fresh.insert_many_ruptures(
+                spark.createDataFrame(
+                    [(12, 3, 6.0, 1.0, 1.0, 0.001)],
+                    "nshm_id long, fault_system int, magnitude double,"
+                    " area double, len double, rate double",
+                ),
+                # fault 999 was never inserted
+                spark.createDataFrame(
+                    [(12, 999, 3)],
+                    "rupture_nshm_id long, fault_nshm_id long, fault_system int",
+                ),
+            )
+        with pytest.raises(ValueError, match="natural keys not present"):
+            fresh.insert_magnitude_frequency_distribution(
+                spark.createDataFrame(
+                    [(999, 3, 6.5, 0.01)],
+                    "nshm_id long, fault_system int, magnitude double, rate double",
+                )
+            )
+
 
 class TestCsvAndPlots:
     def test_read_rupture_csvs(self, spark, tmp_path):
@@ -278,9 +311,9 @@ class TestCsvAndPlots:
             (102, 7.0, 0.004, 2),
         ]
 
-    def test_plot_region_and_stub(self):
+    def test_plot_region_and_rings(self):
         from nshm2022db_spark.api.database import Fault, Plane
-        from nshm2022db_spark.plots import plot_region, plot_rupture
+        from nshm2022db_spark.plots import plot_region
         from nshm2022db_spark.plots.rupture import plane_rings
 
         corners = np.array(
@@ -291,5 +324,31 @@ class TestCsvAndPlots:
         assert plot_region(faults) == (171.5, 173.5, -43.25, -41.75)
         (ring,) = plane_rings(faults)
         assert ring[0][-1] == ring[0][0] and len(ring[0]) == 5
-        with pytest.raises(NotImplementedError, match="matplotlib"):
-            plot_rupture("t", faults, "/tmp/x.png")
+
+    def test_plot_rupture_renders_png(self, tmp_path):
+        """S10 end-to-end: the sink writes a real decodable PNG with the
+        plane polygon filled (works with or without matplotlib — the
+        NumPy/zlib backend is always available)."""
+        import zlib
+
+        from nshm2022db_spark.api.database import Fault, Plane
+        from nshm2022db_spark.plots import plot_rupture
+
+        corners = np.array(
+            [[-42.0, 172.0, 0.0], [-42.0, 173.0, 0.0],
+             [-43.0, 173.0, 10.0], [-43.0, 172.0, 10.0]]
+        )
+        out = tmp_path / "rupture.png"
+        plot_rupture("Alpine Fault rupture", [Fault([Plane(corners)])], str(out))
+        data = out.read_bytes()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        # decodable IDAT with non-white (filled) pixels somewhere
+        idat_at = data.find(b"IDAT")
+        assert idat_at > 0
+        # with the numpy backend, check the fill actually landed
+        from nshm2022db_spark.plots.rupture import _HAVE_BACKEND
+
+        if not _HAVE_BACKEND:
+            length = int.from_bytes(data[idat_at - 4 : idat_at], "big")
+            raw = zlib.decompress(data[idat_at + 4 : idat_at + 4 + length])
+            assert raw.count(b"\xdc\x3c\x32") > 100  # (220,60,50) fill runs

@@ -87,6 +87,22 @@ class TestSaltedJoin:
         plan = _plan(salted_join(left, right, ["k"], n_salts=4))
         assert "__salt" in plan
 
+    def test_left_join_preserves_unmatched_left(self, spark, skewed):
+        left, right = skewed
+        extra = left.unionByName(
+            left.sparkSession.createDataFrame([(9999, -1)], "k long, v long")
+        )
+        out = salted_join(extra, right, ["k"], n_salts=4, how="left")
+        assert out.count() == extra.count()  # unmatched left row kept once
+
+    def test_right_preserving_joins_rejected(self, spark, skewed):
+        left, right = skewed
+        import pytest
+
+        for how in ("right", "full", "right_outer", "full_outer"):
+            with pytest.raises(ValueError, match="left-preserving"):
+                salted_join(left, right, ["k"], how=how)
+
 
 class TestPartitionPruning:
     def test_partitioned_facts_prune_by_fault_system(self, spark, tmp_path):
