@@ -557,6 +557,65 @@ def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    """SELECT event_id, user_id,
+              COUNT(*) OVER w AS n_1h,
+              ROUND(SUM(value) OVER w, 2) AS sum_1h
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+)
+def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.5 — RANGE (value-based) window frame: per user, count/sum of
+    activity in the trailing hour of EVENT TIME, not the trailing N rows.
+    Ordered on epoch microseconds so the frame bound is exact integer
+    arithmetic on both engines (RANGE peers = identical order values)."""
+    ev = read_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+@register(
+    "percentile_agg",
+    """SELECT l_returnflag,
+              ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+              ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+              ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+              ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def percentile_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.4 'absent' row — exact linear-interpolated percentiles (the
+    distribution profile a data-curation pipeline reports per shard).
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    interpolation definition, so the values hash-match after rounding.
+    At 100 TB swap in approx_percentile (t-digest sketch, one pass,
+    mergeable) — same query shape."""
+    li = read_table(spark, sf, "lineitem")
+    pct = F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 4).alias("p25"),
+            F.round(F.col("ps")[1], 4).alias("p50"),
+            F.round(F.col("ps")[2], 4).alias("p75"),
+            F.round(F.col("ps")[3], 4).alias("p95"),
+        )
+    )
+
+
+@register(
     "surrogate_keys_dense",
     """SELECT p_brand, ROW_NUMBER() OVER (ORDER BY p_brand) AS brand_id
        FROM (SELECT DISTINCT p_brand FROM part)""",

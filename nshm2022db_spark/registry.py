@@ -162,9 +162,11 @@ from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # Families with no r01 correctness row (VERDICT.md "Next round" #2).
+    # P0 — queries with NO driver correctness row yet: the r01 tail
+    # families (VERDICT.md "Next round" #2) and round-2 additions.
     "knn_bruteforce",
     "knn_lsh_bucketed",
+    "knn_lsh_multiprobe",
     "knn_ivf",
     "dedup_embedding_cosine",
     "stratified_sample",
@@ -177,15 +179,20 @@ _DRIVER_ORDER = [
     "stream_session_window",
     "stream_stream_join",
     "stream_stateful_profile",
-    # Red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
+    "stream_dedup_events",
+    "window_range_frame",
+    "percentile_agg",
+    # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
     "json_extract",
     "events_tumbling_window",
     "events_funnel",
-    # Flagship + one representative per §2 row (all r01-green; re-verified).
+    # P2 — r01-green but the operator/oracle changed this round
+    # (hot-shingle cap) and must re-verify.
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    # P3 — r01-green representatives, one per SURVEY §2 row.
     "advanced_query_dsl",
     "scan_project",
-    "point_lookup",
-    "range_filter",
     "geojson_scan",
     "join_dim_hierarchy",
     "join_5way_agg",
@@ -207,16 +214,17 @@ _DRIVER_ORDER = [
     "unpivot_long",
     "ragged_csv_roundtrip",
     "csv_scan_join",
-    "intersect_types",
-    "scalar_string_format",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_clusters",
     "multimodal_decode_meta",
     # --- 50-query window boundary (driver gate cap observed in round 1) ---
-    # Tail: variants whose §2 row has an in-window representative above.
+    # Tail: r01-green queries whose §2 row keeps an in-window
+    # representative — their CORRECTNESS_r01 rows stand as evidence.
+    "point_lookup",
+    "range_filter",
+    "intersect_types",
+    "scalar_string_format",
     "union_all_stack",
     "advanced_query_negation",
     "advanced_query_or_bounds",

@@ -54,6 +54,21 @@ def _stream_dir(sf: str) -> str:
     return d
 
 
+def _stream_dir_doubled(sf: str) -> str:
+    """Scratch dir exposing the events parquet TWICE (two symlinks): the
+    replayed stream then carries every event as a planted duplicate, which
+    is what the streaming dedup operator must collapse."""
+    from nshm2022db_spark.sources.scratch import scratch_path
+
+    d = scratch_path("events_stream_dup", sf)
+    os.makedirs(d, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        link = os.path.join(d, name)
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf, "events.parquet"), link)
+    return d
+
+
 def _event_stream(spark: SparkSession, sf: str) -> DataFrame:
     ensure_nanos_as_long(spark)
     stream = (
@@ -112,6 +127,32 @@ def stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
     )
     return _run_to_memory(agg, f"stream_tumbling_{next(_counter)}")
+
+
+@register(
+    "stream_dedup_events",
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup — the training-pipeline op 'drop events seen
+    before' as a real streaming job: the source replays every event TWICE
+    (doubled file source), dropDuplicates keys on event_id, and the
+    watermark bounds the dedup state to one hour of event time (at-least-
+    once upstream → exactly-once downstream, the Kafka-ingest pattern).
+    Oracle: each event exactly once."""
+    ensure_nanos_as_long(spark)
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .parquet(_stream_dir_doubled(sf))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 hour")
+    )
+    deduped = stream.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return _run_to_memory(
+        deduped, f"stream_dedup_{next(_counter)}", output_mode="append"
+    )
 
 
 @register(

@@ -261,6 +261,23 @@ class TestSimilarity:
         ivf = {(r.query_id, r.neighbor_id) for r in knn_ivf(spark, sf).collect()}
         assert len(brute & ivf) / len(brute) >= 0.5
 
+    def test_multiprobe_recall_dominates_single_probe(self, spark):
+        """Probing the 2 weakest-margin flip buckets can only ADD
+        candidates, so multi-probe recall vs brute force must be ≥ the
+        single-probe bucket join's recall (deterministic hyperplanes)."""
+        from nshm2022db_spark.extensions.similarity import (
+            knn_bruteforce,
+            knn_lsh_bucketed,
+            knn_lsh_multiprobe,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        brute = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(spark, sf).collect()}
+        single = {(r.query_id, r.neighbor_id) for r in knn_lsh_bucketed(spark, sf).collect()}
+        multi = {(r.query_id, r.neighbor_id) for r in knn_lsh_multiprobe(spark, sf).collect()}
+        assert len(brute & multi) >= len(brute & single)
+        assert len(multi) >= len(single)  # more candidates → no fewer results
+
 
 class TestMultimodal:
     def test_real_decode_is_clearly_stubbed(self):

@@ -198,6 +198,11 @@ class TestBulkInserts:
 
         info = fresh.get_fault_info(3, 102)
         assert info.name == "Hope Fault" and info.rake == 45.0
+        # tect_type round-trips through insert (VERDICT r01 asked this be
+        # pinned; insert_solution hard-codes NULL for reference parity,
+        # api.py:285, but the bulk path must preserve real values)
+        assert info.tect_type == 1
+        assert fresh.get_fault_info(3, 101).tect_type is None
         got = fresh.get_fault(3, 101)
         assert np.allclose(got.planes[0].corners, corners)
         # dense, 1-based surrogate keys in list order
