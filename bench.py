@@ -16,6 +16,7 @@ real corpus, and min-of-2 suppresses box noise.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -48,6 +49,7 @@ HEADLINE = [
     "dedup_clusters",
     "knn_bruteforce",
     "knn_lsh_bucketed",
+    "knn_lsh_multiprobe",
     "knn_ivf",
     "text_quality_score",
     "text_fingerprint",
@@ -65,6 +67,18 @@ HEADLINE = [
     "geometry_planes",
     "stream_stateful_profile",
     "stream_stream_join",
+    "stream_dedup_events",
+    "window_range_frame",
+    "percentile_agg",
+    "events_sessionize",
+    "range_join_events",
+    "ntile_buckets",
+    "merge_upsert",
+    "jsonl_scan",
+    "grouping_sets_agg",
+    # approx_percentile_bound stays out: like the oracled HLL contract
+    # query, it times exact+sketch together (the sketch-only timing is
+    # representative via percentile_agg's plan shape)
 ]
 
 
@@ -96,6 +110,12 @@ def main() -> None:
             _run(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Some operators cache/localCheckpoint internally (dedup clusters,
+        # stream replay); dropping those blocks between queries keeps one
+        # query's residue from inflating the next 40 measurements
+        # (measured: +4x on late-listed queries over a 46-query run).
+        spark.catalog.clearCache()
+        gc.collect()  # release py4j refs so ContextCleaner frees RDD blocks
 
     print(
         json.dumps(

@@ -1,0 +1,243 @@
+"""Batch pipeline operators over the events/documents tables: the
+sessionize / range-join / bucketing / upsert / JSONL-ingest shapes a
+training-data pipeline runs between raw landing and model consumption.
+
+Each is registered with a DuckDB oracle (registry.register); all are pure
+column expressions — no Python UDFs — so every plan stays inside
+whole-stage codegen and scales by partition count.
+
+Float discipline: double sums ROUND()ed identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.registry import register
+from nshm2022db_spark.sources import read_table
+from nshm2022db_spark.sources.scratch import is_landed, mark_landed, scratch_path
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity ends a session
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "events_sessionize",
+    f"""WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                            <= {SESSION_GAP_US}
+                       THEN 0 ELSE 1 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+           SELECT user_id, ts, value,
+                  CAST(SUM(is_new) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_id
+           FROM flagged)
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+        FROM sess GROUP BY user_id, session_id""",
+)
+def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after
+    30 min of inactivity per user. LAG marks session starts, a running
+    SUM numbers them, one agg rolls sessions up — two window passes and
+    one aggregate, all on the same user_id shuffle key, so the exchange
+    is reused across all three (one shuffle total). The batch twin of
+    streaming/events.py session_window; at 100 TB the user_id key is
+    uniform (no hot users beyond AQE's skew split)."""
+    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap <= SESSION_GAP_US, F.lit(0)).otherwise(F.lit(1))
+    sess = ev.withColumn("session_id", F.sum(is_new).over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "range_join_events",
+    f"""SELECT c.event_id, c.user_id, COUNT(p.event_id) AS n_purchases_1h
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase') p
+          ON p.user_id = c.user_id
+         AND epoch_us(p.ts) >= epoch_us(c.ts)
+         AND epoch_us(p.ts) < epoch_us(c.ts) + {HOUR_US}
+        GROUP BY c.event_id, c.user_id""",
+)
+def range_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch interval join: per click, how many purchases the same user
+    made in the following hour. The naive plan is an equi-join on user_id
+    with the range as a post-filter — fine until one user carries millions
+    of rows. This plan BLOCKS BY TIME BUCKET instead: purchases hash by
+    (user, hour-bucket); each click probes its own bucket and the next
+    (the 1 h window spans at most two hour-aligned buckets), so join-key
+    cardinality is users × hours and a hot user's traffic spreads over
+    every hour bucket they were active in. Pair uniqueness is structural
+    (a purchase lives in exactly one bucket), so counts need no dedup."""
+    ev = read_table(spark, sf, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("c_us"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    (F.col("c_us") / HOUR_US).cast("long"),
+                    (F.col("c_us") / HOUR_US).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("p_us"),
+        (F.unix_micros("ts") / HOUR_US).cast("long").alias("p_bucket"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_bucket") == F.col("bucket"))
+        & (F.col("p_us") >= F.col("c_us"))
+        & (F.col("p_us") < F.col("c_us") + HOUR_US),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("p_id").alias("n_purchases_1h")
+    )
+
+
+@register(
+    "ntile_buckets",
+    """SELECT lang, decile,
+              COUNT(*) AS n, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+       FROM (SELECT lang, n_chars,
+                    NTILE(10) OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS decile
+             FROM documents)
+       GROUP BY lang, decile""",
+)
+def ntile_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-count difficulty bucketing: per language, split documents
+    into 10 length deciles (curriculum sharding / stratified eval splits).
+    NTILE over a total order (n_chars, doc_id) is deterministic on both
+    engines; one shuffle on lang. At 100 TB swap NTILE's global sort per
+    key for approx_percentile cut points + a map-side bucket assignment —
+    same output contract."""
+    docs = read_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("lang", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "merge_upsert",
+    """WITH updates AS (
+           SELECT o_orderkey, ROUND(o_totalprice + 1000.0, 2) AS price,
+                  'U' AS status, 0 AS src
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, 42.0, 'N', 0
+           FROM orders WHERE o_orderkey % 1000 = 1),
+        unioned AS (
+           SELECT o_orderkey, price, status, src FROM updates
+           UNION ALL
+           SELECT o_orderkey, ROUND(o_totalprice, 2), o_orderstatus, 1
+           FROM orders),
+        ranked AS (
+           SELECT o_orderkey, price, status,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src)
+                      AS rn
+           FROM unioned)
+       SELECT o_orderkey, price, status FROM ranked WHERE rn = 1""",
+)
+def merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE / SCD-1 upsert without a table format: a deterministic
+    updates feed (price bump for keys %10==0, brand-new keys for
+    %1000==1) merged into orders — matched keys take the update, new keys
+    insert, everything else carries over. union + ROW_NUMBER(prefer
+    source) is ONE shuffle on the merge key; the join-based alternative
+    (anti + inner + union) shuffles twice. This is exactly the row-level
+    MERGE a Delta/Iceberg writer performs under the hood — the operator
+    works against plain parquet."""
+    orders = read_table(spark, sf, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("price"),
+            F.lit("U").alias("status"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 1000 == 1).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                F.lit(42.0).alias("price"),
+                F.lit("N").alias("status"),
+            )
+        )
+        .withColumn("src", F.lit(0))
+    )
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    ).withColumn("src", F.lit(1))
+    w = Window.partitionBy("o_orderkey").orderBy("src")
+    return (
+        updates.unionByName(base)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "price", "status")
+    )
+
+
+@register(
+    "jsonl_scan",
+    """SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       FROM documents GROUP BY source, lang""",
+)
+def jsonl_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines source: documents landed once per sf as JSONL (the
+    interchange format most raw text crawls arrive in), re-read with an
+    EXPLICIT schema — schema inference is a full extra pass over 100 TB —
+    then aggregated. The oracle recomputes from the parquet base table, so
+    the compare proves the JSONL round trip. Splittable because
+    uncompressed JSONL splits on line boundaries; at scale prefer
+    zstd-in-frames or convert-on-land."""
+    base = scratch_path("docs_jsonl", sf)
+    path = os.path.join(base, "docs")
+    if not is_landed(base):
+        (
+            read_table(spark, sf, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+            .write.mode("overwrite")
+            .json(path)
+        )
+        mark_landed(base)
+    schema = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+    docs = spark.read.schema(schema).json(path)
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

@@ -491,6 +491,36 @@ def cube_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "grouping_sets_agg",
+    """SELECT l_returnflag, l_linestatus,
+              GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+              COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                               (l_linestatus), ())""",
+)
+def grouping_sets_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference: explicit GROUPING SETS — the general form behind
+    rollup/cube, picking exactly the aggregation levels a report needs
+    (here: pair, linestatus-only, grand total) in one Expand + one
+    shuffle rather than three scans unioned."""
+    return (
+        read_table(spark, sf, "lineitem")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 windows / §2.6 sort & top-k
 # ---------------------------------------------------------------------------
@@ -612,6 +642,45 @@ def percentile_agg(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("ps")[2], 4).alias("p75"),
             F.round(F.col("ps")[3], 4).alias("p95"),
         )
+    )
+
+
+@register(
+    "approx_percentile_bound",
+    """SELECT l_returnflag, COUNT(*) AS n, true AS p50_rank_ok
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def approx_percentile_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """The sketch path for percentile_agg: approx_percentile
+    (Greenwald-Khanna, mergeable, one pass) with its rank-error CONTRACT
+    oracled, the same pattern as approx_count_distinct's HLL bound. The
+    sketch's guarantee — the returned value sits within ±n/accuracy ranks
+    of the target — is checked honestly under ties: count(x < ap) must
+    not exceed the upper target rank and count(x <= ap) must reach the
+    lower one. The oracle asserts `true`; any violation hash-mismatches."""
+    acc = 1000
+    li = read_table(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("l_quantity", 0.5, acc).alias("ap"),
+    )
+    ranked = (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.count(F.when(F.col("l_quantity") < F.col("ap"), 1)).alias("n_lt"),
+            F.count(F.when(F.col("l_quantity") <= F.col("ap"), 1)).alias("n_le"),
+        )
+    )
+    eps = F.col("n") / acc + 1
+    target = 0.5 * F.col("n")
+    return ranked.select(
+        "l_returnflag",
+        "n",
+        ((F.col("n_lt") <= target + eps) & (F.col("n_le") >= target - eps)).alias(
+            "p50_rank_ok"
+        ),
     )
 
 

@@ -145,7 +145,7 @@ def advanced_query_or_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Populate the registry: importing each family module runs its @register
 # decorators. Bottom import is deliberate (modules import `register` back
 # from here).
-from nshm2022db_spark.queries import geometry, relational  # noqa: E402,F401
+from nshm2022db_spark.queries import geometry, pipeline, relational  # noqa: E402,F401
 from nshm2022db_spark.extensions import dedup, multimodal, similarity, text  # noqa: E402,F401
 from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F401
 
@@ -182,6 +182,13 @@ _DRIVER_ORDER = [
     "stream_dedup_events",
     "window_range_frame",
     "percentile_agg",
+    "events_sessionize",
+    "range_join_events",
+    "ntile_buckets",
+    "merge_upsert",
+    "jsonl_scan",
+    "grouping_sets_agg",
+    "approx_percentile_bound",
     # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
     "json_extract",
     "events_tumbling_window",
@@ -196,21 +203,14 @@ _DRIVER_ORDER = [
     "geojson_scan",
     "join_dim_hierarchy",
     "join_5way_agg",
-    "left_join_count",
-    "semi_join_membership",
-    "anti_join_missing",
     "asof_nearest_ge",
     "groupby_agg",
     "conditional_agg_membership",
     "count_distinct",
-    "any_value_carry",
-    "having_postagg",
     "distinct_ordered",
     "weighted_branch_merge",
-    "rollup_agg",
     "topk_global",
     "window_running_sum",
-    "surrogate_keys_dense",
     "unpivot_long",
     "ragged_csv_roundtrip",
     "csv_scan_join",
@@ -225,6 +225,13 @@ _DRIVER_ORDER = [
     "range_filter",
     "intersect_types",
     "scalar_string_format",
+    "left_join_count",
+    "semi_join_membership",
+    "anti_join_missing",
+    "any_value_carry",
+    "having_postagg",
+    "rollup_agg",
+    "surrogate_keys_dense",
     "union_all_stack",
     "advanced_query_negation",
     "advanced_query_or_bounds",

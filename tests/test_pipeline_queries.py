@@ -1,0 +1,122 @@
+"""Behavioral tests for the batch pipeline queries (queries/pipeline.py).
+
+The DuckDB oracle gate proves value equality; these pin the SEMANTIC
+invariants that survive refactors (session gap bound, range-join window,
+merge precedence, decile balance) at sf0.001 without an oracle engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.queries.pipeline import (
+    SESSION_GAP_US,
+    events_sessionize,
+    jsonl_scan,
+    merge_upsert,
+    ntile_buckets,
+    range_join_events,
+)
+from nshm2022db_spark.sources import read_table
+
+
+class TestSessionize:
+    def test_sessions_partition_user_events(self, spark, sf_dir):
+        ev_n = read_table(spark, sf_dir, "events").count()
+        sess = events_sessionize(spark, sf_dir)
+        assert sess.agg(F.sum("n_events")).collect()[0][0] == ev_n
+
+    def test_adjacent_sessions_gap_exceeds_threshold(self, spark, sf_dir):
+        """The gap between one session's end and the next session's start
+        (same user) must exceed the inactivity threshold — otherwise they
+        would be one session."""
+        sess = events_sessionize(spark, sf_dir)
+        w_prev = F.lag(F.unix_micros("session_end")).over(
+            Window.partitionBy("user_id").orderBy("session_id")
+        )
+        bad = (
+            sess.withColumn("prev_end", w_prev)
+            .filter(F.col("prev_end").isNotNull())
+            .filter(
+                F.unix_micros("session_start") - F.col("prev_end") <= SESSION_GAP_US
+            )
+            .count()
+        )
+        assert bad == 0
+
+
+class TestRangeJoin:
+    def test_matches_naive_equi_join(self, spark, sf_dir):
+        """Bucket-blocked plan == naive user-equi-join + range filter."""
+        ev = read_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", F.unix_micros("ts").alias("c_us")
+        )
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.unix_micros("ts").alias("p_us"),
+            F.col("event_id").alias("p_id"),
+        )
+        naive = (
+            clicks.join(
+                purch,
+                (F.col("p_user") == F.col("user_id"))
+                & (F.col("p_us") >= F.col("c_us"))
+                & (F.col("p_us") < F.col("c_us") + 3_600_000_000),
+                "left",
+            )
+            .groupBy("event_id")
+            .agg(F.count("p_id").alias("n"))
+        )
+        expected = {r.event_id: r.n for r in naive.collect()}
+        got = {
+            r.event_id: r.n_purchases_1h
+            for r in range_join_events(spark, sf_dir).collect()
+        }
+        assert got == expected
+
+
+class TestMergeUpsert:
+    def test_update_insert_carryover(self, spark, sf_dir):
+        orders = read_table(spark, sf_dir, "orders")
+        n_orders = orders.count()
+        n_new = orders.filter(F.col("o_orderkey") % 1000 == 1).count()
+        merged = merge_upsert(spark, sf_dir)
+        assert merged.count() == n_orders + n_new
+        # every %10 key carries the updated price/status
+        sample = merged.filter(F.col("o_orderkey") % 10 == 0).limit(5).collect()
+        assert sample and all(r.status == "U" for r in sample)
+        # new keys inserted verbatim
+        assert (
+            merged.filter(F.col("o_orderkey") > 100_000_000)
+            .filter((F.col("status") != "N") | (F.col("price") != 42.0))
+            .count()
+            == 0
+        )
+
+
+class TestNtile:
+    def test_deciles_balanced_within_one(self, spark, sf_dir):
+        per_lang = (
+            ntile_buckets(spark, sf_dir)
+            .groupBy("lang")
+            .agg((F.max("n") - F.min("n")).alias("spread"), F.count("*").alias("k"))
+            .collect()
+        )
+        assert per_lang and all(r.spread <= 1 for r in per_lang)
+
+
+class TestJsonlScan:
+    def test_matches_parquet_base(self, spark, sf_dir):
+        base = (
+            read_table(spark, sf_dir, "documents")
+            .groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        )
+        expected = {(r.source, r.lang): (r.n_docs, r.total_chars) for r in base.collect()}
+        got = {
+            (r.source, r.lang): (r.n_docs, r.total_chars)
+            for r in jsonl_scan(spark, sf_dir).collect()
+        }
+        assert got == expected
