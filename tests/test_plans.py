@@ -89,3 +89,37 @@ class TestPlanShapes:
         faults = read_fault_geojson(spark, _synth_geojson(spark, sf_dir))
         plan = _plan(traces_to_planes(faults))
         assert "Exchange" not in plan
+
+    def test_sessionize_reuses_one_user_shuffle(self, spark, sf_dir):
+        from nshm2022db_spark.queries.pipeline import events_sessionize
+
+        # two window passes + the session rollup all cluster on user_id:
+        # hash(user_id) satisfies ClusteredDistribution(user_id, session_id),
+        # so the whole gaps-and-islands pipeline is ONE exchange
+        plan = _plan(events_sessionize(spark, sf_dir))
+        assert plan.count("hashpartitioning(") == 1
+
+    def test_range_join_is_equi_join_not_nested_loop(self, spark, sf_dir):
+        from nshm2022db_spark.queries.pipeline import range_join_events
+
+        # the (user, hour-bucket) blocking keys make this an equi-join
+        # (BHJ at test sf, SMJ at scale); a theta-only join would plan as
+        # BroadcastNestedLoopJoin — quadratic per user at 100 TB
+        plan = _plan(range_join_events(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_merge_upsert_single_shuffle(self, spark, sf_dir):
+        from nshm2022db_spark.queries.pipeline import merge_upsert
+
+        # union + row_number prefer-source: the merge is one exchange on
+        # the merge key (the join-based MERGE shape would be two)
+        plan = _plan(merge_upsert(spark, sf_dir))
+        assert plan.count("hashpartitioning(") == 1
+
+    def test_grouping_sets_single_expand_single_shuffle(self, spark, sf_dir):
+        from nshm2022db_spark.queries.relational import grouping_sets_agg
+
+        plan = _plan(grouping_sets_agg(spark, sf_dir))
+        assert "Expand" in plan
+        assert plan.count("hashpartitioning(") == 1
