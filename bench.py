@@ -76,6 +76,8 @@ HEADLINE = [
     "merge_upsert",
     "jsonl_scan",
     "grouping_sets_agg",
+    "vocab_topk",
+    "embedding_random_projection",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -527,3 +527,43 @@ def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= KNN_K)
         .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# random projection — JL dimensionality reduction ahead of ANN indexing
+# ---------------------------------------------------------------------------
+
+PROJ_DIM = 8
+PROJ_PLANE_BASE = 100  # plane ids disjoint from the LSH planes (0..N_PLANES)
+
+
+def _proj_exprs_duck() -> str:
+    return "[" + ", ".join(
+        f"ROUND({duck_hyperplane_dot('embedding', PROJ_PLANE_BASE + j, DIM)}, 6)"
+        for j in range(PROJ_DIM)
+    ) + "]"
+
+
+@register(
+    "embedding_random_projection",
+    f"""SELECT vec_id, {_proj_exprs_duck()} AS proj
+        FROM embeddings""",
+)
+def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: {DIM}-d float embeddings
+    down to {PROJ_DIM}-d via {PROJ_DIM} deterministic pseudo-random
+    hyperplanes (the same integer-hash planes the LSH bucketing uses,
+    disjoint ids) — the standard preprocessing that makes 100 TB ANN
+    indexing affordable: distances are approximately preserved while the
+    candidate-scoring cost drops {DIM // PROJ_DIM}×. Map-only, no
+    shuffle, whole-stage codegen'd folds; at real scale the projection
+    matrix would broadcast instead of inlining as literals."""
+    proj = F.array(
+        *[
+            F.round(
+                F.expr(spark_hyperplane_dot("embedding", PROJ_PLANE_BASE + j, DIM)), 6
+            )
+            for j in range(PROJ_DIM)
+        ]
+    ).alias("proj")
+    return read_table(spark, sf, "embeddings").select("vec_id", proj)

@@ -195,3 +195,31 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(f"md5({norm})").alias("md5_fp"),
         F.expr(spark_char_hash(norm)).alias("rolling_fp"),
     )
+
+
+VOCAB_TOP_N = 500
+
+
+@register(
+    "vocab_topk",
+    f"""SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest({duck_tokens('lower(text)')}) AS token
+              FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT {VOCAB_TOP_N}""",
+)
+def vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary build — the wordcount that seeds every tokenizer: lower,
+    tokenize, explode, count, keep the top {VOCAB_TOP_N}. The shuffle
+    carries one row per (token, partition) thanks to map-side partial
+    aggregation, and the final ordering plans as TakeOrderedAndProject —
+    no global sort of the vocabulary. At 100 TB this is THE canonical
+    skewed aggregation ('the' dominates); partial aggs absorb the skew
+    before it reaches a reducer."""
+    docs = read_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(F.expr(spark_tokens("lower(text)"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(VOCAB_TOP_N)
+    )

@@ -189,6 +189,8 @@ _DRIVER_ORDER = [
     "jsonl_scan",
     "grouping_sets_agg",
     "approx_percentile_bound",
+    "vocab_topk",
+    "embedding_random_projection",
     # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
     "json_extract",
     "events_tumbling_window",
@@ -205,13 +207,11 @@ _DRIVER_ORDER = [
     "join_5way_agg",
     "asof_nearest_ge",
     "groupby_agg",
-    "conditional_agg_membership",
     "count_distinct",
     "distinct_ordered",
     "weighted_branch_merge",
     "topk_global",
     "window_running_sum",
-    "unpivot_long",
     "ragged_csv_roundtrip",
     "csv_scan_join",
     "dedup_exact",
@@ -232,6 +232,8 @@ _DRIVER_ORDER = [
     "having_postagg",
     "rollup_agg",
     "surrogate_keys_dense",
+    "conditional_agg_membership",
+    "unpivot_long",
     "union_all_stack",
     "advanced_query_negation",
     "advanced_query_or_bounds",

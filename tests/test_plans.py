@@ -123,3 +123,19 @@ class TestPlanShapes:
         plan = _plan(grouping_sets_agg(spark, sf_dir))
         assert "Expand" in plan
         assert plan.count("hashpartitioning(") == 1
+
+    def test_vocab_topk_partial_agg_and_take_ordered(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.text import vocab_topk
+
+        plan = _plan(vocab_topk(spark, sf_dir))
+        # map-side partials absorb token skew; top-N never global-sorts
+        assert "partial_count" in plan or "HashAggregate" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_random_projection_is_map_only(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.similarity import (
+            embedding_random_projection,
+        )
+
+        plan = _plan(embedding_random_projection(spark, sf_dir))
+        assert "Exchange" not in plan
