@@ -78,6 +78,9 @@ HEADLINE = [
     "grouping_sets_agg",
     "vocab_topk",
     "embedding_random_projection",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "stream_static_join",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

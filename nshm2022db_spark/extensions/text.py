@@ -223,3 +223,132 @@ def vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(VOCAB_TOP_N)
     )
+
+
+# -- PII scrubbing ----------------------------------------------------------
+# Java regex (Spark) and RE2 (DuckDB) agree on these patterns; DuckDB's
+# regexp_replace needs the 'g' flag to match Spark's replace-all default.
+EMAIL_RE = r"[A-Za-z0-9.]+@[A-Za-z0-9.]+"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def _pii_augmented(duck: bool) -> str:
+    """Deterministically plant an email + phone per doc (the synthetic
+    corpus carries none), so the scrub has real work whose result both
+    engines can recompute."""
+    if duck:
+        return (
+            "text || ' contact user' || doc_id::VARCHAR || "
+            "'@example.com or 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+        )
+    return (
+        "concat(text, ' contact user', CAST(doc_id AS STRING), "
+        "'@example.com or 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+    )
+
+
+@register(
+    "text_pii_scrub",
+    f"""SELECT doc_id,
+               md5(regexp_replace(regexp_replace({_pii_augmented(True)},
+                       '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5,
+               len(regexp_extract_all({_pii_augmented(True)}, '{EMAIL_RE}'))
+                   AS n_emails,
+               len(regexp_extract_all({_pii_augmented(True)}, '{PHONE_RE}'))
+                   AS n_phones
+        FROM documents""",
+)
+def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction — the compliance pass every training corpus makes:
+    replace emails/phones with typed placeholders and count what was
+    removed. Pure regexp column expressions, map-only, no shuffle; the
+    oracle recomputes the scrub so the md5 compare proves byte-identical
+    redaction across engines."""
+    aug = _pii_augmented(False)
+    scrubbed = (
+        f"regexp_replace(regexp_replace({aug}, '{EMAIL_RE}', '<EMAIL>'), "
+        f"'{PHONE_RE}', '<PHONE>')"
+    )
+    return read_table(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(f"md5({scrubbed})").alias("scrubbed_md5"),
+        F.expr(f"size(regexp_extract_all({aug}, '{EMAIL_RE}', 0))").alias("n_emails"),
+        F.expr(f"size(regexp_extract_all({aug}, '{PHONE_RE}', 0))").alias("n_phones"),
+    )
+
+
+# -- repetition stats (Gopher-style quality signals) ------------------------
+
+REP_TOKEN_SHARE = 0.10  # top unigram share above this → repetitive
+REP_BIGRAM_SHARE = 0.04
+
+
+def _max_run_fold(sorted_arr: str) -> str:
+    """Spark SQL fold: longest run of equal adjacent elements in a SORTED
+    array = the max multiplicity, computed map-side with no shuffle."""
+    step = (
+        "named_struct('prev', x, "
+        "'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L), "
+        "'best', GREATEST(acc.best, "
+        "IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L)))"
+    )
+    return (
+        f"aggregate({sorted_arr}, "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        f"(acc, x) -> {step}, acc -> acc.best)"
+    )
+
+
+@register(
+    "text_repetition_stats",
+    f"""WITH toks AS (
+            SELECT doc_id, {duck_tokens('lower(text)')} AS t FROM documents),
+        uni AS (
+            SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n FROM (
+                SELECT doc_id, u, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(t) AS u FROM toks)
+                GROUP BY doc_id, u) GROUP BY doc_id),
+        bi AS (
+            SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n FROM (
+                SELECT doc_id, b, COUNT(*) AS c
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1])) AS b
+                      FROM toks WHERE len(t) >= 2)
+                GROUP BY doc_id, b) GROUP BY doc_id)
+        SELECT uni.doc_id,
+               ROUND(uni.top_c::DOUBLE / uni.n, 6) AS top_token_share,
+               ROUND(bi.top_c::DOUBLE / bi.n, 6) AS top_bigram_share,
+               uni.top_c::DOUBLE / uni.n > {REP_TOKEN_SHARE}
+                   OR bi.top_c::DOUBLE / bi.n > {REP_BIGRAM_SHARE}
+                   AS repetitive
+        FROM uni JOIN bi USING (doc_id)""",
+)
+def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family, public):
+    share of the most frequent unigram and bigram per document, and a
+    repetitive flag. Implemented SHUFFLE-FREE: sort the token array and
+    fold for the longest equal-adjacent run (= max multiplicity) — the
+    relational unnest/groupBy twin is what the oracle runs, but at 100 TB
+    this map-only form never exchanges the corpus. Docs under 2 tokens
+    are dropped (no bigram defined), matching the oracle's inner join."""
+    t = f"array_sort({spark_tokens('lower(text)')})"
+    bi = (
+        f"array_sort(transform(sequence(1, size({spark_tokens('lower(text)')}) - 1), "
+        f"i -> concat(element_at({spark_tokens('lower(text)')}, i), ' ', "
+        f"element_at({spark_tokens('lower(text)')}, i + 1))))"
+    )
+    docs = read_table(spark, sf, "documents").filter(
+        F.expr(f"size({spark_tokens('lower(text)')}) >= 2")
+    )
+    uni_share = f"CAST({_max_run_fold(t)} AS DOUBLE) / size({t})"
+    bi_share = f"CAST({_max_run_fold(bi)} AS DOUBLE) / (size({t}) - 1)"
+    return docs.select(
+        "doc_id",
+        F.expr(f"ROUND({uni_share}, 6)").alias("top_token_share"),
+        F.expr(f"ROUND({bi_share}, 6)").alias("top_bigram_share"),
+        F.expr(
+            f"{uni_share} > {REP_TOKEN_SHARE} OR {bi_share} > {REP_BIGRAM_SHARE}"
+        ).alias("repetitive"),
+    )

@@ -191,6 +191,9 @@ _DRIVER_ORDER = [
     "approx_percentile_bound",
     "vocab_topk",
     "embedding_random_projection",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "stream_static_join",
     # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
     "json_extract",
     "events_tumbling_window",
@@ -201,17 +204,14 @@ _DRIVER_ORDER = [
     "dedup_clusters",
     # P3 — r01-green representatives, one per SURVEY §2 row.
     "advanced_query_dsl",
-    "scan_project",
     "geojson_scan",
     "join_dim_hierarchy",
     "join_5way_agg",
     "asof_nearest_ge",
     "groupby_agg",
     "count_distinct",
-    "distinct_ordered",
     "weighted_branch_merge",
     "topk_global",
-    "window_running_sum",
     "ragged_csv_roundtrip",
     "csv_scan_join",
     "dedup_exact",
@@ -234,6 +234,9 @@ _DRIVER_ORDER = [
     "surrogate_keys_dense",
     "conditional_agg_membership",
     "unpivot_long",
+    "scan_project",
+    "distinct_ordered",
+    "window_running_sum",
     "union_all_stack",
     "advanced_query_negation",
     "advanced_query_or_bounds",

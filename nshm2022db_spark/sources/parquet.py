@@ -72,3 +72,30 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction — the maintenance job every streaming or
+    incremental-append table needs: N tiny files become
+    ceil(input_bytes / target_bytes) right-sized files. Tiny files are
+    the silent 100 TB killer (one scan task + one footer read each; a
+    million 1 MB files is a million tasks). Input size comes from the
+    driver-side file listing (no data read); the single repartition is
+    round-robin, so output files are uniformly sized regardless of input
+    skew. Returns the output file count. For partitioned layouts run
+    per-partition so compaction parallelizes and commits independently."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
+    return n_out

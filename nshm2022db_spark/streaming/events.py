@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nshm2022db_spark.registry import register
+from nshm2022db_spark.sources import read_table
 from nshm2022db_spark.sources.parquet import ensure_nanos_as_long
 
 _counter = itertools.count()
@@ -216,3 +217,28 @@ def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, f"stream_session_{next(_counter)}")
+
+
+@register(
+    "stream_static_join",
+    """SELECT c_mktsegment AS segment, event_type,
+              COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+       FROM events JOIN customer ON c_custkey = user_id
+       GROUP BY 1, 2""",
+)
+def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a STATIC dimension
+    (customer segment) — the standard 'enrich clickstream with user
+    attributes' pattern. Stateless: the dim broadcasts into every
+    micro-batch (re-read each batch, so slowly-changing dims pick up
+    updates), no join state store at all; only the downstream windowless
+    aggregate keeps state. Oracle: the batch twin of the same join+agg."""
+    dim = F.broadcast(
+        read_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    )
+    stream = _event_stream(spark, sf)
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy(
+        F.col("c_mktsegment").alias("segment"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    return _run_to_memory(agg, f"stream_static_{next(_counter)}")

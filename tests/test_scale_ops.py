@@ -136,3 +136,29 @@ class TestPartitionPruning:
         plan = _plan(q)
         assert "PartitionFilters: [" in plan
         assert "fault_system" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+class TestCompaction:
+    def test_small_files_become_size_targeted(self, spark, sf_dir, tmp_path):
+        import os
+
+        from nshm2022db_spark.sources import read_table
+        from nshm2022db_spark.sources.parquet import compact_parquet
+
+        src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+        docs = read_table(spark, sf_dir, "documents")
+        docs.repartition(40).write.parquet(src)  # simulate streaming dribble
+        n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+        assert n_in == 40
+
+        total = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+        compact_parquet(spark, src, dst, target_bytes=max(total // 3, 1))
+        n_out = sum(1 for f in os.listdir(dst) if f.endswith(".parquet"))
+        assert n_out <= 4  # ceil(total/target)=3 (+rounding slack), not 40
+        assert (
+            spark.read.parquet(dst).count() == docs.count()
+        )  # lossless rewrite
