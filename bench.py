@@ -81,6 +81,11 @@ HEADLINE = [
     "text_pii_scrub",
     "text_repetition_stats",
     "stream_static_join",
+    "tfidf_search",
+    "decontaminate_ngram",
+    "weighted_sample",
+    "pack_sequences",
+    "source_mix_sample",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -1,0 +1,346 @@
+"""Corpus-curation operators: the selection/packing/search steps of a
+training-data pipeline that sit between raw ingest and tokenization —
+relevance search (TF-IDF), benchmark decontamination, weighted and
+mixture-controlled subsampling, and context-window sequence packing.
+
+All determinism comes from the portable arithmetic in functions.portable
+(polynomial hashes, affine pseudo-randomness, fixed-order float sums), so
+every operator has an exact DuckDB oracle and — run twice on any cluster
+with any partitioning — selects the same rows. That reproducibility is
+the point: a 100 TB curation job must be re-runnable and auditable.
+
+Scale shapes (per operator, details in each docstring):
+  * tfidf_search      — map-side tf, one 1-row broadcast of corpus stats,
+                        TakeOrderedAndProject top-k; no wide shuffle.
+  * decontaminate     — shingle inverted index vs a BROADCAST benchmark
+                        set; one partial-aggregated count shuffle.
+  * weighted_sample   — map-only exponential race keys + global top-k.
+  * pack_sequences    — one shuffle on the stream key shared by the
+                        window and the rollup.
+  * source_mix_sample — one shuffle on the mixture key (row_number).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.functions.portable import (
+    P,
+    duck_shingle_hashes,
+    duck_token_hashes,
+    duck_tokens,
+    spark_shingle_hashes,
+    spark_token_hashes,
+    spark_tokens,
+)
+from nshm2022db_spark.registry import register
+from nshm2022db_spark.sources import read_table
+
+# ---------------------------------------------------------------------------
+# TF-IDF relevance search
+# ---------------------------------------------------------------------------
+
+TFIDF_TERMS = ("spark", "vector", "merge")
+TFIDF_K = 50
+
+
+def _tf(term: str, duck: bool) -> str:
+    toks = duck_tokens("lower(text)") if duck else "tk"
+    fn = "len(list_filter" if duck else "size(filter"
+    return f"{fn}({toks}, t -> t = '{term}'))"
+
+
+def _score(n: str, prefix: str, duck: bool) -> str:
+    """Σ_i tf_i · ln(1 + N/df_i) written out term-by-term in FIXED order —
+    the same three products added in the same sequence on both engines, so
+    the double result is reproducible (no data-ordered SUM)."""
+    parts = [
+        f"CAST({prefix}tf{i} AS DOUBLE) * ln(1.0 + CAST({n} AS DOUBLE) / "
+        f"CAST(greatest({prefix}df{i}, 1) AS DOUBLE))"
+        for i in range(len(TFIDF_TERMS))
+    ]
+    return " + ".join(parts)
+
+
+_TFIDF_ORACLE = f"""
+    WITH tf AS (
+        SELECT doc_id,
+               {', '.join(f"{_tf(w, True)} AS tf{i}" for i, w in enumerate(TFIDF_TERMS))}
+        FROM documents),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               {', '.join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                          for i in range(len(TFIDF_TERMS)))}
+        FROM tf)
+    SELECT doc_id,
+           {', '.join(f"tf{i}" for i in range(len(TFIDF_TERMS)))},
+           ROUND({_score('n', '', True)}, 6) AS tfidf_score
+    FROM tf, stats
+    WHERE {_score('n', '', True)} > 0
+    ORDER BY {_score('n', '', True)} DESC, doc_id
+    LIMIT {TFIDF_K}
+"""
+
+
+@register("tfidf_search", _TFIDF_ORACLE)
+def tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k documents by TF-IDF for a fixed query-term set.
+
+    Spark-first shape: term frequencies are computed MAP-SIDE per document
+    (array filter on the token array — no explode, no (doc, term) shuffle);
+    the corpus statistics (N, per-term document frequency) are ONE 1-row
+    aggregate broadcast back over the scan; the top-k plans as
+    TakeOrderedAndProject. Two narrow passes over the corpus and a k-row
+    result — no wide exchange anywhere, at any corpus size.
+
+    The reference's query surface is filter/join relevance (SURVEY §2.2);
+    scoring search is the training-pipeline generalization."""
+    tf_cols = [
+        F.expr(_tf(w, False)).alias(f"tf{i}") for i, w in enumerate(TFIDF_TERMS)
+    ]
+    tf = (
+        read_table(spark, sf, "documents")
+        .select("doc_id", F.expr(spark_tokens("lower(text)")).alias("tk"))
+        .select("doc_id", *tf_cols)
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(TFIDF_TERMS))
+        ],
+    )
+    scored = tf.join(F.broadcast(stats)).select(
+        "doc_id",
+        *[f"tf{i}" for i in range(len(TFIDF_TERMS))],
+        F.expr(_score("n", "", False)).alias("_score"),
+    )
+    return (
+        scored.filter(F.col("_score") > 0)
+        .orderBy(F.col("_score").desc(), "doc_id")
+        .limit(TFIDF_K)
+        .select(
+            "doc_id",
+            *[f"tf{i}" for i in range(len(TFIDF_TERMS))],
+            F.expr("ROUND(_score, 6)").alias("tfidf_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 23  # doc_id % BENCH_MOD == 0 plays the held-out benchmark set
+
+_DECON_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, {duck_shingle_hashes('hx')} AS s
+        FROM (SELECT doc_id, {duck_token_hashes(duck_tokens('lower(text)'))} AS hx
+              FROM documents)),
+    bench AS (
+        SELECT DISTINCT unnest(s) AS x FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    train_ex AS (
+        SELECT doc_id, unnest(s) AS x FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS c
+        FROM train_ex JOIN bench USING (x) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.c, 0) AS n_contaminated,
+           COALESCE(h.c, 0) = 0 AS clean
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {BENCH_MOD} <> 0
+"""
+
+
+@register("decontaminate_ngram", _DECON_ORACLE)
+def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    token-3-gram shingles it shares with a held-out benchmark set
+    (doc_id % 23 == 0 stands in for the benchmark corpus), plus a `clean`
+    flag. The standard pre-training hygiene step — eval sets must not
+    leak into training data.
+
+    Scale shape: shingles are hashed to int64 once (portable polynomial
+    hash, shared with the dedup family); the benchmark's distinct shingle
+    set is orders of magnitude smaller than the corpus and BROADCAST, so
+    the contamination join is map-side; the per-doc count then
+    partial-aggregates before its one narrow (doc_id, count) shuffle.
+    Shingle sets are distinct per document, so COUNT(*) of join hits is
+    the distinct overlap size — no distinct-agg double shuffle."""
+    sh = (
+        read_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.expr(spark_token_hashes(spark_tokens("lower(text)"))).alias("hx"),
+        )
+        .select("doc_id", F.explode(F.expr(spark_shingle_hashes("hx"))).alias("x"))
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("x").distinct()
+    )
+    hits = (
+        sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "x")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    train = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id")
+    )
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("c"), F.lit(0)).alias("n_contaminated"),
+        (F.coalesce(F.col("c"), F.lit(0)) == 0).alias("clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (deterministic A-ES exponential race)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 40
+_WS_A, _WS_B = 69_621, 7  # affine constants distinct from stratified_sample's
+
+
+def _race_key(duck: bool) -> str:
+    """Efraimidis–Spirakis via exponential race: e = -ln(u)/w with
+    u ∈ (0, 1] from an affine hash of the doc id (u = (h+1)/(P+1) so
+    ln never sees 0) and w = n_chars. The k SMALLEST keys are a weighted
+    sample without replacement — and the same k on every engine, run, and
+    partitioning, unlike rand()-based sampling."""
+    u = f"(CAST((doc_id * {_WS_A} + {_WS_B}) % {P} AS DOUBLE) + 1.0) / {P + 1}.0"
+    return f"-ln({u}) / CAST(greatest(n_chars, 1) AS DOUBLE)"
+
+
+_WSAMPLE_ORACLE = f"""
+    SELECT doc_id, n_chars, ROUND({_race_key(True)}, 9) AS race_key
+    FROM documents
+    ORDER BY {_race_key(True)}, doc_id
+    LIMIT {WSAMPLE_K}
+"""
+
+
+@register("weighted_sample", _WSAMPLE_ORACLE)
+def weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (weight =
+    n_chars): map-only race-key computation + global top-k, which plans
+    as TakeOrderedAndProject — each partition keeps its k best, the
+    driver merges k·partitions rows. No shuffle of the corpus, ever."""
+    keyed = read_table(spark, sf, "documents").select(
+        "doc_id", "n_chars", F.expr(_race_key(False)).alias("_e")
+    )
+    return (
+        keyed.orderBy("_e", "doc_id")
+        .limit(WSAMPLE_K)
+        .select("doc_id", "n_chars", F.expr("ROUND(_e, 9)").alias("race_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+_PACK_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, lang, len({duck_tokens('text')}) AS n_tok
+        FROM documents),
+    cum AS (
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok AS start_off
+        FROM tok)
+    SELECT lang,
+           start_off // {PACK_BUDGET} AS bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS bin_tokens
+    FROM cum
+    GROUP BY lang, bin_id
+"""
+
+
+@register("pack_sequences", _PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window packing: concatenate documents per language stream
+    in doc_id order and cut the stream into fixed token-budget bins —
+    each document lands in the bin containing its start offset (the
+    concat-then-chunk packing used to fill training context windows).
+    Output is the per-bin fill statistics.
+
+    One exchange total: the running-offset window and the (lang, bin)
+    rollup cluster on the same `lang` key, so Catalyst reuses the
+    partitioning. Packing is inherently sequential per stream — at 100 TB
+    the stream key is (lang, shard) so thousands of streams pack in
+    parallel, exactly this plan with a composite key; integer arithmetic
+    end-to-end, so the bin assignment is engine- and run-stable."""
+    tok = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.expr(f"size({spark_tokens('text')})").alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tok.select(
+        "lang",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off"),
+    )
+    return (
+        cum.select("lang", "n_tok", F.expr(f"start_off div {PACK_BUDGET}").alias("bin_id"))
+        .groupBy("lang", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture sampling
+# ---------------------------------------------------------------------------
+
+_MIX_A, _MIX_B = 16_807, 3
+_MIX_BASE, _MIX_STEP = 20, 5  # quota = 20 - (source_num % 3) * 5 → 20/15/10
+
+
+def _mix_quota(duck: bool) -> str:
+    sub = "substr" if duck else "substring"
+    return f"{_MIX_BASE} - (CAST({sub}(source, 4) AS INT) % 3) * {_MIX_STEP}"
+
+
+_MIX_ORACLE = f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY (doc_id * {_MIX_A} + {_MIX_B}) % {P},
+                                           doc_id) AS sample_rank
+        FROM documents)
+    SELECT doc_id, source, sample_rank
+    FROM ranked
+    WHERE sample_rank <= {_mix_quota(True)}
+"""
+
+
+@register("source_mix_sample", _MIX_ORACLE)
+def source_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture-weight subsampling: cap each source at a per-source quota
+    (derived here from the source id; in production, the mixture-weights
+    table), choosing WHICH documents survive by an affine-hash shuffle
+    order — deterministic, so re-runs and backfills select identical
+    rows. This is the 'domain mixing' step of corpus assembly.
+
+    One exchange on `source` for the row_number window; the quota filter
+    is a pure predicate on the window output. At 100 TB per-source skew is
+    the hazard — a giant source funnels into one partition; production
+    shape is a two-level rank (hash-bucket within source, then offset by
+    bucket counts), same arithmetic, still one exchange."""
+    order_key = (F.col("doc_id") * _MIX_A + _MIX_B) % P
+    w = Window.partitionBy("source").orderBy(order_key.asc(), F.col("doc_id").asc())
+    return (
+        read_table(spark, sf, "documents")
+        .select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= F.expr(_mix_quota(False)))
+    )

@@ -146,7 +146,7 @@ def advanced_query_or_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decorators. Bottom import is deliberate (modules import `register` back
 # from here).
 from nshm2022db_spark.queries import geometry, pipeline, relational  # noqa: E402,F401
-from nshm2022db_spark.extensions import dedup, multimodal, similarity, text  # noqa: E402,F401
+from nshm2022db_spark.extensions import curation, dedup, multimodal, similarity, text  # noqa: E402,F401
 from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
@@ -194,6 +194,12 @@ _DRIVER_ORDER = [
     "text_pii_scrub",
     "text_repetition_stats",
     "stream_static_join",
+    # Round-2 curation family (extensions/curation.py) — new, needs rows.
+    "tfidf_search",
+    "decontaminate_ngram",
+    "weighted_sample",
+    "pack_sequences",
+    "source_mix_sample",
     # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
     "json_extract",
     "events_tumbling_window",
@@ -205,11 +211,6 @@ _DRIVER_ORDER = [
     # P3 — r01-green representatives, one per SURVEY §2 row.
     "advanced_query_dsl",
     "geojson_scan",
-    "join_dim_hierarchy",
-    "join_5way_agg",
-    "asof_nearest_ge",
-    "groupby_agg",
-    "count_distinct",
     "weighted_branch_merge",
     "topk_global",
     "ragged_csv_roundtrip",
@@ -220,7 +221,14 @@ _DRIVER_ORDER = [
     "multimodal_decode_meta",
     # --- 50-query window boundary (driver gate cap observed in round 1) ---
     # Tail: r01-green queries whose §2 row keeps an in-window
-    # representative — their CORRECTNESS_r01 rows stand as evidence.
+    # representative — their CORRECTNESS_r01 rows stand as evidence
+    # (join_dim_hierarchy..count_distinct displaced by the round-2
+    # curation family: untouched since their green r01 rows).
+    "join_dim_hierarchy",
+    "join_5way_agg",
+    "asof_nearest_ge",
+    "groupby_agg",
+    "count_distinct",
     "point_lookup",
     "range_filter",
     "intersect_types",

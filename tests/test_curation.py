@@ -1,0 +1,160 @@
+"""Curation operators (extensions/curation.py): independent Python
+recomputes at sf0.001 (50 docs — exhaustive checks are cheap), plus
+plan-shape pins for the scale claims in the docstrings."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from nshm2022db_spark.extensions.curation import (
+    BENCH_MOD,
+    PACK_BUDGET,
+    TFIDF_TERMS,
+    WSAMPLE_K,
+    _MIX_A,
+    _MIX_B,
+    _WS_A,
+    _WS_B,
+    decontaminate_ngram,
+    pack_sequences,
+    source_mix_sample,
+    tfidf_search,
+    weighted_sample,
+)
+from nshm2022db_spark.functions.portable import P
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text) if t]
+
+
+def _char_hash(s: str) -> int:
+    acc = 0
+    for c in s:
+        acc = (acc * 31 + ord(c)) % P
+    return acc
+
+
+def _shingle_hashes(text: str) -> set[int]:
+    hx = [_char_hash(t) for t in _tokens(text.lower())]
+    return {
+        (hx[i] * 961 + hx[i + 1] * 31 + hx[i + 2]) % P
+        for i in range(len(hx) - 2)
+    }
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+
+class TestTfidfSearch:
+    def test_scores_sorted_and_tf_recomputed(self, spark, sf_dir, docs):
+        rows = tfidf_search(spark, sf_dir).collect()
+        assert 0 < len(rows) <= 50
+        scores = [r["tfidf_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        for r in rows[:5]:
+            toks = _tokens(docs[r["doc_id"]]["text"].lower())
+            for i, term in enumerate(TFIDF_TERMS):
+                assert r[f"tf{i}"] == toks.count(term)
+
+    def test_plan_topk_no_python(self, spark, sf_dir):
+        plan = tfidf_search(spark, sf_dir)._jdf.queryExecution().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestDecontaminate:
+    def test_matches_python_recompute(self, spark, sf_dir, docs):
+        bench: set[int] = set()
+        for d, r in docs.items():
+            if d % BENCH_MOD == 0:
+                bench |= _shingle_hashes(r["text"])
+        expected = {
+            d: len(_shingle_hashes(r["text"]) & bench)
+            for d, r in docs.items()
+            if d % BENCH_MOD != 0
+        }
+        got = {
+            r["doc_id"]: r["n_contaminated"]
+            for r in decontaminate_ngram(spark, sf_dir).collect()
+        }
+        assert got == expected
+
+    def test_clean_flag(self, spark, sf_dir):
+        for r in decontaminate_ngram(spark, sf_dir).collect():
+            assert r["clean"] == (r["n_contaminated"] == 0)
+            assert r["doc_id"] % BENCH_MOD != 0
+
+
+class TestWeightedSample:
+    def test_matches_python_recompute(self, spark, sf_dir, docs):
+        def key(d):
+            u = ((d * _WS_A + _WS_B) % P + 1.0) / (P + 1)
+            return -math.log(u) / max(docs[d]["n_chars"], 1)
+
+        expected = sorted(docs, key=lambda d: (key(d), d))[:WSAMPLE_K]
+        got = [r["doc_id"] for r in weighted_sample(spark, sf_dir).collect()]
+        assert got == expected
+
+    def test_plan_topk(self, spark, sf_dir):
+        plan = weighted_sample(spark, sf_dir)._jdf.queryExecution().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestPackSequences:
+    def test_matches_python_recompute(self, spark, sf_dir, docs):
+        expected: dict[tuple, list[int]] = {}
+        by_lang: dict[str, list[int]] = {}
+        for d in sorted(docs):
+            by_lang.setdefault(docs[d]["lang"], []).append(d)
+        for lang, ids in by_lang.items():
+            off = 0
+            for d in ids:
+                n = len(_tokens(docs[d]["text"]))
+                b = off // PACK_BUDGET
+                agg = expected.setdefault((lang, b), [0, 0])
+                agg[0] += 1
+                agg[1] += n
+                off += n
+        got = {
+            (r["lang"], r["bin_id"]): [r["n_docs"], r["bin_tokens"]]
+            for r in pack_sequences(spark, sf_dir).collect()
+        }
+        assert got == expected
+
+    def test_single_exchange(self, spark, sf_dir):
+        """Window and rollup cluster on the same key: exactly one
+        shuffle in the whole plan."""
+        plan = pack_sequences(spark, sf_dir)._jdf.queryExecution().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestSourceMixSample:
+    def test_matches_python_recompute(self, spark, sf_dir, docs):
+        by_src: dict[str, list[int]] = {}
+        for d, r in docs.items():
+            by_src.setdefault(r["source"], []).append(d)
+        expected = set()
+        for src, ids in by_src.items():
+            quota = 20 - (int(src[3:]) % 3) * 5
+            ids.sort(key=lambda d: ((d * _MIX_A + _MIX_B) % P, d))
+            for rank, d in enumerate(ids[:quota], start=1):
+                expected.add((d, src, rank))
+        got = {
+            (r["doc_id"], r["source"], r["sample_rank"])
+            for r in source_mix_sample(spark, sf_dir).collect()
+        }
+        assert got == expected
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        a = sorted(map(tuple, source_mix_sample(spark, sf_dir).collect()))
+        b = sorted(map(tuple, source_mix_sample(spark, sf_dir).collect()))
+        assert a == b
