@@ -86,6 +86,7 @@ HEADLINE = [
     "weighted_sample",
     "pack_sequences",
     "source_mix_sample",
+    "orc_scan",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

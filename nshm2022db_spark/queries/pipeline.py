@@ -241,3 +241,59 @@ def jsonl_scan(spark: SparkSession, sf: str) -> DataFrame:
     return docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@register(
+    "orc_scan",
+    """SELECT l_returnflag, l_linestatus,
+              COUNT(*) AS n_items,
+              ROUND(SUM(l_quantity), 4) AS sum_qty,
+              CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_price
+       FROM lineitem
+       WHERE l_quantity > 25
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def orc_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source round-trip: lineitem landed once per sf as ORC (the
+    other first-class columnar format of the Hadoop world — warehouses
+    migrating from Hive hand you ORC, not parquet), re-read and
+    aggregated under a pushed-down predicate. The oracle recomputes from
+    the parquet base table, so the value-hash compare proves the ORC
+    round trip end-to-end.
+
+    Scale notes: the ORC reader is splittable by stripe and supports the
+    same filter pushdown / column pruning as parquet (the plan shows
+    PushedFilters + a pruned ReadSchema — pinned by test); quantity is
+    integer-valued and price is summed as integer CENTS, so both
+    aggregates are exact in doubles — no cross-engine float-order
+    discipline needed at all."""
+    base = scratch_path("lineitem_orc", sf)
+    path = os.path.join(base, "lineitem")
+    if not is_landed(base):
+        (
+            read_table(spark, sf, "lineitem")
+            .select(
+                "l_orderkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_returnflag",
+                "l_linestatus",
+            )
+            .write.mode("overwrite")
+            .orc(path)
+        )
+        mark_landed(base)
+    li = spark.read.orc(path)
+    return (
+        li.filter(F.col("l_quantity") > 25)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr("ROUND(SUM(l_quantity), 4)").alias("sum_qty"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)"
+                " / 100.0"
+            ).alias("sum_price"),
+        )
+    )

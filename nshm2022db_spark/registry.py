@@ -200,6 +200,7 @@ _DRIVER_ORDER = [
     "weighted_sample",
     "pack_sequences",
     "source_mix_sample",
+    "orc_scan",
     # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
     "json_extract",
     "events_tumbling_window",
@@ -211,7 +212,6 @@ _DRIVER_ORDER = [
     # P3 — r01-green representatives, one per SURVEY §2 row.
     "advanced_query_dsl",
     "geojson_scan",
-    "weighted_branch_merge",
     "topk_global",
     "ragged_csv_roundtrip",
     "csv_scan_join",
@@ -222,8 +222,10 @@ _DRIVER_ORDER = [
     # --- 50-query window boundary (driver gate cap observed in round 1) ---
     # Tail: r01-green queries whose §2 row keeps an in-window
     # representative — their CORRECTNESS_r01 rows stand as evidence
-    # (join_dim_hierarchy..count_distinct displaced by the round-2
-    # curation family: untouched since their green r01 rows).
+    # (join_dim_hierarchy..count_distinct + weighted_branch_merge
+    # displaced by the round-2 curation family and orc_scan: all
+    # untouched since their green r01 rows).
+    "weighted_branch_merge",
     "join_dim_hierarchy",
     "join_5way_agg",
     "asof_nearest_ge",

@@ -120,3 +120,32 @@ class TestJsonlScan:
             for r in jsonl_scan(spark, sf_dir).collect()
         }
         assert got == expected
+
+
+class TestOrcScan:
+    def test_matches_parquet_base(self, spark, sf_dir):
+        from nshm2022db_spark.queries.pipeline import orc_scan
+
+        base = (
+            read_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") > 25)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        expected = {
+            (r.l_returnflag, r.l_linestatus): r.n_items for r in base.collect()
+        }
+        got = {
+            (r.l_returnflag, r.l_linestatus): r.n_items
+            for r in orc_scan(spark, sf_dir).collect()
+        }
+        assert got == expected
+
+    def test_pushdown_and_pruning(self, spark, sf_dir):
+        """The quantity predicate reaches the ORC scan and only the five
+        landed columns minus the pruned ones are read."""
+        from nshm2022db_spark.queries.pipeline import orc_scan
+
+        plan = orc_scan(spark, sf_dir)._jdf.queryExecution().toString()
+        assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity," in plan
+        assert "l_orderkey" not in plan.split("ReadSchema")[-1]
