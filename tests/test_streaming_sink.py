@@ -46,3 +46,98 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     assert got.select(F.sum("event_id")).collect()[0][0] == (
         events.select(F.sum("event_id")).collect()[0][0]
     )
+
+
+class TestUpsertSink:
+    def _stream(self, spark, src):
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, value double,"
+                " props string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    def test_latest_per_key_matches_batch(self, spark, sf_dir, tmp_path):
+        """Drain the events stream into a keyed table; the table must hold
+        exactly the batch-computed latest event per user."""
+        from nshm2022db_spark.streaming.sinks import (
+            read_keyed_table,
+            upsert_stream_to_table,
+        )
+
+        src = str(tmp_path / "src")
+        events = read_table(spark, sf_dir, "events")
+        events.repartition(4).write.parquet(src)
+
+        q = upsert_stream_to_table(
+            self._stream(spark, src).select("user_id", "event_id", "ts"),
+            str(tmp_path / "table"),
+            str(tmp_path / "ckpt"),
+            keys=["user_id"],
+            order_col="ts",
+        )
+        q.awaitTermination()
+
+        got = {
+            r.user_id: r.event_id
+            for r in read_keyed_table(spark, str(tmp_path / "table")).collect()
+        }
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("user_id")
+        )
+        # The sink breaks equal-ts ties arbitrarily within a batch, so
+        # compare on users with a unique max-ts event (the vast majority).
+        latest = (
+            events.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .join(
+                events.groupBy("user_id", "ts").count().filter("count > 1"),
+                ["user_id", "ts"],
+                "left_anti",
+            )
+        )
+        expected = {r.user_id: r.event_id for r in latest.collect()}
+        assert expected  # non-degenerate
+        for user, eid in expected.items():
+            assert got[user] == eid
+        assert set(got) == {
+            r.user_id for r in events.select("user_id").distinct().collect()
+        }
+
+    def test_replayed_batch_is_noop(self, spark, sf_dir, tmp_path):
+        """Re-applying an already-published batch id must not bump the
+        version — the idempotence the checkpoint-replay path relies on."""
+        from nshm2022db_spark.streaming.sinks import (
+            _read_pointer,
+            upsert_stream_to_table,
+        )
+
+        src = str(tmp_path / "src")
+        events = read_table(spark, sf_dir, "events")
+        events.coalesce(1).write.parquet(src)
+        table = str(tmp_path / "table")
+
+        q = upsert_stream_to_table(
+            self._stream(spark, src).select("user_id", "event_id", "ts"),
+            table,
+            str(tmp_path / "ckpt"),
+            keys=["user_id"],
+            order_col="ts",
+        )
+        q.awaitTermination()
+        ptr = _read_pointer(table)
+
+        # Fresh checkpoint replays batch 0 against the same table dir.
+        q2 = upsert_stream_to_table(
+            self._stream(spark, src).select("user_id", "event_id", "ts"),
+            table,
+            str(tmp_path / "ckpt2"),
+            keys=["user_id"],
+            order_col="ts",
+        )
+        q2.awaitTermination()
+        assert _read_pointer(table) == ptr
