@@ -87,6 +87,7 @@ HEADLINE = [
     "pack_sequences",
     "source_mix_sample",
     "orc_scan",
+    "stream_upsert_table",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

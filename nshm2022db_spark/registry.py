@@ -201,6 +201,7 @@ _DRIVER_ORDER = [
     "pack_sequences",
     "source_mix_sample",
     "orc_scan",
+    "stream_upsert_table",
     # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
     "json_extract",
     "events_tumbling_window",
@@ -212,7 +213,6 @@ _DRIVER_ORDER = [
     # P3 — r01-green representatives, one per SURVEY §2 row.
     "advanced_query_dsl",
     "geojson_scan",
-    "topk_global",
     "ragged_csv_roundtrip",
     "csv_scan_join",
     "dedup_exact",
@@ -225,6 +225,7 @@ _DRIVER_ORDER = [
     # (join_dim_hierarchy..count_distinct + weighted_branch_merge
     # displaced by the round-2 curation family and orc_scan: all
     # untouched since their green r01 rows).
+    "topk_global",
     "weighted_branch_merge",
     "join_dim_hierarchy",
     "join_5way_agg",

@@ -242,3 +242,50 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
     return _run_to_memory(agg, f"stream_static_{next(_counter)}")
+
+
+@register(
+    "stream_upsert_table",
+    """SELECT user_id, event_id, ts FROM (
+           SELECT user_id, event_id, ts,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+       WHERE rn = 1""",
+)
+def stream_upsert_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-event-per-user table maintained by the foreachBatch MERGE
+    sink (streaming/sinks.py): the doubled replay feeds every event TWICE
+    across two micro-batches (maxFilesPerTrigger=1), so the query proves
+    the whole sink protocol — per-batch reduce, order-column merge (a
+    later batch re-delivers older events; they must not roll state back),
+    versioned write, atomic publish. The final table is the global
+    argmax(ts, event_id) per user regardless of batching, which is
+    exactly the oracle's window — batch-invariance is what makes a
+    streaming upsert oracle-able at all."""
+    import tempfile
+
+    from nshm2022db_spark.streaming.sinks import (
+        read_keyed_table,
+        upsert_stream_to_table,
+    )
+
+    ensure_nanos_as_long(spark)
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir_doubled(sf))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select("user_id", "event_id", "ts")
+    )
+    table_dir = tempfile.mkdtemp(prefix="upsert_table_")
+    q = upsert_stream_to_table(
+        stream,
+        table_dir,
+        tempfile.mkdtemp(prefix="upsert_ckpt_"),
+        keys=["user_id"],
+        order_col="ts",
+        tiebreak=["event_id"],
+    )
+    q.awaitTermination()
+    return read_keyed_table(spark, table_dir).select("user_id", "event_id", "ts")

@@ -88,6 +88,7 @@ def merge_into(
     updates: DataFrame,
     keys: list[str],
     order_col: str | None = None,
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Keyed merge — union + ROW_NUMBER, ONE shuffle on the merge key (the
     join-based MERGE shape takes two). Updates must already be unique per
@@ -96,10 +97,12 @@ def merge_into(
     the row with the GREATEST order value wins (update wins ties): a
     micro-batch feed is NOT globally time-ordered — a later batch can
     carry an older event for a key, and blind prefer-update would roll
-    newer state back."""
+    newer state back. `tiebreak` columns (greatest wins) resolve equal
+    order values deterministically; without them the update wins ties."""
     if base is None:
         return updates
     order = [F.col(order_col).desc()] if order_col else []
+    order += [F.col(c).desc() for c in tiebreak or []]
     w = Window.partitionBy(*keys).orderBy(*order, "_src")
     return (
         updates.withColumn("_src", F.lit(0))
@@ -116,11 +119,13 @@ def upsert_stream_to_table(
     checkpoint_dir: str,
     keys: list[str],
     order_col: str,
+    tiebreak: list[str] | None = None,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Maintain a latest-per-key parquet table from a stream via
     foreachBatch MERGE. Within each micro-batch the newest row per key
-    (max order_col, arbitrary-deterministic tiebreak by the key) is
+    (max order_col, then greatest `tiebreak` columns — pass one to make
+    equal-order rows deterministic) is
     reduced first, then merged over the current table version; the result
     lands as an immutable v{N+1} directory published by an atomic pointer
     swap recording the batch id — replayed batches no-op, so restart
@@ -141,7 +146,7 @@ def upsert_stream_to_table(
             return  # replayed micro-batch: already published, no-op
         spark = batch_df.sparkSession
         w = Window.partitionBy(*keys).orderBy(
-            F.col(order_col).desc(), *[F.col(k) for k in keys]
+            F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak or []]
         )
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
@@ -149,7 +154,7 @@ def upsert_stream_to_table(
             .drop("_rn")
         )
         merged = merge_into(
-            read_keyed_table(spark, table_dir), latest, keys, order_col
+            read_keyed_table(spark, table_dir), latest, keys, order_col, tiebreak
         )
         version = ptr["version"] + 1
         merged.write.mode("overwrite").parquet(

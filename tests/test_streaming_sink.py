@@ -77,6 +77,7 @@ class TestUpsertSink:
             str(tmp_path / "ckpt"),
             keys=["user_id"],
             order_col="ts",
+            tiebreak=["event_id"],
         )
         q.awaitTermination()
 
@@ -86,27 +87,14 @@ class TestUpsertSink:
         }
         from pyspark.sql import Window
 
+        # With the event_id tiebreak the sink is fully deterministic:
+        # the table must equal the batch argmax(ts, event_id) per user.
         w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("user_id")
+            F.col("ts").desc(), F.col("event_id").desc()
         )
-        # The sink breaks equal-ts ties arbitrarily within a batch, so
-        # compare on users with a unique max-ts event (the vast majority).
-        latest = (
-            events.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .join(
-                events.groupBy("user_id", "ts").count().filter("count > 1"),
-                ["user_id", "ts"],
-                "left_anti",
-            )
-        )
+        latest = events.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
         expected = {r.user_id: r.event_id for r in latest.collect()}
-        assert expected  # non-degenerate
-        for user, eid in expected.items():
-            assert got[user] == eid
-        assert set(got) == {
-            r.user_id for r in events.select("user_id").distinct().collect()
-        }
+        assert got == expected
 
     def test_replayed_batch_is_noop(self, spark, sf_dir, tmp_path):
         """Re-applying an already-published batch id must not bump the
