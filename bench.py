@@ -88,6 +88,7 @@ HEADLINE = [
     "source_mix_sample",
     "orc_scan",
     "stream_upsert_table",
+    "curation_pipeline",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

