@@ -167,8 +167,10 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: shingles are hashed to int64 once (portable polynomial
     hash, shared with the dedup family); the benchmark's distinct shingle
     set is orders of magnitude smaller than the corpus and BROADCAST, so
-    the contamination join is map-side; the per-doc count then
-    partial-aggregates before its one narrow (doc_id, count) shuffle.
+    the contamination join is map-side; the corpus-side work is one
+    partial-aggregated (doc_id, count) shuffle (the only other exchange
+    is the distinct over the benchmark's own shingles — benchmark-sized,
+    not corpus-sized).
     Shingle sets are distinct per document, so COUNT(*) of join hits is
     the distinct overlap size — no distinct-agg double shuffle."""
     sh = (
