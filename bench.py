@@ -89,6 +89,7 @@ HEADLINE = [
     "orc_scan",
     "stream_upsert_table",
     "curation_pipeline",
+    "chunk_documents",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -20,6 +20,8 @@ Scale shapes (per operator, details in each docstring):
   * source_mix_sample — one shuffle on the mixture key (row_number).
   * curation_pipeline — the composed pass (quality → dedup → sample):
                         still ONE job with ONE exchange.
+  * chunk_documents   — map-only sliding-window chunking (explode inside
+                        the scan stage, no shuffle).
 """
 
 from __future__ import annotations
@@ -430,4 +432,68 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.expr("ROUND(q, 6)").alias("quality_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (RAG / context-window preprocessing)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 128
+CHUNK_OVERLAP = 16
+_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, len({duck_tokens('text')}) AS n FROM documents),
+    spans AS (
+        SELECT doc_id, n,
+               greatest(1, (n - {CHUNK_OVERLAP} + {_STEP} - 1) // {_STEP})
+                   AS n_chunks
+        FROM tok)
+    SELECT doc_id,
+           i AS chunk_id,
+           i * {_STEP} AS tok_start,
+           least(i * {_STEP} + {CHUNK_TOKENS}, n) AS tok_end
+    FROM spans, (SELECT unnest(range(0, 10000)) AS i)
+    WHERE i < n_chunks
+"""
+
+
+@register("chunk_documents", _CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    fixed-token-budget chunks (the retrieval/context-window preprocessing
+    step — chunk k covers tokens [k·(B−O), k·(B−O)+B)), emitting one row
+    per chunk with its token span. ceil arithmetic keeps every tail:
+    the last chunk is shorter, never dropped, and a doc under one budget
+    yields exactly one chunk.
+
+    Map-only: tokenize once, compute the chunk count, explode a generated
+    index sequence — the chunk rows materialize inside the scan stage
+    with NO shuffle at any corpus size (the oracle's bounded-range cross
+    join is the relational rendering of the same explode). Integer
+    arithmetic end-to-end — exact on every engine."""
+    toks = (
+        read_table(spark, sf, "documents")
+        .select("doc_id", F.expr(f"size({spark_tokens('text')})").alias("n"))
+        .select(
+            "doc_id",
+            "n",
+            F.expr(
+                f"greatest(1, (n - {CHUNK_OVERLAP} + {_STEP} - 1) div {_STEP})"
+            ).alias("n_chunks"),
+        )
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_id"),
+        "n",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * _STEP).alias("tok_start"),
+        F.least(F.col("chunk_id") * _STEP + CHUNK_TOKENS, F.col("n")).alias(
+            "tok_end"
+        ),
     )

@@ -203,6 +203,7 @@ _DRIVER_ORDER = [
     "orc_scan",
     "stream_upsert_table",
     "curation_pipeline",
+    "chunk_documents",
     # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
     "json_extract",
     "events_tumbling_window",
@@ -212,7 +213,6 @@ _DRIVER_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     # P3 — r01-green representatives, one per SURVEY §2 row.
-    "advanced_query_dsl",
     "geojson_scan",
     "ragged_csv_roundtrip",
     "csv_scan_join",
@@ -224,7 +224,9 @@ _DRIVER_ORDER = [
     # representative — their CORRECTNESS_r01 rows stand as evidence
     # (join_dim_hierarchy..count_distinct + weighted_branch_merge
     # displaced by the round-2 curation family and orc_scan: all
-    # untouched since their green r01 rows).
+    # untouched since their green r01 rows; advanced_query_dsl is also
+    # exercised every round by the driver's entry() smoke).
+    "advanced_query_dsl",
     "multimodal_decode_meta",
     "topk_global",
     "weighted_branch_merge",

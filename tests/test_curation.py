@@ -183,3 +183,31 @@ class TestCurationPipeline:
         for r in rows:
             assert r.quality_score >= QUALITY_MIN
             assert r.lang in ("en", "de", "fr")
+
+
+class TestChunkDocuments:
+    def test_matches_python_recompute(self, spark, sf_dir, docs):
+        from nshm2022db_spark.extensions.curation import (
+            CHUNK_OVERLAP,
+            CHUNK_TOKENS,
+            chunk_documents,
+        )
+
+        step = CHUNK_TOKENS - CHUNK_OVERLAP
+        expected = set()
+        for d, r in docs.items():
+            n = len(_tokens(r["text"]))
+            n_chunks = max(1, -(-(n - CHUNK_OVERLAP) // step))
+            for i in range(n_chunks):
+                expected.add((d, i, i * step, min(i * step + CHUNK_TOKENS, n)))
+        got = {
+            (r.doc_id, r.chunk_id, r.tok_start, r.tok_end)
+            for r in chunk_documents(spark, sf_dir).collect()
+        }
+        assert got == expected
+
+    def test_no_shuffle(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.curation import chunk_documents
+
+        plan = chunk_documents(spark, sf_dir)._jdf.queryExecution().toString()
+        assert "Exchange hashpartitioning" not in plan
