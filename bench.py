@@ -90,6 +90,7 @@ HEADLINE = [
     "stream_upsert_table",
     "curation_pipeline",
     "chunk_documents",
+    "value_histogram",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

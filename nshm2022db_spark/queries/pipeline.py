@@ -297,3 +297,28 @@ def orc_scan(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("sum_price"),
         )
     )
+
+
+@register(
+    "value_histogram",
+    """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin_id,
+              COUNT(*) AS n,
+              CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_lo
+       FROM events
+       GROUP BY 1""",
+)
+def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of the event value distribution — the
+    profiling primitive behind data-quality dashboards and outlier
+    screens. Bin assignment is one floor-division (map-side), then a
+    partial-aggregated count shuffle whose width is the NUMBER OF BINS,
+    not the corpus: at 100 TB the exchange moves a few hundred
+    (bin, count) rows per task. floor of an IEEE double division is
+    engine-exact, so the oracle needs no rounding discipline."""
+    ev = read_table(spark, sf, "events")
+    bin_id = F.expr("CAST(floor(value / 25.0) AS BIGINT)")
+    return (
+        ev.groupBy(bin_id.alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin_id", "n", (F.col("bin_id") * 25.0).alias("bin_lo"))
+    )

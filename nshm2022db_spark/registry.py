@@ -204,6 +204,7 @@ _DRIVER_ORDER = [
     "stream_upsert_table",
     "curation_pipeline",
     "chunk_documents",
+    "value_histogram",
     # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
     "json_extract",
     "events_tumbling_window",
@@ -216,7 +217,6 @@ _DRIVER_ORDER = [
     "geojson_scan",
     "ragged_csv_roundtrip",
     "csv_scan_join",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     # --- 50-query window boundary (driver gate cap observed in round 1) ---
@@ -225,7 +225,9 @@ _DRIVER_ORDER = [
     # (join_dim_hierarchy..count_distinct + weighted_branch_merge
     # displaced by the round-2 curation family and orc_scan: all
     # untouched since their green r01 rows; advanced_query_dsl is also
-    # exercised every round by the driver's entry() smoke).
+    # exercised every round by the driver's entry() smoke; dedup_exact's
+    # md5 path is untouched by the round-2 dedup.py changes).
+    "dedup_exact",
     "advanced_query_dsl",
     "multimodal_decode_meta",
     "topk_global",
