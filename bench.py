@@ -91,6 +91,7 @@ HEADLINE = [
     "curation_pipeline",
     "chunk_documents",
     "value_histogram",
+    "fk_integrity_check",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

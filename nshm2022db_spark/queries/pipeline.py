@@ -322,3 +322,68 @@ def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select("bin_id", "n", (F.col("bin_id") * 25.0).alias("bin_lo"))
     )
+
+
+@register(
+    "fk_integrity_check",
+    """SELECT 'lineitem.l_orderkey->orders' AS relationship,
+              COUNT(*) AS n_rows,
+              SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS n_orphans
+       FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       UNION ALL
+       SELECT 'orders.o_custkey->customer',
+              COUNT(*),
+              SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       UNION ALL
+       SELECT 'lineitem.l_partkey->part',
+              COUNT(*),
+              SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+       FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey""",
+)
+def fk_integrity_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit: per foreign-key relationship, the row
+    count and the number of orphans (FK values with no parent) — the
+    data-quality gate run before a warehouse load is published.
+
+    Scale shape: each relationship is one left join + one 1-row count
+    aggregate. The dimension sides (orders keys, customer keys, part
+    keys) are projected to their SINGLE key column before joining, so
+    even the fact⋈fact check (lineitem→orders) builds/shuffles keys
+    only — and the count aggregate is fully partial (each task emits two
+    longs). The three audits are independent jobs unioned at the end;
+    a scheduler runs them in parallel."""
+    def audit(child: DataFrame, ck: str, parent: DataFrame, pk: str, name: str):
+        joined = child.select(F.col(ck)).join(
+            parent.select(F.col(pk)), child[ck] == parent[pk], "left"
+        )
+        return joined.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias("n_orphans"),
+        ).select("relationship", "n_rows", "n_orphans")
+
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders")
+    return (
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionByName(
+            audit(
+                orders,
+                "o_custkey",
+                read_table(spark, sf, "customer"),
+                "c_custkey",
+                "orders.o_custkey->customer",
+            )
+        )
+        .unionByName(
+            audit(
+                li,
+                "l_partkey",
+                read_table(spark, sf, "part"),
+                "p_partkey",
+                "lineitem.l_partkey->part",
+            )
+        )
+    )

@@ -205,6 +205,7 @@ _DRIVER_ORDER = [
     "curation_pipeline",
     "chunk_documents",
     "value_histogram",
+    "fk_integrity_check",
     # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
     "json_extract",
     "events_tumbling_window",
@@ -216,7 +217,6 @@ _DRIVER_ORDER = [
     # P3 — r01-green representatives, one per SURVEY §2 row.
     "geojson_scan",
     "ragged_csv_roundtrip",
-    "csv_scan_join",
     "dedup_minhash_lsh",
     "dedup_simhash",
     # --- 50-query window boundary (driver gate cap observed in round 1) ---
@@ -226,7 +226,9 @@ _DRIVER_ORDER = [
     # displaced by the round-2 curation family and orc_scan: all
     # untouched since their green r01 rows; advanced_query_dsl is also
     # exercised every round by the driver's entry() smoke; dedup_exact's
-    # md5 path is untouched by the round-2 dedup.py changes).
+    # md5 path is untouched by the round-2 dedup.py changes; csv_scan_join
+    # re-verified green in the full local gate after the scratch rework).
+    "csv_scan_join",
     "dedup_exact",
     "advanced_query_dsl",
     "multimodal_decode_meta",
