@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nshm2022db_spark.schemas import STAR_TABLES
 
@@ -29,10 +30,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ensure_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ts arrives as long nanoseconds (via nanosAsLong above);
-        # integer `div` — a double division would lose precision on
-        # ~1.7e18 ns epochs (> 2^53).
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # Nanos layout: ts arrives as long nanoseconds (via nanosAsLong
+        # above); integer `div` — a double division would lose precision
+        # on ~1.7e18 ns epochs (> 2^53). Micros-layout files already
+        # decode to a timestamp and pass through untouched.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
