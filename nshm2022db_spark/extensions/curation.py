@@ -264,9 +264,12 @@ _PACK_ORACLE = f"""
                    - n_tok AS start_off
         FROM tok)
     SELECT lang,
-           start_off // {PACK_BUDGET} AS bin_id,
+           -- CASTs: DuckDB integer SUM widens to HUGEINT, which reaches
+           -- the driver's hasher as decimal128 via Arrow and can never
+           -- hash-equal Spark's int64 — pin every derived output to BIGINT.
+           CAST(start_off // {PACK_BUDGET} AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS bin_tokens
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
     FROM cum
     GROUP BY lang, bin_id
 """

@@ -538,15 +538,18 @@ PROJ_PLANE_BASE = 100  # plane ids disjoint from the LSH planes (0..N_PLANES)
 
 
 def _proj_exprs_duck() -> str:
-    return "[" + ", ".join(
-        f"ROUND({duck_hyperplane_dot('embedding', PROJ_PLANE_BASE + j, DIM)}, 6)"
+    # One scalar column per projected dimension: the driver's value
+    # hasher rejects array-typed outputs (unhashable), so the projection
+    # is emitted WIDE (p0..p7) rather than as one array<double> column.
+    return ", ".join(
+        f"ROUND({duck_hyperplane_dot('embedding', PROJ_PLANE_BASE + j, DIM)}, 6) AS p{j}"
         for j in range(PROJ_DIM)
-    ) + "]"
+    )
 
 
 @register(
     "embedding_random_projection",
-    f"""SELECT vec_id, {_proj_exprs_duck()} AS proj
+    f"""SELECT vec_id, {_proj_exprs_duck()}
         FROM embeddings""",
 )
 def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
@@ -558,12 +561,10 @@ def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     candidate-scoring cost drops {DIM // PROJ_DIM}×. Map-only, no
     shuffle, whole-stage codegen'd folds; at real scale the projection
     matrix would broadcast instead of inlining as literals."""
-    proj = F.array(
-        *[
-            F.round(
-                F.expr(spark_hyperplane_dot("embedding", PROJ_PLANE_BASE + j, DIM)), 6
-            )
-            for j in range(PROJ_DIM)
-        ]
-    ).alias("proj")
-    return read_table(spark, sf, "embeddings").select("vec_id", proj)
+    cols = [
+        F.round(
+            F.expr(spark_hyperplane_dot("embedding", PROJ_PLANE_BASE + j, DIM)), 6
+        ).alias(f"p{j}")
+        for j in range(PROJ_DIM)
+    ]
+    return read_table(spark, sf, "embeddings").select("vec_id", *cols)

@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nshm2022db_spark.functions.timecols import epoch_us
 from nshm2022db_spark.registry import register
 from nshm2022db_spark.sources import read_table
 from nshm2022db_spark.sources.scratch import is_landed, mark_landed, scratch_path
@@ -55,7 +56,7 @@ def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     uniform (no hot users beyond AQE's skew split)."""
     ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     gap = us - F.lag(us).over(w)
     is_new = F.when(gap <= SESSION_GAP_US, F.lit(0)).otherwise(F.lit(1))
     sess = ev.withColumn("session_id", F.sum(is_new).over(w))
@@ -92,7 +93,7 @@ def range_join_events(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_table(spark, sf, "events")
     clicks = (
         ev.filter(F.col("event_type") == "click")
-        .select("event_id", "user_id", F.unix_micros("ts").alias("c_us"))
+        .select("event_id", "user_id", epoch_us("ts").alias("c_us"))
         .withColumn(
             "bucket",
             F.explode(
@@ -106,8 +107,8 @@ def range_join_events(spark: SparkSession, sf: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("p_id"),
-        F.unix_micros("ts").alias("p_us"),
-        (F.unix_micros("ts") / HOUR_US).cast("long").alias("p_bucket"),
+        epoch_us("ts").alias("p_us"),
+        (epoch_us("ts") / HOUR_US).cast("long").alias("p_bucket"),
     )
     joined = clicks.join(
         purchases,
@@ -215,7 +216,7 @@ def merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "jsonl_scan",
-    """SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    """SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
        FROM documents GROUP BY source, lang""",
 )
 def jsonl_scan(spark: SparkSession, sf: str) -> DataFrame:
@@ -328,18 +329,18 @@ def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     "fk_integrity_check",
     """SELECT 'lineitem.l_orderkey->orders' AS relationship,
               COUNT(*) AS n_rows,
-              SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
-                  AS n_orphans
+              CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
        UNION ALL
        SELECT 'orders.o_custkey->customer',
               COUNT(*),
-              SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
        UNION ALL
        SELECT 'lineitem.l_partkey->part',
               COUNT(*),
-              SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+              CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey""",
 )
 def fk_integrity_check(spark: SparkSession, sf: str) -> DataFrame:

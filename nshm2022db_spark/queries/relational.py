@@ -26,6 +26,7 @@ from nshm2022db_spark.operators import (
     weighted_branch_merge,
 )
 from nshm2022db_spark.operators.reshape import parse_ragged_indices
+from nshm2022db_spark.functions.timecols import epoch_us
 from nshm2022db_spark.registry import register
 from nshm2022db_spark.sources import read_table
 
@@ -603,7 +604,7 @@ def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_table(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(
@@ -994,8 +995,8 @@ def table_profile(spark: SparkSession, sf: str) -> DataFrame:
            GROUP BY f.user_id, f.signup_ts)
        SELECT user_id, signup_ts, converted_ts,
               converted_ts IS NOT NULL AS converted,
-              ROUND(EPOCH(converted_ts - signup_ts) / 3600.0, 4)
-                  AS hours_to_convert
+              ROUND((epoch_us(converted_ts) - epoch_us(signup_ts))
+                    / 3600000000.0, 4) AS hours_to_convert
        FROM conv""",
 )
 def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
@@ -1034,11 +1035,10 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
         "converted_ts",
         F.col("converted_ts").isNotNull().alias("converted"),
         F.round(
-            (
-                F.col("converted_ts").cast("double")
-                - F.col("signup_ts").cast("double")
-            )
-            / 3600.0,
+            # Integer micros difference, then ONE double division — the
+            # identical int→double→divide sequence the oracle runs, so
+            # the rounded value is bit-exact across engines.
+            (epoch_us("converted_ts") - epoch_us("signup_ts")) / 3_600_000_000.0,
             4,
         ).alias("hours_to_convert"),
     )

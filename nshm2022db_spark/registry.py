@@ -210,16 +210,16 @@ _DRIVER_ORDER = [
     "json_extract",
     "events_tumbling_window",
     "events_funnel",
-    # P2 — r01-green but the operator/oracle changed this round
-    # (hot-shingle cap) and must re-verify.
+    # P2 — re-verified green in r02; kept in-window as family sentinels.
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    # P3 — r01-green representatives, one per SURVEY §2 row.
-    "geojson_scan",
+    # P3 — never driver-verified (registered past the cap in r02) or
+    # r02-green representatives, one per SURVEY §2 row.
+    "approx_count_distinct_sketch",
     "ragged_csv_roundtrip",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # --- 50-query window boundary (driver gate cap observed in round 1) ---
+    # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
     # Tail: r01-green queries whose §2 row keeps an in-window
     # representative — their CORRECTNESS_r01 rows stand as evidence
     # (join_dim_hierarchy..count_distinct + weighted_branch_merge
@@ -228,6 +228,7 @@ _DRIVER_ORDER = [
     # exercised every round by the driver's entry() smoke; dedup_exact's
     # md5 path is untouched by the round-2 dedup.py changes; csv_scan_join
     # re-verified green in the full local gate after the scratch rework).
+    "geojson_scan",
     "csv_scan_join",
     "dedup_exact",
     "advanced_query_dsl",
@@ -269,7 +270,6 @@ _DRIVER_ORDER = [
     "geometry_planes",
     "table_profile",
     "multimodal_frame_sample",
-    "approx_count_distinct_sketch",
 ]
 
 

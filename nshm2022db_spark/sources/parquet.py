@@ -15,12 +15,54 @@ from nshm2022db_spark.schemas import STAR_TABLES
 
 
 def ensure_nanos_as_long(spark: SparkSession) -> None:
-    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
-    rejects outright unless this legacy conf is on. It is a runtime conf,
-    so setting it here makes the read work in ANY session — not just ones
-    built by our session factory (session.py sets it too, but the driver
-    builds its own session)."""
+    """Runtime confs the events read depends on, set here so the read
+    works in ANY session — not just ones built by our session factory
+    (session.py sets them too, but the driver builds its own session):
+
+    * nanosAsLong — nanos-layout events.parquet stores ts as INT64
+      TIMESTAMP(NANOS), which Spark rejects outright without it;
+    * session.timeZone=UTC — the canonical ts type below is
+      TIMESTAMP_NTZ (wall clock == the file's UTC instants); pinning the
+      session zone makes the LTZ<->NTZ casts used during normalization
+      and epoch extraction exact regardless of host timezone.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def events_ts_type(sf_dir: str) -> str:
+    """Sniff the events.parquet footer (driver-side, no data read) and
+    report the physical ts layout: 'nanos' (INT64 TIMESTAMP(NANOS), the
+    round-1 testdata) or 'micros' (timestamp[us], the current layout).
+    Streaming readers need this BEFORE building their explicit source
+    schema; the batch path below just inspects what Spark decoded."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return "nanos" if getattr(t, "unit", None) == "ns" else "micros"
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ts column to TIMESTAMP_NTZ whatever the file
+    layout decoded to. NTZ is the canonical type: it collects as naive
+    UTC wall-clock datetimes, exactly what the DuckDB oracle returns for
+    a tz-less parquet timestamp. Case-insensitive lookup (Spark column
+    resolution is), and a no-op when the column is absent."""
+    ts = next((f for f in df.schema.fields if f.name.lower() == "ts"), None)
+    if ts is None:
+        return df
+    if isinstance(ts.dataType, T.LongType):
+        # Nanos layout + nanosAsLong: long nanoseconds. Integer `div` —
+        # a double division would lose precision on ~1.7e18 ns epochs
+        # (> 2^53). timestamp_micros yields LTZ; the NTZ cast is exact
+        # under the UTC session zone pinned above.
+        return df.withColumn(
+            ts.name,
+            F.expr(f"cast(timestamp_micros({ts.name} div 1000) as timestamp_ntz)"),
+        )
+    if isinstance(ts.dataType, T.TimestampType):
+        return df.withColumn(ts.name, F.col(ts.name).cast("timestamp_ntz"))
+    return df  # already TIMESTAMP_NTZ (micros layout default)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -30,12 +72,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ensure_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # Nanos layout: ts arrives as long nanoseconds (via nanosAsLong
-        # above); integer `div` — a double division would lose precision
-        # on ~1.7e18 ns epochs (> 2^53). Micros-layout files already
-        # decode to a timestamp and pass through untouched.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

@@ -16,28 +16,65 @@ from __future__ import annotations
 import itertools
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nshm2022db_spark.registry import register
 from nshm2022db_spark.sources import read_table
-from nshm2022db_spark.sources.parquet import ensure_nanos_as_long
+from nshm2022db_spark.sources.parquet import ensure_nanos_as_long, events_ts_type
 
 _counter = itertools.count()
 
-# events.ts is TIMESTAMP(NANOS) in the parquet; with nanosAsLong (see
-# session.py) the streaming schema sees a long we convert ourselves.
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("event_type", T.StringType(), False),
-        T.StructField("value", T.DoubleType(), False),
-        T.StructField("props", T.StringType(), False),
-    ]
-)
+
+def _raw_schema(ts_layout: str) -> T.StructType:
+    """Streaming sources need an explicit schema (no inference), and the
+    right one depends on the file layout: nanos-layout events decode (via
+    nanosAsLong) to a long we convert ourselves; micros-layout events
+    decode directly to TIMESTAMP_NTZ. The layout is sniffed ONCE from
+    the static parquet footer (events_ts_type) before the stream starts."""
+    ts_type = T.LongType() if ts_layout == "nanos" else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", ts_type, False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), False),
+            T.StructField("props", T.StringType(), False),
+        ]
+    )
+
+
+def _raw_event_stream(spark: SparkSession, sf: str, src_dir: str, **options) -> DataFrame:
+    """File-source events stream with ts normalized to TIMESTAMP (LTZ).
+
+    Unlike the batch path (canonical TIMESTAMP_NTZ), watermarks and
+    event-time windows REQUIRE TimestampType — so streams run on LTZ
+    internally, exact under the UTC session zone ensure_nanos_as_long
+    pins, and every registered query casts timestamp OUTPUTS back to
+    TIMESTAMP_NTZ (`ntz`) so collected values stay naive UTC wall-clock,
+    matching the batch oracles."""
+    ensure_nanos_as_long(spark)
+    layout = events_ts_type(sf)
+    reader = spark.readStream.schema(_raw_schema(layout))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(src_dir)
+    conv = (
+        "timestamp_micros(ts div 1000)"
+        if layout == "nanos"
+        else "cast(ts as timestamp)"
+    )
+    return stream.withColumn("ts", F.expr(conv))
+
+
+def ntz(col) -> Column:
+    """Cast a streaming-side TIMESTAMP output column to TIMESTAMP_NTZ
+    (exact under the pinned UTC session zone) — the canonical type every
+    batch query and oracle collects."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ntz")
 
 
 def _stream_dir(sf: str) -> str:
@@ -71,13 +108,7 @@ def _stream_dir_doubled(sf: str) -> str:
 
 
 def _event_stream(spark: SparkSession, sf: str) -> DataFrame:
-    ensure_nanos_as_long(spark)
-    stream = (
-        spark.readStream.schema(_RAW_SCHEMA)
-        .parquet(_stream_dir(sf))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
-    return stream.withWatermark("ts", "1 hour")
+    return _raw_event_stream(spark, sf, _stream_dir(sf)).withWatermark("ts", "1 hour")
 
 
 def _run_to_memory(agg: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
@@ -125,7 +156,7 @@ def stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
         _event_stream(spark, sf)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+        .select(ntz("w.start").alias("window_start"), "event_type", "n", "total")
     )
     return _run_to_memory(agg, f"stream_tumbling_{next(_counter)}")
 
@@ -141,12 +172,8 @@ def stream_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
     watermark bounds the dedup state to one hour of event time (at-least-
     once upstream → exactly-once downstream, the Kafka-ingest pattern).
     Oracle: each event exactly once."""
-    ensure_nanos_as_long(spark)
-    stream = (
-        spark.readStream.schema(_RAW_SCHEMA)
-        .parquet(_stream_dir_doubled(sf))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", "1 hour")
+    stream = _raw_event_stream(spark, sf, _stream_dir_doubled(sf)).withWatermark(
+        "ts", "1 hour"
     )
     deduped = stream.dropDuplicates(["event_id"]).select(
         "event_id", "user_id", "event_type", "value"
@@ -176,7 +203,7 @@ def stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
         _event_stream(spark, sf)
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
-        .select(F.col("w.start").alias("window_start"), "n", "total")
+        .select(ntz("w.start").alias("window_start"), "n", "total")
     )
     return _run_to_memory(agg, f"stream_sliding_{next(_counter)}")
 
@@ -210,8 +237,8 @@ def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            ntz("w.start").alias("session_start"),
+            ntz("w.end").alias("session_end"),
             "n",
             "total",
         )
@@ -270,14 +297,9 @@ def stream_upsert_table(spark: SparkSession, sf: str) -> DataFrame:
         upsert_stream_to_table,
     )
 
-    ensure_nanos_as_long(spark)
-    stream = (
-        spark.readStream.schema(_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_stream_dir_doubled(sf))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .select("user_id", "event_id", "ts")
-    )
+    stream = _raw_event_stream(
+        spark, sf, _stream_dir_doubled(sf), maxFilesPerTrigger=1
+    ).select("user_id", "event_id", "ts")
     table_dir = tempfile.mkdtemp(prefix="upsert_table_")
     q = upsert_stream_to_table(
         stream,
@@ -288,4 +310,4 @@ def stream_upsert_table(spark: SparkSession, sf: str) -> DataFrame:
         tiebreak=["event_id"],
     )
     q.awaitTermination()
-    return read_keyed_table(spark, table_dir).select("user_id", "event_id", "ts")
+    return read_keyed_table(spark, table_dir).select("user_id", "event_id", ntz("ts").alias("ts"))

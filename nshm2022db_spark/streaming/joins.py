@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nshm2022db_spark.registry import register
-from nshm2022db_spark.streaming.events import _event_stream, _run_to_memory
+from nshm2022db_spark.streaming.events import _event_stream, _run_to_memory, ntz
 
 _counter = itertools.count()
 
@@ -39,7 +39,11 @@ def view_click_attribution(events: DataFrame) -> DataFrame:
         (F.col("v_user") == F.col("c_user"))
         & (F.col("click_ts") > F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-    ).select(F.col("v_user").alias("user_id"), "view_ts", "click_ts")
+    ).select(
+        F.col("v_user").alias("user_id"),
+        ntz("view_ts").alias("view_ts"),
+        ntz("click_ts").alias("click_ts"),
+    )
 
 
 @register(

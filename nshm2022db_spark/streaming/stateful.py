@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from nshm2022db_spark.functions.timecols import epoch_us
 from nshm2022db_spark.registry import register
 from nshm2022db_spark.streaming.events import _event_stream
 
@@ -92,7 +93,7 @@ def _update_profile(
 def user_profile_stream(events: DataFrame) -> DataFrame:
     """events stream → per-user cumulative profile updates (one row per
     (user, micro-batch) in update mode)."""
-    with_us = events.withColumn("ts_us", F.unix_micros("ts"))
+    with_us = events.withColumn("ts_us", epoch_us("ts"))
     return with_us.groupBy("user_id").applyInPandasWithState(
         _update_profile,
         PROFILE_OUTPUT,

@@ -18,6 +18,7 @@ from nshm2022db_spark.queries.pipeline import (
     ntile_buckets,
     range_join_events,
 )
+from nshm2022db_spark.functions.timecols import epoch_us
 from nshm2022db_spark.sources import read_table
 
 
@@ -32,14 +33,14 @@ class TestSessionize:
         (same user) must exceed the inactivity threshold — otherwise they
         would be one session."""
         sess = events_sessionize(spark, sf_dir)
-        w_prev = F.lag(F.unix_micros("session_end")).over(
+        w_prev = F.lag(epoch_us("session_end")).over(
             Window.partitionBy("user_id").orderBy("session_id")
         )
         bad = (
             sess.withColumn("prev_end", w_prev)
             .filter(F.col("prev_end").isNotNull())
             .filter(
-                F.unix_micros("session_start") - F.col("prev_end") <= SESSION_GAP_US
+                epoch_us("session_start") - F.col("prev_end") <= SESSION_GAP_US
             )
             .count()
         )
@@ -51,11 +52,11 @@ class TestRangeJoin:
         """Bucket-blocked plan == naive user-equi-join + range filter."""
         ev = read_table(spark, sf_dir, "events")
         clicks = ev.filter(F.col("event_type") == "click").select(
-            "event_id", "user_id", F.unix_micros("ts").alias("c_us")
+            "event_id", "user_id", epoch_us("ts").alias("c_us")
         )
         purch = ev.filter(F.col("event_type") == "purchase").select(
             F.col("user_id").alias("p_user"),
-            F.unix_micros("ts").alias("p_us"),
+            epoch_us("ts").alias("p_us"),
             F.col("event_id").alias("p_id"),
         )
         naive = (
