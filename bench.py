@@ -92,6 +92,11 @@ HEADLINE = [
     "chunk_documents",
     "value_histogram",
     "fk_integrity_check",
+    "scd2_build",
+    "timeline_gapfill",
+    "events_locf",
+    "rank_distribution",
+    "decontaminate_bloom",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -205,6 +205,121 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination (constant-size benchmark summary)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 17  # 131072 bit positions
+_BLOOM_A, _BLOOM_B = 48_271, 11  # second-hash affine constants
+
+
+def _bloom_h1(x: str) -> str:
+    return f"{x} % {BLOOM_BITS}"
+
+
+def _bloom_h2(x: str) -> str:
+    return f"(({x} * {_BLOOM_A} + {_BLOOM_B}) % {P}) % {BLOOM_BITS}"
+
+
+_BLOOM_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, {duck_shingle_hashes('hx')} AS s
+        FROM (SELECT doc_id, {duck_token_hashes(duck_tokens('lower(text)'))} AS hx
+              FROM documents)),
+    bench_x AS (
+        SELECT DISTINCT unnest(s) AS x FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    bits AS (
+        SELECT DISTINCT b FROM (
+            SELECT {_bloom_h1('x')} AS b FROM bench_x
+            UNION ALL
+            SELECT {_bloom_h2('x')} AS b FROM bench_x)),
+    train_ex AS (
+        SELECT doc_id, unnest(s) AS x FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    flagged AS (
+        SELECT doc_id,
+               CASE WHEN {_bloom_h1('x')} IN (SELECT b FROM bits)
+                     AND {_bloom_h2('x')} IN (SELECT b FROM bits)
+                    THEN 1 ELSE 0 END AS hit
+        FROM train_ex),
+    hits AS (
+        SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS c
+        FROM flagged GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS n_candidates,
+           COALESCE(h.c, 0) = 0 AS clean
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {BENCH_MOD} <> 0
+"""
+
+
+@register("decontaminate_bloom", _BLOOM_ORACLE)
+def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination screen: like decontaminate_ngram, but
+    the benchmark's shingle set is summarized as a CONSTANT-SIZE bit set
+    (two deterministic hash positions per shingle, 2^17 bits = 16 KB)
+    instead of broadcasting every benchmark shingle. A training shingle
+    is a CANDIDATE iff both its bit positions are set — a superset of the
+    true overlaps (false positives possible, false negatives impossible),
+    which is the correct cheap FIRST PASS: only flagged docs proceed to
+    the exact join. At 100 TB the benchmark suite can hold billions of
+    shingles; the bitset stays 16 KB where the exact set would be tens of
+    GB — the difference between a broadcast join and an impossible one.
+
+    The bit math is the portable polynomial arithmetic, so the oracle
+    reproduces the EXACT candidate set, false positives included — the
+    screen itself is deterministic, auditable, and engine-independent.
+
+    Plan: distinct bit positions (benchmark-sized agg) broadcast twice;
+    the corpus side is map-only until one partial-aggregated (doc_id,
+    count) shuffle. No corpus-keyed exchange anywhere."""
+    sh = (
+        read_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.expr(spark_token_hashes(spark_tokens("lower(text)"))).alias("hx"),
+        )
+        .select("doc_id", F.explode(F.expr(spark_shingle_hashes("hx"))).alias("x"))
+    )
+    bench_bits = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.expr(_bloom_h1("x")).alias("b"))
+        .unionAll(
+            sh.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+                F.expr(_bloom_h2("x")).alias("b")
+            )
+        )
+        .distinct()
+    )
+    b1 = F.broadcast(bench_bits.select(F.col("b").alias("h1"), F.lit(1).alias("m1")))
+    b2 = F.broadcast(bench_bits.select(F.col("b").alias("h2"), F.lit(1).alias("m2")))
+    train_ex = sh.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id",
+        F.expr(_bloom_h1("x")).alias("h1"),
+        F.expr(_bloom_h2("x")).alias("h2"),
+    )
+    flagged = (
+        train_ex.join(b1, "h1", "left")
+        .join(b2, "h2", "left")
+        .select(
+            "doc_id",
+            (F.col("m1").isNotNull() & F.col("m2").isNotNull())
+            .cast("long")
+            .alias("hit"),
+        )
+    )
+    hits = flagged.groupBy("doc_id").agg(F.sum("hit").alias("c"))
+    train = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id")
+    )
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("c"), F.lit(0)).alias("n_candidates"),
+        (F.coalesce(F.col("c"), F.lit(0)) == 0).alias("clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Weighted sampling (deterministic A-ES exponential race)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,192 @@
+"""Temporal warehouse operators over the events table: SCD2 dimension
+build, timeline gap-fill, LOCF forward-fill, and rank distributions.
+
+These extend the reference's relational surface (SURVEY §2.4/§2.5 window
+family) with the history-tracking shapes a warehouse or feature-store
+pipeline runs daily. All are pure column expressions over one or two
+shuffles on `user_id` — no Python UDFs — and every window uses the total
+order (ts, event_id), so results are deterministic and exactly
+reproducible on the DuckDB oracle.
+
+Float discipline: rank ratios are ROUND(x, 6) on both sides; everything
+else is integer or timestamp arithmetic (engine-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.registry import register
+from nshm2022db_spark.sources import read_table
+
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "scd2_build",
+    """WITH ordered AS (
+           SELECT user_id, event_id, ts, event_type,
+                  LAG(event_type) OVER w AS prev_type
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        changes AS (
+           SELECT user_id, event_id, ts, event_type FROM ordered
+           WHERE prev_type IS NULL OR event_type <> prev_type)
+       SELECT user_id, event_type, ts AS valid_from,
+              LEAD(ts) OVER w AS valid_to,
+              LEAD(ts) OVER w IS NULL AS is_current,
+              CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+       FROM changes
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def scd2_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build: collapse each user's
+    event_type sequence into validity intervals — a row per state CHANGE
+    with [valid_from, valid_to) bounds, a version number, and an
+    is_current flag (the open interval). This is the standard
+    change-log → dimension-history derivation every warehouse load runs.
+
+    Scale shape: both window passes and the change filter cluster on the
+    SAME user_id shuffle key, so Catalyst reuses one exchange for the
+    whole pipeline; the change filter drops consecutive duplicates
+    BEFORE the second window, so the versioning pass runs on the (much
+    smaller) change set. Keys are users — uniform, no skew."""
+    ev = read_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wv).alias("valid_to"),
+        F.lead("ts").over(wv).isNull().alias("is_current"),
+        F.row_number().over(wv).cast("long").alias("version"),
+    )
+
+
+@register(
+    "timeline_gapfill",
+    f"""WITH b AS (
+           SELECT user_id, epoch_us(ts) // {HOUR_US} AS bucket, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+        span AS (
+           SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+           FROM b GROUP BY user_id),
+        hours AS (
+           SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM span)
+       SELECT h.user_id,
+              make_timestamp(h.bucket * {HOUR_US}) AS bucket_start,
+              CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+       FROM hours h LEFT JOIN b USING (user_id, bucket)""",
+)
+def timeline_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Timeline densification: per user, the hourly activity count over
+    the user's FULL active span INCLUDING empty hours — the gap-fill /
+    calendar-spine step time-series feature pipelines need before
+    rolling-window models (missing hours must exist as zeros).
+
+    Scale shape: the hourly rollup is a partial-aggregated shuffle whose
+    width is (user, active-hour) pairs, not raw events; the spine is
+    generated per user from a 2-column span aggregate (sequence+explode —
+    no driver-side calendar, no cross join against a generated table);
+    the fill join is left on (user_id, bucket), all keys uniform. The
+    spine explode is the only row-amplifying step and is bounded by span
+    length — at 100 TB, partition by (user bucket-range shard) if a
+    single user's span must split."""
+    ev = read_table(spark, sf, "events")
+    counts = (
+        ev.select("user_id", F.expr(f"{epoch_us_sql('ts')} div {HOUR_US}").alias("bucket"))
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = counts.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    hours = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("bucket")
+    )
+    return hours.join(counts, ["user_id", "bucket"], "left").select(
+        "user_id",
+        F.expr(f"cast(timestamp_micros(bucket * {HOUR_US}) as timestamp_ntz)").alias(
+            "bucket_start"
+        ),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+
+
+def epoch_us_sql(col: str) -> str:
+    """SQL-string twin of timecols.epoch_us (for F.expr compositions)."""
+    return f"unix_micros(cast({col} as timestamp))"
+
+
+@register(
+    "events_locf",
+    """SELECT event_id, user_id, ts, event_type,
+              LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                         IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_purchase_value
+       FROM events""",
+)
+def events_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) imputation: every event
+    carries the value of the same user's most recent purchase at or
+    before it — the standard forward-fill that turns sparse observations
+    into a dense feature column (sensor gaps, price marks, session
+    attributes). One window pass on the user_id exchange; `last(...,
+    ignorenulls)` over a running frame is the built-in LOCF idiom and
+    stays in the JVM. `value` is carried verbatim (no arithmetic), so no
+    float rounding is needed for the oracle match."""
+    ev = read_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "rank_distribution",
+    """SELECT o_orderkey, o_orderpriority,
+              ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+              ROUND(CUME_DIST() OVER w, 6) AS cd
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey)""",
+)
+def rank_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group value-distribution ranks: percent_rank and cume_dist of
+    order price within its priority class — the normalized-score step
+    quality-weighted sampling uses (rank-based scores are robust to
+    outliers where z-scores are not). Both ranks are exact integer
+    ratios ((rank-1)/(n-1), rank/n) computed identically by both
+    engines; the order key tiebreak makes ranks fully deterministic.
+    One window pass, one exchange on the partition key."""
+    orders = read_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

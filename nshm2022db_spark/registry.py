@@ -145,7 +145,7 @@ def advanced_query_or_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Populate the registry: importing each family module runs its @register
 # decorators. Bottom import is deliberate (modules import `register` back
 # from here).
-from nshm2022db_spark.queries import geometry, pipeline, relational  # noqa: E402,F401
+from nshm2022db_spark.queries import geometry, pipeline, relational, temporal  # noqa: E402,F401
 from nshm2022db_spark.extensions import curation, dedup, multimodal, similarity, text  # noqa: E402,F401
 from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F401
 
@@ -210,24 +210,27 @@ _DRIVER_ORDER = [
     "json_extract",
     "events_tumbling_window",
     "events_funnel",
-    # P2 — re-verified green in r02; kept in-window as family sentinels.
+    # P2 — round-3 additions with NO driver row yet: the temporal
+    # warehouse family (queries/temporal.py) and the bloom-screen
+    # decontamination variant.
+    "scd2_build",
+    "timeline_gapfill",
+    "events_locf",
+    "rank_distribution",
+    "decontaminate_bloom",
+    # P3 — never driver-verified (registered past the cap in r02).
+    "approx_count_distinct_sketch",
+    # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
+    # Tail: queries with a green CORRECTNESS_r01/r02 row whose code is
+    # untouched since that row (the dedup family's r02 rows postdate the
+    # hot-shingle cap; advanced_query_dsl is also exercised every round
+    # by the driver's entry() smoke). Each §2 row keeps an in-window
+    # representative.
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    # P3 — never driver-verified (registered past the cap in r02) or
-    # r02-green representatives, one per SURVEY §2 row.
-    "approx_count_distinct_sketch",
     "ragged_csv_roundtrip",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
-    # Tail: r01-green queries whose §2 row keeps an in-window
-    # representative — their CORRECTNESS_r01 rows stand as evidence
-    # (join_dim_hierarchy..count_distinct + weighted_branch_merge
-    # displaced by the round-2 curation family and orc_scan: all
-    # untouched since their green r01 rows; advanced_query_dsl is also
-    # exercised every round by the driver's entry() smoke; dedup_exact's
-    # md5 path is untouched by the round-2 dedup.py changes; csv_scan_join
-    # re-verified green in the full local gate after the scratch rework).
     "geojson_scan",
     "csv_scan_join",
     "dedup_exact",
