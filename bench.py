@@ -97,6 +97,9 @@ HEADLINE = [
     "events_locf",
     "rank_distribution",
     "decontaminate_bloom",
+    "value_drift_trend",
+    "csv_gzip_scan",
+    "multimodal_audio_chunks",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -134,3 +134,66 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("frame_sig"),
         F.expr("size(sequence(1, length(text), 16))").cast("long").alias("n_samples"),
     )
+
+
+SAMPLE_RATE = 16_000  # fake PCM16 mono
+CHUNK_S, HOP_S = 1, 1  # 1-second tumbling chunks (whisper-style windows)
+
+
+@register(
+    "multimodal_audio_chunks",
+    f"""WITH audio AS (
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) // 2 AS n_samples
+            FROM documents WHERE doc_id % 3 = 1),
+        chunks AS (
+            SELECT media_id, n_samples,
+                   unnest(range(0, greatest((n_samples + {SAMPLE_RATE * CHUNK_S} - 1)
+                                            // {SAMPLE_RATE * CHUNK_S}, 1))) AS chunk_idx
+            FROM audio)
+        SELECT media_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * {SAMPLE_RATE * HOP_S} AS BIGINT) AS start_sample,
+               CAST(least((chunk_idx + 1) * {SAMPLE_RATE * CHUNK_S}, n_samples)
+                    AS BIGINT) AS end_sample,
+               ROUND((least((chunk_idx + 1) * {SAMPLE_RATE * CHUNK_S}, n_samples)
+                      - chunk_idx * {SAMPLE_RATE * HOP_S}) / {SAMPLE_RATE}.0, 6)
+                   AS chunk_s
+        FROM chunks""",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio chunking: split each (fake PCM16) audio payload into
+    1-second sample windows — the segmentation step every ASR/audio-
+    embedding pipeline runs before batching clips through a model. The
+    byte payload is treated as 16-bit mono at 16 kHz, so sample count is
+    pure integer math on octet_length; chunk boundaries come from a
+    sequence+explode INSIDE the scan stage (map-only, no shuffle, no
+    Python), and every clip gets at least one chunk (short-clip guard).
+    The real decoder would replace the length arithmetic with a codec
+    call inside the same mapInPandas hook multimodal_decode_meta uses;
+    the chunk bookkeeping — the Spark-side plumbing — is identical."""
+    n_chunks = f"greatest((n_samples + {SAMPLE_RATE * CHUNK_S - 1}) div {SAMPLE_RATE * CHUNK_S}, 1)"
+    audio = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.expr("octet_length(encode(text, 'utf-8')) div 2").alias("n_samples"),
+        )
+    )
+    chunks = audio.select(
+        "media_id",
+        "n_samples",
+        F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("chunk_idx"),
+    )
+    end = F.least(
+        (F.col("chunk_idx") + 1) * SAMPLE_RATE * CHUNK_S, F.col("n_samples")
+    )
+    start = F.col("chunk_idx") * SAMPLE_RATE * HOP_S
+    return chunks.select(
+        "media_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_sample"),
+        end.cast("long").alias("end_sample"),
+        F.round((end - start) / float(SAMPLE_RATE), 6).alias("chunk_s"),
+    )

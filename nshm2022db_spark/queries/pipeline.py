@@ -388,3 +388,47 @@ def fk_integrity_check(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "csv_gzip_scan",
+    """SELECT lang,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+              CAST(MAX(doc_id) AS BIGINT) AS max_doc
+       FROM documents GROUP BY lang""",
+)
+def csv_gzip_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Compressed-CSV source: documents landed once per sf as gzip CSV
+    (what legacy exports and log shippers actually hand you), re-read
+    with an explicit schema and aggregated; the oracle recomputes from
+    the parquet base table, proving the round trip.
+
+    Scale caveat — the reason this query exists: gzip is NOT a splittable
+    codec, so each .csv.gz file is ONE scan task no matter its size; a
+    single 1 TB gzip file serializes the whole read. The land step here
+    therefore writes MANY files (one per input partition), which is the
+    production fix: keep individual compressed files at ~100-500 MB so
+    task parallelism equals file count, or transcode to a splittable
+    container (bzip2 frames, or convert-on-land to parquet/zstd) the
+    first time the data is touched."""
+    base = scratch_path("docs_csv_gz", sf)
+    path = os.path.join(base, "docs")
+    if not is_landed(base):
+        (
+            read_table(spark, sf, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .csv(path)
+        )
+        mark_landed(base)
+    schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    docs = spark.read.schema(schema).csv(path)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -190,3 +190,82 @@ def rank_distribution(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "value_drift_trend",
+    f"""WITH pts AS (
+           SELECT event_type,
+                  epoch_us(ts) // {HOUR_US} AS bucket,
+                  CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+        rel AS (
+           SELECT event_type,
+                  bucket - MIN(bucket) OVER (PARTITION BY event_type) AS x,
+                  cents AS y
+           FROM pts),
+        s AS (
+           SELECT event_type,
+                  COUNT(*) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx
+           FROM rel GROUP BY event_type)
+       SELECT event_type, n,
+              ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_hour,
+              ROUND((CAST(sy AS DOUBLE)
+                     - CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / CAST(n AS DOUBLE), 6) AS intercept_cents
+       FROM s""",
+)
+def value_drift_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group drift detection: the OLS trend of event value over time
+    (slope in cents/hour + intercept per event_type) — the monitoring
+    primitive that catches data drift before a model does.
+
+    Numeric design: Spark and DuckDB both have regr_slope, but a
+    single-pass float regression sums in partition order and the two
+    engines would disagree in the last bits. Here every accumulated
+    quantity is an INTEGER — value quantized to cents, time to a small
+    per-group hour index (min-subtracted via a window ON THE SAME
+    event_type exchange the aggregate uses: one shuffle total) — so
+    Σx, Σy, Σxy, Σx² are exact on both engines and the slope is ONE
+    double division of identical integers. Deterministic to the last bit,
+    any partitioning, any cluster. At 100 TB-scale spans, shard the hour
+    index per (group, epoch-window) to keep Σxy inside int64 — same plan,
+    composite key."""
+    ev = read_table(spark, sf, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr(f"{epoch_us_sql('ts')} div {HOUR_US}").alias("bucket"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("y"),
+    )
+    w = Window.partitionBy("event_type")
+    rel = pts.select(
+        "event_type",
+        (F.col("bucket") - F.min("bucket").over(w)).alias("x"),
+        "y",
+    )
+    s = rel.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_hour"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept_cents"),
+    )

@@ -166,13 +166,10 @@ _DRIVER_ORDER = [
     # families (VERDICT.md "Next round" #2) and round-2 additions.
     "knn_bruteforce",
     "knn_lsh_bucketed",
-    "knn_lsh_multiprobe",
     "knn_ivf",
     "dedup_embedding_cosine",
     "stratified_sample",
-    "text_token_stats",
     "text_quality_score",
-    "text_lang_id",
     "text_fingerprint",
     "stream_tumbling_window",
     "stream_sliding_window",
@@ -218,6 +215,9 @@ _DRIVER_ORDER = [
     "events_locf",
     "rank_distribution",
     "decontaminate_bloom",
+    "value_drift_trend",
+    "csv_gzip_scan",
+    "multimodal_audio_chunks",
     # P3 — never driver-verified (registered past the cap in r02).
     "approx_count_distinct_sketch",
     # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
@@ -227,6 +227,9 @@ _DRIVER_ORDER = [
     # by the driver's entry() smoke). Each §2 row keeps an in-window
     # representative.
     "dedup_ngram_jaccard",
+    "knn_lsh_multiprobe",
+    "text_token_stats",
+    "text_lang_id",
     "dedup_clusters",
     "ragged_csv_roundtrip",
     "dedup_minhash_lsh",

@@ -135,3 +135,95 @@ class TestBloomScreen:
         assert j.filter(F.col("nb") < F.col("ne")).count() == 0
         # bloom clean => exact clean
         assert j.filter(F.col("cb") & ~F.col("ce")).count() == 0
+
+
+class TestDriftTrend:
+    def test_matches_numpy_ols(self, spark, sf_dir):
+        """Integer-sum OLS == numpy lstsq per group (sf0.001 is small
+        enough to recompute driver-side)."""
+        import numpy as np
+
+        from nshm2022db_spark.queries.temporal import value_drift_trend
+
+        got = {
+            r["event_type"]: (r["slope_cents_per_hour"], r["intercept_cents"])
+            for r in value_drift_trend(spark, sf_dir).collect()
+        }
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("b"),
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("y"),
+        )
+        rows = ev.collect()
+        by_type: dict = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append((r["b"], r["y"]))
+        for et, pts in by_type.items():
+            bs = np.array([p[0] for p in pts], dtype=np.float64)
+            xs = bs - bs.min()
+            ys = np.array([p[1] for p in pts], dtype=np.float64)
+            slope, intercept = np.polyfit(xs, ys, 1)
+            assert abs(got[et][0] - slope) < 1e-4, et
+            assert abs(got[et][1] - intercept) < 1e-2, et
+
+
+class TestCsvGzip:
+    def test_round_trip_and_gzip_files(self, spark, sf_dir, tmp_path):
+        import glob
+        import os
+
+        from nshm2022db_spark.queries.pipeline import csv_gzip_scan
+        from nshm2022db_spark.sources.scratch import scratch_path
+
+        out = csv_gzip_scan(spark, sf_dir)
+        base = (
+            read_table(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+        )
+        got = {r["lang"]: (r["n_docs"], r["total_chars"]) for r in out.collect()}
+        want = {r["lang"]: (r["n_docs"], r["total_chars"]) for r in base.collect()}
+        assert got == want
+        # The land step must produce gzip members (the non-splittable
+        # caveat the docstring documents is only real if they ARE .gz).
+        land = os.path.join(scratch_path("docs_csv_gz", sf_dir), "docs")
+        assert glob.glob(os.path.join(land, "*.csv.gz")), os.listdir(land)
+
+
+class TestAudioChunks:
+    def test_chunks_cover_payload_contiguously(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.multimodal import (
+            SAMPLE_RATE,
+            multimodal_audio_chunks,
+        )
+
+        chunks = multimodal_audio_chunks(spark, sf_dir)
+        n_samples = (
+            read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 1)
+            .select(
+                F.col("doc_id").alias("media_id"),
+                F.expr("octet_length(encode(text, 'utf-8')) div 2").alias("ns"),
+            )
+        )
+        per_media = chunks.groupBy("media_id").agg(
+            F.max("end_sample").alias("covered"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("start_sample").alias("first_start"),
+        )
+        j = per_media.join(n_samples, "media_id")
+        assert j.count() > 0
+        # Full coverage from sample 0; every clip gets >= 1 chunk even
+        # when shorter than the window.
+        assert j.filter(F.col("first_start") != 0).count() == 0
+        assert j.filter(
+            F.col("covered") != F.greatest(F.col("ns"), F.lit(0))
+        ).count() == 0
+        # Chunk k starts exactly at k * window (tumbling contiguity).
+        bad = chunks.filter(
+            F.col("start_sample") != F.col("chunk_idx") * SAMPLE_RATE
+        ).count()
+        assert bad == 0
