@@ -100,6 +100,8 @@ HEADLINE = [
     "value_drift_trend",
     "csv_gzip_scan",
     "multimodal_audio_chunks",
+    "stream_incremental_rollup",
+    "delete_where_rewrite",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -432,3 +432,74 @@ def csv_gzip_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+DELETE_USER_MOD = 37  # user_id % 37 == 0 plays the erasure-request list
+DELETE_TYPES = ("purchase", "signup")  # partitions holding personal data
+
+
+def apply_erasure_rewrite(spark: SparkSession, path: str) -> None:
+    """Rewrite ONLY the DELETE_TYPES partitions of an event_type-
+    partitioned table, dropping the erasure-set users. Dynamic partition
+    overwrite replaces exactly the partitions present in the written
+    data; every other partition's files stay byte-identical on disk
+    (pinned by test). The localCheckpoint breaks lineage so the rewrite
+    can read and replace the same location; production swaps a temp dir."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        affected = (
+            spark.read.parquet(path)
+            .filter(F.col("event_type").isin(*DELETE_TYPES))
+            .filter(~(F.col("user_id") % DELETE_USER_MOD == 0))
+            .localCheckpoint()
+        )
+        affected.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+@register(
+    "delete_where_rewrite",
+    f"""SELECT event_type,
+               COUNT(*) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        WHERE NOT (user_id % {DELETE_USER_MOD} = 0
+                   AND event_type IN {DELETE_TYPES!r})
+        GROUP BY event_type""",
+)
+def delete_where_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Targeted delete by partition rewrite — the GDPR-erasure / retention
+    shape: remove a user set's rows from the partitions that hold
+    personal data, leaving every other partition's files UNTOUCHED.
+
+    The table lands partitioned by event_type; the delete reads ONLY the
+    affected partitions (partition pruning — the filter is on the
+    partition column), anti-filters the erasure set, and writes back
+    under DYNAMIC partition overwrite, which replaces exactly the
+    partitions present in the written data. Cost is proportional to the
+    affected partitions, not the table: at 100 TB, deleting users from
+    2 of 500 date partitions rewrites 0.4% of the files. A real table
+    format (Delta/Iceberg) narrows the rewrite further to affected FILES
+    via column stats; the partition-granularity rewrite here is what
+    those formats fall back to, with the same dynamic-overwrite commit.
+    The lineage break (localCheckpoint) stands in for the temp-dir +
+    atomic-swap a production job would use to read and replace the same
+    location safely.
+
+    The oracle recomputes the post-delete table from the base parquet —
+    the round trip proves both the partitioned land and the selective
+    rewrite."""
+    base = scratch_path("events_delete_rewrite", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        apply_erasure_rewrite(spark, path)
+        mark_landed(base)
+    table = spark.read.parquet(path)
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -165,11 +165,9 @@ _DRIVER_ORDER = [
     # P0 — queries with NO driver correctness row yet: the r01 tail
     # families (VERDICT.md "Next round" #2) and round-2 additions.
     "knn_bruteforce",
-    "knn_lsh_bucketed",
     "knn_ivf",
     "dedup_embedding_cosine",
     "stratified_sample",
-    "text_quality_score",
     "text_fingerprint",
     "stream_tumbling_window",
     "stream_sliding_window",
@@ -218,6 +216,8 @@ _DRIVER_ORDER = [
     "value_drift_trend",
     "csv_gzip_scan",
     "multimodal_audio_chunks",
+    "stream_incremental_rollup",
+    "delete_where_rewrite",
     # P3 — never driver-verified (registered past the cap in r02).
     "approx_count_distinct_sketch",
     # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
@@ -227,6 +227,8 @@ _DRIVER_ORDER = [
     # by the driver's entry() smoke). Each §2 row keeps an in-window
     # representative.
     "dedup_ngram_jaccard",
+    "knn_lsh_bucketed",
+    "text_quality_score",
     "knn_lsh_multiprobe",
     "text_token_stats",
     "text_lang_id",

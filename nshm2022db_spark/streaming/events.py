@@ -311,3 +311,58 @@ def stream_upsert_table(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_keyed_table(spark, table_dir).select("user_id", "event_id", ntz("ts").alias("ts"))
+
+
+@register(
+    "stream_incremental_rollup",
+    """SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start,
+              CAST(2 * COUNT(*) AS BIGINT) AS n,
+              ROUND(2 * SUM(value), 2) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def stream_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained hourly rollup table: the doubled replay
+    feeds every event twice across two micro-batches
+    (maxFilesPerTrigger=1), and the additive foreachBatch sink
+    (streaming/sinks.py rollup_stream_to_table) ADDS each batch's
+    partials into the published table — so the final table must equal
+    exactly TWICE the batch rollup, which is the oracle. Proves the
+    whole incremental-view protocol: per-batch partial agg, additive
+    merge, versioned atomic publish, batch-id replay safety (re-adding
+    would double-count; the published id list prevents it).
+
+    Float discipline: both batches sum the SAME file with the same
+    partitioning, so their partials are bit-identical and the add is
+    exact doubling; the final ROUND(x, 2) absorbs the usual cross-engine
+    partial-aggregation-order difference, as in every summed oracle."""
+    import tempfile
+
+    from nshm2022db_spark.streaming.sinks import (
+        read_keyed_table,
+        rollup_stream_to_table,
+    )
+
+    stream = (
+        _raw_event_stream(spark, sf, _stream_dir_doubled(sf), maxFilesPerTrigger=1)
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "value",
+        )
+    )
+    table_dir = tempfile.mkdtemp(prefix="rollup_table_")
+    q = rollup_stream_to_table(
+        stream,
+        table_dir,
+        tempfile.mkdtemp(prefix="rollup_ckpt_"),
+        keys=["event_type", "hour_start"],
+        sum_cols={"value": "total"},
+    )
+    q.awaitTermination()
+    out = read_keyed_table(spark, table_dir)
+    return out.select(
+        "event_type",
+        ntz("hour_start").alias("hour_start"),
+        "n",
+        F.round("total", 2).alias("total"),
+    )

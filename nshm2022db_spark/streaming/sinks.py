@@ -168,3 +168,67 @@ def upsert_stream_to_table(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rollup_stream_to_table(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain an ADDITIVE aggregate table (counts + sums per key) from a
+    stream via foreachBatch — the incremental-materialized-view pattern:
+    each micro-batch is reduced to per-key partials, then ADDED into the
+    current table version (union + one hash re-aggregation — additive
+    merges need no row precedence, unlike the upsert sink's argmax).
+
+    Idempotence matters MORE here than for upserts: re-applying an upsert
+    batch is naturally a no-op, but re-ADDING a batch double-counts — the
+    published batch-id list (same atomic-pointer protocol as
+    upsert_stream_to_table) is what makes restart-between-write-and-
+    checkpoint-commit safe.
+
+    Scale shape: the per-batch partial is a map-side-combined shuffle
+    whose width is the KEY CARDINALITY, not the batch row count; the
+    merge re-aggregates table ∪ partials on the same keys. Table size is
+    bounded by key cardinality, so the per-batch rewrite stays small even
+    when the stream is unbounded — this is why hourly-rollup tables are
+    maintainable where raw-event tables need a real table format."""
+    os.makedirs(table_dir, exist_ok=True)
+
+    def _rollup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ptr = _read_pointer(table_dir)
+        if batch_id in ptr["batch_ids"]:
+            return  # replayed micro-batch: additions already published
+        spark = batch_df.sparkSession
+        aggs = [F.count(F.lit(1)).cast("long").alias(count_col)] + [
+            F.sum(c).alias(out) for c, out in sum_cols.items()
+        ]
+        partial = batch_df.groupBy(*keys).agg(*aggs)
+        base = read_keyed_table(spark, table_dir)
+        if base is not None:
+            merged = (
+                base.unionByName(partial)
+                .groupBy(*keys)
+                .agg(
+                    F.sum(count_col).cast("long").alias(count_col),
+                    *[F.sum(out).alias(out) for out in sum_cols.values()],
+                )
+            )
+        else:
+            merged = partial
+        version = ptr["version"] + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(table_dir, f"v{version}")
+        )
+        _publish(table_dir, version, ptr["batch_ids"] + [batch_id])
+
+    writer = df.writeStream.foreachBatch(_rollup_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
