@@ -102,6 +102,8 @@ HEADLINE = [
     "multimodal_audio_chunks",
     "stream_incremental_rollup",
     "delete_where_rewrite",
+    "snapshot_diff",
+    "zorder_key",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -503,3 +503,126 @@ def delete_where_rewrite(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot
+DIFF_UPDATE_MOD = 11  # keys repriced in the "new" snapshot
+
+
+@register(
+    "snapshot_diff",
+    f"""WITH old AS (
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders),
+        new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % {DIFF_UPDATE_MOD} = 0
+                        THEN ROUND(o_totalprice, 2) + 100.0
+                        ELSE ROUND(o_totalprice, 2) END AS price
+            FROM orders WHERE o_orderkey % {DIFF_DELETE_MOD} <> 0)
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.price <> n.price THEN 'changed'
+                    ELSE 'same' END AS change_type,
+               o.price AS old_price, n.price AS new_price
+        FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+        WHERE n.o_orderkey IS NULL OR o.price <> n.price""",
+)
+def snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation (CDC diff): given two versions of a table,
+    emit every key that was removed or changed — the audit step between
+    a warehouse load and its publish, and the way change feeds are
+    derived when the upstream system can't produce one. The "new"
+    snapshot is synthesized deterministically (every 53rd key deleted,
+    every 11th repriced) so the oracle replays the same derivation.
+
+    Scale shape: one full-outer sort-merge join on the snapshot key —
+    the unavoidable exchange for a whole-table diff — with the
+    unchanged-row filter applied BEFORE anything leaves the join stage,
+    so the output is change-sized, not table-sized. At 100 TB both
+    snapshots bucket-write on the key (sources/parquet.py
+    write_bucketed) and the diff becomes exchange-free; with a real
+    table format the file-level min/max stats skip identical files
+    entirely first."""
+    old = read_table(spark, sf, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("old_price")
+    )
+    new = (
+        read_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % DIFF_DELETE_MOD != 0)
+        .select(
+            "o_orderkey",
+            # +100.0 not *1.1: adding an exactly-representable constant
+            # to an identically-rounded double is bit-exact on both
+            # engines, where a multiply lands on round-half boundaries
+            # the engines resolve differently.
+            F.when(
+                F.col("o_orderkey") % DIFF_UPDATE_MOD == 0,
+                F.round("o_totalprice", 2) + 100.0,
+            )
+            .otherwise(F.round("o_totalprice", 2))
+            .alias("new_price"),
+        )
+    )
+    joined = old.join(new, "o_orderkey", "full_outer")
+    return joined.filter(
+        F.col("new_price").isNull() | (F.col("old_price") != F.col("new_price"))
+    ).select(
+        "o_orderkey",
+        F.when(F.col("new_price").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        "old_price",
+        "new_price",
+    )
+
+
+ZORDER_BITS = 16
+
+
+def _morton_spark(a: str, b: str) -> str:
+    terms = [f"(shiftleft(shiftright({a}, {i}) & 1, {2 * i}))" for i in range(ZORDER_BITS)]
+    terms += [f"(shiftleft(shiftright({b}, {i}) & 1, {2 * i + 1}))" for i in range(ZORDER_BITS)]
+    return " + ".join(terms)
+
+
+def _morton_duck(a: str, b: str) -> str:
+    terms = [f"((({a} >> {i}) & 1) << {2 * i})" for i in range(ZORDER_BITS)]
+    terms += [f"((({b} >> {i}) & 1) << {2 * i + 1})" for i in range(ZORDER_BITS)]
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_key",
+    f"""SELECT event_id,
+               user_id % 65536 AS u16,
+               (epoch_us(ts) // 3600000000) % 65536 AS t16,
+               CAST({_morton_duck('(user_id % 65536)',
+                                  '((epoch_us(ts) // 3600000000) % 65536)')}
+                    AS BIGINT) AS zkey
+        FROM events""",
+)
+def zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of the two
+    most-filtered columns (user, hour) into one sort key — the
+    multi-dimensional layout trick behind Delta/Iceberg Z-ORDER BY.
+    Sorting the table by zkey at write time makes parquet row-group
+    min/max ranges tight on BOTH columns simultaneously, so a scan
+    filtered on EITHER user or time prunes row groups, where a plain
+    single-column sort only serves one of them. The key itself is pure
+    bit arithmetic (map-only, codegen'd, engine-exact — same 32 terms on
+    both engines); the layout job is then `df.repartitionByRange(zkey)
+    .sortWithinPartitions(zkey).write...`, paying one range shuffle per
+    relayout to speed every later selective scan."""
+    u16 = "(user_id % 65536)"
+    t16 = f"(({epoch_us_sql_('ts')} div 3600000000) % 65536)"
+    ev = read_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.expr(u16).alias("u16"),
+        F.expr(t16).alias("t16"),
+        F.expr(f"CAST({_morton_spark(u16, t16)} AS BIGINT)").alias("zkey"),
+    )
+
+
+def epoch_us_sql_(col: str) -> str:
+    return f"unix_micros(cast({col} as timestamp))"

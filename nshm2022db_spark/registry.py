@@ -167,8 +167,6 @@ _DRIVER_ORDER = [
     "knn_bruteforce",
     "knn_ivf",
     "dedup_embedding_cosine",
-    "stratified_sample",
-    "text_fingerprint",
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",
@@ -218,6 +216,8 @@ _DRIVER_ORDER = [
     "multimodal_audio_chunks",
     "stream_incremental_rollup",
     "delete_where_rewrite",
+    "snapshot_diff",
+    "zorder_key",
     # P3 — never driver-verified (registered past the cap in r02).
     "approx_count_distinct_sketch",
     # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
@@ -227,6 +227,8 @@ _DRIVER_ORDER = [
     # by the driver's entry() smoke). Each §2 row keeps an in-window
     # representative.
     "dedup_ngram_jaccard",
+    "stratified_sample",
+    "text_fingerprint",
     "knn_lsh_bucketed",
     "text_quality_score",
     "knn_lsh_multiprobe",

@@ -150,3 +150,45 @@ class TestOrcScan:
         plan = orc_scan(spark, sf_dir)._jdf.queryExecution().toString()
         assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity," in plan
         assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+
+
+class TestSnapshotDiff:
+    def test_classification_matches_derivation(self, spark, sf_dir):
+        from nshm2022db_spark.queries.pipeline import (
+            DIFF_DELETE_MOD,
+            DIFF_UPDATE_MOD,
+            snapshot_diff,
+        )
+
+        diff = snapshot_diff(spark, sf_dir)
+        rows = diff.collect()
+        removed = {r.o_orderkey for r in rows if r.change_type == "removed"}
+        changed = {r.o_orderkey for r in rows if r.change_type == "changed"}
+        keys = {
+            r.o_orderkey
+            for r in read_table(spark, sf_dir, "orders").select("o_orderkey").collect()
+        }
+        assert removed == {k for k in keys if k % DIFF_DELETE_MOD == 0}
+        assert changed == {
+            k for k in keys if k % DIFF_UPDATE_MOD == 0 and k % DIFF_DELETE_MOD != 0
+        }
+        # No unchanged rows may leak into the change feed.
+        assert all(r.change_type in ("removed", "changed") for r in rows)
+        for r in rows:
+            if r.change_type == "changed":
+                assert abs(r.new_price - r.old_price - 100.0) < 1e-9
+
+
+class TestZorderKey:
+    def test_interleave_round_trips(self, spark, sf_dir):
+        from nshm2022db_spark.queries.pipeline import ZORDER_BITS, zorder_key
+
+        rows = zorder_key(spark, sf_dir).limit(500).collect()
+        assert rows
+        for r in rows:
+            u = t = 0
+            for i in range(ZORDER_BITS):
+                u |= ((r.zkey >> (2 * i)) & 1) << i
+                t |= ((r.zkey >> (2 * i + 1)) & 1) << i
+            assert u == r.u16 and t == r.t16, r.event_id
+            assert 0 <= r.zkey < (1 << (2 * ZORDER_BITS))
