@@ -104,6 +104,7 @@ HEADLINE = [
     "delete_where_rewrite",
     "snapshot_diff",
     "zorder_key",
+    "bucket_by_cutpoints",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

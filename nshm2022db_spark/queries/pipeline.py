@@ -626,3 +626,57 @@ def zorder_key(spark: SparkSession, sf: str) -> DataFrame:
 
 def epoch_us_sql_(col: str) -> str:
     return f"unix_micros(cast({col} as timestamp))"
+
+
+N_BUCKETS = 10
+_CUT_PCTS = [i / N_BUCKETS for i in range(1, N_BUCKETS)]  # 0.1 .. 0.9
+
+
+@register(
+    "bucket_by_cutpoints",
+    f"""WITH cuts AS (
+            SELECT lang,
+                   quantile_cont(n_chars, {_CUT_PCTS}) AS cs
+            FROM documents GROUP BY lang),
+        assigned AS (
+            SELECT d.lang,
+                   d.n_chars,
+                   1 + len(list_filter(c.cs, x -> d.n_chars > x)) AS bucket
+            FROM documents d JOIN cuts c USING (lang))
+        SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM assigned GROUP BY lang, bucket""",
+)
+def bucket_by_cutpoints(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-depth bucketing WITHOUT a per-key global sort — the scale
+    form of ntile_buckets' contract, and the swap its docstring promises:
+    per-language decile CUT POINTS come from one tiny aggregate
+    (9 doubles per language) broadcast back over the scan, and bucket
+    assignment is a map-side array count — no window, no sort, no
+    corpus-wide exchange beyond the final (lang, bucket)-cardinality
+    rollup. Ties land in one bucket (a cut-point contract, vs NTILE's
+    arbitrary-but-balanced tie split), which is what reproducible
+    curriculum sharding actually wants: a document's bucket depends only
+    on its value, not its neighbors. Both engines share the linear-
+    interpolation percentile definition (proven by percentile_agg), so
+    the cut points — and every comparison against them — are identical.
+    At 100 TB swap the exact percentile for approx_percentile: same two
+    narrow passes, sketch-sized first aggregate."""
+    docs = read_table(spark, sf, "documents")
+    pct_arr = "array(" + ", ".join(f"{p}D" for p in _CUT_PCTS) + ")"
+    cuts = docs.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, {pct_arr})").alias("cs")
+    )
+    assigned = docs.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        "n_chars",
+        (
+            F.expr("size(filter(cs, x -> CAST(n_chars AS DOUBLE) > x))") + 1
+        ).cast("long").alias("bucket"),
+    )
+    return assigned.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -208,8 +208,33 @@ class TestDriverOrder:
         names = list(QUERIES)
         assert names[: len(_DRIVER_ORDER)] == _DRIVER_ORDER
         window = set(names[:50])
-        for fam in ("knn_", "text_", "stream_", "stratified", "dedup_embedding"):
-            assert any(n.startswith(fam) or fam in n for n in window), fam
+        # Window contract: every query that is NEW this round or whose
+        # code changed since its last green driver row must sit inside
+        # the 50-query prefix the driver verifies; families with
+        # established green rows may rotate to the tail.
+        must_verify = {
+            # events/ts-contract family (reworked for the micros layout)
+            "stream_tumbling_window", "stream_sliding_window",
+            "stream_session_window", "stream_stream_join",
+            "stream_stateful_profile", "stream_dedup_events",
+            "stream_upsert_table", "window_range_frame",
+            "events_sessionize", "range_join_events", "events_funnel",
+            "json_extract", "events_tumbling_window",
+            # oracle-representation fixes
+            "jsonl_scan", "pack_sequences", "fk_integrity_check",
+            "embedding_random_projection",
+            # round-3 additions
+            "scd2_build", "timeline_gapfill", "events_locf",
+            "rank_distribution", "decontaminate_bloom",
+            "value_drift_trend", "csv_gzip_scan",
+            "multimodal_audio_chunks", "stream_incremental_rollup",
+            "delete_where_rewrite", "snapshot_diff", "zorder_key",
+            "bucket_by_cutpoints",
+            # never driver-verified before round 3
+            "approx_count_distinct_sketch",
+        }
+        out = must_verify - window
+        assert not out, f"need driver verification but outside window: {out}"
         # ORACLES iterates in the same order (driver zips them).
         assert [n for n in QUERIES if n in ORACLES] == list(ORACLES)
 
