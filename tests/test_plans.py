@@ -139,3 +139,70 @@ class TestPlanShapes:
 
         plan = _plan(embedding_random_projection(spark, sf_dir))
         assert "Exchange" not in plan
+
+
+class TestRound3PlanShapes:
+    def test_scd2_single_user_exchange(self, spark, sf_dir):
+        """Both window passes + the change filter share ONE user_id
+        shuffle — the exchange-reuse claim in the docstring."""
+        from nshm2022db_spark.queries.temporal import scd2_build
+
+        plan = _plan(scd2_build(spark, sf_dir))
+        assert plan.count("hashpartitioning(") == 1
+        assert "Python" not in plan
+
+    def test_locf_single_window_pass(self, spark, sf_dir):
+        from nshm2022db_spark.queries.temporal import events_locf
+
+        plan = _plan(events_locf(spark, sf_dir))
+        assert plan.count("hashpartitioning(") == 1
+
+    def test_drift_trend_one_shuffle_total(self, spark, sf_dir):
+        """The min-subtract window and the sum aggregate cluster on the
+        same event_type key: one exchange for the whole regression."""
+        from nshm2022db_spark.queries.temporal import value_drift_trend
+
+        plan = _plan(value_drift_trend(spark, sf_dir))
+        assert plan.count("hashpartitioning(") == 1
+
+    def test_zorder_key_is_map_only(self, spark, sf_dir):
+        from nshm2022db_spark.queries.pipeline import zorder_key
+
+        plan = _plan(zorder_key(spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_audio_chunks_map_only(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.multimodal import (
+            multimodal_audio_chunks,
+        )
+
+        plan = _plan(multimodal_audio_chunks(spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_bucket_by_cutpoints_broadcasts_no_sort(self, spark, sf_dir):
+        """Cut points broadcast; assignment is map-side — NO sort node
+        anywhere (the whole point vs NTILE)."""
+        from nshm2022db_spark.queries.pipeline import bucket_by_cutpoints
+
+        plan = _plan(bucket_by_cutpoints(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        assert "Sort " not in plan and "SortExec" not in plan
+
+    def test_bloom_screen_corpus_side_broadcast_joins(self, spark, sf_dir):
+        """Both bit-membership probes must be broadcast joins — the
+        corpus side may not shuffle for the screen itself."""
+        from nshm2022db_spark.extensions.curation import decontaminate_bloom
+
+        plan = _plan(decontaminate_bloom(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_snapshot_diff_single_join_exchange_pair(self, spark, sf_dir):
+        """One full-outer SMJ on the snapshot key: exactly the two
+        side-exchanges of that join and nothing else."""
+        from nshm2022db_spark.queries.pipeline import snapshot_diff
+
+        plan = _plan(snapshot_diff(spark, sf_dir))
+        assert "FullOuter" in plan or "full_outer" in plan.lower()
+        assert plan.count("hashpartitioning(") <= 2
