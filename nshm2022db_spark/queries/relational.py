@@ -1042,3 +1042,36 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("hours_to_convert"),
     )
+
+
+@register(
+    "hll_shard_merge",
+    """WITH exact AS (SELECT COUNT(DISTINCT user_id) AS exact_n FROM events)
+       SELECT exact_n, TRUE AS within_5pct FROM exact""",
+)
+def hll_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pattern that makes 100 TB distinct
+    counting incremental: each shard (event_type stands in for a file
+    shard or a day partition) builds its OWN HLL sketch buffer
+    (hll_sketch_agg), and the global answer is the UNION of the stored
+    sketch buffers (hll_union_agg) — raw data is never re-scanned to
+    re-count a larger scope. This is how per-day sketches roll into
+    month/quarter cardinalities, and why sketch columns belong IN the
+    rollup tables the incremental sink maintains. The sketch binary is
+    engine-specific, so (as with approx_count_distinct) the ORACLE pins
+    the contract: the merged estimate must land within 5% of the exact
+    distinct count, emitted as a boolean the hash compare verifies."""
+    ev = read_table(spark, sf, "events")
+    shard_sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sketch")
+    )
+    merged = shard_sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_n"))
+    return exact.join(merged).select(
+        "exact_n",
+        (
+            F.abs(F.col("est") - F.col("exact_n")) <= 0.05 * F.col("exact_n")
+        ).alias("within_5pct"),
+    )

@@ -181,7 +181,6 @@ _DRIVER_ORDER = [
     "merge_upsert",
     "jsonl_scan",
     "grouping_sets_agg",
-    "vocab_topk",
     "embedding_random_projection",
     "text_pii_scrub",
     "text_repetition_stats",
@@ -218,6 +217,7 @@ _DRIVER_ORDER = [
     "snapshot_diff",
     "zorder_key",
     "bucket_by_cutpoints",
+    "hll_shard_merge",
     # P3 — never driver-verified (registered past the cap in r02).
     "approx_count_distinct_sketch",
     # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
@@ -227,6 +227,7 @@ _DRIVER_ORDER = [
     # by the driver's entry() smoke). Each §2 row keeps an in-window
     # representative.
     "dedup_ngram_jaccard",
+    "vocab_topk",
     "approx_percentile_bound",
     "stratified_sample",
     "text_fingerprint",

@@ -1,5 +1,15 @@
 """Custom stateful streaming operator: per-user activity profile.
 
+API choice note: Spark 4's `transformWithStateInPandas` (typed
+ValueState/ListState/MapState + timers) is the designated successor to
+`applyInPandasWithState`; its Python driver worker requires a working
+`google.protobuf` install, which this runtime lacks (verified: the
+state-server handshake crashes on protobuf import, and installs are not
+permitted here). The operator therefore uses `applyInPandasWithState`,
+which shares the same keyed-state execution model (state partitioned by
+key across executors, Arrow-batched), so swapping to the new API on a
+standard cluster is a mechanical port of `_update_profile`.
+
 The reference has no streaming surface (SURVEY §2.10); this is part of the
 north-star extension scope. The operator keeps arbitrary per-key state the
 built-in windowed aggregates can't express — a running profile per user
