@@ -1075,3 +1075,43 @@ def hll_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
             F.abs(F.col("est") - F.col("exact_n")) <= 0.05 * F.col("exact_n")
         ).alias("within_5pct"),
     )
+
+
+@register(
+    "salted_skew_join",
+    """SELECT o_orderpriority,
+              COUNT(*) AS n,
+              ROUND(SUM(o_totalprice), 2) AS total
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY o_orderpriority""",
+)
+def salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The salted-shuffle join (operators/skew.py) on the driver-verified
+    surface: orders ⋈ customer through `salted_join` with 8 salts — the
+    fact side scatters each row across sub-keys, the dimension side
+    replicates, and a hot customer's orders land on 8 reducers instead
+    of one. The oracle is the PLAIN join: salting must be a pure
+    physical-layout change with zero semantic effect, and the value-hash
+    compare proves exactly that. At sf0.1 the salt is overhead (AQE would
+    handle this shape); it is registered because correctness-under-
+    salting is the property worth a standing driver check — the 100 TB
+    failure mode is a salted refactor that silently duplicates or drops
+    rows on an outer side (the operator rejects right-preserving joins
+    for that reason, pinned by test_scale_ops)."""
+    from nshm2022db_spark.operators.skew import salted_join
+
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        on=["custkey"],
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

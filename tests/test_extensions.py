@@ -229,7 +229,7 @@ class TestDriverOrder:
             "value_drift_trend", "csv_gzip_scan",
             "multimodal_audio_chunks", "stream_incremental_rollup",
             "delete_where_rewrite", "snapshot_diff", "zorder_key",
-            "bucket_by_cutpoints", "hll_shard_merge",
+            "bucket_by_cutpoints", "hll_shard_merge", "salted_skew_join",
             # never driver-verified before round 3
             "approx_count_distinct_sketch",
         }
