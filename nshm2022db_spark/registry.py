@@ -177,7 +177,6 @@ _DRIVER_ORDER = [
     "percentile_agg",
     "events_sessionize",
     "range_join_events",
-    "ntile_buckets",
     "jsonl_scan",
     "grouping_sets_agg",
     "embedding_random_projection",
@@ -218,6 +217,7 @@ _DRIVER_ORDER = [
     "bucket_by_cutpoints",
     "hll_shard_merge",
     "salted_skew_join",
+    "stream_windowed_distinct",
     # P3 — never driver-verified (registered past the cap in r02).
     "approx_count_distinct_sketch",
     # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
@@ -227,6 +227,7 @@ _DRIVER_ORDER = [
     # by the driver's entry() smoke). Each §2 row keeps an in-window
     # representative.
     "dedup_ngram_jaccard",
+    "ntile_buckets",
     "merge_upsert",
     "vocab_topk",
     "approx_percentile_bound",

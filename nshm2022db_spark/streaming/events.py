@@ -366,3 +366,44 @@ def stream_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round("total", 2).alias("total"),
     )
+
+
+@register(
+    "stream_windowed_distinct",
+    """WITH w AS (
+           SELECT DATE_TRUNC('hour', ts) AS window_start,
+                  COUNT(DISTINCT user_id) AS exact_u
+           FROM events GROUP BY 1)
+       SELECT window_start, exact_u, TRUE AS within_5pct FROM w""",
+)
+def stream_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct users per hourly window, computed INSIDE a streaming job.
+    Streaming aggregation cannot hold exact per-window distinct sets
+    (COUNT(DISTINCT) is unsupported — state would be unbounded per
+    window); the production answer is a mergeable sketch, and that is
+    what runs here: approx_count_distinct's HLL buffer lives in the
+    window's state store and merges across micro-batches. The oracle
+    pins the error contract per window (estimate within 5% of the exact
+    batch count — rsd 1%), the same sketch-contract pattern as
+    approx_count_distinct and hll_shard_merge."""
+    agg = (
+        _event_stream(spark, sf)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("est"))
+        .select(ntz("w.start").alias("window_start"), "est")
+    )
+    streamed = _run_to_memory(agg, f"stream_distinct_{next(_counter)}")
+    exact = (
+        read_table(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("exact_u"))
+        .withColumn("window_start", ntz("window_start"))
+    )
+    return exact.join(streamed, "window_start", "left").select(
+        "window_start",
+        "exact_u",
+        (
+            F.coalesce(F.abs(F.col("est") - F.col("exact_u")), F.lit(10**9))
+            <= 0.05 * F.col("exact_u")
+        ).alias("within_5pct"),
+    )
