@@ -105,6 +105,8 @@ HEADLINE = [
     "snapshot_diff",
     "zorder_key",
     "bucket_by_cutpoints",
+    "sql_api_pricing_summary",
+    "salted_skew_join",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -1115,3 +1115,39 @@ def salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "sql_api_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+              ROUND(AVG(l_discount), 6) AS avg_disc,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def sql_api_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL front door: the same engine surface through
+    ``spark.sql`` over registered temp views instead of the DataFrame
+    API — proving a user can point existing ANSI SQL (here the TPC-H Q1
+    pricing-summary shape) at this engine's read layer unchanged.
+    Catalyst compiles both fronts to the same logical plan, so every
+    pushdown/pruning/plan property the DataFrame queries pin holds here
+    too; the view is created from read_table, so the normalized-schema
+    contract (events ts etc.) applies to SQL users as well.
+
+    AVG is engine-order-sensitive like SUM; ROUND(, 6) on both sides is
+    inside the cross-engine drift headroom at this scale."""
+    read_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  ROUND(SUM(l_quantity), 2) AS sum_qty,
+                  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                  ROUND(AVG(l_discount), 6) AS avg_disc,
+                  COUNT(*) AS count_order
+           FROM lineitem_v
+           WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+           GROUP BY l_returnflag, l_linestatus"""
+    )

@@ -178,7 +178,6 @@ _DRIVER_ORDER = [
     "events_sessionize",
     "range_join_events",
     "jsonl_scan",
-    "grouping_sets_agg",
     "embedding_random_projection",
     "text_pii_scrub",
     "text_repetition_stats",
@@ -218,6 +217,7 @@ _DRIVER_ORDER = [
     "hll_shard_merge",
     "salted_skew_join",
     "stream_windowed_distinct",
+    "sql_api_pricing_summary",
     # P3 — never driver-verified (registered past the cap in r02).
     "approx_count_distinct_sketch",
     # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
@@ -227,6 +227,7 @@ _DRIVER_ORDER = [
     # by the driver's entry() smoke). Each §2 row keeps an in-window
     # representative.
     "dedup_ngram_jaccard",
+    "grouping_sets_agg",
     "ntile_buckets",
     "merge_upsert",
     "vocab_topk",

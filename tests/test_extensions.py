@@ -230,7 +230,7 @@ class TestDriverOrder:
             "multimodal_audio_chunks", "stream_incremental_rollup",
             "delete_where_rewrite", "snapshot_diff", "zorder_key",
             "bucket_by_cutpoints", "hll_shard_merge", "salted_skew_join",
-            "stream_windowed_distinct",
+            "stream_windowed_distinct", "sql_api_pricing_summary",
             # never driver-verified before round 3
             "approx_count_distinct_sketch",
         }
