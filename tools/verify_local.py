@@ -5,7 +5,12 @@ DuckDB at the same sf dir, then compares: row count, column-name set, and an
 order-insensitive value comparison (columns sorted by name, rows sorted,
 floats compared to 1e-9 relative). Exit 1 on any mismatch.
 
-Usage: python tools/verify_local.py [sf_dir] [name ...]
+Usage: python tools/verify_local.py [--bare] [sf_dir] [name ...]
+
+``--bare`` builds a minimal SparkSession with NONE of the session
+factory's confs — replicating the driver's own conf-less session, the
+exact gap that made the events queries red in rounds 1-2 (the read
+layer must set every conf it depends on at read time).
 """
 
 from __future__ import annotations
@@ -53,14 +58,28 @@ def _values_close(a, b):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    bare = "--bare" in args
+    if bare:
+        args.remove("--bare")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as mod
 
     qs = mod.queries()
     oracles = mod.oracle_sql()
-    spark = get_spark("verify_local")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .appName("verify_bare")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify_local")
 
     con = duckdb.connect()
     for t in STAR_TABLES:
