@@ -18,3 +18,8 @@ def epoch_us(col: Column | str) -> Column:
     """Epoch microseconds of a TIMESTAMP or TIMESTAMP_NTZ column."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+def epoch_us_sql(col: str) -> str:
+    """SQL-string twin of epoch_us, for F.expr compositions."""
+    return f"unix_micros(cast({col} as timestamp))"

@@ -16,7 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nshm2022db_spark.functions.timecols import epoch_us
+from nshm2022db_spark.functions.timecols import epoch_us, epoch_us_sql
 from nshm2022db_spark.registry import register
 from nshm2022db_spark.sources import read_table
 from nshm2022db_spark.sources.scratch import is_landed, mark_landed, scratch_path
@@ -614,7 +614,7 @@ def zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     .sortWithinPartitions(zkey).write...`, paying one range shuffle per
     relayout to speed every later selective scan."""
     u16 = "(user_id % 65536)"
-    t16 = f"(({epoch_us_sql_('ts')} div 3600000000) % 65536)"
+    t16 = f"(({epoch_us_sql('ts')} div 3600000000) % 65536)"
     ev = read_table(spark, sf, "events")
     return ev.select(
         "event_id",
@@ -623,9 +623,6 @@ def zorder_key(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(f"CAST({_morton_spark(u16, t16)} AS BIGINT)").alias("zkey"),
     )
 
-
-def epoch_us_sql_(col: str) -> str:
-    return f"unix_micros(cast({col} as timestamp))"
 
 
 N_BUCKETS = 10

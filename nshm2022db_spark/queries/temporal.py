@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nshm2022db_spark.functions.timecols import epoch_us_sql
 from nshm2022db_spark.registry import register
 from nshm2022db_spark.sources import read_table
 
@@ -123,11 +124,6 @@ def timeline_gapfill(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.coalesce(F.col("n"), F.lit(0)).alias("n"),
     )
-
-
-def epoch_us_sql(col: str) -> str:
-    """SQL-string twin of timecols.epoch_us (for F.expr compositions)."""
-    return f"unix_micros(cast({col} as timestamp))"
 
 
 @register(
