@@ -521,9 +521,15 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     text_quality_score, text_fingerprint, and stratified_sample — the
     point is that the composition stays ONE plan with ONE exchange and
     no intermediate materialization, which is exactly how a 100 TB
-    curation pass should run (the filters fold into the scan, and the
-    sample predicate runs BEFORE the shuffled rows are written — only
-    quality-passing rows ever shuffle)."""
+    curation pass should run (the quality filter folds into the scan, so
+    only quality-passing rows ever shuffle).
+
+    Stage ORDER is semantic, not just cost: the sample filter must run
+    AFTER dedup, because the canonical survivor of a duplicate group is
+    defined over the full deduped corpus — pushing the sample predicate
+    below the dedup window would let a group whose smallest-id member is
+    sampled out resurrect a larger-id duplicate (caught by the sf0.1
+    oracle run: a cross-language duplicate pair, round 3)."""
     toks = spark_tokens("text")
     punct = (
         "CAST(length(regexp_replace(text, '[A-Za-z0-9\\\\s]', '')) AS DOUBLE)"
@@ -546,9 +552,9 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     for lang, rate in sampled_rates.items():
         keep = F.when(F.col("lang") == lang, bucket < rate).otherwise(keep)
     return (
-        kept.filter(keep)
-        .withColumn("rn", F.row_number().over(w))
+        kept.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .filter(keep)
         .select("doc_id", "lang", F.expr("ROUND(q, 6)").alias("quality_score"))
     )
 

@@ -211,3 +211,34 @@ class TestChunkDocuments:
 
         plan = chunk_documents(spark, sf_dir)._jdf.queryExecution().toString()
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestPipelineStageOrder:
+    def test_dedup_runs_before_sample_filter(self, spark, tmp_path):
+        """A duplicate group whose canonical (smallest-id) member is
+        sampled OUT must NOT resurrect a larger-id duplicate: dedup picks
+        survivors over the full quality-kept corpus first, then the
+        sample filter applies. (Regression: sf0.1 oracle run caught the
+        sample predicate pushed below the dedup window.)"""
+        from nshm2022db_spark.extensions.curation import P, curation_pipeline
+
+        # Find a doc_id pair where the smaller id fails the 'de' bucket
+        # test's sampling... simpler: plant ids directly. bucket(id) =
+        # ((id*48271+11) % P) % 100; lang 'de' keeps bucket < 80, lang
+        # 'xx' keeps nothing (not in rates → filtered).
+        good_text = "clean words " * 40  # passes the quality filter
+        rows = [
+            (10, good_text, "xx", "s", len(good_text)),  # canonical; lang sampled out
+            (20, good_text, "de", "s", len(good_text)),  # duplicate of 10
+            (30, "other clean words " * 30, "de", "s", 1),
+        ]
+        d = str(tmp_path / "docs")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+        got = {r.doc_id for r in curation_pipeline(spark, d).collect()}
+        # Doc 20 is a duplicate of doc 10 (the canonical survivor); that
+        # doc 10's language is sampled out must not bring doc 20 back.
+        assert 20 not in got
+        assert 30 in got or ((30 * 48271 + 11) % P) % 100 >= 80
