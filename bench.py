@@ -106,6 +106,7 @@ HEADLINE = [
     "zorder_key",
     "bucket_by_cutpoints",
     "sql_api_pricing_summary",
+    "cohort_retention",
     "salted_skew_join",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is

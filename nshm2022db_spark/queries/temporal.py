@@ -265,3 +265,57 @@ def value_drift_trend(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("intercept_cents"),
     )
+
+
+WEEK_US = 7 * 24 * HOUR_US
+
+
+@register(
+    "cohort_retention",
+    f"""WITH firsts AS (
+            SELECT user_id,
+                   MIN(epoch_us(ts)) // {WEEK_US} AS cohort_week
+            FROM events GROUP BY user_id),
+        activity AS (
+            SELECT DISTINCT e.user_id,
+                   f.cohort_week,
+                   epoch_us(e.ts) // {WEEK_US} - f.cohort_week AS week_offset
+            FROM events e JOIN firsts f USING (user_id))
+        SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+               CAST(week_offset AS BIGINT) AS week_offset,
+               COUNT(*) AS n_active
+        FROM activity
+        GROUP BY cohort_week, week_offset""",
+)
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week, and
+    for each cohort the count still active N weeks later — the
+    engagement analysis every product warehouse recomputes daily, and
+    (for training pipelines) the contributor-retention view of a data
+    marketplace.
+
+    Scale shape: the first-seen aggregate and the (user, cohort, offset)
+    DISTINCT both cluster on user_id, so the first two stages share one
+    exchange; the cohort join rides it too (same key), and only the
+    final triangle rollup — (cohorts × offsets) cardinality, tiny —
+    re-shuffles. Week arithmetic is integer epoch math, engine-exact."""
+    ev = read_table(spark, sf, "events").select(
+        "user_id",
+        # integer `div`, NOT double-divide-then-cast: a double quotient
+        # landing an ulp under an exact week boundary would truncate to
+        # the previous week where the oracle's integer floor would not.
+        F.expr(f"{epoch_us_sql('ts')} div {WEEK_US}").alias("week"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )

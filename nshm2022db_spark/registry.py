@@ -171,7 +171,6 @@ _DRIVER_ORDER = [
     "stream_stateful_profile",
     "stream_dedup_events",
     "window_range_frame",
-    "percentile_agg",
     "events_sessionize",
     "range_join_events",
     "jsonl_scan",
@@ -215,6 +214,7 @@ _DRIVER_ORDER = [
     "salted_skew_join",
     "stream_windowed_distinct",
     "sql_api_pricing_summary",
+    "cohort_retention",
     # P3 — never driver-verified (registered past the cap in r02).
     "approx_count_distinct_sketch",
     # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
@@ -224,6 +224,7 @@ _DRIVER_ORDER = [
     # by the driver's entry() smoke). Each §2 row keeps an in-window
     # representative.
     "dedup_ngram_jaccard",
+    "percentile_agg",
     "grouping_sets_agg",
     "ntile_buckets",
     "merge_upsert",
