@@ -107,6 +107,8 @@ HEADLINE = [
     "bucket_by_cutpoints",
     "sql_api_pricing_summary",
     "cohort_retention",
+    "compact_small_files",
+    "session_funnel",
     "salted_skew_join",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is

@@ -677,3 +677,116 @@ def bucket_by_cutpoints(spark: SparkSession, sf: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "compact_small_files",
+    """SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(event_id) AS BIGINT) AS id_sum
+       FROM events GROUP BY event_type""",
+)
+def compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-files compaction under the standing gate: events land as 64
+    deliberately tiny files (the debris every streaming or incremental
+    sink accumulates), compact_parquet rewrites them into ~target-sized
+    files, and the aggregate runs over the COMPACTED table — the oracle
+    recomputes from the base events, so the value-hash compare proves
+    compaction is contents-preserving (the failure mode that matters:
+    a lost or doubled file during rewrite). id_sum is an order-free
+    integer checksum over the whole key column, stronger than counts.
+
+    Scale notes in compact_parquet's docstring apply: input size from
+    the driver-side listing (no data read), round-robin repartition so
+    output files are uniform regardless of input skew, per-partition
+    runs on partitioned layouts."""
+    from nshm2022db_spark.sources.parquet import compact_parquet
+
+    base = scratch_path("events_compaction", sf)
+    frag, packed = os.path.join(base, "frag"), os.path.join(base, "packed")
+    if not is_landed(base):
+        read_table(spark, sf, "events").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+        compact_parquet(spark, frag, packed, target_bytes=8 * 1024 * 1024)
+        mark_landed(base)
+    table = spark.read.parquet(packed)
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+@register(
+    "session_funnel",
+    f"""WITH flagged AS (
+           SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                            <= {SESSION_GAP_US}
+                       THEN 0 ELSE 1 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+           SELECT user_id, event_id, ts, event_type,
+                  CAST(SUM(is_new) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_id
+           FROM flagged),
+        folded AS (
+           SELECT user_id, session_id,
+                  COUNT(*) AS n_events,
+                  list(event_type ORDER BY ts, event_id) AS types
+           FROM sess GROUP BY user_id, session_id)
+       SELECT user_id, session_id, n_events,
+              CAST(list_reduce(list_prepend('0', types),
+                   (acc, x) -> CASE WHEN x = 'view'     AND acc = '0' THEN '1'
+                                    WHEN x = 'click'    AND acc = '1' THEN '2'
+                                    WHEN x = 'purchase' AND acc = '2' THEN '3'
+                                    ELSE acc END) AS BIGINT) AS funnel_step
+       FROM folded""",
+)
+def session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-session funnel depth: per (user, session), how far the
+    view → click → purchase sequence progressed IN EVENT ORDER — the
+    composed analytic product teams actually ask for ('did the click
+    happen in the same session, after the view?'), which a plain
+    conditional aggregate cannot express because each step is gated on
+    the previous step having happened EARLIER in the session.
+
+    Spark-first trick: the per-session state machine runs as a
+    sequential fold INSIDE a JVM expression — sort the session's
+    (ts, event_id, type) structs, fold a step counter over them with
+    `aggregate` — so custom sequential logic needs no Python UDF and no
+    extra shuffle. The sessionize window, the rollup, and the fold all
+    ride the ONE user_id exchange; per-session arrays are bounded by
+    session length (the 30-min gap bounds them at any corpus size). The
+    oracle runs the identical fold via list_reduce, the portable-
+    primitives discipline (functions/portable.py)."""
+    ev = read_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_us("ts")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap <= SESSION_GAP_US, F.lit(0)).otherwise(F.lit(1))
+    sess = ev.withColumn("session_id", F.sum(is_new).over(w))
+    folded = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+            " e -> e.event_type)"
+        ).alias("types"),
+    )
+    step = (
+        "aggregate(types, 0L, (acc, x) -> "
+        "CASE WHEN x = 'view'     AND acc = 0L THEN 1L "
+        "     WHEN x = 'click'    AND acc = 1L THEN 2L "
+        "     WHEN x = 'purchase' AND acc = 2L THEN 3L "
+        "     ELSE acc END)"
+    )
+    return folded.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.expr(step).alias("funnel_step"),
+    )

@@ -175,8 +175,6 @@ _DRIVER_ORDER = [
     "range_join_events",
     "jsonl_scan",
     "embedding_random_projection",
-    "text_pii_scrub",
-    "text_repetition_stats",
     "stream_static_join",
     # Round-2 curation family (extensions/curation.py) — new, needs rows.
     "tfidf_search",
@@ -215,6 +213,8 @@ _DRIVER_ORDER = [
     "stream_windowed_distinct",
     "sql_api_pricing_summary",
     "cohort_retention",
+    "compact_small_files",
+    "session_funnel",
     # P3 — never driver-verified (registered past the cap in r02).
     "approx_count_distinct_sketch",
     # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
@@ -224,6 +224,8 @@ _DRIVER_ORDER = [
     # by the driver's entry() smoke). Each §2 row keeps an in-window
     # representative.
     "dedup_ngram_jaccard",
+    "text_pii_scrub",
+    "text_repetition_stats",
     "percentile_agg",
     "grouping_sets_agg",
     "ntile_buckets",
