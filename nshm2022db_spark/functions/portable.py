@@ -47,9 +47,14 @@ def spark_char_hash(col: str) -> str:
 
 
 def duck_char_hash(col: str) -> str:
+    # (?s) dotall: RE2's bare '.' excludes newlines, which would silently
+    # DROP \n characters from the fold while Spark's split('') keeps
+    # them. Registered oracles only ever hash whitespace-free tokens, so
+    # they never hit it — but the primitive's contract is agreement on
+    # ANY string (pinned by the randomized test in test_properties.py).
     return (
         f"list_reduce(list_prepend(0::BIGINT, "
-        f"list_transform(regexp_extract_all({col}, '.'), c -> ord(c)::BIGINT)), "
+        f"list_transform(regexp_extract_all({col}, '(?s).'), c -> ord(c)::BIGINT)), "
         f"(acc, c) -> (acc * 31 + c) % {P})"
     )
 

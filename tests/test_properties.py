@@ -107,3 +107,95 @@ class TestAsofProperty:
         for t in np.unique(targets_vals):
             idx = min(int(np.searchsorted(srt, t)), len(srt) - 1)
             assert got[float(t)] == float(srt[idx]), t
+
+
+class TestPortableRandomized:
+    """Randomized cross-engine agreement for the portable primitives:
+    a pure-Python reference model evaluated against BOTH engines over
+    seeded random strings — one Spark job and one DuckDB query for the
+    whole batch, so the sweep stays fast. Fixed seed → reproducible."""
+
+    @staticmethod
+    def _py_tokens(s):
+        return [t for t in __import__("re").split(r"\s+", s) if t != ""]
+
+    @staticmethod
+    def _py_char_hash(s):
+        from nshm2022db_spark.functions.portable import P
+
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    @classmethod
+    def _py_shingle_hashes(cls, s):
+        from nshm2022db_spark.functions.portable import P
+
+        hx = [cls._py_char_hash(t) for t in cls._py_tokens(s.lower())]
+        out = []
+        for i in range(len(hx) - 2):
+            out.append((hx[i] * 961 + hx[i + 1] * 31 + hx[i + 2]) % P)
+        seen, dedup = set(), []
+        for x in out:
+            if x not in seen:
+                seen.add(x)
+                dedup.append(x)
+        return dedup
+
+    def test_random_strings_agree_with_model(self, spark):
+        import random
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from nshm2022db_spark.functions.portable import (
+            duck_char_hash,
+            duck_shingle_hashes,
+            duck_token_hashes,
+            duck_tokens,
+            spark_char_hash,
+            spark_shingle_hashes,
+            spark_token_hashes,
+            spark_tokens,
+        )
+
+        rng = random.Random(20260813)
+        alphabet = [chr(c) for c in range(33, 127)] + [" "] * 12 + ["\t", "\n"]
+        cases = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+            for _ in range(60)
+        ]
+        cases += ["", " ", "\t\n", "a", "one two three four five"]
+
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
+        got = {
+            r.i: (r.h, list(r.sh))
+            for r in df.select(
+                "i",
+                F.expr(spark_char_hash("s")).alias("h"),
+                F.expr(
+                    spark_shingle_hashes(spark_token_hashes(spark_tokens("lower(s)")))
+                ).alias("sh"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (i BIGINT, s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", [(i, s) for i, s in enumerate(cases)])
+        duck = {
+            r[0]: (r[1], list(r[2]))
+            for r in con.sql(
+                f"SELECT i, {duck_char_hash('s')} AS h, "
+                f"{duck_shingle_hashes(duck_token_hashes(duck_tokens('lower(s)')))} AS sh "
+                "FROM t"
+            ).fetchall()
+        }
+        for i, s in enumerate(cases):
+            model = (self._py_char_hash(s), self._py_shingle_hashes(s))
+            # Spark preserves first-seen shingle order (array_distinct);
+            # DuckDB's list_distinct does not guarantee order, and every
+            # consumer treats shingle lists as SETS (explode/unnest), so
+            # the duck side compares order-insensitively.
+            assert got[i] == model, (i, repr(s), got[i], model)
+            assert duck[i][0] == model[0], (i, repr(s), duck[i][0], model[0])
+            assert sorted(duck[i][1]) == sorted(model[1]), (i, repr(s))
