@@ -23,8 +23,15 @@ P = 1_000_000_007  # hash modulus; a*x stays < 2^63 for a,x < p
 # CAREFUL: Spark SQL string literals process backslash escapes ('\s' → 's'),
 # DuckDB string literals do not — regex patterns need one extra backslash
 # level on the Spark side only.
-SPARK_TOKEN_SPLIT = r"\\s+"
-DUCK_TOKEN_SPLIT = r"\s+"
+#
+# The class is EXPLICIT, not \s: Java's \s includes \x0B (vertical tab)
+# where RE2's does not, so a corpus containing VT would tokenize
+# differently per engine (caught by the randomized sweep in
+# test_properties.py). Neither engine's \s matches unicode spaces
+# (U+00A0 etc.) by default, so those stay inside tokens on both —
+# consistent, which is all determinism needs.
+SPARK_TOKEN_SPLIT = r"[ \\t\\n\\x0B\\f\\r]+"
+DUCK_TOKEN_SPLIT = r"[ \t\n\x0B\f\r]+"
 
 
 # -- whitespace tokens -------------------------------------------------------

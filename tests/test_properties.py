@@ -117,7 +117,9 @@ class TestPortableRandomized:
 
     @staticmethod
     def _py_tokens(s):
-        return [t for t in __import__("re").split(r"\s+", s) if t != ""]
+        # the pinned explicit class of portable.SPARK/DUCK_TOKEN_SPLIT —
+        # NOT \s (python's includes unicode spaces neither engine splits)
+        return [t for t in __import__("re").split(r"[ \t\n\x0b\f\r]+", s) if t != ""]
 
     @staticmethod
     def _py_char_hash(s):
@@ -161,7 +163,7 @@ class TestPortableRandomized:
         )
 
         rng = random.Random(20260813)
-        alphabet = [chr(c) for c in range(33, 127)] + [" "] * 12 + ["\t", "\n"]
+        alphabet = [chr(c) for c in range(33, 127)] + [" "] * 12 + ["\t", "\n", "\x0b", "\f", "\r"]
         cases = [
             "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
             for _ in range(60)
