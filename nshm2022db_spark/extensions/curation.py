@@ -30,6 +30,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nshm2022db_spark.functions.portable import (
+    duck_ascii_lower,
+    duck_norm_text,
+    spark_ascii_lower,
+    spark_norm_text,
     P,
     duck_shingle_hashes,
     duck_token_hashes,
@@ -50,7 +54,7 @@ TFIDF_K = 50
 
 
 def _tf(term: str, duck: bool) -> str:
-    toks = duck_tokens("lower(text)") if duck else "tk"
+    toks = duck_tokens(duck_ascii_lower("text")) if duck else "tk"
     fn = "len(list_filter" if duck else "size(filter"
     return f"{fn}({toks}, t -> t = '{term}'))"
 
@@ -105,7 +109,7 @@ def tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
     ]
     tf = (
         read_table(spark, sf, "documents")
-        .select("doc_id", F.expr(spark_tokens("lower(text)")).alias("tk"))
+        .select("doc_id", F.expr(spark_tokens(spark_ascii_lower("text"))).alias("tk"))
         .select("doc_id", *tf_cols)
     )
     stats = tf.agg(
@@ -141,7 +145,7 @@ BENCH_MOD = 23  # doc_id % BENCH_MOD == 0 plays the held-out benchmark set
 _DECON_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, {duck_shingle_hashes('hx')} AS s
-        FROM (SELECT doc_id, {duck_token_hashes(duck_tokens('lower(text)'))} AS hx
+        FROM (SELECT doc_id, {duck_token_hashes(duck_tokens(duck_ascii_lower('text')))} AS hx
               FROM documents)),
     bench AS (
         SELECT DISTINCT unnest(s) AS x FROM sh WHERE doc_id % {BENCH_MOD} = 0),
@@ -179,7 +183,7 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
         read_table(spark, sf, "documents")
         .select(
             "doc_id",
-            F.expr(spark_token_hashes(spark_tokens("lower(text)"))).alias("hx"),
+            F.expr(spark_token_hashes(spark_tokens(spark_ascii_lower("text")))).alias("hx"),
         )
         .select("doc_id", F.explode(F.expr(spark_shingle_hashes("hx"))).alias("x"))
     )
@@ -223,7 +227,7 @@ def _bloom_h2(x: str) -> str:
 _BLOOM_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, {duck_shingle_hashes('hx')} AS s
-        FROM (SELECT doc_id, {duck_token_hashes(duck_tokens('lower(text)'))} AS hx
+        FROM (SELECT doc_id, {duck_token_hashes(duck_tokens(duck_ascii_lower('text')))} AS hx
               FROM documents)),
     bench_x AS (
         SELECT DISTINCT unnest(s) AS x FROM sh WHERE doc_id % {BENCH_MOD} = 0),
@@ -275,7 +279,7 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
         read_table(spark, sf, "documents")
         .select(
             "doc_id",
-            F.expr(spark_token_hashes(spark_tokens("lower(text)"))).alias("hx"),
+            F.expr(spark_token_hashes(spark_tokens(spark_ascii_lower("text")))).alias("hx"),
         )
         .select("doc_id", F.explode(F.expr(spark_shingle_hashes("hx"))).alias("x"))
     )
@@ -478,7 +482,7 @@ QUALITY_MIN = 0.4
 
 _DUCK_QUALITY = (
     "least(len({toks})::DOUBLE / 100.0, 1.0) * "
-    "(1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE"
+    "(1.0 - length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))::DOUBLE"
     " / greatest(length(text), 1))"
 )
 
@@ -506,7 +510,7 @@ _PIPELINE_ORACLE = f"""
 @register(
     "curation_pipeline",
     _PIPELINE_ORACLE.format(
-        norm="lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))",
+        norm=duck_norm_text("text"),
         bucket=f"(((doc_id * 48271 + 11) % {P}) % 100)",
         r_en=50,
         r_de=80,
@@ -532,10 +536,10 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     oracle run: a cross-language duplicate pair, round 3)."""
     toks = spark_tokens("text")
     punct = (
-        "CAST(length(regexp_replace(text, '[A-Za-z0-9\\\\s]', '')) AS DOUBLE)"
+        "CAST(length(regexp_replace(text, '[A-Za-z0-9 \\\\t\\\\n\\\\x0B\\\\f\\\\r]', '')) AS DOUBLE)"
         " / greatest(length(text), 1)"
     )
-    norm = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
+    norm = spark_norm_text("text")
     scored = read_table(spark, sf, "documents").select(
         "doc_id",
         "lang",

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nshm2022db_spark.functions.portable import (
+    duck_norm_text,
+    spark_norm_text,
     P,
     duck_shingle_hashes,
     duck_token_hashes,
@@ -113,7 +115,7 @@ _DUCK_EX_CAPPED = f"""
 
 @register(
     "dedup_exact",
-    """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+    f"""SELECT md5({duck_norm_text('text')}) AS fp,
               MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
        FROM documents GROUP BY 1""",
 )
@@ -121,7 +123,7 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized-text fingerprint, keep
     the smallest doc_id. One shuffle on the 128-bit key; at scale this is
     the cheapest dedup and always runs first."""
-    norm = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
+    norm = spark_norm_text("text")
     return (
         read_table(spark, sf, "documents")
         .groupBy(F.expr(f"md5({norm})").alias("fp"))

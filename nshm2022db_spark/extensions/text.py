@@ -13,9 +13,13 @@ from pyspark.sql import functions as F
 
 from nshm2022db_spark.functions.portable import (
     P,
+    duck_ascii_lower,
     duck_char_hash,
+    duck_norm_text,
     duck_tokens,
+    spark_ascii_lower,
     spark_char_hash,
+    spark_norm_text,
     spark_tokens,
 )
 from nshm2022db_spark.registry import register
@@ -26,8 +30,8 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 # word-or-single-punct tokenization, BPE-ish lower bound on token count.
 # Two renderings: Spark SQL literals eat one backslash level, DuckDB doesn't.
-BPE_PATTERN_SPARK = r"[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
-BPE_PATTERN_DUCK = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+BPE_PATTERN_SPARK = r"[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
+BPE_PATTERN_DUCK = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 LANG_MARKERS = {
     "en": ("the", "and", "is", "of"),
@@ -38,8 +42,7 @@ LANG_MARKERS = {
 
 
 def _norm(col: str, duck: bool) -> str:
-    flags = ", 'g'" if duck else ""
-    return f"lower(regexp_replace(trim({col}), '\\\\s+', ' '{flags}))"
+    return duck_norm_text(col) if duck else spark_norm_text(col)
 
 
 _SAMPLE_RATES = {"en": 50, "de": 80, "fr": 20}  # percent kept per stratum
@@ -103,12 +106,12 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     "text_quality_score",
     f"""SELECT doc_id,
                length(text) AS n_chars_measured,
-               ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+               ROUND(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g'))::DOUBLE
                      / greatest(length(text), 1), 6) AS punct_ratio,
-               ROUND(len(list_filter({duck_tokens('text')}, t -> lower(t) IN ({_STOP_SQL})))::DOUBLE
+               ROUND(len(list_filter({duck_tokens('text')}, t -> translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({_STOP_SQL})))::DOUBLE
                      / greatest(len({duck_tokens('text')}), 1), 6) AS stopword_ratio,
                ROUND(least(len({duck_tokens('text')})::DOUBLE / 100.0, 1.0)
-                     * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                     * (1.0 - length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g'))::DOUBLE
                               / greatest(length(text), 1)), 6) AS quality_score
         FROM documents""",
 )
@@ -116,13 +119,13 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Quality scoring from length / punctuation ratio / stopword ratio —
     the standard cheap pre-filters of a training-data pipeline."""
     toks = spark_tokens("text")
-    punct = "CAST(length(regexp_replace(text, '[A-Za-z0-9\\\\s]', '')) AS DOUBLE) / greatest(length(text), 1)"
+    punct = "CAST(length(regexp_replace(text, '[A-Za-z0-9 \\\\t\\\\n\\\\x0B\\\\f\\\\r]', '')) AS DOUBLE) / greatest(length(text), 1)"
     return read_table(spark, sf, "documents").select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
         F.expr(f"ROUND({punct}, 6)").alias("punct_ratio"),
         F.expr(
-            f"ROUND(CAST(size(filter({toks}, t -> lower(t) IN ({_STOP_SQL}))) AS DOUBLE)"
+            f"ROUND(CAST(size(filter({toks}, t -> " + spark_ascii_lower('t') + f" IN ({_STOP_SQL}))) AS DOUBLE)"
             f" / greatest(size({toks}), 1), 6)"
         ).alias("stopword_ratio"),
         F.expr(
@@ -135,7 +138,7 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 def _votes_spark(toks: str) -> list:
     return [
         F.expr(
-            f"size(filter({toks}, t -> lower(t) IN "
+            f"size(filter({toks}, t -> translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN "
             f"({', '.join(repr(m) for m in LANG_MARKERS[lang])})))"
         ).alias(f"v_{lang}")
         for lang in LANG_MARKERS
@@ -147,7 +150,7 @@ def _votes_spark(toks: str) -> list:
     f"""WITH v AS (
             SELECT doc_id, lang,
                    {', '.join(
-                       f"len(list_filter({duck_tokens('text')}, t -> lower(t) IN "
+                       f"len(list_filter({duck_tokens('text')}, t -> translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN "
                        f"({', '.join(repr(m) for m in LANG_MARKERS[lang])}))) AS v_{lang}"
                        for lang in LANG_MARKERS)}
             FROM documents)
@@ -203,7 +206,7 @@ VOCAB_TOP_N = 500
 @register(
     "vocab_topk",
     f"""SELECT token, COUNT(*) AS n
-        FROM (SELECT unnest({duck_tokens('lower(text)')}) AS token
+        FROM (SELECT unnest({duck_tokens(duck_ascii_lower('text'))}) AS token
               FROM documents)
         GROUP BY token ORDER BY n DESC, token LIMIT {VOCAB_TOP_N}""",
 )
@@ -217,7 +220,7 @@ def vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     before it reaches a reducer."""
     docs = read_table(spark, sf, "documents")
     return (
-        docs.select(F.explode(F.expr(spark_tokens("lower(text)"))).alias("token"))
+        docs.select(F.explode(F.expr(spark_tokens(spark_ascii_lower("text")))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "token")
@@ -303,7 +306,7 @@ def _max_run_fold(sorted_arr: str) -> str:
 @register(
     "text_repetition_stats",
     f"""WITH toks AS (
-            SELECT doc_id, {duck_tokens('lower(text)')} AS t FROM documents),
+            SELECT doc_id, {duck_tokens(duck_ascii_lower('text'))} AS t FROM documents),
         uni AS (
             SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n FROM (
                 SELECT doc_id, u, COUNT(*) AS c
@@ -341,7 +344,7 @@ def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     8.4 s -> well under 1 s at sf0.1."""
     toks = (
         read_table(spark, sf, "documents")
-        .select("doc_id", F.expr(spark_tokens("lower(text)")).alias("tk"))
+        .select("doc_id", F.expr(spark_tokens(spark_ascii_lower("text"))).alias("tk"))
         .filter("size(tk) >= 2")
     )
     staged = toks.select(

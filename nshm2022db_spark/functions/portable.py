@@ -34,6 +34,39 @@ SPARK_TOKEN_SPLIT = r"[ \\t\\n\\x0B\\f\\r]+"
 DUCK_TOKEN_SPLIT = r"[ \t\n\x0B\f\r]+"
 
 
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+# -- ASCII-only case fold ----------------------------------------------------
+# NOT lower(): full Unicode case mapping diverges between engines (Java
+# lowers U+0130 to 'i' + combining dot, DuckDB to plain 'i') and is
+# locale-fraught besides — deterministic pipelines fold ASCII only, via
+# translate(), which both engines implement identically.
+
+def spark_ascii_lower(col: str) -> str:
+    return f"translate({col}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
+def duck_ascii_lower(col: str) -> str:
+    return f"translate({col}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
+# -- whitespace-collapse normalization (exact-dedup fingerprint input) -------
+# Same explicit class as the tokenizers; ASCII fold per above.
+
+def spark_norm_text(col: str) -> str:
+    return spark_ascii_lower(
+        f"regexp_replace(trim({col}), '{SPARK_TOKEN_SPLIT}', ' ')"
+    )
+
+
+def duck_norm_text(col: str) -> str:
+    return duck_ascii_lower(
+        f"regexp_replace(trim({col}), '{DUCK_TOKEN_SPLIT}', ' ', 'g')"
+    )
+
+
 # -- whitespace tokens -------------------------------------------------------
 
 def spark_tokens(col: str) -> str:
