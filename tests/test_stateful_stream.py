@@ -76,3 +76,72 @@ def test_state_accumulates_across_batches(spark, sf_dir, split_events_dir):
         assert (g.n, g.n_types) == (w.n, w.n_types)
         assert abs(g.total - w.total) < 0.02
         assert g.first_ts == w.first_ts and g.last_ts == w.last_ts
+
+
+class TestWatermarkLateData:
+    def test_late_events_beyond_watermark_are_dropped(self, spark, tmp_path):
+        """Append-mode windowed aggregation finalizes a window at the end
+        of the first batch whose watermark passed it, and DROPS events
+        for that window arriving in LATER batches — the eviction that
+        bounds state at scale. Three micro-batches: batch 1 advances the
+        watermark past the 09:00 window; batch 2 lets the engine emit
+        and evict it; batch 3 replays an event into the evicted window —
+        it must neither re-open the window nor emit a duplicate row."""
+        import os
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        def _events(rows):
+            return spark.createDataFrame(
+                rows, "event_id long, ts_s string, value double"
+            ).select(
+                "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+            )
+
+        base = "2024-06-01 "
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        batches = [
+            [(1, base + "09:00:10", 1.0), (2, base + "09:30:00", 1.0),
+             (3, base + "12:00:05", 1.0)],
+            [(4, base + "12:05:00", 1.0)],
+            [(5, base + "09:00:20", 1.0),   # evicted window → dropped
+             (6, base + "12:10:00", 1.0)],  # open window → kept (unemitted)
+        ]
+        now = _time.time()
+        for i, rows in enumerate(batches):
+            d = os.path.join(src, f"f{i}")
+            _events(rows).coalesce(1).write.parquet(d)
+            # file source orders micro-batches by mtime; pin it
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    os.utime(os.path.join(root, f), (now - 60 + i, now - 60 + i))
+
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_data_test")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM late_data_test").collect()
+        spark.catalog.dropTempView("late_data_test")
+        nine = [r.n for r in rows if r.ws.hour == 9]
+        # Exactly ONE emission of the 09:00 window, WITHOUT the late
+        # event (n=2, not 3) and without a duplicate row from batch 3.
+        assert nine == [2], rows
+        # The 12:00 window never closed (watermark 11:10) — not emitted.
+        assert not [r for r in rows if r.ws.hour == 12], rows
