@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nshm2022db_spark.registry import register
-from nshm2022db_spark.streaming.events import _event_stream, _run_to_memory, ntz
+# Module-object import, attributes resolved at CALL time: a user who
+# imports streaming.events directly starts events → registry →
+# (registry's bottom imports) → this module while events is still
+# partially initialized; binding its names at import time would raise.
+from nshm2022db_spark.streaming import events as _events
 
 _counter = itertools.count()
 
@@ -41,8 +45,8 @@ def view_click_attribution(events: DataFrame) -> DataFrame:
         & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).select(
         F.col("v_user").alias("user_id"),
-        ntz("view_ts").alias("view_ts"),
-        ntz("click_ts").alias("click_ts"),
+        _events.ntz("view_ts").alias("view_ts"),
+        _events.ntz("click_ts").alias("click_ts"),
     )
 
 
@@ -57,6 +61,6 @@ def view_click_attribution(events: DataFrame) -> DataFrame:
 def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked stream-stream interval join through a real streaming
     job; the oracle is the equivalent batch range self-join."""
-    events = _event_stream(spark, sf)
+    events = _events._event_stream(spark, sf)
     out = view_click_attribution(events)
-    return _run_to_memory(out, f"stream_join_{next(_counter)}", output_mode="append")
+    return _events._run_to_memory(out, f"stream_join_{next(_counter)}", output_mode="append")

@@ -45,7 +45,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from nshm2022db_spark.functions.timecols import epoch_us
 from nshm2022db_spark.registry import register
-from nshm2022db_spark.streaming.events import _event_stream
+from nshm2022db_spark.streaming import events as _events  # module ref: see joins.py
 
 _counter = itertools.count()
 
@@ -148,5 +148,5 @@ def _run_update_to_memory(updates: DataFrame, name: str) -> DataFrame:
 def stream_stateful_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Custom keyed-state operator over the events stream; single-batch
     replay makes the final state equal the batch GROUP BY (the oracle)."""
-    updates = user_profile_stream(_event_stream(spark, sf))
+    updates = user_profile_stream(_events._event_stream(spark, sf))
     return _run_update_to_memory(updates, f"stream_stateful_{next(_counter)}")
