@@ -109,6 +109,7 @@ HEADLINE = [
     "cohort_retention",
     "compact_small_files",
     "session_funnel",
+    "lm_unigram_score",
     "salted_skew_join",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is

@@ -367,3 +367,55 @@ def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("ROUND(b, 6)").alias("top_bigram_share"),
         F.expr(f"u > {REP_TOKEN_SHARE} OR b > {REP_BIGRAM_SHARE}").alias("repetitive"),
     )
+
+
+@register(
+    "lm_unigram_score",
+    f"""WITH tok AS (
+            SELECT doc_id, unnest({duck_tokens(duck_ascii_lower('text'))}) AS token
+            FROM documents),
+        freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        tot AS (SELECT COUNT(*) AS t FROM tok)
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(-ln(c::DOUBLE / t::DOUBLE)), 4) AS avg_nll
+        FROM tok JOIN freq USING (token), tot
+        GROUP BY doc_id""",
+)
+def lm_unigram_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model scoring: per document, the mean negative
+    log-likelihood of its tokens under the corpus's own unigram
+    distribution — the cheap proxy for the KenLM-style perplexity filter
+    LLM curation pipelines run (documents whose token mix is improbable
+    under the corpus model are boilerplate, tables, or noise). Every
+    token appears in the corpus by construction, so no smoothing branch
+    is needed; the real pipeline swaps the in-corpus frequencies for a
+    reference LM's table, same plan.
+
+    Scale shape: pass 1 aggregates token frequencies — a shuffle whose
+    width is the VOCABULARY, not the corpus; the frequency table
+    broadcasts into pass 2's scoring join (at web scale a vocabulary cap
+    or a shuffle join on token, which the explode already partitions
+    for); the per-doc rollup is partial-aggregated on doc_id. AVG is a
+    data-ordered float sum, so both sides ROUND(, 4) — the standard
+    discipline."""
+    tok = (
+        read_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.expr(spark_tokens(spark_ascii_lower("text")))).alias("token"),
+        )
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("t").cast("double"))), 4
+            ).alias("avg_nll"),
+        )
+    )

