@@ -110,6 +110,7 @@ HEADLINE = [
     "compact_small_files",
     "session_funnel",
     "lm_unigram_score",
+    "anomaly_mad",
     "salted_skew_join",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is

@@ -319,3 +319,60 @@ def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@register(
+    "anomaly_mad",
+    """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS m
+           FROM events GROUP BY event_type),
+        dev AS (
+           SELECT e.event_type, e.value, m.m,
+                  abs(e.value - m.m) AS d
+           FROM events e JOIN med m USING (event_type)),
+        mad AS (
+           SELECT event_type, quantile_cont(d, 0.5) AS md
+           FROM dev GROUP BY event_type)
+       SELECT d.event_type,
+              COUNT(*) AS n,
+              ROUND(any_value(d.m), 6) AS median_value,
+              ROUND(any_value(mad.md), 6) AS mad,
+              CAST(SUM(CASE WHEN d.d > 3 * mad.md THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers
+       FROM dev d JOIN mad USING (event_type)
+       GROUP BY d.event_type""",
+)
+def anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust anomaly screen: per event_type, the count of values more
+    than 3 median-absolute-deviations from the median — the outlier
+    detector that survives the outliers it is hunting (a z-score's mean
+    and stddev are themselves dragged by the anomalies; median and MAD
+    are not). Standard data-quality gate before a training run consumes
+    a feed.
+
+    Cross-engine determinism: both engines share the linear-interpolated
+    percentile definition (proven by percentile_agg), so the median, the
+    MAD, and every |v - med| > 3·MAD comparison evaluate on identical
+    doubles — the flag needs no rounding discipline at all; only the
+    reported median/MAD round for display. Two grouped percentile passes
+    on the event_type exchange plus broadcast joins of the 5-row stats —
+    at 100 TB swap exact percentiles for approx_percentile (t-digest,
+    one pass, mergeable), same shape."""
+    ev = read_table(spark, sf, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("m")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5D)").alias("md"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("m"), 6).alias("median_value"),
+            F.round(F.first("md"), 6).alias("mad"),
+            F.sum((F.col("d") > 3 * F.col("md")).cast("long")).alias("n_outliers"),
+        )
+    )

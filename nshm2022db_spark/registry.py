@@ -161,7 +161,6 @@ from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F40
 _DRIVER_ORDER = [
     # P0 — queries with NO driver correctness row yet: the r01 tail
     # families (VERDICT.md "Next round" #2) and round-2 additions.
-    "knn_bruteforce",
     "dedup_embedding_cosine",
     "stream_tumbling_window",
     "stream_sliding_window",
@@ -215,6 +214,7 @@ _DRIVER_ORDER = [
     "compact_small_files",
     "session_funnel",
     "lm_unigram_score",
+    "anomaly_mad",
     # P3 — never driver-verified (registered past the cap in r02).
     "approx_count_distinct_sketch",
     # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
@@ -229,6 +229,7 @@ _DRIVER_ORDER = [
     # skill). advanced_query_dsl is also exercised every round by the
     # driver's entry() smoke.
     "dedup_ngram_jaccard",
+    "knn_bruteforce",
     "knn_ivf",
     "text_pii_scrub",
     "text_repetition_stats",

@@ -231,7 +231,7 @@ class TestDriverOrder:
             "delete_where_rewrite", "snapshot_diff", "zorder_key",
             "bucket_by_cutpoints", "hll_shard_merge", "salted_skew_join",
             "stream_windowed_distinct", "sql_api_pricing_summary",
-            "cohort_retention", "compact_small_files", "session_funnel", "lm_unigram_score",
+            "cohort_retention", "compact_small_files", "session_funnel", "lm_unigram_score", "anomaly_mad",
             # never driver-verified before round 3
             "approx_count_distinct_sketch",
         }
