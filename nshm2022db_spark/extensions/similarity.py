@@ -394,24 +394,33 @@ def _refine_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-# Trained-centroid cache, keyed on the sf dir: k-means training is a
-# one-off per corpus (at scale the refined centroids persist as their own
-# tiny table that every query reuses); retraining on every knn_ivf call
-# would bill the serving path for index construction. Deterministic —
-# fixed seeds + rounded means — so caching cannot change results. 8 rows
-# of 64 doubles per entry.
-_TRAINED: dict[str, tuple[list, object]] = {}
+# Trained-centroid cache, keyed on (sf dir, embeddings.parquet mtime):
+# k-means training is a one-off per corpus (at scale the refined
+# centroids persist as their own tiny table that every query reuses);
+# retraining on every knn_ivf call would bill the serving path for index
+# construction. The mtime in the key invalidates the entry if the
+# testdata is regenerated in place at the same path within one process
+# (VERDICT r03 nit #8). Deterministic — fixed seeds + rounded means — so
+# caching cannot change results. 8 rows of 64 doubles per entry.
+_TRAINED: dict[tuple[str, float], tuple[list, object]] = {}
 
 
 def _trained_centroids(spark: SparkSession, sf: str) -> DataFrame:
-    if sf not in _TRAINED:
+    import os
+
+    try:
+        mtime = os.path.getmtime(os.path.join(sf, "embeddings.parquet"))
+    except OSError:
+        mtime = -1.0
+    key = (sf, mtime)
+    if key not in _TRAINED:
         emb = read_table(spark, sf, "embeddings")
         seeds = emb.filter(
             (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
         ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
         refined = _refine_centroids(_assign_lists(emb, seeds))
-        _TRAINED[sf] = (refined.collect(), refined.schema)
-    rows, schema = _TRAINED[sf]
+        _TRAINED[key] = (refined.collect(), refined.schema)
+    rows, schema = _TRAINED[key]
     return spark.createDataFrame(rows, schema)
 
 

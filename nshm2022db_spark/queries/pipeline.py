@@ -12,6 +12,7 @@ Float discipline: double sums ROUND()ed identically on both sides.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -440,23 +441,44 @@ DELETE_TYPES = ("purchase", "signup")  # partitions holding personal data
 
 def apply_erasure_rewrite(spark: SparkSession, path: str) -> None:
     """Rewrite ONLY the DELETE_TYPES partitions of an event_type-
-    partitioned table, dropping the erasure-set users. Dynamic partition
-    overwrite replaces exactly the partitions present in the written
-    data; every other partition's files stay byte-identical on disk
-    (pinned by test). The localCheckpoint breaks lineage so the rewrite
-    can read and replace the same location; production swaps a temp dir."""
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    partitioned table, dropping the erasure-set users.
+
+    Write-then-swap, never overwrite-in-place (ADVICE r03): the filtered
+    partitions are fully materialized to a sibling temp directory FIRST,
+    and only after that write succeeds are the affected `event_type=X`
+    partition dirs swapped in with directory renames. A failure at any
+    point before the swap leaves the source untouched; a lost executor
+    mid-write cannot corrupt it (the earlier localCheckpoint variant
+    stored recovery blocks on executors and overwrote the partitions it
+    was still reading from). Every partition NOT in the written data is
+    never touched — its files stay byte-identical on disk (pinned by
+    test). Directory renames on one filesystem are metadata-only; on an
+    object store the same shape is a staged write + manifest pointer
+    swap (what Delta/Iceberg commit protocols do)."""
+    tmp = path.rstrip("/") + ".__erasure_tmp__"
+    old = path.rstrip("/") + ".__erasure_old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    (
+        spark.read.parquet(path)
+        .filter(F.col("event_type").isin(*DELETE_TYPES))
+        .filter(~(F.col("user_id") % DELETE_USER_MOD == 0))
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(tmp)
+    )
+    os.makedirs(old)
     try:
-        affected = (
-            spark.read.parquet(path)
-            .filter(F.col("event_type").isin(*DELETE_TYPES))
-            .filter(~(F.col("user_id") % DELETE_USER_MOD == 0))
-            .localCheckpoint()
-        )
-        affected.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        for entry in sorted(os.listdir(tmp)):
+            if not entry.startswith("event_type="):
+                continue  # _SUCCESS marker etc.
+            live = os.path.join(path, entry)
+            if os.path.exists(live):
+                os.rename(live, os.path.join(old, entry))
+            os.rename(os.path.join(tmp, entry), live)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 @register(
@@ -476,17 +498,15 @@ def delete_where_rewrite(spark: SparkSession, sf: str) -> DataFrame:
 
     The table lands partitioned by event_type; the delete reads ONLY the
     affected partitions (partition pruning — the filter is on the
-    partition column), anti-filters the erasure set, and writes back
-    under DYNAMIC partition overwrite, which replaces exactly the
-    partitions present in the written data. Cost is proportional to the
+    partition column), anti-filters the erasure set, writes the surviving
+    rows to a temp directory, then swaps the affected partition dirs into
+    place (see apply_erasure_rewrite). Cost is proportional to the
     affected partitions, not the table: at 100 TB, deleting users from
     2 of 500 date partitions rewrites 0.4% of the files. A real table
     format (Delta/Iceberg) narrows the rewrite further to affected FILES
-    via column stats; the partition-granularity rewrite here is what
-    those formats fall back to, with the same dynamic-overwrite commit.
-    The lineage break (localCheckpoint) stands in for the temp-dir +
-    atomic-swap a production job would use to read and replace the same
-    location safely.
+    via column stats; the partition-granularity write-and-swap here is
+    what those formats fall back to, with the pointer swap playing the
+    commit.
 
     The oracle recomputes the post-delete table from the base parquet —
     the round trip proves both the partitioned land and the selective

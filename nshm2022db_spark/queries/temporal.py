@@ -337,7 +337,8 @@ def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
               COUNT(*) AS n,
               ROUND(any_value(d.m), 6) AS median_value,
               ROUND(any_value(mad.md), 6) AS mad,
-              CAST(SUM(CASE WHEN d.d > 3 * mad.md THEN 1 ELSE 0 END)
+              CAST(SUM(CASE WHEN ROUND(d.d, 9) > ROUND(3 * mad.md, 9)
+                       THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_outliers
        FROM dev d JOIN mad USING (event_type)
        GROUP BY d.event_type""",
@@ -351,13 +352,14 @@ def anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     a feed.
 
     Cross-engine determinism: both engines share the linear-interpolated
-    percentile definition (proven by percentile_agg), so the median, the
-    MAD, and every |v - med| > 3·MAD comparison evaluate on identical
-    doubles — the flag needs no rounding discipline at all; only the
-    reported median/MAD round for display. Two grouped percentile passes
-    on the event_type exchange plus broadcast joins of the 5-row stats —
-    at 100 TB swap exact percentiles for approx_percentile (t-digest,
-    one pass, mergeable), same shape."""
+    percentile definition (proven by percentile_agg), and on top of that
+    BOTH SIDES of the outlier comparison round to 9 decimals before
+    comparing — the repo's standard float discipline — so a value sitting
+    exactly on the 3·MAD boundary cannot flip on a 1-ulp interpolation
+    divergence (ADVICE r03). Two grouped percentile passes on the
+    event_type exchange plus broadcast joins of the 5-row stats — at
+    100 TB swap exact percentiles for approx_percentile (t-digest, one
+    pass, mergeable), same shape."""
     ev = read_table(spark, sf, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5D)").alias("m")
@@ -373,6 +375,8 @@ def anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.first("m"), 6).alias("median_value"),
             F.round(F.first("md"), 6).alias("mad"),
-            F.sum((F.col("d") > 3 * F.col("md")).cast("long")).alias("n_outliers"),
+            F.sum(
+                (F.round(F.col("d"), 9) > F.round(3 * F.col("md"), 9)).cast("long")
+            ).alias("n_outliers"),
         )
     )

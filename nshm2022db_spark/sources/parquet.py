@@ -30,16 +30,23 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def events_ts_type(sf_dir: str) -> str:
-    """Sniff the events.parquet footer (driver-side, no data read) and
+def ts_type_of_file(path: str) -> str:
+    """Sniff ONE parquet file's footer (driver-side, no data read) and
     report the physical ts layout: 'nanos' (INT64 TIMESTAMP(NANOS), the
-    round-1 testdata) or 'micros' (timestamp[us], the current layout).
-    Streaming readers need this BEFORE building their explicit source
-    schema; the batch path below just inspects what Spark decoded."""
+    round-1 testdata) or 'micros' (timestamp[us], the current layout)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    t = pq.read_schema(path).field("ts").type
     return "nanos" if getattr(t, "unit", None) == "ns" else "micros"
+
+
+def events_ts_type(sf_dir: str) -> str:
+    """The ts layout of the static events table. Streaming readers need
+    this BEFORE building their explicit source schema (they sniff the
+    actual streamed directory first, falling back to this — see
+    streaming.events._dir_ts_type); the batch path below just inspects
+    what Spark decoded."""
+    return ts_type_of_file(f"{sf_dir}/events.parquet")
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

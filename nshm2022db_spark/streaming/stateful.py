@@ -113,28 +113,9 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
 
 
 def _run_update_to_memory(updates: DataFrame, name: str) -> DataFrame:
-    spark = updates.sparkSession
-    # see events._run_to_memory: bound state-store partitions for replay;
-    # same single-threaded-planning assumption (the conf flip is global).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            updates.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.sql(f"SELECT * FROM {name}")
-    result = spark.createDataFrame(out.collect(), out.schema)
-    spark.catalog.dropTempView(name)
-    return result
+    # The replay-session scoping and caller-session materialization live
+    # in events._run_to_memory; update mode is the only difference here.
+    return _events._run_to_memory(updates, name, output_mode="update")
 
 
 @register(

