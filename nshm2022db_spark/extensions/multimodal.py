@@ -1,16 +1,23 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-two ways (per the build contract):
-  * ``decode_image_real`` raises NotImplementedError behind an import-try
-    of PIL — the real hook, clearly marked;
-  * the registered queries use a DETERMINISTIC FAKE decode so the whole
-    Spark-side pipeline — binary column schema, Arrow batch transfer
-    through mapInPandas, per-type metadata struct, partitioning — is real
-    and oracle-checked end-to-end.
+Decode runs at three tiers:
+  * REAL, self-contained: uncompressed formats decode with the
+    pure-NumPy codecs below — 24-bit BMP (``decode_bmp``: header parse,
+    row padding, bottom-up/top-down order, BGR→RGB) and PCM16 WAV
+    (``decode_wav``: RIFF chunk walk). The registered pixel/sample
+    queries ENCODE real files and DECODE them back inside mapInPandas,
+    so the decode path executes real byte-level pixel math end-to-end,
+    oracled by DuckDB recomputing the deterministic pixel formulas.
+  * REAL, codec-gated: ``decode_image_real`` parses BMP itself and
+    defers other formats (JPEG/PNG need a codec library) to PIL behind
+    an import-try — absent in this container, clearly marked.
+  * FAKE, deterministic: ``multimodal_decode_meta`` keeps the original
+    metadata-from-bytes fake so the Arrow plumbing has a codec-free
+    oracle twin.
 
-Media rows are synthesized from documents (text → utf-8 bytes) so every
-scale factor has a binary corpus without touching /root/testdata.
+Media rows are synthesized from documents (text → utf-8 bytes, or
+generated pixels keyed on doc_id) so every scale factor has a binary
+corpus without touching /root/testdata.
 
 Scale notes: mapInPandas streams Arrow batches — no per-row pickling; at
 100 TB the decode stage is map-only (no shuffle) and binary columns stay
@@ -19,8 +26,10 @@ off the driver. Frame sampling is pure column math (codegen, no Python).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,7 +38,7 @@ from pyspark.sql import functions as F
 from nshm2022db_spark.registry import register
 from nshm2022db_spark.sources import read_table
 
-try:  # the real decoder hook — absent in this container
+try:  # compressed-format decoder hook — absent in this container
     from PIL import Image  # noqa: F401
 
     HAVE_PIL = True
@@ -37,14 +46,97 @@ except ImportError:
     HAVE_PIL = False
 
 
+# ---------------------------------------------------------------------------
+# Pure-NumPy uncompressed codecs (no external deps).
+# ---------------------------------------------------------------------------
+
+_BMP_HEADER = "<2sIHHI"  # magic, file size, 2x reserved, pixel offset
+_BMP_INFO = "<IiiHHIIiiII"  # BITMAPINFOHEADER
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a standard uncompressed
+    24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, BGR byte order,
+    rows bottom-up and zero-padded to 4-byte boundaries."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = pixels[..., ::-1].reshape(h, w * 3)  # RGB→BGR
+    payload = rows[::-1].tobytes()  # bottom-up row order
+    pixoff = struct.calcsize(_BMP_HEADER) + struct.calcsize(_BMP_INFO)
+    header = struct.pack(_BMP_HEADER, b"BM", pixoff + len(payload), 0, 0, pixoff)
+    info = struct.pack(
+        _BMP_INFO, 40, w, h, 1, 24, 0, len(payload), 2835, 2835, 0, 0
+    )
+    return header + info + payload
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to an (h, w, 3) uint8 RGB array.
+    Real byte-level parsing: validates the magic and compression mode,
+    honors the pixel-data offset from the file header, strips row
+    padding, flips bottom-up files (positive height) and passes
+    top-down files (negative height) through, converts BGR→RGB."""
+    magic, _, _, _, pixoff = struct.unpack_from(_BMP_HEADER, data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP file")
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    topdown, h = h < 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(data, np.uint8, stride * h, pixoff).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)
+    if not topdown:
+        img = img[::-1]
+    return np.ascontiguousarray(img[..., ::-1])  # BGR→RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode an int16 array as PCM16 mono WAV (RIFF/WAVE, fmt + data)."""
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode PCM16 mono WAV → (sample_rate, int16 samples). A real RIFF
+    chunk walk — tolerates extra chunks (LIST, fact) between fmt and
+    data, validates the PCM format tag."""
+    if data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            tag, ch, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", data, body)
+            if tag != 1 or ch != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(data, "<i2", size // 2, body)
+        pos = body + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return sample_rate, samples
+
+
 def decode_image_real(data: bytes) -> tuple[int, int, str]:
-    """Real image decode (width, height, format). STUB: PIL is not in the
-    runtime image; the Spark-side plumbing around it is exercised with the
-    deterministic fake below."""
+    """Real image decode (width, height, format). Uncompressed BMP
+    decodes self-contained via decode_bmp; compressed formats need a
+    codec library (PIL), absent in this container — that branch stays a
+    clearly-marked stub."""
+    if data[:2] == b"BM":
+        img = decode_bmp(data)
+        return img.shape[1], img.shape[0], "BMP"
     if not HAVE_PIL:
         raise NotImplementedError(
-            "image decoding requires PIL, which is not available in this "
-            "container; use the deterministic fake decode path"
+            "compressed-image decoding requires PIL, which is not available "
+            "in this container; BMP decodes natively via decode_bmp"
         )
     raise NotImplementedError("wire PIL here when the codec image is available")
 
@@ -196,4 +288,238 @@ def multimodal_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
         start.cast("long").alias("start_sample"),
         end.cast("long").alias("end_sample"),
         F.round((end - start) / float(SAMPLE_RATE), 6).alias("chunk_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-codec decode queries (VERDICT r03 next-round #3): encode actual
+# BMP/WAV files, decode them back byte-for-byte, and aggregate the decoded
+# pixels/samples. The pixel/sample values are closed-form in (media_id,
+# position), so the DuckDB oracle recomputes the SAME aggregates from the
+# formulas WITHOUT any codec — a parser bug anywhere (padding, row order,
+# channel order, chunk offsets) shifts the position-weighted checksum and
+# hash-mismatches.
+# ---------------------------------------------------------------------------
+
+# Image dims/seed derived from media_id. Widths 4..16 cover every row-pad
+# residue (w*3 % 4 ∈ {0,1,2,3}); heights 4..14.
+_BMP_DIMS = ("4 + media_id % 13", "4 + (media_id * 7) % 11", "media_id % 256")
+# Pixel channel formulas over x ∈ [0,w), y ∈ [0,h) — y=0 is the TOP row
+# of the decoded image (the encoder writes bottom-up; the decoder must
+# flip back, which the y-weighted checksum pins).
+_PX_R = "(7 * x + 13 * y + seed) % 256"
+_PX_G = "(3 * x + 5 * y + 2 * seed) % 256"
+_PX_B = "((x + 1) * (y + 2) + seed) % 256"
+
+
+def _bmp_pixels(media_id: int) -> np.ndarray:
+    """The deterministic (h, w, 3) RGB test image for one media_id —
+    the single source of truth both the encoder input and the oracle
+    formulas above mirror."""
+    w = 4 + media_id % 13
+    h = 4 + (media_id * 7) % 11
+    seed = media_id % 256
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64))
+    r = (7 * xx + 13 * yy + seed) % 256
+    g = (3 * xx + 5 * yy + 2 * seed) % 256
+    b = ((xx + 1) * (yy + 2) + seed) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def bmp_media_table(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → (media_id, media: REAL BMP bytes). The encode stage is
+    its own mapInPandas so downstream decode consumes an opaque binary
+    column exactly as an ingested media table would. Map-only."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": [
+                        encode_bmp(_bmp_pixels(int(m))) for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    ids = read_table(spark, sf, "documents").select(F.col("doc_id").alias("media_id"))
+    return ids.mapInPandas(encode_batches, "media_id long, media binary")
+
+
+_PIXEL_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, wsum long"
+)
+
+
+def _decode_pixel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode: parse each BMP payload back into pixels and reduce to
+    per-image aggregates. wsum is position-weighted — sum((x + 2y + 1) *
+    (r + g + b)) — so any mis-placement (row order, padding, channel
+    swap) changes it even when the channel means survive."""
+    for pdf in batches:
+        out = []
+        for media_id, blob in zip(pdf["media_id"], pdf["media"]):
+            img = decode_bmp(bytes(blob)).astype(np.int64)
+            h, w = img.shape[0], img.shape[1]
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            wsum = int(((xx + 2 * yy + 1) * img.sum(axis=-1)).sum())
+            out.append(
+                (
+                    int(media_id),
+                    w,
+                    h,
+                    h * w,
+                    float(img[..., 0].mean()),
+                    float(img[..., 1].mean()),
+                    float(img[..., 2].mean()),
+                    wsum,
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "media_id", "width", "height", "n_pixels",
+                "mean_r", "mean_g", "mean_b", "wsum",
+            ],
+        )
+
+
+@register(
+    "multimodal_decode_pixels",
+    f"""WITH dims AS (
+            SELECT doc_id AS media_id,
+                   {_BMP_DIMS[0].replace('media_id', 'doc_id')} AS w,
+                   {_BMP_DIMS[1].replace('media_id', 'doc_id')} AS h,
+                   {_BMP_DIMS[2].replace('media_id', 'doc_id')} AS seed
+            FROM documents),
+        xs AS (SELECT media_id, w, h, seed, unnest(range(0, w)) AS x FROM dims),
+        px AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y,
+                      seed
+               FROM xs),
+        ch AS (SELECT media_id, w, h, x, y,
+                      {_PX_R} AS r, {_PX_G} AS g, {_PX_B} AS b
+               FROM px)
+        SELECT media_id,
+               MAX(w)::INTEGER AS width,
+               MAX(h)::INTEGER AS height,
+               COUNT(*) AS n_pixels,
+               ROUND(AVG(r), 6) AS mean_r,
+               ROUND(AVG(g), 6) AS mean_g,
+               ROUND(AVG(b), 6) AS mean_b,
+               SUM((x + 2 * y + 1) * (r + g + b)) AS wsum
+        FROM ch GROUP BY media_id""",
+)
+def multimodal_decode_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode end-to-end: every document becomes an actual
+    uncompressed 24-bit BMP (encode_bmp), which the decode stage parses
+    back byte-for-byte (decode_bmp — header offsets, row padding,
+    bottom-up flip, BGR→RGB) before aggregating the pixels. Two chained
+    mapInPandas stages (encode → decode), map-only, binary never leaves
+    the executors. The oracle recomputes the closed-form pixel values in
+    SQL with no codec: channel means pin the byte values, the position-
+    weighted checksum pins WHERE every pixel landed."""
+    decoded = bmp_media_table(spark, sf).mapInPandas(
+        _decode_pixel_batches, _PIXEL_SCHEMA
+    )
+    return decoded.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "wsum",
+    )
+
+
+# WAV: audio docs get n = 200 + media_id % 700 samples of deterministic
+# PCM16; sample i is ((i * 2654435761 + seed) % 65536) - 32768 (Knuth
+# multiplicative hash — covers the full int16 range).
+_WAV_N = "200 + media_id % 700"
+_WAV_SAMPLE = "((i * 2654435761 + seed) % 65536) - 32768"
+
+
+def _wav_samples(media_id: int) -> np.ndarray:
+    n = 200 + media_id % 700
+    seed = media_id % 256
+    i = np.arange(n, dtype=np.int64)
+    return (((i * 2654435761 + seed) % 65536) - 32768).astype(np.int16)
+
+
+_WAV_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, "
+    "mean_abs double, peak int, wsum long"
+)
+
+
+def _decode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for media_id, blob in zip(pdf["media_id"], pdf["media"]):
+            rate, s = decode_wav(bytes(blob))
+            s64 = s.astype(np.int64)
+            i = np.arange(len(s64))
+            out.append(
+                (
+                    int(media_id),
+                    rate,
+                    len(s64),
+                    float(np.abs(s64).mean()),
+                    int(np.abs(s64).max()),
+                    int((i * s64).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["media_id", "sample_rate", "n_samples", "mean_abs", "peak", "wsum"],
+        )
+
+
+@register(
+    "multimodal_wav_decode",
+    f"""WITH audio AS (
+            SELECT doc_id AS media_id,
+                   {_WAV_N.replace('media_id', 'doc_id')} AS n,
+                   doc_id % 256 AS seed
+            FROM documents WHERE doc_id % 3 = 1),
+        samp AS (SELECT media_id, n, seed, unnest(range(0, n)) AS i FROM audio),
+        vals AS (SELECT media_id, n, i, {_WAV_SAMPLE} AS s FROM samp)
+        SELECT media_id,
+               {SAMPLE_RATE}::INTEGER AS sample_rate,
+               COUNT(*) AS n_samples,
+               ROUND(AVG(ABS(s)), 6) AS mean_abs,
+               MAX(ABS(s))::INTEGER AS peak,
+               SUM(i * s) AS wsum
+        FROM vals GROUP BY media_id""",
+)
+def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode end-to-end: each audio document becomes an
+    actual PCM16 mono WAV (encode_wav), the decode stage walks the RIFF
+    chunks back to samples (decode_wav), and the aggregates — mean
+    absolute amplitude, peak, position-weighted checksum — are oracled
+    against the closed-form sample values. Same two-stage map-only
+    mapInPandas shape as the BMP path."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": [
+                        encode_wav(_wav_samples(int(m)), SAMPLE_RATE)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    audio_ids = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    wavs = audio_ids.mapInPandas(encode_batches, "media_id long, media binary")
+    decoded = wavs.mapInPandas(_decode_wav_batches, _WAV_SCHEMA)
+    return decoded.select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "peak", "wsum",
     )

@@ -151,147 +151,160 @@ from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F40
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering. The driver gate verifies exactly the FIRST 50
-# registered queries (observed r01+r02). The standing contract (pinned by
-# tests/test_extensions.py::TestDriverOrder): every query that is NEW this
-# round or whose code changed since its last green CORRECTNESS row sits
-# inside the 50-query window; queries with established green rows rotate
-# to the tail, each SURVEY §2 row keeping an in-window representative.
+# registered queries (observed r01-r03). The standing contract (pinned by
+# tests/test_extensions.py::TestDriverOrder, ADVICE r03 wording):
+#   * every query that is NEW this round, or whose OWN expressions changed
+#     since its last green CORRECTNESS row, sits inside the window;
+#   * a change to a SHARED primitive keeps at least one in-window
+#     representative per changed code path (the full set is re-proven by
+#     the local 3-scale verify gates, which run every query);
+#   * remaining slots refresh the stalest tail rows; queries with
+#     established green rows and untouched code rotate to the tail.
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # P0 — queries with NO driver correctness row yet: the r01 tail
-    # families (VERDICT.md "Next round" #2) and round-2 additions.
-    "dedup_embedding_cosine",
+    # ROUND-4 WINDOW. Composition (VERDICT r03 next-round #1 + ADVICE):
+    # (a) queries NEW or semantically CHANGED this round, (b) replay-
+    # plumbing representatives, (c) the stale tail — queries whose last
+    # green driver row is r1/r2 — prioritizing every query that depends
+    # on the functions/portable.py primitives round 3 changed (the
+    # _STOP_SQL translate() ASCII fold, BPE_PATTERN, shingle hashes).
+    #
+    # (a) new: the real-codec decode queries.
+    "multimodal_decode_pixels",
+    "multimodal_wav_decode",
+    # (a) changed: sketch contract now oracled; 3-MAD comparison now
+    # rounds both sides; erasure rewrite is now write-then-swap;
+    # stream_static_join reads its dim on the replay session.
+    "approx_count_distinct_sketch",
+    "anomaly_mad",
+    "delete_where_rewrite",
+    "stream_static_join",
+    # (b) replay-session/src-dir-sniff plumbing representatives — one per
+    # distinct streaming shape: complete-mode windowed agg, append-mode
+    # stream-stream join state, applyInPandasWithState update mode, and
+    # the doubled-dir + foreachBatch sink path. The five remaining
+    # streaming queries share exactly these code paths, hold fresh r03
+    # rows, and are re-proven by the local 3-scale verify gates.
     "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
     "stream_stream_join",
     "stream_stateful_profile",
-    "stream_dedup_events",
-    "window_range_frame",
-    "events_sessionize",
-    "range_join_events",
-    "jsonl_scan",
-    "embedding_random_projection",
-    "stream_static_join",
-    # Round-2 curation family (extensions/curation.py) — new, needs rows.
-    "tfidf_search",
-    "decontaminate_ngram",
-    "weighted_sample",
-    "pack_sequences",
-    "source_mix_sample",
-    "orc_scan",
     "stream_upsert_table",
-    "curation_pipeline",
-    "chunk_documents",
-    "value_histogram",
-    "fk_integrity_check",
-    # P1 — red in r01 (nanos-timestamp read, fixed in sources/parquet.py).
-    "events_tumbling_window",
-    "events_funnel",
-    "json_extract",
-    # P2 — round-3 additions with NO driver row yet: the temporal
-    # warehouse family (queries/temporal.py) and the bloom-screen
-    # decontamination variant.
-    "scd2_build",
-    "timeline_gapfill",
-    "events_locf",
-    "rank_distribution",
-    "decontaminate_bloom",
-    "value_drift_trend",
-    "csv_gzip_scan",
-    "multimodal_audio_chunks",
-    "stream_incremental_rollup",
-    "delete_where_rewrite",
-    "snapshot_diff",
-    "zorder_key",
-    "bucket_by_cutpoints",
-    "hll_shard_merge",
-    "salted_skew_join",
-    "stream_windowed_distinct",
-    "sql_api_pricing_summary",
-    "cohort_retention",
-    "compact_small_files",
-    "session_funnel",
-    "lm_unigram_score",
-    "anomaly_mad",
-    # P3 — never driver-verified (registered past the cap in r02).
-    "approx_count_distinct_sketch",
-    # --- 50-query window boundary (driver gate cap observed in r01+r02) ---
-    # Tail: queries with a green CORRECTNESS_r01/r02 row. Where round-3
-    # touched a SHARED primitive (the explicit-whitespace tokenizer and
-    # ASCII case fold in functions/portable.py), the window keeps
-    # representatives exercising every changed primitive — tfidf_search
-    # (tokens+fold), decontaminate_ngram/bloom (token+shingle hashes),
-    # curation_pipeline (norm+fold+quality classes), lm_unigram_score
-    # (tokens+fold), session_funnel — and the tail variants are re-proven
-    # by the local 3-scale + bare-session gates (see PERF.md / verify
-    # skill). advanced_query_dsl is also exercised every round by the
-    # driver's entry() smoke.
-    "dedup_ngram_jaccard",
-    "knn_bruteforce",
-    "knn_ivf",
+    # (c) stale-tail refresh — portable.py dependents first (the ADVICE
+    # items text_lang_id/text_quality_score/text_token_stats lead).
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
     "text_pii_scrub",
     "text_repetition_stats",
-    "percentile_agg",
-    "grouping_sets_agg",
-    "ntile_buckets",
-    "merge_upsert",
-    "vocab_topk",
-    "approx_percentile_bound",
-    "stratified_sample",
     "text_fingerprint",
-    "knn_lsh_bucketed",
-    "text_quality_score",
-    "knn_lsh_multiprobe",
-    "text_token_stats",
-    "text_lang_id",
-    "dedup_clusters",
-    "ragged_csv_roundtrip",
+    "vocab_topk",
+    "stratified_sample",
+    "explode_tokens",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
+    "knn_bruteforce",
+    "knn_lsh_bucketed",
+    "knn_lsh_multiprobe",
+    "knn_ivf",
+    "advanced_query_negation",
+    "advanced_query_or_bounds",
+    "asof_nearest_ge",
+    "asof_nearest_ge_per_key",
+    "percentile_agg",
+    "approx_percentile_bound",
+    "grouping_sets_agg",
+    "cube_agg",
+    "rollup_agg",
+    "approx_count_distinct",
+    "ntile_buckets",
+    "merge_upsert",
+    "ragged_csv_roundtrip",
     "geojson_scan",
     "csv_scan_join",
-    "dedup_exact",
-    "advanced_query_dsl",
     "multimodal_decode_meta",
+    "multimodal_frame_sample",
     "topk_global",
+    "topk_per_group",
     "weighted_branch_merge",
     "join_dim_hierarchy",
     "join_5way_agg",
-    "asof_nearest_ge",
+    # --- 50-query window boundary (driver gate cap observed r01-r03) ---
+    # Tail head: the LAST still-stale r1-row queries — single-operator
+    # relational shapes untouched since r1, all green in the judge's full
+    # r03 registry rerun and the local 3-scale gates. Rotate these into
+    # the round-5 window to finish the freshness sweep.
     "groupby_agg",
     "count_distinct",
     "point_lookup",
     "range_filter",
+    "scan_project",
+    "distinct_ordered",
+    "window_running_sum",
+    "union_all_stack",
     "intersect_types",
+    "except_types",
+    "pivot_wide",
     "scalar_string_format",
+    "scalar_max",
     "left_join_count",
     "semi_join_membership",
     "anti_join_missing",
     "any_value_carry",
     "having_postagg",
-    "rollup_agg",
     "surrogate_keys_dense",
     "conditional_agg_membership",
     "unpivot_long",
-    "scan_project",
-    "distinct_ordered",
-    "window_running_sum",
-    "union_all_stack",
-    "advanced_query_negation",
-    "advanced_query_or_bounds",
-    "asof_nearest_ge_per_key",
-    "scalar_max",
-    "cube_agg",
-    "approx_count_distinct",
-    "except_types",
-    "pivot_wide",
-    "explode_tokens",
-    "topk_per_group",
-    "geometry_planes",
     "table_profile",
-    "multimodal_frame_sample",
+    "geometry_planes",  # rows-only by design (TM series not SQL-expressible)
+    "advanced_query_dsl",  # exercised every round by the driver's entry() smoke
+    # Tail: fresh hash-green r03 rows, code untouched this round (or
+    # covered by the in-window plumbing representatives above).
+    "dedup_embedding_cosine",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_events",
+    "stream_windowed_distinct",
+    "stream_incremental_rollup",
+    "window_range_frame",
+    "events_sessionize",
+    "range_join_events",
+    "jsonl_scan",
+    "embedding_random_projection",
+    "tfidf_search",
+    "decontaminate_ngram",
+    "decontaminate_bloom",
+    "weighted_sample",
+    "pack_sequences",
+    "source_mix_sample",
+    "orc_scan",
+    "curation_pipeline",
+    "chunk_documents",
+    "value_histogram",
+    "fk_integrity_check",
+    "events_tumbling_window",
+    "events_funnel",
+    "json_extract",
+    "scd2_build",
+    "timeline_gapfill",
+    "events_locf",
+    "rank_distribution",
+    "value_drift_trend",
+    "csv_gzip_scan",
+    "multimodal_audio_chunks",
+    "snapshot_diff",
+    "zorder_key",
+    "bucket_by_cutpoints",
+    "hll_shard_merge",
+    "salted_skew_join",
+    "sql_api_pricing_summary",
+    "cohort_retention",
+    "compact_small_files",
+    "session_funnel",
+    "lm_unigram_score",
 ]
 
 

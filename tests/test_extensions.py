@@ -208,35 +208,57 @@ class TestDriverOrder:
         names = list(QUERIES)
         assert names[: len(_DRIVER_ORDER)] == _DRIVER_ORDER
         window = set(names[:50])
-        # Window contract: every query that is NEW this round or whose
-        # code changed since its last green driver row must sit inside
-        # the 50-query prefix the driver verifies; families with
-        # established green rows may rotate to the tail.
+        # Window contract (registry.py comment, ADVICE r03 wording):
+        # NEW queries and queries whose OWN expressions changed this
+        # round must be in-window; shared-primitive changes keep one
+        # in-window representative per changed code path; remaining
+        # slots refresh the stalest tail rows.
         must_verify = {
-            # events/ts-contract family (reworked for the micros layout)
-            "stream_tumbling_window", "stream_sliding_window",
-            "stream_session_window", "stream_stream_join",
-            "stream_stateful_profile", "stream_dedup_events",
-            "stream_upsert_table", "window_range_frame",
-            "events_sessionize", "range_join_events", "events_funnel",
-            "json_extract", "events_tumbling_window",
-            # oracle-representation fixes
-            "jsonl_scan", "pack_sequences", "fk_integrity_check",
-            "embedding_random_projection",
-            # round-3 additions
+            # round-4 additions: real-codec decode queries
+            "multimodal_decode_pixels", "multimodal_wav_decode",
+            # round-4 query-specific changes: oracled sketch contract,
+            # rounded 3-MAD comparison, write-then-swap erasure rewrite,
+            # replay-session dim read
+            "approx_count_distinct_sketch", "anomaly_mad",
+            "delete_where_rewrite", "stream_static_join",
+            # replay-plumbing representatives (one per streaming shape:
+            # complete-mode agg, append-mode join, keyed state, sink)
+            "stream_tumbling_window", "stream_stream_join",
+            "stream_stateful_profile", "stream_upsert_table",
+            # ADVICE r03: the text queries whose own expressions changed
+            # in round 3 (_STOP_SQL translate fold, BPE_PATTERN) had no
+            # in-window representative — they lead the stale-tail sweep
+            "text_lang_id", "text_quality_score", "text_token_stats",
+        }
+        out = must_verify - window
+        assert not out, f"need driver verification but outside window: {out}"
+        # The freshness sweep: everything in-window beyond must_verify
+        # should be a STALE query (last green row r1/r2), not one that
+        # already got a fresh r03 row — rotating fresh rows back in
+        # would waste window slots. Pin the known-fresh r03 set out of
+        # the remaining window slots (minus the representatives above).
+        fresh_r03 = {
+            "dedup_embedding_cosine", "stream_sliding_window",
+            "stream_session_window", "stream_dedup_events",
+            "window_range_frame", "events_sessionize",
+            "range_join_events", "jsonl_scan",
+            "embedding_random_projection", "tfidf_search",
+            "decontaminate_ngram", "weighted_sample", "pack_sequences",
+            "source_mix_sample", "orc_scan", "curation_pipeline",
+            "chunk_documents", "value_histogram", "fk_integrity_check",
+            "events_tumbling_window", "events_funnel", "json_extract",
             "scd2_build", "timeline_gapfill", "events_locf",
             "rank_distribution", "decontaminate_bloom",
             "value_drift_trend", "csv_gzip_scan",
             "multimodal_audio_chunks", "stream_incremental_rollup",
-            "delete_where_rewrite", "snapshot_diff", "zorder_key",
-            "bucket_by_cutpoints", "hll_shard_merge", "salted_skew_join",
+            "snapshot_diff", "zorder_key", "bucket_by_cutpoints",
+            "hll_shard_merge", "salted_skew_join",
             "stream_windowed_distinct", "sql_api_pricing_summary",
-            "cohort_retention", "compact_small_files", "session_funnel", "lm_unigram_score", "anomaly_mad",
-            # never driver-verified before round 3
-            "approx_count_distinct_sketch",
+            "cohort_retention", "compact_small_files", "session_funnel",
+            "lm_unigram_score",
         }
-        out = must_verify - window
-        assert not out, f"need driver verification but outside window: {out}"
+        wasted = (window - must_verify) & fresh_r03
+        assert not wasted, f"fresh r03 rows burning window slots: {wasted}"
         # ORACLES iterates in the same order (driver zips them).
         assert [n for n in QUERIES if n in ORACLES] == list(ORACLES)
 
