@@ -104,6 +104,110 @@ class TestSaltedJoin:
                 salted_join(left, right, ["k"], how=how)
 
 
+class TestSkewUnderLoad:
+    """Real-skew fixture (40% of fact rows on one key, parquet-backed so
+    shuffles see realistic byte sizes): pins that (a) salting actually
+    levels the reducers — the property that sets wall-clock at 100 TB —
+    and (b) AQE's runtime skew-join split fires on the plain sort-merge
+    join, so moderate skew is handled with no code at all."""
+
+    @pytest.fixture(scope="class")
+    def skew_dir(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("skew")
+        n, hot_share, hot_key, n_keys = 200_000, 0.4, 7, 1_000
+        n_hot = int(n * hot_share)
+        left = spark.range(n).select(
+            F.when(F.col("id") < n_hot, F.lit(hot_key))
+            .otherwise(F.col("id") % n_keys)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(n_keys).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        left.write.parquet(str(d / "left"))
+        right.write.parquet(str(d / "right"))
+        return d
+
+    @staticmethod
+    def _max_output_partition_rows(joined) -> int:
+        rows = (
+            joined.withColumn("__p", F.spark_partition_id())
+            .groupBy("__p")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in rows)
+
+    def test_salting_levels_reducers(self, spark, skew_dir):
+        left = spark.read.parquet(str(skew_dir / "left"))
+        right = spark.read.parquet(str(skew_dir / "right"))
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # isolate the salting effect from AQE's own mitigations
+            "spark.sql.adaptive.skewJoin.enabled": "false",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        prev = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            plain = left.join(right, "k")
+            n_salts = 8
+            salted = salted_join(left, right, ["k"], n_salts=n_salts)
+            # correctness first: same rows, same checksum as the oracle join
+            assert salted.count() == plain.count()
+            assert (
+                salted.agg(F.sum(F.col("v") * F.col("w"))).collect()[0][0]
+                == plain.agg(F.sum(F.col("v") * F.col("w"))).collect()[0][0]
+            )
+            # the plain join funnels the hot key into one reducer: its
+            # largest output partition carries >= the hot-key rowcount
+            hot_rows = 80_000
+            assert self._max_output_partition_rows(plain) >= hot_rows
+            # salting splits it across n_salts reducers; allow 2x slack
+            # for other keys hashing onto the same reducer
+            assert (
+                self._max_output_partition_rows(salted)
+                <= hot_rows / n_salts * 2
+            )
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
+    def test_aqe_skew_split_fires_on_plain_join(self, spark, skew_dir):
+        left = spark.read.parquet(str(skew_dir / "left"))
+        right = spark.read.parquet(str(skew_dir / "right"))
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            # shrink thresholds so the ~1 MB hot partition counts as skewed
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            # SMJ only: skew split does not apply to shuffled-hash joins
+            "spark.sql.join.preferSortMergeJoin": "true",
+        }
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            joined = left.join(right, "k")
+            # collect() executes THIS DataFrame's own QueryExecution (a
+            # count() would build a new agg plan on top and leave the
+            # join's adaptive plan unfinalized, isFinalPlan=false)
+            assert len(joined.collect()) == 200_000
+            final = joined._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in final
+            assert "skew=true" in final
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 class TestPartitionPruning:
     def test_partitioned_facts_prune_by_fault_system(self, spark, tmp_path):
         import numpy as np

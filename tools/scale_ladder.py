@@ -1,0 +1,234 @@
+"""Scaling ladder: sf0.1 -> sf1 (x10) per-query growth exponents.
+
+Purpose (VERDICT r03 next-round #5): verify no headline query grows
+super-linearly with data volume — the failure mode a single small-sf
+bench cannot see (a hidden candidate-pair quadratic in the dedup family,
+a driver-side collect that balloons, a state store growing past the
+watermark bound). At x10 data, a linear operator shows exponent ~1.0
+(time ratio ~10), a log-linear sort ~1.03, a quadratic ~2.0 (ratio 100).
+
+The sf1 input is synthesized from sf0.1 (testdata ships no sf1): fact
+tables are replicated x10 with key offsets, and replicas are DECORRELATED
+so the workload shape stays realistic rather than degenerate:
+
+* events: event_id/user_id offset per replica -> 10x users over the same
+  time range (per-user session/temporal state scales linearly, as in a
+  real corpus growing by users).
+* documents: every replica's tokens get a per-replica suffix, so shingles
+  / minhash bands / simhash bytes do NOT collide across replicas —
+  otherwise every doc would gain 9 near-duplicates and candidate pairs
+  would grow x100 by construction, measuring the synthetic artifact
+  instead of the operator. Within-replica duplicate structure is
+  preserved (x10 of it, linear). n_chars recomputed from the new text.
+* embeddings: per (vec_id, position, replica) deterministic perturbation
+  large enough to break cosine near-duplicacy across replicas, varying by
+  position so replicas are not all translated along one common direction
+  (which would make unrelated vectors collapse onto it).
+* orders/lineitem: o_orderkey/l_orderkey offset together; dims unchanged
+  (facts grow, dims stay — the realistic star-schema growth mode).
+
+Dims and remaining tables are symlinked. Single-file parquet layout is
+preserved (streaming sources reference `{sf}/events.parquet` directly).
+
+Usage:
+    python tools/scale_ladder.py build [dest_dir]
+    python tools/scale_ladder.py run   [dest_dir]   # writes tools/ladder_results.json
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DEFAULT_DEST = "/tmp/sf1_ladder"
+REPLICAS = 10
+
+# The expensive / scale-critical queries whose inputs actually grow in the
+# synthesized sf1 (events, documents, embeddings, orders, lineitem).
+LADDER = [
+    # dedup family — the candidate-generation joins where a quadratic hides
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    # ANN / text / curation
+    "knn_bruteforce",
+    "knn_ivf",
+    "tfidf_search",
+    "decontaminate_bloom",
+    "lm_unigram_score",
+    "curation_pipeline",
+    # temporal / sessionization over events
+    "timeline_gapfill",
+    "scd2_build",
+    "session_funnel",
+    "events_sessionize",
+    "cohort_retention",
+    "anomaly_mad",
+    # streaming replays (state-store cost vs volume)
+    "stream_dedup_events",
+    "stream_stream_join",
+    "stream_stateful_profile",
+    "stream_upsert_table",
+    # relational wide shuffles over scaled facts
+    "join_5way_agg",
+    "groupby_agg",
+]
+
+
+def build(dest: str) -> None:
+    import duckdb
+
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    def src(t: str) -> str:
+        return f"read_parquet('{SRC}/{t}.parquet')"
+
+    e_off, u_off = (
+        con.execute(
+            f"SELECT max(event_id) + 1, max(user_id) + 1 FROM {src('events')}"
+        ).fetchone()
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + r * {e_off} AS event_id, ts,
+                 user_id + r * {u_off} AS user_id, event_type, value, props
+          FROM {src('events')}, range({REPLICAS}) t(r)
+          ORDER BY ts, event_id
+        ) TO '{dest}/events.parquet' (FORMAT parquet)
+        """
+    )
+
+    (d_off,) = con.execute(f"SELECT max(doc_id) + 1 FROM {src('documents')}").fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + r * {d_off} AS doc_id,
+                 CASE WHEN r = 0 THEN text
+                      ELSE regexp_replace(text, '(\\S+)', '\\1_q' || r, 'g')
+                 END AS text,
+                 lang, source,
+                 length(CASE WHEN r = 0 THEN text
+                             ELSE regexp_replace(text, '(\\S+)', '\\1_q' || r, 'g')
+                        END) AS n_chars
+          FROM {src('documents')}, range({REPLICAS}) t(r)
+          ORDER BY doc_id
+        ) TO '{dest}/documents.parquet' (FORMAT parquet)
+        """
+    )
+
+    (v_off,) = con.execute(f"SELECT max(vec_id) + 1 FROM {src('embeddings')}").fetchone()
+    con.execute(
+        f"""
+        COPY (
+          WITH flat AS (
+            SELECT vec_id, label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM {src('embeddings')}
+          ), rep AS (
+            SELECT vec_id + r * {v_off} AS vec_id, label, pos,
+                   CAST(x + CASE WHEN r = 0 THEN 0.0
+                        ELSE (((vec_id * 31 + pos * 7 + r * 13) % 97) / 97.0 - 0.5) * 0.8
+                        END AS FLOAT) AS x
+            FROM flat, range({REPLICAS}) t(r)
+          )
+          SELECT vec_id, list(x ORDER BY pos) AS embedding, label
+          FROM rep GROUP BY vec_id, label ORDER BY vec_id
+        ) TO '{dest}/embeddings.parquet' (FORMAT parquet)
+        """
+    )
+
+    (o_off,) = con.execute(f"SELECT max(o_orderkey) + 1 FROM {src('orders')}").fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (o_orderkey + r * {o_off} AS o_orderkey)
+          FROM {src('orders')}, range({REPLICAS}) t(r) ORDER BY o_orderkey
+        ) TO '{dest}/orders.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (l_orderkey + r * {o_off} AS l_orderkey)
+          FROM {src('lineitem')}, range({REPLICAS}) t(r) ORDER BY l_orderkey
+        ) TO '{dest}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        link = f"{dest}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{t}.parquet", link)
+    print(f"built {dest}")
+
+
+def run(dest: str) -> None:
+    import __spark_entry__ as mod
+
+    from nshm2022db_spark.session import get_spark
+
+    qs = mod.queries()
+    spark = get_spark("ladder")
+    spark.read.parquet(f"{SRC}/nation.parquet").count()
+
+    def timed(name: str, sf_dir: str) -> float:
+        fn = qs[name]
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        gc.collect()
+        return best
+
+    results: dict[str, dict] = {}
+    for name in LADDER:
+        if name not in qs:
+            continue
+        t_small = timed(name, SRC)
+        t_big = timed(name, dest)
+        # exponent so that time ~ volume**alpha; fixed-overhead queries
+        # (t_big barely above t_small) legitimately show alpha << 1
+        alpha = math.log10(max(t_big, 1e-9) / max(t_small, 1e-9))
+        results[name] = {
+            "sf0.1_sec": round(t_small, 3),
+            "sf1_sec": round(t_big, 3),
+            "exponent": round(alpha, 3),
+        }
+        print(json.dumps({name: results[name]}))
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ladder_results.json")
+    with open(out, "w") as f:
+        json.dump(
+            {"replicas": REPLICAS, "src": SRC, "dest": dest, "queries": results},
+            f,
+            indent=1,
+        )
+    worst = max(results.items(), key=lambda kv: kv[1]["exponent"])
+    print(f"wrote {out}; worst exponent: {worst[0]} {worst[1]['exponent']}")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    dest = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_DEST
+    if mode == "build":
+        build(dest)
+    elif mode == "run":
+        run(dest)
+    else:
+        raise SystemExit(f"unknown mode {mode!r} (build|run)")
