@@ -49,6 +49,88 @@ def _duck_bucket(vec: str) -> str:
     return f"({bits})"
 
 
+# -- occupancy-constant blocking for the all-pairs dedup ---------------------
+# A FIXED plane count makes bucket occupancy grow linearly with the corpus,
+# so same-bucket candidate PAIRS grow quadratically (caught by the sf0.1->sf1
+# scale ladder: exponent 1.79 before this fix). Instead: always compute
+# DEDUP_MAX_BITS sign bits, then keep the low `bits` where the bucket count
+# 2^bits is chosen from the corpus cardinality so expected occupancy stays
+# ~DEDUP_TARGET_OCC. Candidate pairs are then n*occ/2 — LINEAR in n. The
+# bucket-count rule is a literal integer CASE chain (no float log2) so both
+# engines derive the identical blocking; for corpora <= 6144 vectors it
+# resolves to 256 buckets == the original 8-plane bucket (low bits of the
+# full bucket are planes 0..7), keeping small-sf results byte-identical.
+
+DEDUP_MAX_BITS = 16
+DEDUP_TARGET_OCC = 24
+
+
+def _nbuckets_case_sql(count_col: str) -> str:
+    """Portable (Spark SQL == DuckDB) integer CASE chain mapping corpus
+    cardinality to a power-of-two bucket count with ~DEDUP_TARGET_OCC
+    expected rows per bucket. Literal thresholds, no engine float math."""
+    branches = " ".join(
+        f"WHEN {count_col} <= {DEDUP_TARGET_OCC * (1 << bits)} THEN {1 << bits}"
+        for bits in range(N_PLANES, DEDUP_MAX_BITS)
+    )
+    return f"(CASE {branches} ELSE {1 << DEDUP_MAX_BITS} END)"
+
+
+# Real embedding corpora are NOT uniform over sign-buckets (clustered data
+# concentrates sign patterns), so a count-derived global bucket width still
+# leaves hot buckets whose internal pair count is quadratic in their
+# occupancy. Second level: buckets over DEDUP_SPLIT_CAP are refined by the
+# NEXT plane bits (an LSH-trie depth step) with a split factor chosen from
+# the observed occupancy so refined occupancy lands back near 2×target.
+# Both levels are deterministic integer CASE chains on counts, so the DuckDB
+# oracle derives the identical blocking. Splitting a hot bucket can separate
+# a mid-similarity pair whose members disagree on an extended bit — the
+# standard LSH recall trade; near-identical vectors agree on almost all sign
+# bits and stay together.
+
+DEDUP_SPLIT_CAP = 4 * DEDUP_TARGET_OCC  # refine buckets with occ > 96
+_SPLIT_TGT = 2 * DEDUP_TARGET_OCC       # refined occupancy aim: occ/split <= 48
+
+
+def _split_case_sql(occ_col: str) -> str:
+    """Split factor (power of two) for a bucket of occupancy `occ`:
+    1 below the cap, else the smallest 2^k with occ/2^k <= 2*target."""
+    branches = [f"WHEN {occ_col} <= {DEDUP_SPLIT_CAP} THEN 1"]
+    branches += [
+        f"WHEN {occ_col} <= {_SPLIT_TGT * (1 << k)} THEN {1 << k}"
+        for k in range(2, DEDUP_MAX_BITS - N_PLANES + 1)
+    ]
+    return f"(CASE {' '.join(branches)} ELSE {1 << (DEDUP_MAX_BITS - N_PLANES)} END)"
+
+
+def _maxsplit_case_sql(count_col: str) -> str:
+    """Largest split usable without exceeding the {DEDUP_MAX_BITS} computed
+    plane bits: (1 << DEDUP_MAX_BITS) / nbuckets, as literals so neither
+    engine does runtime division."""
+    branches = " ".join(
+        f"WHEN {count_col} <= {DEDUP_TARGET_OCC * (1 << bits)} "
+        f"THEN {1 << (DEDUP_MAX_BITS - bits)}"
+        for bits in range(N_PLANES, DEDUP_MAX_BITS)
+    )
+    return f"(CASE {branches} ELSE 1 END)"
+
+
+def _spark_bucket_full(vec: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {spark_hyperplane_dot(vec, j, DIM)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(DEDUP_MAX_BITS)
+    )
+    return f"({bits})"
+
+
+def _duck_bucket_full(vec: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {duck_hyperplane_dot(vec, j, DIM)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(DEDUP_MAX_BITS)
+    )
+    return f"({bits})"
+
+
 def _spark_cos(a: str, b: str) -> str:
     return f"{spark_dot(a, b)} / (sqrt({spark_dot(a, a)}) * sqrt({spark_dot(b, b)}))"
 
@@ -167,8 +249,15 @@ def knn_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    f"""WITH b AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
-                  FROM embeddings),
+    f"""WITH n AS (SELECT count(*) AS c FROM embeddings),
+        f AS (SELECT vec_id, embedding, {_duck_bucket_full('embedding')} AS fb,
+                     {_nbuckets_case_sql('c')} AS nb1, {_maxsplit_case_sql('c')} AS ms
+              FROM embeddings, n),
+        l AS (SELECT *, fb % nb1 AS l1 FROM f),
+        o AS (SELECT *, count(*) OVER (PARTITION BY l1) AS occ FROM l),
+        b AS (SELECT vec_id, embedding,
+                     l1 + nb1 * ((fb // nb1) % LEAST({_split_case_sql('occ')}, ms)) AS bucket
+              FROM o),
         pairs AS (
             SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
                    {_duck_cos('a.embedding', 'b2.embedding')} AS cos
@@ -177,12 +266,41 @@ def knn_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         FROM pairs WHERE cos >= {COS_TAU}""",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup pairs: LSH-bucket blocking (same {N_PLANES}-bit
-    bucket) then exact cosine ≥ τ on candidates — never n² over the corpus."""
+    """Embedding near-dup pairs: adaptive LSH-bucket blocking, then exact
+    cosine ≥ τ on same-bucket candidates — never n² over the corpus.
+
+    Two-level occupancy control (both levels integer-deterministic, so the
+    DuckDB oracle derives the identical blocking):
+      L1: keep the low bits of a {DEDUP_MAX_BITS}-plane sign bucket, bucket
+          count chosen from count(*) for ~{DEDUP_TARGET_OCC} expected
+          occupancy — candidate pairs grow LINEARLY with the corpus (a
+          fixed 2^{N_PLANES} bucket was quadratic; scale-ladder exponent
+          1.79 before this fix).
+      L2: observed hot buckets (occ > {DEDUP_SPLIT_CAP}; clustered
+          embeddings concentrate sign patterns) are refined by the next
+          plane bits with an occupancy-derived split — the LSH-trie depth
+          step — bounding per-bucket pair work under real skew.
+    Plan: one broadcast of the 1-row count, one exchange on l1 for the
+    occupancy window, one exchange on the refined bucket for the pair
+    join. At 100 TB raise DEDUP_MAX_BITS (plane bits are the only
+    capacity knob; {DEDUP_MAX_BITS} bits carry ~{DEDUP_TARGET_OCC} ×
+    2^{DEDUP_MAX_BITS} ≈ 1.5M vectors before refinement saturates)."""
+    emb = read_table(spark, sf, "embeddings")
+    n = emb.agg(F.count("*").alias("c"))
     emb = _with_norm(
-        read_table(spark, sf, "embeddings").withColumn(
-            "bucket", F.expr(_spark_bucket("embedding"))
-        ),
+        emb.crossJoin(F.broadcast(n))
+        .withColumn("fb", F.expr(_spark_bucket_full("embedding")))
+        .withColumn("nb1", F.expr(_nbuckets_case_sql("c")))
+        .withColumn("ms", F.expr(_maxsplit_case_sql("c")))
+        .withColumn("l1", F.expr("fb % nb1"))
+        .withColumn("occ", F.count("*").over(Window.partitionBy("l1")))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"l1 + nb1 * ((fb div nb1) % LEAST({_split_case_sql('occ')}, ms))"
+            ),
+        )
+        .drop("c", "fb", "nb1", "ms", "l1", "occ"),
         "embedding",
         "enorm",
     )

@@ -752,18 +752,29 @@ def compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       AS BIGINT) AS session_id
            FROM flagged),
-        folded AS (
-           SELECT user_id, session_id,
-                  COUNT(*) AS n_events,
-                  list(event_type ORDER BY ts, event_id) AS types
-           FROM sess GROUP BY user_id, session_id)
-       SELECT user_id, session_id, n_events,
-              CAST(list_reduce(list_prepend('0', types),
-                   (acc, x) -> CASE WHEN x = 'view'     AND acc = '0' THEN '1'
-                                    WHEN x = 'click'    AND acc = '1' THEN '2'
-                                    WHEN x = 'purchase' AND acc = '2' THEN '3'
-                                    ELSE acc END) AS BIGINT) AS funnel_step
-       FROM folded""",
+        s1 AS (
+           SELECT user_id, session_id, ts, event_id, event_type,
+                  COALESCE(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS view_before
+           FROM sess),
+        s2 AS (
+           SELECT user_id, session_id, ts, event_id, event_type, view_before,
+                  COALESCE(MAX(CASE WHEN event_type = 'click' AND view_before = 1
+                                    THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS click_chain_before
+           FROM s1)
+       SELECT user_id, session_id, COUNT(*) AS n_events,
+              CAST(MAX(CASE WHEN event_type = 'purchase'
+                                 AND click_chain_before = 1 THEN 3
+                            WHEN event_type = 'click'
+                                 AND view_before = 1 THEN 2
+                            WHEN event_type = 'view' THEN 1
+                            ELSE 0 END) AS BIGINT) AS funnel_step
+       FROM s2 GROUP BY user_id, session_id""",
 )
 def session_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Within-session funnel depth: per (user, session), how far the
@@ -779,9 +790,18 @@ def session_funnel(spark: SparkSession, sf: str) -> DataFrame:
     `aggregate` — so custom sequential logic needs no Python UDF and no
     extra shuffle. The sessionize window, the rollup, and the fold all
     ride the ONE user_id exchange; per-session arrays are bounded by
-    session length (the 30-min gap bounds them at any corpus size). The
-    oracle runs the identical fold via list_reduce, the portable-
-    primitives discipline (functions/portable.py)."""
+    session length (the 30-min gap bounds them at any corpus size).
+
+    The oracle expresses the SAME monotone automaton as layered gated
+    windows (view strictly before a click arms it; an armed click
+    strictly before a purchase arms that) rather than a list_reduce
+    fold: DuckDB 1.0.0's list_reduce over a GROUPED list column is
+    nondeterministic under parallel execution (~1-in-3 fresh processes
+    returned a different funnel_step for one session at sf0.1 — the
+    r4 sf0.1 verify gate caught it; folds over per-row computed lists,
+    e.g. duck_dot, showed no instability across a 12-process stress).
+    Exactness of the rewrite: acc after event i == max over the prefix
+    of the per-event gated stage, by induction on the fold."""
     ev = read_table(spark, sf, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )

@@ -266,3 +266,99 @@ class TestCompaction:
         assert (
             spark.read.parquet(dst).count() == docs.count()
         )  # lossless rewrite
+
+
+class TestAdaptiveEmbeddingBlocking:
+    """The dedup_embedding_cosine blocking rule (extensions/similarity.py):
+    occupancy-constant L1 bucket count from corpus cardinality plus
+    LSH-trie refinement of hot buckets. Caught by the sf0.1->sf1 scale
+    ladder as near-quadratic (exponent 1.79) with a fixed 2^8 block;
+    these pin the integer CASE chains both engines share and the
+    small-sf no-op property."""
+
+    def _duck_scalar(self, expr: str) -> int:
+        import duckdb
+
+        return duckdb.sql(f"SELECT {expr} AS v").fetchone()[0]
+
+    def test_nbuckets_chain_holds_occupancy(self):
+        from nshm2022db_spark.extensions.similarity import (
+            DEDUP_MAX_BITS,
+            DEDUP_TARGET_OCC,
+            _nbuckets_case_sql,
+        )
+
+        for c, want in [
+            (100, 256),
+            (DEDUP_TARGET_OCC * 256, 256),  # boundary stays at 8 bits
+            (DEDUP_TARGET_OCC * 256 + 1, 512),
+            (20_000, 1024),
+            (10**9, 1 << DEDUP_MAX_BITS),
+        ]:
+            assert self._duck_scalar(_nbuckets_case_sql(str(c))) == want
+        # expected occupancy stays within [target/2, target] up to saturation
+        for c in (300, 7_000, 50_000, 600_000, 1_400_000):
+            nb = self._duck_scalar(_nbuckets_case_sql(str(c)))
+            if c > DEDUP_TARGET_OCC * 256 and nb < (1 << DEDUP_MAX_BITS):
+                assert DEDUP_TARGET_OCC / 2 < c / nb <= DEDUP_TARGET_OCC
+
+    def test_split_chain_bounds_refined_occupancy(self):
+        from nshm2022db_spark.extensions.similarity import (
+            DEDUP_SPLIT_CAP,
+            _SPLIT_TGT,
+            _split_case_sql,
+        )
+
+        assert self._duck_scalar(_split_case_sql(str(DEDUP_SPLIT_CAP))) == 1
+        for occ in (DEDUP_SPLIT_CAP + 1, 150, 565, 3_000, 12_000):
+            split = self._duck_scalar(_split_case_sql(str(occ)))
+            assert split >= 2 and occ / split <= _SPLIT_TGT
+            # the split is the SMALLEST such power of two (no over-splitting)
+            assert occ / (split // 2) > _SPLIT_TGT
+
+    def test_maxsplit_complements_nbuckets(self):
+        from nshm2022db_spark.extensions.similarity import (
+            DEDUP_MAX_BITS,
+            _maxsplit_case_sql,
+            _nbuckets_case_sql,
+        )
+
+        for c in (100, 7_000, 20_000, 300_000, 10**9):
+            nb = self._duck_scalar(_nbuckets_case_sql(str(c)))
+            ms = self._duck_scalar(_maxsplit_case_sql(str(c)))
+            assert nb * ms == 1 << DEDUP_MAX_BITS  # never exceeds plane bits
+
+    def test_small_sf_refinement_is_noop(self, sf_dir):
+        """At driver scales the chain resolves to 256 buckets and no bucket
+        crosses the split cap, so the adaptive bucket equals the legacy
+        8-plane bucket — pinning that r1-r3 recorded results are
+        unchanged by the r4 scale fix."""
+        import duckdb
+
+        from nshm2022db_spark.extensions.similarity import (
+            DEDUP_SPLIT_CAP,
+            _duck_bucket,
+            _duck_bucket_full,
+            _nbuckets_case_sql,
+            _split_case_sql,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        row = con.execute(
+            f"""WITH n AS (SELECT count(*) AS c FROM embeddings),
+                b AS (SELECT {_duck_bucket_full('embedding')} %
+                             {_nbuckets_case_sql('c')} AS adaptive,
+                             {_duck_bucket('embedding')} AS legacy
+                      FROM embeddings, n),
+                o AS (SELECT adaptive, count(*) AS occ FROM b GROUP BY adaptive)
+             SELECT (SELECT count(*) FROM b WHERE adaptive <> legacy),
+                    (SELECT max(occ) FROM o),
+                    (SELECT max({_split_case_sql('occ')}) FROM o)"""
+        ).fetchone()
+        assert row[0] == 0  # low 8 bits of the full bucket == legacy bucket
+        assert row[1] <= DEDUP_SPLIT_CAP  # no bucket hot enough to refine
+        assert row[2] == 1
