@@ -149,6 +149,12 @@ def duck_shingle_hashes(hx: str) -> str:
 
 
 # -- sequential-fold double dot product of two float arrays ------------------
+# CAUTION (DuckDB 1.0.0): these folds are safe over per-row COMPUTED lists
+# (stressed 12/12 clean across fresh processes — tools/oracle_determinism.py)
+# but `list_reduce` over a GROUPED list column (built by `list(... ORDER BY)`
+# under GROUP BY) is nondeterministic under parallel execution when the
+# grouped rows span morsels. Never apply these to large grouped lists in
+# oracle SQL; use layered windows instead (see session_funnel's oracle).
 
 def spark_dot(a: str, b: str) -> str:
     return (
