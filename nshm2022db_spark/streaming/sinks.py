@@ -14,26 +14,45 @@ The upsert sink is the other half of the lakehouse write path: append-only
 landing keeps every version of a key, while `upsert_stream_to_table`
 maintains LATEST-per-key state by merging each micro-batch into a keyed
 table. Without a table format in the container (Delta/Iceberg), the commit
-protocol is explicit and minimal — exactly what those formats do under the
-hood: each batch writes a NEW immutable version directory, then an
-atomic pointer swap (`os.replace`) publishes it together with the batch id
-that produced it; a replayed batch (restart between write and checkpoint
-commit) sees its id already published and becomes a no-op, so the
-merge is idempotent end-to-end. Readers resolve the pointer once and only
-ever see a fully-written version.
+protocol is explicit and minimal — the same model those formats use:
+
+  * each transaction stages its result in a UNIQUE immutable data
+    directory (never a predictable shared name),
+  * then claims the next version by atomically linking a manifest into
+    an append-only commit log (`_commits/{version}.json`, via
+    write-tmp + os.link — creation fails if the version is taken, the
+    local-filesystem equivalent of an object store's conditional put),
+  * a loser of that race deletes its stage, re-reads the new current
+    version, recomputes, and retries — OPTIMISTIC CONCURRENCY, so two
+    concurrent writers serialize instead of silently dropping one
+    writer's merge (the lost-update hazard of a mutable pointer),
+  * manifests carry the cumulative batch-id list, so a replayed
+    micro-batch (restart between write and checkpoint commit) sees its
+    id already committed and no-ops — idempotent end-to-end,
+  * readers resolve the max committed manifest and only ever see a
+    fully-written version; the `_CURRENT` file remains as a hint and a
+    legacy fallback for tables written by the pre-log layout.
+
+Crash after staging but before commit leaves an orphan data dir that no
+manifest references; `vacuum_uncommitted` removes those after a grace
+period (mtime-based, so an in-flight writer's fresh stage survives).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 _POINTER = "_CURRENT"
+_COMMITS = "_commits"
 
 
 def land_stream_to_parquet(
@@ -65,22 +84,131 @@ def _read_pointer(table_dir: str) -> dict:
         return {"version": 0, "batch_ids": []}
 
 
-def _publish(table_dir: str, version: int, batch_ids: list[int]) -> None:
-    """Atomic pointer swap: readers see the old version or the new one,
-    never a half-written directory."""
+def _write_hint(table_dir: str, manifest: dict) -> None:
+    """Non-authoritative `_CURRENT` hint (atomic replace). The commit log
+    is the source of truth; the hint only speeds up / legacy-bridges
+    `current_commit`. Two racing hint writes can land out of order —
+    harmless, because the log scan always wins when present."""
     fd, tmp = tempfile.mkstemp(dir=table_dir)
     with os.fdopen(fd, "w") as f:
-        json.dump({"version": version, "batch_ids": batch_ids}, f)
+        json.dump(manifest, f)
     os.replace(tmp, os.path.join(table_dir, _POINTER))
 
 
-def read_keyed_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
-    """Resolve the current version pointer and read that directory, or
-    None before the first publish."""
+def current_commit(table_dir: str) -> dict:
+    """The latest committed manifest {version, dir, batch_ids}: max entry
+    of the append-only commit log, falling back to the legacy mutable
+    pointer (pre-log tables used `v{N}` dirs named by version)."""
+    log = os.path.join(table_dir, _COMMITS)
+    try:
+        names = [n for n in os.listdir(log) if n.endswith(".json")]
+    except FileNotFoundError:
+        names = []
+    if names:
+        with open(os.path.join(log, max(names))) as f:
+            return json.load(f)
     ptr = _read_pointer(table_dir)
-    if ptr["version"] == 0:
+    ptr.setdefault("dir", f"v{ptr['version']}")
+    return ptr
+
+
+def try_commit(table_dir: str, manifest: dict) -> bool:
+    """Claim `manifest['version']` by atomically linking a fully-written
+    manifest file into the commit log. `os.link` fails with EEXIST when
+    another writer claimed the version first — the compare-and-swap. On
+    an object store this maps to a conditional put of the same key."""
+    log = os.path.join(table_dir, _COMMITS)
+    os.makedirs(log, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, os.path.join(log, f"{manifest['version']:020d}.json"))
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        os.unlink(tmp)
+
+
+def committed_transaction(
+    spark: SparkSession,
+    table_dir: str,
+    compute,
+    batch_id: int | None = None,
+    max_retries: int = 10,
+) -> None:
+    """Run one optimistic-concurrency transaction: read the current
+    version, `compute(base_df_or_None) -> DataFrame`, stage the result in
+    a unique data dir, CAS the next version into the commit log. On
+    conflict the stage is deleted and the whole transaction retries
+    against the winner's version, so concurrent writers SERIALIZE — no
+    lost updates. With `batch_id`, an already-committed id no-ops
+    (replayed micro-batch idempotence)."""
+    os.makedirs(table_dir, exist_ok=True)
+    for _ in range(max_retries):
+        cur = current_commit(table_dir)
+        if batch_id is not None and batch_id in cur["batch_ids"]:
+            return
+        base = None
+        if cur["version"] > 0:
+            base = spark.read.parquet(os.path.join(table_dir, cur["dir"]))
+        merged = compute(base)
+        stage = f"data-{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(os.path.join(table_dir, stage))
+        manifest = {
+            "version": cur["version"] + 1,
+            "dir": stage,
+            "batch_ids": cur["batch_ids"]
+            + ([batch_id] if batch_id is not None else []),
+        }
+        if try_commit(table_dir, manifest):
+            _write_hint(table_dir, manifest)
+            return
+        shutil.rmtree(os.path.join(table_dir, stage), ignore_errors=True)
+    raise RuntimeError(
+        f"commit conflict persisted for {max_retries} retries on {table_dir}"
+    )
+
+
+def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
+    """Remove orphaned data dirs (staged by a writer that crashed before
+    committing) that no manifest references and whose mtime is older than
+    `grace_sec` — the grace window keeps an in-flight writer's fresh
+    stage safe. Returns the removed names. Committed versions are never
+    touched (older versions stay readable: snapshot reads)."""
+    log = os.path.join(table_dir, _COMMITS)
+    referenced = set()
+    try:
+        for n in os.listdir(log):
+            if n.endswith(".json"):
+                with open(os.path.join(log, n)) as f:
+                    referenced.add(json.load(f)["dir"])
+    except FileNotFoundError:
+        pass
+    removed = []
+    now = time.time()
+    for n in os.listdir(table_dir):
+        p = os.path.join(table_dir, n)
+        if (
+            n.startswith("data-")
+            and n not in referenced
+            and os.path.isdir(p)
+            and now - os.path.getmtime(p) > grace_sec
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(n)
+    return removed
+
+
+def read_keyed_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    """Resolve the current committed version and read its data dir, or
+    None before the first commit."""
+    cur = current_commit(table_dir)
+    if cur["version"] == 0:
         return None
-    return spark.read.parquet(os.path.join(table_dir, f"v{ptr['version']}"))
+    return spark.read.parquet(os.path.join(table_dir, cur["dir"]))
 
 
 def merge_into(
@@ -125,11 +253,11 @@ def upsert_stream_to_table(
     """Maintain a latest-per-key parquet table from a stream via
     foreachBatch MERGE. Within each micro-batch the newest row per key
     (max order_col, then greatest `tiebreak` columns — pass one to make
-    equal-order rows deterministic) is
-    reduced first, then merged over the current table version; the result
-    lands as an immutable v{N+1} directory published by an atomic pointer
-    swap recording the batch id — replayed batches no-op, so restart
-    between write and checkpoint commit cannot double-apply.
+    equal-order rows deterministic) is reduced first, then merged over
+    the current table version inside a `committed_transaction`: staged
+    to a unique data dir, CAS'd into the commit log (concurrent writers
+    serialize via retry), batch id recorded — replayed batches no-op, so
+    restart between write and checkpoint commit cannot double-apply.
 
     Scale shape: the per-batch reduce and the merge share the key
     partitioning (one shuffle each on `keys`); the rewrite cost is the
@@ -141,10 +269,6 @@ def upsert_stream_to_table(
     os.makedirs(table_dir, exist_ok=True)
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ptr = _read_pointer(table_dir)
-        if batch_id in ptr["batch_ids"]:
-            return  # replayed micro-batch: already published, no-op
-        spark = batch_df.sparkSession
         w = Window.partitionBy(*keys).orderBy(
             F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak or []]
         )
@@ -153,14 +277,12 @@ def upsert_stream_to_table(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        merged = merge_into(
-            read_keyed_table(spark, table_dir), latest, keys, order_col, tiebreak
+        committed_transaction(
+            batch_df.sparkSession,
+            table_dir,
+            lambda base: merge_into(base, latest, keys, order_col, tiebreak),
+            batch_id=batch_id,
         )
-        version = ptr["version"] + 1
-        merged.write.mode("overwrite").parquet(
-            os.path.join(table_dir, f"v{version}")
-        )
-        _publish(table_dir, version, ptr["batch_ids"] + [batch_id])
 
     writer = df.writeStream.foreachBatch(_merge_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -187,9 +309,10 @@ def rollup_stream_to_table(
 
     Idempotence matters MORE here than for upserts: re-applying an upsert
     batch is naturally a no-op, but re-ADDING a batch double-counts — the
-    published batch-id list (same atomic-pointer protocol as
+    committed batch-id list (same `committed_transaction` protocol as
     upsert_stream_to_table) is what makes restart-between-write-and-
-    checkpoint-commit safe.
+    checkpoint-commit safe, and the commit-log CAS is what keeps a
+    concurrent second writer from double-adding the same partials.
 
     Scale shape: the per-batch partial is a map-side-combined shuffle
     whose width is the KEY CARDINALITY, not the batch row count; the
@@ -200,17 +323,15 @@ def rollup_stream_to_table(
     os.makedirs(table_dir, exist_ok=True)
 
     def _rollup_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ptr = _read_pointer(table_dir)
-        if batch_id in ptr["batch_ids"]:
-            return  # replayed micro-batch: additions already published
-        spark = batch_df.sparkSession
         aggs = [F.count(F.lit(1)).cast("long").alias(count_col)] + [
             F.sum(c).alias(out) for c, out in sum_cols.items()
         ]
         partial = batch_df.groupBy(*keys).agg(*aggs)
-        base = read_keyed_table(spark, table_dir)
-        if base is not None:
-            merged = (
+
+        def _add(base: DataFrame | None) -> DataFrame:
+            if base is None:
+                return partial
+            return (
                 base.unionByName(partial)
                 .groupBy(*keys)
                 .agg(
@@ -218,13 +339,10 @@ def rollup_stream_to_table(
                     *[F.sum(out).alias(out) for out in sum_cols.values()],
                 )
             )
-        else:
-            merged = partial
-        version = ptr["version"] + 1
-        merged.write.mode("overwrite").parquet(
-            os.path.join(table_dir, f"v{version}")
+
+        committed_transaction(
+            batch_df.sparkSession, table_dir, _add, batch_id=batch_id
         )
-        _publish(table_dir, version, ptr["batch_ids"] + [batch_id])
 
     writer = df.writeStream.foreachBatch(_rollup_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -4,6 +4,8 @@ output must equal the batch read exactly — no duplicates, no gaps."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from nshm2022db_spark.sources import read_table
@@ -255,3 +257,144 @@ class TestErasureRewrite:
         assert leaked == 0
         kept = table.filter(~F.col("event_type").isin(*DELETE_TYPES)).count()
         assert kept == ev.filter(~F.col("event_type").isin(*DELETE_TYPES)).count()
+
+
+class TestCommitLog:
+    """Optimistic-concurrency commit protocol (streaming/sinks.py):
+    unique staged data dirs + manifest CAS into an append-only
+    `_commits/` log. The property under test: two concurrent writers
+    SERIALIZE — the loser retries against the winner's version — so no
+    merge is ever lost (the mutable-pointer protocol it replaces would
+    silently drop one writer's result)."""
+
+    def test_cas_rejects_taken_version(self, tmp_path):
+        from nshm2022db_spark.streaming.sinks import try_commit
+
+        t = str(tmp_path / "t")
+        os.makedirs(t)
+        assert try_commit(t, {"version": 1, "dir": "data-a", "batch_ids": []})
+        assert not try_commit(t, {"version": 1, "dir": "data-b", "batch_ids": []})
+        assert try_commit(t, {"version": 2, "dir": "data-b", "batch_ids": []})
+
+    def test_stale_writer_retries_and_no_update_lost(self, spark, tmp_path):
+        """Deterministic interleave: writer A reads v0, writer B commits
+        v1 meanwhile; A's CAS on v1 must fail, and a full transaction
+        from A must land BOTH writers' rows at v2."""
+        from nshm2022db_spark.streaming.sinks import (
+            committed_transaction,
+            current_commit,
+            read_keyed_table,
+            try_commit,
+        )
+
+        t = str(tmp_path / "t")
+
+        def add_row(k, v):
+            row = spark.createDataFrame([(k, v)], "k int, v int")
+
+            def compute(base):
+                return row if base is None else base.unionByName(row)
+
+            return compute
+
+        stale = current_commit(t) if os.path.isdir(t) else {"version": 0, "batch_ids": []}
+        committed_transaction(spark, t, add_row(1, 10))  # writer B wins v1
+        # writer A, holding the stale v0 view, tries to claim v1 directly
+        assert not try_commit(
+            t, {"version": stale["version"] + 1, "dir": "data-stale", "batch_ids": []}
+        )
+        committed_transaction(spark, t, add_row(2, 20))  # A retries properly
+        cur = current_commit(t)
+        assert cur["version"] == 2
+        got = {(r.k, r.v) for r in read_keyed_table(spark, t).collect()}
+        assert got == {(1, 10), (2, 20)}
+
+    def test_threaded_writers_serialize(self, spark, tmp_path):
+        """8 racing threads each add a distinct row through full
+        transactions; every row must survive and the log must hold
+        exactly 8 versions."""
+        import threading
+
+        from nshm2022db_spark.streaming.sinks import (
+            committed_transaction,
+            current_commit,
+            read_keyed_table,
+        )
+
+        t = str(tmp_path / "t")
+        errs = []
+
+        def writer(i):
+            row = spark.createDataFrame([(i, i * 10)], "k int, v int")
+            try:
+                committed_transaction(
+                    spark,
+                    t,
+                    lambda base: row if base is None else base.unionByName(row),
+                    max_retries=32,
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs
+        assert current_commit(t)["version"] == 8
+        got = {(r.k, r.v) for r in read_keyed_table(spark, t).collect()}
+        assert got == {(i, i * 10) for i in range(8)}
+
+    def test_vacuum_spares_committed_and_fresh(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            committed_transaction,
+            current_commit,
+            read_keyed_table,
+            vacuum_uncommitted,
+        )
+
+        t = str(tmp_path / "t")
+        row = spark.createDataFrame([(1, 1)], "k int, v int")
+        committed_transaction(spark, t, lambda base: row)
+        # orphan stage: crashed writer, old mtime
+        orphan = os.path.join(t, "data-orphan")
+        os.makedirs(orphan)
+        os.utime(orphan, (0, 0))
+        fresh = os.path.join(t, "data-fresh")
+        os.makedirs(fresh)  # in-flight writer, current mtime
+
+        removed = vacuum_uncommitted(t, grace_sec=60.0)
+        assert removed == ["data-orphan"]
+        assert os.path.isdir(fresh)
+        assert os.path.isdir(os.path.join(t, current_commit(t)["dir"]))
+        assert read_keyed_table(spark, t).count() == 1
+
+    def test_legacy_pointer_fallback(self, spark, tmp_path):
+        """Tables written by the pre-log layout (v{N} dirs + _CURRENT
+        pointer) stay readable, and the first new commit moves them onto
+        the log."""
+        import json
+
+        from nshm2022db_spark.streaming.sinks import (
+            committed_transaction,
+            current_commit,
+            read_keyed_table,
+        )
+
+        t = str(tmp_path / "t")
+        os.makedirs(t)
+        spark.createDataFrame([(1, 1)], "k int, v int").write.parquet(
+            os.path.join(t, "v3")
+        )
+        with open(os.path.join(t, "_CURRENT"), "w") as f:
+            json.dump({"version": 3, "batch_ids": [0, 1, 2]}, f)
+
+        assert read_keyed_table(spark, t).count() == 1
+        row = spark.createDataFrame([(2, 2)], "k int, v int")
+        committed_transaction(
+            spark, t, lambda base: base.unionByName(row), batch_id=7
+        )
+        cur = current_commit(t)
+        assert cur["version"] == 4 and cur["batch_ids"] == [0, 1, 2, 7]
+        assert read_keyed_table(spark, t).count() == 2

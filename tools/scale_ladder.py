@@ -82,6 +82,28 @@ LADDER = [
     # relational wide shuffles over scaled facts
     "join_5way_agg",
     "groupby_agg",
+    # text family (map-only or single partial-agg exchange — should be
+    # flat-to-linear; a super-linear exponent here means a tokenizer or
+    # join regression)
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_pii_scrub",
+    "vocab_topk",
+    # curation / packing over scaled documents
+    "pack_sequences",
+    "chunk_documents",
+    # ANN probes (fixed query count — candidates grow with occupancy)
+    "knn_lsh_bucketed",
+    "knn_lsh_multiprobe",
+    # temporal / sketch families over scaled events
+    "rank_distribution",
+    "value_drift_trend",
+    "events_locf",
+    "hll_shard_merge",
+    "stream_incremental_rollup",
+    # multimodal chunking (map-only over documents-derived audio)
+    "multimodal_audio_chunks",
 ]
 
 
