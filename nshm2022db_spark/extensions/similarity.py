@@ -304,6 +304,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         "embedding",
         "enorm",
     )
+    # Stage the blocked relation ONCE: Catalyst plans a self-join's two
+    # sides independently (no common-subplan reuse; verified in the
+    # executed plan — zero ReusedExchange), so without this the 16
+    # hyperplane dots + occupancy window run twice over the corpus.
+    # localCheckpoint materializes (vec_id, embedding, bucket, enorm) and
+    # both join sides scan it — the small-sf analog of the at-scale
+    # design, where the bucketed table is WRITTEN and then joined.
+    emb = emb.localCheckpoint()
     pairs = (
         emb.alias("a")
         .join(

@@ -29,6 +29,13 @@ def nearest_ge_lookup(domain: DataFrame, value_col: str, targets: DataFrame, tar
     Returns targets + ``rounded`` column. Plan: broadcast targets into a
     range join against the distinct domain (no full sort, no collect), then
     one hash-agg; the clamp max is a scalar broadcast join.
+
+    Cost note: the range join is broadcast-nested-loop, so CPU is
+    O(|distinct domain| x |distinct targets|) before the partial min-agg
+    — right for the reference's handful-of-targets lookup shape. BULK
+    callers (many targets, or targets carrying keys) should use
+    ``nearest_ge_lookup_per_key`` below: it sorts within key partitions
+    and pays one exchange instead of the cross product.
     """
     d = domain.select(F.col(value_col).alias("__v")).distinct()
     t = F.broadcast(targets.select(F.col(target_col)).distinct())

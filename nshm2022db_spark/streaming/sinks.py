@@ -202,9 +202,38 @@ def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
     return removed
 
 
-def read_keyed_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
-    """Resolve the current committed version and read its data dir, or
-    None before the first commit."""
+def table_history(table_dir: str) -> list[dict]:
+    """All committed manifests, oldest first — the audit trail a real
+    table format exposes as DESCRIBE HISTORY. Empty for legacy
+    pointer-only tables (their history was overwritten in place)."""
+    log = os.path.join(table_dir, _COMMITS)
+    try:
+        names = sorted(n for n in os.listdir(log) if n.endswith(".json"))
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        with open(os.path.join(log, n)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def read_keyed_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Resolve a committed version and read its data dir, or None before
+    the first commit. ``version`` time-travels to an older snapshot
+    (committed data dirs are immutable and never overwritten, so every
+    version stays readable until vacuumed away by a retention policy —
+    this repo never deletes committed versions)."""
+    if version is not None:
+        for m in table_history(table_dir):
+            if m["version"] == version:
+                return spark.read.parquet(os.path.join(table_dir, m["dir"]))
+        legacy = os.path.join(table_dir, f"v{version}")
+        if os.path.isdir(legacy):
+            return spark.read.parquet(legacy)
+        raise ValueError(f"version {version} not committed in {table_dir}")
     cur = current_commit(table_dir)
     if cur["version"] == 0:
         return None

@@ -206,3 +206,27 @@ class TestRound3PlanShapes:
         plan = _plan(snapshot_diff(spark, sf_dir))
         assert "FullOuter" in plan or "full_outer" in plan.lower()
         assert plan.count("hashpartitioning(") <= 2
+
+
+class TestAdaptiveDedupBlocking:
+    def test_blocked_relation_staged_once(self, spark, sf_dir):
+        """dedup_embedding_cosine stages the bucketed relation via
+        localCheckpoint before the pair self-join: Catalyst plans a
+        self-join's sides independently (no common-subplan reuse), so
+        without staging the 16-plane bucket computation + occupancy
+        window would run TWICE over the corpus. Pin: the query plan
+        joins two scans of the SAME materialized relation — no parquet
+        re-scan, no Window, no per-side bucket recomputation."""
+        from nshm2022db_spark.registry import QUERIES
+
+        df = QUERIES["dedup_embedding_cosine"](spark, sf_dir)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert "Scan parquet" not in plan  # both sides read the stage
+        assert "ExistingRDD" in plan
+        assert "Window" not in plan  # occupancy computed during staging
+        # the only exchanges move the staged relation into the bucket join
+        assert plan.count("BroadcastNestedLoopJoin") == 0

@@ -398,3 +398,30 @@ class TestCommitLog:
         cur = current_commit(t)
         assert cur["version"] == 4 and cur["batch_ids"] == [0, 1, 2, 7]
         assert read_keyed_table(spark, t).count() == 2
+
+    def test_time_travel_and_history(self, spark, tmp_path):
+        """Every committed version stays readable; history lists the
+        audit trail in order."""
+        from nshm2022db_spark.streaming.sinks import (
+            committed_transaction,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        for i in range(1, 4):
+            row = spark.createDataFrame([(i, i * 10)], "k int, v int")
+            committed_transaction(
+                spark,
+                t,
+                lambda base, row=row: row if base is None else base.unionByName(row),
+            )
+        hist = table_history(t)
+        assert [m["version"] for m in hist] == [1, 2, 3]
+        assert read_keyed_table(spark, t, version=1).count() == 1
+        assert read_keyed_table(spark, t, version=2).count() == 2
+        assert read_keyed_table(spark, t).count() == 3
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            read_keyed_table(spark, t, version=9)
