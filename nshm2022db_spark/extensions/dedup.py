@@ -37,8 +37,21 @@ from nshm2022db_spark.sources import read_table
 JACCARD_TAU = 0.2
 MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows
-SIMHASH_BITS = 32
-SIMHASH_HAMMING_MAX = 3
+# SimHash geometry. Band SPAN is the scale knob: blocking on a full band
+# guarantees recall for hamming <= (bands - 1) by pigeonhole at ANY span,
+# so the span should simply be as wide as the fingerprint allows — chance
+# band collisions are ~n²/2^span per band, the term that made the original
+# 32-bit/8-bit-band layout quadratic at corpus scale (same hazard class
+# the scale ladder caught in the embedding dedup). 4 bands × 15 bits
+# carries ~24·2^15 ≈ 786k docs before chance collisions dominate; at
+# larger corpora widen the fingerprint (these are literal constants both
+# engines share). Bits 0-29 come from the shingle hash (mod P ≈ 2^30);
+# bits 30-59 from an LCG-derived second hash of the same shingle.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_SPAN = 15  # SIMHASH_BITS / SIMHASH_BANDS
+SIMHASH_A, SIMHASH_B = 48271, 11  # second-hash LCG; A·x < 2^63 for x < P
+SIMHASH_HAMMING_MAX = 3  # == SIMHASH_BANDS - 1: pigeonhole recall is EXACT
 # A shingle appearing in k documents contributes k² candidate pairs to the
 # inverted-index self-join — a stop-shingle ("in the", boilerplate headers)
 # makes that quadratic at corpus scale. Shingles with document frequency
@@ -275,8 +288,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _sim_bit_src(j: int, x: str) -> str:
+    """Bit-j source expression (identical arithmetic both engines): the
+    shingle hash carries ~30 usable bits (mod P), so the upper half of
+    the 60-bit sketch samples an LCG-derived second hash of the shingle."""
+    if j < 30:
+        return f"(({x} >> {j}) & 1)"
+    return f"(((({x} * {SIMHASH_A} + {SIMHASH_B}) % {P}) >> {j - 30}) & 1)"
+
+
 def _simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, simhash) — 32-bit sign-aggregated shingle-hash sketch.
+    """(doc_id, simhash) — {SIMHASH_BITS}-bit sign-aggregated
+    shingle-hash sketch.
 
     Shingles (token 3-grams), not bare tokens: with a small shared
     vocabulary, token SETS are near-identical across documents and a
@@ -285,7 +308,9 @@ def _simhash(spark: SparkSession, sf: str) -> DataFrame:
     toks = _doc_shingles(spark, sf)
     sums = toks.groupBy("doc_id").agg(
         *[
-            F.sum(F.expr(f"CASE WHEN shiftright(x, {j}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"s{j}")
+            F.sum(
+                F.expr(f"CASE WHEN {_sim_bit_src(j, 'x')} = 1 THEN 1 ELSE -1 END")
+            ).alias(f"s{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
@@ -300,7 +325,7 @@ _DUCK_SIMHASH = f"""
            FROM (SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hx
                  FROM documents)),
     sums AS (SELECT doc_id,
-                    {', '.join(f"SUM(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+                    {', '.join(f"SUM(CASE WHEN {_sim_bit_src(j, 'x')} = 1 THEN 1 ELSE -1 END) AS s{j}"
                                for j in range(SIMHASH_BITS))}
              FROM xs GROUP BY doc_id),
     sh AS (SELECT doc_id,
@@ -309,13 +334,15 @@ _DUCK_SIMHASH = f"""
            FROM sums)
 """
 
+_BAND_MASK = (1 << SIMHASH_BAND_SPAN) - 1
+
 
 @register(
     "dedup_simhash",
     f"""WITH {_DUCK_SIMHASH},
         bands AS (SELECT doc_id, simhash, b.band_id,
-                         (simhash >> (8 * b.band_id)) & 255 AS byte
-                  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+                         (simhash >> ({SIMHASH_BAND_SPAN} * b.band_id)) & {_BAND_MASK} AS byte
+                  FROM sh, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band_id) b),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.simhash AS sha, b.simhash AS shb
                  FROM bands a JOIN bands b
@@ -325,16 +352,26 @@ _DUCK_SIMHASH = f"""
         FROM cand WHERE bit_count(xor(sha, shb)) <= {SIMHASH_HAMMING_MAX}""",
 )
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash ({SIMHASH_BITS}-bit) near-dup: sign-aggregate distinct token
-    hashes per bit, block on any equal 8-bit band (pigeonhole: hamming ≤ 6
-    over 4 bands guarantees one equal band... for ≤3; 6 is best-effort),
-    then exact hamming ≤ {SIMHASH_HAMMING_MAX} on candidates."""
+    """SimHash ({SIMHASH_BITS}-bit) near-dup: sign-aggregate distinct
+    shingle hashes per bit, block on any equal {SIMHASH_BAND_SPAN}-bit
+    band, then exact hamming ≤ {SIMHASH_HAMMING_MAX} on candidates.
+    Recall is EXACT: hamming ≤ {SIMHASH_HAMMING_MAX} over
+    {SIMHASH_BANDS} bands forces at least one untouched (equal) band by
+    pigeonhole, so the result set is independent of the blocking. Wide
+    bands exist purely to bound cost: chance band collisions are
+    ~n²/2^{SIMHASH_BAND_SPAN} per band — the previous 8-bit bands made
+    candidates quadratic at corpus scale (the hazard class the scale
+    ladder caught in the embedding dedup); widening the fingerprint is
+    the capacity knob beyond ~786k docs (see the constants' comment)."""
     sh = _simhash(spark, sf)
     bands = sh.select(
         "doc_id",
         "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_id"),
-    ).withColumn("byte", F.expr("shiftright(simhash, 8 * band_id) & 255"))
+        F.explode(F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)])).alias("band_id"),
+    ).withColumn(
+        "byte",
+        F.expr(f"shiftright(simhash, {SIMHASH_BAND_SPAN} * band_id) & {_BAND_MASK}"),
+    )
     cand = (
         bands.alias("a")
         .join(

@@ -5,7 +5,10 @@ variant (8 deterministic random hyperplanes → sign-bit bucket) is the
 scale path — at 100 TB the bucket id becomes the shuffle/partition key and
 each bucket is searched independently (classic ANN blocking). All dot
 products are sequential-fold doubles (functions.portable) so the DuckDB
-oracle matches bit-for-bit.
+oracle matches bit-for-bit. (An unrolled-literal variant was measured
+and REJECTED: 1024-term expression trees fall out of whole-stage
+codegen via Janino method-size limits and run 3-7x slower than the
+interpreted fold — see PERF.md.)
 
 The testdata embeddings are near-isotropic (max pairwise cos ≈ 0.51), so
 thresholds here are tuned to produce non-trivial result sets, and LSH
@@ -188,10 +191,80 @@ def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Lazy bucket: with nb = 256·m, fb % nb == low8 + 256·(high8 % m)
+# (low8 < 256), so a CASE on nb <= 256 skips the 8 extra plane dots
+# entirely on small corpora — both engines evaluate CASE branches
+# lazily, keeping the small-sf cost identical to the original 8-plane
+# bucket while the wide path activates only when the corpus needs it.
+
+
+def _spark_high8(vec: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {spark_hyperplane_dot(vec, j, DIM)} > 0 THEN {1 << (j - N_PLANES)} ELSE 0 END)"
+        for j in range(N_PLANES, DEDUP_MAX_BITS)
+    )
+    return f"({bits})"
+
+
+def _duck_high8(vec: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {duck_hyperplane_dot(vec, j, DIM)} > 0 THEN {1 << (j - N_PLANES)} ELSE 0 END)"
+        for j in range(N_PLANES, DEDUP_MAX_BITS)
+    )
+    return f"({bits})"
+
+
+def _duck_adaptive_bucketed() -> str:
+    """Shared oracle CTE prefix: embeddings with an occupancy-constant
+    adaptive bucket (count-derived width, low bits of the
+    {DEDUP_MAX_BITS}-plane sign bucket) plus the active bucket count nb."""
+    return f"""n AS (SELECT count(*) AS c FROM embeddings),
+        b0 AS (SELECT vec_id, embedding, {_nbuckets_case_sql('c')} AS nb
+               FROM embeddings, n),
+        b AS (SELECT vec_id, embedding, nb,
+                     CASE WHEN nb <= 256 THEN {_duck_bucket('embedding')}
+                          ELSE {_duck_bucket('embedding')}
+                               + 256 * ({_duck_high8('embedding')} % (nb // 256))
+                     END AS bucket
+              FROM b0)"""
+
+
+def _nbuckets_py(c: int) -> int:
+    """Python twin of `_nbuckets_case_sql` — identical thresholds, pinned
+    against the SQL chain by test."""
+    for bits in range(N_PLANES, DEDUP_MAX_BITS):
+        if c <= DEDUP_TARGET_OCC * (1 << bits):
+            return 1 << bits
+    return 1 << DEDUP_MAX_BITS
+
+
+def _spark_adaptive_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark twin of `_duck_adaptive_bucketed`: (vec_id, embedding, nb,
+    bucket, enorm), bucket computed once for corpus and queries alike.
+    The corpus count is taken driver-side (one metadata-cheap scalar job,
+    the repo's sanctioned collect shape) so nb is a LITERAL: on small
+    corpora the bucket expression constant-folds to exactly the original
+    8-plane bucket — no count re-computation per plan branch, no lazy
+    CASE left in the hot projection."""
+    emb = read_table(spark, sf, "embeddings")
+    nb = _nbuckets_py(emb.count())
+    if nb <= 256:
+        bucket = _spark_bucket("embedding")
+    else:
+        bucket = (
+            f"{_spark_bucket('embedding')} "
+            f"+ 256 * ({_spark_high8('embedding')} % {nb // 256})"
+        )
+    return _with_norm(
+        emb.withColumn("nb", F.lit(nb)).withColumn("bucket", F.expr(bucket)),
+        "embedding",
+        "enorm",
+    )
+
+
 @register(
     "knn_lsh_bucketed",
-    f"""WITH b AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
-                  FROM embeddings),
+    f"""WITH {_duck_adaptive_bucketed()},
         q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < {N_QUERIES}),
         scored AS (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -206,19 +279,20 @@ def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
         FROM ranked WHERE rank <= {KNN_K}""",
 )
 def knn_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: {N_PLANES} sign bits → bucket id;
-    candidates are bucket-mates only (expected corpus/2^{N_PLANES} per
-    bucket), then exact cosine rank within candidates. At scale the bucket
-    id is the shuffle key — no pairwise work across buckets. Recall is
-    bucket-probability bound; multi-probe (flipping weakest bits) is the
-    standard extension."""
-    emb = _with_norm(
-        read_table(spark, sf, "embeddings").withColumn(
-            "bucket", F.expr(_spark_bucket("embedding"))
-        ),
-        "embedding",
-        "enorm",
-    )
+    """ANN via random-hyperplane LSH with an occupancy-constant bucket:
+    the count-derived width (same integer CASE chain as the embedding
+    dedup) keeps expected bucket occupancy — the per-query candidate
+    count — ~{DEDUP_TARGET_OCC} at ANY corpus size, where the previous
+    fixed 2^{N_PLANES} bucket made per-query work grow linearly with the
+    corpus (asymptotically no better than brute force). For corpora
+    ≤ {DEDUP_TARGET_OCC * 256} vectors the chain resolves to 256 buckets
+    == the original 8-plane bucket, so small-sf results are unchanged.
+    At scale the bucket id is the shuffle key — no pairwise work across
+    buckets. Recall per query is the probability all {KNN_K} true
+    neighbors share the (narrower) bucket — the width/recall trade is
+    the multiprobe extension's job (it probes the weakest-margin
+    neighbors among the ACTIVE bits)."""
+    emb = _spark_adaptive_bucketed(spark, sf)
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -339,28 +413,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
 MULTIPROBE_FLIPS = 2  # probe the base bucket + the 2 weakest-margin flips
 
 
+# Margin arrays cover ALL computed planes; the flip generators then keep
+# only the ACTIVE bits ((1 << j) < nb), so multiprobe adapts with the
+# count-derived bucket width and degrades to the original 8-plane probing
+# on small corpora.
+
+
 def _spark_plane_dots(vec: str) -> str:
     return "array(" + ", ".join(
-        spark_hyperplane_dot(vec, j, DIM) for j in range(N_PLANES)
+        spark_hyperplane_dot(vec, j, DIM) for j in range(DEDUP_MAX_BITS)
     ) + ")"
 
 
 def _duck_plane_dots(vec: str) -> str:
     return "[" + ", ".join(
-        duck_hyperplane_dot(vec, j, DIM) for j in range(N_PLANES)
+        duck_hyperplane_dot(vec, j, DIM) for j in range(DEDUP_MAX_BITS)
     ) + "]"
 
 
 @register(
     "knn_lsh_multiprobe",
-    f"""WITH b AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
-                  FROM embeddings),
-        q AS (SELECT vec_id, embedding, bucket,
+    f"""WITH {_duck_adaptive_bucketed()},
+        q AS (SELECT vec_id, embedding, bucket, nb,
                      {_duck_plane_dots('embedding')} AS pd
               FROM b WHERE vec_id < {N_QUERIES}),
         flips AS (
             SELECT vec_id, bucket, j.j, abs(pd[j.j + 1]) AS margin
-            FROM q, (SELECT unnest(range(0, {N_PLANES})) AS j) j),
+            FROM q, (SELECT unnest(range(0, {DEDUP_MAX_BITS})) AS j) j
+            WHERE (1 << j.j) < nb),
         ranked_flips AS (
             SELECT vec_id, bucket, j,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -395,24 +475,27 @@ def knn_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     neighbor). Recovers most of the recall lost to bucket boundaries for
     ~{MULTIPROBE_FLIPS + 1}× the candidate volume, with the same
     shuffle-by-bucket shape — the standard alternative to maintaining
-    multiple independent hash tables at 100 TB."""
-    emb = _with_norm(
-        read_table(spark, sf, "embeddings").withColumn(
-            "bucket", F.expr(_spark_bucket("embedding"))
-        ),
-        "embedding",
-        "enorm",
-    )
+    multiple independent hash tables at 100 TB. With the
+    occupancy-constant adaptive bucket, flip candidates are restricted
+    to the ACTIVE bits ((1 << j) < nb), so probing tracks the
+    count-derived width; on small corpora (nb = 256) this degrades to
+    exactly the original 8-plane behavior."""
+    emb = _spark_adaptive_bucketed(spark, sf)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("enorm").alias("qnorm"),
         F.col("bucket").alias("qbucket"),
+        F.col("nb").alias("qnb"),
         F.expr(_spark_plane_dots("embedding")).alias("pd"),
     )
-    flips = q.select(
-        "query_id", "qbucket", F.posexplode(F.col("pd")).alias("j", "d")
-    ).select("query_id", "qbucket", "j", F.abs(F.col("d")).alias("margin"))
+    flips = (
+        q.select(
+            "query_id", "qbucket", "qnb", F.posexplode(F.col("pd")).alias("j", "d")
+        )
+        .filter(F.expr("shiftleft(1, j) < qnb"))
+        .select("query_id", "qbucket", "j", F.abs(F.col("d")).alias("margin"))
+    )
     wf = Window.partitionBy("query_id").orderBy("margin", "j")
     flipped = (
         flips.withColumn("wk", F.row_number().over(wf))

@@ -230,9 +230,10 @@ class TestDriverOrder:
             # in-window representative — they lead the stale-tail sweep
             "text_lang_id", "text_quality_score", "text_token_stats",
             # changed mid-round-4: scale-ladder fix (adaptive two-level
-            # bucket blocking) and the lambda-free funnel oracle rewrite
-            # (DuckDB list_reduce-over-grouped-list nondeterminism)
-            "dedup_embedding_cosine", "session_funnel",
+            # bucket blocking), the lambda-free funnel oracle rewrite
+            # (DuckDB list_reduce-over-grouped-list nondeterminism), and
+            # the 60-bit/15-bit-band simhash (same fixed-width hazard)
+            "dedup_embedding_cosine", "session_funnel", "dedup_simhash",
         }
         out = must_verify - window
         assert not out, f"need driver verification but outside window: {out}"
