@@ -251,10 +251,17 @@ def _spark_adaptive_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     if nb <= 256:
         bucket = _spark_bucket("embedding")
     else:
-        bucket = (
-            f"{_spark_bucket('embedding')} "
-            f"+ 256 * ({_spark_high8('embedding')} % {nb // 256})"
+        # full16 % nb only depends on the first log2(nb/256) extra
+        # planes (higher powers vanish mod a power of two), so emit
+        # EXACTLY those — e.g. 10 plane dots for nb=1024, not 16. The
+        # generated sum is < nb/256 by construction, so no modulo.
+        extra = (nb // 256).bit_length() - 1
+        high = " + ".join(
+            f"(CASE WHEN {spark_hyperplane_dot('embedding', j, DIM)} > 0 "
+            f"THEN {1 << (j - N_PLANES)} ELSE 0 END)"
+            for j in range(N_PLANES, N_PLANES + extra)
         )
+        bucket = f"{_spark_bucket('embedding')} + 256 * ({high})"
     return _with_norm(
         emb.withColumn("nb", F.lit(nb)).withColumn("bucket", F.expr(bucket)),
         "embedding",
@@ -548,8 +555,34 @@ def knn_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
 # IVF (inverted-file) ANN — the scale path beyond one-shot LSH
 # ---------------------------------------------------------------------------
 
-IVF_C_LO, IVF_C_HI = 100, 108  # 8 sampled seed-centroid vectors (fixed ids)
+IVF_C_LO = 100  # seed-centroid vectors: vec_id in [IVF_C_LO, IVF_C_LO + nlist)
 IVF_NPROBE = 2
+
+# IVF list count follows the classic sqrt balance: assignment costs
+# n·nlist and probing costs nprobe·n/nlist, so nlist ∝ sqrt(n) keeps both
+# sides sub-linear per growth step — a FIXED nlist would make list length
+# (per-query candidates) grow linearly with the corpus, the same
+# fixed-width hazard class the scale ladder exposed in the blocking
+# dedups. Thresholds are 96·nlist² (literal ints, identical on both
+# engines); sf ≤ 0.1 resolves to the original 8 lists, so small-sf
+# results are unchanged. 128 is the knob's ceiling here — a real corpus
+# retrains with nlist 10⁴-10⁵ and more k-means rounds.
+IVF_NLIST_TIERS = [(6_144, 8), (24_576, 16), (98_304, 32), (393_216, 64)]
+IVF_NLIST_MAX = 128
+
+
+def _ivf_nlist_py(c: int) -> int:
+    for thresh, nl in IVF_NLIST_TIERS:
+        if c <= thresh:
+            return nl
+    return IVF_NLIST_MAX
+
+
+def _ivf_nlist_case_sql(count_col: str) -> str:
+    branches = " ".join(
+        f"WHEN {count_col} <= {t} THEN {nl}" for t, nl in IVF_NLIST_TIERS
+    )
+    return f"(CASE {branches} ELSE {IVF_NLIST_MAX} END)"
 # Refined centroids are per-dimension MEANS of the assigned vectors; the
 # mean is rounded to 3 decimals on BOTH engines so that aggregation-order
 # float noise (~1e-15) cannot flip a low bit and diverge the assignment.
@@ -624,8 +657,9 @@ def _trained_centroids(spark: SparkSession, sf: str) -> DataFrame:
     key = (sf, mtime)
     if key not in _TRAINED:
         emb = read_table(spark, sf, "embeddings")
+        nlist = _ivf_nlist_py(emb.count())
         seeds = emb.filter(
-            (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
+            (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_LO + nlist)
         ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
         refined = _refine_centroids(_assign_lists(emb, seeds))
         _TRAINED[key] = (refined.collect(), refined.schema)
@@ -634,9 +668,11 @@ def _trained_centroids(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _DUCK_IVF_CENTS = f"""
+        ivfn AS (SELECT {_ivf_nlist_case_sql('c')} AS nl
+                 FROM (SELECT count(*) AS c FROM embeddings)),
         c0 AS (SELECT vec_id AS centroid_id, embedding AS cv
-               FROM embeddings
-               WHERE vec_id >= {IVF_C_LO} AND vec_id < {IVF_C_HI}),
+               FROM embeddings, ivfn
+               WHERE vec_id >= {IVF_C_LO} AND vec_id < {IVF_C_LO} + nl),
         a0 AS (
             SELECT e.vec_id, any_value(e.embedding) AS embedding,
                    arg_max(c0.centroid_id, {_duck_cos('e.embedding', 'c0.cv')})
@@ -691,8 +727,10 @@ def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: centroids broadcast at every step; each assignment is one
     pass over the corpus with map-side partial aggregation; refinement is
     a single 8-row hash agg; the candidate join shuffles by centroid_id
-    (list id). Here C=8 — on a real corpus C is 10⁴-10⁵ and more k-means
-    rounds amortize over every query. Ties on cosine are measure-zero with
+    (list id). nlist follows the sqrt balance via the count-derived tier
+    table (IVF_NLIST_TIERS — 8 lists at driver scales, doubling per
+    ~4x corpus growth); on a real corpus nlist is 10⁴-10⁵ and more
+    k-means rounds amortize over every query. Ties on cosine are measure-zero with
     distinct real-valued vectors (both engines fall back on argmax order
     only for exact-double ties)."""
     emb = read_table(spark, sf, "embeddings")

@@ -231,9 +231,12 @@ class TestDriverOrder:
             "text_lang_id", "text_quality_score", "text_token_stats",
             # changed mid-round-4: scale-ladder fix (adaptive two-level
             # bucket blocking), the lambda-free funnel oracle rewrite
-            # (DuckDB list_reduce-over-grouped-list nondeterminism), and
-            # the 60-bit/15-bit-band simhash (same fixed-width hazard)
+            # (DuckDB list_reduce-over-grouped-list nondeterminism), the
+            # 60-bit/15-bit-band simhash, the occupancy-constant knn
+            # buckets, and the sqrt-balance IVF list count (all the same
+            # fixed-width hazard class)
             "dedup_embedding_cosine", "session_funnel", "dedup_simhash",
+            "knn_lsh_bucketed", "knn_lsh_multiprobe", "knn_ivf",
         }
         out = must_verify - window
         assert not out, f"need driver verification but outside window: {out}"
