@@ -288,13 +288,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sim_bit_src(j: int, x: str) -> str:
+def _sim_bit_src(j: int, x: str, x2: str) -> str:
     """Bit-j source expression (identical arithmetic both engines): the
-    shingle hash carries ~30 usable bits (mod P), so the upper half of
-    the 60-bit sketch samples an LCG-derived second hash of the shingle."""
+    shingle hash `x` carries ~30 usable bits (mod P), so the upper half
+    of the 60-bit sketch samples `x2`, the LCG-derived second hash —
+    computed ONCE per shingle row in the feeding projection, not
+    re-embedded in each of the 30 upper-bit expressions (that would
+    leave 30 multiply-mods per shingle to each engine's
+    common-subexpression elimination)."""
     if j < 30:
         return f"(({x} >> {j}) & 1)"
-    return f"(((({x} * {SIMHASH_A} + {SIMHASH_B}) % {P}) >> {j - 30}) & 1)"
+    return f"(({x2} >> {j - 30}) & 1)"
+
+
+def _second_hash_sql(x: str) -> str:
+    return f"(({x} * {SIMHASH_A} + {SIMHASH_B}) % {P})"
 
 
 def _simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -305,11 +313,13 @@ def _simhash(spark: SparkSession, sf: str) -> DataFrame:
     vocabulary, token SETS are near-identical across documents and a
     token-based sketch collides for almost every pair; 3-gram sequences
     carry word order and separate unrelated docs."""
-    toks = _doc_shingles(spark, sf)
+    toks = _doc_shingles(spark, sf).withColumn(
+        "x2", F.expr(_second_hash_sql("x"))
+    )
     sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.expr(f"CASE WHEN {_sim_bit_src(j, 'x')} = 1 THEN 1 ELSE -1 END")
+                F.expr(f"CASE WHEN {_sim_bit_src(j, 'x', 'x2')} = 1 THEN 1 ELSE -1 END")
             ).alias(f"s{j}")
             for j in range(SIMHASH_BITS)
         ]
@@ -321,11 +331,12 @@ def _simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _DUCK_SIMHASH = f"""
-    xs AS (SELECT doc_id, unnest({duck_shingle_hashes('hx')}) AS x
-           FROM (SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hx
-                 FROM documents)),
+    xs0 AS (SELECT doc_id, unnest({duck_shingle_hashes('hx')}) AS x
+            FROM (SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hx
+                  FROM documents)),
+    xs AS (SELECT doc_id, x, {_second_hash_sql('x')} AS x2 FROM xs0),
     sums AS (SELECT doc_id,
-                    {', '.join(f"SUM(CASE WHEN {_sim_bit_src(j, 'x')} = 1 THEN 1 ELSE -1 END) AS s{j}"
+                    {', '.join(f"SUM(CASE WHEN {_sim_bit_src(j, 'x', 'x2')} = 1 THEN 1 ELSE -1 END) AS s{j}"
                                for j in range(SIMHASH_BITS))}
              FROM xs GROUP BY doc_id),
     sh AS (SELECT doc_id,

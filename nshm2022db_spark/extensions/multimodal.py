@@ -131,12 +131,19 @@ def decode_image_real(data: bytes) -> tuple[int, int, str]:
     codec library (PIL), absent in this container — that branch stays a
     clearly-marked stub."""
     if data[:2] == b"BM":
-        img = decode_bmp(data)
-        return img.shape[1], img.shape[0], "BMP"
+        try:
+            img = decode_bmp(data)
+            return img.shape[1], img.shape[0], "BMP"
+        except ValueError:
+            # 'BM' magic but not uncompressed 24-bit (palettized, RLE,
+            # 16/32-bit): defer to the PIL tier rather than hard-fail a
+            # format a codec library handles fine.
+            if not HAVE_PIL:
+                raise
     if not HAVE_PIL:
         raise NotImplementedError(
             "compressed-image decoding requires PIL, which is not available "
-            "in this container; BMP decodes natively via decode_bmp"
+            "in this container; 24-bit BMP decodes natively via decode_bmp"
         )
     raise NotImplementedError("wire PIL here when the codec image is available")
 

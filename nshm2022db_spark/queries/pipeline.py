@@ -450,11 +450,17 @@ def apply_erasure_rewrite(spark: SparkSession, path: str) -> None:
     point before the swap leaves the source untouched; a lost executor
     mid-write cannot corrupt it (the earlier localCheckpoint variant
     stored recovery blocks on executors and overwrote the partitions it
-    was still reading from). Every partition NOT in the written data is
-    never touched — its files stay byte-identical on disk (pinned by
-    test). Directory renames on one filesystem are metadata-only; on an
-    object store the same shape is a staged write + manifest pointer
-    swap (what Delta/Iceberg commit protocols do)."""
+    was still reading from). A failure DURING the swap rolls the
+    already-swapped partitions back from the `old` backup, which is only
+    deleted after every rename succeeded — no code path deletes the sole
+    remaining copy of a partition. A DELETE_TYPES partition whose rows
+    ALL matched the erasure set produces no tmp dir and is REMOVED from
+    the live table (parked in `old` until commit) — previously it was
+    silently kept, retaining 100% of its personal data. Every partition
+    NOT in DELETE_TYPES is never touched — its files stay byte-identical
+    on disk (pinned by test). Directory renames on one filesystem are
+    metadata-only; on an object store the same shape is a staged write +
+    manifest pointer swap (what Delta/Iceberg commit protocols do)."""
     tmp = path.rstrip("/") + ".__erasure_tmp__"
     old = path.rstrip("/") + ".__erasure_old__"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -468,17 +474,34 @@ def apply_erasure_rewrite(spark: SparkSession, path: str) -> None:
         .parquet(tmp)
     )
     os.makedirs(old)
+    # (backup_dir, live_dir, replacement_dir|None) per completed step,
+    # newest first on rollback.
+    done: list[tuple[str, str, str | None]] = []
+    affected = {f"event_type={t}" for t in DELETE_TYPES}
+    written = {e for e in os.listdir(tmp) if e.startswith("event_type=")}
     try:
-        for entry in sorted(os.listdir(tmp)):
-            if not entry.startswith("event_type="):
-                continue  # _SUCCESS marker etc.
+        for entry in sorted(affected | written):
             live = os.path.join(path, entry)
+            backup = os.path.join(old, entry)
+            repl = os.path.join(tmp, entry) if entry in written else None
             if os.path.exists(live):
-                os.rename(live, os.path.join(old, entry))
-            os.rename(os.path.join(tmp, entry), live)
-    finally:
+                os.rename(live, backup)
+            else:
+                backup = ""
+            if repl is not None:
+                os.rename(repl, live)
+            done.append((backup, live, repl))
+    except BaseException:
+        for backup, live, repl in reversed(done):
+            if repl is not None and os.path.exists(live):
+                os.rename(live, repl)  # un-install the replacement
+            if backup and os.path.exists(backup):
+                os.rename(backup, live)  # restore the original
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
+        raise
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 @register(

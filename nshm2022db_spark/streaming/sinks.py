@@ -132,6 +132,19 @@ def try_commit(table_dir: str, manifest: dict) -> bool:
         os.unlink(tmp)
 
 
+def committed_batch_ids(table_dir: str) -> set[int]:
+    """All batch ids ever committed: union of each manifest's (DELTA)
+    batch_ids, or the legacy pointer's cumulative list for pre-log
+    tables. Manifests carry only the ids THEIR transaction applied —
+    cumulative lists would grow the log O(B²) over a stream's life (the
+    first commit over a legacy table carries the pointer's ids forward
+    once, so nothing is lost in migration)."""
+    hist = table_history(table_dir)
+    if not hist:
+        return set(_read_pointer(table_dir)["batch_ids"])
+    return {b for m in hist for b in m["batch_ids"]}
+
+
 def committed_transaction(
     spark: SparkSession,
     table_dir: str,
@@ -149,24 +162,48 @@ def committed_transaction(
     os.makedirs(table_dir, exist_ok=True)
     for _ in range(max_retries):
         cur = current_commit(table_dir)
-        if batch_id is not None and batch_id in cur["batch_ids"]:
+        seen = committed_batch_ids(table_dir)
+        if batch_id is not None and batch_id in seen:
             return
         base = None
         if cur["version"] > 0:
             base = spark.read.parquet(os.path.join(table_dir, cur["dir"]))
         merged = compute(base)
         stage = f"data-{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(os.path.join(table_dir, stage))
+        stage_path = os.path.join(table_dir, stage)
+        merged.write.mode("overwrite").parquet(stage_path)
+        delta = [batch_id] if batch_id is not None else []
+        if cur["version"] > 0 and not table_history(table_dir):
+            # first commit over a legacy-pointer table: carry its
+            # cumulative ids into the log once, then deltas from here on
+            delta = sorted(seen) + delta
         manifest = {
             "version": cur["version"] + 1,
             "dir": stage,
-            "batch_ids": cur["batch_ids"]
-            + ([batch_id] if batch_id is not None else []),
+            "batch_ids": delta,
         }
+        # Refresh the stage mtime so vacuum_uncommitted's grace window
+        # restarts here — the residual stage-deleted-then-committed race
+        # is the microseconds between this utime and the CAS, vs the
+        # vacuum grace (default 1 h).
+        os.utime(stage_path)
         if try_commit(table_dir, manifest):
+            if not os.path.isdir(stage_path):
+                # a vacuum with a too-short grace deleted the stage while
+                # we stalled: un-publish the version we own and fail
+                # loudly rather than leave a manifest pointing nowhere
+                os.unlink(
+                    os.path.join(
+                        table_dir, _COMMITS, f"{manifest['version']:020d}.json"
+                    )
+                )
+                raise RuntimeError(
+                    f"stage {stage} vacuumed before commit on {table_dir}; "
+                    "raise vacuum grace_sec above the max writer stall"
+                )
             _write_hint(table_dir, manifest)
             return
-        shutil.rmtree(os.path.join(table_dir, stage), ignore_errors=True)
+        shutil.rmtree(stage_path, ignore_errors=True)
     raise RuntimeError(
         f"commit conflict persisted for {max_retries} retries on {table_dir}"
     )
@@ -177,7 +214,13 @@ def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
     committing) that no manifest references and whose mtime is older than
     `grace_sec` — the grace window keeps an in-flight writer's fresh
     stage safe. Returns the removed names. Committed versions are never
-    touched (older versions stay readable: snapshot reads)."""
+    touched (older versions stay readable: snapshot reads).
+
+    Contract: grace_sec must exceed the longest plausible writer stall
+    between staging and committing. Writers refresh their stage's mtime
+    immediately before the CAS and fail loudly (un-publishing their
+    manifest) if the stage vanished anyway, so a too-short grace costs a
+    failed transaction, never a manifest pointing at missing data."""
     log = os.path.join(table_dir, _COMMITS)
     referenced = set()
     try:

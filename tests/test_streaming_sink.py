@@ -259,6 +259,81 @@ class TestErasureRewrite:
         assert kept == ev.filter(~F.col("event_type").isin(*DELETE_TYPES)).count()
 
 
+    def test_fully_erased_partition_is_removed(self, spark, tmp_path):
+        """A DELETE_TYPES partition whose rows ALL match the erasure set
+        must be REMOVED, not silently kept (the pre-r4 hole: the swap
+        loop only visited partitions present in the tmp write)."""
+        from nshm2022db_spark.queries.pipeline import (
+            DELETE_USER_MOD,
+            apply_erasure_rewrite,
+        )
+
+        path = str(tmp_path / "t")
+        rows = [
+            # purchase: ONLY erasure-set users -> whole partition must go
+            (DELETE_USER_MOD * 1, "purchase", 1.0),
+            (DELETE_USER_MOD * 2, "purchase", 2.0),
+            # signup: mixed -> survivors kept
+            (DELETE_USER_MOD * 3, "signup", 3.0),
+            (5, "signup", 4.0),
+            # view: untouched partition
+            (DELETE_USER_MOD * 4, "view", 5.0),
+        ]
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, value double"
+        ).write.partitionBy("event_type").parquet(path)
+
+        apply_erasure_rewrite(spark, path)
+
+        assert not os.path.isdir(os.path.join(path, "event_type=purchase"))
+        got = spark.read.parquet(path)
+        assert got.filter("event_type = 'purchase'").count() == 0
+        assert [r.user_id for r in got.filter("event_type = 'signup'").collect()] == [5]
+        assert got.filter("event_type = 'view'").count() == 1  # untouched
+
+    def test_mid_swap_failure_rolls_back(self, spark, tmp_path, monkeypatch):
+        """A rename failure mid-swap must restore every partition from
+        the backup (the pre-r4 finally block rmtree'd the backup, losing
+        the only remaining copy of already-moved partitions)."""
+        import pytest as _pytest
+
+        from nshm2022db_spark.queries import pipeline as pl
+
+        path = str(tmp_path / "t")
+        rows = [
+            (pl.DELETE_USER_MOD, "purchase", 1.0),
+            (7, "purchase", 2.0),
+            (pl.DELETE_USER_MOD * 2, "signup", 3.0),
+            (9, "signup", 4.0),
+        ]
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, value double"
+        ).write.partitionBy("event_type").parquet(path)
+        before = {
+            r.user_id for r in spark.read.parquet(path).collect()
+        }
+
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def flaky_rename(src, dst):
+            calls["n"] += 1
+            if calls["n"] == 3:  # fail after the first full swap completed
+                raise OSError("injected rename failure")
+            real_rename(src, dst)
+
+        monkeypatch.setattr(pl.os, "rename", flaky_rename)
+        with _pytest.raises(OSError, match="injected"):
+            pl.apply_erasure_rewrite(spark, path)
+        monkeypatch.undo()
+
+        # Table content is exactly the pre-call content — nothing lost.
+        after = {r.user_id for r in spark.read.parquet(path).collect()}
+        assert after == before
+        assert not os.path.exists(path + ".__erasure_tmp__")
+        assert not os.path.exists(path + ".__erasure_old__")
+
+
 class TestCommitLog:
     """Optimistic-concurrency commit protocol (streaming/sinks.py):
     unique staged data dirs + manifest CAS into an append-only
@@ -425,3 +500,62 @@ class TestCommitLog:
 
         with _pytest.raises(ValueError):
             read_keyed_table(spark, t, version=9)
+
+    def test_manifests_carry_delta_batch_ids(self, spark, tmp_path):
+        """Manifests store only THEIR transaction's batch ids (the
+        cumulative scheme grew the log O(B^2)); membership is the union
+        over history."""
+        from nshm2022db_spark.streaming.sinks import (
+            committed_batch_ids,
+            committed_transaction,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        for bid in (0, 1, 2):
+            row = spark.createDataFrame([(bid, bid)], "k int, v int")
+            committed_transaction(
+                spark,
+                t,
+                lambda base, row=row: row if base is None else base.unionByName(row),
+                batch_id=bid,
+            )
+        hist = table_history(t)
+        assert [m["batch_ids"] for m in hist] == [[0], [1], [2]]
+        assert committed_batch_ids(t) == {0, 1, 2}
+        # replaying any of them is a no-op
+        boom = spark.createDataFrame([(9, 9)], "k int, v int")
+        committed_transaction(spark, t, lambda base: boom, batch_id=1)
+        assert len(table_history(t)) == 3
+
+    def test_vacuumed_stage_fails_loudly_and_unpublishes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """If a (mis-configured) vacuum deletes a stage between staging
+        and CAS, the transaction must raise and un-publish its manifest
+        — never leave the log pointing at a missing dir."""
+        import shutil as _shutil
+
+        import pytest as _pytest
+
+        from nshm2022db_spark.streaming import sinks as sk
+
+        t = str(tmp_path / "t")
+        row = spark.createDataFrame([(1, 1)], "k int, v int")
+        sk.committed_transaction(spark, t, lambda base: row)
+
+        real_try_commit = sk.try_commit
+
+        def sabotaging_try_commit(table_dir, manifest):
+            _shutil.rmtree(os.path.join(table_dir, manifest["dir"]))
+            return real_try_commit(table_dir, manifest)
+
+        monkeypatch.setattr(sk, "try_commit", sabotaging_try_commit)
+        row2 = spark.createDataFrame([(2, 2)], "k int, v int")
+        with _pytest.raises(RuntimeError, match="vacuumed before commit"):
+            sk.committed_transaction(spark, t, lambda base: base.unionByName(row2))
+        monkeypatch.undo()
+
+        # log is still consistent: one committed version, readable
+        assert sk.current_commit(t)["version"] == 1
+        assert sk.read_keyed_table(spark, t).count() == 1
