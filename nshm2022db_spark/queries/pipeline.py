@@ -488,9 +488,13 @@ def apply_erasure_rewrite(spark: SparkSession, path: str) -> None:
                 os.rename(live, backup)
             else:
                 backup = ""
+            # record the backup BEFORE installing the replacement: a
+            # failure between the two renames must still restore this
+            # entry (rename itself is atomic — raised means not moved)
+            done.append((backup, live, None))
             if repl is not None:
                 os.rename(repl, live)
-            done.append((backup, live, repl))
+                done[-1] = (backup, live, repl)
     except BaseException:
         for backup, live, repl in reversed(done):
             if repl is not None and os.path.exists(live):

@@ -314,24 +314,30 @@ class TestErasureRewrite:
         }
 
         real_rename = os.rename
-        calls = {"n": 0}
 
-        def flaky_rename(src, dst):
-            calls["n"] += 1
-            if calls["n"] == 3:  # fail after the first full swap completed
-                raise OSError("injected rename failure")
-            real_rename(src, dst)
+        # Fail at every possible rename position (2 partitions x backup +
+        # install = 4): position 3 fails after a completed swap, position
+        # 4 fails BETWEEN an entry's backup and its install — the case
+        # where the partition exists only in the backup dir.
+        for fail_at in (1, 2, 3, 4):
+            calls = {"n": 0}
 
-        monkeypatch.setattr(pl.os, "rename", flaky_rename)
-        with _pytest.raises(OSError, match="injected"):
-            pl.apply_erasure_rewrite(spark, path)
-        monkeypatch.undo()
+            def flaky_rename(src, dst, _fail_at=fail_at):
+                calls["n"] += 1
+                if calls["n"] == _fail_at:
+                    raise OSError("injected rename failure")
+                real_rename(src, dst)
 
-        # Table content is exactly the pre-call content — nothing lost.
-        after = {r.user_id for r in spark.read.parquet(path).collect()}
-        assert after == before
-        assert not os.path.exists(path + ".__erasure_tmp__")
-        assert not os.path.exists(path + ".__erasure_old__")
+            monkeypatch.setattr(pl.os, "rename", flaky_rename)
+            with _pytest.raises(OSError, match="injected"):
+                pl.apply_erasure_rewrite(spark, path)
+            monkeypatch.undo()
+
+            # Table content is exactly the pre-call content — nothing lost.
+            after = {r.user_id for r in spark.read.parquet(path).collect()}
+            assert after == before, f"fail_at={fail_at}"
+            assert not os.path.exists(path + ".__erasure_tmp__")
+            assert not os.path.exists(path + ".__erasure_old__")
 
 
 class TestCommitLog:
