@@ -120,6 +120,21 @@ HEADLINE = [
 ]
 
 
+# Oracle-CONTRACT queries (VERDICT r04 #5): these deliberately compute an
+# exact answer ALONGSIDE the approximate/structural one so the DuckDB
+# oracle can hash-pin an error bound or partition contract — the production
+# plan at 100 TB runs the cheap half alone (each docstring says which).
+# Their timings therefore move when the CONTRACT changes, not the engine;
+# bench_results.json lists them in a separate section and
+# tools/bench_compare.py keeps them out of the 2x regression gate.
+CONTRACT_QUERIES = {
+    "approx_count_distinct_sketch",  # exact + sketch (5%-error pin)
+    "hll_shard_merge",               # exact + merged-sketch pin
+    "salted_skew_join",              # salted + plain join parity pin
+    "stream_windowed_distinct",      # exact distinct + windowed HLL pin
+}
+
+
 def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -160,6 +175,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # Disclosed subset whose timing tracks an oracle CONTRACT rather
+        # than engine throughput (see CONTRACT_QUERIES above) — excluded
+        # from bench_compare's regression gate.
+        "contract_queries": sorted(CONTRACT_QUERIES & set(timings)),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(result)

@@ -414,7 +414,7 @@ def _decode_pixel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                ROUND(AVG(r), 6) AS mean_r,
                ROUND(AVG(g), 6) AS mean_g,
                ROUND(AVG(b), 6) AS mean_b,
-               SUM((x + 2 * y + 1) * (r + g + b)) AS wsum
+               CAST(SUM((x + 2 * y + 1) * (r + g + b)) AS BIGINT) AS wsum
         FROM ch GROUP BY media_id""",
 )
 def multimodal_decode_pixels(spark: SparkSession, sf: str) -> DataFrame:
@@ -495,7 +495,7 @@ def _decode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                COUNT(*) AS n_samples,
                ROUND(AVG(ABS(s)), 6) AS mean_abs,
                MAX(ABS(s))::INTEGER AS peak,
-               SUM(i * s) AS wsum
+               CAST(SUM(i * s) AS BIGINT) AS wsum
         FROM vals GROUP BY media_id""",
 )
 def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:

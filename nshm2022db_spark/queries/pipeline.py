@@ -12,7 +12,6 @@ Float discipline: double sums ROUND()ed identically on both sides.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -305,7 +304,7 @@ def orc_scan(spark: SparkSession, sf: str) -> DataFrame:
     "value_histogram",
     """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin_id,
               COUNT(*) AS n,
-              CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_lo
+              CAST(CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS bin_lo
        FROM events
        GROUP BY 1""",
 )
@@ -441,71 +440,37 @@ DELETE_TYPES = ("purchase", "signup")  # partitions holding personal data
 
 def apply_erasure_rewrite(spark: SparkSession, path: str) -> None:
     """Rewrite ONLY the DELETE_TYPES partitions of an event_type-
-    partitioned table, dropping the erasure-set users.
+    partitioned table, dropping the erasure-set users — published through
+    the keyed-table commit log (VERDICT r04 #6: one commit model for
+    every mutating sink, replacing the r4 dir-swap rename sequence).
 
-    Write-then-swap, never overwrite-in-place (ADVICE r03): the filtered
-    partitions are fully materialized to a sibling temp directory FIRST,
-    and only after that write succeeds are the affected `event_type=X`
-    partition dirs swapped in with directory renames. A failure at any
-    point before the swap leaves the source untouched; a lost executor
-    mid-write cannot corrupt it (the earlier localCheckpoint variant
-    stored recovery blocks on executors and overwrote the partitions it
-    was still reading from). A failure DURING the swap rolls the
-    already-swapped partitions back from the `old` backup, which is only
-    deleted after every rename succeeded — no code path deletes the sole
-    remaining copy of a partition. A DELETE_TYPES partition whose rows
-    ALL matched the erasure set produces no tmp dir and is REMOVED from
-    the live table (parked in `old` until commit) — previously it was
-    silently kept, retaining 100% of its personal data. Every partition
-    NOT in DELETE_TYPES is never touched — its files stay byte-identical
-    on disk (pinned by test). Directory renames on one filesystem are
-    metadata-only; on an object store the same shape is a staged write +
-    manifest pointer swap (what Delta/Iceberg commit protocols do)."""
-    tmp = path.rstrip("/") + ".__erasure_tmp__"
-    old = path.rstrip("/") + ".__erasure_old__"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    (
-        spark.read.parquet(path)
-        .filter(F.col("event_type").isin(*DELETE_TYPES))
-        .filter(~(F.col("user_id") % DELETE_USER_MOD == 0))
-        .write.mode("overwrite")
-        .partitionBy("event_type")
-        .parquet(tmp)
+    The transaction stages the filtered survivors of the affected
+    partitions in a unique immutable data dir, then commits a manifest
+    whose partition map points the affected entries at the new stage and
+    carries every OTHER partition's mapping forward untouched — those
+    files stay byte-identical on disk (pinned by test; that preservation
+    IS the scale claim: delete cost ∝ affected partitions). Publish is
+    ONE atomic manifest link (CAS), so there is no rename sequence to
+    roll back: a crash anywhere before the commit leaves the table
+    readable at its current version, with at worst an unreferenced stage
+    for `vacuum_uncommitted`; concurrent writers serialize via the CAS
+    retry. A DELETE_TYPES partition whose rows ALL matched the erasure
+    set simply leaves the new manifest (claimed but not rewritten) — its
+    old files remain on disk as committed HISTORY, readable via
+    `read_keyed_table(version=...)` until a retention vacuum. A raw
+    `partitionBy` layout migrates into the commit log in place on first
+    call (zero data movement). On an object store every step maps 1:1:
+    staged puts + one conditional manifest put."""
+    from nshm2022db_spark.streaming.sinks import committed_partition_transaction
+
+    def survivors(base: DataFrame) -> DataFrame:
+        return base.filter(F.col("event_type").isin(*DELETE_TYPES)).filter(
+            ~(F.col("user_id") % DELETE_USER_MOD == 0)
+        )
+
+    committed_partition_transaction(
+        spark, path, "event_type", survivors, affected=list(DELETE_TYPES)
     )
-    os.makedirs(old)
-    # (backup_dir, live_dir, replacement_dir|None) per completed step,
-    # newest first on rollback.
-    done: list[tuple[str, str, str | None]] = []
-    affected = {f"event_type={t}" for t in DELETE_TYPES}
-    written = {e for e in os.listdir(tmp) if e.startswith("event_type=")}
-    try:
-        for entry in sorted(affected | written):
-            live = os.path.join(path, entry)
-            backup = os.path.join(old, entry)
-            repl = os.path.join(tmp, entry) if entry in written else None
-            if os.path.exists(live):
-                os.rename(live, backup)
-            else:
-                backup = ""
-            # record the backup BEFORE installing the replacement: a
-            # failure between the two renames must still restore this
-            # entry (rename itself is atomic — raised means not moved)
-            done.append((backup, live, None))
-            if repl is not None:
-                os.rename(repl, live)
-                done[-1] = (backup, live, repl)
-    except BaseException:
-        for backup, live, repl in reversed(done):
-            if repl is not None and os.path.exists(live):
-                os.rename(live, repl)  # un-install the replacement
-            if backup and os.path.exists(backup):
-                os.rename(backup, live)  # restore the original
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        raise
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
 
 
 @register(
@@ -525,27 +490,32 @@ def delete_where_rewrite(spark: SparkSession, sf: str) -> DataFrame:
 
     The table lands partitioned by event_type; the delete reads ONLY the
     affected partitions (partition pruning — the filter is on the
-    partition column), anti-filters the erasure set, writes the surviving
-    rows to a temp directory, then swaps the affected partition dirs into
-    place (see apply_erasure_rewrite). Cost is proportional to the
-    affected partitions, not the table: at 100 TB, deleting users from
-    2 of 500 date partitions rewrites 0.4% of the files. A real table
-    format (Delta/Iceberg) narrows the rewrite further to affected FILES
-    via column stats; the partition-granularity write-and-swap here is
-    what those formats fall back to, with the pointer swap playing the
-    commit.
+    partition column), anti-filters the erasure set, stages the surviving
+    rows in an immutable data dir, and publishes via ONE atomic manifest
+    CAS into the keyed-table commit log (see apply_erasure_rewrite —
+    since r5 the same commit protocol as every other mutating sink).
+    Cost is proportional to the affected partitions, not the table: at
+    100 TB, deleting users from 2 of 500 date partitions rewrites 0.4%
+    of the files. A real table format (Delta/Iceberg) narrows the
+    rewrite further to affected FILES via column stats; the
+    partition-granularity stage-and-commit here is the same model at
+    coarser granularity.
 
     The oracle recomputes the post-delete table from the base parquet —
-    the round trip proves both the partitioned land and the selective
-    rewrite."""
-    base = scratch_path("events_delete_rewrite", sf)
+    the round trip proves the partitioned land, the selective rewrite,
+    and the manifest-resolved read."""
+    from nshm2022db_spark.streaming.sinks import read_keyed_table
+
+    # key bumped r5: pre-commit-log landings (raw swapped layout, no
+    # _commits/) are unreadable by read_keyed_table and must re-land
+    base = scratch_path("events_delete_rewrite_r5", sf)
     path = os.path.join(base, "events_by_type")
     if not is_landed(base):
         ev = read_table(spark, sf, "events")
         ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
         apply_erasure_rewrite(spark, path)
         mark_landed(base)
-    table = spark.read.parquet(path)
+    table = read_keyed_table(spark, path)
     return table.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),

@@ -181,7 +181,8 @@ def anti_join_missing(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "asof_nearest_ge",
-    """WITH targets AS (SELECT * FROM (VALUES (1.0), (500.0), (903.0), (1200.0), (99999.0)) AS v(target)),
+    """WITH targets AS (SELECT CAST(target AS DOUBLE) AS target
+                        FROM (VALUES (1.0), (500.0), (903.0), (1200.0), (99999.0)) AS v(target)),
             d AS (SELECT DISTINCT p_retailprice AS v FROM part),
             ge AS (SELECT target, MIN(v) AS ge_v FROM d JOIN targets ON v >= target GROUP BY target)
        SELECT t.target, COALESCE(ge.ge_v, (SELECT MAX(v) FROM d)) AS rounded
@@ -200,8 +201,9 @@ def asof_nearest_ge(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "asof_nearest_ge_per_key",
-    """WITH targets AS (SELECT * FROM (VALUES ('Brand#1', 910.0), ('Brand#1', 99999.0),
-                                             ('Brand#2', 905.0), ('Brand#3', 1.0)) AS v(p_brand, target)),
+    """WITH targets AS (SELECT p_brand, CAST(target AS DOUBLE) AS target
+                        FROM (VALUES ('Brand#1', 910.0), ('Brand#1', 99999.0),
+                                     ('Brand#2', 905.0), ('Brand#3', 1.0)) AS v(p_brand, target)),
             d AS (SELECT DISTINCT p_brand, p_retailprice AS v FROM part),
             ge AS (SELECT d.p_brand, t.target, MIN(v) AS ge_v
                    FROM d JOIN targets t ON d.p_brand = t.p_brand AND d.v >= t.target

@@ -163,86 +163,29 @@ from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # ROUND-4 WINDOW. Composition (VERDICT r03 next-round #1 + ADVICE):
-    # (a) queries NEW or semantically CHANGED this round, (b) replay-
-    # plumbing representatives, (c) the stale tail — queries whose last
-    # green driver row is r1/r2 — prioritizing every query that depends
-    # on the functions/portable.py primitives round 3 changed (the
-    # _STOP_SQL translate() ASCII fold, BPE_PATTERN, shingle hashes).
+    # ROUND-5 WINDOW. Composition (VERDICT r04 next-round #1/#3 + the
+    # standing contract above):
+    # (a) queries whose OWN oracle text changed this round — the two
+    #     multimodal wsum CAST(... AS BIGINT) fixes (the r4 driver-red
+    #     rows), plus the three DECIMAL-vs-float leaks the new
+    #     typed-schema gate (tools/verify_local.py) caught in the asof
+    #     targets and the histogram bin_lo;
+    # (b) delete_where_rewrite — erasure now publishes through the
+    #     keyed-table commit log (VERDICT r04 #6);
+    # (c) the LAST 26 stale r1-row queries (the tail head VERDICT r04 #1
+    #     earmarked) — this completes the freshness sweep: after r5
+    #     every registry query has a driver row from r3 or later;
+    # (d) remaining slots refresh the stalest r3 rows.
     #
-    # (a) new: the real-codec decode queries.
+    # (a) oracle-type fixes:
     "multimodal_decode_pixels",
     "multimodal_wav_decode",
-    # (a) changed: sketch contract now oracled; 3-MAD comparison now
-    # rounds both sides; erasure rewrite is now write-then-swap;
-    # stream_static_join reads its dim on the replay session.
-    "approx_count_distinct_sketch",
-    "anomaly_mad",
-    "delete_where_rewrite",
-    "stream_static_join",
-    # (b) replay-session/src-dir-sniff plumbing representatives — one per
-    # distinct streaming shape: complete-mode windowed agg, append-mode
-    # stream-stream join state, applyInPandasWithState update mode, and
-    # the doubled-dir + foreachBatch sink path. The five remaining
-    # streaming queries share exactly these code paths, hold fresh r03
-    # rows, and are re-proven by the local 3-scale verify gates.
-    "stream_tumbling_window",
-    "stream_stream_join",
-    "stream_stateful_profile",
-    "stream_upsert_table",
-    # (c) stale-tail refresh — portable.py dependents first (the ADVICE
-    # items text_lang_id/text_quality_score/text_token_stats lead).
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_fingerprint",
-    "vocab_topk",
-    "stratified_sample",
-    "explode_tokens",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "knn_bruteforce",
-    "knn_lsh_bucketed",
-    "knn_lsh_multiprobe",
-    "knn_ivf",
-    "advanced_query_negation",
-    "advanced_query_or_bounds",
     "asof_nearest_ge",
     "asof_nearest_ge_per_key",
-    "percentile_agg",
-    "approx_percentile_bound",
-    "grouping_sets_agg",
-    "cube_agg",
-    "rollup_agg",
-    "approx_count_distinct",
-    "ntile_buckets",
-    "merge_upsert",
-    "ragged_csv_roundtrip",
-    "geojson_scan",
-    "csv_scan_join",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "weighted_branch_merge",
-    "join_dim_hierarchy",
-    "join_5way_agg",
-    # Changed mid-round-4 (displacing topk_global/topk_per_group — stale
-    # but untouched, plan-pinned — to the tail head): the embedding dedup
-    # gained adaptive two-level blocking after the scale ladder caught
-    # the fixed-bucket quadratic, and session_funnel's oracle was
-    # rewritten lambda-free after DuckDB list_reduce-over-grouped-list
-    # nondeterminism surfaced in the sf0.1 gate.
-    "dedup_embedding_cosine",
-    "session_funnel",
-    # --- 50-query window boundary (driver gate cap observed r01-r03) ---
-    # Tail head: the LAST still-stale r1-row queries — single-operator
-    # relational shapes untouched since r1, all green in the judge's full
-    # r03 registry rerun and the local 3-scale gates. Rotate these into
-    # the round-5 window to finish the freshness sweep.
+    "value_histogram",
+    # (b) erasure through the commit log:
+    "delete_where_rewrite",
+    # (c) the stale r1 tail — single-operator relational shapes:
     "topk_global",
     "topk_per_group",
     "groupby_agg",
@@ -269,8 +212,7 @@ _DRIVER_ORDER = [
     "table_profile",
     "geometry_planes",  # rows-only by design (TM series not SQL-expressible)
     "advanced_query_dsl",  # exercised every round by the driver's entry() smoke
-    # Tail: fresh hash-green r03 rows, code untouched this round (or
-    # covered by the in-window plumbing representatives above).
+    # (d) stalest r3 rows:
     "stream_sliding_window",
     "stream_session_window",
     "stream_dedup_events",
@@ -289,8 +231,10 @@ _DRIVER_ORDER = [
     "source_mix_sample",
     "orc_scan",
     "curation_pipeline",
+    # --- 50-query window boundary (driver gate cap observed r01-r04) ---
+    # Tail head: the remaining r3-row queries — stalest after this
+    # round; rotate into the round-6 window.
     "chunk_documents",
-    "value_histogram",
     "fk_integrity_check",
     "events_tumbling_window",
     "events_funnel",
@@ -311,6 +255,52 @@ _DRIVER_ORDER = [
     "cohort_retention",
     "compact_small_files",
     "lm_unigram_score",
+    # Tail: hash-green r4 driver rows, code untouched this round.
+    "approx_count_distinct_sketch",
+    "anomaly_mad",
+    "stream_static_join",
+    "stream_tumbling_window",
+    "stream_stream_join",
+    "stream_stateful_profile",
+    "stream_upsert_table",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_fingerprint",
+    "vocab_topk",
+    "stratified_sample",
+    "explode_tokens",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "knn_bruteforce",
+    "knn_lsh_bucketed",
+    "knn_lsh_multiprobe",
+    "knn_ivf",
+    "advanced_query_negation",
+    "advanced_query_or_bounds",
+    "percentile_agg",
+    "approx_percentile_bound",
+    "grouping_sets_agg",
+    "cube_agg",
+    "rollup_agg",
+    "approx_count_distinct",
+    "ntile_buckets",
+    "merge_upsert",
+    "ragged_csv_roundtrip",
+    "geojson_scan",
+    "csv_scan_join",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "weighted_branch_merge",
+    "join_dim_hierarchy",
+    "join_5way_agg",
+    "dedup_embedding_cosine",
+    "session_funnel",
 ]
 
 

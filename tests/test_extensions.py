@@ -214,64 +214,107 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
-            # round-4 additions: real-codec decode queries
+            # round-5 oracle-type fixes: the two r4 driver-red multimodal
+            # wsum casts, plus the three DECIMAL-vs-float leaks the new
+            # typed-schema gate caught (asof targets, histogram bin_lo)
             "multimodal_decode_pixels", "multimodal_wav_decode",
-            # round-4 query-specific changes: oracled sketch contract,
-            # rounded 3-MAD comparison, write-then-swap erasure rewrite,
-            # replay-session dim read
-            "approx_count_distinct_sketch", "anomaly_mad",
-            "delete_where_rewrite", "stream_static_join",
-            # replay-plumbing representatives (one per streaming shape:
-            # complete-mode agg, append-mode join, keyed state, sink)
-            "stream_tumbling_window", "stream_stream_join",
-            "stream_stateful_profile", "stream_upsert_table",
-            # ADVICE r03: the text queries whose own expressions changed
-            # in round 3 (_STOP_SQL translate fold, BPE_PATTERN) had no
-            # in-window representative — they lead the stale-tail sweep
-            "text_lang_id", "text_quality_score", "text_token_stats",
-            # changed mid-round-4: scale-ladder fix (adaptive two-level
-            # bucket blocking), the lambda-free funnel oracle rewrite
-            # (DuckDB list_reduce-over-grouped-list nondeterminism), the
-            # 60-bit/15-bit-band simhash, the occupancy-constant knn
-            # buckets, and the sqrt-balance IVF list count (all the same
-            # fixed-width hazard class)
-            "dedup_embedding_cosine", "session_funnel", "dedup_simhash",
-            "knn_lsh_bucketed", "knn_lsh_multiprobe", "knn_ivf",
+            "asof_nearest_ge", "asof_nearest_ge_per_key",
+            "value_histogram",
+            # round-5 implementation change: erasure publishes through
+            # the keyed-table commit log (VERDICT r04 #6)
+            "delete_where_rewrite",
+            # the freshness sweep's last 26 stale r1 rows (VERDICT r04
+            # #1/#3) — after r5 every registry query has a driver row
+            # from r3 or later
+            "topk_global", "topk_per_group", "groupby_agg",
+            "count_distinct", "point_lookup", "range_filter",
+            "scan_project", "distinct_ordered", "window_running_sum",
+            "union_all_stack", "intersect_types", "except_types",
+            "pivot_wide", "scalar_string_format", "scalar_max",
+            "left_join_count", "semi_join_membership",
+            "anti_join_missing", "any_value_carry", "having_postagg",
+            "surrogate_keys_dense", "conditional_agg_membership",
+            "unpivot_long", "table_profile", "geometry_planes",
+            "advanced_query_dsl",
         }
         out = must_verify - window
         assert not out, f"need driver verification but outside window: {out}"
         # The freshness sweep: everything in-window beyond must_verify
-        # should be a STALE query (last green row r1/r2), not one that
-        # already got a fresh r03 row — rotating fresh rows back in
-        # would waste window slots. Pin the known-fresh r03 set out of
-        # the remaining window slots (minus the representatives above).
-        fresh_r03 = {
-            "dedup_embedding_cosine", "stream_sliding_window",
-            "stream_session_window", "stream_dedup_events",
-            "window_range_frame", "events_sessionize",
-            "range_join_events", "jsonl_scan",
-            "embedding_random_projection", "tfidf_search",
-            "decontaminate_ngram", "weighted_sample", "pack_sequences",
-            "source_mix_sample", "orc_scan", "curation_pipeline",
-            "chunk_documents", "value_histogram", "fk_integrity_check",
-            "events_tumbling_window", "events_funnel", "json_extract",
-            "scd2_build", "timeline_gapfill", "events_locf",
-            "rank_distribution", "decontaminate_bloom",
-            "value_drift_trend", "csv_gzip_scan",
-            "multimodal_audio_chunks", "stream_incremental_rollup",
-            "snapshot_diff", "zorder_key", "bucket_by_cutpoints",
-            "hll_shard_merge", "salted_skew_join",
-            "stream_windowed_distinct", "sql_api_pricing_summary",
-            "cohort_retention", "compact_small_files", "session_funnel",
-            "lm_unigram_score",
+        # should be a STALE query (last green row r3), not one that
+        # already got a fresh r04 row — rotating fresh rows back in
+        # would waste window slots. Pin the known-fresh r04 set out of
+        # the remaining window slots.
+        fresh_r04 = {
+            "approx_count_distinct_sketch", "anomaly_mad",
+            "stream_static_join", "stream_tumbling_window",
+            "stream_stream_join", "stream_stateful_profile",
+            "stream_upsert_table", "text_lang_id", "text_quality_score",
+            "text_token_stats", "text_pii_scrub",
+            "text_repetition_stats", "text_fingerprint", "vocab_topk",
+            "stratified_sample", "explode_tokens", "dedup_exact",
+            "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+            "dedup_clusters", "knn_bruteforce", "knn_lsh_bucketed",
+            "knn_lsh_multiprobe", "knn_ivf", "advanced_query_negation",
+            "advanced_query_or_bounds", "percentile_agg",
+            "approx_percentile_bound", "grouping_sets_agg", "cube_agg",
+            "rollup_agg", "approx_count_distinct", "ntile_buckets",
+            "merge_upsert", "ragged_csv_roundtrip", "geojson_scan",
+            "csv_scan_join", "multimodal_decode_meta",
+            "multimodal_frame_sample", "weighted_branch_merge",
+            "join_dim_hierarchy", "join_5way_agg",
+            "dedup_embedding_cosine", "session_funnel",
         }
-        wasted = (window - must_verify) & fresh_r03
-        assert not wasted, f"fresh r03 rows burning window slots: {wasted}"
+        wasted = (window - must_verify) & fresh_r04
+        assert not wasted, f"fresh r04 rows burning window slots: {wasted}"
         # ORACLES iterates in the same order (driver zips them).
         assert [n for n in QUERIES if n in ORACLES] == list(ORACLES)
 
 
 class TestSimilarity:
+    def test_python_sql_blocking_twins_agree(self):
+        """ADVICE r04: the driver-side Python twins (_nbuckets_py,
+        _ivf_nlist_py) and the oracle CASE chains (_nbuckets_case_sql,
+        _ivf_nlist_case_sql) must derive the IDENTICAL blocking at every
+        tier boundary, or Spark and DuckDB silently diverge for corpora
+        crossing a threshold. Evaluates the SQL chain in DuckDB at each
+        boundary ±1 plus extremes."""
+        import duckdb
+
+        from nshm2022db_spark.extensions.similarity import (
+            DEDUP_MAX_BITS,
+            DEDUP_TARGET_OCC,
+            IVF_NLIST_TIERS,
+            N_PLANES,
+            _ivf_nlist_case_sql,
+            _ivf_nlist_py,
+            _nbuckets_case_sql,
+            _nbuckets_py,
+        )
+
+        con = duckdb.connect()
+
+        def sql_eval(chain_sql, c):
+            return con.sql(
+                f"SELECT {chain_sql} FROM (SELECT CAST({c} AS BIGINT) AS c)"
+            ).fetchone()[0]
+
+        nb_bounds = [
+            DEDUP_TARGET_OCC * (1 << bits)
+            for bits in range(N_PLANES, DEDUP_MAX_BITS + 1)
+        ]
+        ivf_bounds = [t for t, _ in IVF_NLIST_TIERS]
+        for bounds, py_fn, chain in [
+            (nb_bounds, _nbuckets_py, _nbuckets_case_sql("c")),
+            (ivf_bounds, _ivf_nlist_py, _ivf_nlist_case_sql("c")),
+        ]:
+            counts = {1, 10**9}
+            for b in bounds:
+                counts.update((b - 1, b, b + 1))
+            for c in sorted(counts):
+                assert py_fn(c) == sql_eval(chain, c), (
+                    f"twin divergence at count={c}"
+                )
+
     def test_knn_nearest_is_planted_neighbor(self, spark, planted):
         from nshm2022db_spark.extensions.similarity import knn_bruteforce
 

@@ -248,8 +248,11 @@ class TestErasureRewrite:
 
         for p in untouched:
             assert snapshot(p) == before[p], p
-        # And the affected partitions really lost the erasure set.
-        table = spark.read.parquet(path)
+        # And the affected partitions really lost the erasure set
+        # (reads resolve through the commit-log manifest since r5).
+        from nshm2022db_spark.streaming.sinks import read_keyed_table
+
+        table = read_keyed_table(spark, path)
         leaked = table.filter(
             F.col("event_type").isin(*DELETE_TYPES)
             & (F.col("user_id") % DELETE_USER_MOD == 0)
@@ -258,14 +261,49 @@ class TestErasureRewrite:
         kept = table.filter(~F.col("event_type").isin(*DELETE_TYPES)).count()
         assert kept == ev.filter(~F.col("event_type").isin(*DELETE_TYPES)).count()
 
+    def test_erasure_read_prunes_untouched_partitions(self, spark, sf_dir, tmp_path):
+        """Partition pruning must survive the manifest-mapped read: a
+        filter on the partition column folds the unaffected union
+        branches away, so the erasure transaction's base scan reads NO
+        files from untouched partitions."""
+        from nshm2022db_spark.queries.pipeline import (
+            DELETE_TYPES,
+            apply_erasure_rewrite,
+        )
+        from nshm2022db_spark.streaming.sinks import read_keyed_table
+
+        path = str(tmp_path / "events_by_type")
+        read_table(spark, sf_dir, "events").write.partitionBy(
+            "event_type"
+        ).parquet(path)
+        apply_erasure_rewrite(spark, path)
+
+        pruned = read_keyed_table(spark, path).filter(
+            F.col("event_type").isin(*DELETE_TYPES)
+        )
+        files = pruned.inputFiles()
+        assert files, "affected partitions must still scan"
+        bad = [
+            f
+            for f in files
+            if not any(f"event_type={t}" in f for t in DELETE_TYPES)
+        ]
+        assert not bad, f"untouched partition files scanned: {bad[:3]}"
+
 
     def test_fully_erased_partition_is_removed(self, spark, tmp_path):
         """A DELETE_TYPES partition whose rows ALL match the erasure set
-        must be REMOVED, not silently kept (the pre-r4 hole: the swap
-        loop only visited partitions present in the tmp write)."""
+        must be ABSENT from the committed version (the pre-r4 hole: the
+        swap loop only visited partitions present in the tmp write).
+        Under the commit log the old files stay on disk as immutable
+        history, but no current-version read resolves them."""
         from nshm2022db_spark.queries.pipeline import (
             DELETE_USER_MOD,
             apply_erasure_rewrite,
+        )
+        from nshm2022db_spark.streaming.sinks import (
+            read_keyed_table,
+            table_history,
         )
 
         path = str(tmp_path / "t")
@@ -285,19 +323,30 @@ class TestErasureRewrite:
 
         apply_erasure_rewrite(spark, path)
 
-        assert not os.path.isdir(os.path.join(path, "event_type=purchase"))
-        got = spark.read.parquet(path)
+        manifest = table_history(path)[-1]
+        assert "event_type=purchase" not in manifest["partitions"]
+        got = read_keyed_table(spark, path)
         assert got.filter("event_type = 'purchase'").count() == 0
         assert [r.user_id for r in got.filter("event_type = 'signup'").collect()] == [5]
         assert got.filter("event_type = 'view'").count() == 1  # untouched
 
-    def test_mid_swap_failure_rolls_back(self, spark, tmp_path, monkeypatch):
-        """A rename failure mid-swap must restore every partition from
-        the backup (the pre-r4 finally block rmtree'd the backup, losing
-        the only remaining copy of already-moved partitions)."""
+    def test_precommit_failure_leaves_table_intact(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The commit-log erasure has NO rename sequence: the only
+        publish step is the atomic manifest link. A crash anywhere
+        before it — during the stage write or between stage and CAS —
+        leaves the current version fully readable and at worst an
+        unreferenced stage that vacuum sweeps."""
         import pytest as _pytest
 
         from nshm2022db_spark.queries import pipeline as pl
+        from nshm2022db_spark.streaming import sinks
+        from nshm2022db_spark.streaming.sinks import (
+            read_keyed_table,
+            table_history,
+            vacuum_uncommitted,
+        )
 
         path = str(tmp_path / "t")
         rows = [
@@ -309,35 +358,54 @@ class TestErasureRewrite:
         spark.createDataFrame(
             rows, "user_id long, event_type string, value double"
         ).write.partitionBy("event_type").parquet(path)
-        before = {
-            r.user_id for r in spark.read.parquet(path).collect()
+        before = {r.user_id for r in spark.read.parquet(path).collect()}
+
+        def raw_user_ids():
+            # read the top-level partition dirs directly: an orphan
+            # data-* stage next to them makes a whole-dir parquet read
+            # reject the layout, which is exactly why readers resolve
+            # through the manifest
+            ids = set()
+            for e in ("purchase", "signup"):
+                p = os.path.join(path, f"event_type={e}")
+                ids |= {r.user_id for r in spark.read.parquet(p).collect()}
+            return ids
+
+        # (1) crash during the stage write (executor/driver loss mid-job)
+        def boom_write(self):
+            raise OSError("injected stage-write failure")
+
+        # patch the CONCRETE DataFrame class (pyspark 4 routes the public
+        # pyspark.sql.DataFrame through a classic/connect subclass whose
+        # own `write` shadows the base property)
+        monkeypatch.setattr(type(spark.range(1)), "write", property(boom_write))
+        with _pytest.raises(OSError, match="injected stage-write"):
+            pl.apply_erasure_rewrite(spark, path)
+        monkeypatch.undo()
+        assert raw_user_ids() == before
+        assert table_history(path) == []  # nothing committed
+
+        # (2) crash between stage write and CAS
+        def boom_commit(table_dir, manifest):
+            raise OSError("injected pre-CAS failure")
+
+        monkeypatch.setattr(sinks, "try_commit", boom_commit)
+        with _pytest.raises(OSError, match="injected pre-CAS"):
+            pl.apply_erasure_rewrite(spark, path)
+        monkeypatch.undo()
+        assert raw_user_ids() == before
+        assert table_history(path) == []
+        orphans = [n for n in os.listdir(path) if n.startswith("data-")]
+        assert orphans, "pre-CAS crash must leave the stage for vacuum"
+        removed = vacuum_uncommitted(path, grace_sec=0.0)
+        assert set(removed) >= set(orphans)
+
+        # (3) the retry after either crash succeeds and commits cleanly
+        pl.apply_erasure_rewrite(spark, path)
+        got = read_keyed_table(spark, path)
+        assert {r.user_id for r in got.collect()} == {
+            u for u in before if u % pl.DELETE_USER_MOD != 0
         }
-
-        real_rename = os.rename
-
-        # Fail at every possible rename position (2 partitions x backup +
-        # install = 4): position 3 fails after a completed swap, position
-        # 4 fails BETWEEN an entry's backup and its install — the case
-        # where the partition exists only in the backup dir.
-        for fail_at in (1, 2, 3, 4):
-            calls = {"n": 0}
-
-            def flaky_rename(src, dst, _fail_at=fail_at):
-                calls["n"] += 1
-                if calls["n"] == _fail_at:
-                    raise OSError("injected rename failure")
-                real_rename(src, dst)
-
-            monkeypatch.setattr(pl.os, "rename", flaky_rename)
-            with _pytest.raises(OSError, match="injected"):
-                pl.apply_erasure_rewrite(spark, path)
-            monkeypatch.undo()
-
-            # Table content is exactly the pre-call content — nothing lost.
-            after = {r.user_id for r in spark.read.parquet(path).collect()}
-            assert after == before, f"fail_at={fail_at}"
-            assert not os.path.exists(path + ".__erasure_tmp__")
-            assert not os.path.exists(path + ".__erasure_old__")
 
 
 class TestCommitLog:
@@ -347,6 +415,41 @@ class TestCommitLog:
     SERIALIZE — the loser retries against the winner's version — so no
     merge is ever lost (the mutable-pointer protocol it replaces would
     silently drop one writer's result)."""
+
+    def test_partition_transaction_carry_forward_and_time_travel(
+        self, spark, tmp_path
+    ):
+        """A partial rewrite stages ONLY its partitions: unaffected
+        entries keep their mapping (same physical dir across versions),
+        and the previous committed version stays readable (snapshot
+        isolation)."""
+        from nshm2022db_spark.streaming.sinks import (
+            committed_partition_transaction,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        rows = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "uid long, k string"
+        )
+        committed_partition_transaction(spark, t, "k", lambda base: rows)
+
+        committed_partition_transaction(
+            spark,
+            t,
+            "k",
+            lambda base: base.filter("k = 'a' AND uid <> 1"),
+            affected=["a"],
+        )
+
+        v1, v2 = table_history(t)
+        assert v1["partitions"]["k=b"] == v2["partitions"]["k=b"]  # carried
+        assert v1["partitions"]["k=a"] != v2["partitions"]["k=a"]  # restaged
+        assert {r.uid for r in read_keyed_table(spark, t).collect()} == {2, 3}
+        assert {
+            r.uid for r in read_keyed_table(spark, t, version=1).collect()
+        } == {1, 2, 3}
 
     def test_cas_rejects_taken_version(self, tmp_path):
         from nshm2022db_spark.streaming.sinks import try_commit
@@ -449,6 +552,36 @@ class TestCommitLog:
         assert removed == ["data-orphan"]
         assert os.path.isdir(fresh)
         assert os.path.isdir(os.path.join(t, current_commit(t)["dir"]))
+        assert read_keyed_table(spark, t).count() == 1
+
+    def test_vacuum_sweeps_orphan_tmp_manifests(self, spark, tmp_path):
+        """ADVICE r04: a writer crashing between mkstemp and try_commit's
+        finally leaves a *.tmp manifest in _commits/ that nothing else
+        removes; vacuum sweeps stale ones but spares a live writer's
+        fresh tmp."""
+        from nshm2022db_spark.streaming.sinks import (
+            committed_transaction,
+            read_keyed_table,
+            vacuum_uncommitted,
+        )
+
+        t = str(tmp_path / "t")
+        row = spark.createDataFrame([(1, 1)], "k int, v int")
+        committed_transaction(spark, t, lambda base: row)
+        log = os.path.join(t, "_commits")
+        stale = os.path.join(log, "crashed-writer.tmp")
+        with open(stale, "w") as f:
+            f.write("{}")
+        os.utime(stale, (0, 0))
+        fresh = os.path.join(log, "live-writer.tmp")
+        with open(fresh, "w") as f:
+            f.write("{}")
+
+        removed = vacuum_uncommitted(t, grace_sec=60.0)
+        assert removed == [os.path.join("_commits", "crashed-writer.tmp")]
+        assert not os.path.exists(stale)
+        assert os.path.exists(fresh)
+        # committed manifests untouched, table still readable
         assert read_keyed_table(spark, t).count() == 1
 
     def test_legacy_pointer_fallback(self, spark, tmp_path):

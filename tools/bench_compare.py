@@ -17,12 +17,12 @@ import json
 import sys
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_queries(path: str) -> tuple[dict[str, float], set[str]]:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:  # driver BENCH_r{N}.json wrapper
         d = d["parsed"]
-    return d["queries"]
+    return d["queries"], set(d.get("contract_queries", []))
 
 
 def main() -> int:
@@ -32,14 +32,25 @@ def main() -> int:
     ap.add_argument("--max-ratio", type=float, default=2.0)
     args = ap.parse_args()
 
-    base = load_queries(args.baseline)
-    cur = load_queries(args.current)
+    base, bcontract = load_queries(args.baseline)
+    cur, ccontract = load_queries(args.current)
+    # Contract queries time an oracle CONTRACT (exact+sketch, parity
+    # pins), not engine throughput — a contract change legitimately moves
+    # them past 2x (r4: approx_count_distinct_sketch 3.5x when the
+    # 5%-error pin landed). Report them, don't gate on them.
+    contract = bcontract | ccontract
 
     regressions = []
-    for name in sorted(set(base) & set(cur)):
+    for name in sorted((set(base) & set(cur)) - contract):
         ratio = cur[name] / max(base[name], 1e-9)
         if ratio > args.max_ratio:
             regressions.append((name, base[name], cur[name], ratio))
+    shared_contract = sorted((set(base) & set(cur)) & contract)
+    if shared_contract:
+        print("contract queries (informational, outside the gate):")
+        for name in shared_contract:
+            r = cur[name] / max(base[name], 1e-9)
+            print(f"  {name}: {base[name]:.3f}s -> {cur[name]:.3f}s ({r:.2f}x)")
 
     new = sorted(set(cur) - set(base))
     if new:

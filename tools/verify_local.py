@@ -47,6 +47,66 @@ def _rowset(rows, cols):
     )
 
 
+_INT_NAMES = {
+    "tinyint", "smallint", "int", "integer", "bigint",
+    "utinyint", "usmallint", "uinteger", "ubigint",
+}
+_FLOAT_NAMES = {"float", "real", "double"}
+
+
+def type_family(type_str: str) -> str:
+    """Collapse a Spark dtype string or DuckDB logical-type string into a
+    comparable family. The driver's value hash is typed (Arrow-level), so a
+    DuckDB HUGEINT (arrow decimal128) vs a Spark bigint (arrow int64) fails
+    the driver hash even when every value matches — exactly the r4
+    multimodal wsum bug (VERDICT r04 #1/#2). Int widths collapse to one
+    family; decimal/hugeint is its own family so those leaks go red locally.
+    """
+    t = type_str.strip().lower()
+    if t.endswith("[]"):
+        return f"list<{type_family(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"list<{type_family(t[6:-1])}>"
+    if t.startswith("struct"):
+        return "struct"
+    if t.startswith("map"):
+        return "map"
+    if t.startswith("decimal") or t in ("hugeint", "uhugeint"):
+        return "decimal"
+    if t in _INT_NAMES:
+        return "int"
+    if t in _FLOAT_NAMES:
+        return "float"
+    if t in ("varchar", "string", "text"):
+        return "str"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t in ("blob", "binary", "bytea"):
+        return "bytes"
+    return t
+
+
+def schema_type_mismatches(spark_dtypes, duck_cols, duck_types):
+    """Per-column family comparison between a Spark DataFrame's dtypes
+    (``df.dtypes`` pairs) and a DuckDB relation's ``.columns``/``.types``.
+    Returns a list of human-readable mismatch strings (empty = clean).
+    Matches by column name; columns missing on either side are reported by
+    the caller's column-set check, not here."""
+    sfam = {name: type_family(dt) for name, dt in spark_dtypes}
+    out = []
+    for name, dt in zip(duck_cols, duck_types):
+        if name not in sfam:
+            continue
+        dfam = type_family(str(dt))
+        if sfam[name] != dfam:
+            out.append(f"{name}: spark {sfam[name]} vs duckdb {dfam} ({dt})")
+    return out
+
+
 def _values_close(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if a == b:
@@ -106,6 +166,7 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             dcols = [d[0] for d in res.description]
+            dtypes = [str(t) for t in res.types]
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
@@ -117,6 +178,9 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        typed = schema_type_mismatches(sdf.dtypes, dcols, dtypes)
+        if typed:
+            problems.append("typed-schema " + "; ".join(typed))
         if not problems:
             sset, dset = _rowset(srows, scols), _rowset(drows, dcols)
             bad = [
