@@ -104,6 +104,16 @@ LADDER = [
     "stream_incremental_rollup",
     # multimodal chunking (map-only over documents-derived audio)
     "multimodal_audio_chunks",
+    # r5 (VERDICT r04 #7): the remaining benched-but-unladdered heavies
+    "advanced_query_dsl",
+    "merge_upsert",
+    "snapshot_diff",
+    "compact_small_files",
+    "fk_integrity_check",
+    # r5: the real-codec decodes + the commit-log erasure read path
+    "multimodal_decode_pixels",
+    "multimodal_wav_decode",
+    "delete_where_rewrite",
 ]
 
 
@@ -197,7 +207,11 @@ def build(dest: str) -> None:
     print(f"built {dest}")
 
 
-def run(dest: str) -> None:
+def run(dest: str, only: set[str] | None = None) -> None:
+    """Time LADDER queries at sf0.1 and the synthesized sf1. With
+    ``only``, runs just those names and MERGES into the existing
+    ladder_results.json (so newly-laddered queries don't force a full
+    ~30 min re-run of the stable 39)."""
     import __spark_entry__ as mod
 
     from nshm2022db_spark.session import get_spark
@@ -218,9 +232,13 @@ def run(dest: str) -> None:
         gc.collect()
         return best
 
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ladder_results.json")
     results: dict[str, dict] = {}
+    if only is not None and os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f)["queries"]
     for name in LADDER:
-        if name not in qs:
+        if name not in qs or (only is not None and name not in only):
             continue
         t_small = timed(name, SRC)
         t_big = timed(name, dest)
@@ -234,7 +252,6 @@ def run(dest: str) -> None:
         }
         print(json.dumps({name: results[name]}))
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ladder_results.json")
     with open(out, "w") as f:
         json.dump(
             {"replicas": REPLICAS, "src": SRC, "dest": dest, "queries": results},
@@ -251,6 +268,7 @@ if __name__ == "__main__":
     if mode == "build":
         build(dest)
     elif mode == "run":
-        run(dest)
+        only = set(sys.argv[3:]) or None
+        run(dest, only)
     else:
         raise SystemExit(f"unknown mode {mode!r} (build|run)")
