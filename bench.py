@@ -102,6 +102,7 @@ HEADLINE = [
     "multimodal_audio_chunks",
     "stream_incremental_rollup",
     "delete_where_rewrite",
+    "manifest_skip_scan",
     "snapshot_diff",
     "zorder_key",
     "bucket_by_cutpoints",

@@ -522,6 +522,67 @@ def delete_where_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Fixed absolute event_id window for the skip-scan demo: present at every
+# sf (sf0.001 already has ids 0..999) and a small fraction of any larger
+# corpus, so manifest stats prune all but 1-2 day partitions.
+SKIP_ID_LO, SKIP_ID_HI = 100, 400
+
+
+@register(
+    "manifest_skip_scan",
+    f"""SELECT event_type,
+               COUNT(*) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        WHERE event_id BETWEEN {SKIP_ID_LO} AND {SKIP_ID_HI}
+        GROUP BY event_type""",
+)
+def manifest_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest-stats data skipping — the read-side half of a table
+    format: events land day-partitioned through the commit log with
+    per-partition min/max(event_id) recorded in the manifest
+    (committed_partition_transaction(stats_cols=...)), and a range query
+    on event_id prunes every partition whose stats disprove the range
+    BEFORE any file opens (read_keyed_table(prune=...)). event_id is
+    time-correlated (corr ≈ 0.99998 with ts in this corpus), so day
+    partitions hold disjoint id ranges and the manifest answers "which
+    files can match" from JSON alone — Delta/Iceberg column-stats
+    pruning at partition granularity. At 100 TB this is the difference
+    between opening 2 of 500 partitions and listing them all; the scan
+    cost of the query is the matching partitions, not the table
+    (pinned by an inputFiles test). Pruning is advisory-only — the real
+    filter still applies, so the result is provably the unpruned answer
+    (the oracle recomputes it from the base parquet with no manifest)."""
+    from nshm2022db_spark.streaming.sinks import (
+        committed_partition_transaction,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_day_commit_r5", sf)
+    path = os.path.join(base, "events_by_day")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").withColumn(
+            "day", F.col("ts").cast("date").cast("string")
+        )
+        committed_partition_transaction(
+            spark, path, "day", lambda b: ev, stats_cols=["event_id"]
+        )
+        mark_landed(base)
+    t = read_keyed_table(
+        spark, path, prune={"event_id": (SKIP_ID_LO, SKIP_ID_HI)}
+    )
+    return (
+        t.filter(F.col("event_id").between(SKIP_ID_LO, SKIP_ID_HI))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot
 DIFF_UPDATE_MOD = 11  # keys repriced in the "new" snapshot
 

@@ -183,8 +183,9 @@ _DRIVER_ORDER = [
     "asof_nearest_ge",
     "asof_nearest_ge_per_key",
     "value_histogram",
-    # (b) erasure through the commit log:
+    # (b) erasure through the commit log + NEW manifest-stats skipping:
     "delete_where_rewrite",
+    "manifest_skip_scan",
     # (c) the stale r1 tail — single-operator relational shapes:
     "topk_global",
     "topk_per_group",
@@ -230,10 +231,10 @@ _DRIVER_ORDER = [
     "pack_sequences",
     "source_mix_sample",
     "orc_scan",
-    "curation_pipeline",
     # --- 50-query window boundary (driver gate cap observed r01-r04) ---
     # Tail head: the remaining r3-row queries — stalest after this
     # round; rotate into the round-6 window.
+    "curation_pipeline",
     "chunk_documents",
     "fk_integrity_check",
     "events_tumbling_window",

@@ -214,12 +214,24 @@ def committed_transaction(
     )
 
 
+def _json_stat(v):
+    """Manifest stats must round-trip through JSON losslessly and compare
+    with plain operators — numeric columns only (None = all-NULL
+    partition; bool is an int subclass and fine)."""
+    if v is None or isinstance(v, (int, float)):
+        return v
+    raise TypeError(
+        f"stats_cols support numeric columns only, got {type(v).__name__}"
+    )
+
+
 def committed_partition_transaction(
     spark: SparkSession,
     table_dir: str,
     partition_col: str,
     compute,
     affected: list[str] | None = None,
+    stats_cols: list[str] | None = None,
     max_retries: int = 10,
 ) -> None:
     """One optimistic-concurrency transaction over a PARTITION-MAPPED
@@ -247,7 +259,16 @@ def committed_partition_transaction(
     data dir ``"."`` with zero data movement (they are then immutable
     history — vacuum never touches non-``data-*`` names). Partition
     values round-trip as STRINGS (dir-name encoding), matching what a
-    raw partitioned parquet read infers for string columns."""
+    raw partitioned parquet read infers for string columns.
+
+    ``stats_cols`` records per-partition min/max (+row count) for the
+    named NUMERIC columns in the manifest — one aggregate job over the
+    staged files (reads what is actually on disk, not the logical plan,
+    so a lost-executor partial write can't record stats for data that
+    isn't there; the parquet scan serves min/max from footer metadata).
+    Unaffected partitions carry their stats forward with their mapping.
+    Readers use them for data skipping (`read_keyed_table(prune=...)`) —
+    the manifest half of Delta/Iceberg column-stats pruning."""
     os.makedirs(table_dir, exist_ok=True)
     prefix = f"{partition_col}="
     for _ in range(max_retries):
@@ -289,6 +310,34 @@ def committed_partition_transaction(
             e: d for e, d in cur["partitions"].items() if e not in claimed
         }
         new_parts.update({e: stage for e in written})
+        # stats: carry forward for carried entries, recompute for written
+        new_stats = {
+            e: s
+            for e, s in cur.get("stats", {}).items()
+            if e in new_parts and e not in written
+        }
+        if stats_cols and written:
+            staged = spark.read.option("basePath", stage_path).parquet(
+                *[os.path.join(stage_path, e) for e in sorted(written)]
+            )
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in stats_cols:
+                aggs.append(F.min(c).alias(f"__min_{c}"))
+                aggs.append(F.max(c).alias(f"__max_{c}"))
+            grouped = staged.groupBy(
+                F.col(partition_col).cast("string").alias("__p")
+            ).agg(*aggs)
+            for r in grouped.collect():
+                new_stats[f"{prefix}{r['__p']}"] = {
+                    "n": r["__n"],
+                    "cols": {
+                        c: [
+                            _json_stat(r[f"__min_{c}"]),
+                            _json_stat(r[f"__max_{c}"]),
+                        ]
+                        for c in stats_cols
+                    },
+                }
         manifest = {
             "version": cur["version"] + 1,
             "dir": stage,
@@ -296,6 +345,8 @@ def committed_partition_transaction(
             "partitions": new_parts,
             "batch_ids": [],
         }
+        if new_stats:
+            manifest["stats"] = new_stats
         os.utime(stage_path)  # restart vacuum's grace window (see above)
         if try_commit(table_dir, manifest):
             if not os.path.isdir(stage_path):
@@ -387,8 +438,38 @@ def table_history(table_dir: str) -> list[dict]:
     return out
 
 
+def _stats_prune(manifest: dict, prune: dict | None) -> dict:
+    """Entries of the manifest's partition map that survive data skipping.
+
+    ``prune`` maps column -> (lo, hi) inclusive bounds (None = open).
+    An entry is skipped only when its recorded min/max PROVE no row can
+    match — entries without stats (older manifests, non-stats columns)
+    are always read, so pruning can never change results, only cost.
+    This is the manifest half of Delta/Iceberg data skipping: the commit
+    log answers "which files can hold matching rows" before any file
+    opens."""
+    parts = manifest["partitions"]
+    if not prune:
+        return parts
+    stats = manifest.get("stats", {})
+    out = {}
+    for entry, dirname in parts.items():
+        cols = stats.get(entry, {}).get("cols", {})
+        keep = True
+        for c, (lo, hi) in prune.items():
+            if c not in cols:
+                continue
+            cmin, cmax = cols[c]
+            if (hi is not None and cmin > hi) or (lo is not None and cmax < lo):
+                keep = False
+                break
+        if keep:
+            out[entry] = dirname
+    return out
+
+
 def _read_partition_map(
-    spark: SparkSession, table_dir: str, manifest: dict
+    spark: SparkSession, table_dir: str, manifest: dict, prune: dict | None = None
 ) -> DataFrame | None:
     """Materialize a partition-mapped manifest: each entry
     ``"col=value" -> data_dir`` is read from ``table_dir/data_dir/col=value``
@@ -398,8 +479,17 @@ def _read_partition_map(
     on that literal per union branch, so partition pruning survives: a
     predicate on the partition column collapses unaffected branches to
     empty relations and their files are never scanned (the erasure
-    rewrite's read path depends on exactly this)."""
-    parts = manifest["partitions"]
+    rewrite's read path depends on exactly this). ``prune`` additionally
+    applies manifest-stats data skipping (`_stats_prune`) so entries the
+    stats disprove never even enter the plan.
+
+    Scale note: one union branch per partition is the local[32] shape —
+    fine for hundreds of partitions. At data-lake partition counts the
+    same manifest map feeds a single multi-path scan (the Delta/Iceberg
+    log → file-index read), which Spark only supports cleanly when all
+    entries share one physical root; the per-entry union keeps mixed
+    data-dir generations readable without that constraint."""
+    parts = _stats_prune(manifest, prune)
     if not parts:
         return None
     pcol = manifest["partition_col"]
@@ -414,7 +504,10 @@ def _read_partition_map(
 
 
 def read_keyed_table(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame | None:
     """Resolve a committed version and read its data dir, or None before
     the first commit. ``version`` time-travels to an older snapshot
@@ -422,12 +515,19 @@ def read_keyed_table(
     version stays readable until vacuumed away by a retention policy —
     this repo never deletes committed versions). Partition-mapped
     manifests (``committed_partition_transaction``) resolve through their
-    partition map instead of a single data dir."""
+    partition map instead of a single data dir.
+
+    ``prune`` — ``{col: (lo, hi)}`` inclusive bounds — enables manifest-
+    stats data skipping on partition-mapped tables: partitions whose
+    recorded min/max disprove the range are dropped before any file
+    opens. Pruning is advisory-only (entries without stats always read);
+    the caller still applies its real filter, so a pruned read composed
+    with that filter is ALWAYS equal to the unpruned one."""
     if version is not None:
         for m in table_history(table_dir):
             if m["version"] == version:
                 if "partitions" in m:
-                    return _read_partition_map(spark, table_dir, m)
+                    return _read_partition_map(spark, table_dir, m, prune)
                 return spark.read.parquet(os.path.join(table_dir, m["dir"]))
         legacy = os.path.join(table_dir, f"v{version}")
         if os.path.isdir(legacy):
@@ -437,7 +537,7 @@ def read_keyed_table(
     if cur["version"] == 0:
         return None
     if "partitions" in cur:
-        return _read_partition_map(spark, table_dir, cur)
+        return _read_partition_map(spark, table_dir, cur, prune)
     return spark.read.parquet(os.path.join(table_dir, cur["dir"]))
 
 

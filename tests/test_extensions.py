@@ -221,8 +221,9 @@ class TestDriverOrder:
             "asof_nearest_ge", "asof_nearest_ge_per_key",
             "value_histogram",
             # round-5 implementation change: erasure publishes through
-            # the keyed-table commit log (VERDICT r04 #6)
-            "delete_where_rewrite",
+            # the keyed-table commit log (VERDICT r04 #6); new query:
+            # manifest-stats data skipping over the same commit model
+            "delete_where_rewrite", "manifest_skip_scan",
             # the freshness sweep's last 26 stale r1 rows (VERDICT r04
             # #1/#3) — after r5 every registry query has a driver row
             # from r3 or later

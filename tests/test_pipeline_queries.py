@@ -7,6 +7,8 @@ merge precedence, decile balance) at sf0.001 without an oracle engine.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -192,3 +194,41 @@ class TestZorderKey:
                 t |= ((r.zkey >> (2 * i + 1)) & 1) << i
             assert u == r.u16 and t == r.t16, r.event_id
             assert 0 <= r.zkey < (1 << (2 * ZORDER_BITS))
+
+
+class TestManifestSkipScan:
+    def test_reads_only_stat_matching_day_partitions(self, spark, sf_dir):
+        """The scale claim: the pruned read opens files from ONLY the day
+        partitions whose manifest min/max(event_id) intersects the query
+        range — event_id is time-correlated, so that is 1-2 of ~30 days."""
+        from nshm2022db_spark.queries.pipeline import (
+            SKIP_ID_HI,
+            SKIP_ID_LO,
+            manifest_skip_scan,
+        )
+        from nshm2022db_spark.sources.scratch import scratch_path
+        from nshm2022db_spark.streaming.sinks import (
+            read_keyed_table,
+            table_history,
+        )
+
+        manifest_skip_scan(spark, sf_dir).collect()  # lands + commits
+
+        path = os.path.join(
+            scratch_path("events_day_commit_r5", sf_dir), "events_by_day"
+        )
+        m = table_history(path)[-1]
+        matching = {
+            e
+            for e, s in m["stats"].items()
+            if s["cols"]["event_id"][0] <= SKIP_ID_HI
+            and s["cols"]["event_id"][1] >= SKIP_ID_LO
+        }
+        assert 0 < len(matching) < len(m["partitions"]) / 2, (
+            "fixture must make skipping non-trivial"
+        )
+        pruned = read_keyed_table(
+            spark, path, prune={"event_id": (SKIP_ID_LO, SKIP_ID_HI)}
+        )
+        for f in pruned.inputFiles():
+            assert any(e in f for e in matching), f

@@ -451,6 +451,64 @@ class TestCommitLog:
             r.uid for r in read_keyed_table(spark, t, version=1).collect()
         } == {1, 2, 3}
 
+    def test_manifest_stats_skipping(self, spark, tmp_path):
+        """stats_cols records per-partition min/max in the manifest;
+        read_keyed_table(prune=...) drops disproven partitions before
+        any file opens, carry-forward keeps stats with their mapping,
+        and pruning never changes a filtered result."""
+        from nshm2022db_spark.streaming.sinks import (
+            committed_partition_transaction,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        rows = spark.createDataFrame(
+            [(1, "a"), (9, "a"), (100, "b"), (110, "b"), (1000, "c")],
+            "uid long, k string",
+        )
+        committed_partition_transaction(
+            spark, t, "k", lambda base: rows, stats_cols=["uid"]
+        )
+        m = table_history(t)[-1]
+        assert m["stats"]["k=b"]["cols"]["uid"] == [100, 110]
+        assert m["stats"]["k=b"]["n"] == 2
+
+        pruned = read_keyed_table(spark, t, prune={"uid": (100, 110)})
+        assert all("k=b" in f for f in pruned.inputFiles())
+        assert {r.uid for r in pruned.collect()} == {100, 110}
+
+        # open-ended bound: uid >= 1000 keeps only k=c
+        upper = read_keyed_table(spark, t, prune={"uid": (1000, None)})
+        assert all("k=c" in f for f in upper.inputFiles())
+
+        # a column without stats never prunes (advisory-only)
+        other = read_keyed_table(spark, t, prune={"other": (0, 0)})
+        assert len(other.inputFiles()) == len(
+            read_keyed_table(spark, t).inputFiles()
+        )
+
+        # rewrite ONLY k=a: b/c stats carry forward with their mapping,
+        # and skipping still works against the new manifest
+        committed_partition_transaction(
+            spark,
+            t,
+            "k",
+            lambda base: base.filter("k = 'a' AND uid > 5"),
+            affected=["a"],
+            stats_cols=["uid"],
+        )
+        m2 = table_history(t)[-1]
+        assert m2["stats"]["k=b"] == m["stats"]["k=b"]  # carried
+        assert m2["stats"]["k=a"]["cols"]["uid"] == [9, 9]  # recomputed
+        again = read_keyed_table(spark, t, prune={"uid": (100, 110)})
+        assert all("k=b" in f for f in again.inputFiles())
+        # pruned + real filter == unpruned + real filter
+        full = read_keyed_table(spark, t).filter("uid BETWEEN 100 AND 110")
+        assert {r.uid for r in again.filter("uid BETWEEN 100 AND 110").collect()} == {
+            r.uid for r in full.collect()
+        }
+
     def test_cas_rejects_taken_version(self, tmp_path):
         from nshm2022db_spark.streaming.sinks import try_commit
 
