@@ -367,6 +367,59 @@ def committed_partition_transaction(
     )
 
 
+def compact_partition_table(
+    spark: SparkSession,
+    table_dir: str,
+    max_files_per_partition: int = 4,
+) -> list[str]:
+    """OPTIMIZE as a commit: rewrite fragmented partitions of a
+    partition-mapped committed table into one file each, published as a
+    normal transaction — readers never see a half-compacted state, the
+    pre-compaction version stays readable (snapshot history), and a
+    crash mid-compaction costs only an unreferenced stage. Returns the
+    compacted partition entries (empty = nothing fragmented).
+
+    Fragmentation is measured from the manifest's own mapping (a
+    driver-side file listing per current partition dir — no data read);
+    the rewrite repartitions by the partition column so each value lands
+    in exactly one task → one output file. Stats columns recorded in the
+    current manifest are recomputed for the rewritten partitions, so
+    data skipping keeps working across compactions. This is the
+    maintenance half of a table format's write path (Delta OPTIMIZE /
+    Iceberg rewrite_data_files) on the same commit protocol as every
+    other mutation here."""
+    cur = current_commit(table_dir)
+    if "partitions" not in cur:
+        raise ValueError(
+            f"{table_dir} is not partition-mapped; compact_parquet handles "
+            "single-dir layouts"
+        )
+    pcol = cur["partition_col"]
+    frag = []
+    for entry, dirname in cur["partitions"].items():
+        d = os.path.join(table_dir, dirname, entry)
+        n_files = sum(
+            1 for f in os.listdir(d)
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+        if n_files > max_files_per_partition:
+            frag.append(entry)
+    if not frag:
+        return []
+    values = [e.split("=", 1)[1] for e in frag]
+    stats_cols = sorted(
+        {c for s in cur.get("stats", {}).values() for c in s["cols"]}
+    ) or None
+
+    def rewrite(base: DataFrame) -> DataFrame:
+        return base.filter(F.col(pcol).isin(values)).repartition(F.col(pcol))
+
+    committed_partition_transaction(
+        spark, table_dir, pcol, rewrite, affected=values, stats_cols=stats_cols
+    )
+    return sorted(frag)
+
+
 def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
     """Remove orphaned data dirs (staged by a writer that crashed before
     committing) that no manifest references and whose mtime is older than

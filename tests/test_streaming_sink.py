@@ -509,6 +509,48 @@ class TestCommitLog:
             r.uid for r in full.collect()
         }
 
+    def test_compact_partition_table_is_a_commit(self, spark, tmp_path):
+        """OPTIMIZE over the partition map: fragmented partitions
+        collapse to one file each via a normal transaction — contents
+        identical, stats recomputed, previous version still readable,
+        already-tight partitions untouched."""
+        from nshm2022db_spark.streaming.sinks import (
+            compact_partition_table,
+            committed_partition_transaction,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        rows = spark.createDataFrame(
+            [(i, "a" if i < 40 else "b") for i in range(50)],
+            "uid long, k string",
+        )
+        committed_partition_transaction(
+            spark,
+            t,
+            "k",
+            lambda base: rows.repartition(8),  # fragments every partition
+            stats_cols=["uid"],
+        )
+        before = {r.uid for r in read_keyed_table(spark, t).collect()}
+        m1 = table_history(t)[-1]
+
+        compacted = compact_partition_table(spark, t, max_files_per_partition=2)
+        assert compacted == ["k=a", "k=b"]
+        m2 = table_history(t)[-1]
+        for entry in compacted:
+            d = os.path.join(t, m2["partitions"][entry], entry)
+            files = [f for f in os.listdir(d) if f.startswith("part-")]
+            assert len(files) == 1, (entry, files)
+        assert {r.uid for r in read_keyed_table(spark, t).collect()} == before
+        assert m2["stats"]["k=a"]["cols"]["uid"] == [0, 39]  # recomputed
+        # previous (fragmented) version remains a readable snapshot
+        v1 = read_keyed_table(spark, t, version=m1["version"])
+        assert {r.uid for r in v1.collect()} == before
+        # second compaction is a no-op — nothing fragmented anymore
+        assert compact_partition_table(spark, t, max_files_per_partition=2) == []
+
     def test_cas_rejects_taken_version(self, tmp_path):
         from nshm2022db_spark.streaming.sinks import try_commit
 
