@@ -51,6 +51,7 @@ HEADLINE = [
     "knn_lsh_bucketed",
     "knn_lsh_multiprobe",
     "knn_ivf",
+    "knn_quantized",
     "text_quality_score",
     "text_fingerprint",
     "multimodal_decode_meta",

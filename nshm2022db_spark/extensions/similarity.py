@@ -786,6 +786,186 @@ def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# int8 symmetric quantization — candidate scan on quarter-width vectors,
+# exact float rescore of the survivors
+# ---------------------------------------------------------------------------
+
+QUANT_OVERFETCH = 4  # quantized stage keeps K * this candidates per query
+
+
+def _spark_maxabs(a: str) -> str:
+    return (
+        f"aggregate({a}, CAST(0 AS DOUBLE), "
+        f"(acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
+    )
+
+
+def _duck_maxabs(a: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({a}, v -> abs(v::DOUBLE))), "
+        f"(acc, v) -> greatest(acc, v))"
+    )
+
+
+# round-half-up as floor(x + 0.5): both engines' floor is IEEE-exact,
+# sidestepping their differing round() half-way conventions.
+def _spark_quant(a: str, scale: str) -> str:
+    return (
+        f"transform({a}, v -> CAST(floor(CAST(v AS DOUBLE) / {scale} + 0.5) "
+        f"AS INT))"
+    )
+
+
+def _duck_quant(a: str, scale: str) -> str:
+    return (
+        f"list_transform({a}, v -> CAST(floor(v::DOUBLE / {scale} + 0.5) "
+        f"AS INT))"
+    )
+
+
+@register(
+    "knn_quantized",
+    f"""WITH qz AS (
+            SELECT vec_id, embedding,
+                   CASE WHEN {_duck_maxabs('embedding')} = 0 THEN 1.0
+                        ELSE {_duck_maxabs('embedding')} / 127.0 END AS qs
+            FROM embeddings),
+        z AS (SELECT vec_id, embedding, qs,
+                     {_duck_quant('embedding', 'qs')} AS qv,
+                     sqrt({duck_dot('embedding', 'embedding')}) AS enorm
+              FROM qz),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, qs AS qqs,
+                     qv AS qqv, enorm AS qnorm
+              FROM z WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id, q.qe, e.embedding,
+                   q.qnorm, e.enorm,
+                   {duck_dot('q.qqv', 'e.qv')} * q.qqs * e.qs
+                       / (q.qnorm * e.enorm) AS qcos
+            FROM q JOIN z e ON e.vec_id <> q.query_id),
+        cand AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY qcos DESC, neighbor_id)
+                          AS qrk
+            FROM scored),
+        rescored AS (
+            SELECT query_id, neighbor_id, qcos,
+                   {duck_dot('qe', 'embedding')} / (qnorm * enorm) AS cos
+            FROM cand WHERE qrk <= {KNN_K * QUANT_OVERFETCH}),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos, qcos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM rescored)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos,
+               ROUND(qcos, 6) AS qcos, rank
+        FROM ranked WHERE rank <= {KNN_K}""",
+)
+def knn_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """int8-quantized ANN with exact rescore — the memory/bandwidth play
+    a 100 TB vector corpus actually ships: per-vector symmetric
+    quantization (scale = maxabs/127, round-half-up as an exact floor)
+    shrinks the scanned vectors 4x, the candidate stage ranks on the
+    integer dot (exact in doubles up to 127·127·64, dequantized by the
+    two scales), and only the top K·{QUANT_OVERFETCH} survivors per
+    query are rescored with the full-precision dot for the final top-k.
+    Emitting both `cos` (exact) and `qcos` (quantized estimate) makes
+    the quantization error observable in the oracle-pinned output.
+
+    Scale shape: quantization is map-only; the candidate stage is the
+    same broadcast-queries-x-corpus single scan as knn_bruteforce but
+    streaming int8 arrays instead of float64 — on a real cluster that is
+    the working-set that has to fit in page cache, which is why every
+    production ANN store quantizes. The rescore touches K·{QUANT_OVERFETCH}
+    rows per query. Both engines run the identical fold order, so the
+    oracle pins the quantized ranking bit-for-bit, not just the final
+    answer."""
+    emb = _with_norm(read_table(spark, sf, "embeddings"), "embedding", "enorm")
+    # maxabs hoisted into its own column so the zero-guard CASE doesn't
+    # evaluate the 64-element fold twice per row
+    z = (
+        emb.withColumn("ma", F.expr(_spark_maxabs("embedding")))
+        .withColumn(
+            "qs",
+            F.expr("CASE WHEN ma = 0 THEN 1.0 ELSE ma / 127.0 END"),
+        )
+        .withColumn("qv", F.expr(_spark_quant("embedding", "qs")))
+    )
+    q = F.broadcast(
+        z.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("qs").alias("qqs"),
+            F.col("qv").alias("qqv"),
+            F.col("enorm").alias("qnorm"),
+        )
+    )
+    # Candidate stage stays SLIM (ids + score only): the per-query
+    # window shuffles every pair row, and carrying the float arrays
+    # through that exchange would move the whole corpus 5x — the rescore
+    # fetches vectors BY ID afterwards instead, exactly how a production
+    # ANN store rescores (ids from the quantized index, floats from the
+    # vector store).
+    scored = (
+        z.alias("e")
+        .join(
+            q.select("query_id", "qqv", "qqs", "qnorm"),
+            F.col("e.vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("e.vec_id").alias("neighbor_id"),
+            (
+                F.expr(spark_dot("qqv", "e.qv"))
+                * F.col("qqs")
+                * F.col("e.qs")
+                / (F.col("qnorm") * F.col("e.enorm"))
+            ).alias("qcos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("qrk", F.row_number().over(wq))
+        .filter(F.col("qrk") <= KNN_K * QUANT_OVERFETCH)
+        .select("query_id", "neighbor_id", "qcos")
+    )
+    rescored = (
+        emb.select("vec_id", "embedding", "enorm")
+        .join(F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id"))
+        .join(
+            q.select("query_id", "qe", "qnorm"),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qcos",
+            (
+                F.expr(spark_dot("qe", "embedding"))
+                / (F.col("qnorm") * F.col("enorm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos"), 6).alias("cos"),
+            F.round(F.col("qcos"), 6).alias("qcos"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # random projection — JL dimensionality reduction ahead of ANN indexing
 # ---------------------------------------------------------------------------
 

@@ -221,9 +221,11 @@ class TestDriverOrder:
             "asof_nearest_ge", "asof_nearest_ge_per_key",
             "value_histogram",
             # round-5 implementation change: erasure publishes through
-            # the keyed-table commit log (VERDICT r04 #6); new query:
-            # manifest-stats data skipping over the same commit model
+            # the keyed-table commit log (VERDICT r04 #6); new queries:
+            # manifest-stats data skipping over the same commit model,
+            # int8-quantized ANN with exact rescore
             "delete_where_rewrite", "manifest_skip_scan",
+            "knn_quantized",
             # the freshness sweep's last 26 stale r1 rows (VERDICT r04
             # #1/#3) — after r5 every registry query has a driver row
             # from r3 or later
@@ -324,6 +326,27 @@ class TestSimilarity:
             for r in knn_bruteforce(spark, planted).filter("rank = 1").collect()
         }
         assert top[0] == 1 and top[1] == 0
+
+    def test_knn_quantized_matches_bruteforce_topk(self, spark, sf_dir):
+        """int8 + overfetch-4 + exact rescore must reproduce the exact
+        top-k on the test corpus (near-isotropic vectors — quantization
+        error ~1/127 per component is far below the neighbor gaps), and
+        the dequantized estimate must sit within the worst-case bound."""
+        from nshm2022db_spark.extensions.similarity import (
+            knn_bruteforce,
+            knn_quantized,
+        )
+
+        exact = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in knn_bruteforce(spark, sf_dir).collect()
+        }
+        quant = knn_quantized(spark, sf_dir).collect()
+        assert len(quant) == len(exact)
+        for r in quant:
+            assert exact[(r.query_id, r.rank)] == (r.neighbor_id, r.cos)
+            # |cos - qcos| <= ~ (dim * 0.5/127 contributions); generous 0.05
+            assert abs(r.cos - r.qcos) < 0.05, r
 
 
     def test_knn_ivf_shape_and_bound(self, spark, sf_dir):

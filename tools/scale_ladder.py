@@ -114,6 +114,8 @@ LADDER = [
     "multimodal_decode_pixels",
     "multimodal_wav_decode",
     "delete_where_rewrite",
+    # r5: quantized ANN (int8 candidate scan + exact rescore)
+    "knn_quantized",
 ]
 
 
