@@ -536,22 +536,36 @@ def _read_partition_map(
     applies manifest-stats data skipping (`_stats_prune`) so entries the
     stats disprove never even enter the plan.
 
-    Scale note: one union branch per partition is the local[32] shape —
-    fine for hundreds of partitions. At data-lake partition counts the
-    same manifest map feeds a single multi-path scan (the Delta/Iceberg
-    log → file-index read), which Spark only supports cleanly when all
-    entries share one physical root; the per-entry union keeps mixed
-    data-dir generations readable without that constraint."""
+    Scale shape: entries are grouped by DATA DIR, one multi-path scan
+    per generation (basePath = the data dir, so Spark lists exactly the
+    mapped partition dirs — the Delta/Iceberg log → file-index read) and
+    one union branch per generation, not per partition. Generations stay
+    few (each transaction adds one, compaction collapses), so the plan
+    is O(generations) even at lake partition counts. The partition
+    column is normalized to STRING on every branch — dir-name inference
+    would otherwise type `day=2024-01-01` as a date in one generation
+    and the lit() branch as a string."""
     parts = _stats_prune(manifest, prune)
     if not parts:
         return None
     pcol = manifest["partition_col"]
-    out = None
+    by_dir: dict[str, list[str]] = {}
     for entry, dirname in sorted(parts.items()):
-        value = entry.split("=", 1)[1]
-        df = spark.read.parquet(
-            os.path.join(table_dir, dirname, entry)
-        ).withColumn(pcol, F.lit(value))
+        by_dir.setdefault(dirname, []).append(entry)
+    out = None
+    for dirname, entries in sorted(by_dir.items()):
+        root = os.path.normpath(os.path.join(table_dir, dirname))
+        if len(entries) == 1:
+            value = entries[0].split("=", 1)[1]
+            df = spark.read.parquet(os.path.join(root, entries[0])).withColumn(
+                pcol, F.lit(value)
+            )
+        else:
+            df = (
+                spark.read.option("basePath", root)
+                .parquet(*[os.path.join(root, e) for e in entries])
+                .withColumn(pcol, F.col(pcol).cast("string"))
+            )
         out = df if out is None else out.unionByName(df)
     return out
 

