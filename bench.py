@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_incremental",
     "dedup_clusters",
     "knn_bruteforce",
     "knn_lsh_bucketed",

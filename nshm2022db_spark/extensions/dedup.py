@@ -284,6 +284,141 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup — new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+INC_BATCH_MOD = 3  # doc_id % 3 == 1 plays the newly-crawled batch
+
+
+@register(
+    "dedup_incremental",
+    f"""WITH {_DUCK_EX},
+        params(i, a, b) AS (SELECT * FROM (VALUES {_PARAMS_SQL})),
+        mh AS (SELECT doc_id, i, MIN((a * x + b) % {P}) AS h
+               FROM ex CROSS JOIN params GROUP BY doc_id, i),
+        bands AS (SELECT doc_id, i // {MINHASH_K // MINHASH_BANDS} AS band_id,
+                         string_agg(h::VARCHAR, ',' ORDER BY i) AS sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS old_id
+                 FROM bands n JOIN bands e
+                   ON n.band_id = e.band_id AND n.sig = e.sig
+                  AND n.doc_id % {INC_BATCH_MOD} = 1
+                  AND e.doc_id % {INC_BATCH_MOD} <> 1),
+        common AS (SELECT c.new_id, c.old_id, count(*) AS n_common
+                   FROM cand c JOIN ex a ON a.doc_id = c.new_id
+                               JOIN ex b ON b.doc_id = c.old_id AND a.x = b.x
+                   GROUP BY 1, 2),
+        scored AS (SELECT co.new_id, co.old_id,
+                          co.n_common::DOUBLE
+                            / (sa.n_sh + sb.n_sh - co.n_common) AS jac
+                   FROM common co
+                   JOIN sz sa ON sa.doc_id = co.new_id
+                   JOIN sz sb ON sb.doc_id = co.old_id),
+        agg AS (SELECT c.new_id,
+                       CAST(COUNT(DISTINCT c.old_id) AS BIGINT) AS n_candidates,
+                       CAST(COALESCE(SUM(CASE WHEN s.jac >= {JACCARD_TAU}
+                                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS n_matches,
+                       MAX(s.jac) AS best
+                FROM cand c
+                LEFT JOIN scored s ON s.new_id = c.new_id
+                                  AND s.old_id = c.old_id
+                GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(a.n_candidates, 0) AS n_candidates,
+               COALESCE(a.n_matches, 0) AS n_matches,
+               ROUND(COALESCE(a.best, 0.0), 6) AS best_jaccard,
+               COALESCE(a.n_matches, 0) = 0 AS is_new
+        FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
+        WHERE d.doc_id % {INC_BATCH_MOD} = 1""",
+)
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dedup — the continuous-ingestion flow a training
+    corpus actually runs: only the NEW batch (doc_id % {INC_BATCH_MOD} == 1
+    plays the fresh crawl) is signed and joined against the EXISTING
+    corpus's banded minhash index; band-bucket collisions become
+    candidates, candidates are verified with the exact set Jaccard, and
+    each batch doc comes back scored (candidate count, verified matches,
+    best Jaccard, keep/drop verdict).
+
+    Scale shape: the existing index here is derived inline from the same
+    signature pass as dedup_minhash_lsh, but in production it is the
+    MATERIALIZED band table maintained through the keyed-table commit
+    log — per batch the cost is then batch-size signatures plus ONE
+    shuffle keyed on (band_id, sig) against the index, independent of
+    corpus re-scans, and accepted docs append their bands to the index
+    in the same transaction that lands them. The batch-vs-existing join
+    is strictly cheaper than the self-join dedup (no n^2 within the
+    existing side — it is already deduped)."""
+    r = MINHASH_K // MINHASH_BANDS
+    sigs = _minhash_sigs(spark, sf)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)]).alias("sig"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select(
+        "doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.sig").alias("sig")
+    )
+    is_batch = F.col("doc_id") % INC_BATCH_MOD == 1
+    cand = (
+        bands.filter(is_batch)
+        .alias("n")
+        .join(
+            bands.filter(~is_batch).alias("e"),
+            (F.col("n.band_id") == F.col("e.band_id"))
+            & (F.col("n.sig") == F.col("e.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("e.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    ex = _doc_shingles(spark, sf)
+    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(ex.alias("a"), F.col("a.doc_id") == F.col("new_id"))
+        .join(
+            ex.alias("b"),
+            (F.col("b.doc_id") == F.col("old_id")) & (F.col("a.x") == F.col("b.x")),
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    scored = (
+        common.join(F.broadcast(sz.alias("sa")), F.col("sa.doc_id") == F.col("new_id"))
+        .join(F.broadcast(sz.alias("sb")), F.col("sb.doc_id") == F.col("old_id"))
+        .select("new_id", "old_id", jac.alias("jac"))
+    )
+    agg = (
+        cand.join(scored, ["new_id", "old_id"], "left")
+        .groupBy("new_id")
+        .agg(
+            F.countDistinct("old_id").alias("n_candidates"),
+            F.coalesce(
+                F.sum((F.col("jac") >= JACCARD_TAU).cast("long")), F.lit(0)
+            ).alias("n_matches"),
+            F.max("jac").alias("best"),
+        )
+    )
+    batch = read_table(spark, sf, "documents").filter(is_batch).select("doc_id")
+    return batch.join(
+        agg, F.col("doc_id") == F.col("new_id"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+        F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+        F.round(F.coalesce(F.col("best"), F.lit(0.0)), 6).alias("best_jaccard"),
+        (F.coalesce(F.col("n_matches"), F.lit(0)) == 0).alias("is_new"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

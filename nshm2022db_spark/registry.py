@@ -187,6 +187,7 @@ _DRIVER_ORDER = [
     "delete_where_rewrite",
     "manifest_skip_scan",
     "knn_quantized",
+    "dedup_incremental",
     # (c) the stale r1 tail — single-operator relational shapes:
     "topk_global",
     "topk_per_group",
@@ -230,8 +231,8 @@ _DRIVER_ORDER = [
     "decontaminate_bloom",
     "weighted_sample",
     "pack_sequences",
-    "source_mix_sample",
     # --- 50-query window boundary (driver gate cap observed r01-r04) ---
+    "source_mix_sample",
     "orc_scan",
     # Tail head: the remaining r3-row queries — stalest after this
     # round; rotate into the round-6 window.

@@ -105,6 +105,17 @@ class TestDedup:
         assert got[0] == 2  # docs 0 and 3 collapse
         assert got[1] == 1 and got[2] == 1
 
+    def test_incremental_flags_batch_near_dup(self, spark, planted):
+        """planted: doc 1 (near-dup of doc 0) is the only batch doc
+        (doc_id % 3 == 1); it must come back matched against the
+        existing corpus, not 'new'."""
+        from nshm2022db_spark.extensions.dedup import dedup_incremental
+
+        rows = {r.doc_id: r for r in dedup_incremental(spark, planted).collect()}
+        assert set(rows) == {1}
+        assert rows[1].n_matches >= 1 and not rows[1].is_new
+        assert rows[1].best_jaccard > 0.2
+
     def test_jaccard_finds_near_dup_pair(self, spark, planted):
         from nshm2022db_spark.extensions.dedup import dedup_ngram_jaccard
 
@@ -225,7 +236,7 @@ class TestDriverOrder:
             # manifest-stats data skipping over the same commit model,
             # int8-quantized ANN with exact rescore
             "delete_where_rewrite", "manifest_skip_scan",
-            "knn_quantized",
+            "knn_quantized", "dedup_incremental",
             # the freshness sweep's last 26 stale r1 rows (VERDICT r04
             # #1/#3) — after r5 every registry query has a driver row
             # from r3 or later

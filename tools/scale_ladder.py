@@ -116,6 +116,8 @@ LADDER = [
     "delete_where_rewrite",
     # r5: quantized ANN (int8 candidate scan + exact rescore)
     "knn_quantized",
+    # r5: batch-vs-corpus incremental near-dedup
+    "dedup_incremental",
 ]
 
 
