@@ -230,3 +230,19 @@ class TestAdaptiveDedupBlocking:
         assert "Window" not in plan  # occupancy computed during staging
         # the only exchanges move the staged relation into the bucket join
         assert plan.count("BroadcastNestedLoopJoin") == 0
+
+    def test_r5_queries_stay_jvm_side_and_broadcast(self, spark, sf_dir):
+        """Round-5 additions: no Python evaluation in any plan; the
+        quantized rescore and the incremental-dedup size lookups
+        broadcast their small sides."""
+        from nshm2022db_spark.registry import QUERIES
+
+        for name in ("knn_quantized", "dedup_incremental", "manifest_skip_scan"):
+            plan = _plan(QUERIES[name](spark, sf_dir))
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+        quant = _plan(QUERIES["knn_quantized"](spark, sf_dir))
+        # queries + candidates enter map-side (no shuffle for the rescore)
+        assert quant.count("BroadcastHashJoin") >= 2
+        inc = _plan(QUERIES["dedup_incremental"](spark, sf_dir))
+        assert "BroadcastHashJoin" in inc  # shingle-count lookups
