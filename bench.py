@@ -103,6 +103,7 @@ HEADLINE = [
     "csv_gzip_scan",
     "multimodal_audio_chunks",
     "stream_incremental_rollup",
+    "stream_partitioned_land",
     "delete_where_rewrite",
     "manifest_skip_scan",
     "snapshot_diff",

@@ -188,6 +188,7 @@ _DRIVER_ORDER = [
     "manifest_skip_scan",
     "knn_quantized",
     "dedup_incremental",
+    "stream_partitioned_land",
     # (c) the stale r1 tail — single-operator relational shapes:
     "topk_global",
     "topk_per_group",
@@ -230,8 +231,8 @@ _DRIVER_ORDER = [
     "decontaminate_ngram",
     "decontaminate_bloom",
     "weighted_sample",
-    "pack_sequences",
     # --- 50-query window boundary (driver gate cap observed r01-r04) ---
+    "pack_sequences",
     "source_mix_sample",
     "orc_scan",
     # Tail head: the remaining r3-row queries — stalest after this

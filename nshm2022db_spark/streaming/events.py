@@ -156,6 +156,70 @@ def _stream_dir_doubled(sf: str) -> str:
     return d
 
 
+def _stream_dir_split(spark: SparkSession, sf: str, n_files: int = 3) -> str:
+    """Scratch dir holding the events table split across ``n_files``
+    parquet files, so a maxFilesPerTrigger=1 replay yields ``n_files``
+    REAL micro-batches (the symlink dir is one file = one batch). The
+    rewrite changes the ts layout to micros — the stream schema sniffs
+    the actual files (_dir_ts_type), which is exactly the case that
+    sniffing exists for."""
+    from nshm2022db_spark.sources.scratch import is_landed, mark_landed, scratch_path
+
+    d = scratch_path("events_stream_split", sf)
+    if not is_landed(d):
+        read_table(spark, sf, "events").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "files"))
+        mark_landed(d)
+    return os.path.join(d, "files")
+
+
+@register(
+    "stream_partitioned_land",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              COUNT(*) AS n,
+              CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              ROUND(SUM(value), 2) AS total
+       FROM events GROUP BY 1""",
+)
+def stream_partitioned_land(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming land into a partition-mapped committed table — the full
+    lakehouse write path under the oracle gate: a 3-file replay
+    (maxFilesPerTrigger=1) appends each micro-batch to a day-partitioned
+    table through `append_partition_transaction` (one manifest commit
+    per batch, O(batch) cost — touched days gain a generation instead of
+    rewriting, per-day event_id stats merge for data skipping, batch-id
+    idempotence), and the day rollup runs over the manifest-resolved
+    read. The oracle recomputes the rollup from the base events — value
+    equality proves no batch was lost, doubled, or mis-partitioned
+    across the stream/commit boundary."""
+    import tempfile
+
+    from nshm2022db_spark.streaming.sinks import (
+        land_stream_to_partitioned_table,
+        read_keyed_table,
+    )
+
+    stream = _raw_event_stream(
+        spark, sf, _stream_dir_split(spark, sf), maxFilesPerTrigger=1
+    ).withColumn("day", F.col("ts").cast("date").cast("string"))
+    table_dir = tempfile.mkdtemp(prefix="part_land_")
+    q = land_stream_to_partitioned_table(
+        stream,
+        table_dir,
+        tempfile.mkdtemp(prefix="part_land_ckpt_"),
+        "day",
+        stats_cols=["event_id"],
+    )
+    q.awaitTermination()
+    t = read_keyed_table(spark, table_dir)
+    return t.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("id_sum"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
 def _event_stream(spark: SparkSession, sf: str) -> DataFrame:
     return _raw_event_stream(spark, sf, _stream_dir(sf)).withWatermark("ts", "1 hour")
 

@@ -367,6 +367,168 @@ def committed_partition_transaction(
     )
 
 
+def append_partition_transaction(
+    spark: SparkSession,
+    table_dir: str,
+    partition_col: str,
+    batch_df: DataFrame,
+    stats_cols: list[str] | None = None,
+    batch_id: int | None = None,
+    max_retries: int = 10,
+) -> None:
+    """APPEND a batch to a partition-mapped table as one commit — the
+    write path a time-partitioned streaming land needs. A partition-map
+    entry may hold a LIST of data dirs (generations); appending extends
+    the touched entries' lists with the batch's stage instead of
+    rewriting them, so the cost is O(batch), never O(partition) — the
+    multi-file add of a real table format, with `compact_partition_table`
+    later collapsing long lists. Untouched entries carry forward.
+
+    Stats merge instead of replace: the stage's min/max widen the
+    entry's recorded bounds and row counts sum. An entry with existing
+    data but NO recorded stats stays stat-less (merging would claim
+    bounds for unscanned files — stat-less means "never pruned", which
+    is always safe).
+
+    ``batch_id`` gives foreachBatch idempotence exactly like
+    `committed_transaction`: a replayed micro-batch whose id is already
+    in the log no-ops."""
+    os.makedirs(table_dir, exist_ok=True)
+    prefix = f"{partition_col}="
+    for _ in range(max_retries):
+        hist = table_history(table_dir)
+        cur = hist[-1] if hist else {"version": 0, "partitions": {}}
+        if hist and "partitions" not in cur:
+            raise ValueError(
+                f"{table_dir} is a single-dir committed table; "
+                "use committed_transaction"
+            )
+        if batch_id is not None and batch_id in committed_batch_ids(table_dir):
+            return
+        stage = f"data-{uuid.uuid4().hex}"
+        stage_path = os.path.join(table_dir, stage)
+        batch_df.write.mode("overwrite").partitionBy(partition_col).parquet(
+            stage_path
+        )
+        written = {n for n in os.listdir(stage_path) if n.startswith(prefix)}
+        new_parts = {e: v for e, v in cur["partitions"].items()}
+        for e in written:
+            new_parts[e] = (
+                _entry_dirs(new_parts[e]) + [stage] if e in new_parts else stage
+            )
+        new_stats = {
+            e: s for e, s in cur.get("stats", {}).items() if e in new_parts
+        }
+        if stats_cols and written:
+            staged = spark.read.option("basePath", stage_path).parquet(
+                *[os.path.join(stage_path, e) for e in sorted(written)]
+            )
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in stats_cols:
+                aggs.append(F.min(c).alias(f"__min_{c}"))
+                aggs.append(F.max(c).alias(f"__max_{c}"))
+            grouped = staged.groupBy(
+                F.col(partition_col).cast("string").alias("__p")
+            ).agg(*aggs)
+            for r in grouped.collect():
+                e = f"{prefix}{r['__p']}"
+                add = {
+                    "n": r["__n"],
+                    "cols": {
+                        c: [
+                            _json_stat(r[f"__min_{c}"]),
+                            _json_stat(r[f"__max_{c}"]),
+                        ]
+                        for c in stats_cols
+                    },
+                }
+                if e in cur["partitions"] and e not in cur.get("stats", {}):
+                    continue  # pre-existing unstatted data: stay stat-less
+                old = new_stats.get(e)
+                if old is None:
+                    new_stats[e] = add
+                else:
+                    merged = {"n": old["n"] + add["n"], "cols": {}}
+                    for c in add["cols"]:
+                        if c in old["cols"]:
+                            lo = [old["cols"][c][0], add["cols"][c][0]]
+                            hi = [old["cols"][c][1], add["cols"][c][1]]
+                            lo = [x for x in lo if x is not None]
+                            hi = [x for x in hi if x is not None]
+                            merged["cols"][c] = [
+                                min(lo) if lo else None,
+                                max(hi) if hi else None,
+                            ]
+                    merged["cols"].update(
+                        {c: v for c, v in old["cols"].items()
+                         if c not in merged["cols"]}
+                    )
+                    new_stats[e] = merged
+        manifest = {
+            "version": cur["version"] + 1,
+            "dir": stage,
+            "partition_col": partition_col,
+            "partitions": new_parts,
+            "batch_ids": [batch_id] if batch_id is not None else [],
+        }
+        if new_stats:
+            manifest["stats"] = new_stats
+        os.utime(stage_path)
+        if try_commit(table_dir, manifest):
+            if not os.path.isdir(stage_path):
+                os.unlink(
+                    os.path.join(
+                        table_dir, _COMMITS, f"{manifest['version']:020d}.json"
+                    )
+                )
+                raise RuntimeError(
+                    f"stage {stage} vacuumed before commit on {table_dir}; "
+                    "raise vacuum grace_sec above the max writer stall"
+                )
+            _write_hint(table_dir, manifest)
+            return
+        shutil.rmtree(stage_path, ignore_errors=True)
+    raise RuntimeError(
+        f"commit conflict persisted for {max_retries} retries on {table_dir}"
+    )
+
+
+def land_stream_to_partitioned_table(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    partition_col: str,
+    stats_cols: list[str] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Land a stream into a partition-mapped committed table via
+    foreachBatch appends — the streaming half of the lakehouse write
+    path: each micro-batch is one `append_partition_transaction`
+    (O(batch) cost, stats merged for data skipping, batch-id idempotence
+    so a replay between write and checkpoint commit no-ops), and readers
+    see exactly the committed batches at the versions they committed.
+    Compaction (`compact_partition_table`) and erasure
+    (`apply_erasure_rewrite`) run as ordinary transactions on the same
+    table — one commit model across the stream/maintenance boundary."""
+
+    def land(batch_df: DataFrame, bid: int) -> None:
+        append_partition_transaction(
+            batch_df.sparkSession,
+            table_dir,
+            partition_col,
+            batch_df,
+            stats_cols=stats_cols,
+            batch_id=bid,
+        )
+
+    writer = df.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_partition_table(
     spark: SparkSession,
     table_dir: str,
@@ -396,12 +558,14 @@ def compact_partition_table(
         )
     pcol = cur["partition_col"]
     frag = []
-    for entry, dirname in cur["partitions"].items():
-        d = os.path.join(table_dir, dirname, entry)
-        n_files = sum(
-            1 for f in os.listdir(d)
-            if f.endswith(".parquet") or f.startswith("part-")
-        )
+    for entry, dirs in cur["partitions"].items():
+        n_files = 0
+        for dirname in _entry_dirs(dirs):
+            d = os.path.join(table_dir, dirname, entry)
+            n_files += sum(
+                1 for f in os.listdir(d)
+                if f.endswith(".parquet") or f.startswith("part-")
+            )
         if n_files > max_files_per_partition:
             frag.append(entry)
     if not frag:
@@ -440,7 +604,8 @@ def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
                 with open(os.path.join(log, n)) as f:
                     m = json.load(f)
                 referenced.add(m["dir"])
-                referenced.update(m.get("partitions", {}).values())
+                for v in m.get("partitions", {}).values():
+                    referenced.update(_entry_dirs(v))
     except FileNotFoundError:
         pass
     removed = []
@@ -489,6 +654,12 @@ def table_history(table_dir: str) -> list[dict]:
         with open(os.path.join(log, n)) as f:
             out.append(json.load(f))
     return out
+
+
+def _entry_dirs(v) -> list[str]:
+    """A partition-map value is one data dir (rewrite) or a LIST of data
+    dirs (append generations) — normalize to a list."""
+    return [v] if isinstance(v, str) else list(v)
 
 
 def _stats_prune(manifest: dict, prune: dict | None) -> dict:
@@ -550,8 +721,9 @@ def _read_partition_map(
         return None
     pcol = manifest["partition_col"]
     by_dir: dict[str, list[str]] = {}
-    for entry, dirname in sorted(parts.items()):
-        by_dir.setdefault(dirname, []).append(entry)
+    for entry, dirs in sorted(parts.items()):
+        for dirname in _entry_dirs(dirs):
+            by_dir.setdefault(dirname, []).append(entry)
     out = None
     for dirname, entries in sorted(by_dir.items()):
         root = os.path.normpath(os.path.join(table_dir, dirname))

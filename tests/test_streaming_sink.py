@@ -556,6 +556,102 @@ class TestCommitLog:
         # second compaction is a no-op — nothing fragmented anymore
         assert compact_partition_table(spark, t, max_files_per_partition=2) == []
 
+    def test_append_extends_generations_and_merges_stats(
+        self, spark, tmp_path
+    ):
+        """Appending is O(batch): touched entries gain a generation in
+        their dir LIST (no rewrite of prior data), stats bounds widen and
+        counts sum, batch-id replay no-ops, and compaction collapses the
+        lists back to one dir."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            compact_partition_table,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        b0 = spark.createDataFrame([(1, "a"), (2, "a"), (50, "b")], "uid long, k string")
+        b1 = spark.createDataFrame([(3, "a"), (60, "b")], "uid long, k string")
+        append_partition_transaction(
+            spark, t, "k", b0, stats_cols=["uid"], batch_id=0
+        )
+        append_partition_transaction(
+            spark, t, "k", b1, stats_cols=["uid"], batch_id=1
+        )
+        m = table_history(t)[-1]
+        assert len(m["partitions"]["k=a"]) == 2  # two generations
+        assert m["stats"]["k=a"] == {"n": 3, "cols": {"uid": [1, 3]}}
+        assert m["stats"]["k=b"] == {"n": 2, "cols": {"uid": [50, 60]}}
+        assert {r.uid for r in read_keyed_table(spark, t).collect()} == {
+            1, 2, 3, 50, 60,
+        }
+        # replayed micro-batch no-ops
+        append_partition_transaction(
+            spark, t, "k", b1, stats_cols=["uid"], batch_id=1
+        )
+        assert table_history(t)[-1]["version"] == m["version"]
+        # pruning works off the merged bounds
+        pruned = read_keyed_table(spark, t, prune={"uid": (50, 70)})
+        assert all("k=b" in f for f in pruned.inputFiles())
+        # compaction collapses the generation lists, contents unchanged
+        compacted = compact_partition_table(spark, t, max_files_per_partition=1)
+        assert "k=a" in compacted
+        m2 = table_history(t)[-1]
+        assert isinstance(m2["partitions"]["k=a"], str)
+        assert {r.uid for r in read_keyed_table(spark, t).collect()} == {
+            1, 2, 3, 50, 60,
+        }
+        assert m2["stats"]["k=a"]["cols"]["uid"] == [1, 3]
+
+    def test_stream_lands_into_partitioned_table(self, spark, sf_dir, tmp_path):
+        """foreachBatch appends: drain the events stream into a
+        day-partitioned committed table; the table equals the batch read,
+        every micro-batch is one committed version, and a fresh
+        checkpoint replay does not double-apply."""
+        from nshm2022db_spark.streaming.sinks import (
+            land_stream_to_partitioned_table,
+            read_keyed_table,
+            table_history,
+        )
+
+        src = str(tmp_path / "src")
+        events = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "ts"
+        )
+        events.repartition(3).write.parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema(
+                    "event_id long, user_id long, value double, ts timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .withColumn("day", F.col("ts").cast("date").cast("string"))
+            )
+
+        table = str(tmp_path / "table")
+        q = land_stream_to_partitioned_table(
+            stream(), table, str(tmp_path / "ckpt"), "day", stats_cols=["event_id"]
+        )
+        q.awaitTermination()
+
+        got = read_keyed_table(spark, table)
+        assert got.count() == events.count()
+        assert (
+            got.select(F.sum("event_id")).collect()[0][0]
+            == events.select(F.sum("event_id")).collect()[0][0]
+        )
+        hist = table_history(table)
+        assert len(hist) == 3  # one commit per micro-batch
+        # fresh checkpoint -> replays batches; committed ids no-op
+        q2 = land_stream_to_partitioned_table(
+            stream(), table, str(tmp_path / "ckpt2"), "day", stats_cols=["event_id"]
+        )
+        q2.awaitTermination()
+        assert read_keyed_table(spark, table).count() == events.count()
+
     def test_cas_rejects_taken_version(self, tmp_path):
         from nshm2022db_spark.streaming.sinks import try_commit
 

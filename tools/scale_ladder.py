@@ -118,6 +118,8 @@ LADDER = [
     "knn_quantized",
     # r5: batch-vs-corpus incremental near-dedup
     "dedup_incremental",
+    # r5: streaming land into the partition-mapped commit log
+    "stream_partitioned_land",
 ]
 
 
