@@ -584,6 +584,72 @@ def compact_partition_table(
     return sorted(frag)
 
 
+def restore_table_version(table_dir: str, version: int) -> int:
+    """RESTORE: re-publish an older committed version's state as a NEW
+    commit (Delta RESTORE semantics — history moves forward, never
+    rewrites). Zero data movement: the new manifest simply copies the
+    target version's partition map / data dir, which stays valid because
+    committed data dirs are immutable. Returns the new version number.
+    Concurrency-safe via the same CAS: losing the race means someone
+    else committed meanwhile — the restore retries against the new head
+    so the restored state is always the caller's requested snapshot."""
+    hist = table_history(table_dir)
+    target = next((m for m in hist if m["version"] == version), None)
+    if target is None:
+        raise ValueError(f"version {version} not committed in {table_dir}")
+    while True:
+        cur = current_commit(table_dir)
+        manifest = {
+            k: v
+            for k, v in target.items()
+            if k in ("dir", "partition_col", "partitions", "stats")
+        }
+        manifest["version"] = cur["version"] + 1
+        manifest["batch_ids"] = []
+        if try_commit(table_dir, manifest):
+            _write_hint(table_dir, manifest)
+            return manifest["version"]
+
+
+def vacuum_versions(table_dir: str, keep_last: int) -> dict:
+    """Retention: drop all but the last ``keep_last`` committed versions
+    and delete the data dirs ONLY they referenced. Order matters for
+    crash safety: manifests are unlinked FIRST (a crash mid-way leaves
+    extra data dirs — garbage, re-vacuumable — never a manifest pointing
+    at deleted data). Dirs shared with retained versions survive (append
+    generations and carried-forward partitions are referenced by many
+    manifests). Time travel to the dropped versions is gone — that is
+    the retention trade, same as any table format's VACUUM. Dropped
+    manifests also take their batch-id records with them, so retention
+    must exceed the longest possible micro-batch replay window (the same
+    constraint Delta puts on log cleanup vs. txn-id retention)."""
+    hist = table_history(table_dir)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    drop, keep = hist[:-keep_last], hist[-keep_last:]
+    if not drop:
+        return {"versions": [], "dirs": []}
+
+    def dirs_of(ms):
+        out = set()
+        for m in ms:
+            out.add(m["dir"])
+            for v in m.get("partitions", {}).values():
+                out.update(_entry_dirs(v))
+        return out
+
+    doomed = dirs_of(drop) - dirs_of(keep) - {"."}
+    log = os.path.join(table_dir, _COMMITS)
+    for m in drop:
+        try:
+            os.unlink(os.path.join(log, f"{m['version']:020d}.json"))
+        except FileNotFoundError:
+            pass
+    for d in doomed:
+        shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+    return {"versions": [m["version"] for m in drop], "dirs": sorted(doomed)}
+
+
 def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
     """Remove orphaned data dirs (staged by a writer that crashed before
     committing) that no manifest references and whose mtime is older than
@@ -725,20 +791,24 @@ def _read_partition_map(
         for dirname in _entry_dirs(dirs):
             by_dir.setdefault(dirname, []).append(entry)
     out = None
+    # mergeSchema + allowMissingColumns = schema evolution: a generation
+    # appended with an extra column reads as NULL in older generations,
+    # exactly parquet's own evolution contract.
     for dirname, entries in sorted(by_dir.items()):
         root = os.path.normpath(os.path.join(table_dir, dirname))
         if len(entries) == 1:
             value = entries[0].split("=", 1)[1]
-            df = spark.read.parquet(os.path.join(root, entries[0])).withColumn(
-                pcol, F.lit(value)
-            )
+            df = spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(root, entries[0])
+            ).withColumn(pcol, F.lit(value))
         else:
             df = (
                 spark.read.option("basePath", root)
+                .option("mergeSchema", "true")
                 .parquet(*[os.path.join(root, e) for e in entries])
                 .withColumn(pcol, F.col(pcol).cast("string"))
             )
-        out = df if out is None else out.unionByName(df)
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     return out
 
 

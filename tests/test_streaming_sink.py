@@ -652,6 +652,75 @@ class TestCommitLog:
         q2.awaitTermination()
         assert read_keyed_table(spark, table).count() == events.count()
 
+    def test_restore_and_retention_vacuum(self, spark, tmp_path):
+        """RESTORE republishes an old snapshot as a new commit with zero
+        data movement; vacuum_versions drops old versions but never a
+        data dir a retained version still references (append generations
+        are shared across manifests)."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            committed_partition_transaction,
+            read_keyed_table,
+            restore_table_version,
+            table_history,
+            vacuum_versions,
+        )
+
+        t = str(tmp_path / "t")
+        b0 = spark.createDataFrame([(1, "a"), (50, "b")], "uid long, k string")
+        b1 = spark.createDataFrame([(2, "a")], "uid long, k string")
+        append_partition_transaction(spark, t, "k", b0)  # v1
+        append_partition_transaction(spark, t, "k", b1)  # v2: k=a gains gen
+        committed_partition_transaction(  # v3: drop uid=1 from k=a
+            spark, t, "k",
+            lambda base: base.filter("k = 'a' AND uid <> 1"),
+            affected=["a"],
+        )
+        assert {r.uid for r in read_keyed_table(spark, t).collect()} == {2, 50}
+
+        v4 = restore_table_version(t, 2)  # back to pre-delete state
+        assert v4 == 4
+        assert {r.uid for r in read_keyed_table(spark, t).collect()} == {1, 2, 50}
+        # restore moved history FORWARD; v3 still readable pre-vacuum
+        assert {
+            r.uid for r in read_keyed_table(spark, t, version=3).collect()
+        } == {2, 50}
+
+        out = vacuum_versions(t, keep_last=2)  # keep v3, v4
+        assert out["versions"] == [1, 2]
+        # v4 restored v2's dirs — they are retained, so nothing v4 needs
+        # was deleted and the head still reads
+        assert {r.uid for r in read_keyed_table(spark, t).collect()} == {1, 2, 50}
+        assert [m["version"] for m in table_history(t)] == [3, 4]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not committed"):
+            read_keyed_table(spark, t, version=1)
+
+    def test_append_schema_evolution(self, spark, tmp_path):
+        """A batch appended with a NEW column reads back with NULLs for
+        the older generations — parquet schema evolution through the
+        manifest read."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+        )
+
+        t = str(tmp_path / "t")
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame([(1, "a")], "uid long, k string"),
+        )
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame(
+                [(2, "a", "en"), (3, "b", "fr")],
+                "uid long, k string, lang string",
+            ),
+        )
+        got = {r.uid: r.lang for r in read_keyed_table(spark, t).collect()}
+        assert got == {1: None, 2: "en", 3: "fr"}
+
     def test_cas_rejects_taken_version(self, tmp_path):
         from nshm2022db_spark.streaming.sinks import try_commit
 
