@@ -652,6 +652,42 @@ class TestCommitLog:
         q2.awaitTermination()
         assert read_keyed_table(spark, table).count() == events.count()
 
+    def test_erasure_spans_append_generations(self, spark, tmp_path):
+        """GDPR erasure over a STREAMED table: affected partitions may
+        hold many append generations; the rewrite must read them all,
+        collapse the survivors to one new dir, and leave unaffected
+        partitions' generation lists untouched."""
+        from nshm2022db_spark.queries.pipeline import (
+            DELETE_USER_MOD as MOD,
+        )
+        from nshm2022db_spark.queries.pipeline import apply_erasure_rewrite
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        schema = "user_id long, event_type string, value double"
+        append_partition_transaction(
+            spark, t, "event_type",
+            spark.createDataFrame([(MOD, "purchase", 1.0), (7, "view", 2.0)], schema),
+        )
+        append_partition_transaction(
+            spark, t, "event_type",
+            spark.createDataFrame([(9, "purchase", 3.0), (8, "view", 4.0)], schema),
+        )
+        before_view = table_history(t)[-1]["partitions"]["event_type=view"]
+        assert len(before_view) == 2  # two generations
+
+        apply_erasure_rewrite(spark, t)
+
+        m = table_history(t)[-1]
+        assert isinstance(m["partitions"]["event_type=purchase"], str)  # collapsed
+        assert m["partitions"]["event_type=view"] == before_view  # untouched
+        got = {(r.user_id, r.event_type) for r in read_keyed_table(spark, t).collect()}
+        assert got == {(9, "purchase"), (7, "view"), (8, "view")}
+
     def test_restore_and_retention_vacuum(self, spark, tmp_path):
         """RESTORE republishes an old snapshot as a new commit with zero
         data movement; vacuum_versions drops old versions but never a
