@@ -828,7 +828,7 @@ def _duck_quant(a: str, scale: str) -> str:
     "knn_quantized",
     f"""WITH qz AS (
             SELECT vec_id, embedding,
-                   CASE WHEN {_duck_maxabs('embedding')} = 0 THEN 1.0
+                   CASE WHEN {_duck_maxabs('embedding')} < 1e-300 THEN 1.0
                         ELSE {_duck_maxabs('embedding')} / 127.0 END AS qs
             FROM embeddings),
         z AS (SELECT vec_id, embedding, qs,
@@ -882,13 +882,17 @@ def knn_quantized(spark: SparkSession, sf: str) -> DataFrame:
     oracle pins the quantized ranking bit-for-bit, not just the final
     answer."""
     emb = _with_norm(read_table(spark, sf, "embeddings"), "embedding", "enorm")
-    # maxabs hoisted into its own column so the zero-guard CASE doesn't
-    # evaluate the 64-element fold twice per row
+    # maxabs hoisted into its own column so the guard CASE doesn't
+    # evaluate the 64-element fold twice per row. Guard threshold is
+    # 1e-300, not 0: a SUBNORMAL maxabs below ~6.4e-322 underflows
+    # maxabs/127 to 0.0 and the quantize division blows up (found by the
+    # hypothesis law in test_properties.py) — any such vector is
+    # numerically zero, and qs=1 codes it as all-zero, which is right.
     z = (
         emb.withColumn("ma", F.expr(_spark_maxabs("embedding")))
         .withColumn(
             "qs",
-            F.expr("CASE WHEN ma = 0 THEN 1.0 ELSE ma / 127.0 END"),
+            F.expr("CASE WHEN ma < 1e-300 THEN 1.0 ELSE ma / 127.0 END"),
         )
         .withColumn("qv", F.expr(_spark_quant("embedding", "qs")))
     )

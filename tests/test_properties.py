@@ -216,3 +216,115 @@ class TestPortableRandomized:
             assert got[i] == model, (i, repr(s), got[i], model)
             assert duck[i][0] == model[0], (i, repr(s), duck[i][0], model[0])
             assert sorted(duck[i][1]) == sorted(model[1]), (i, repr(s))
+
+
+class TestStatsPruningLaws:
+    """Manifest data skipping must be SAFE under any stats/prune inputs:
+    an entry whose true values intersect the queried range is never
+    dropped when its recorded bounds are honest (cover the true values),
+    and entries without stats are never dropped at all."""
+
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(0, 9),  # partition id
+                st.integers(-1000, 1000),  # value
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        lo=st.integers(-1100, 1100),
+        width=st.integers(0, 500),
+        statless=st.sets(st.integers(0, 9)),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_honest_stats_never_drop_matching_partitions(
+        self, data, lo, width, statless
+    ):
+        from nshm2022db_spark.streaming.sinks import _stats_prune
+
+        hi = lo + width
+        parts = {}
+        stats = {}
+        for pid, v in data:
+            e = f"k={pid}"
+            parts.setdefault(e, "data-x")
+            if pid not in statless:
+                cur = stats.setdefault(e, {"n": 0, "cols": {"v": [v, v]}})
+                cur["n"] += 1
+                cur["cols"]["v"][0] = min(cur["cols"]["v"][0], v)
+                cur["cols"]["v"][1] = max(cur["cols"]["v"][1], v)
+        manifest = {"partitions": parts, "stats": stats, "partition_col": "k"}
+        kept = _stats_prune(manifest, {"v": (lo, hi)})
+        # safety: every partition holding a matching value survives
+        for pid, v in data:
+            if lo <= v <= hi:
+                assert f"k={pid}" in kept, (pid, v, lo, hi)
+        # stat-less entries always read
+        for pid in statless:
+            e = f"k={pid}"
+            if e in parts:
+                assert e in kept
+        # pruning only ever shrinks
+        assert set(kept) <= set(parts)
+
+    @given(
+        xs=st.lists(
+            st.integers(-1000, 1000), min_size=1, max_size=40
+        ),
+        split=st.integers(1, 39),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_append_stats_merge_equals_recompute(self, xs, split):
+        """Merging batch stats (bounds widen, counts sum) must equal
+        stats computed over the union — the law append_partition_
+        transaction relies on."""
+        a, b = xs[:split], xs[split:]
+        if not a or not b:
+            return
+        old = {"n": len(a), "cols": {"v": [min(a), max(a)]}}
+        add = {"n": len(b), "cols": {"v": [min(b), max(b)]}}
+        merged = {
+            "n": old["n"] + add["n"],
+            "cols": {
+                "v": [
+                    min(old["cols"]["v"][0], add["cols"]["v"][0]),
+                    max(old["cols"]["v"][1], add["cols"]["v"][1]),
+                ]
+            },
+        }
+        assert merged == {"n": len(xs), "cols": {"v": [min(xs), max(xs)]}}
+
+
+class TestQuantizationLaws:
+    @given(
+        vec=st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_int8_quantization_bounds_and_error(self, vec):
+        """The knn_quantized arithmetic (scale = maxabs/127, round-half-up
+        via floor): codes stay in [-127, 127] and dequantized components
+        sit within half a step of the original. The 1e-300 guard (not
+        ==0) exists because this law FOUND the subnormal underflow:
+        maxabs = 5e-324 makes maxabs/127 underflow to 0.0 and the
+        quantize division explode."""
+        ma = max(abs(x) for x in vec)
+        qs = 1.0 if ma < 1e-300 else ma / 127.0
+        import math
+
+        codes = [math.floor(x / qs + 0.5) for x in vec]
+        assert all(-127 <= c <= 127 for c in codes)
+        for x, c in zip(vec, codes):
+            if ma >= 1e-300:
+                assert abs(c * qs - x) <= qs / 2 + 1e-12
+            else:
+                assert c == 0  # numerically-zero vector codes to zero
