@@ -225,6 +225,53 @@ def _json_stat(v):
     )
 
 
+def _collect_stage_stats(
+    stage_path: str, written: set[str], stats_cols: list[str]
+) -> dict:
+    """Per-partition {n, cols: {c: [min, max]}} for a freshly staged
+    write, read from the PARQUET FOOTERS (pyarrow metadata) — no Spark
+    job at all. Parquet column-chunk statistics are EXACT for the
+    numeric physical types stats_cols allows (truncation only applies to
+    string/binary), and the footers describe what is actually on disk,
+    which is the contract manifest stats carry. At scale this is
+    O(files) driver-side metadata reads, the same stats-backfill path a
+    real table format uses; the write tasks' own footer writes already
+    paid the computation."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for e in written:
+        d = os.path.join(stage_path, e)
+        n = 0
+        bounds: dict[str, list] = {c: [None, None] for c in stats_cols}
+        for f in os.listdir(d):
+            if not (f.endswith(".parquet") or f.startswith("part-")):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            n += md.num_rows
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            for c in stats_cols:
+                if c not in idx:
+                    continue
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = bounds[c]
+                    bounds[c][0] = st.min if lo is None else min(lo, st.min)
+                    bounds[c][1] = st.max if hi is None else max(hi, st.max)
+        out[e] = {
+            "n": n,
+            "cols": {
+                c: [_json_stat(bounds[c][0]), _json_stat(bounds[c][1])]
+                for c in stats_cols
+            },
+        }
+    return out
+
+
 def committed_partition_transaction(
     spark: SparkSession,
     table_dir: str,
@@ -262,13 +309,14 @@ def committed_partition_transaction(
     raw partitioned parquet read infers for string columns.
 
     ``stats_cols`` records per-partition min/max (+row count) for the
-    named NUMERIC columns in the manifest — one aggregate job over the
-    staged files (reads what is actually on disk, not the logical plan,
-    so a lost-executor partial write can't record stats for data that
-    isn't there; the parquet scan serves min/max from footer metadata).
-    Unaffected partitions carry their stats forward with their mapping.
-    Readers use them for data skipping (`read_keyed_table(prune=...)`) —
-    the manifest half of Delta/Iceberg column-stats pruning."""
+    named NUMERIC columns in the manifest, read from the staged files'
+    parquet FOOTERS (`_collect_stage_stats` — exact for numeric types,
+    zero extra Spark jobs, and describes what is actually on disk, so a
+    lost-executor partial write can't record stats for data that isn't
+    there). Unaffected partitions carry their stats forward with their
+    mapping. Readers use them for data skipping
+    (`read_keyed_table(prune=...)`) — the manifest half of
+    Delta/Iceberg column-stats pruning."""
     os.makedirs(table_dir, exist_ok=True)
     prefix = f"{partition_col}="
     for _ in range(max_retries):
@@ -311,33 +359,16 @@ def committed_partition_transaction(
         }
         new_parts.update({e: stage for e in written})
         # stats: carry forward for carried entries, recompute for written
+        # (footer metadata — zero extra Spark jobs)
         new_stats = {
             e: s
             for e, s in cur.get("stats", {}).items()
             if e in new_parts and e not in written
         }
         if stats_cols and written:
-            staged = spark.read.option("basePath", stage_path).parquet(
-                *[os.path.join(stage_path, e) for e in sorted(written)]
+            new_stats.update(
+                _collect_stage_stats(stage_path, written, stats_cols)
             )
-            aggs = [F.count(F.lit(1)).alias("__n")]
-            for c in stats_cols:
-                aggs.append(F.min(c).alias(f"__min_{c}"))
-                aggs.append(F.max(c).alias(f"__max_{c}"))
-            grouped = staged.groupBy(
-                F.col(partition_col).cast("string").alias("__p")
-            ).agg(*aggs)
-            for r in grouped.collect():
-                new_stats[f"{prefix}{r['__p']}"] = {
-                    "n": r["__n"],
-                    "cols": {
-                        c: [
-                            _json_stat(r[f"__min_{c}"]),
-                            _json_stat(r[f"__max_{c}"]),
-                        ]
-                        for c in stats_cols
-                    },
-                }
         manifest = {
             "version": cur["version"] + 1,
             "dir": stage,
@@ -420,28 +451,8 @@ def append_partition_transaction(
             e: s for e, s in cur.get("stats", {}).items() if e in new_parts
         }
         if stats_cols and written:
-            staged = spark.read.option("basePath", stage_path).parquet(
-                *[os.path.join(stage_path, e) for e in sorted(written)]
-            )
-            aggs = [F.count(F.lit(1)).alias("__n")]
-            for c in stats_cols:
-                aggs.append(F.min(c).alias(f"__min_{c}"))
-                aggs.append(F.max(c).alias(f"__max_{c}"))
-            grouped = staged.groupBy(
-                F.col(partition_col).cast("string").alias("__p")
-            ).agg(*aggs)
-            for r in grouped.collect():
-                e = f"{prefix}{r['__p']}"
-                add = {
-                    "n": r["__n"],
-                    "cols": {
-                        c: [
-                            _json_stat(r[f"__min_{c}"]),
-                            _json_stat(r[f"__max_{c}"]),
-                        ]
-                        for c in stats_cols
-                    },
-                }
+            staged_stats = _collect_stage_stats(stage_path, written, stats_cols)
+            for e, add in staged_stats.items():
                 if e in cur["partitions"] and e not in cur.get("stats", {}):
                     continue  # pre-existing unstatted data: stay stat-less
                 old = new_stats.get(e)
