@@ -836,6 +836,43 @@ class TestCommitLog:
         got = {(r.k, r.v) for r in read_keyed_table(spark, t).collect()}
         assert got == {(i, i * 10) for i in range(8)}
 
+    def test_threaded_appenders_serialize(self, spark, tmp_path):
+        """8 racing APPEND writers (the foreachBatch shape, minus the
+        stream): every batch's rows survive, stats cover the union, and
+        the hot partition's generation list holds one dir per writer."""
+        import threading
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        errs = []
+
+        def writer(i):
+            batch = spark.createDataFrame([(i, "hot")], "uid long, k string")
+            try:
+                append_partition_transaction(
+                    spark, t, "k", batch, stats_cols=["uid"], max_retries=32
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs
+        m = table_history(t)[-1]
+        assert m["version"] == 8
+        assert len(m["partitions"]["k=hot"]) == 8  # one generation each
+        assert m["stats"]["k=hot"] == {"n": 8, "cols": {"uid": [0, 7]}}
+        got = {r.uid for r in read_keyed_table(spark, t).collect()}
+        assert got == set(range(8))
+
     def test_vacuum_spares_committed_and_fresh(self, spark, tmp_path):
         from nshm2022db_spark.streaming.sinks import (
             committed_transaction,
