@@ -95,17 +95,25 @@ def _write_hint(table_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(table_dir, _POINTER))
 
 
+def _is_manifest(name: str) -> bool:
+    return name.endswith(".json") and not name.endswith(".checkpoint.json")
+
+
+def _manifest_names(table_dir: str) -> list[str]:
+    log = os.path.join(table_dir, _COMMITS)
+    try:
+        return sorted(n for n in os.listdir(log) if _is_manifest(n))
+    except FileNotFoundError:
+        return []
+
+
 def current_commit(table_dir: str) -> dict:
     """The latest committed manifest {version, dir, batch_ids}: max entry
     of the append-only commit log, falling back to the legacy mutable
     pointer (pre-log tables used `v{N}` dirs named by version)."""
-    log = os.path.join(table_dir, _COMMITS)
-    try:
-        names = [n for n in os.listdir(log) if n.endswith(".json")]
-    except FileNotFoundError:
-        names = []
+    names = _manifest_names(table_dir)
     if names:
-        with open(os.path.join(log, max(names))) as f:
+        with open(os.path.join(table_dir, _COMMITS, names[-1])) as f:
             return json.load(f)
     ptr = _read_pointer(table_dir)
     ptr.setdefault("dir", f"v{ptr['version']}")
@@ -132,17 +140,68 @@ def try_commit(table_dir: str, manifest: dict) -> bool:
         os.unlink(tmp)
 
 
+_CKPT_EVERY = 20  # ledger-checkpoint cadence (Delta: every 10 commits)
+
+
+def _ledger_checkpoint(table_dir: str) -> tuple[int, set[int]]:
+    """Latest batch-id ledger checkpoint (version, cumulative ids), or
+    (0, empty). Checkpoints summarize ONLY the batch-id ledger — never
+    table state — so they can't dangle at vacuumed data dirs; readers
+    resolve data exclusively through manifests."""
+    log = os.path.join(table_dir, _COMMITS)
+    try:
+        names = sorted(
+            n for n in os.listdir(log) if n.endswith(".checkpoint.json")
+        )
+    except FileNotFoundError:
+        return 0, set()
+    if not names:
+        return 0, set()
+    with open(os.path.join(log, names[-1])) as f:
+        d = json.load(f)
+    return d["version"], set(d["batch_ids"])
+
+
+def _write_ledger_checkpoint(table_dir: str, version: int, ids: set[int]) -> None:
+    """Atomic (tmp + rename) so a crash mid-write leaves a sweepable
+    .tmp, never a torn checkpoint; racing writers of the same version
+    produce identical content, so last-rename-wins is harmless."""
+    log = os.path.join(table_dir, _COMMITS)
+    fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": version, "batch_ids": sorted(ids)}, f)
+    os.replace(tmp, os.path.join(log, f"{version:020d}.checkpoint.json"))
+
+
 def committed_batch_ids(table_dir: str) -> set[int]:
-    """All batch ids ever committed: union of each manifest's (DELTA)
-    batch_ids, or the legacy pointer's cumulative list for pre-log
-    tables. Manifests carry only the ids THEIR transaction applied —
-    cumulative lists would grow the log O(B²) over a stream's life (the
-    first commit over a legacy table carries the pointer's ids forward
-    once, so nothing is lost in migration)."""
-    hist = table_history(table_dir)
-    if not hist:
+    """All batch ids ever committed: the latest ledger CHECKPOINT plus
+    the delta batch_ids of manifests after it — O(tail), not O(every
+    version since table birth), which is what keeps a long-lived
+    streaming land from re-reading thousands of manifests per
+    micro-batch (the problem Delta's log checkpoints solve). Falls back
+    to the legacy pointer's cumulative list for pre-log tables.
+    Manifests carry only the ids THEIR transaction applied — cumulative
+    lists would grow the log O(B²) over a stream's life (the first
+    commit over a legacy table carries the pointer's ids forward once,
+    so nothing is lost in migration)."""
+    names = _manifest_names(table_dir)
+    ckpt_v, ids = _ledger_checkpoint(table_dir)
+    if not names and ckpt_v == 0:
         return set(_read_pointer(table_dir)["batch_ids"])
-    return {b for m in hist for b in m["batch_ids"]}
+    log = os.path.join(table_dir, _COMMITS)
+    for n in names:
+        if int(n.split(".")[0]) <= ckpt_v:
+            continue
+        with open(os.path.join(log, n)) as f:
+            ids.update(json.load(f)["batch_ids"])
+    return ids
+
+
+def _maybe_checkpoint_ledger(table_dir: str, version: int) -> None:
+    """Every _CKPT_EVERY commits, roll the batch-id ledger up into a
+    checkpoint so committed_batch_ids stays O(tail)."""
+    if version % _CKPT_EVERY == 0:
+        _write_ledger_checkpoint(table_dir, version, committed_batch_ids(table_dir))
 
 
 def committed_transaction(
@@ -178,7 +237,7 @@ def committed_transaction(
         stage_path = os.path.join(table_dir, stage)
         merged.write.mode("overwrite").parquet(stage_path)
         delta = [batch_id] if batch_id is not None else []
-        if cur["version"] > 0 and not table_history(table_dir):
+        if cur["version"] > 0 and not _manifest_names(table_dir):
             # first commit over a legacy-pointer table: carry its
             # cumulative ids into the log once, then deltas from here on
             delta = sorted(seen) + delta
@@ -207,6 +266,7 @@ def committed_transaction(
                     "raise vacuum grace_sec above the max writer stall"
                 )
             _write_hint(table_dir, manifest)
+            _maybe_checkpoint_ledger(table_dir, manifest["version"])
             return
         shutil.rmtree(stage_path, ignore_errors=True)
     raise RuntimeError(
@@ -320,9 +380,9 @@ def committed_partition_transaction(
     os.makedirs(table_dir, exist_ok=True)
     prefix = f"{partition_col}="
     for _ in range(max_retries):
-        hist = table_history(table_dir)
-        if hist:
-            cur = hist[-1]
+        # hot path reads ONLY the newest manifest (O(1) in log length)
+        cur = current_commit(table_dir)
+        if cur["version"] > 0:
             if "partitions" not in cur:
                 raise ValueError(
                     f"{table_dir} is a single-dir committed table; "
@@ -391,6 +451,7 @@ def committed_partition_transaction(
                     "raise vacuum grace_sec above the max writer stall"
                 )
             _write_hint(table_dir, manifest)
+            _maybe_checkpoint_ledger(table_dir, manifest["version"])
             return
         shutil.rmtree(stage_path, ignore_errors=True)
     raise RuntimeError(
@@ -427,9 +488,11 @@ def append_partition_transaction(
     os.makedirs(table_dir, exist_ok=True)
     prefix = f"{partition_col}="
     for _ in range(max_retries):
-        hist = table_history(table_dir)
-        cur = hist[-1] if hist else {"version": 0, "partitions": {}}
-        if hist and "partitions" not in cur:
+        # hot path: newest manifest + checkpointed ledger (O(tail))
+        cur = current_commit(table_dir)
+        if cur["version"] == 0:
+            cur = {"version": 0, "partitions": {}}
+        elif "partitions" not in cur:
             raise ValueError(
                 f"{table_dir} is a single-dir committed table; "
                 "use committed_transaction"
@@ -497,6 +560,7 @@ def append_partition_transaction(
                     "raise vacuum grace_sec above the max writer stall"
                 )
             _write_hint(table_dir, manifest)
+            _maybe_checkpoint_ledger(table_dir, manifest["version"])
             return
         shutil.rmtree(stage_path, ignore_errors=True)
     raise RuntimeError(
@@ -619,6 +683,7 @@ def restore_table_version(table_dir: str, version: int) -> int:
         manifest["batch_ids"] = []
         if try_commit(table_dir, manifest):
             _write_hint(table_dir, manifest)
+            _maybe_checkpoint_ledger(table_dir, manifest["version"])
             return manifest["version"]
 
 
@@ -630,10 +695,10 @@ def vacuum_versions(table_dir: str, keep_last: int) -> dict:
     at deleted data). Dirs shared with retained versions survive (append
     generations and carried-forward partitions are referenced by many
     manifests). Time travel to the dropped versions is gone — that is
-    the retention trade, same as any table format's VACUUM. Dropped
-    manifests also take their batch-id records with them, so retention
-    must exceed the longest possible micro-batch replay window (the same
-    constraint Delta puts on log cleanup vs. txn-id retention)."""
+    the retention trade, same as any table format's VACUUM. The batch-id
+    ledger SURVIVES: dropped manifests' ids are rolled into a ledger
+    checkpoint before unlinking, so replay idempotence is unaffected by
+    retention."""
     hist = table_history(table_dir)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -651,6 +716,16 @@ def vacuum_versions(table_dir: str, keep_last: int) -> dict:
 
     doomed = dirs_of(drop) - dirs_of(keep) - {"."}
     log = os.path.join(table_dir, _COMMITS)
+    # Preserve the batch-id ledger BEFORE unlinking: dropped manifests
+    # carry delta ids that replay idempotence still needs. Roll them into
+    # a checkpoint at the newest dropped version (ids-only — checkpoints
+    # never reference data dirs, so nothing dangles), then retire older
+    # checkpoints.
+    dropped_max = drop[-1]["version"]
+    _write_ledger_checkpoint(table_dir, dropped_max, committed_batch_ids(table_dir))
+    for n in os.listdir(log):
+        if n.endswith(".checkpoint.json") and int(n.split(".")[0]) < dropped_max:
+            os.unlink(os.path.join(log, n))
     for m in drop:
         try:
             os.unlink(os.path.join(log, f"{m['version']:020d}.json"))
@@ -677,7 +752,7 @@ def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
     referenced = set()
     try:
         for n in os.listdir(log):
-            if n.endswith(".json"):
+            if _is_manifest(n):
                 with open(os.path.join(log, n)) as f:
                     m = json.load(f)
                 referenced.add(m["dir"])
@@ -721,14 +796,9 @@ def table_history(table_dir: str) -> list[dict]:
     """All committed manifests, oldest first — the audit trail a real
     table format exposes as DESCRIBE HISTORY. Empty for legacy
     pointer-only tables (their history was overwritten in place)."""
-    log = os.path.join(table_dir, _COMMITS)
-    try:
-        names = sorted(n for n in os.listdir(log) if n.endswith(".json"))
-    except FileNotFoundError:
-        return []
     out = []
-    for n in names:
-        with open(os.path.join(log, n)) as f:
+    for n in _manifest_names(table_dir):
+        with open(os.path.join(table_dir, _COMMITS, n)) as f:
             out.append(json.load(f))
     return out
 

@@ -836,6 +836,46 @@ class TestCommitLog:
         got = {(r.k, r.v) for r in read_keyed_table(spark, t).collect()}
         assert got == {(i, i * 10) for i in range(8)}
 
+    def test_ledger_checkpoint_keeps_batchids_o_tail(self, spark, tmp_path):
+        """Every _CKPT_EVERY commits the batch-id ledger rolls into a
+        checkpoint; committed_batch_ids reads checkpoint + tail only,
+        and vacuum preserves the ledger — a replayed ancient batch still
+        no-ops after its manifest is retired."""
+        from nshm2022db_spark.streaming import sinks
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            committed_batch_ids,
+            read_keyed_table,
+            table_history,
+            vacuum_versions,
+        )
+
+        t = str(tmp_path / "t")
+        n = sinks._CKPT_EVERY + 3
+        for i in range(n):
+            append_partition_transaction(
+                spark, t, "k",
+                spark.createDataFrame([(i, "a")], "uid long, k string"),
+                batch_id=i,
+            )
+        log = os.path.join(t, "_commits")
+        ckpts = [f for f in os.listdir(log) if f.endswith(".checkpoint.json")]
+        assert len(ckpts) == 1 and ckpts[0].startswith(f"{sinks._CKPT_EVERY:020d}")
+        assert committed_batch_ids(t) == set(range(n))
+
+        vacuum_versions(t, keep_last=2)
+        assert [m["version"] for m in table_history(t)] == [n - 1, n]
+        # ledger survives retention: replaying batch 0 must no-op
+        assert committed_batch_ids(t) == set(range(n))
+        before = table_history(t)[-1]["version"]
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame([(999, "a")], "uid long, k string"),
+            batch_id=0,
+        )
+        assert table_history(t)[-1]["version"] == before
+        assert read_keyed_table(spark, t).filter("uid = 999").count() == 0
+
     def test_threaded_appenders_serialize(self, spark, tmp_path):
         """8 racing APPEND writers (the foreachBatch shape, minus the
         stream): every batch's rows survive, stats cover the union, and
