@@ -608,6 +608,7 @@ def compact_partition_table(
     spark: SparkSession,
     table_dir: str,
     max_files_per_partition: int = 4,
+    sort_within: list[str] | None = None,
 ) -> list[str]:
     """OPTIMIZE as a commit: rewrite fragmented partitions of a
     partition-mapped committed table into one file each, published as a
@@ -624,7 +625,14 @@ def compact_partition_table(
     data skipping keeps working across compactions. This is the
     maintenance half of a table format's write path (Delta OPTIMIZE /
     Iceberg rewrite_data_files) on the same commit protocol as every
-    other mutation here."""
+    other mutation here.
+
+    ``sort_within`` orders rows inside each rewritten partition (pass a
+    Z-order key — queries/pipeline.py `zorder_key` — or the hot filter
+    column): parquet row-group min/max become tight, so after manifest
+    stats prune PARTITIONS, the scan's own predicate pushdown prunes
+    ROW GROUPS — the two-level skipping a clustered table format gives
+    (Delta OPTIMIZE ZORDER BY)."""
     cur = current_commit(table_dir)
     if "partitions" not in cur:
         raise ValueError(
@@ -651,7 +659,10 @@ def compact_partition_table(
     ) or None
 
     def rewrite(base: DataFrame) -> DataFrame:
-        return base.filter(F.col(pcol).isin(values)).repartition(F.col(pcol))
+        out = base.filter(F.col(pcol).isin(values)).repartition(F.col(pcol))
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        return out
 
     committed_partition_transaction(
         spark, table_dir, pcol, rewrite, affected=values, stats_cols=stats_cols

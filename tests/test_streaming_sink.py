@@ -688,6 +688,51 @@ class TestCommitLog:
         got = {(r.user_id, r.event_type) for r in read_keyed_table(spark, t).collect()}
         assert got == {(9, "purchase"), (7, "view"), (8, "view")}
 
+    def test_sorted_compaction_tightens_row_groups(self, spark, tmp_path):
+        """OPTIMIZE ... ZORDER-style: compaction with sort_within writes
+        each partition sorted, so parquet row-group min/max are tight
+        (verified from the footers — the stats a scan's pushdown prunes
+        row groups with)."""
+        import pyarrow.parquet as pq
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            compact_partition_table,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        # interleaved appends: each generation spans the full uid range
+        for lo in (0, 1, 2):
+            append_partition_transaction(
+                spark, t, "k",
+                spark.createDataFrame(
+                    [(lo + 10 * i, "a") for i in range(20)], "uid long, k string"
+                ),
+                stats_cols=["uid"],
+            )
+        before = {r.uid for r in read_keyed_table(spark, t).collect()}
+
+        compacted = compact_partition_table(
+            spark, t, max_files_per_partition=1, sort_within=["uid"]
+        )
+        assert compacted == ["k=a"]
+        m = table_history(t)[-1]
+        d = os.path.join(t, m["partitions"]["k=a"], "k=a")
+        files = [f for f in os.listdir(d) if f.startswith("part-")]
+        assert len(files) == 1
+        md = pq.ParquetFile(os.path.join(d, files[0])).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        prev_max = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx["uid"]).statistics
+            if prev_max is not None:
+                assert st.min >= prev_max  # disjoint, ordered row groups
+            prev_max = st.max
+        assert {r.uid for r in read_keyed_table(spark, t).collect()} == before
+        assert m["stats"]["k=a"]["cols"]["uid"] == [min(before), max(before)]
+
     def test_restore_and_retention_vacuum(self, spark, tmp_path):
         """RESTORE republishes an old snapshot as a new commit with zero
         data movement; vacuum_versions drops old versions but never a
