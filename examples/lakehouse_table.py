@@ -1,0 +1,97 @@
+"""Lakehouse-table walkthrough — the commit-log table format end to end.
+
+Every mutation below publishes through ONE protocol (staged immutable
+data dirs + manifest CAS into an append-only log): micro-batch appends,
+data-skipping reads, sorted compaction, GDPR erasure, restore, and
+retention. Without Delta/Iceberg in the container, this is the same
+minimal model those formats implement (streaming/sinks.py).
+
+Run: python examples/lakehouse_table.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.session import get_spark
+from nshm2022db_spark.streaming.sinks import (
+    append_partition_transaction,
+    compact_partition_table,
+    read_keyed_table,
+    restore_table_version,
+    table_history,
+    vacuum_versions,
+)
+
+
+def main() -> None:
+    spark = get_spark("lakehouse_demo", master="local[8]")
+    table = tempfile.mkdtemp(prefix="events_table_")
+
+    # --- 1. micro-batch appends (what a streaming foreachBatch does) ----
+    # Each append is ONE commit: O(batch) cost, per-day event_id stats
+    # recorded from the parquet footers, batch-id replay idempotence.
+    # event ids are time-ordered, so each day holds a disjoint id range —
+    # the alignment that makes column stats prune (same as real logs)
+    for bid, lo in enumerate((0, 1000, 2000)):
+        batch = spark.range(lo, lo + 1000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).alias("user_id"),
+            F.concat(F.lit("2024-01-0"), (F.col("id") / 1000).cast("int") + 1).alias("day"),
+        )
+        append_partition_transaction(
+            spark, table, "day", batch, stats_cols=["event_id"], batch_id=bid
+        )
+    print("history:", [(m["version"], sorted(m["batch_ids"])) for m in table_history(table)])
+
+    # --- 2. data-skipping read ------------------------------------------
+    # The manifest's per-partition min/max answer "which partitions can
+    # hold event_id 1200-1300" from JSON before any file opens.
+    pruned = read_keyed_table(spark, table, prune={"event_id": (1200, 1300)})
+    hit = pruned.filter(F.col("event_id").between(1200, 1300))
+    print("skip-scan rows:", hit.count(), "from", len(pruned.inputFiles()), "files")
+
+    # --- 3. sorted compaction (OPTIMIZE ... ZORDER) ---------------------
+    compacted = compact_partition_table(
+        spark, table, max_files_per_partition=2, sort_within=["event_id"]
+    )
+    print("compacted:", compacted, "-> version", table_history(table)[-1]["version"])
+
+    # --- 4. erasure-style partial rewrite -------------------------------
+    # Rewrite ONE day dropping a user's rows; other days' files untouched.
+    from nshm2022db_spark.streaming.sinks import committed_partition_transaction
+
+    committed_partition_transaction(
+        spark,
+        table,
+        "day",
+        lambda base: base.filter("day = '2024-01-01' AND user_id <> 3"),
+        affected=["2024-01-01"],
+        stats_cols=["event_id"],
+    )
+    cur = read_keyed_table(spark, table)
+    print(
+        "post-erasure user 3 rows on 01-01:",
+        cur.filter("day = '2024-01-01' AND user_id = 3").count(),
+    )
+
+    # --- 5. time travel + restore ---------------------------------------
+    v_before = table_history(table)[-2]["version"]
+    old = read_keyed_table(spark, table, version=v_before)
+    print("time-travel rows (pre-erasure):", old.count(), "current:", cur.count())
+    v_new = restore_table_version(table, v_before)
+    print("restored as version", v_new, "rows:", read_keyed_table(spark, table).count())
+
+    # --- 6. retention ----------------------------------------------------
+    out = vacuum_versions(table, keep_last=2)
+    print("vacuumed versions:", out["versions"], "dirs:", len(out["dirs"]))
+    print("final rows:", read_keyed_table(spark, table).count())
+
+
+if __name__ == "__main__":
+    main()
