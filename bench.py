@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_audio_chunks",
     "stream_incremental_rollup",
     "stream_partitioned_land",
+    "stream_upsert_mor",
     "delete_where_rewrite",
     "manifest_skip_scan",
     "snapshot_diff",

@@ -189,6 +189,7 @@ _DRIVER_ORDER = [
     "knn_quantized",
     "dedup_incremental",
     "stream_partitioned_land",
+    "stream_upsert_mor",
     # (c) the stale r1 tail — single-operator relational shapes:
     "topk_global",
     "topk_per_group",
@@ -230,8 +231,8 @@ _DRIVER_ORDER = [
     "tfidf_search",
     "decontaminate_ngram",
     "decontaminate_bloom",
-    "weighted_sample",
     # --- 50-query window boundary (driver gate cap observed r01-r04) ---
+    "weighted_sample",
     "pack_sequences",
     "source_mix_sample",
     "orc_scan",

@@ -427,6 +427,53 @@ def stream_upsert_table(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "stream_upsert_mor",
+    """SELECT user_id, event_id, ts FROM (
+           SELECT user_id, event_id, ts,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+       WHERE rn = 1""",
+)
+def stream_upsert_mor(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE-ON-READ twin of `stream_upsert_table` — same doubled replay,
+    same oracle (the global per-user argmax), but each micro-batch lands
+    as an O(batch) generation APPEND (append_keyed_mor) instead of a
+    table rewrite, the latest-per-key view is resolved by one read-side
+    window (read_keyed_mor), and a compaction folds the generations
+    before the final read — so the query proves write path, read-side
+    merge, AND compaction all preserve the batch-invariant answer. This
+    is the Hudi-MOR/Delta-DV cost model: at 100 TB the hot write path
+    touches only the batch, and the merge window shuffles on the same
+    key the copy-on-write variant shuffled per batch at write time."""
+    import tempfile
+
+    from nshm2022db_spark.streaming.sinks import (
+        compact_keyed_mor,
+        read_keyed_mor,
+        upsert_stream_to_table_mor,
+    )
+
+    stream = _raw_event_stream(
+        spark, sf, _stream_dir_doubled(sf), maxFilesPerTrigger=1
+    ).select("user_id", "event_id", "ts")
+    table_dir = tempfile.mkdtemp(prefix="upsert_mor_")
+    q = upsert_stream_to_table_mor(
+        stream,
+        table_dir,
+        tempfile.mkdtemp(prefix="upsert_mor_ckpt_"),
+        keys=["user_id"],
+        order_col="ts",
+        tiebreak=["event_id"],
+    )
+    q.awaitTermination()
+    compact_keyed_mor(spark, table_dir)
+    return read_keyed_mor(spark, table_dir).select(
+        "user_id", "event_id", ntz("ts").alias("ts")
+    )
+
+
+@register(
     "stream_incremental_rollup",
     """SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start,
               CAST(2 * COUNT(*) AS BIGINT) AS n,

@@ -721,6 +721,7 @@ def vacuum_versions(table_dir: str, keep_last: int) -> dict:
         out = set()
         for m in ms:
             out.add(m["dir"])
+            out.update(m.get("dirs", []))
             for v in m.get("partitions", {}).values():
                 out.update(_entry_dirs(v))
         return out
@@ -767,6 +768,7 @@ def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
                 with open(os.path.join(log, n)) as f:
                     m = json.load(f)
                 referenced.add(m["dir"])
+                referenced.update(m.get("dirs", []))
                 for v in m.get("partitions", {}).values():
                     referenced.update(_entry_dirs(v))
     except FileNotFoundError:
@@ -992,11 +994,12 @@ def upsert_stream_to_table(
 
     Scale shape: the per-batch reduce and the merge share the key
     partitioning (one shuffle each on `keys`); the rewrite cost is the
-    TABLE size per batch — the plain-parquet trade-off a real table format
-    removes with file-level merge-on-read/copy-on-write, which is the swap
-    you'd make in production. State lives in the table, not the
-    state store, so the stream itself is stateless and unbounded keys are
-    fine."""
+    TABLE size per batch — the COPY-ON-WRITE trade. The merge-on-read
+    twin (`upsert_stream_to_table_mor`) moves that cost to the readers:
+    O(batch) appends, one read-side window, periodic compaction — pick
+    per workload exactly as you would between Delta COW and Hudi MOR.
+    State lives in the table, not the state store, so the stream itself
+    is stateless and unbounded keys are fine."""
     os.makedirs(table_dir, exist_ok=True)
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1016,6 +1019,184 @@ def upsert_stream_to_table(
         )
 
     writer = df.writeStream.foreachBatch(_merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def append_keyed_mor(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: list[str] | None = None,
+    batch_id: int | None = None,
+    max_retries: int = 10,
+) -> None:
+    """MERGE-ON-READ upsert append: the batch's newest row per key lands
+    as a NEW immutable generation (one manifest commit, O(batch) write —
+    never a table rewrite), and `read_keyed_mor` resolves latest-per-key
+    at read time. This is the Hudi-MOR / Delta deletion-vector trade the
+    copy-on-write `upsert_stream_to_table` docstring promises a real
+    format would make: hot write path pays O(batch), readers pay one
+    window over the generations until `compact_keyed_mor` folds them.
+
+    Each staged generation carries a literal `_gen` = its commit version
+    so equal (order_col, tiebreak) values across generations resolve to
+    the later COMMIT deterministically (update-wins, same contract as
+    `merge_into`)."""
+    os.makedirs(table_dir, exist_ok=True)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak or []]
+    )
+    latest = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    for _ in range(max_retries):
+        cur = current_commit(table_dir)
+        if cur["version"] > 0 and "mor" not in cur:
+            raise ValueError(f"{table_dir} is not a merge-on-read keyed table")
+        if batch_id is not None and batch_id in committed_batch_ids(table_dir):
+            return
+        stage = f"data-{uuid.uuid4().hex}"
+        stage_path = os.path.join(table_dir, stage)
+        latest.withColumn("_gen", F.lit(cur["version"] + 1)).write.mode(
+            "overwrite"
+        ).parquet(stage_path)
+        manifest = {
+            "version": cur["version"] + 1,
+            "dir": stage,
+            "dirs": cur.get("dirs", []) + [stage],
+            "mor": {
+                "keys": keys,
+                "order_col": order_col,
+                "tiebreak": tiebreak or [],
+            },
+            "batch_ids": [batch_id] if batch_id is not None else [],
+        }
+        os.utime(stage_path)
+        if try_commit(table_dir, manifest):
+            if not os.path.isdir(stage_path):
+                os.unlink(
+                    os.path.join(
+                        table_dir, _COMMITS, f"{manifest['version']:020d}.json"
+                    )
+                )
+                raise RuntimeError(
+                    f"stage {stage} vacuumed before commit on {table_dir}; "
+                    "raise vacuum grace_sec above the max writer stall"
+                )
+            _write_hint(table_dir, manifest)
+            _maybe_checkpoint_ledger(table_dir, manifest["version"])
+            return
+        shutil.rmtree(stage_path, ignore_errors=True)
+    raise RuntimeError(
+        f"commit conflict persisted for {max_retries} retries on {table_dir}"
+    )
+
+
+def read_keyed_mor(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Latest-per-key view of a merge-on-read keyed table: ONE multi-path
+    scan over the generation dirs (same schema throughout, so no union
+    chain), one window keyed on the merge keys — the read-side merge.
+    The window shuffle is on the key columns, the same exchange the
+    copy-on-write merge paid PER BATCH at write time."""
+    if version is not None:
+        cur = next(
+            (m for m in table_history(table_dir) if m["version"] == version),
+            None,
+        )
+        if cur is None:
+            raise ValueError(f"version {version} not committed in {table_dir}")
+    else:
+        cur = current_commit(table_dir)
+    if cur["version"] == 0:
+        return None
+    if "mor" not in cur:
+        raise ValueError(f"{table_dir} is not a merge-on-read keyed table")
+    mor = cur["mor"]
+    df = spark.read.parquet(
+        *[os.path.join(table_dir, d) for d in cur["dirs"]]
+    )
+    w = Window.partitionBy(*mor["keys"]).orderBy(
+        F.col(mor["order_col"]).desc(),
+        *[F.col(c).desc() for c in mor["tiebreak"]],
+        F.col("_gen").desc(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_gen")
+    )
+
+
+def compact_keyed_mor(spark: SparkSession, table_dir: str) -> bool:
+    """Fold a merge-on-read table's generations into one materialized
+    latest-per-key dir (the compaction that moves the merge cost from
+    every read back to one write) — published as a normal commit, so the
+    un-compacted generations stay readable as history. Returns False if
+    the table already has a single generation."""
+    for _ in range(10):
+        cur = current_commit(table_dir)
+        if "mor" not in cur:
+            raise ValueError(f"{table_dir} is not a merge-on-read keyed table")
+        if len(cur["dirs"]) <= 1:
+            return False
+        merged = read_keyed_mor(spark, table_dir).withColumn(
+            "_gen", F.lit(cur["version"] + 1)
+        )
+        stage = f"data-{uuid.uuid4().hex}"
+        stage_path = os.path.join(table_dir, stage)
+        merged.write.mode("overwrite").parquet(stage_path)
+        manifest = {
+            "version": cur["version"] + 1,
+            "dir": stage,
+            "dirs": [stage],
+            "mor": cur["mor"],
+            "batch_ids": [],
+        }
+        os.utime(stage_path)
+        if try_commit(table_dir, manifest):
+            _write_hint(table_dir, manifest)
+            return True
+        shutil.rmtree(stage_path, ignore_errors=True)
+    raise RuntimeError(f"commit conflict persisted on {table_dir}")
+
+
+def upsert_stream_to_table_mor(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_col: str,
+    tiebreak: list[str] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """The merge-on-read twin of `upsert_stream_to_table`: each
+    micro-batch appends its per-key-latest rows as a generation
+    (`append_keyed_mor`, O(batch) write, batch-id idempotent) instead of
+    rewriting the table; `read_keyed_mor` serves the merged view and
+    `compact_keyed_mor` folds generations on a maintenance cadence."""
+
+    def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_keyed_mor(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            keys,
+            order_col,
+            tiebreak,
+            batch_id=batch_id,
+        )
+
+    writer = df.writeStream.foreachBatch(_append_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if trigger_available_now:

@@ -237,7 +237,7 @@ class TestDriverOrder:
             # int8-quantized ANN with exact rescore
             "delete_where_rewrite", "manifest_skip_scan",
             "knn_quantized", "dedup_incremental",
-            "stream_partitioned_land",
+            "stream_partitioned_land", "stream_upsert_mor",
             # the freshness sweep's last 26 stale r1 rows (VERDICT r04
             # #1/#3) — after r5 every registry query has a driver row
             # from r3 or later

@@ -688,6 +688,59 @@ class TestCommitLog:
         got = {(r.user_id, r.event_type) for r in read_keyed_table(spark, t).collect()}
         assert got == {(9, "purchase"), (7, "view"), (8, "view")}
 
+    def test_merge_on_read_upsert(self, spark, tmp_path):
+        """MOR keyed table: batches append as generations (no rewrite),
+        the read-side window resolves latest-per-key with update-wins
+        ties (later commit wins equal order), replay no-ops, and
+        compaction folds generations without changing the view."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_keyed_mor,
+            compact_keyed_mor,
+            current_commit,
+            read_keyed_mor,
+        )
+
+        t = str(tmp_path / "t")
+        schema = "k long, v string, ord long"
+        append_keyed_mor(
+            spark, t,
+            spark.createDataFrame([(1, "a0", 10), (2, "b0", 10)], schema),
+            keys=["k"], order_col="ord", batch_id=0,
+        )
+        # batch 1: newer ord for k=1; EQUAL ord for k=2 (update must win)
+        append_keyed_mor(
+            spark, t,
+            spark.createDataFrame([(1, "a1", 20), (2, "b1", 10)], schema),
+            keys=["k"], order_col="ord", batch_id=1,
+        )
+        # batch 2: OLDER ord for k=1 — must NOT roll state back
+        append_keyed_mor(
+            spark, t,
+            spark.createDataFrame([(1, "stale", 5)], schema),
+            keys=["k"], order_col="ord", batch_id=2,
+        )
+        assert len(current_commit(t)["dirs"]) == 3
+
+        def view():
+            return {
+                (r.k, r.v, r.ord) for r in read_keyed_mor(spark, t).collect()
+            }
+
+        expect = {(1, "a1", 20), (2, "b1", 10)}
+        assert view() == expect
+        # replayed batch no-ops
+        append_keyed_mor(
+            spark, t,
+            spark.createDataFrame([(1, "dup", 99)], schema),
+            keys=["k"], order_col="ord", batch_id=1,
+        )
+        assert len(current_commit(t)["dirs"]) == 3
+        # compaction folds to one generation, view unchanged
+        assert compact_keyed_mor(spark, t)
+        assert len(current_commit(t)["dirs"]) == 1
+        assert view() == expect
+        assert not compact_keyed_mor(spark, t)  # already folded
+
     def test_sorted_compaction_tightens_row_groups(self, spark, tmp_path):
         """OPTIMIZE ... ZORDER-style: compaction with sort_within writes
         each partition sorted, so parquet row-group min/max are tight

@@ -120,6 +120,8 @@ LADDER = [
     "dedup_incremental",
     # r5: streaming land into the partition-mapped commit log
     "stream_partitioned_land",
+    # r5: merge-on-read upsert (append generations + read-side merge)
+    "stream_upsert_mor",
 ]
 
 
