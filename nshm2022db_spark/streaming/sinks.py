@@ -878,7 +878,22 @@ def _read_partition_map(
     and the lit() branch as a string."""
     parts = _stats_prune(manifest, prune)
     if not parts:
-        return None
+        if not manifest["partitions"]:
+            return None  # genuinely empty table
+        # every partition stats-pruned: an EMPTY relation with the
+        # table's schema (filter folds to an empty scan), so callers can
+        # still chain filters/aggregates — None means "no table", not
+        # "no matching rows"
+        entry, dirs = next(iter(sorted(manifest["partitions"].items())))
+        pcol = manifest["partition_col"]
+        first = os.path.normpath(
+            os.path.join(table_dir, _entry_dirs(dirs)[0], entry)
+        )
+        return (
+            spark.read.parquet(first)
+            .withColumn(pcol, F.lit(entry.split("=", 1)[1]))
+            .filter(F.lit(False))
+        )
     pcol = manifest["partition_col"]
     by_dir: dict[str, list[str]] = {}
     for entry, dirs in sorted(parts.items()):

@@ -493,6 +493,12 @@ class TestCommitLog:
             read_keyed_table(spark, t).inputFiles()
         )
 
+        # a range disjoint from EVERY partition returns an empty relation
+        # with the table schema, not None ("no matching rows" != "no table")
+        none_match = read_keyed_table(spark, t, prune={"uid": (10**9, None)})
+        assert none_match.count() == 0
+        assert set(none_match.columns) == {"uid", "k"}
+
         # rewrite ONLY k=a: b/c stats carry forward with their mapping,
         # and skipping still works against the new manifest
         committed_partition_transaction(
