@@ -826,11 +826,14 @@ def _duck_quant(a: str, scale: str) -> str:
 
 @register(
     "knn_quantized",
-    f"""WITH qz AS (
-            SELECT vec_id, embedding,
-                   CASE WHEN {_duck_maxabs('embedding')} < 1e-300 THEN 1.0
-                        ELSE {_duck_maxabs('embedding')} / 127.0 END AS qs
+    f"""WITH qm AS (
+            SELECT vec_id, embedding, {_duck_maxabs('embedding')} AS ma
             FROM embeddings),
+        qz AS (
+            SELECT vec_id, embedding,
+                   CASE WHEN ma < 1e-300 THEN 1.0
+                        ELSE ma / 127.0 END AS qs
+            FROM qm),
         z AS (SELECT vec_id, embedding, qs,
                      {_duck_quant('embedding', 'qs')} AS qv,
                      sqrt({duck_dot('embedding', 'embedding')}) AS enorm

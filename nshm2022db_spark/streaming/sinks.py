@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -99,6 +100,18 @@ def _is_manifest(name: str) -> bool:
     return name.endswith(".json") and not name.endswith(".checkpoint.json")
 
 
+def _read_json(path: str) -> dict | None:
+    """None when the file vanished between listdir and open — a
+    concurrent `vacuum_versions` retiring old manifests/checkpoints is
+    allowed to race live readers; they skip what it unlinked (only
+    DROPPED versions are ever unlinked, never the newest)."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
 def _manifest_names(table_dir: str) -> list[str]:
     log = os.path.join(table_dir, _COMMITS)
     try:
@@ -112,9 +125,12 @@ def current_commit(table_dir: str) -> dict:
     of the append-only commit log, falling back to the legacy mutable
     pointer (pre-log tables used `v{N}` dirs named by version)."""
     names = _manifest_names(table_dir)
-    if names:
-        with open(os.path.join(table_dir, _COMMITS, names[-1])) as f:
-            return json.load(f)
+    # newest-first: vacuum never unlinks the newest, but an older name
+    # from our listing may vanish under a concurrent retention pass
+    for n in reversed(names):
+        m = _read_json(os.path.join(table_dir, _COMMITS, n))
+        if m is not None:
+            return m
     ptr = _read_pointer(table_dir)
     ptr.setdefault("dir", f"v{ptr['version']}")
     return ptr
@@ -155,11 +171,11 @@ def _ledger_checkpoint(table_dir: str) -> tuple[int, set[int]]:
         )
     except FileNotFoundError:
         return 0, set()
-    if not names:
-        return 0, set()
-    with open(os.path.join(log, names[-1])) as f:
-        d = json.load(f)
-    return d["version"], set(d["batch_ids"])
+    for n in reversed(names):  # skip checkpoints a concurrent vacuum retired
+        d = _read_json(os.path.join(log, n))
+        if d is not None:
+            return d["version"], set(d["batch_ids"])
+    return 0, set()
 
 
 def _write_ledger_checkpoint(table_dir: str, version: int, ids: set[int]) -> None:
@@ -192,8 +208,14 @@ def committed_batch_ids(table_dir: str) -> set[int]:
     for n in names:
         if int(n.split(".")[0]) <= ckpt_v:
             continue
-        with open(os.path.join(log, n)) as f:
-            ids.update(json.load(f)["batch_ids"])
+        m = _read_json(os.path.join(log, n))
+        if m is None:
+            # a concurrent vacuum rolled this manifest's ids into a NEWER
+            # checkpoint and unlinked it between our listing and the open;
+            # skipping would LOSE those ids (a replayed batch could
+            # re-apply) — restart the scan, which now sees that checkpoint
+            return committed_batch_ids(table_dir)
+        ids.update(m["batch_ids"])
     return ids
 
 
@@ -202,6 +224,35 @@ def _maybe_checkpoint_ledger(table_dir: str, version: int) -> None:
     checkpoint so committed_batch_ids stays O(tail)."""
     if version % _CKPT_EVERY == 0:
         _write_ledger_checkpoint(table_dir, version, committed_batch_ids(table_dir))
+
+
+def _publish(table_dir: str, manifest: dict, stage_path: str) -> bool:
+    """CAS-publish a staged manifest — the one publish sequence every
+    writer shares (committed/partition/append/MOR transactions and
+    compaction): refresh the stage mtime so vacuum's grace window
+    restarts, link the manifest (the CAS), fail LOUDLY un-publishing if
+    a misconfigured vacuum deleted the stage in the race window, then
+    write the hint and roll the batch-id ledger. Returns False on a
+    version conflict (stage deleted; caller recomputes and retries)."""
+    os.utime(stage_path)
+    if try_commit(table_dir, manifest):
+        if not os.path.isdir(stage_path):
+            os.unlink(
+                os.path.join(
+                    table_dir, _COMMITS, f"{manifest['version']:020d}.json"
+                )
+            )
+            raise RuntimeError(
+                f"stage {os.path.basename(stage_path)} vacuumed before "
+                f"commit on {table_dir}; raise vacuum grace_sec above the "
+                "max writer stall"
+            )
+        _write_hint(table_dir, manifest)
+        _maybe_checkpoint_ledger(table_dir, manifest["version"])
+        return True
+    shutil.rmtree(stage_path, ignore_errors=True)
+    return False
+
 
 
 def committed_transaction(
@@ -226,6 +277,11 @@ def committed_transaction(
                 f"{table_dir} is a partition-mapped table; "
                 "use committed_partition_transaction"
             )
+        if "mor" in cur:
+            raise ValueError(
+                f"{table_dir} is a merge-on-read keyed table; "
+                "use append_keyed_mor"
+            )
         seen = committed_batch_ids(table_dir)
         if batch_id is not None and batch_id in seen:
             return
@@ -246,29 +302,8 @@ def committed_transaction(
             "dir": stage,
             "batch_ids": delta,
         }
-        # Refresh the stage mtime so vacuum_uncommitted's grace window
-        # restarts here — the residual stage-deleted-then-committed race
-        # is the microseconds between this utime and the CAS, vs the
-        # vacuum grace (default 1 h).
-        os.utime(stage_path)
-        if try_commit(table_dir, manifest):
-            if not os.path.isdir(stage_path):
-                # a vacuum with a too-short grace deleted the stage while
-                # we stalled: un-publish the version we own and fail
-                # loudly rather than leave a manifest pointing nowhere
-                os.unlink(
-                    os.path.join(
-                        table_dir, _COMMITS, f"{manifest['version']:020d}.json"
-                    )
-                )
-                raise RuntimeError(
-                    f"stage {stage} vacuumed before commit on {table_dir}; "
-                    "raise vacuum grace_sec above the max writer stall"
-                )
-            _write_hint(table_dir, manifest)
-            _maybe_checkpoint_ledger(table_dir, manifest["version"])
+        if _publish(table_dir, manifest, stage_path):
             return
-        shutil.rmtree(stage_path, ignore_errors=True)
     raise RuntimeError(
         f"commit conflict persisted for {max_retries} retries on {table_dir}"
     )
@@ -409,6 +444,7 @@ def committed_partition_transaction(
         written = {
             n for n in os.listdir(stage_path) if n.startswith(prefix)
         }
+        _check_entry_values(written)
         claimed = (
             set(cur["partitions"]) | written
             if affected is None
@@ -438,22 +474,8 @@ def committed_partition_transaction(
         }
         if new_stats:
             manifest["stats"] = new_stats
-        os.utime(stage_path)  # restart vacuum's grace window (see above)
-        if try_commit(table_dir, manifest):
-            if not os.path.isdir(stage_path):
-                os.unlink(
-                    os.path.join(
-                        table_dir, _COMMITS, f"{manifest['version']:020d}.json"
-                    )
-                )
-                raise RuntimeError(
-                    f"stage {stage} vacuumed before commit on {table_dir}; "
-                    "raise vacuum grace_sec above the max writer stall"
-                )
-            _write_hint(table_dir, manifest)
-            _maybe_checkpoint_ledger(table_dir, manifest["version"])
+        if _publish(table_dir, manifest, stage_path):
             return
-        shutil.rmtree(stage_path, ignore_errors=True)
     raise RuntimeError(
         f"commit conflict persisted for {max_retries} retries on {table_dir}"
     )
@@ -505,6 +527,7 @@ def append_partition_transaction(
             stage_path
         )
         written = {n for n in os.listdir(stage_path) if n.startswith(prefix)}
+        _check_entry_values(written)
         new_parts = {e: v for e, v in cur["partitions"].items()}
         for e in written:
             new_parts[e] = (
@@ -522,6 +545,12 @@ def append_partition_transaction(
                 if old is None:
                     new_stats[e] = add
                 else:
+                    # merge ONLY columns scanned on both sides: an old
+                    # column absent from this append's stats_cols was
+                    # never footer-scanned in the new files, so carrying
+                    # its bounds forward would claim coverage of
+                    # unscanned data — dishonest stats that make pruning
+                    # drop real rows. Dropped = stat-less = never pruned.
                     merged = {"n": old["n"] + add["n"], "cols": {}}
                     for c in add["cols"]:
                         if c in old["cols"]:
@@ -533,10 +562,6 @@ def append_partition_transaction(
                                 min(lo) if lo else None,
                                 max(hi) if hi else None,
                             ]
-                    merged["cols"].update(
-                        {c: v for c, v in old["cols"].items()
-                         if c not in merged["cols"]}
-                    )
                     new_stats[e] = merged
         manifest = {
             "version": cur["version"] + 1,
@@ -547,22 +572,8 @@ def append_partition_transaction(
         }
         if new_stats:
             manifest["stats"] = new_stats
-        os.utime(stage_path)
-        if try_commit(table_dir, manifest):
-            if not os.path.isdir(stage_path):
-                os.unlink(
-                    os.path.join(
-                        table_dir, _COMMITS, f"{manifest['version']:020d}.json"
-                    )
-                )
-                raise RuntimeError(
-                    f"stage {stage} vacuumed before commit on {table_dir}; "
-                    "raise vacuum grace_sec above the max writer stall"
-                )
-            _write_hint(table_dir, manifest)
-            _maybe_checkpoint_ledger(table_dir, manifest["version"])
+        if _publish(table_dir, manifest, stage_path):
             return
-        shutil.rmtree(stage_path, ignore_errors=True)
     raise RuntimeError(
         f"commit conflict persisted for {max_retries} retries on {table_dir}"
     )
@@ -683,12 +694,12 @@ def restore_table_version(table_dir: str, version: int) -> int:
     target = next((m for m in hist if m["version"] == version), None)
     if target is None:
         raise ValueError(f"version {version} not committed in {table_dir}")
-    while True:
+    for _ in range(10):
         cur = current_commit(table_dir)
         manifest = {
             k: v
             for k, v in target.items()
-            if k in ("dir", "partition_col", "partitions", "stats")
+            if k in ("dir", "partition_col", "partitions", "stats", "mor", "dirs")
         }
         manifest["version"] = cur["version"] + 1
         manifest["batch_ids"] = []
@@ -696,6 +707,7 @@ def restore_table_version(table_dir: str, version: int) -> int:
             _write_hint(table_dir, manifest)
             _maybe_checkpoint_ledger(table_dir, manifest["version"])
             return manifest["version"]
+    raise RuntimeError(f"commit conflict persisted on {table_dir}")
 
 
 def vacuum_versions(table_dir: str, keep_last: int) -> dict:
@@ -765,8 +777,9 @@ def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
     try:
         for n in os.listdir(log):
             if _is_manifest(n):
-                with open(os.path.join(log, n)) as f:
-                    m = json.load(f)
+                m = _read_json(os.path.join(log, n))
+                if m is None:  # unlinked by a concurrent retention vacuum
+                    continue
                 referenced.add(m["dir"])
                 referenced.update(m.get("dirs", []))
                 for v in m.get("partitions", {}).values():
@@ -811,8 +824,9 @@ def table_history(table_dir: str) -> list[dict]:
     pointer-only tables (their history was overwritten in place)."""
     out = []
     for n in _manifest_names(table_dir):
-        with open(os.path.join(table_dir, _COMMITS, n)) as f:
-            out.append(json.load(f))
+        m = _read_json(os.path.join(table_dir, _COMMITS, n))
+        if m is not None:  # dropped by a concurrent retention vacuum
+            out.append(m)
     return out
 
 
@@ -820,6 +834,28 @@ def _entry_dirs(v) -> list[str]:
     """A partition-map value is one data dir (rewrite) or a LIST of data
     dirs (append generations) — normalize to a list."""
     return [v] if isinstance(v, str) else list(v)
+
+
+_ESCAPED_VALUE = re.compile(r"%[0-9A-Fa-f]{2}")
+
+
+def _check_entry_values(written: set[str]) -> None:
+    """Partition values round-trip through DIR NAMES: Spark %XX-escapes
+    characters like space/':' when writing, but the manifest map, the
+    `affected` claim matching, and the read-side `lit(value)` all use
+    the raw string — an escaped value would silently mismatch (an
+    erasure claim missing its partition, a read re-attaching the encoded
+    form). Rather than half-reimplement Spark's escapePathName, reject
+    values that needed escaping (and NULL's sentinel dir) up front."""
+    for e in written:
+        v = e.split("=", 1)[1]
+        if _ESCAPED_VALUE.search(v) or v == "__HIVE_DEFAULT_PARTITION__":
+            raise ValueError(
+                f"partition value {v!r} needs dir-name escaping (or is "
+                "NULL), which would break claim matching and value "
+                "round-trip; restrict partition values to unescaped "
+                "strings like [A-Za-z0-9._-]+"
+            )
 
 
 def _stats_prune(manifest: dict, prune: dict | None) -> dict:
@@ -844,6 +880,8 @@ def _stats_prune(manifest: dict, prune: dict | None) -> dict:
             if c not in cols:
                 continue
             cmin, cmax = cols[c]
+            if cmin is None or cmax is None:
+                continue  # all-NULL stats column: no bound, never skip
             if (hi is not None and cmin > hi) or (lo is not None and cmax < lo):
                 keep = False
                 break
@@ -944,6 +982,11 @@ def read_keyed_table(
     if version is not None:
         for m in table_history(table_dir):
             if m["version"] == version:
+                if "mor" in m:
+                    raise ValueError(
+                        f"{table_dir} is a merge-on-read keyed table; "
+                        "use read_keyed_mor"
+                    )
                 if "partitions" in m:
                     return _read_partition_map(spark, table_dir, m, prune)
                 return spark.read.parquet(os.path.join(table_dir, m["dir"]))
@@ -954,6 +997,10 @@ def read_keyed_table(
     cur = current_commit(table_dir)
     if cur["version"] == 0:
         return None
+    if "mor" in cur:
+        raise ValueError(
+            f"{table_dir} is a merge-on-read keyed table; use read_keyed_mor"
+        )
     if "partitions" in cur:
         return _read_partition_map(spark, table_dir, cur, prune)
     return spark.read.parquet(os.path.join(table_dir, cur["dir"]))
@@ -1094,22 +1141,8 @@ def append_keyed_mor(
             },
             "batch_ids": [batch_id] if batch_id is not None else [],
         }
-        os.utime(stage_path)
-        if try_commit(table_dir, manifest):
-            if not os.path.isdir(stage_path):
-                os.unlink(
-                    os.path.join(
-                        table_dir, _COMMITS, f"{manifest['version']:020d}.json"
-                    )
-                )
-                raise RuntimeError(
-                    f"stage {stage} vacuumed before commit on {table_dir}; "
-                    "raise vacuum grace_sec above the max writer stall"
-                )
-            _write_hint(table_dir, manifest)
-            _maybe_checkpoint_ledger(table_dir, manifest["version"])
+        if _publish(table_dir, manifest, stage_path):
             return
-        shutil.rmtree(stage_path, ignore_errors=True)
     raise RuntimeError(
         f"commit conflict persisted for {max_retries} retries on {table_dir}"
     )
@@ -1177,11 +1210,8 @@ def compact_keyed_mor(spark: SparkSession, table_dir: str) -> bool:
             "mor": cur["mor"],
             "batch_ids": [],
         }
-        os.utime(stage_path)
-        if try_commit(table_dir, manifest):
-            _write_hint(table_dir, manifest)
+        if _publish(table_dir, manifest, stage_path):
             return True
-        shutil.rmtree(stage_path, ignore_errors=True)
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
 
 
