@@ -200,23 +200,30 @@ def committed_batch_ids(table_dir: str) -> set[int]:
     lists would grow the log O(B²) over a stream's life (the first
     commit over a legacy table carries the pointer's ids forward once,
     so nothing is lost in migration)."""
-    names = _manifest_names(table_dir)
-    ckpt_v, ids = _ledger_checkpoint(table_dir)
-    if not names and ckpt_v == 0:
-        return set(_read_pointer(table_dir)["batch_ids"])
-    log = os.path.join(table_dir, _COMMITS)
-    for n in names:
-        if int(n.split(".")[0]) <= ckpt_v:
-            continue
-        m = _read_json(os.path.join(log, n))
-        if m is None:
-            # a concurrent vacuum rolled this manifest's ids into a NEWER
-            # checkpoint and unlinked it between our listing and the open;
-            # skipping would LOSE those ids (a replayed batch could
-            # re-apply) — restart the scan, which now sees that checkpoint
-            return committed_batch_ids(table_dir)
-        ids.update(m["batch_ids"])
-    return ids
+    while True:
+        names = _manifest_names(table_dir)
+        ckpt_v, ids = _ledger_checkpoint(table_dir)
+        if not names and ckpt_v == 0:
+            return set(_read_pointer(table_dir)["batch_ids"])
+        log = os.path.join(table_dir, _COMMITS)
+        restart = False
+        for n in names:
+            if int(n.split(".")[0]) <= ckpt_v:
+                continue
+            m = _read_json(os.path.join(log, n))
+            if m is None:
+                # a concurrent vacuum rolled this manifest's ids into a
+                # NEWER checkpoint and unlinked it between our listing
+                # and the open; skipping would LOSE those ids (a
+                # replayed batch could re-apply) — restart the scan,
+                # which now sees that checkpoint. A loop, not recursion:
+                # sustained vacuum churn on this hot per-micro-batch
+                # path must not grow the Python stack.
+                restart = True
+                break
+            ids.update(m["batch_ids"])
+        if not restart:
+            return ids
 
 
 def _maybe_checkpoint_ledger(table_dir: str, version: int) -> None:
@@ -536,6 +543,13 @@ def append_partition_transaction(
         new_stats = {
             e: s for e, s in cur.get("stats", {}).items() if e in new_parts
         }
+        if not stats_cols:
+            # this append did not footer-scan: a written entry's carried
+            # bounds no longer cover its new generation, so keeping them
+            # would let pruning skip partitions that now hold matching
+            # rows. Drop them — stat-less = never pruned, always safe.
+            for e in written:
+                new_stats.pop(e, None)
         if stats_cols and written:
             staged_stats = _collect_stage_stats(stage_path, written, stats_cols)
             for e, add in staged_stats.items():
@@ -919,19 +933,13 @@ def _read_partition_map(
         if not manifest["partitions"]:
             return None  # genuinely empty table
         # every partition stats-pruned: an EMPTY relation with the
-        # table's schema (filter folds to an empty scan), so callers can
-        # still chain filters/aggregates — None means "no table", not
-        # "no matching rows"
-        entry, dirs = next(iter(sorted(manifest["partitions"].items())))
-        pcol = manifest["partition_col"]
-        first = os.path.normpath(
-            os.path.join(table_dir, _entry_dirs(dirs)[0], entry)
-        )
-        return (
-            spark.read.parquet(first)
-            .withColumn(pcol, F.lit(entry.split("=", 1)[1]))
-            .filter(F.lit(False))
-        )
+        # table's full MERGED schema (the unpruned read with its
+        # schema-evolving unionByName, folded empty), so callers can
+        # still chain filters/selects on columns a later generation
+        # added — None means "no table", not "no matching rows". Costs
+        # one full plan resolve; fine for the rare all-pruned case.
+        full = _read_partition_map(spark, table_dir, manifest, None)
+        return full.filter(F.lit(False))
     pcol = manifest["partition_col"]
     by_dir: dict[str, list[str]] = {}
     for entry, dirs in sorted(parts.items()):
@@ -949,12 +957,29 @@ def _read_partition_map(
                 os.path.join(root, entries[0])
             ).withColumn(pcol, F.lit(value))
         else:
-            df = (
-                spark.read.option("basePath", root)
-                .option("mergeSchema", "true")
-                .parquet(*[os.path.join(root, e) for e in entries])
-                .withColumn(pcol, F.col(pcol).cast("string"))
-            )
+            # Disable partition-dir type inference for this resolve:
+            # inferred types mutate numeric-looking values ('007'->7,
+            # '1.50'->1.5) once cast back to string, diverging from the
+            # single-entry branch's exact F.lit and from the manifest
+            # keys. With inference off the discovered column IS the
+            # dir-name string (and equality filters on it still reach
+            # PartitionFilters, which a filter through a date/int cast
+            # would not). The flip only spans this eager resolve, and
+            # every reader in this module normalizes the column to
+            # string anyway, so a concurrent resolve observing it still
+            # reads correct values.
+            key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+            prev = spark.conf.get(key)
+            spark.conf.set(key, "false")
+            try:
+                df = (
+                    spark.read.option("basePath", root)
+                    .option("mergeSchema", "true")
+                    .parquet(*[os.path.join(root, e) for e in entries])
+                )
+            finally:
+                spark.conf.set(key, prev)
+            df = df.withColumn(pcol, F.col(pcol).cast("string"))
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     return out
 
@@ -1097,6 +1122,7 @@ def append_keyed_mor(
     tiebreak: list[str] | None = None,
     batch_id: int | None = None,
     max_retries: int = 10,
+    max_open_generations: int | None = None,
 ) -> None:
     """MERGE-ON-READ upsert append: the batch's newest row per key lands
     as a NEW immutable generation (one manifest commit, O(batch) write —
@@ -1109,7 +1135,13 @@ def append_keyed_mor(
     Each staged generation carries a literal `_gen` = its commit version
     so equal (order_col, tiebreak) values across generations resolve to
     the later COMMIT deterministically (update-wins, same contract as
-    `merge_into`)."""
+    `merge_into`).
+
+    ``max_open_generations`` is the Hudi-style compaction trigger: when
+    an append leaves more than that many open generations, it folds them
+    with `compact_keyed_mor` before returning — bounding read
+    amplification (the per-read window spans at most N+1 generations
+    over a stream's whole life) at the cost of a periodic rewrite."""
     os.makedirs(table_dir, exist_ok=True)
     w = Window.partitionBy(*keys).orderBy(
         F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak or []]
@@ -1123,6 +1155,21 @@ def append_keyed_mor(
         cur = current_commit(table_dir)
         if cur["version"] > 0 and "mor" not in cur:
             raise ValueError(f"{table_dir} is not a merge-on-read keyed table")
+        if cur["version"] > 0:
+            # the merge contract (keys/order/tiebreak) is a TABLE
+            # property: a mismatched append would silently rewrite it in
+            # the new head manifest and change how read_keyed_mor
+            # resolves every PRIOR generation — reject instead.
+            want = {
+                "keys": keys,
+                "order_col": order_col,
+                "tiebreak": tiebreak or [],
+            }
+            if cur["mor"] != want:
+                raise ValueError(
+                    f"merge config mismatch for {table_dir}: table has "
+                    f"{cur['mor']}, append supplied {want}"
+                )
         if batch_id is not None and batch_id in committed_batch_ids(table_dir):
             return
         stage = f"data-{uuid.uuid4().hex}"
@@ -1142,6 +1189,11 @@ def append_keyed_mor(
             "batch_ids": [batch_id] if batch_id is not None else [],
         }
         if _publish(table_dir, manifest, stage_path):
+            if (
+                max_open_generations is not None
+                and len(manifest["dirs"]) > max_open_generations
+            ):
+                compact_keyed_mor(spark, table_dir)
             return
     raise RuntimeError(
         f"commit conflict persisted for {max_retries} retries on {table_dir}"
@@ -1223,12 +1275,15 @@ def upsert_stream_to_table_mor(
     order_col: str,
     tiebreak: list[str] | None = None,
     trigger_available_now: bool = True,
+    max_open_generations: int | None = None,
 ) -> StreamingQuery:
     """The merge-on-read twin of `upsert_stream_to_table`: each
     micro-batch appends its per-key-latest rows as a generation
     (`append_keyed_mor`, O(batch) write, batch-id idempotent) instead of
     rewriting the table; `read_keyed_mor` serves the merged view and
-    `compact_keyed_mor` folds generations on a maintenance cadence."""
+    `compact_keyed_mor` folds generations on a maintenance cadence —
+    either explicitly, or inline whenever the open-generation count
+    passes ``max_open_generations`` (the Hudi compaction trigger)."""
 
     def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
         append_keyed_mor(
@@ -1239,6 +1294,7 @@ def upsert_stream_to_table_mor(
             order_col,
             tiebreak,
             batch_id=batch_id,
+            max_open_generations=max_open_generations,
         )
 
     writer = df.writeStream.foreachBatch(_append_batch).option(

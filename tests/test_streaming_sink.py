@@ -610,6 +610,103 @@ class TestCommitLog:
         }
         assert m2["stats"]["k=a"]["cols"]["uid"] == [1, 3]
 
+    def test_statless_append_drops_stale_bounds(self, spark, tmp_path):
+        """An append WITHOUT stats_cols must drop the touched entries'
+        carried bounds: the old bounds don't cover the new generation, so
+        keeping them would let pruning skip partitions that now hold
+        matching rows. Untouched entries keep their stats and stay
+        prunable."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        schema = "uid long, k string"
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame([(1, "a"), (2, "a"), (50, "b")], schema),
+            stats_cols=["uid"],
+        )
+        # default (stat-less) append lands uid=99 into k=a only
+        append_partition_transaction(
+            spark, t, "k", spark.createDataFrame([(99, "a")], schema)
+        )
+        m = table_history(t)[-1]
+        assert "k=a" not in m.get("stats", {})  # stale bounds dropped
+        assert m["stats"]["k=b"] == {"n": 1, "cols": {"uid": [50, 50]}}
+        # a prune the OLD k=a bounds [1,2] would have disproven must
+        # still read k=a and find the new row
+        got = read_keyed_table(spark, t, prune={"uid": (90, 100)})
+        assert {
+            r.uid for r in got.filter(F.col("uid").between(90, 100)).collect()
+        } == {99}
+        # the untouched entry kept its stats: [50,50] disproves (90,100),
+        # so k=b is pruned while the stat-less k=a cannot be
+        assert not any("k=b" in f for f in got.inputFiles())
+        assert any("k=a" in f for f in got.inputFiles())
+
+    def test_partition_values_survive_inference(self, spark, tmp_path):
+        """Numeric-looking partition values ('007', '1.50') must read
+        back EXACTLY from the multi-entry branch: Spark's partition-dir
+        type inference would type them int/double and the string cast
+        would mutate them ('007'->'7'), diverging from the manifest keys
+        and the single-entry branch's F.lit."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+        )
+
+        t = str(tmp_path / "t")
+        schema = "uid long, k string"
+        # one batch, three partitions -> ONE generation dir holding
+        # three entries -> the multi-path (inference-prone) branch
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame(
+                [(1, "007"), (2, "1.50"), (3, "plain")], schema
+            ),
+        )
+        got = {(r.uid, r.k) for r in read_keyed_table(spark, t).collect()}
+        assert got == {(1, "007"), (2, "1.50"), (3, "plain")}
+        # and the inference conf is restored after the read resolves
+        assert (
+            spark.conf.get(
+                "spark.sql.sources.partitionColumnTypeInference.enabled"
+            )
+            == "true"
+        )
+
+    def test_all_pruned_empty_relation_has_merged_schema(
+        self, spark, tmp_path
+    ):
+        """When stats prune EVERY partition, the empty relation must
+        still carry the table's full merged schema — including a column
+        only a later generation added — so a caller chaining a filter on
+        it gets zero rows, not an AnalysisException."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+        )
+
+        t = str(tmp_path / "t")
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame([(1, "a")], "uid long, k string"),
+            stats_cols=["uid"],
+        )
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame(
+                [(2, "b", "x")], "uid long, k string, extra string"
+            ),
+            stats_cols=["uid"],
+        )
+        empty = read_keyed_table(spark, t, prune={"uid": (100, 200)})
+        assert "extra" in empty.columns
+        assert empty.filter(F.col("extra") == "x").count() == 0
+
     def test_stream_lands_into_partitioned_table(self, spark, sf_dir, tmp_path):
         """foreachBatch appends: drain the events stream into a
         day-partitioned committed table; the table equals the batch read,
@@ -746,6 +843,59 @@ class TestCommitLog:
         assert len(current_commit(t)["dirs"]) == 1
         assert view() == expect
         assert not compact_keyed_mor(spark, t)  # already folded
+
+    def test_mor_append_rejects_config_mismatch(self, spark, tmp_path):
+        """The merge contract (keys/order_col/tiebreak) is a table
+        property: an append supplying a different one would silently
+        rewrite how read_keyed_mor resolves ALL prior generations — it
+        must raise instead."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import append_keyed_mor
+
+        t = str(tmp_path / "t")
+        schema = "k long, v string, ord long"
+        append_keyed_mor(
+            spark, t,
+            spark.createDataFrame([(1, "a0", 10)], schema),
+            keys=["k"], order_col="ord",
+        )
+        with pytest.raises(ValueError, match="merge config mismatch"):
+            append_keyed_mor(
+                spark, t,
+                spark.createDataFrame([(1, "a1", 20)], schema),
+                keys=["k"], order_col="v",
+            )
+        with pytest.raises(ValueError, match="merge config mismatch"):
+            append_keyed_mor(
+                spark, t,
+                spark.createDataFrame([(1, "a1", 20)], schema),
+                keys=["k", "v"], order_col="ord",
+            )
+
+    def test_mor_compaction_bound_under_long_replay(self, spark, tmp_path):
+        """max_open_generations is the Hudi compaction trigger: a long
+        append stream keeps the open-generation count bounded (reads
+        window over at most N+1 generations, never the whole history)
+        and the merged view stays correct across the inline folds."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_keyed_mor,
+            current_commit,
+            read_keyed_mor,
+        )
+
+        t = str(tmp_path / "t")
+        schema = "k long, v string, ord long"
+        for i in range(7):
+            append_keyed_mor(
+                spark, t,
+                spark.createDataFrame([(i % 3, f"v{i}", i)], schema),
+                keys=["k"], order_col="ord", batch_id=i,
+                max_open_generations=2,
+            )
+            assert len(current_commit(t)["dirs"]) <= 2
+        got = {(r.k, r.v) for r in read_keyed_mor(spark, t).collect()}
+        assert got == {(0, "v6"), (1, "v4"), (2, "v5")}
 
     def test_sorted_compaction_tightens_row_groups(self, spark, tmp_path):
         """OPTIMIZE ... ZORDER-style: compaction with sort_within writes
