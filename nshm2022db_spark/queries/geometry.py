@@ -133,3 +133,96 @@ def geometry_planes(spark: SparkSession, sf: str) -> DataFrame:
     return planes.select("fault_nshm_id", "segment_idx", *rounded).orderBy(
         "fault_nshm_id", "segment_idx"
     )
+
+
+def _pt_lon(i: int) -> str:
+    return f"CAST(166.0 + n_nationkey * 0.2 + {i} * 0.05 AS DOUBLE)"
+
+
+def _pt_lat(i: int) -> str:
+    return f"CAST(-47.0 + n_nationkey * 0.1 + {i} * 0.03 AS DOUBLE)"
+
+
+@register(
+    "geometry_planes_checksum",
+    f"""SELECT n_nationkey AS fault_nshm_id,
+              CAST({_N_TRACE_POINTS - 1} AS BIGINT) AS n_planes,
+              ROUND({_pt_lon(0)}, 4) AS min_top_lon,
+              ROUND({_pt_lon(_N_TRACE_POINTS - 1)}, 4) AS max_top_lon,
+              ROUND({_pt_lat(0)}, 4) AS min_top_lat,
+              ROUND({_pt_lat(_N_TRACE_POINTS - 1)}, 4) AS max_top_lat,
+              ROUND({_pt_lon(0)} + 2 * {_pt_lon(1)}
+                    + 2 * {_pt_lon(2)} + {_pt_lon(3)}, 4) AS top_lon_sum,
+              ROUND({_pt_lat(0)} + 2 * {_pt_lat(1)}
+                    + 2 * {_pt_lat(2)} + {_pt_lat(3)}, 4) AS top_lat_sum,
+              CAST(n_nationkey % 4 AS DOUBLE) AS top_depth,
+              CAST(n_nationkey % 4 + 10 AS DOUBLE) AS bottom_depth,
+              CASE WHEN n_nationkey % 7 = 6
+                   THEN ROUND({_pt_lon(0)} + 2 * {_pt_lon(1)}
+                        + 2 * {_pt_lon(2)} + {_pt_lon(3)}, 4)
+                   ELSE NULL END AS vert_bot_lon_sum,
+              CASE WHEN n_nationkey % 7 = 6
+                   THEN ROUND({_pt_lat(0)} + 2 * {_pt_lat(1)}
+                        + 2 * {_pt_lat(2)} + {_pt_lat(3)}, 4)
+                   ELSE NULL END AS vert_bot_lat_sum
+       FROM nation""",
+)
+def geometry_planes_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL-checkable PROJECTION of `geometry_planes` — a partial hash
+    oracle for the one rows-only query. The NZTM series itself is not
+    DuckDB SQL, but the construction (reference nshmdb/api.py:268-277)
+    leaves two surfaces the oracle CAN pin exactly:
+
+    * top-edge corners are the raw WGS84 trace points (planes_from_trace
+      puts the trace at top depth un-projected), so per-fault plane
+      counts, top-corner bounding boxes, and top-corner checksums are
+      closed-form in the synthesis formulas;
+    * vertical faults (dip 90°) get zero down-dip offset, so their
+      BOTTOM corners must equal the top corners — projected through the
+      full NZTM forward+inverse round trip in Spark, closed-form in SQL.
+
+    Only the non-vertical bottom-corner displacement stays SQL-invisible
+    (golden-tested in tests/test_geo.py). Same mapInPandas plan as
+    geometry_planes plus ONE partial-agg exchange on fault_nshm_id."""
+    faults = read_fault_geojson(spark, _synth_geojson(spark, sf)).withColumn(
+        "dip_deg", F.col("dip")
+    )
+    planes = traces_to_planes(faults, id_cols=["fault_nshm_id", "dip_deg"])
+    vert = F.col("dip_deg") == 90.0
+    return (
+        planes.groupBy("fault_nshm_id")
+        .agg(
+            F.count("*").alias("n_planes"),
+            F.round(F.min("top_left_lon"), 4).alias("min_top_lon"),
+            F.round(F.max("top_right_lon"), 4).alias("max_top_lon"),
+            F.round(F.min("top_left_lat"), 4).alias("min_top_lat"),
+            F.round(F.max("top_right_lat"), 4).alias("max_top_lat"),
+            F.round(
+                F.sum(F.col("top_left_lon") + F.col("top_right_lon")), 4
+            ).alias("top_lon_sum"),
+            F.round(
+                F.sum(F.col("top_left_lat") + F.col("top_right_lat")), 4
+            ).alias("top_lat_sum"),
+            F.max("top_depth").alias("top_depth"),
+            F.max("bottom_depth").alias("bottom_depth"),
+            F.round(
+                F.sum(
+                    F.when(
+                        vert,
+                        F.col("bottom_left_lon") + F.col("bottom_right_lon"),
+                    )
+                ),
+                4,
+            ).alias("vert_bot_lon_sum"),
+            F.round(
+                F.sum(
+                    F.when(
+                        vert,
+                        F.col("bottom_left_lat") + F.col("bottom_right_lat"),
+                    )
+                ),
+                4,
+            ).alias("vert_bot_lat_sum"),
+        )
+        .orderBy("fault_nshm_id")
+    )
