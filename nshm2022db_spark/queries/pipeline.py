@@ -583,6 +583,73 @@ def manifest_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "rowgroup_skip_scan",
+    f"""SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        WHERE event_id BETWEEN {SKIP_ID_LO} AND {SKIP_ID_HI}
+        GROUP BY event_type""",
+)
+def rowgroup_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """ROW-GROUP-level data skipping — the second level of a clustered
+    table format, below `manifest_skip_scan`'s partition level. Events
+    land by event_type (NOT id-correlated: every partition spans the
+    whole id range, so manifest stats can prune nothing) via three
+    interleaved appends — every pre-compaction file also spans the whole
+    range. `compact_partition_table(sort_within=["event_id"],
+    max_records_per_file=...)` then rewrites each partition as several
+    id-SORTED files with tight disjoint footer min/max, and the range
+    scan's pushed predicate drops every row group the footers disprove —
+    Delta OPTIMIZE ZORDER's read-side win. The scan's numOutputRows
+    falling from |partition| to ~|matching slice| is pinned by
+    tests/test_streaming_sink.py (test_compaction_enables_rowgroup_skip);
+    the oracle recomputes the aggregate from the raw parquet, proving
+    skipping changed nothing."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        compact_partition_table,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_rowgroup_skip_r6", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        # hash-shuffle before each append so landed files mimic arrival
+        # order — every file spans the whole id range, nothing skippable
+        # until the sorted compaction re-clusters
+        for i in range(3):
+            append_partition_transaction(
+                spark, path, "event_type",
+                ev.filter(F.col("event_id") % 3 == i).repartition(
+                    4, "event_id"
+                ),
+                stats_cols=["event_id"],
+            )
+        compact_partition_table(
+            spark, path, max_files_per_partition=2,
+            sort_within=["event_id"], max_records_per_file=512,
+        )
+        mark_landed(base)
+    t = read_keyed_table(
+        spark, path, prune={"event_id": (SKIP_ID_LO, SKIP_ID_HI)}
+    )
+    return (
+        t.filter(F.col("event_id").between(SKIP_ID_LO, SKIP_ID_HI))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot
 DIFF_UPDATE_MOD = 11  # keys repriced in the "new" snapshot
 

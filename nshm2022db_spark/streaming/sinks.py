@@ -382,6 +382,7 @@ def committed_partition_transaction(
     affected: list[str] | None = None,
     stats_cols: list[str] | None = None,
     max_retries: int = 10,
+    max_records_per_file: int | None = None,
 ) -> None:
     """One optimistic-concurrency transaction over a PARTITION-MAPPED
     table — the same CAS commit protocol as `committed_transaction`, but
@@ -447,7 +448,14 @@ def committed_partition_transaction(
         out = compute(base)
         stage = f"data-{uuid.uuid4().hex}"
         stage_path = os.path.join(table_dir, stage)
-        out.write.mode("overwrite").partitionBy(partition_col).parquet(stage_path)
+        writer = out.write.mode("overwrite")
+        if max_records_per_file:
+            # bound file size (Delta OPTIMIZE's target-file-size knob):
+            # a 100 TB partition must land as many files, and when the
+            # rows arrive sorted each file's row groups carry tight
+            # disjoint min/max — the second level of data skipping
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy(partition_col).parquet(stage_path)
         written = {
             n for n in os.listdir(stage_path) if n.startswith(prefix)
         }
@@ -634,6 +642,7 @@ def compact_partition_table(
     table_dir: str,
     max_files_per_partition: int = 4,
     sort_within: list[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> list[str]:
     """OPTIMIZE as a commit: rewrite fragmented partitions of a
     partition-mapped committed table into one file each, published as a
@@ -657,7 +666,15 @@ def compact_partition_table(
     column): parquet row-group min/max become tight, so after manifest
     stats prune PARTITIONS, the scan's own predicate pushdown prunes
     ROW GROUPS — the two-level skipping a clustered table format gives
-    (Delta OPTIMIZE ZORDER BY)."""
+    (Delta OPTIMIZE ZORDER BY).
+
+    ``max_records_per_file`` bounds rewritten file size (Delta OPTIMIZE's
+    target-file-size): a partition bigger than one sane file must land as
+    several, and combined with ``sort_within`` each file covers a tight
+    DISJOINT key slice — a range scan then opens only the files whose
+    footer stats overlap it. Note a partition compacted into more than
+    ``max_files_per_partition`` files still counts as fragmented to a
+    later compaction call; pick the two knobs together."""
     cur = current_commit(table_dir)
     if "partitions" not in cur:
         raise ValueError(
@@ -686,11 +703,16 @@ def compact_partition_table(
     def rewrite(base: DataFrame) -> DataFrame:
         out = base.filter(F.col(pcol).isin(values)).repartition(F.col(pcol))
         if sort_within:
-            out = out.sortWithinPartitions(*sort_within)
+            # lead with the partition column: the file writer requires
+            # its input ordered by the partition columns and would
+            # otherwise insert its own (non-stable) sort, destroying the
+            # clustering this exists to produce
+            out = out.sortWithinPartitions(pcol, *sort_within)
         return out
 
     committed_partition_transaction(
-        spark, table_dir, pcol, rewrite, affected=values, stats_cols=stats_cols
+        spark, table_dir, pcol, rewrite, affected=values,
+        stats_cols=stats_cols, max_records_per_file=max_records_per_file,
     )
     return sorted(frag)
 

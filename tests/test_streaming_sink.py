@@ -897,6 +897,78 @@ class TestCommitLog:
         got = {(r.k, r.v) for r in read_keyed_mor(spark, t).collect()}
         assert got == {(0, "v6"), (1, "v4"), (2, "v5")}
 
+    def test_compaction_enables_rowgroup_skip(self, spark, tmp_path):
+        """Two-level skipping, level two: after sorted multi-file
+        compaction, a range scan's parquet pushdown drops the row groups
+        whose footer min/max disprove the range. Pinned from the
+        EXECUTED plan's scan metric: numOutputRows falls from the whole
+        partition (pre-compaction, interleaved files — nothing
+        skippable) to just the overlapping sorted slices, and matches
+        exactly what the footers predict."""
+        import pyarrow.parquet as pq
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            compact_partition_table,
+            read_keyed_table,
+            table_history,
+        )
+
+        def scan_rows(df):
+            df.collect()
+            total = 0
+            it = df._jdf.queryExecution().executedPlan().collectLeaves().iterator()
+            while it.hasNext():
+                m = it.next().metrics()
+                if m.contains("numOutputRows"):
+                    total += m.apply("numOutputRows").value()
+            return total
+
+        t = str(tmp_path / "t")
+        n, lo, hi = 1000, 100, 299
+        ev = spark.range(n).select(
+            F.col("id").alias("uid"),
+            (F.col("id") % 2).cast("string").alias("k"),
+        )
+        for i in range(3):  # hash-shuffled appends: every file spans 0..n
+            append_partition_transaction(
+                spark, t, "k",
+                ev.filter(F.col("uid") % 3 == i).repartition(2, "uid"),
+                stats_cols=["uid"],
+            )
+        pre_version = table_history(t)[-1]["version"]
+        rng = F.col("uid").between(lo, hi)
+        pre = scan_rows(read_keyed_table(spark, t).filter(rng))
+        assert pre == n  # nothing skippable: every row group overlaps
+
+        compact_partition_table(
+            spark, t, max_files_per_partition=2,
+            sort_within=["uid"], max_records_per_file=100,
+        )
+        m = table_history(t)[-1]
+        post = scan_rows(read_keyed_table(spark, t).filter(rng))
+        # footers predict exactly which row groups survive the range
+        expect, n_groups, live_groups = 0, 0, 0
+        for entry, d in m["partitions"].items():
+            pdir = os.path.join(t, d if isinstance(d, str) else d[0], entry)
+            for fname in os.listdir(pdir):
+                if not fname.endswith(".parquet"):
+                    continue
+                meta = pq.ParquetFile(os.path.join(pdir, fname)).metadata
+                for g in range(meta.num_row_groups):
+                    st = meta.row_group(g).column(0).statistics
+                    n_groups += 1
+                    if st.min <= hi and st.max >= lo:
+                        live_groups += 1
+                        expect += meta.row_group(g).num_rows
+        assert post == expect
+        assert live_groups < n_groups  # row groups actually skipped
+        assert post < n / 2  # most of the table never surfaced
+        # skipping is read-side only: the answer is the unpruned one
+        got = read_keyed_table(spark, t).filter(rng).count()
+        pre_v = read_keyed_table(spark, t, version=pre_version).filter(rng)
+        assert got == pre_v.count() == hi - lo + 1
+
     def test_sorted_compaction_tightens_row_groups(self, spark, tmp_path):
         """OPTIMIZE ... ZORDER-style: compaction with sort_within writes
         each partition sorted, so parquet row-group min/max are tight
