@@ -650,6 +650,62 @@ def rowgroup_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "schema_evolution_read",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN user_id END)
+                   AS BIGINT) AS n_user,
+              CAST(SUM(CASE WHEN event_id % 2 = 1 THEN user_id END)
+                   AS BIGINT) AS sum_user,
+              ROUND(SUM(value), 4) AS sum_value
+       FROM events
+       GROUP BY event_type""",
+)
+def schema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution through the commit log: generation 1 lands
+    WITHOUT user_id, generation 2 (the other half of the corpus, split
+    on event_id parity) adds it. The read resolves both generations into
+    one relation — parquet's own evolution contract: the old files'
+    missing column reads as NULL (mergeSchema per generation dir,
+    unionByName(allowMissingColumns) across them), no rewrite of landed
+    data, which is the only evolution a 100 TB table can afford. The
+    oracle replays the split from the raw parquet: user_id aggregates
+    must see ONLY the odd-id rows, and COUNT(*)/SUM(value) must see
+    everything."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_schema_evo_r6", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events")
+        append_partition_transaction(
+            spark, path, "event_type",
+            ev.filter(F.col("event_id") % 2 == 0).select(
+                "event_id", "event_type", "value"
+            ),
+            stats_cols=["event_id"],
+        )
+        append_partition_transaction(
+            spark, path, "event_type",
+            ev.filter(F.col("event_id") % 2 == 1).select(
+                "event_id", "event_type", "value", "user_id"
+            ),
+            stats_cols=["event_id"],
+        )
+        mark_landed(base)
+    t = read_keyed_table(spark, path)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("user_id").cast("long").alias("n_user"),
+        F.sum("user_id").cast("long").alias("sum_user"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot
 DIFF_UPDATE_MOD = 11  # keys repriced in the "new" snapshot
 
