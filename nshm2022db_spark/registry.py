@@ -163,81 +163,32 @@ from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # ROUND-5 WINDOW. Composition (VERDICT r04 next-round #1/#3 + the
+    # ROUND-6 WINDOW. Composition (VERDICT r05 next-round #1 + the
     # standing contract above):
-    # (a) queries whose OWN oracle text changed this round — the two
-    #     multimodal wsum CAST(... AS BIGINT) fixes (the r4 driver-red
-    #     rows), plus the three DECIMAL-vs-float leaks the new
-    #     typed-schema gate (tools/verify_local.py) caught in the asof
-    #     targets and the histogram bin_lo;
-    # (b) delete_where_rewrite — erasure now publishes through the
-    #     keyed-table commit log (VERDICT r04 #6);
-    # (c) the LAST 26 stale r1-row queries (the tail head VERDICT r04 #1
-    #     earmarked) — this completes the freshness sweep: after r5
-    #     every registry query has a driver row from r3 or later;
-    # (d) remaining slots refresh the stalest r3 rows.
+    # (a) queries NEW this round — the two table-format proofs
+    #     (row-group skipping after sorted compaction, schema-evolving
+    #     reads) and the geometry partial-hash companion, with
+    #     geometry_planes itself kept beside it;
+    # (b) in-window representatives for the round's shared-primitive
+    #     changes (streaming/sinks.py: stat-less append stats drop,
+    #     inference-free partition values, merged-schema empty
+    #     relations, MOR config validation + compaction bound,
+    #     max_records_per_file writes) — the four commit-log queries;
+    # (c) the ~22 stale r3 rows the r5 registry earmarked
+    #     (curation_pipeline .. lm_unigram_score) — after r6 every
+    #     registry query has a driver row from r4 or later;
+    # (d) remaining slots refresh the stalest r4 rows.
     #
-    # (a) oracle-type fixes:
-    "multimodal_decode_pixels",
-    "multimodal_wav_decode",
-    "asof_nearest_ge",
-    "asof_nearest_ge_per_key",
-    "value_histogram",
-    # (b) erasure through the commit log + NEW manifest-stats skipping:
+    # (a) new queries + the geometry pair:
+    "rowgroup_skip_scan",
+    "schema_evolution_read",
+    "geometry_planes_checksum",
+    "geometry_planes",
     "delete_where_rewrite",
     "manifest_skip_scan",
-    "knn_quantized",
-    "dedup_incremental",
     "stream_partitioned_land",
     "stream_upsert_mor",
-    # (c) the stale r1 tail — single-operator relational shapes:
-    "topk_global",
-    "topk_per_group",
-    "groupby_agg",
-    "count_distinct",
-    "point_lookup",
-    "range_filter",
-    "scan_project",
-    "distinct_ordered",
-    "window_running_sum",
-    "union_all_stack",
-    "intersect_types",
-    "except_types",
-    "pivot_wide",
-    "scalar_string_format",
-    "scalar_max",
-    "left_join_count",
-    "semi_join_membership",
-    "anti_join_missing",
-    "any_value_carry",
-    "having_postagg",
-    "surrogate_keys_dense",
-    "conditional_agg_membership",
-    "unpivot_long",
-    "table_profile",
-    "geometry_planes",  # rows-only by design (TM series not SQL-expressible)
-    "advanced_query_dsl",  # exercised every round by the driver's entry() smoke
-    # (d) stalest r3 rows:
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup_events",
-    "stream_windowed_distinct",
-    "stream_incremental_rollup",
-    "window_range_frame",
-    "events_sessionize",
-    "range_join_events",
-    "jsonl_scan",
-    "embedding_random_projection",
-    "tfidf_search",
-    "decontaminate_ngram",
-    "decontaminate_bloom",
-    # --- 50-query window boundary (driver gate cap observed r01-r04) ---
-    "weighted_sample",
-    "pack_sequences",
-    "source_mix_sample",
-    "orc_scan",
-    # Tail head: the remaining r3-row queries — stalest after this
-    # round; rotate into the round-6 window.
+    # (c) the stale r3 tail head:
     "curation_pipeline",
     "chunk_documents",
     "fk_integrity_check",
@@ -260,9 +211,11 @@ _DRIVER_ORDER = [
     "cohort_retention",
     "compact_small_files",
     "lm_unigram_score",
-    # Tail: hash-green r4 driver rows, code untouched this round.
-    "approx_count_distinct_sketch",
-    "anomaly_mad",
+    # (d) stalest r4 rows:
+    "weighted_sample",
+    "pack_sequences",
+    "source_mix_sample",
+    "orc_scan",
     "stream_static_join",
     "stream_tumbling_window",
     "stream_stream_join",
@@ -279,6 +232,9 @@ _DRIVER_ORDER = [
     "explode_tokens",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    # --- 50-query window boundary (driver gate cap observed r01-r05) ---
+    # Tail head: the remaining r4-row queries — stalest after this
+    # round; rotate into the round-7 window.
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
@@ -306,6 +262,54 @@ _DRIVER_ORDER = [
     "join_5way_agg",
     "dedup_embedding_cosine",
     "session_funnel",
+    "anomaly_mad",
+    "approx_count_distinct_sketch",
+    # Tail: hash-green r5 driver rows, code untouched this round.
+    "multimodal_decode_pixels",
+    "multimodal_wav_decode",
+    "asof_nearest_ge",
+    "asof_nearest_ge_per_key",
+    "value_histogram",
+    "knn_quantized",
+    "dedup_incremental",
+    "topk_global",
+    "topk_per_group",
+    "groupby_agg",
+    "count_distinct",
+    "point_lookup",
+    "range_filter",
+    "scan_project",
+    "distinct_ordered",
+    "window_running_sum",
+    "union_all_stack",
+    "intersect_types",
+    "except_types",
+    "pivot_wide",
+    "scalar_string_format",
+    "scalar_max",
+    "left_join_count",
+    "semi_join_membership",
+    "anti_join_missing",
+    "any_value_carry",
+    "having_postagg",
+    "surrogate_keys_dense",
+    "conditional_agg_membership",
+    "unpivot_long",
+    "table_profile",
+    "advanced_query_dsl",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_events",
+    "stream_windowed_distinct",
+    "stream_incremental_rollup",
+    "window_range_frame",
+    "events_sessionize",
+    "range_join_events",
+    "jsonl_scan",
+    "embedding_random_projection",
+    "tfidf_search",
+    "decontaminate_ngram",
+    "decontaminate_bloom",
 ]
 
 

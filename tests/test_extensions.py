@@ -225,22 +225,42 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
-            # round-5 oracle-type fixes: the two r4 driver-red multimodal
-            # wsum casts, plus the three DECIMAL-vs-float leaks the new
-            # typed-schema gate caught (asof targets, histogram bin_lo)
+            # round-6 new queries: the two table-format proofs and the
+            # geometry partial-hash companion (kept beside
+            # geometry_planes itself)
+            "rowgroup_skip_scan", "schema_evolution_read",
+            "geometry_planes_checksum", "geometry_planes",
+            # round-6 shared-primitive changes (streaming/sinks.py:
+            # stat-less append stats drop, inference-free partition
+            # values, merged-schema empty relations, MOR config
+            # validation + compaction bound, max_records_per_file
+            # writes): the four commit-log representatives
+            "delete_where_rewrite", "manifest_skip_scan",
+            "stream_partitioned_land", "stream_upsert_mor",
+            # the stale r3 tail head (VERDICT r05 #1) — after r6 every
+            # registry query has a driver row from r4 or later
+            "curation_pipeline", "chunk_documents",
+            "fk_integrity_check", "events_tumbling_window",
+            "events_funnel", "json_extract", "scd2_build",
+            "timeline_gapfill", "events_locf", "rank_distribution",
+            "value_drift_trend", "csv_gzip_scan",
+            "multimodal_audio_chunks", "snapshot_diff", "zorder_key",
+            "bucket_by_cutpoints", "hll_shard_merge",
+            "salted_skew_join", "sql_api_pricing_summary",
+            "cohort_retention", "compact_small_files",
+            "lm_unigram_score",
+        }
+        out = must_verify - window
+        assert not out, f"need driver verification but outside window: {out}"
+        # The freshness sweep: everything in-window beyond must_verify
+        # should be a STALE query (last green row r4), not one that
+        # already got a fresh r05 row — rotating fresh rows back in
+        # would waste window slots. Pin the known-fresh r05 set out of
+        # the remaining window slots.
+        fresh_r05 = {
             "multimodal_decode_pixels", "multimodal_wav_decode",
             "asof_nearest_ge", "asof_nearest_ge_per_key",
-            "value_histogram",
-            # round-5 implementation change: erasure publishes through
-            # the keyed-table commit log (VERDICT r04 #6); new queries:
-            # manifest-stats data skipping over the same commit model,
-            # int8-quantized ANN with exact rescore
-            "delete_where_rewrite", "manifest_skip_scan",
-            "knn_quantized", "dedup_incremental",
-            "stream_partitioned_land", "stream_upsert_mor",
-            # the freshness sweep's last 26 stale r1 rows (VERDICT r04
-            # #1/#3) — after r5 every registry query has a driver row
-            # from r3 or later
+            "value_histogram", "knn_quantized", "dedup_incremental",
             "topk_global", "topk_per_group", "groupby_agg",
             "count_distinct", "point_lookup", "range_filter",
             "scan_project", "distinct_ordered", "window_running_sum",
@@ -249,38 +269,16 @@ class TestDriverOrder:
             "left_join_count", "semi_join_membership",
             "anti_join_missing", "any_value_carry", "having_postagg",
             "surrogate_keys_dense", "conditional_agg_membership",
-            "unpivot_long", "table_profile", "geometry_planes",
-            "advanced_query_dsl",
+            "unpivot_long", "table_profile", "advanced_query_dsl",
+            "stream_sliding_window", "stream_session_window",
+            "stream_dedup_events", "stream_windowed_distinct",
+            "stream_incremental_rollup", "window_range_frame",
+            "events_sessionize", "range_join_events", "jsonl_scan",
+            "embedding_random_projection", "tfidf_search",
+            "decontaminate_ngram", "decontaminate_bloom",
         }
-        out = must_verify - window
-        assert not out, f"need driver verification but outside window: {out}"
-        # The freshness sweep: everything in-window beyond must_verify
-        # should be a STALE query (last green row r3), not one that
-        # already got a fresh r04 row — rotating fresh rows back in
-        # would waste window slots. Pin the known-fresh r04 set out of
-        # the remaining window slots.
-        fresh_r04 = {
-            "approx_count_distinct_sketch", "anomaly_mad",
-            "stream_static_join", "stream_tumbling_window",
-            "stream_stream_join", "stream_stateful_profile",
-            "stream_upsert_table", "text_lang_id", "text_quality_score",
-            "text_token_stats", "text_pii_scrub",
-            "text_repetition_stats", "text_fingerprint", "vocab_topk",
-            "stratified_sample", "explode_tokens", "dedup_exact",
-            "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-            "dedup_clusters", "knn_bruteforce", "knn_lsh_bucketed",
-            "knn_lsh_multiprobe", "knn_ivf", "advanced_query_negation",
-            "advanced_query_or_bounds", "percentile_agg",
-            "approx_percentile_bound", "grouping_sets_agg", "cube_agg",
-            "rollup_agg", "approx_count_distinct", "ntile_buckets",
-            "merge_upsert", "ragged_csv_roundtrip", "geojson_scan",
-            "csv_scan_join", "multimodal_decode_meta",
-            "multimodal_frame_sample", "weighted_branch_merge",
-            "join_dim_hierarchy", "join_5way_agg",
-            "dedup_embedding_cosine", "session_funnel",
-        }
-        wasted = (window - must_verify) & fresh_r04
-        assert not wasted, f"fresh r04 rows burning window slots: {wasted}"
+        wasted = (window - must_verify) & fresh_r05
+        assert not wasted, f"fresh r05 rows burning window slots: {wasted}"
         # ORACLES iterates in the same order (driver zips them).
         assert [n for n in QUERIES if n in ORACLES] == list(ORACLES)
 

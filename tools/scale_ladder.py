@@ -122,6 +122,19 @@ LADDER = [
     "stream_partitioned_land",
     # r5: merge-on-read upsert (append generations + read-side merge)
     "stream_upsert_mor",
+    # r6 (VERDICT r05 #4): the last >0.3 s bench rows without their own
+    # ladder entry
+    "text_repetition_stats",
+    "advanced_query_negation",
+    "advanced_query_or_bounds",
+    "stream_static_join",
+    "table_profile",
+    "asof_nearest_ge",
+    "weighted_branch_merge",
+    # r6: the new table-format proof queries
+    "rowgroup_skip_scan",
+    "schema_evolution_read",
+    "geometry_planes_checksum",
 ]
 
 
