@@ -625,3 +625,96 @@ def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
             "tok_end"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle → training shards
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+EPOCH = 2  # the epoch number IS the seed: epoch 3 permutes differently
+_EP_A, _EP_B = 48_271, 11  # affine permutation in Z_P
+
+
+_EPOCH_ORACLE = f"""
+    WITH keyed AS (
+        SELECT doc_id, (doc_id * {_EP_A} + {EPOCH} * {_EP_B}) % {P} AS k
+        FROM documents)
+    SELECT doc_id,
+           CAST(k % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY k % {N_SHARDS}
+                                   ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+"""
+
+
+@register("epoch_shuffle", _EPOCH_ORACLE)
+def epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible training-epoch shuffle: every document gets a
+    pseudo-random but DETERMINISTIC (shard, position) for the epoch —
+    an affine permutation of doc_id in Z_P keyed by the epoch number,
+    so every re-run, backfill, and resumed job agrees on exactly which
+    example lands where, with no stored permutation table (the property
+    a training-data loader needs for mid-epoch checkpoint resume).
+
+    Scale shape: the permutation key is map-side arithmetic; the only
+    exchange is the window's hash partition on `shard` (N_SHARDS
+    streams write in parallel — at 100 TB shards map 1:1 onto writer
+    tasks, so this plan IS the shard writer). Integer arithmetic
+    end-to-end: engine- and run-stable."""
+    keyed = read_table(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(f"(doc_id * {_EP_A} + {EPOCH} * {_EP_B}) % {P}").alias("k"),
+    )
+    w = Window.partitionBy(F.col("k") % N_SHARDS).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.col("k") % N_SHARDS).alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted upsampling (mixture weighting by replication)
+# ---------------------------------------------------------------------------
+
+_UP_HI, _UP_MID = 800, 400  # n_chars thresholds → 3x / 2x / 1x
+
+
+def _n_copies(_duck: bool) -> str:
+    return (
+        f"CASE WHEN n_chars >= {_UP_HI} THEN 3 "
+        f"WHEN n_chars >= {_UP_MID} THEN 2 ELSE 1 END"
+    )
+
+
+_UPSAMPLE_ORACLE = f"""
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, {_n_copies(True)})) AS BIGINT)
+               AS copy_idx,
+           CAST({_n_copies(True)} AS BIGINT) AS n_copies
+    FROM documents
+"""
+
+
+@register("quality_upsample", _UPSAMPLE_ORACLE)
+def quality_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture weighting by deterministic replication: high-quality
+    documents (proxy: length bucket) are duplicated 2-3x in the
+    training stream — the up-sampling half of data mixing, where
+    curated/high-value sources are repeated for more gradient exposure
+    while bulk text passes once. Deterministic (no RNG): the copy count
+    is a pure function of the row, so the epoch composition is exactly
+    reproducible and auditable (sum of n_copies = stream length).
+
+    Map-only: bucket arithmetic + explode of a generated index inside
+    the scan stage — no shuffle at any corpus size; the oracle's
+    generate_series unnest is the same explode relationally."""
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", F.expr(_n_copies(False)).alias("nc")
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, nc)")).alias("copy_idx"),
+        F.col("nc").cast("long").alias("n_copies"),
+    ).withColumn("copy_idx", F.col("copy_idx").cast("long"))

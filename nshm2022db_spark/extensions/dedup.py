@@ -15,7 +15,7 @@ and AQE skew-join splits the rest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nshm2022db_spark.functions.portable import (
@@ -141,6 +141,52 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
         read_table(spark, sf, "documents")
         .groupBy(F.expr(f"md5({norm})").alias("fp"))
         .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_keep_best",
+    f"""WITH ranked AS (
+        SELECT doc_id, n_chars,
+               md5({duck_norm_text('text')}) AS fp,
+               ROW_NUMBER() OVER (PARTITION BY md5({duck_norm_text('text')})
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY md5({duck_norm_text('text')}))
+                   AS n_copies
+        FROM documents)
+    SELECT fp, doc_id AS survivor_id,
+           CAST(n_chars AS BIGINT) AS survivor_chars,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1""",
+)
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority-retention exact dedup: duplicate groups keep the BEST
+    copy (longest, ties to smallest doc_id), not the arbitrary smallest
+    id — the production variant, where the survivor should be the
+    highest-quality or most-trusted-source copy. Same single shuffle as
+    `dedup_exact` (both window functions cluster on the fingerprint, so
+    Catalyst plans ONE exchange); the deterministic (quality, id) order
+    makes the survivor set run- and engine-stable."""
+    norm = spark_norm_text("text")
+    w = Window.partitionBy("fp")
+    ranked = (
+        read_table(spark, sf, "documents")
+        .select("doc_id", "n_chars", F.expr(f"md5({norm})").alias("fp"))
+        .select(
+            "fp",
+            "doc_id",
+            "n_chars",
+            F.row_number()
+            .over(w.orderBy(F.col("n_chars").desc(), "doc_id"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(w).alias("n_copies"),
+        )
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "fp",
+        F.col("doc_id").alias("survivor_id"),
+        F.col("n_chars").cast("long").alias("survivor_chars"),
+        F.col("n_copies").cast("long").alias("n_copies"),
     )
 
 

@@ -180,6 +180,9 @@ _DRIVER_ORDER = [
     # (d) remaining slots refresh the stalest r4 rows.
     #
     # (a) new queries + the geometry pair:
+    "epoch_shuffle",
+    "quality_upsample",
+    "dedup_keep_best",
     "rowgroup_skip_scan",
     "schema_evolution_read",
     "geometry_planes_checksum",
@@ -228,13 +231,13 @@ _DRIVER_ORDER = [
     "text_repetition_stats",
     "text_fingerprint",
     "vocab_topk",
-    "stratified_sample",
     "explode_tokens",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     # --- 50-query window boundary (driver gate cap observed r01-r05) ---
     # Tail head: the remaining r4-row queries — stalest after this
     # round; rotate into the round-7 window.
+    "stratified_sample",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",

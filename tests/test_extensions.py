@@ -225,11 +225,13 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
-            # round-6 new queries: the two table-format proofs and the
+            # round-6 new queries: the two table-format proofs, the
             # geometry partial-hash companion (kept beside
-            # geometry_planes itself)
+            # geometry_planes itself), and the three new training-data
+            # operators (epoch shuffle, upsampling, priority dedup)
             "rowgroup_skip_scan", "schema_evolution_read",
             "geometry_planes_checksum", "geometry_planes",
+            "epoch_shuffle", "quality_upsample", "dedup_keep_best",
             # round-6 shared-primitive changes (streaming/sinks.py:
             # stat-less append stats drop, inference-free partition
             # values, merged-schema empty relations, MOR config

@@ -135,6 +135,10 @@ LADDER = [
     "rowgroup_skip_scan",
     "schema_evolution_read",
     "geometry_planes_checksum",
+    # r6: the new training-data operators
+    "epoch_shuffle",
+    "quality_upsample",
+    "dedup_keep_best",
 ]
 
 
