@@ -126,6 +126,84 @@ def join_5way_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BJ_BITS = 1 << 17  # constant-size bit sets, broadcastable at any scale
+_BJ_H1 = (48_271, 7)
+_BJ_H2 = (16_807, 13)
+
+
+def _bj_bit(x: str, ab: tuple[int, int]) -> str:
+    return f"((({x}) * {ab[0]} + {ab[1]}) % 1000000007) % {_BJ_BITS}"
+
+
+def bloom_prefilter(
+    fact: DataFrame, fact_key: str, keys: DataFrame, keys_key: str
+) -> DataFrame:
+    """Semi-join reduction: drop fact rows whose join key cannot be in
+    ``keys`` using two constant-size (2^17-bit) hash sets — the runtime
+    filter a 100 TB join plans when the build side is too big to
+    broadcast as ROWS but its bit summary is not. May pass false
+    positives (the exact join removes them); never drops a true match,
+    so result equality with the plain join holds by construction."""
+    b1 = F.broadcast(
+        keys.select(F.expr(_bj_bit(keys_key, _BJ_H1)).alias("h1")).distinct()
+    )
+    b2 = F.broadcast(
+        keys.select(F.expr(_bj_bit(keys_key, _BJ_H2)).alias("h2")).distinct()
+    )
+    return (
+        fact.withColumn("_h1", F.expr(_bj_bit(fact_key, _BJ_H1)))
+        .withColumn("_h2", F.expr(_bj_bit(fact_key, _BJ_H2)))
+        .join(b1, F.col("_h1") == F.col("h1"))
+        .join(b2, F.col("_h2") == F.col("h2"))
+        .drop("_h1", "_h2", "h1", "h2")
+    )
+
+
+@register(
+    "bloom_join_prefilter",
+    """SELECT l_returnflag,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              COUNT(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT'
+       GROUP BY l_returnflag""",
+)
+def bloom_join_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Selective fact⋈dim join with an explicit Bloom semi-join
+    reduction: the urgent-order key set is summarized into two
+    broadcastable 2^17-bit hash sets and the lineitem scan is
+    prefiltered BEFORE the key shuffle — at 100 TB the dim's rows don't
+    broadcast but its bit summary always does, so the exchange moves
+    only ~selectivity of the fact instead of all of it. The exact join
+    then removes the bloom's false positives, so the answer provably
+    equals the plain join (the oracle runs exactly that). Spark's own
+    AQE runtime filters do this opportunistically; this operator is the
+    deterministic, always-on form."""
+    orders = read_table(spark, sf, "orders")
+    lineitem = read_table(spark, sf, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    lean = bloom_prefilter(
+        lineitem.select(
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+        ),
+        "l_orderkey",
+        urgent,
+        "o_orderkey",
+    )
+    return (
+        lean.join(urgent, lean.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 @register(
     "left_join_count",
     """SELECT c_custkey, COUNT(o_orderkey) AS n_orders

@@ -180,6 +180,7 @@ _DRIVER_ORDER = [
     # (d) remaining slots refresh the stalest r4 rows.
     #
     # (a) new queries + the geometry pair:
+    "bloom_join_prefilter",
     "epoch_shuffle",
     "quality_upsample",
     "dedup_keep_best",
@@ -231,10 +232,10 @@ _DRIVER_ORDER = [
     "text_repetition_stats",
     "text_fingerprint",
     "vocab_topk",
-    "explode_tokens",
     # --- 50-query window boundary (driver gate cap observed r01-r05) ---
     # Tail head: the remaining r4-row queries — stalest after this
     # round; rotate into the round-7 window.
+    "explode_tokens",
     "stratified_sample",
     "dedup_exact",
     "dedup_ngram_jaccard",

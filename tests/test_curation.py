@@ -242,3 +242,69 @@ class TestPipelineStageOrder:
         # doc 10's language is sampled out must not bring doc 20 back.
         assert 20 not in got
         assert 30 in got or ((30 * 48271 + 11) % P) % 100 >= 80
+
+
+class TestEpochShuffle:
+    def test_permutation_and_python_recompute(self, spark, sf_dir, docs):
+        from nshm2022db_spark.extensions.curation import (
+            _EP_A,
+            _EP_B,
+            EPOCH,
+            N_SHARDS,
+            epoch_shuffle,
+        )
+
+        rows = epoch_shuffle(spark, sf_dir).collect()
+        # bijection: every doc exactly once
+        assert sorted(r["doc_id"] for r in rows) == sorted(docs)
+
+        def k(d):
+            return (d * _EP_A + EPOCH * _EP_B) % P
+
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            assert r["shard"] == k(r["doc_id"]) % N_SHARDS
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, rs in by_shard.items():
+            # positions dense 1..n and ordered by the permutation key
+            assert sorted(r["pos"] for r in rs) == list(range(1, len(rs) + 1))
+            got = [r["doc_id"] for r in sorted(rs, key=lambda r: r["pos"])]
+            expect = sorted(
+                (d for d in docs if k(d) % N_SHARDS == shard),
+                key=lambda d: (k(d), d),
+            )
+            assert got == expect
+
+    def test_single_exchange(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.curation import epoch_shuffle
+
+        plan = epoch_shuffle(spark, sf_dir)._jdf.queryExecution().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestQualityUpsample:
+    def test_copy_counts_and_dense_indices(self, spark, sf_dir, docs):
+        from nshm2022db_spark.extensions.curation import (
+            _UP_HI,
+            _UP_MID,
+            quality_upsample,
+        )
+
+        rows = quality_upsample(spark, sf_dir).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == set(docs)  # nothing dropped
+        for d, rec in docs.items():
+            n = 3 if rec["n_chars"] >= _UP_HI else (
+                2 if rec["n_chars"] >= _UP_MID else 1
+            )
+            idxs = sorted(r["copy_idx"] for r in by_doc[d])
+            assert idxs == list(range(1, n + 1))
+            assert all(r["n_copies"] == n for r in by_doc[d])
+
+    def test_no_shuffle(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.curation import quality_upsample
+
+        plan = quality_upsample(spark, sf_dir)._jdf.queryExecution().toString()
+        assert "Exchange" not in plan

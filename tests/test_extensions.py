@@ -232,6 +232,7 @@ class TestDriverOrder:
             "rowgroup_skip_scan", "schema_evolution_read",
             "geometry_planes_checksum", "geometry_planes",
             "epoch_shuffle", "quality_upsample", "dedup_keep_best",
+            "bloom_join_prefilter",
             # round-6 shared-primitive changes (streaming/sinks.py:
             # stat-less append stats drop, inference-free partition
             # values, merged-schema empty relations, MOR config
@@ -429,3 +430,37 @@ class TestMultimodal:
         assert out[0].n_bytes == out[3].n_bytes  # same payload → same meta
         assert out[0].media_type == "image" and out[1].media_type == "audio"
         assert out[0].width == 64 + out[0].n_bytes % 1024
+
+
+class TestDedupKeepBest:
+    def test_survivor_is_longest_copy(self, spark, tmp_path):
+        """Same normalized text, different raw lengths (whitespace/case
+        collapse): the survivor must be the LONGEST copy, ties to the
+        smallest doc_id — not dedup_exact's min-id rule."""
+        from nshm2022db_spark.extensions.dedup import dedup_keep_best
+
+        a = "alpha beta gamma"
+        a_long = "Alpha   beta \t gamma"   # same norm, more chars
+        b = "something else entirely"
+        docs = spark.createDataFrame(
+            [
+                (0, a, "en", "s", len(a)),
+                (1, a_long, "en", "s", len(a_long)),
+                (2, b, "en", "s", len(b)),
+                (3, a, "en", "s", len(a)),  # ties 0 on length
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        d = str(tmp_path)
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = {r.survivor_id: r for r in dedup_keep_best(spark, d).collect()}
+        assert set(rows) == {1, 2}          # longest copy wins its group
+        assert rows[1].n_copies == 3        # 0, 1, 3 collapse
+        assert rows[1].survivor_chars == len(a_long)
+        assert rows[2].n_copies == 1
+
+    def test_single_exchange(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.dedup import dedup_keep_best
+
+        plan = dedup_keep_best(spark, sf_dir)._jdf.queryExecution().toString()
+        assert plan.count("Exchange hashpartitioning") == 1

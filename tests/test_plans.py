@@ -246,3 +246,37 @@ class TestAdaptiveDedupBlocking:
         assert quant.count("BroadcastHashJoin") >= 2
         inc = _plan(QUERIES["dedup_incremental"](spark, sf_dir))
         assert "BroadcastHashJoin" in inc  # shingle-count lookups
+
+
+class TestBloomJoinPrefilter:
+    def test_bit_sets_broadcast_and_fact_reduced(self, spark, sf_dir):
+        """The two bit-set membership probes must plan as broadcast hash
+        joins (constant-size build sides), and the prefilter must
+        actually shrink the fact while never dropping a true match."""
+        from nshm2022db_spark.queries.relational import (
+            bloom_join_prefilter,
+            bloom_prefilter,
+        )
+        from nshm2022db_spark.sources import read_table
+        from pyspark.sql import functions as F
+
+        plan = _plan(bloom_join_prefilter(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 2
+
+        lineitem = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+        urgent = (
+            read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        survivors = {
+            r.l_orderkey for r in bloom_prefilter(
+                lineitem, "l_orderkey", urgent, "o_orderkey"
+            ).collect()
+        }
+        true_keys = {r.o_orderkey for r in urgent.collect()}
+        all_keys = {r.l_orderkey for r in lineitem.collect()}
+        # no false negatives: every true match survives the prefilter
+        assert (all_keys & true_keys) <= survivors
+        # and the reduction is real: most non-matching rows are dropped
+        assert len(survivors) < len(all_keys) / 2

@@ -139,6 +139,8 @@ LADDER = [
     "epoch_shuffle",
     "quality_upsample",
     "dedup_keep_best",
+    # r6: explicit Bloom semi-join reduction over the scaled fact
+    "bloom_join_prefilter",
 ]
 
 
