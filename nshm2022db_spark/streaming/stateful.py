@@ -130,3 +130,108 @@ def stream_stateful_profile(spark: SparkSession, sf: str) -> DataFrame:
     replay makes the final state equal the batch GROUP BY (the oracle)."""
     updates = user_profile_stream(_events._event_stream(spark, sf))
     return _run_update_to_memory(updates, f"stream_stateful_{next(_counter)}")
+
+
+# ---------------------------------------------------------------------------
+# Per-source admission control (rate limiting / quota enforcement)
+# ---------------------------------------------------------------------------
+
+QUOTA_PER_WINDOW = 5  # admitted events per (source, event-time day)
+
+QUOTA_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("win", T.TimestampNTZType(), False),
+        T.StructField("n_seen", T.LongType(), False),
+        T.StructField("n_admitted", T.LongType(), False),
+        T.StructField("admitted_sum", T.LongType(), False),
+    ]
+)
+
+# State per source: JSON {win_us: [n_seen, [admitted ids...]]} — the
+# admitted list is BOUNDED at QUOTA_PER_WINDOW entries, so state size is
+# O(open windows × quota) regardless of traffic.
+QUOTA_STATE = T.StructType([T.StructField("js", T.StringType())])
+
+
+def _update_quota(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json as _json
+
+    wins = _json.loads(state.get[0]) if state.exists else {}
+    touched = set()
+    for pdf in pdfs:
+        for win_us, grp in pdf.groupby("win_us"):
+            k = str(int(win_us))
+            seen, adm = wins.get(k, [0, []])
+            seen += len(grp)
+            # keep the Q smallest ids seen so far: deterministic — the
+            # final admitted set is independent of micro-batch splits
+            adm = sorted(set(adm) | set(grp["event_id"].tolist()))[
+                :QUOTA_PER_WINDOW
+            ]
+            wins[k] = [seen, adm]
+            touched.add(k)
+    state.update((_json.dumps(wins),))
+    rows = [
+        {
+            "event_type": key[0],
+            "win": pd.to_datetime(int(k), unit="us"),
+            "n_seen": wins[k][0],
+            "n_admitted": len(wins[k][1]),
+            "admitted_sum": sum(wins[k][1]),
+        }
+        for k in sorted(touched)
+    ]
+    yield pd.DataFrame(rows, columns=[f.name for f in QUOTA_OUTPUT.fields])
+
+
+def source_quota_stream(events: DataFrame) -> DataFrame:
+    """events stream → per-(source, day) admission updates: at most
+    QUOTA_PER_WINDOW events admitted per window, deterministically the
+    smallest event_ids, with the seen/admitted counts emitted every
+    micro-batch a window is touched."""
+    from pyspark.sql import functions as F
+
+    keyed = events.withColumn(
+        "win_us", epoch_us(F.date_trunc("day", F.col("ts")))
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _update_quota,
+        QUOTA_OUTPUT,
+        QUOTA_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_source_quota",
+    f"""WITH ranked AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS win, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type, date_trunc('day', ts))
+                   AS n_seen
+        FROM events)
+    SELECT event_type, win,
+           CAST(MAX(n_seen) AS BIGINT) AS n_seen,
+           COUNT(*) AS n_admitted,
+           CAST(SUM(event_id) AS BIGINT) AS admitted_sum
+    FROM ranked
+    WHERE rn <= {QUOTA_PER_WINDOW}
+    GROUP BY event_type, win""",
+)
+def stream_source_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming admission control — the ingestion-side rate limiter a
+    shared 100 TB landing zone runs: each source gets a fixed quota per
+    event-time window, enforced in keyed state (bounded at quota × open
+    windows per source), with the admitted set chosen DETERMINISTICALLY
+    (smallest event_ids) so the final admission decision is independent
+    of micro-batch boundaries — replays and backfills admit identical
+    rows. Single-batch replay makes the final per-window counters equal
+    the batch window/rank query (the oracle); the batch-split invariance
+    is pinned by tests/test_stateful_stream.py."""
+    updates = source_quota_stream(_events._event_stream(spark, sf))
+    return _run_update_to_memory(updates, f"stream_quota_{next(_counter)}")

@@ -232,7 +232,7 @@ class TestDriverOrder:
             "rowgroup_skip_scan", "schema_evolution_read",
             "geometry_planes_checksum", "geometry_planes",
             "epoch_shuffle", "quality_upsample", "dedup_keep_best",
-            "bloom_join_prefilter",
+            "bloom_join_prefilter", "stream_source_quota",
             # round-6 shared-primitive changes (streaming/sinks.py:
             # stat-less append stats drop, inference-free partition
             # values, merged-schema empty relations, MOR config

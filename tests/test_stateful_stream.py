@@ -145,3 +145,66 @@ class TestWatermarkLateData:
         assert nine == [2], rows
         # The 12:00 window never closed (watermark 11:10) — not emitted.
         assert not [r for r in rows if r.ws.hour == 12], rows
+
+
+def test_quota_admission_invariant_to_batch_split(
+    spark, sf_dir, split_events_dir
+):
+    """The admitted set must be identical however the stream is split
+    into micro-batches: final per-(source, day) counters from a 4-batch
+    replay equal the batch window/rank answer."""
+    from nshm2022db_spark.streaming.stateful import (
+        QUOTA_PER_WINDOW,
+        source_quota_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double, "
+            "props string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_events_dir)
+    )
+    updates = _run_update_to_memory(
+        source_quota_stream(stream), "quota_multibatch"
+    )
+    # final state per window = the update with the largest n_seen
+    final = (
+        updates.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type", "win").orderBy(
+                    F.col("n_seen").desc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+
+    ranked = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("win"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "win").orderBy("event_id")
+    batch = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_seen", F.count(F.lit(1)).over(
+            Window.partitionBy("event_type", "win")
+        ))
+        .filter(F.col("rn") <= QUOTA_PER_WINDOW)
+        .groupBy("event_type", "win")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum("event_id").alias("admitted_sum"),
+        )
+    )
+    got = {(r.event_type, r.win): (r.n_seen, r.n_admitted, r.admitted_sum)
+           for r in final.collect()}
+    want = {(r.event_type, r.win): (r.n_seen, r.n_admitted, r.admitted_sum)
+            for r in batch.collect()}
+    assert got == want
+    # the quota genuinely binds somewhere in this corpus
+    assert any(seen > adm for seen, adm, _ in want.values())

@@ -141,6 +141,8 @@ LADDER = [
     "dedup_keep_best",
     # r6: explicit Bloom semi-join reduction over the scaled fact
     "bloom_join_prefilter",
+    # r6: streaming admission control (keyed-state quota)
+    "stream_source_quota",
 ]
 
 
