@@ -180,6 +180,7 @@ _DRIVER_ORDER = [
     # (d) remaining slots refresh the stalest r4 rows.
     #
     # (a) new queries + the geometry pair:
+    "table_changes_feed",
     "stream_source_quota",
     "bloom_join_prefilter",
     "epoch_shuffle",
@@ -231,10 +232,10 @@ _DRIVER_ORDER = [
     "text_token_stats",
     "text_pii_scrub",
     "text_repetition_stats",
-    "vocab_topk",
     # --- 50-query window boundary (driver gate cap observed r01-r05) ---
     # Tail head: the remaining r4-row queries — stalest after this
     # round; rotate into the round-7 window.
+    "vocab_topk",
     "text_fingerprint",
     "explode_tokens",
     "stratified_sample",

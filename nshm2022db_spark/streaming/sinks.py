@@ -866,6 +866,60 @@ def table_history(table_dir: str) -> list[dict]:
     return out
 
 
+def read_table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame | None:
+    """CHANGE FEED over a partition-mapped committed table: the rows
+    each commit in ``(from_version, to_version]`` ADDED, tagged with
+    ``_commit_version`` — the Delta CDF / Iceberg incremental-read
+    surface, and the input a downstream incremental job consumes
+    instead of re-scanning the table ("give me everything since the
+    version I last processed").
+
+    Committed data dirs are immutable and version-stamped, so the feed
+    is just the stage dirs of the requested commit range — O(changed
+    data) read, zero reconstruction work. Append transactions contribute
+    exactly their batch; rewrite transactions (compaction, erasure,
+    restore) contribute the rewritten partitions' new contents — the
+    "upsert image" granularity. Returns None when the range holds no
+    commits with data."""
+    out = None
+    for m in table_history(table_dir):
+        v = m["version"]
+        if v <= from_version or (to_version is not None and v > to_version):
+            continue
+        if "partitions" not in m:
+            raise ValueError(
+                f"{table_dir} is not partition-mapped; read versions "
+                "directly for single-dir tables"
+            )
+        stage = m["dir"]
+        prefix = f"{m['partition_col']}="
+        stage_abs = os.path.join(table_dir, stage)
+        entries = (
+            {n for n in os.listdir(stage_abs) if n.startswith(prefix)}
+            if os.path.isdir(stage_abs)
+            else set()
+        )
+        if not entries:
+            continue  # metadata-only commit (e.g. RESTORE)
+        part = _read_partition_map(
+            spark,
+            table_dir,
+            {
+                "partition_col": m["partition_col"],
+                "partitions": {e: stage for e in sorted(entries)},
+            },
+        ).withColumn("_commit_version", F.lit(v).cast("long"))
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    return out
+
+
 def _entry_dirs(v) -> list[str]:
     """A partition-map value is one data dir (rewrite) or a LIST of data
     dirs (append generations) — normalize to a list."""

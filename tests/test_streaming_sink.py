@@ -969,6 +969,54 @@ class TestCommitLog:
         pre_v = read_keyed_table(spark, t, version=pre_version).filter(rng)
         assert got == pre_v.count() == hi - lo + 1
 
+    def test_change_feed_reads_only_requested_commits(self, spark, tmp_path):
+        """read_table_changes returns exactly what each commit in the
+        range added (tagged with its version), scans nothing outside the
+        range, and surfaces a rewrite commit's new partition contents."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            compact_partition_table,
+            read_table_changes,
+        )
+
+        t = str(tmp_path / "t")
+        schema = "uid long, k string"
+        append_partition_transaction(  # v1
+            spark, t, "k", spark.createDataFrame([(1, "a"), (2, "b")], schema)
+        )
+        append_partition_transaction(  # v2
+            spark, t, "k", spark.createDataFrame([(3, "a")], schema)
+        )
+        append_partition_transaction(  # v3
+            spark, t, "k", spark.createDataFrame([(4, "b"), (5, "b")], schema)
+        )
+        got = {
+            (r.uid, r.k, r._commit_version)
+            for r in read_table_changes(spark, t, 1).collect()
+        }
+        assert got == {(3, "a", 2), (4, "b", 3), (5, "b", 3)}
+        # bounded range
+        got2 = {
+            (r.uid, r._commit_version)
+            for r in read_table_changes(spark, t, 1, to_version=2).collect()
+        }
+        assert got2 == {(3, 2)}
+        # the feed only lists/reads the in-range stage dirs
+        feed = read_table_changes(spark, t, 2)
+        assert all("data-" in f for f in feed.inputFiles())
+        assert len({f.rsplit("/k=", 1)[0] for f in feed.inputFiles()}) == 1
+        # a rewrite commit (compaction) surfaces as the rewritten
+        # partition's upsert image
+        compact_partition_table(spark, t, max_files_per_partition=1)  # v4
+        reb = {
+            (r.uid, r.k, r._commit_version)
+            for r in read_table_changes(spark, t, 3).collect()
+        }
+        assert {v for _, _, v in reb} == {4}
+        assert {u for u, k, _ in reb if k == "b"} == {2, 4, 5}
+        # empty range → None
+        assert read_table_changes(spark, t, 4) is None
+
     def test_sorted_compaction_tightens_row_groups(self, spark, tmp_path):
         """OPTIMIZE ... ZORDER-style: compaction with sort_within writes
         each partition sorted, so parquet row-group min/max are tight

@@ -143,6 +143,8 @@ LADDER = [
     "bloom_join_prefilter",
     # r6: streaming admission control (keyed-state quota)
     "stream_source_quota",
+    # r6: commit-log change feed (O(changed data) incremental read)
+    "table_changes_feed",
 ]
 
 
