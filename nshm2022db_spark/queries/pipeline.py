@@ -707,6 +707,52 @@ def schema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "null_skip_scan",
+    """WITH t AS (
+        SELECT event_type,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events)
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(v), 4) AS sum_v
+    FROM t WHERE v IS NOT NULL GROUP BY event_type""",
+)
+def null_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-count data skipping — the third member of the Delta stats
+    triple (min/max/nullCount): error events land with a NULL measure,
+    and an IS NOT NULL query over the landed table prunes the all-null
+    partition from the plan ENTIRELY via the manifest's per-partition
+    null counts (read from parquet footers at commit time, zero Spark
+    jobs) — no file of that partition is ever opened (inputFiles pin in
+    tests/test_streaming_sink.py). Pruning stays advisory: the real
+    filter still applies, and the oracle recomputes the aggregate from
+    the raw parquet with no manifest at all."""
+    from nshm2022db_spark.streaming.sinks import (
+        committed_partition_transaction,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_null_skip_r6", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_type",
+            F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+        )
+        committed_partition_transaction(
+            spark, path, "event_type", lambda b: ev, stats_cols=["v"]
+        )
+        mark_landed(base)
+    t = read_keyed_table(spark, path, prune={"v": "notnull"})
+    return (
+        t.filter(F.col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+        )
+    )
+
+
+@register(
     "table_changes_feed",
     """SELECT event_id, event_type,
               CAST(user_id AS BIGINT) AS user_id,

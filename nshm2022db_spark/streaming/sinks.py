@@ -346,6 +346,7 @@ def _collect_stage_stats(
         d = os.path.join(stage_path, e)
         n = 0
         bounds: dict[str, list] = {c: [None, None] for c in stats_cols}
+        nulls: dict[str, int | None] = {c: 0 for c in stats_cols}
         for f in os.listdir(d):
             if not (f.endswith(".parquet") or f.startswith("part-")):
                 continue
@@ -356,10 +357,20 @@ def _collect_stage_stats(
             }
             for c in stats_cols:
                 if c not in idx:
+                    # column absent from this file (schema evolution):
+                    # every one of its rows reads back NULL for c
+                    if nulls[c] is not None:
+                        nulls[c] += md.num_rows
                     continue
                 for g in range(md.num_row_groups):
                     st = md.row_group(g).column(idx[c]).statistics
-                    if st is None or not st.has_min_max:
+                    if st is None:
+                        nulls[c] = None  # unknown → record no null stat
+                        continue
+                    if nulls[c] is not None:
+                        nc = st.null_count
+                        nulls[c] = None if nc is None else nulls[c] + nc
+                    if not st.has_min_max:
                         continue
                     lo, hi = bounds[c]
                     bounds[c][0] = st.min if lo is None else min(lo, st.min)
@@ -370,6 +381,7 @@ def _collect_stage_stats(
                 c: [_json_stat(bounds[c][0]), _json_stat(bounds[c][1])]
                 for c in stats_cols
             },
+            "nulls": {c: k for c, k in nulls.items() if k is not None},
         }
     return out
 
@@ -573,7 +585,7 @@ def append_partition_transaction(
                     # its bounds forward would claim coverage of
                     # unscanned data — dishonest stats that make pruning
                     # drop real rows. Dropped = stat-less = never pruned.
-                    merged = {"n": old["n"] + add["n"], "cols": {}}
+                    merged = {"n": old["n"] + add["n"], "cols": {}, "nulls": {}}
                     for c in add["cols"]:
                         if c in old["cols"]:
                             lo = [old["cols"][c][0], add["cols"][c][0]]
@@ -584,6 +596,13 @@ def append_partition_transaction(
                                 min(lo) if lo else None,
                                 max(hi) if hi else None,
                             ]
+                    # null counts are additive, but only when KNOWN on
+                    # both sides — a side without the count (older
+                    # manifest, footer without stats) drops the column
+                    # (absent = never null-pruned, always safe)
+                    for c, k in add.get("nulls", {}).items():
+                        if c in old.get("nulls", {}):
+                            merged["nulls"][c] = old["nulls"][c] + k
                     new_stats[e] = merged
         manifest = {
             "version": cur["version"] + 1,
@@ -951,24 +970,41 @@ def _check_entry_values(written: set[str]) -> None:
 def _stats_prune(manifest: dict, prune: dict | None) -> dict:
     """Entries of the manifest's partition map that survive data skipping.
 
-    ``prune`` maps column -> (lo, hi) inclusive bounds (None = open).
-    An entry is skipped only when its recorded min/max PROVE no row can
-    match — entries without stats (older manifests, non-stats columns)
-    are always read, so pruning can never change results, only cost.
-    This is the manifest half of Delta/Iceberg data skipping: the commit
-    log answers "which files can hold matching rows" before any file
-    opens."""
+    ``prune`` maps column -> (lo, hi) inclusive bounds (None = open), or
+    the strings ``"notnull"`` / ``"null"``: ``"notnull"`` skips entries
+    whose recorded null count equals their row count (every row IS NULL,
+    so no row can match an IS NOT NULL — or any value — predicate);
+    ``"null"`` skips entries whose null count is zero. An entry is
+    skipped only when its recorded stats PROVE no row can match —
+    entries without stats (older manifests, non-stats columns, unknown
+    null counts) are always read, so pruning can never change results,
+    only cost. This is the manifest half of Delta/Iceberg data skipping
+    (min/max/nullCount): the commit log answers "which files can hold
+    matching rows" before any file opens."""
     parts = manifest["partitions"]
     if not prune:
         return parts
     stats = manifest.get("stats", {})
     out = {}
     for entry, dirname in parts.items():
-        cols = stats.get(entry, {}).get("cols", {})
+        e_stats = stats.get(entry, {})
+        cols = e_stats.get("cols", {})
+        nulls = e_stats.get("nulls", {})
         keep = True
-        for c, (lo, hi) in prune.items():
+        for c, bound in prune.items():
+            if bound == "notnull":
+                if nulls.get(c) is not None and nulls[c] == e_stats.get("n"):
+                    keep = False
+                    break
+                continue
+            if bound == "null":
+                if nulls.get(c) == 0:
+                    keep = False
+                    break
+                continue
             if c not in cols:
                 continue
+            lo, hi = bound
             cmin, cmax = cols[c]
             if cmin is None or cmax is None:
                 continue  # all-NULL stats column: no bound, never skip
@@ -1074,12 +1110,14 @@ def read_keyed_table(
     manifests (``committed_partition_transaction``) resolve through their
     partition map instead of a single data dir.
 
-    ``prune`` — ``{col: (lo, hi)}`` inclusive bounds — enables manifest-
-    stats data skipping on partition-mapped tables: partitions whose
-    recorded min/max disprove the range are dropped before any file
-    opens. Pruning is advisory-only (entries without stats always read);
-    the caller still applies its real filter, so a pruned read composed
-    with that filter is ALWAYS equal to the unpruned one."""
+    ``prune`` — ``{col: (lo, hi)}`` inclusive bounds, or ``{col:
+    "notnull"}`` / ``{col: "null"}`` — enables manifest-stats data
+    skipping on partition-mapped tables: partitions whose recorded
+    min/max (or null counts) disprove the predicate are dropped before
+    any file opens. Pruning is advisory-only (entries without stats
+    always read); the caller still applies its real filter, so a pruned
+    read composed with that filter is ALWAYS equal to the unpruned
+    one."""
     if version is not None:
         for m in table_history(table_dir):
             if m["version"] == version:

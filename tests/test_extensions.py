@@ -233,7 +233,7 @@ class TestDriverOrder:
             "geometry_planes_checksum", "geometry_planes",
             "epoch_shuffle", "quality_upsample", "dedup_keep_best",
             "bloom_join_prefilter", "stream_source_quota",
-            "table_changes_feed",
+            "table_changes_feed", "null_skip_scan",
             # round-6 shared-primitive changes (streaming/sinks.py:
             # stat-less append stats drop, inference-free partition
             # values, merged-schema empty relations, MOR config

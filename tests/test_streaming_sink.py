@@ -587,8 +587,12 @@ class TestCommitLog:
         )
         m = table_history(t)[-1]
         assert len(m["partitions"]["k=a"]) == 2  # two generations
-        assert m["stats"]["k=a"] == {"n": 3, "cols": {"uid": [1, 3]}}
-        assert m["stats"]["k=b"] == {"n": 2, "cols": {"uid": [50, 60]}}
+        assert m["stats"]["k=a"] == {
+            "n": 3, "cols": {"uid": [1, 3]}, "nulls": {"uid": 0},
+        }
+        assert m["stats"]["k=b"] == {
+            "n": 2, "cols": {"uid": [50, 60]}, "nulls": {"uid": 0},
+        }
         assert {r.uid for r in read_keyed_table(spark, t).collect()} == {
             1, 2, 3, 50, 60,
         }
@@ -635,7 +639,9 @@ class TestCommitLog:
         )
         m = table_history(t)[-1]
         assert "k=a" not in m.get("stats", {})  # stale bounds dropped
-        assert m["stats"]["k=b"] == {"n": 1, "cols": {"uid": [50, 50]}}
+        assert m["stats"]["k=b"] == {
+            "n": 1, "cols": {"uid": [50, 50]}, "nulls": {"uid": 0},
+        }
         # a prune the OLD k=a bounds [1,2] would have disproven must
         # still read k=a and find the new row
         got = read_keyed_table(spark, t, prune={"uid": (90, 100)})
@@ -969,6 +975,55 @@ class TestCommitLog:
         pre_v = read_keyed_table(spark, t, version=pre_version).filter(rng)
         assert got == pre_v.count() == hi - lo + 1
 
+    def test_null_count_stats_prune(self, spark, tmp_path):
+        """Manifest null counts (footer-read, exact) drive IS NOT NULL /
+        IS NULL skipping: the all-null partition vanishes from the scan
+        for "notnull", the no-null partition for "null", the mixed one
+        survives both, and a stat-less append drops the certainty."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(None, "allnull"), (None, "allnull"),
+             (1.0, "mixed"), (None, "mixed"),
+             (2.0, "full"), (3.0, "full")],
+            "v double, k string",
+        )
+        append_partition_transaction(spark, t, "k", df, stats_cols=["v"])
+        m = table_history(t)[-1]
+        assert m["stats"]["k=allnull"]["nulls"] == {"v": 2}
+        assert m["stats"]["k=mixed"]["nulls"] == {"v": 1}
+        assert m["stats"]["k=full"]["nulls"] == {"v": 0}
+
+        notnull = read_keyed_table(spark, t, prune={"v": "notnull"})
+        assert not any("k=allnull" in f for f in notnull.inputFiles())
+        got = {
+            (r.v, r.k)
+            for r in notnull.filter(F.col("v").isNotNull()).collect()
+        }
+        assert got == {(1.0, "mixed"), (2.0, "full"), (3.0, "full")}
+
+        isnull = read_keyed_table(spark, t, prune={"v": "null"})
+        assert not any("k=full" in f for f in isnull.inputFiles())
+        assert isnull.filter(F.col("v").isNull()).count() == 3
+
+        # an append with stats keeps counts additive…
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame([(None, "full")], "v double, k string"),
+            stats_cols=["v"],
+        )
+        m2 = table_history(t)[-1]
+        assert m2["stats"]["k=full"]["nulls"] == {"v": 1}
+        # …so "null" pruning no longer skips the formerly no-null entry
+        isnull2 = read_keyed_table(spark, t, prune={"v": "null"})
+        assert any("k=full" in f for f in isnull2.inputFiles())
+        assert isnull2.filter(F.col("v").isNull()).count() == 4
+
     def test_change_feed_reads_only_requested_commits(self, spark, tmp_path):
         """read_table_changes returns exactly what each commit in the
         range added (tagged with its version), scans nothing outside the
@@ -1283,7 +1338,9 @@ class TestCommitLog:
         m = table_history(t)[-1]
         assert m["version"] == 8
         assert len(m["partitions"]["k=hot"]) == 8  # one generation each
-        assert m["stats"]["k=hot"] == {"n": 8, "cols": {"uid": [0, 7]}}
+        assert m["stats"]["k=hot"] == {
+            "n": 8, "cols": {"uid": [0, 7]}, "nulls": {"uid": 0},
+        }
         got = {r.uid for r in read_keyed_table(spark, t).collect()}
         assert got == set(range(8))
 

@@ -145,6 +145,8 @@ LADDER = [
     "stream_source_quota",
     # r6: commit-log change feed (O(changed data) incremental read)
     "table_changes_feed",
+    # r6: null-count manifest skipping
+    "null_skip_scan",
 ]
 
 
