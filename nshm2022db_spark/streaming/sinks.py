@@ -143,6 +143,10 @@ def try_commit(table_dir: str, manifest: dict) -> bool:
     an object store this maps to a conditional put of the same key."""
     log = os.path.join(table_dir, _COMMITS)
     os.makedirs(log, exist_ok=True)
+    # commit wall-clock, recorded once at publish (AS OF timestamp time
+    # travel resolves against it); setdefault keeps replayed/rewritten
+    # manifests' original times
+    manifest.setdefault("committed_at", time.time())
     fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
@@ -1096,11 +1100,25 @@ def _read_partition_map(
     return out
 
 
+def resolve_version_as_of(table_dir: str, as_of: float) -> int | None:
+    """Latest committed version whose publish wall-clock is <= ``as_of``
+    (epoch seconds) — Delta's TIMESTAMP AS OF resolution. None when the
+    table had no commits yet at that time. Manifests record
+    ``committed_at`` once at publish (try_commit), so the mapping is
+    stable across restores and replays."""
+    best = None
+    for m in table_history(table_dir):
+        if m.get("committed_at", 0.0) <= as_of:
+            best = m["version"] if best is None else max(best, m["version"])
+    return best
+
+
 def read_keyed_table(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     prune: dict | None = None,
+    as_of: float | None = None,
 ) -> DataFrame | None:
     """Resolve a committed version and read its data dir, or None before
     the first commit. ``version`` time-travels to an older snapshot
@@ -1117,7 +1135,18 @@ def read_keyed_table(
     any file opens. Pruning is advisory-only (entries without stats
     always read); the caller still applies its real filter, so a pruned
     read composed with that filter is ALWAYS equal to the unpruned
-    one."""
+    one.
+
+    ``as_of`` (epoch seconds) is TIMESTAMP AS OF time travel: the read
+    resolves to the newest version published at or before that moment
+    (None if the table didn't exist yet). Mutually exclusive with
+    ``version``."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = resolve_version_as_of(table_dir, as_of)
+        if version is None:
+            return None
     if version is not None:
         for m in table_history(table_dir):
             if m["version"] == version:
@@ -1315,13 +1344,23 @@ def append_keyed_mor(
 
 
 def read_keyed_mor(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
 ) -> DataFrame | None:
     """Latest-per-key view of a merge-on-read keyed table: ONE multi-path
     scan over the generation dirs (same schema throughout, so no union
     chain), one window keyed on the merge keys — the read-side merge.
     The window shuffle is on the key columns, the same exchange the
-    copy-on-write merge paid PER BATCH at write time."""
+    copy-on-write merge paid PER BATCH at write time. ``as_of`` (epoch
+    seconds) resolves TIMESTAMP AS OF exactly like read_keyed_table."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = resolve_version_as_of(table_dir, as_of)
+        if version is None:
+            return None
     if version is not None:
         cur = next(
             (m for m in table_history(table_dir) if m["version"] == version),

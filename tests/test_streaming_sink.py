@@ -975,6 +975,62 @@ class TestCommitLog:
         pre_v = read_keyed_table(spark, t, version=pre_version).filter(rng)
         assert got == pre_v.count() == hi - lo + 1
 
+    def test_timestamp_as_of_time_travel(self, spark, tmp_path):
+        """TIMESTAMP AS OF: manifests record their publish wall-clock
+        once, and a read as of any instant resolves to the newest
+        version published by then — before the table existed → None,
+        between commits → the earlier snapshot, now → the head. The
+        recorded time survives later commits (setdefault)."""
+        import time as _time
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_mor,
+            append_keyed_mor,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        schema = "uid long, k string"
+        t0 = _time.time()
+        _time.sleep(0.02)
+        append_partition_transaction(
+            spark, t, "k", spark.createDataFrame([(1, "a")], schema)
+        )
+        t1 = _time.time()
+        _time.sleep(0.02)
+        append_partition_transaction(
+            spark, t, "k", spark.createDataFrame([(2, "a")], schema)
+        )
+        assert read_keyed_table(spark, t, as_of=t0) is None
+        assert {
+            r.uid for r in read_keyed_table(spark, t, as_of=t1).collect()
+        } == {1}
+        assert {
+            r.uid
+            for r in read_keyed_table(spark, t, as_of=_time.time()).collect()
+        } == {1, 2}
+        times = [m["committed_at"] for m in table_history(t)]
+        assert times == sorted(times) and len(times) == 2
+
+        # MOR twin resolves the same way
+        m = str(tmp_path / "mor")
+        ms = "k long, v string, ord long"
+        append_keyed_mor(
+            spark, m, spark.createDataFrame([(1, "old", 1)], ms),
+            keys=["k"], order_col="ord",
+        )
+        tm = _time.time()
+        _time.sleep(0.02)
+        append_keyed_mor(
+            spark, m, spark.createDataFrame([(1, "new", 2)], ms),
+            keys=["k"], order_col="ord",
+        )
+        assert [r.v for r in read_keyed_mor(spark, m, as_of=tm).collect()] == [
+            "old"
+        ]
+
     def test_null_count_stats_prune(self, spark, tmp_path):
         """Manifest null counts (footer-read, exact) drive IS NOT NULL /
         IS NULL skipping: the all-null partition vanishes from the scan
