@@ -707,6 +707,64 @@ def schema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "partition_evolution_read",
+    """WITH t AS (
+        SELECT event_id, event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+        FROM events)
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM t GROUP BY event_type""",
+)
+def partition_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition evolution (Iceberg spec change) end-to-end: half the
+    events land partitioned by event_type, the spec evolves to `day`
+    WITHOUT rewriting a byte (metadata-only commit), and the other half
+    appends under the new layout. One read unions both layouts — each
+    pruning on its own partition column and stats — and the aggregate
+    must equal the plain full-table answer (the oracle), proving no row
+    was lost, duplicated, or mis-attributed across the spec change. At
+    100 TB this is how a table re-partitions when its query pattern
+    shifts: old data stays put, new data lands right, and
+    `migrate_legacy_layouts` folds history in only if the rewrite is
+    ever worth paying."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        evolve_partition_column,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_part_evo_r6", sf)
+    path = os.path.join(base, "events_evolved")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+        )
+        append_partition_transaction(
+            spark, path, "event_type",
+            ev.filter(F.col("event_id") % 2 == 0),
+            stats_cols=["event_id"],
+        )
+        evolve_partition_column(spark, path, "day")
+        append_partition_transaction(
+            spark, path, "day",
+            ev.filter(F.col("event_id") % 2 == 1),
+            stats_cols=["event_id"],
+        )
+        mark_landed(base)
+    t = read_keyed_table(spark, path)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+    )
+
+
+@register(
     "null_skip_scan",
     """WITH t AS (
         SELECT event_type,

@@ -399,6 +399,7 @@ def committed_partition_transaction(
     stats_cols: list[str] | None = None,
     max_retries: int = 10,
     max_records_per_file: int | None = None,
+    allow_legacy: bool = False,
 ) -> None:
     """One optimistic-concurrency transaction over a PARTITION-MAPPED
     table — the same CAS commit protocol as `committed_transaction`, but
@@ -460,6 +461,15 @@ def committed_partition_transaction(
                     and os.path.isdir(os.path.join(table_dir, n))
                 },
             }
+        if cur.get("legacy_layouts") and not allow_legacy:
+            # a rewrite computed from the current layout alone would
+            # silently miss legacy-layout rows (an erasure would leave
+            # the data it was meant to delete) — require migration first
+            raise ValueError(
+                f"{table_dir} has unmigrated legacy partition layouts; "
+                "run migrate_legacy_layouts first (or pass "
+                "allow_legacy=True for current-layout-only maintenance)"
+            )
         base = _read_partition_map(spark, table_dir, cur)
         out = compute(base)
         stage = f"data-{uuid.uuid4().hex}"
@@ -505,6 +515,8 @@ def committed_partition_transaction(
         }
         if new_stats:
             manifest["stats"] = new_stats
+        if cur.get("legacy_layouts"):
+            manifest["legacy_layouts"] = cur["legacy_layouts"]
         if _publish(table_dir, manifest, stage_path):
             return
     raise RuntimeError(
@@ -549,6 +561,14 @@ def append_partition_transaction(
             raise ValueError(
                 f"{table_dir} is a single-dir committed table; "
                 "use committed_transaction"
+            )
+        elif cur["partition_col"] != partition_col:
+            # the current SPEC owns the layout — after partition
+            # evolution an append with the old column would land data
+            # under the wrong dir names and corrupt the map
+            raise ValueError(
+                f"{table_dir} is partitioned by {cur['partition_col']!r}; "
+                f"append supplied {partition_col!r}"
             )
         if batch_id is not None and batch_id in committed_batch_ids(table_dir):
             return
@@ -617,6 +637,8 @@ def append_partition_transaction(
         }
         if new_stats:
             manifest["stats"] = new_stats
+        if cur.get("legacy_layouts"):
+            manifest["legacy_layouts"] = cur["legacy_layouts"]
         if _publish(table_dir, manifest, stage_path):
             return
     raise RuntimeError(
@@ -736,8 +758,158 @@ def compact_partition_table(
     committed_partition_transaction(
         spark, table_dir, pcol, rewrite, affected=values,
         stats_cols=stats_cols, max_records_per_file=max_records_per_file,
+        # compaction rewrites only CURRENT-layout entries from
+        # current-layout rows, so unmigrated legacy layouts are safe to
+        # leave untouched
+        allow_legacy=True,
     )
     return sorted(frag)
+
+
+def _manifest_dirs(m: dict) -> set[str]:
+    """Every data dir a manifest references: its own stage, MOR
+    generation list, partition map, and any legacy-layout partition maps
+    (partition evolution) — the reference set vacuum must respect."""
+    out = {m["dir"]} if "dir" in m else set()
+    out.update(m.get("dirs", []))
+    for v in m.get("partitions", {}).values():
+        out.update(_entry_dirs(v))
+    for lay in m.get("legacy_layouts", []):
+        for v in lay.get("partitions", {}).values():
+            out.update(_entry_dirs(v))
+    return out
+
+
+def evolve_partition_column(
+    spark: SparkSession, table_dir: str, new_partition_col: str
+) -> int:
+    """PARTITION EVOLUTION (Iceberg's headline spec change): switch the
+    table's partition column for all FUTURE writes without rewriting a
+    byte of existing data. The current layout is demoted to a
+    ``legacy_layouts`` entry (its partition map, stats, and pruning keep
+    working), the new layout starts empty, and reads union every layout
+    — rows from a legacy layout read the new partition column from
+    their DATA columns when present, else NULL (Iceberg's void
+    transform for pre-evolution files). Appends land in the new layout;
+    `migrate_legacy_layouts` rewrites old data into the current spec
+    when (if ever) the rewrite cost is worth paying. Returns the new
+    version. Metadata-only commit: the change feed emits nothing for
+    it."""
+    for _ in range(10):
+        cur = current_commit(table_dir)
+        if cur["version"] == 0 or "partitions" not in cur:
+            raise ValueError(
+                f"{table_dir} is not a partition-mapped committed table"
+            )
+        if cur["partition_col"] == new_partition_col:
+            return cur["version"]  # already that spec: no-op
+        legacy = list(cur.get("legacy_layouts", []))
+        old = {
+            "partition_col": cur["partition_col"],
+            "partitions": cur["partitions"],
+        }
+        if cur.get("stats"):
+            old["stats"] = cur["stats"]
+        legacy.append(old)
+        stage = f"data-{uuid.uuid4().hex}"
+        os.makedirs(os.path.join(table_dir, stage), exist_ok=True)
+        manifest = {
+            "version": cur["version"] + 1,
+            "dir": stage,
+            "partition_col": new_partition_col,
+            "partitions": {},
+            "legacy_layouts": legacy,
+            "batch_ids": [],
+        }
+        if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
+            return manifest["version"]
+    raise RuntimeError(f"commit conflict persisted on {table_dir}")
+
+
+def migrate_legacy_layouts(
+    spark: SparkSession, table_dir: str, stats_cols: list[str] | None = None
+) -> int | None:
+    """Fold every legacy layout's data into the CURRENT partition spec —
+    the deferred rewrite partition evolution lets you postpone. One
+    commit: legacy rows are re-written partitioned by the current
+    column (they must carry it as a data column), appended as
+    generations of the current layout, and ``legacy_layouts`` drops
+    from the manifest; old layout dirs stay as immutable history. After
+    this, rewrite transactions (erasure, compaction of all data) see
+    the whole table again. Returns the new version, or None when there
+    was nothing to migrate."""
+    prefix_err = "legacy rows lack the current partition column"
+    for _ in range(10):
+        cur = current_commit(table_dir)
+        legacy = cur.get("legacy_layouts", [])
+        if not legacy:
+            return None
+        pcol = cur["partition_col"]
+        old_rows = None
+        for lay in legacy:
+            part = _read_partition_map(spark, table_dir, lay, None)
+            if part is not None:
+                old_rows = part if old_rows is None else old_rows.unionByName(
+                    part, allowMissingColumns=True
+                )
+        if old_rows is None:
+            new_parts = dict(cur["partitions"])
+            written: set[str] = set()
+            stage = f"data-{uuid.uuid4().hex}"
+            os.makedirs(os.path.join(table_dir, stage), exist_ok=True)
+        else:
+            if pcol not in old_rows.columns:
+                raise ValueError(f"{prefix_err}: {pcol}")
+            stage = f"data-{uuid.uuid4().hex}"
+            stage_path = os.path.join(table_dir, stage)
+            old_rows.write.mode("overwrite").partitionBy(pcol).parquet(
+                stage_path
+            )
+            prefix = f"{pcol}="
+            written = {
+                n for n in os.listdir(stage_path) if n.startswith(prefix)
+            }
+            _check_entry_values(written)
+            new_parts = {e: v for e, v in cur["partitions"].items()}
+            for e in written:
+                new_parts[e] = (
+                    _entry_dirs(new_parts[e]) + [stage]
+                    if e in new_parts
+                    else stage
+                )
+        # stats: migrated entries gained an unscanned generation unless
+        # this call footer-scans them; same drop-or-merge contract as
+        # append_partition_transaction
+        new_stats = {
+            e: s for e, s in cur.get("stats", {}).items() if e in new_parts
+        }
+        if not stats_cols:
+            for e in written:
+                new_stats.pop(e, None)
+        elif written:
+            staged = _collect_stage_stats(
+                os.path.join(table_dir, stage), written, stats_cols
+            )
+            for e, add in staged.items():
+                old_s = new_stats.get(e)
+                if e in cur["partitions"] and e not in cur.get("stats", {}):
+                    continue
+                if old_s is None:
+                    new_stats[e] = add
+                else:
+                    new_stats.pop(e, None)  # conservative: re-scan later
+        manifest = {
+            "version": cur["version"] + 1,
+            "dir": stage,
+            "partition_col": pcol,
+            "partitions": new_parts,
+            "batch_ids": [],
+        }
+        if new_stats:
+            manifest["stats"] = new_stats
+        if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
+            return manifest["version"]
+    raise RuntimeError(f"commit conflict persisted on {table_dir}")
 
 
 def restore_table_version(table_dir: str, version: int) -> int:
@@ -758,7 +930,10 @@ def restore_table_version(table_dir: str, version: int) -> int:
         manifest = {
             k: v
             for k, v in target.items()
-            if k in ("dir", "partition_col", "partitions", "stats", "mor", "dirs")
+            if k in (
+                "dir", "partition_col", "partitions", "stats", "mor",
+                "dirs", "legacy_layouts",
+            )
         }
         manifest["version"] = cur["version"] + 1
         manifest["batch_ids"] = []
@@ -791,10 +966,7 @@ def vacuum_versions(table_dir: str, keep_last: int) -> dict:
     def dirs_of(ms):
         out = set()
         for m in ms:
-            out.add(m["dir"])
-            out.update(m.get("dirs", []))
-            for v in m.get("partitions", {}).values():
-                out.update(_entry_dirs(v))
+            out.update(_manifest_dirs(m))
         return out
 
     doomed = dirs_of(drop) - dirs_of(keep) - {"."}
@@ -839,10 +1011,7 @@ def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
                 m = _read_json(os.path.join(log, n))
                 if m is None:  # unlinked by a concurrent retention vacuum
                     continue
-                referenced.add(m["dir"])
-                referenced.update(m.get("dirs", []))
-                for v in m.get("partitions", {}).values():
-                    referenced.update(_entry_dirs(v))
+                referenced.update(_manifest_dirs(m))
     except FileNotFoundError:
         pass
     removed = []
@@ -1156,7 +1325,7 @@ def read_keyed_table(
                         "use read_keyed_mor"
                     )
                 if "partitions" in m:
-                    return _read_partition_map(spark, table_dir, m, prune)
+                    return _read_all_layouts(spark, table_dir, m, prune)
                 return spark.read.parquet(os.path.join(table_dir, m["dir"]))
         legacy = os.path.join(table_dir, f"v{version}")
         if os.path.isdir(legacy):
@@ -1170,8 +1339,25 @@ def read_keyed_table(
             f"{table_dir} is a merge-on-read keyed table; use read_keyed_mor"
         )
     if "partitions" in cur:
-        return _read_partition_map(spark, table_dir, cur, prune)
+        return _read_all_layouts(spark, table_dir, cur, prune)
     return spark.read.parquet(os.path.join(table_dir, cur["dir"]))
+
+
+def _read_all_layouts(
+    spark: SparkSession, table_dir: str, manifest: dict, prune: dict | None
+) -> DataFrame | None:
+    """Current layout unioned with every legacy layout (partition
+    evolution): each layout prunes against ITS OWN partition column and
+    stats; unionByName(allowMissingColumns) supplies NULL for the new
+    partition column in legacy files that never stored it as data."""
+    out = _read_partition_map(spark, table_dir, manifest, prune)
+    for lay in manifest.get("legacy_layouts", []):
+        part = _read_partition_map(spark, table_dir, lay, prune)
+        if part is not None:
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+    return out
 
 
 def merge_into(

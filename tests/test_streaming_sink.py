@@ -975,6 +975,94 @@ class TestCommitLog:
         pre_v = read_keyed_table(spark, t, version=pre_version).filter(rng)
         assert got == pre_v.count() == hi - lo + 1
 
+    def test_partition_evolution(self, spark, tmp_path):
+        """Iceberg-style spec change: evolve the partition column
+        without rewriting old data; reads union layouts (each pruning on
+        its own column), appends land in the new spec and old-column
+        appends are rejected, erasure-style rewrites demand migration,
+        and migration folds everything into the current spec in one
+        commit."""
+        import pytest as _pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            committed_partition_transaction,
+            compact_partition_table,
+            evolve_partition_column,
+            migrate_legacy_layouts,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        schema = "uid long, k string, day string"
+        append_partition_transaction(  # v1: partitioned by k
+            spark, t, "k",
+            spark.createDataFrame(
+                [(1, "a", "d1"), (2, "b", "d1"), (3, "a", "d2")], schema
+            ),
+            stats_cols=["uid"],
+        )
+        v2 = evolve_partition_column(spark, t, "day")  # metadata-only
+        assert v2 == 2
+        # appends now land by day; the old column is rejected
+        with _pytest.raises(ValueError, match="partitioned by 'day'"):
+            append_partition_transaction(
+                spark, t, "k",
+                spark.createDataFrame([(4, "a", "d2")], schema),
+            )
+        append_partition_transaction(  # v3: new-spec append
+            spark, t, "day",
+            spark.createDataFrame([(4, "a", "d2"), (5, "c", "d3")], schema),
+            stats_cols=["uid"],
+        )
+
+        def rows():
+            return {
+                (r.uid, r.k, r.day)
+                for r in read_keyed_table(spark, t).collect()
+            }
+
+        want = {
+            (1, "a", "d1"), (2, "b", "d1"), (3, "a", "d2"),
+            (4, "a", "d2"), (5, "c", "d3"),
+        }
+        assert rows() == want
+        # each layout prunes on its own stats: uid in (4,5) disproves
+        # the legacy entries ([1,3] bounds) and the scan opens only the
+        # new-spec generation
+        pruned = read_keyed_table(spark, t, prune={"uid": (4, 5)})
+        assert {r.uid for r in pruned.filter(F.col("uid") >= 4).collect()} \
+            == {4, 5}
+        gen_dirs = {f.rsplit("/", 2)[0] for f in pruned.inputFiles()}
+        assert len(gen_dirs) == 1
+        # the old snapshot still reads the old layout (time travel)
+        v1 = read_keyed_table(spark, t, version=1)
+        assert {r.uid for r in v1.collect()} == {1, 2, 3}
+        # rewrite transactions refuse an unmigrated table...
+        with _pytest.raises(ValueError, match="unmigrated legacy"):
+            committed_partition_transaction(
+                spark, t, "day", lambda b: b.filter(F.lit(False)),
+                affected=["d1"],
+            )
+        # ...but current-layout compaction is allowed
+        compact_partition_table(spark, t, max_files_per_partition=0)
+        assert rows() == want
+        # migration folds legacy rows into the day layout, one commit
+        assert migrate_legacy_layouts(spark, t) is not None
+        m = table_history(t)[-1]
+        assert "legacy_layouts" not in m
+        assert set(m["partitions"]) >= {"day=d1", "day=d2", "day=d3"}
+        assert rows() == want
+        # and rewrites work again
+        committed_partition_transaction(
+            spark, t, "day",
+            lambda b: b.filter(F.col("day") == "d1").filter(F.col("uid") != 2),
+            affected=["d1"],
+        )
+        assert rows() == want - {(2, "b", "d1")}
+        assert migrate_legacy_layouts(spark, t) is None  # nothing left
+
     def test_timestamp_as_of_time_travel(self, spark, tmp_path):
         """TIMESTAMP AS OF: manifests record their publish wall-clock
         once, and a read as of any instant resolves to the newest

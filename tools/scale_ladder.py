@@ -147,6 +147,8 @@ LADDER = [
     "table_changes_feed",
     # r6: null-count manifest skipping
     "null_skip_scan",
+    # r6: partition evolution (two-layout union read)
+    "partition_evolution_read",
 ]
 
 
