@@ -269,6 +269,47 @@ class TestStatsPruningLaws:
         assert set(kept) <= set(parts)
 
     @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(0, 9),  # partition id
+                st.one_of(st.none(), st.integers(-1000, 1000)),  # value
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        unknown=st.sets(st.integers(0, 9)),  # entries without null counts
+        form=st.sampled_from(["notnull", "null"]),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_honest_null_counts_never_drop_matching_partitions(
+        self, data, unknown, form
+    ):
+        """IS NULL / IS NOT NULL skipping is safe for any honest null
+        counts: a partition holding a (non-)null value is never dropped
+        by the corresponding prune form, and entries with unknown
+        counts are never dropped at all."""
+        from nshm2022db_spark.streaming.sinks import _stats_prune
+
+        parts, stats = {}, {}
+        for pid, v in data:
+            e = f"k={pid}"
+            parts.setdefault(e, "data-x")
+            cur = stats.setdefault(e, {"n": 0, "cols": {}, "nulls": {"v": 0}})
+            cur["n"] += 1
+            if v is None:
+                cur["nulls"]["v"] += 1
+        for pid in unknown:
+            stats.pop(f"k={pid}", None)
+        manifest = {"partitions": parts, "stats": stats, "partition_col": "k"}
+        kept = _stats_prune(manifest, {"v": form})
+        for pid, v in data:
+            e = f"k={pid}"
+            matches = (v is not None) if form == "notnull" else (v is None)
+            if matches or pid in unknown:
+                assert e in kept, (pid, v, form)
+        assert set(kept) <= set(parts)
+
+    @given(
         xs=st.lists(
             st.integers(-1000, 1000), min_size=1, max_size=40
         ),
