@@ -119,6 +119,19 @@ HEADLINE = [
     "salted_skew_join",
     "multimodal_decode_pixels",
     "multimodal_wav_decode",
+    # round 6: table-format proofs, geometry partial oracle, and the new
+    # training-data / join / streaming operators
+    "geometry_planes_checksum",
+    "rowgroup_skip_scan",
+    "schema_evolution_read",
+    "null_skip_scan",
+    "table_changes_feed",
+    "partition_evolution_read",
+    "epoch_shuffle",
+    "quality_upsample",
+    "dedup_keep_best",
+    "bloom_join_prefilter",
+    "stream_source_quota",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

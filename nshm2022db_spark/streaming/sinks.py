@@ -524,6 +524,11 @@ def committed_partition_transaction(
     )
 
 
+class AuditError(RuntimeError):
+    """A write-audit-publish audit rejected the staged batch; nothing
+    was published and the stage was removed."""
+
+
 def append_partition_transaction(
     spark: SparkSession,
     table_dir: str,
@@ -532,6 +537,7 @@ def append_partition_transaction(
     stats_cols: list[str] | None = None,
     batch_id: int | None = None,
     max_retries: int = 10,
+    audit=None,
 ) -> None:
     """APPEND a batch to a partition-mapped table as one commit — the
     write path a time-partitioned streaming land needs. A partition-map
@@ -549,7 +555,15 @@ def append_partition_transaction(
 
     ``batch_id`` gives foreachBatch idempotence exactly like
     `committed_transaction`: a replayed micro-batch whose id is already
-    in the log no-ops."""
+    in the log no-ops.
+
+    ``audit`` enables WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern): after
+    the batch is staged but BEFORE the manifest CAS, ``audit(staged_df)``
+    runs against a read of exactly what would become visible. Returning
+    False (or raising) aborts the commit — the stage is deleted, readers
+    never saw a row, and an `AuditError` (or the audit's own exception)
+    propagates. Bad data can then never become visible: the audit reads
+    the same immutable files the table would have served."""
     os.makedirs(table_dir, exist_ok=True)
     prefix = f"{partition_col}="
     for _ in range(max_retries):
@@ -579,6 +593,26 @@ def append_partition_transaction(
         )
         written = {n for n in os.listdir(stage_path) if n.startswith(prefix)}
         _check_entry_values(written)
+        if audit is not None and written:
+            staged = _read_partition_map(
+                spark,
+                table_dir,
+                {
+                    "partition_col": partition_col,
+                    "partitions": {e: stage for e in sorted(written)},
+                },
+            )
+            try:
+                verdict = audit(staged)
+            except Exception:
+                shutil.rmtree(stage_path, ignore_errors=True)
+                raise
+            if not verdict:
+                shutil.rmtree(stage_path, ignore_errors=True)
+                raise AuditError(
+                    f"audit rejected staged batch for {table_dir}; "
+                    "nothing published"
+                )
         new_parts = {e: v for e, v in cur["partitions"].items()}
         for e in written:
             new_parts[e] = (
@@ -653,6 +687,7 @@ def land_stream_to_partitioned_table(
     partition_col: str,
     stats_cols: list[str] | None = None,
     trigger_available_now: bool = True,
+    audit=None,
 ) -> StreamingQuery:
     """Land a stream into a partition-mapped committed table via
     foreachBatch appends — the streaming half of the lakehouse write
@@ -662,7 +697,11 @@ def land_stream_to_partitioned_table(
     see exactly the committed batches at the versions they committed.
     Compaction (`compact_partition_table`) and erasure
     (`apply_erasure_rewrite`) run as ordinary transactions on the same
-    table — one commit model across the stream/maintenance boundary."""
+    table — one commit model across the stream/maintenance boundary.
+    ``audit`` applies write-audit-publish to every micro-batch: a batch
+    the audit rejects is never published and fails the stream loudly
+    (no silent data loss; the operator decides whether to fix and
+    restart — the checkpoint has not advanced past the bad batch)."""
 
     def land(batch_df: DataFrame, bid: int) -> None:
         append_partition_transaction(
@@ -672,6 +711,7 @@ def land_stream_to_partitioned_table(
             batch_df,
             stats_cols=stats_cols,
             batch_id=bid,
+            audit=audit,
         )
 
     writer = df.writeStream.foreachBatch(land).option(

@@ -975,6 +975,56 @@ class TestCommitLog:
         pre_v = read_keyed_table(spark, t, version=pre_version).filter(rng)
         assert got == pre_v.count() == hi - lo + 1
 
+    def test_write_audit_publish(self, spark, tmp_path):
+        """WAP: the audit sees exactly what would become visible, and a
+        rejected batch leaves NO trace — version unchanged, stage
+        removed, reads identical. Audit exceptions propagate with the
+        same cleanup; a passing audit publishes normally."""
+        import pytest as _pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            AuditError,
+            append_partition_transaction,
+            current_commit,
+            read_keyed_table,
+        )
+
+        t = str(tmp_path / "t")
+        schema = "uid long, k string"
+        no_null_uids = lambda df: df.filter(F.col("uid").isNull()).count() == 0
+
+        append_partition_transaction(
+            spark, t, "k", spark.createDataFrame([(1, "a")], schema),
+            audit=no_null_uids,
+        )
+        assert current_commit(t)["version"] == 1
+
+        bad = spark.createDataFrame([(None, "a"), (2, "b")], schema)
+        with _pytest.raises(AuditError):
+            append_partition_transaction(spark, t, "k", bad, audit=no_null_uids)
+        assert current_commit(t)["version"] == 1  # nothing published
+        assert {r.uid for r in read_keyed_table(spark, t).collect()} == {1}
+        # the rejected stage was cleaned up, not left for vacuum
+        assert [d for d in os.listdir(t) if d.startswith("data-")] == [
+            current_commit(t)["dir"]
+        ]
+
+        def exploding(df):
+            raise RuntimeError("boom")
+
+        with _pytest.raises(RuntimeError, match="boom"):
+            append_partition_transaction(
+                spark, t, "k", spark.createDataFrame([(3, "a")], schema),
+                audit=exploding,
+            )
+        assert current_commit(t)["version"] == 1
+        # a passing audit publishes
+        append_partition_transaction(
+            spark, t, "k", spark.createDataFrame([(4, "b")], schema),
+            audit=no_null_uids,
+        )
+        assert {r.uid for r in read_keyed_table(spark, t).collect()} == {1, 4}
+
     def test_partition_evolution(self, spark, tmp_path):
         """Iceberg-style spec change: evolve the partition column
         without rewriting old data; reads union layouts (each pruning on
