@@ -445,7 +445,11 @@ def stream_upsert_mor(spark: SparkSession, sf: str) -> DataFrame:
     merge, AND compaction all preserve the batch-invariant answer. This
     is the Hudi-MOR/Delta-DV cost model: at 100 TB the hot write path
     touches only the batch, and the merge window shuffles on the same
-    key the copy-on-write variant shuffled per batch at write time."""
+    key the copy-on-write variant shuffled per batch at write time.
+    ``max_open_generations=3`` additionally exercises the r6 compaction
+    trigger mid-stream: the replay spans more batches than the bound,
+    so at least one inline fold runs BEFORE the final compaction and
+    the answer must survive it."""
     import tempfile
 
     from nshm2022db_spark.streaming.sinks import (
@@ -465,6 +469,7 @@ def stream_upsert_mor(spark: SparkSession, sf: str) -> DataFrame:
         keys=["user_id"],
         order_col="ts",
         tiebreak=["event_id"],
+        max_open_generations=3,
     )
     q.awaitTermination()
     compact_keyed_mor(spark, table_dir)
