@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_keep_best",
     "bloom_join_prefilter",
     "stream_source_quota",
+    "dedup_index_lakehouse",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

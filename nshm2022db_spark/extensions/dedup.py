@@ -336,9 +336,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 INC_BATCH_MOD = 3  # doc_id % 3 == 1 plays the newly-crawled batch
 
 
-@register(
-    "dedup_incremental",
-    f"""WITH {_DUCK_EX},
+_INC_ORACLE = f"""WITH {_DUCK_EX},
         params(i, a, b) AS (SELECT * FROM (VALUES {_PARAMS_SQL})),
         mh AS (SELECT doc_id, i, MIN((a * x + b) % {P}) AS h
                FROM ex CROSS JOIN params GROUP BY doc_id, i),
@@ -376,69 +374,61 @@ INC_BATCH_MOD = 3  # doc_id % 3 == 1 plays the newly-crawled batch
                ROUND(COALESCE(a.best, 0.0), 6) AS best_jaccard,
                COALESCE(a.n_matches, 0) = 0 AS is_new
         FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
-        WHERE d.doc_id % {INC_BATCH_MOD} = 1""",
-)
-def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
-    """Incremental near-dedup — the continuous-ingestion flow a training
-    corpus actually runs: only the NEW batch (doc_id % {INC_BATCH_MOD} == 1
-    plays the fresh crawl) is signed and joined against the EXISTING
-    corpus's banded minhash index; band-bucket collisions become
-    candidates, candidates are verified with the exact set Jaccard, and
-    each batch doc comes back scored (candidate count, verified matches,
-    best Jaccard, keep/drop verdict).
+        WHERE d.doc_id % {INC_BATCH_MOD} = 1"""
 
-    Scale shape: the existing index here is derived inline from the same
-    signature pass as dedup_minhash_lsh, but in production it is the
-    MATERIALIZED band table maintained through the keyed-table commit
-    log — per batch the cost is then batch-size signatures plus ONE
-    shuffle keyed on (band_id, sig) against the index, independent of
-    corpus re-scans, and accepted docs append their bands to the index
-    in the same transaction that lands them. The batch-vs-existing join
-    is strictly cheaper than the self-join dedup (no n^2 within the
-    existing side — it is already deduped)."""
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, sig) banded minhash rows — the INDEX layout a
+    production corpus materializes (and `dedup_index_lakehouse` lands
+    through the commit log)."""
     r = MINHASH_K // MINHASH_BANDS
-    sigs = _minhash_sigs(spark, sf)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)]).alias("sig"),
+            F.concat_ws(
+                ",", *[F.col(f"h{b * r + j}") for j in range(r)]
+            ).alias("sig"),
         )
         for b in range(MINHASH_BANDS)
     ]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select(
-        "doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.sig").alias("sig")
+        "doc_id",
+        F.col("bs.band_id").alias("band_id"),
+        F.col("bs.sig").alias("sig"),
     )
+
+
+def _batch_verdicts(
+    spark: SparkSession, sf: str, cand: DataFrame
+) -> DataFrame:
+    """(new_id, old_id) candidate pairs -> per-batch-doc verdicts:
+    exact-Jaccard verification and the scored keep/drop row the
+    incremental-dedup queries share."""
     is_batch = F.col("doc_id") % INC_BATCH_MOD == 1
-    cand = (
-        bands.filter(is_batch)
-        .alias("n")
-        .join(
-            bands.filter(~is_batch).alias("e"),
-            (F.col("n.band_id") == F.col("e.band_id"))
-            & (F.col("n.sig") == F.col("e.sig")),
-        )
-        .select(
-            F.col("n.doc_id").alias("new_id"), F.col("e.doc_id").alias("old_id")
-        )
-        .distinct()
-    )
     ex = _doc_shingles(spark, sf)
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         cand.join(ex.alias("a"), F.col("a.doc_id") == F.col("new_id"))
         .join(
             ex.alias("b"),
-            (F.col("b.doc_id") == F.col("old_id")) & (F.col("a.x") == F.col("b.x")),
+            (F.col("b.doc_id") == F.col("old_id"))
+            & (F.col("a.x") == F.col("b.x")),
         )
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    jac = F.col("n_common") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
     scored = (
-        common.join(F.broadcast(sz.alias("sa")), F.col("sa.doc_id") == F.col("new_id"))
-        .join(F.broadcast(sz.alias("sb")), F.col("sb.doc_id") == F.col("old_id"))
+        common.join(
+            F.broadcast(sz.alias("sa")), F.col("sa.doc_id") == F.col("new_id")
+        )
+        .join(
+            F.broadcast(sz.alias("sb")), F.col("sb.doc_id") == F.col("old_id")
+        )
         .select("new_id", "old_id", jac.alias("jac"))
     )
     agg = (
@@ -459,9 +449,104 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
         F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
-        F.round(F.coalesce(F.col("best"), F.lit(0.0)), 6).alias("best_jaccard"),
+        F.round(F.coalesce(F.col("best"), F.lit(0.0)), 6).alias(
+            "best_jaccard"
+        ),
         (F.coalesce(F.col("n_matches"), F.lit(0)) == 0).alias("is_new"),
     )
+
+
+@register("dedup_incremental", _INC_ORACLE)
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dedup — the continuous-ingestion flow a training
+    corpus actually runs: only the NEW batch (doc_id % {INC_BATCH_MOD} == 1
+    plays the fresh crawl) is signed and joined against the EXISTING
+    corpus's banded minhash index; band-bucket collisions become
+    candidates, candidates are verified with the exact set Jaccard, and
+    each batch doc comes back scored (candidate count, verified matches,
+    best Jaccard, keep/drop verdict).
+
+    Scale shape: the existing index here is derived inline from the same
+    signature pass as dedup_minhash_lsh, but in production it is the
+    MATERIALIZED band table maintained through the keyed-table commit
+    log — per batch the cost is then batch-size signatures plus ONE
+    shuffle keyed on (band_id, sig) against the index, independent of
+    corpus re-scans, and accepted docs append their bands to the index
+    in the same transaction that lands them. The batch-vs-existing join
+    is strictly cheaper than the self-join dedup (no n^2 within the
+    existing side — it is already deduped)."""
+    bands = _band_rows(_minhash_sigs(spark, sf))
+    is_batch = F.col("doc_id") % INC_BATCH_MOD == 1
+    cand = (
+        bands.filter(is_batch)
+        .alias("n")
+        .join(
+            bands.filter(~is_batch).alias("e"),
+            (F.col("n.band_id") == F.col("e.band_id"))
+            & (F.col("n.sig") == F.col("e.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("e.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    return _batch_verdicts(spark, sf, cand)
+
+
+@register("dedup_index_lakehouse", _INC_ORACLE)
+def dedup_index_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
+    """The production form `dedup_incremental`'s docstring promises: the
+    existing corpus's banded minhash index is a MATERIALIZED table in
+    the commit-log format, landed once (partitioned by band_id with
+    per-partition stats) and read back through `read_keyed_table` —
+    the batch flow then signs ONLY the new docs and band-joins them
+    against the committed index. Per batch the cost is batch-size
+    signatures plus one (band_id, sig) shuffle against an index scan;
+    the corpus text is never re-read, which is the whole point at
+    100 TB (the inline variant re-signs the corpus every batch). In
+    steady state, accepted docs' bands append to the index via
+    `append_partition_transaction` in the same transaction that lands
+    them — the landing here plays the index's current snapshot. Same
+    oracle as dedup_incremental: materializing the index must not
+    change a single verdict."""
+    from nshm2022db_spark.sources.scratch import (
+        is_landed,
+        mark_landed,
+        scratch_path,
+    )
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        read_keyed_table,
+    )
+
+    import os as _os
+
+    base = scratch_path("minhash_band_index_r6", sf)
+    path = _os.path.join(base, "band_index")
+    is_batch = F.col("doc_id") % INC_BATCH_MOD == 1
+    if not is_landed(base):
+        existing = _band_rows(_minhash_sigs(spark, sf)).filter(~is_batch)
+        append_partition_transaction(
+            spark, path, "band_id", existing, stats_cols=["doc_id"]
+        )
+        mark_landed(base)
+    index = read_keyed_table(spark, path).select(
+        F.col("doc_id").alias("old_id"),
+        F.col("band_id").cast("long").alias("band_id"),
+        "sig",
+    )
+    batch_bands = _band_rows(_minhash_sigs(spark, sf)).filter(is_batch)
+    cand = (
+        batch_bands.alias("n")
+        .join(
+            index.alias("e"),
+            (F.col("n.band_id") == F.col("e.band_id"))
+            & (F.col("n.sig") == F.col("e.sig")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), "old_id")
+        .distinct()
+    )
+    return _batch_verdicts(spark, sf, cand)
 
 
 # ---------------------------------------------------------------------------

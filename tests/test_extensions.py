@@ -234,7 +234,7 @@ class TestDriverOrder:
             "epoch_shuffle", "quality_upsample", "dedup_keep_best",
             "bloom_join_prefilter", "stream_source_quota",
             "table_changes_feed", "null_skip_scan",
-            "partition_evolution_read",
+            "partition_evolution_read", "dedup_index_lakehouse",
             # round-6 shared-primitive changes (streaming/sinks.py:
             # stat-less append stats drop, inference-free partition
             # values, merged-schema empty relations, MOR config

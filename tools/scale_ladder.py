@@ -149,6 +149,8 @@ LADDER = [
     "null_skip_scan",
     # r6: partition evolution (two-layout union read)
     "partition_evolution_read",
+    # r6: committed minhash band index probed by the batch flow
+    "dedup_index_lakehouse",
 ]
 
 
