@@ -707,6 +707,41 @@ def schema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "agg_pushdown_scan",
+    """SELECT CAST(MIN(event_id) AS BIGINT) AS min_id,
+              CAST(MAX(event_id) AS BIGINT) AS max_id,
+              CAST(MIN(user_id) AS BIGINT) AS min_user,
+              CAST(MAX(user_id) AS BIGINT) AS max_user,
+              COUNT(*) AS n
+       FROM events""",
+)
+def agg_pushdown_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregate pushdown INTO the parquet scan: MIN/MAX/COUNT answered
+    from footer statistics and row-group metadata without decoding a
+    single data page — at 100 TB the difference between touching ~KB of
+    footers and scanning the table. Runs on a sibling session with the
+    DSv2 parquet reader and spark.sql.parquet.aggregatePushdown enabled
+    (v1, the repo default elsewhere, cannot push aggregates); the plan
+    must show `PushedAggregation: [MIN(...), MAX(...), COUNT(*)]`
+    (pinned by tests/test_plans.py). The oracle computes the same
+    aggregates the honest way — footer metadata must agree with the
+    data exactly."""
+    s2 = spark.newSession()  # own SQLConf: v2 reader + pushdown, nothing
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")  # else leaks
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set(
+        "spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone")
+    )
+    return read_table(s2, sf, "events").agg(
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "partition_evolution_read",
     """WITH t AS (
         SELECT event_id, event_type,

@@ -280,3 +280,22 @@ class TestBloomJoinPrefilter:
         assert (all_keys & true_keys) <= survivors
         # and the reduction is real: most non-matching rows are dropped
         assert len(survivors) < len(all_keys) / 2
+
+
+class TestAggPushdown:
+    def test_aggregates_pushed_into_parquet_scan(self, spark, sf_dir):
+        """The scan itself must answer MIN/MAX/COUNT from footer
+        metadata: PushedAggregation in the v2 scan node, and the values
+        equal the honest aggregation."""
+        from nshm2022db_spark.queries.pipeline import agg_pushdown_scan
+        from nshm2022db_spark.sources import read_table
+        from pyspark.sql import functions as F
+
+        df = agg_pushdown_scan(spark, sf_dir)
+        plan = _plan(df)
+        assert "PushedAggregation: [MIN(event_id), MAX(event_id), " in plan
+        got = df.collect()[0]
+        want = read_table(spark, sf_dir, "events").agg(
+            F.min("event_id"), F.max("event_id"), F.count(F.lit(1))
+        ).collect()[0]
+        assert (got.min_id, got.max_id, got.n) == tuple(want)
