@@ -134,6 +134,7 @@ HEADLINE = [
     "stream_source_quota",
     "dedup_index_lakehouse",
     "agg_pushdown_scan",
+    "delete_tombstone_mor",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -706,6 +706,60 @@ def schema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+TOMBSTONE_MOD = 13  # user_id % 13 == 0 plays the GDPR delete requests
+
+
+@register(
+    "delete_tombstone_mor",
+    f"""SELECT event_type,
+               COUNT(*) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        WHERE user_id % {TOMBSTONE_MOD} <> 0
+        GROUP BY event_type""",
+)
+def delete_tombstone_mor(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE-ON-READ DELETE — the deletion-vector twin of
+    `delete_where_rewrite`: the same GDPR erasure lands as one O(keys)
+    key-tombstone commit (`tombstone_keys`) instead of rewriting every
+    affected partition, and reads hide the keys via a broadcast
+    anti-join until `materialize_tombstones` folds them in. Half the
+    write cost model of a real format's DELETE: hot path pays bytes,
+    the rewrite is deferred maintenance. The oracle recomputes the
+    post-delete aggregate from the raw parquet — tombstone reads and
+    copy-on-write rewrites must give byte-identical answers."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        read_keyed_table,
+        tombstone_keys,
+    )
+
+    base = scratch_path("events_tombstone_r6", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        append_partition_transaction(
+            spark, path, "event_type", ev, stats_cols=["event_id"]
+        )
+        doomed = (
+            read_table(spark, sf, "events")
+            .filter(F.col("user_id") % TOMBSTONE_MOD == 0)
+            .select("user_id")
+            .distinct()
+        )
+        tombstone_keys(spark, path, "user_id", doomed)
+        mark_landed(base)
+    t = read_keyed_table(spark, path)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 @register(
     "agg_pushdown_scan",
     """SELECT CAST(MIN(event_id) AS BIGINT) AS min_id,

@@ -180,6 +180,7 @@ _DRIVER_ORDER = [
     # (d) remaining slots refresh the stalest r4 rows.
     #
     # (a) new queries + the geometry pair:
+    "delete_tombstone_mor",
     "agg_pushdown_scan",
     "dedup_index_lakehouse",
     "partition_evolution_read",
@@ -230,11 +231,11 @@ _DRIVER_ORDER = [
     "stream_tumbling_window",
     "stream_stream_join",
     "stream_stateful_profile",
-    "stream_upsert_table",
     "text_repetition_stats",
     # --- 50-query window boundary (driver gate cap observed r01-r05) ---
     # Tail head: the remaining r4-row queries — stalest after this
     # round; rotate into the round-7 window.
+    "stream_upsert_table",
     "text_lang_id",
     "text_quality_score",
     "text_token_stats",

@@ -400,6 +400,7 @@ def committed_partition_transaction(
     max_retries: int = 10,
     max_records_per_file: int | None = None,
     allow_legacy: bool = False,
+    _drop_dv: bool = False,
 ) -> None:
     """One optimistic-concurrency transaction over a PARTITION-MAPPED
     table — the same CAS commit protocol as `committed_transaction`, but
@@ -517,6 +518,13 @@ def committed_partition_transaction(
             manifest["stats"] = new_stats
         if cur.get("legacy_layouts"):
             manifest["legacy_layouts"] = cur["legacy_layouts"]
+        if cur.get("dv") and not _drop_dv:
+            # tombstones survive rewrites: the rewritten partitions
+            # re-materialize their rows unfiltered, but reads keep
+            # anti-joining the carried keys (materialize_tombstones is
+            # the one transaction that clears them)
+            manifest["dv"] = cur["dv"]
+            manifest["dv_key"] = cur["dv_key"]
         if _publish(table_dir, manifest, stage_path):
             return
     raise RuntimeError(
@@ -673,6 +681,9 @@ def append_partition_transaction(
             manifest["stats"] = new_stats
         if cur.get("legacy_layouts"):
             manifest["legacy_layouts"] = cur["legacy_layouts"]
+        if cur.get("dv"):
+            manifest["dv"] = cur["dv"]
+            manifest["dv_key"] = cur["dv_key"]
         if _publish(table_dir, manifest, stage_path):
             return
     raise RuntimeError(
@@ -808,16 +819,113 @@ def compact_partition_table(
 
 def _manifest_dirs(m: dict) -> set[str]:
     """Every data dir a manifest references: its own stage, MOR
-    generation list, partition map, and any legacy-layout partition maps
-    (partition evolution) — the reference set vacuum must respect."""
+    generation list, partition map, any legacy-layout partition maps
+    (partition evolution), and key-tombstone dirs — the reference set
+    vacuum must respect."""
     out = {m["dir"]} if "dir" in m else set()
     out.update(m.get("dirs", []))
+    out.update(m.get("dv", []))
     for v in m.get("partitions", {}).values():
         out.update(_entry_dirs(v))
     for lay in m.get("legacy_layouts", []):
         for v in lay.get("partitions", {}).values():
             out.update(_entry_dirs(v))
     return out
+
+
+def tombstone_keys(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys_df: DataFrame,
+    batch_id: int | None = None,
+    max_retries: int = 10,
+) -> None:
+    """MERGE-ON-READ DELETE for a partition-mapped table — the deletion-
+    vector trade: instead of rewriting every affected partition (the
+    copy-on-write `apply_erasure_rewrite`), commit the DELETED KEYS as a
+    tombstone file and let reads anti-join them out. Write cost is
+    O(deleted keys) — at 100 TB a GDPR request touches kilobytes, not
+    partitions — and reads pay one broadcast anti-join until
+    `materialize_tombstones` rewrites the survivors and clears the list.
+
+    Semantics are KEY tombstones (GDPR shape), not row positions: every
+    row of a tombstoned key is hidden from every read — including rows
+    APPENDED LATER — until a materialize clears the tombstones. Earlier
+    snapshots still show the pre-delete state (their manifests carry no
+    tombstone). The change feed does not emit delete events; consumers
+    needing them read the tombstone commits' key files directly."""
+    os.makedirs(table_dir, exist_ok=True)
+    for _ in range(max_retries):
+        cur = current_commit(table_dir)
+        if cur["version"] == 0 or "partitions" not in cur:
+            raise ValueError(
+                f"{table_dir} is not a partition-mapped committed table"
+            )
+        if "dv_key" in cur and cur["dv_key"] != key_col:
+            raise ValueError(
+                f"{table_dir} tombstones key {cur['dv_key']!r}; "
+                f"delete supplied {key_col!r}"
+            )
+        if batch_id is not None and batch_id in committed_batch_ids(table_dir):
+            return
+        stage = f"data-{uuid.uuid4().hex}"
+        stage_path = os.path.join(table_dir, stage)
+        keys_df.select(key_col).distinct().write.mode("overwrite").parquet(
+            stage_path
+        )
+        manifest = {
+            k: cur[k]
+            for k in ("partition_col", "partitions", "stats", "legacy_layouts")
+            if k in cur
+        }
+        manifest["version"] = cur["version"] + 1
+        manifest["dir"] = stage
+        manifest["dv"] = cur.get("dv", []) + [stage]
+        manifest["dv_key"] = key_col
+        manifest["batch_ids"] = [batch_id] if batch_id is not None else []
+        if _publish(table_dir, manifest, stage_path):
+            return
+    raise RuntimeError(f"commit conflict persisted on {table_dir}")
+
+
+def _apply_tombstones(
+    spark: SparkSession, table_dir: str, manifest: dict, df: DataFrame | None
+) -> DataFrame | None:
+    """Anti-join a read against the manifest's tombstoned keys. The key
+    set is deleted-rows-sized, so the anti-join broadcasts — the
+    read-side half of the deletion-vector trade."""
+    dvs = manifest.get("dv", [])
+    if not dvs or df is None:
+        return df
+    key = manifest["dv_key"]
+    keys = spark.read.parquet(
+        *[os.path.join(table_dir, d) for d in dvs]
+    ).distinct()
+    return df.join(F.broadcast(keys), on=key, how="left_anti")
+
+
+def materialize_tombstones(
+    spark: SparkSession, table_dir: str, stats_cols: list[str] | None = None
+) -> int | None:
+    """Fold the tombstones in: rewrite every partition with the deleted
+    keys removed and CLEAR the tombstone list — the deferred rewrite
+    `tombstone_keys` lets you postpone (Delta's PURGE). One commit; the
+    pre-materialize versions keep their tombstoned view. Returns the new
+    version, or None when there was nothing to materialize."""
+    cur = current_commit(table_dir)
+    if not cur.get("dv"):
+        return None
+    committed_partition_transaction(
+        spark,
+        table_dir,
+        cur["partition_col"],
+        lambda base: _apply_tombstones(spark, table_dir, cur, base),
+        affected=None,
+        stats_cols=stats_cols,
+        _drop_dv=True,
+    )
+    return current_commit(table_dir)["version"]
 
 
 def evolve_partition_column(
@@ -972,7 +1080,7 @@ def restore_table_version(table_dir: str, version: int) -> int:
             for k, v in target.items()
             if k in (
                 "dir", "partition_col", "partitions", "stats", "mor",
-                "dirs", "legacy_layouts",
+                "dirs", "legacy_layouts", "dv", "dv_key",
             )
         }
         manifest["version"] = cur["version"] + 1
@@ -1365,7 +1473,10 @@ def read_keyed_table(
                         "use read_keyed_mor"
                     )
                 if "partitions" in m:
-                    return _read_all_layouts(spark, table_dir, m, prune)
+                    return _apply_tombstones(
+                        spark, table_dir, m,
+                        _read_all_layouts(spark, table_dir, m, prune),
+                    )
                 return spark.read.parquet(os.path.join(table_dir, m["dir"]))
         legacy = os.path.join(table_dir, f"v{version}")
         if os.path.isdir(legacy):
@@ -1379,7 +1490,9 @@ def read_keyed_table(
             f"{table_dir} is a merge-on-read keyed table; use read_keyed_mor"
         )
     if "partitions" in cur:
-        return _read_all_layouts(spark, table_dir, cur, prune)
+        return _apply_tombstones(
+            spark, table_dir, cur, _read_all_layouts(spark, table_dir, cur, prune)
+        )
     return spark.read.parquet(os.path.join(table_dir, cur["dir"]))
 
 

@@ -235,7 +235,7 @@ class TestDriverOrder:
             "bloom_join_prefilter", "stream_source_quota",
             "table_changes_feed", "null_skip_scan",
             "partition_evolution_read", "dedup_index_lakehouse",
-            "agg_pushdown_scan",
+            "agg_pushdown_scan", "delete_tombstone_mor",
             # round-6 shared-primitive changes (streaming/sinks.py:
             # stat-less append stats drop, inference-free partition
             # values, merged-schema empty relations, MOR config

@@ -975,6 +975,68 @@ class TestCommitLog:
         pre_v = read_keyed_table(spark, t, version=pre_version).filter(rng)
         assert got == pre_v.count() == hi - lo + 1
 
+    def test_key_tombstones(self, spark, tmp_path):
+        """MOR DELETE via key tombstones: O(keys) commit hides every row
+        of the keys from every read (including later appends), earlier
+        snapshots still show them, key mismatch and replay are rejected/
+        no-ops, and materialize rewrites the survivors and clears the
+        list."""
+        import pytest as _pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+            materialize_tombstones,
+            read_keyed_table,
+            tombstone_keys,
+        )
+
+        t = str(tmp_path / "t")
+        schema = "user_id long, k string, v long"
+        append_partition_transaction(  # v1
+            spark, t, "k",
+            spark.createDataFrame(
+                [(1, "a", 10), (2, "a", 20), (2, "b", 21), (3, "b", 30)],
+                schema,
+            ),
+            stats_cols=["v"],
+        )
+        doomed = spark.createDataFrame([(2,)], "user_id long")
+        tombstone_keys(spark, t, "user_id", doomed, batch_id=7)  # v2
+
+        def users():
+            return {r.user_id for r in read_keyed_table(spark, t).collect()}
+
+        assert users() == {1, 3}
+        # time travel: the pre-delete snapshot still shows user 2
+        v1 = read_keyed_table(spark, t, version=1)
+        assert {r.user_id for r in v1.collect()} == {1, 2, 3}
+        # replayed delete no-ops; mismatched key column is rejected
+        tombstone_keys(spark, t, "user_id", doomed, batch_id=7)
+        assert current_commit(t)["version"] == 2
+        with _pytest.raises(ValueError, match="tombstones key"):
+            tombstone_keys(
+                spark, t, "v", spark.createDataFrame([(10,)], "v long")
+            )
+        # appends carry the tombstones: new rows for a tombstoned key
+        # stay hidden (GDPR semantics) until a materialize clears them
+        append_partition_transaction(  # v3
+            spark, t, "k",
+            spark.createDataFrame([(2, "a", 22), (4, "a", 40)], schema),
+        )
+        assert users() == {1, 3, 4}
+        # materialize: survivors rewritten, tombstones cleared
+        assert materialize_tombstones(spark, t) is not None
+        m = current_commit(t)
+        assert "dv" not in m
+        assert users() == {1, 3, 4}
+        # the resurrect-on-append behavior ENDS once cleared
+        append_partition_transaction(
+            spark, t, "k", spark.createDataFrame([(2, "a", 23)], schema)
+        )
+        assert users() == {1, 2, 3, 4}
+        assert materialize_tombstones(spark, t) is None  # nothing to do
+
     def test_write_audit_publish(self, spark, tmp_path):
         """WAP: the audit sees exactly what would become visible, and a
         rejected batch leaves NO trace — version unchanged, stage

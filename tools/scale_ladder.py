@@ -151,6 +151,10 @@ LADDER = [
     "partition_evolution_read",
     # r6: committed minhash band index probed by the batch flow
     "dedup_index_lakehouse",
+    # r6: key-tombstone (deletion-vector) erasure read
+    "delete_tombstone_mor",
+    # r6: footer-answered aggregates (should be ~flat in data volume)
+    "agg_pushdown_scan",
 ]
 
 
