@@ -706,6 +706,75 @@ def schema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Fixed probe ids for the bloom-skip demo: all < 1000, so present at
+# every sf (sf0.001 already has ids 0..999); each unique in the corpus.
+BLOOM_PROBE_IDS = [42, 137, 256, 613, 888]
+
+
+@register(
+    "bloom_skip_scan",
+    f"""SELECT event_id,
+               event_type,
+               user_id,
+               ROUND(value, 4) AS value
+        FROM events
+        WHERE event_id IN ({", ".join(str(i) for i in BLOOM_PROBE_IDS)})""",
+)
+def bloom_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter data skipping — the third leg of manifest pruning
+    (min/max `manifest_skip_scan`, null counts `null_skip_scan`): events
+    land partitioned by event_type, so EVERY partition spans the whole
+    event_id range and range stats can disprove nothing — the layout
+    where Delta's bloom-filter index / Iceberg's puffin sidecars earn
+    their keep. Two appends build per-partition Bloom bitmaps over
+    event_id (`bloom_cols=...`: one bounded collect_set aggregation per
+    append over just the staged files, OR-merged across appends in the
+    manifest), and each point probe (`prune={{"event_id": ("eq", id)}}`)
+    skips every partition whose bitmap proves the id absent — typically
+    opening 1 of the event-type partitions instead of all of them. The
+    bitmap is sized from the corpus count (driver-side literal) so the
+    false-positive rate stays low at any sf; false positives only cost
+    an extra partition read, never a wrong row — the real filter still
+    applies, and the oracle recomputes from raw parquet with no
+    manifest. Pruned-entry counts and the never-skips-present-values
+    law are pinned by tests/test_streaming_sink.py."""
+    import math
+
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_bloom_skip_r6", sf)
+    path = os.path.join(base, "events_by_type_bloom")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        # ~n/4 distinct ids per type partition; m ≈ 20 bits per key keeps
+        # FP ~1% (k=5) at any sf — the sizing a real bloom index does
+        n = ev.count()
+        m = 1 << max(13, math.ceil(math.log2(max(1, 5 * n))))
+        for i in range(2):
+            append_partition_transaction(
+                spark, path, "event_type",
+                ev.filter(F.col("event_id") % 2 == i),
+                bloom_cols=["event_id"], bloom_bits=m,
+            )
+        mark_landed(base)
+    out = None
+    for probe in BLOOM_PROBE_IDS:
+        t = read_keyed_table(spark, path, prune={"event_id": ("eq", probe)})
+        hit = t.filter(F.col("event_id") == probe)
+        out = hit if out is None else out.unionByName(hit)
+    return out.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.round("value", 4).alias("value"),
+    )
+
+
 TOMBSTONE_MOD = 13  # user_id % 13 == 0 plays the GDPR delete requests
 
 

@@ -40,6 +40,7 @@ period (mtime-based, so an in-flight writer's fresh stage survives).
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import re
@@ -390,6 +391,150 @@ def _collect_stage_stats(
     return out
 
 
+_BLOOM_BITS = 65536  # default m: 8 KiB/partition/col, <1% FP up to ~n=6800
+_BLOOM_HASHES = 5  # k: optimal for m/n ≈ 10
+
+
+def _bloom_position_cols(col, m: int, k: int) -> list:
+    """The k Bloom probe positions of a value, as Column expressions — k
+    independent xxhash64 streams (seeded by stream index as a leading
+    hashed field) over the value's CANONICAL STRING form. Casting to
+    string on BOTH the build and probe side sidesteps Spark's per-type
+    hash encodings (int vs long vs string literals hash differently),
+    so a probe literal of any compatible Python type agrees with the
+    built bitmap."""
+    s = col.cast("string")
+    return [F.pmod(F.xxhash64(F.lit(i), s), F.lit(m)) for i in range(k)]
+
+
+def _collect_stage_blooms(
+    spark: SparkSession,
+    stage_path: str,
+    partition_col: str,
+    written: set[str],
+    bloom_cols: list[str],
+    m: int,
+    k: int,
+) -> dict:
+    """Per-partition Bloom bitmaps over the named columns for a freshly
+    staged write — the manifest half of Delta's bloom-filter index /
+    Iceberg's puffin sidecars: equality predicates on high-cardinality
+    columns can skip partitions whose min/max ranges all overlap (where
+    range stats prove nothing). ONE distributed aggregation per column
+    over only the staged files; the explode feeds a map-side partial
+    collect_set whose size is bounded by m, so the shuffle is
+    O(partitions × m) regardless of appended row count, and the driver
+    packs each set to m/8 bytes of base64. NULLs are not inserted
+    (equality against NULL is the ``"null"`` prune spec's job)."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        df = spark.read.option("basePath", stage_path).parquet(
+            *[os.path.join(stage_path, e) for e in sorted(written)]
+        )
+    finally:
+        spark.conf.set(key, prev)
+    out: dict[str, dict] = {e: {} for e in written}
+    prefix = f"{partition_col}="
+    for c in bloom_cols:
+        if c not in df.columns:
+            continue
+        rows = (
+            df.where(F.col(c).isNotNull())
+            .select(
+                F.col(partition_col).cast("string").alias("_e"),
+                F.explode(
+                    F.array(*_bloom_position_cols(F.col(c), m, k))
+                ).alias("_p"),
+            )
+            .groupBy("_e")
+            .agg(F.collect_set("_p").alias("_ps"))
+            .collect()
+        )
+        for r in rows:
+            bits = bytearray(m // 8)
+            for p in r["_ps"]:
+                bits[p >> 3] |= 1 << (p & 7)
+            out[f"{prefix}{r['_e']}"][c] = {
+                "m": m,
+                "k": k,
+                "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+            }
+    return {e: b for e, b in out.items() if b}
+
+
+_PROBE_CACHE: dict = {}
+
+
+def _bloom_probes(spark: SparkSession, value, m: int, k: int) -> list[int]:
+    """Probe positions for an equality value, computed BY SPARK (a 1-row
+    local-relation job, cached per value+spec) so the probe hashes are
+    bit-identical to the build side's xxhash64 — no Python reimplementation
+    of the JVM hash to drift."""
+    ck = (type(value).__name__, value, m, k)
+    if ck not in _PROBE_CACHE:
+        cols = _bloom_position_cols(F.lit(value), m, k)
+        row = spark.range(1).select(
+            *[c.alias(f"p{i}") for i, c in enumerate(cols)]
+        ).first()
+        _PROBE_CACHE[ck] = [row[f"p{i}"] for i in range(k)]
+    return _PROBE_CACHE[ck]
+
+
+def _split_prune(prune: dict | None) -> tuple[dict | None, dict]:
+    """Split a prune spec into the range/null part `_stats_prune`
+    understands and the equality probes ``{col: value}`` for
+    `_bloom_prune`. An ``("eq", v)`` bound also contributes the
+    degenerate range (v, v) for numeric v, so min/max stats and the
+    bloom BOTH get a chance to disprove it."""
+    if not prune:
+        return prune, {}
+    base: dict = {}
+    eq: dict = {}
+    for c, b in prune.items():
+        if isinstance(b, tuple) and len(b) == 2 and b[0] == "eq":
+            eq[c] = b[1]
+            if isinstance(b[1], (int, float)) and not isinstance(b[1], bool):
+                base[c] = (b[1], b[1])
+        else:
+            base[c] = b
+    return base, eq
+
+
+def _bloom_prune(
+    spark: SparkSession, manifest: dict, parts: dict, eq: dict
+) -> dict:
+    """Entries of ``parts`` whose Bloom bitmaps do not DISPROVE the
+    equality probes ``{col: value}``. Entries or columns without a
+    bitmap are always kept — like min/max stats, a bloom only skips
+    what it can prove absent. No false negatives by construction: the
+    bitmap is the OR of every inserted value's probe positions, so a
+    present value always finds all k bits set; a zero bit at any probe
+    position proves the value was never inserted."""
+    blooms = manifest.get("bloom", {})
+    if not blooms:
+        return parts
+    out = {}
+    for entry, dirname in parts.items():
+        specs = blooms.get(entry, {})
+        keep = True
+        for c, v in eq.items():
+            sp = specs.get(c)
+            if sp is None or v is None:
+                continue
+            bits = base64.b64decode(sp["bits"])
+            if any(
+                not (bits[p >> 3] >> (p & 7)) & 1
+                for p in _bloom_probes(spark, v, sp["m"], sp["k"])
+            ):
+                keep = False
+                break
+        if keep:
+            out[entry] = dirname
+    return out
+
+
 def committed_partition_transaction(
     spark: SparkSession,
     table_dir: str,
@@ -400,6 +545,9 @@ def committed_partition_transaction(
     max_retries: int = 10,
     max_records_per_file: int | None = None,
     allow_legacy: bool = False,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_BITS,
+    bloom_hashes: int = _BLOOM_HASHES,
     _drop_dv: bool = False,
 ) -> None:
     """One optimistic-concurrency transaction over a PARTITION-MAPPED
@@ -507,6 +655,20 @@ def committed_partition_transaction(
             new_stats.update(
                 _collect_stage_stats(stage_path, written, stats_cols)
             )
+        # blooms: same carry-or-recompute contract as stats — rewritten
+        # entries get fresh bitmaps (or none: bloom-less = never pruned)
+        new_bloom = {
+            e: b
+            for e, b in cur.get("bloom", {}).items()
+            if e in new_parts and e not in written
+        }
+        if bloom_cols and written:
+            new_bloom.update(
+                _collect_stage_blooms(
+                    spark, stage_path, partition_col, written,
+                    bloom_cols, bloom_bits, bloom_hashes,
+                )
+            )
         manifest = {
             "version": cur["version"] + 1,
             "dir": stage,
@@ -516,6 +678,8 @@ def committed_partition_transaction(
         }
         if new_stats:
             manifest["stats"] = new_stats
+        if new_bloom:
+            manifest["bloom"] = new_bloom
         if cur.get("legacy_layouts"):
             manifest["legacy_layouts"] = cur["legacy_layouts"]
         if cur.get("dv") and not _drop_dv:
@@ -546,6 +710,9 @@ def append_partition_transaction(
     batch_id: int | None = None,
     max_retries: int = 10,
     audit=None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_BITS,
+    bloom_hashes: int = _BLOOM_HASHES,
 ) -> None:
     """APPEND a batch to a partition-mapped table as one commit — the
     write path a time-partitioned streaming land needs. A partition-map
@@ -670,6 +837,50 @@ def append_partition_transaction(
                         if c in old.get("nulls", {}):
                             merged["nulls"][c] = old["nulls"][c] + k
                     new_stats[e] = merged
+        # blooms: a set-union structure, so appends MERGE by OR-ing
+        # bitmaps — but only when both sides exist with the same (m, k);
+        # anything else drops the entry's bloom (bloom-less = never
+        # pruned), mirroring the stats drop-or-merge discipline above.
+        new_bloom = {
+            e: b for e, b in cur.get("bloom", {}).items() if e in new_parts
+        }
+        if not bloom_cols:
+            for e in written:
+                new_bloom.pop(e, None)
+        elif written:
+            staged_blooms = _collect_stage_blooms(
+                stage_path=stage_path, spark=spark,
+                partition_col=partition_col, written=written,
+                bloom_cols=bloom_cols, m=bloom_bits, k=bloom_hashes,
+            )
+            for e in written:
+                add_b = staged_blooms.get(e)
+                if e in cur["partitions"] and e not in cur.get("bloom", {}):
+                    continue  # pre-existing unbloomed data: stay bloom-less
+                old_b = cur.get("bloom", {}).get(e)
+                if add_b is None:
+                    new_bloom.pop(e, None)
+                    continue
+                if old_b is None:
+                    new_bloom[e] = add_b  # brand-new entry
+                    continue
+                merged_b = {}
+                for c, sp in add_b.items():
+                    osp = old_b.get(c)
+                    if osp and osp["m"] == sp["m"] and osp["k"] == sp["k"]:
+                        ob = base64.b64decode(osp["bits"])
+                        nb = base64.b64decode(sp["bits"])
+                        merged_b[c] = {
+                            "m": sp["m"],
+                            "k": sp["k"],
+                            "bits": base64.b64encode(
+                                bytes(a | b for a, b in zip(ob, nb))
+                            ).decode("ascii"),
+                        }
+                if merged_b:
+                    new_bloom[e] = merged_b
+                else:
+                    new_bloom.pop(e, None)
         manifest = {
             "version": cur["version"] + 1,
             "dir": stage,
@@ -679,6 +890,8 @@ def append_partition_transaction(
         }
         if new_stats:
             manifest["stats"] = new_stats
+        if new_bloom:
+            manifest["bloom"] = new_bloom
         if cur.get("legacy_layouts"):
             manifest["legacy_layouts"] = cur["legacy_layouts"]
         if cur.get("dv"):
@@ -795,6 +1008,11 @@ def compact_partition_table(
     stats_cols = sorted(
         {c for s in cur.get("stats", {}).values() for c in s["cols"]}
     ) or None
+    # recompute blooms for rewritten entries so equality skipping keeps
+    # working across compactions; spec (m, k) inherited from the table
+    blo = cur.get("bloom", {})
+    bloom_cols = sorted({c for e in blo.values() for c in e}) or None
+    bloom_spec = next((s for e in blo.values() for s in e.values()), None)
 
     def rewrite(base: DataFrame) -> DataFrame:
         out = base.filter(F.col(pcol).isin(values)).repartition(F.col(pcol))
@@ -809,6 +1027,9 @@ def compact_partition_table(
     committed_partition_transaction(
         spark, table_dir, pcol, rewrite, affected=values,
         stats_cols=stats_cols, max_records_per_file=max_records_per_file,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_spec["m"] if bloom_spec else _BLOOM_BITS,
+        bloom_hashes=bloom_spec["k"] if bloom_spec else _BLOOM_HASHES,
         # compaction rewrites only CURRENT-layout entries from
         # current-layout rows, so unmigrated legacy layouts are safe to
         # leave untouched
@@ -876,7 +1097,10 @@ def tombstone_keys(
         )
         manifest = {
             k: cur[k]
-            for k in ("partition_col", "partitions", "stats", "legacy_layouts")
+            for k in (
+                "partition_col", "partitions", "stats", "bloom",
+                "legacy_layouts",
+            )
             if k in cur
         }
         manifest["version"] = cur["version"] + 1
@@ -958,6 +1182,8 @@ def evolve_partition_column(
         }
         if cur.get("stats"):
             old["stats"] = cur["stats"]
+        if cur.get("bloom"):
+            old["bloom"] = cur["bloom"]
         legacy.append(old)
         stage = f"data-{uuid.uuid4().hex}"
         os.makedirs(os.path.join(table_dir, stage), exist_ok=True)
@@ -1079,8 +1305,8 @@ def restore_table_version(table_dir: str, version: int) -> int:
             k: v
             for k, v in target.items()
             if k in (
-                "dir", "partition_col", "partitions", "stats", "mor",
-                "dirs", "legacy_layouts", "dv", "dv_key",
+                "dir", "partition_col", "partitions", "stats", "bloom",
+                "mor", "dirs", "legacy_layouts", "dv", "dv_key",
             )
         }
         manifest["version"] = cur["version"] + 1
@@ -1361,7 +1587,10 @@ def _read_partition_map(
     column is normalized to STRING on every branch — dir-name inference
     would otherwise type `day=2024-01-01` as a date in one generation
     and the lit() branch as a string."""
-    parts = _stats_prune(manifest, prune)
+    base_prune, eq = _split_prune(prune)
+    parts = _stats_prune(manifest, base_prune)
+    if eq and parts:
+        parts = _bloom_prune(spark, manifest, parts, eq)
     if not parts:
         if not manifest["partitions"]:
             return None  # genuinely empty table
@@ -1445,11 +1674,15 @@ def read_keyed_table(
     manifests (``committed_partition_transaction``) resolve through their
     partition map instead of a single data dir.
 
-    ``prune`` — ``{col: (lo, hi)}`` inclusive bounds, or ``{col:
-    "notnull"}`` / ``{col: "null"}`` — enables manifest-stats data
-    skipping on partition-mapped tables: partitions whose recorded
-    min/max (or null counts) disprove the predicate are dropped before
-    any file opens. Pruning is advisory-only (entries without stats
+    ``prune`` — ``{col: (lo, hi)}`` inclusive bounds, ``{col:
+    "notnull"}`` / ``{col: "null"}``, or ``{col: ("eq", value)}`` —
+    enables manifest-stats data skipping on partition-mapped tables:
+    partitions whose recorded min/max (or null counts) disprove the
+    predicate are dropped before any file opens. An ``("eq", value)``
+    probe additionally consults the entry's Bloom bitmap when the table
+    was written with ``bloom_cols`` — the high-cardinality equality
+    case range stats can't disprove (numeric eq values still get the
+    degenerate (v, v) range check too). Pruning is advisory-only (entries without stats
     always read); the caller still applies its real filter, so a pruned
     read composed with that filter is ALWAYS equal to the unpruned
     one.

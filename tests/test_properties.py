@@ -310,6 +310,69 @@ class TestStatsPruningLaws:
         assert set(kept) <= set(parts)
 
     @given(
+        contents=st.dictionaries(
+            st.integers(0, 5),  # partition id
+            st.sets(st.integers(0, 60), max_size=20),  # inserted values
+            min_size=1,
+            max_size=6,
+        ),
+        bloomless=st.sets(st.integers(0, 5)),
+        probe=st.integers(0, 60),
+        positions=st.data(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_bloom_prune_never_drops_inserted_values(
+        self, contents, bloomless, probe, positions
+    ):
+        """Bloom skipping is safe for ANY probe-position assignment: an
+        entry whose bitmap was built as the OR of its inserted values'
+        positions always survives a probe for one of those values (no
+        false negatives — the pack/probe bit indexing must agree), and
+        entries without a bitmap are never dropped. Probe positions are
+        injected through _bloom_probes's cache, so the test exercises
+        the REAL prune path bit-for-bit without a SparkSession."""
+        import base64 as b64
+
+        from nshm2022db_spark.streaming import sinks
+
+        m, k = 256, 4
+        pos = {
+            v: positions.draw(
+                st.lists(
+                    st.integers(0, m - 1), min_size=k, max_size=k
+                ),
+                label=f"pos{v}",
+            )
+            for v in set().union(*contents.values(), {probe})
+        }
+        sinks._PROBE_CACHE.clear()
+        for v, ps in pos.items():
+            sinks._PROBE_CACHE[("int", v, m, k)] = ps
+        parts, bloom = {}, {}
+        for pid, vals in contents.items():
+            e = f"k={pid}"
+            parts[e] = "data-x"
+            if pid in bloomless:
+                continue
+            bits = bytearray(m // 8)
+            for v in vals:
+                for p in pos[v]:
+                    bits[p >> 3] |= 1 << (p & 7)
+            bloom[e] = {
+                "v": {
+                    "m": m, "k": k,
+                    "bits": b64.b64encode(bytes(bits)).decode("ascii"),
+                }
+            }
+        manifest = {"partitions": parts, "bloom": bloom, "partition_col": "k"}
+        kept = sinks._bloom_prune(None, manifest, parts, {"v": probe})
+        sinks._PROBE_CACHE.clear()
+        for pid, vals in contents.items():
+            if probe in vals or pid in bloomless:
+                assert f"k={pid}" in kept, (pid, probe)
+        assert set(kept) <= set(parts)
+
+    @given(
         xs=st.lists(
             st.integers(-1000, 1000), min_size=1, max_size=40
         ),

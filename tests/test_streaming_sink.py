@@ -1280,6 +1280,93 @@ class TestCommitLog:
         assert any("k=full" in f for f in isnull2.inputFiles())
         assert isnull2.filter(F.col("v").isNull()).count() == 4
 
+    def test_bloom_equality_skipping(self, spark, tmp_path):
+        """Per-partition Bloom bitmaps drive equality skipping where
+        min/max cannot (every partition spans the whole id range):
+        probes open only the holding partition, appends OR-merge
+        bitmaps, a bloom-less or spec-mismatched append DROPS the
+        touched entry's bitmap (bloom-less = never pruned, always
+        safe), and compaction recomputes bitmaps so skipping survives
+        maintenance."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            compact_partition_table,
+            current_commit,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"k{i % 3}") for i in range(300)], "id long, k string"
+        )
+        append_partition_transaction(
+            spark, t, "k", df.filter("id < 150"),
+            bloom_cols=["id"], bloom_bits=8192,
+        )
+        append_partition_transaction(
+            spark, t, "k", df.filter("id >= 150"),
+            bloom_cols=["id"], bloom_bits=8192,
+        )
+        m = table_history(t)[-1]
+        assert set(m["bloom"]) == {"k=k0", "k=k1", "k=k2"}
+
+        # id=100 lives in k=k1 via append #1, id=200 in k=k2 via append
+        # #2 — the OR-merged bitmaps answer both; sibling partitions are
+        # skipped (100 keys in 8192 bits: FP ~1e-6, and the fixture is
+        # deterministic, so exact skipping is pinnable)
+        for probe, home in [(100, "k=k1"), (200, "k=k2")]:
+            r = read_keyed_table(spark, t, prune={"id": ("eq", probe)})
+            files = r.inputFiles()
+            assert any(home in f for f in files)
+            assert not any(
+                o in f for f in files
+                for o in set(m["bloom"]) - {home}
+            )
+            got = r.filter(F.col("id") == probe).collect()
+            assert [(x.id, x.k) for x in got] == [
+                (probe, home.split("=")[1])
+            ]
+
+        # safety sweep: every present id survives its own probe
+        for probe in range(0, 300, 37):
+            r = read_keyed_table(spark, t, prune={"id": ("eq", probe)})
+            assert r.filter(F.col("id") == probe).count() == 1
+
+        # a bloom-less append drops the touched entry's bitmap; the
+        # entry is then never pruned, even for an absent id
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame([(1000, "k0")], "id long, k string"),
+        )
+        m2 = table_history(t)[-1]
+        assert "k=k0" not in m2.get("bloom", {})
+        assert "k=k1" in m2["bloom"]  # untouched entries keep theirs
+        r = read_keyed_table(spark, t, prune={"id": ("eq", 424242)})
+        assert any("k=k0" in f for f in r.inputFiles())
+
+        # a spec-mismatched append can't OR bitmaps of different sizes:
+        # it drops instead of merging wrong
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame([(2000, "k1")], "id long, k string"),
+            bloom_cols=["id"], bloom_bits=4096,
+        )
+        assert "k=k1" not in table_history(t)[-1].get("bloom", {})
+
+        # compaction recomputes bitmaps for every rewritten entry —
+        # including the two that lost theirs — so skipping is restored
+        assert compact_partition_table(spark, t, max_files_per_partition=1)
+        m3 = current_commit(t)
+        assert set(m3["bloom"]) == {"k=k0", "k=k1", "k=k2"}
+        for probe, home in [(100, "k=k1"), (1000, "k=k0")]:
+            r = read_keyed_table(spark, t, prune={"id": ("eq", probe)})
+            assert not any(
+                o in f for f in r.inputFiles()
+                for o in set(m3["bloom"]) - {home}
+            )
+            assert r.filter(F.col("id") == probe).count() == 1
+
     def test_change_feed_reads_only_requested_commits(self, spark, tmp_path):
         """read_table_changes returns exactly what each commit in the
         range added (tagged with its version), scans nothing outside the
