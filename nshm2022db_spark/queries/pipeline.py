@@ -775,6 +775,82 @@ def bloom_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_incremental_agg",
+    """SELECT user_id,
+              COUNT(*) AS n,
+              CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+              ROUND(SUM(value), 4) AS sum_value
+       FROM events
+       GROUP BY user_id""",
+)
+def cdc_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally maintained materialized aggregate — the medallion
+    bronze→silver flow on the commit log: events land in the bronze
+    partition table across FOUR separate commits, and the silver
+    per-user rollup is maintained by folding each bronze commit's
+    change feed (`read_table_changes`) into the running aggregate —
+    `maintain_incremental_agg` stamps every silver commit with the
+    source version it folded, so the refresh cursor lives in silver's
+    own batch-id ledger and replays are exactly-once. The fourth bronze
+    commit lands AFTER the first maintenance pass, so the query proves
+    true incrementality: the second pass folds only the one new commit
+    (O(delta) + O(rollup), never O(source) — the only affordable shape
+    at 100 TB). COUNT(DISTINCT event_type) is kept mergeable by
+    rolling up at (user, type) grain in silver and collapsing at read.
+    The oracle recomputes the rollup from raw parquet in one shot —
+    incremental maintenance must be invisible in the result."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        maintain_incremental_agg,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_cdc_agg_r6", sf)
+    bronze = os.path.join(base, "bronze_events")
+    silver = os.path.join(base, "silver_user_rollup")
+
+    def agg(delta: DataFrame) -> DataFrame:
+        return delta.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    def merge(cur: DataFrame | None, add: DataFrame) -> DataFrame:
+        if cur is None:
+            return add
+        return (
+            cur.unionByName(add)
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").withColumn(
+            "day", F.col("ts").cast("date").cast("string")
+        ).select("day", "event_id", "user_id", "event_type", "value")
+        for i in range(3):
+            append_partition_transaction(
+                spark, bronze, "day", ev.filter(F.col("event_id") % 4 == i)
+            )
+        maintain_incremental_agg(spark, bronze, silver, agg, merge)
+        # late-arriving slice: one more bronze commit, one more fold
+        append_partition_transaction(
+            spark, bronze, "day", ev.filter(F.col("event_id") % 4 == 3)
+        )
+        maintain_incremental_agg(spark, bronze, silver, agg, merge)
+        mark_landed(base)
+    t = read_keyed_table(spark, silver)
+    return t.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.sum("sum_value"), 4).alias("sum_value"),
+    )
+
+
 TOMBSTONE_MOD = 13  # user_id % 13 == 0 plays the GDPR delete requests
 
 

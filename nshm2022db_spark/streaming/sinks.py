@@ -1448,15 +1448,25 @@ def read_table_changes(
     Committed data dirs are immutable and version-stamped, so the feed
     is just the stage dirs of the requested commit range — O(changed
     data) read, zero reconstruction work. Append transactions contribute
-    exactly their batch; rewrite transactions (compaction, erasure,
-    restore) contribute the rewritten partitions' new contents — the
-    "upsert image" granularity. Returns None when the range holds no
-    commits with data."""
+    exactly their batch; rewrite transactions (compaction, erasure)
+    contribute the rewritten partitions' new contents — the "upsert
+    image" granularity. A RESTORE re-publishes an EARLIER version's
+    stage dir without writing a row, so it contributes nothing (the
+    re-published dir is recognized and skipped — emitting it would
+    replay the whole restored table as "changes" and double-fold any
+    additive consumer). Returns None when the range holds no commits
+    with data."""
     out = None
+    seen_dirs: set[str] = set()
     for m in table_history(table_dir):
         v = m["version"]
+        republished = m.get("dir") in seen_dirs
+        if m.get("dir"):
+            seen_dirs.add(m["dir"])
         if v <= from_version or (to_version is not None and v > to_version):
             continue
+        if republished:
+            continue  # metadata-only re-publish (RESTORE)
         if "partitions" not in m:
             raise ValueError(
                 f"{table_dir} is not partition-mapped; read versions "
@@ -1484,6 +1494,46 @@ def read_table_changes(
             part, allowMissingColumns=True
         )
     return out
+
+
+def maintain_incremental_agg(
+    spark: SparkSession, source_dir: str, dest_dir: str, agg, merge
+) -> int:
+    """Incrementally maintain a derived AGGREGATE table from a source
+    table's change feed — the materialized-view half of a medallion
+    pipeline (bronze facts → silver rollup) with NO source re-scan:
+    each refresh reads only the commits the destination has not folded
+    yet. ``agg(delta_df) -> DataFrame`` folds one commit's added rows
+    to the aggregate grain; ``merge(base_or_None, delta_agg) ->
+    DataFrame`` combines it into the running aggregate (additive
+    measures: union + ONE hash re-agg). Each source commit becomes one
+    destination commit stamped ``batch_id = source version``, so the
+    cursor LIVES IN the destination's own commit ledger (its committed
+    batch ids) — a replayed refresh, a crash between commits, or two
+    concurrent maintainers all resolve to exactly-once application per
+    source version, the same idempotence contract as the streaming
+    sinks. Metadata-only source commits (RESTORE, partition evolution)
+    contribute no rows and are skipped. Cost per refresh is O(changed
+    rows) + O(aggregate table), never O(source) — the only sane shape
+    when the source is 100 TB and the rollup is megabytes. Returns the
+    number of source commits applied."""
+    applied = 0
+    head = current_commit(source_dir)["version"]
+    done = committed_batch_ids(dest_dir) if os.path.isdir(dest_dir) else set()
+    for v in range(1, head + 1):
+        if v in done:
+            continue
+        delta = read_table_changes(spark, source_dir, v - 1, v)
+        if delta is None:
+            continue  # metadata-only commit: nothing to fold
+        committed_transaction(
+            spark,
+            dest_dir,
+            lambda base, d=delta: merge(base, agg(d.drop("_commit_version"))),
+            batch_id=v,
+        )
+        applied += 1
+    return applied
 
 
 def _entry_dirs(v) -> list[str]:

@@ -1367,6 +1367,63 @@ class TestCommitLog:
             )
             assert r.filter(F.col("id") == probe).count() == 1
 
+    def test_incremental_agg_maintenance_exactly_once(
+        self, spark, tmp_path
+    ):
+        """maintain_incremental_agg folds each source commit into the
+        derived aggregate exactly once: the cursor is the destination's
+        own committed batch ids, so a re-run applies nothing, a new
+        source commit applies only itself, metadata-only commits are
+        skipped, and the rollup always equals a full recompute."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            maintain_incremental_agg,
+            read_keyed_table,
+            restore_table_version,
+        )
+
+        src = str(tmp_path / "bronze")
+        dst = str(tmp_path / "silver")
+        rows = [(i, f"k{i % 2}", float(i)) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, k string, v double")
+
+        def agg(d):
+            return d.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+            )
+
+        def merge(cur, add):
+            if cur is None:
+                return add
+            return cur.unionByName(add).groupBy("k").agg(
+                F.sum("n").alias("n"), F.sum("s").alias("s")
+            )
+
+        append_partition_transaction(spark, src, "k", df.filter("id < 10"))
+        append_partition_transaction(
+            spark, src, "k", df.filter("id >= 10 and id < 20")
+        )
+        assert maintain_incremental_agg(spark, src, dst, agg, merge) == 2
+        # idempotent: nothing new → nothing applied
+        assert maintain_incremental_agg(spark, src, dst, agg, merge) == 0
+        # metadata-only commit (RESTORE re-publishes the same state):
+        # skipped, not folded twice
+        restore_table_version(src, 2)
+        assert maintain_incremental_agg(spark, src, dst, agg, merge) == 0
+        # one new commit → exactly one fold, and the rollup equals a
+        # full recompute over the source
+        append_partition_transaction(spark, src, "k", df.filter("id >= 20"))
+        assert maintain_incremental_agg(spark, src, dst, agg, merge) == 1
+        got = {
+            (r.k, r.n, r.s)
+            for r in read_keyed_table(spark, dst).collect()
+        }
+        want = {
+            (r.k, r.n, r.s)
+            for r in agg(read_keyed_table(spark, src)).collect()
+        }
+        assert got == want
+
     def test_change_feed_reads_only_requested_commits(self, spark, tmp_path):
         """read_table_changes returns exactly what each commit in the
         range added (tagged with its version), scans nothing outside the
