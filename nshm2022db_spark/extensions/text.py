@@ -419,3 +419,132 @@ def lm_unigram_score(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+BPE_TOP_PAIRS = 50
+
+
+@register(
+    "bpe_pair_counts",
+    f"""WITH words AS (
+            SELECT w AS word, COUNT(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w),
+        pairs AS (
+            SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+            FROM words,
+                 LATERAL unnest(generate_series(1, length(word) - 1)) AS t(i)
+            WHERE length(word) >= 2)
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT {BPE_TOP_PAIRS}""",
+)
+def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training: adjacent-symbol pair
+    counts over the corpus, weighted by word frequency — exactly the
+    statistic a distributed BPE trainer (the tokenizer a 100 TB
+    pretraining corpus ships with) maximizes at every merge step. The
+    decisive scale property is the TWO-LEVEL aggregation real trainers
+    use: pass 1 collapses the corpus to word frequencies (a shuffle
+    whose width is the vocabulary, with map-side partial counts), and
+    the character-pair explosion then runs over the VOCAB — millions of
+    rows — not the trillions of corpus tokens. Top pairs break count
+    ties lexicographically, so the result (and `learn_bpe`'s merge
+    sequence built on it) is fully deterministic."""
+    words = (
+        read_table(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+def learn_bpe(
+    spark: SparkSession,
+    docs: DataFrame,
+    num_merges: int,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge sequence from a corpus, distributed: the
+    classic trainer (Sennrich et al. 2016, the construction behind
+    GPT-2/LLaMA vocabularies) as iterated Spark aggregations. The
+    corpus collapses ONCE to word frequencies; every merge step then
+    counts adjacent symbol pairs over the vocab (map-side partial
+    sums), picks the max (count desc, pair asc — deterministic ties),
+    and applies it with one regexp pass over the vocab's symbol
+    strings. Per-step cost is vocab-sized regardless of corpus size —
+    the property that makes BPE trainable at 100 TB — and the merge
+    list itself is driver-side because it IS the model (kilobytes).
+    Lineage is localCheckpoint-bounded every 8 merges so long trainings
+    don't grow a 1000-deep plan. Returns the ordered merge rules; stops
+    early when no pair reaches ``min_freq``."""
+    import re as _re
+
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat_ws(" ", F.split(F.col("w"), "")).alias("sym"), "freq"
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for step in range(num_merges):
+        arr = F.split(F.col("sym"), " ")
+        pairs = (
+            vocab.filter(F.size(arr) >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(sym, ' ')) - 1),"
+                        " i -> concat_ws(' ',"
+                        "   element_at(split(sym, ' '), i),"
+                        "   element_at(split(sym, ' '), i + 1)))"
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+        )
+        top = pairs.first()
+        if top is None or top["c"] < min_freq:
+            break
+        a, b = top["pair"].split(" ")
+        merges.append((a, b))
+        # left-to-right non-overlapping replacement, the reference
+        # semantics: pad so every symbol has a space on both sides,
+        # match with zero-width boundaries so "a b a b" merges twice
+        pat = "(?<= )" + _re.escape(a) + " " + _re.escape(b) + "(?= )"
+        vocab = vocab.select(
+            F.trim(
+                F.regexp_replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    pat,
+                    (a + b).replace("\\", "\\\\").replace("$", "\\$"),
+                )
+            ).alias("sym"),
+            "freq",
+        )
+        if (step + 1) % 8 == 0:
+            vocab = vocab.localCheckpoint()
+    return merges

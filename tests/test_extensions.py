@@ -467,3 +467,79 @@ class TestDedupKeepBest:
 
         plan = dedup_keep_best(spark, sf_dir)._jdf.queryExecution().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestBPE:
+    def test_learn_bpe_matches_reference_trainer(self, spark):
+        """The distributed trainer must produce the exact merge sequence
+        of the classic single-machine BPE algorithm (max pair count,
+        ties to the lexicographically smaller 'a b' string, left-to-
+        right non-overlapping application)."""
+        from collections import Counter
+
+        from nshm2022db_spark.extensions.text import learn_bpe
+
+        corpus = [
+            "low lower lowest low low",
+            "new newer newest new newer",
+            "wide wider widest new low",
+        ]
+
+        def reference(texts, num_merges, min_freq):
+            vocab = Counter()
+            for t in texts:
+                for w in t.split():
+                    if w:
+                        vocab[tuple(w)] += 1
+            merges = []
+            for _ in range(num_merges):
+                pairs = Counter()
+                for syms, freq in vocab.items():
+                    for i in range(len(syms) - 1):
+                        pairs[(syms[i], syms[i + 1])] += freq
+                if not pairs:
+                    break
+                best = min(
+                    pairs.items(),
+                    key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"),
+                )
+                if best[1] < min_freq:
+                    break
+                a, b = best[0]
+                merges.append((a, b))
+                new_vocab = Counter()
+                for syms, freq in vocab.items():
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    new_vocab[tuple(out)] += freq
+                vocab = new_vocab
+            return merges
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+        )
+        got = learn_bpe(spark, docs, num_merges=12, min_freq=2)
+        want = reference(corpus, num_merges=12, min_freq=2)
+        assert got == want
+        assert len(got) >= 6  # the fixture supports a real merge ladder
+
+    def test_learn_bpe_merges_adjacent_repeats_left_to_right(self, spark):
+        """'a a a' under merge (a,a) becomes ['aa','a'], never ['a','aa']
+        — the non-overlapping left-to-right contract."""
+        from nshm2022db_spark.extensions.text import learn_bpe
+
+        docs = spark.createDataFrame(
+            [(0, "aaa aaa aa")], "doc_id long, text string"
+        )
+        merges = learn_bpe(spark, docs, num_merges=2, min_freq=2)
+        assert merges == [("a", "a"), ("aa", "a")]
