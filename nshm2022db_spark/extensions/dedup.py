@@ -771,3 +771,104 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_table(spark, sf, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
     return connected_components(docs, pairs)
+
+
+# Substring-run dedup: token-gram width and the minimum run of
+# consecutive duplicated gram positions that flags a document. A run of
+# R gram positions means an exact shared substring of R + GRAM - 1
+# tokens (R=5, GRAM=5 -> 9+ tokens verbatim in another document).
+SUBSTR_GRAM = 5
+SUBSTR_MIN_RUN = 5
+
+
+@register(
+    "dedup_substring_runs",
+    f"""WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(
+                       a[CAST(i AS INTEGER):
+                         CAST(i + {SUBSTR_GRAM - 1} AS INTEGER)], ' ')
+                       AS gram
+            FROM arr,
+                 LATERAL unnest(
+                     generate_series(1, len(a) - {SUBSTR_GRAM - 1})) AS t(i)),
+        dup AS (
+            SELECT gram FROM grams
+            GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        dup_pos AS (
+            SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        runs AS (
+            SELECT doc_id,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM dup_pos),
+        per_run AS (
+            SELECT doc_id, grp, COUNT(*) AS cnt
+            FROM runs GROUP BY doc_id, grp)
+        SELECT doc_id,
+               CAST(MAX(cnt) AS BIGINT) AS max_run,
+               CAST(SUM(cnt) AS BIGINT) AS n_dup_pos
+        FROM per_run GROUP BY doc_id
+        HAVING MAX(cnt) >= {SUBSTR_MIN_RUN}""",
+)
+def dedup_substring_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-SUBSTRING duplication detection — the within-document
+    granularity the whole-doc and near-dup families miss (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    found verbatim ~50-token substrings pervade web corpora even after
+    document-level dedup). A document is flagged when it shares a run
+    of >= {SUBSTR_MIN_RUN} consecutive duplicated {SUBSTR_GRAM}-gram
+    positions with any other document — an exact shared substring of
+    {SUBSTR_MIN_RUN + SUBSTR_GRAM - 1}+ tokens — reported with its
+    longest run and total duplicated positions, which is exactly the
+    input a substring-clipping pass consumes.
+
+    Scale shape: the suffix-array of the reference construction does
+    not distribute; the equivalent blocking form does — positional
+    gram explode (map-side, pipelined with the scan), ONE shuffle on
+    the gram for document-frequency, a join back to positions, and the
+    per-document run reconstruction as a doc_id-partitioned window
+    (pos - row_number islands) whose shuffle doubles as the final
+    rollup's partitioning. No n² term anywhere: cost is corpus grams +
+    duplicated positions. At 100 TB the gram key would be a 64-bit
+    hash instead of the gram text (collision-tolerable for a filter);
+    the text key here keeps the DuckDB oracle byte-identical."""
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("a")
+    )
+    grams = (
+        docs.filter(F.size("a") >= SUBSTR_GRAM)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(a) - {SUBSTR_GRAM - 1}),"
+                    f" i -> concat_ws(' ', slice(a, i, {SUBSTR_GRAM})))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    per_run = (
+        dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_run.groupBy("doc_id")
+        .agg(
+            F.max("cnt").cast("long").alias("max_run"),
+            F.sum("cnt").cast("long").alias("n_dup_pos"),
+        )
+        .filter(F.col("max_run") >= SUBSTR_MIN_RUN)
+    )

@@ -543,3 +543,29 @@ class TestBPE:
         )
         merges = learn_bpe(spark, docs, num_merges=2, min_freq=2)
         assert merges == [("a", "a"), ("aa", "a")]
+
+
+class TestSubstringRuns:
+    def test_shared_span_flags_with_exact_run_length(self, spark, tmp_path):
+        """Two docs sharing a 13-token verbatim span produce a run of
+        13-5+1=9 duplicated gram positions in each; a short 6-token
+        shared span (2 positions < MIN_RUN) does not flag, and a
+        unique doc never appears."""
+        from nshm2022db_spark.extensions.dedup import dedup_substring_runs
+
+        span = "q w e r t y u i o p a s d"  # 13 tokens
+        short = "z x c v b n"  # 6 tokens -> 2 dup positions only
+        docs = [
+            (0, f"alpha {span} omega one", "en", "s", 1),
+            (1, f"beta gamma {span} delta", "en", "s", 1),
+            (2, f"unique words only here today forever {short}", "en", "s", 1),
+            (3, f"{short} totally different trailing content words", "en", "s", 1),
+        ]
+        d = str(tmp_path)
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = {r.doc_id: r for r in dedup_substring_runs(spark, d).collect()}
+        assert set(rows) == {0, 1}
+        assert rows[0].max_run == 9 and rows[1].max_run == 9
+        assert rows[0].n_dup_pos == 9
