@@ -17,6 +17,8 @@ recall vs. brute force is intentionally observable in the outputs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -688,9 +690,7 @@ _DUCK_IVF_CENTS = f"""
 """
 
 
-@register(
-    "knn_ivf",
-    f"""WITH {_DUCK_IVF_CENTS},
+_IVF_ORACLE = f"""WITH {_DUCK_IVF_CENTS},
         lists AS (
             SELECT e.vec_id, any_value(e.embedding) AS embedding,
                    arg_max(c1.centroid_id, {_duck_cos('e.embedding', 'c1.cv')})
@@ -716,8 +716,10 @@ _DUCK_IVF_CENTS = f"""
                                       ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank
-        FROM ranked WHERE rank <= {KNN_K}""",
-)
+        FROM ranked WHERE rank <= {KNN_K}"""
+
+
+@register("knn_ivf", _IVF_ORACLE)
 def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN with one k-means refinement: 8 sampled seed vectors →
     assign → per-dim-mean refined centroids (balanced lists, the real IVF
@@ -1011,3 +1013,103 @@ def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
         for j in range(PROJ_DIM)
     ]
     return read_table(spark, sf, "embeddings").select("vec_id", *cols)
+
+
+@register("knn_index_lakehouse", _IVF_ORACLE)
+def knn_index_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
+    """The production form of `knn_ivf`: the inverted lists are a
+    MATERIALIZED commit-log table partitioned by centroid_id — trained
+    and landed once, then grown INCREMENTALLY (a held-out tenth of the
+    corpus arrives as a later batch: assignment is a broadcast-centroid
+    map-only pass over just the batch, appended in one O(batch)
+    `append_partition_transaction` commit — the corpus is never
+    re-assigned, which is the point at 100 TB). Queries read the index
+    back through `read_keyed_table` and touch only their nprobe probed
+    lists: the probe filter on the partition column folds per union
+    branch, so unprobed lists collapse to empty relations before any
+    file opens (pinned by a plan test). Precomputed norms live in the
+    index like any real ANN store. Same oracle as `knn_ivf` — the
+    materialized flow must change WHERE bytes live, never the answer."""
+    from nshm2022db_spark.sources.scratch import (
+        is_landed,
+        mark_landed,
+        scratch_path,
+    )
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        committed_partition_transaction,
+        read_keyed_table,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    cents = _trained_centroids(spark, sf)
+    base = scratch_path("ivf_index_lakehouse_r6", sf)
+    path = os.path.join(base, "ivf_lists")
+    if not is_landed(base):
+        initial = _assign_lists(emb.filter(F.col("vec_id") % 10 != 0), cents)
+        committed_partition_transaction(
+            spark, path, "centroid_id", lambda b: initial
+        )
+        late = _assign_lists(emb.filter(F.col("vec_id") % 10 == 0), cents)
+        append_partition_transaction(spark, path, "centroid_id", late)
+        mark_landed(base)
+    idx = read_keyed_table(spark, path)
+    centsn = _with_norm(cents, "cv", "cnorm")
+    qp = (
+        _with_norm(
+            emb.filter(F.col("vec_id") < N_QUERIES), "embedding", "qnorm"
+        )
+        .crossJoin(F.broadcast(centsn))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "qnorm",
+            "centroid_id",
+            (
+                F.expr(spark_dot("embedding", "cv"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("qcos"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qp.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= IVF_NPROBE)
+        .select(
+            "query_id", "qv", "qnorm",
+            F.col("centroid_id").cast("string").alias("pcid"),
+        )
+    )
+    probed_ids = sorted({r["pcid"] for r in probes.select("pcid").collect()})
+    scored = (
+        idx.filter(F.col("centroid_id").isin(probed_ids))
+        .alias("l")
+        .join(
+            F.broadcast(probes),
+            (F.col("l.centroid_id") == F.col("pcid"))
+            & (F.col("l.vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("l.vec_id").alias("neighbor_id"),
+            (
+                F.expr(spark_dot("qv", "embedding"))
+                / (F.col("qnorm") * F.col("enorm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos"), 6).alias("cos"),
+            "rank",
+        )
+    )

@@ -569,3 +569,40 @@ class TestSubstringRuns:
         assert set(rows) == {0, 1}
         assert rows[0].max_run == 9 and rows[1].max_run == 9
         assert rows[0].n_dup_pos == 9
+
+
+class TestKnnIndexLakehouse:
+    def test_matches_inline_ivf(self, spark, sf_dir):
+        """Materializing the inverted lists (and growing them with an
+        incremental append) must not change a single neighbor, cosine,
+        or rank vs the inline IVF."""
+        from nshm2022db_spark.extensions.similarity import (
+            knn_index_lakehouse,
+            knn_ivf,
+        )
+
+        a = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in knn_ivf(spark, sf_dir).collect()
+        }
+        b = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in knn_index_lakehouse(spark, sf_dir).collect()
+        }
+        assert a == b and a
+
+    def test_probe_filter_reaches_partition_pruning(self, spark, sf_dir):
+        """The probed-list filter must prune at the index table's
+        partition level (PartitionFilters on centroid_id), not scan
+        every inverted list."""
+        from nshm2022db_spark.extensions.similarity import (
+            knn_index_lakehouse,
+        )
+
+        plan = (
+            knn_index_lakehouse(spark, sf_dir)
+            ._jdf.queryExecution()
+            .toString()
+        )
+        assert "PartitionFilters" in plan
+        assert "centroid_id" in plan
