@@ -548,3 +548,179 @@ def learn_bpe(
         if (step + 1) % 8 == 0:
             vocab = vocab.localCheckpoint()
     return merges
+
+
+LM_LAMBDA = 0.75  # bigram weight; 1-λ backs off to the unigram model
+
+
+@register(
+    "lm_bigram_score",
+    f"""WITH arr AS (
+            SELECT doc_id, {duck_tokens(duck_ascii_lower('text'))} AS ts
+            FROM documents),
+        big AS (
+            SELECT doc_id,
+                   ts[CAST(i AS INTEGER)] AS w1,
+                   ts[CAST(i + 1 AS INTEGER)] AS w2
+            FROM arr, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)
+            WHERE len(ts) >= 2),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        tok AS (SELECT unnest(ts) AS w FROM arr),
+        c1 AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT COUNT(*) AS t FROM tok)
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(AVG(-ln(
+                   {LM_LAMBDA} * c12::DOUBLE / u1.c::DOUBLE
+                   + {1 - LM_LAMBDA} * u2.c::DOUBLE / t::DOUBLE)), 4)
+                   AS avg_nll
+        FROM big
+        JOIN c2 USING (w1, w2)
+        JOIN c1 u1 ON u1.w = big.w1
+        JOIN c1 u2 ON u2.w = big.w2, tot
+        GROUP BY doc_id""",
+)
+def lm_bigram_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — the next rung above
+    `lm_unigram_score` on the KenLM-style perplexity-filter ladder: per
+    document, the mean negative log-likelihood of its token bigrams
+    under λ·P(w2|w1) + (1-λ)·P(w2), the classic Jelinek-Mercer
+    interpolation (every bigram in scope appears in the corpus model,
+    so the backoff weight is a smoothing choice, not a zero-guard).
+
+    Scale shape: the bigram explode is map-side; the bigram count table
+    is ONE shuffle whose width is the observed-bigram vocabulary; both
+    model tables broadcast into the scoring join (at web scale the
+    bigram table exceeds broadcast range and the join shuffles on w1,w2
+    — the explode already clusters by document, so AQE picks that up);
+    the per-doc rollup partial-aggregates on doc_id. AVG is a
+    data-ordered float sum → ROUND(,4) both sides."""
+    arr = read_table(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(spark_tokens(spark_ascii_lower("text"))).alias("ts"),
+    )
+    big = (
+        arr.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(element_at(ts, i) AS w1,"
+                    "             element_at(ts, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tok = arr.select(F.explode("ts").alias("w"))
+    c1 = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    p = (
+        F.lit(LM_LAMBDA) * F.col("c12").cast("double") / F.col("cw1").cast("double")
+        + F.lit(1 - LM_LAMBDA) * F.col("cw2").cast("double") / F.col("t").cast("double")
+    )
+    return (
+        big.join(F.broadcast(c2), ["w1", "w2"])
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c").alias("cw1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c").alias("cw2"))),
+            "w2",
+        )
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("avg_nll"),
+        )
+    )
+
+
+# Fixed BPE merge table for the encode demo, applied IN ORDER (order is
+# semantic: "er"+"s" can only fire after "e"+"r"). A production pipeline
+# feeds learn_bpe's output here; fixing the table keeps the oracle static.
+BPE_FIXED_MERGES = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("s", "t"),
+    ("er", "s"), ("a", "n"), ("t", "h"), ("in", "g"),
+]
+BPE_ENCODE_TOPK = 20
+
+
+def _bpe_sym_sql(col: str, duck: bool) -> str:
+    """Marker-framed symbol string of a word (chr(1) around every symbol,
+    chr(1)chr(1) between), with the fixed merges applied as chained
+    non-overlapping left-to-right replace() — identical builtin
+    semantics on both engines, and the markers make merge boundaries
+    exact (no symbol can match inside another)."""
+    m = "chr(1)"
+    if duck:
+        s = f"({m} || array_to_string(string_split({col}, ''), {m}||{m}) || {m})"
+        for a, b in BPE_FIXED_MERGES:
+            s = (
+                f"replace({s}, {m}||'{a}'||{m}||{m}||'{b}'||{m},"
+                f" {m}||'{a}{b}'||{m})"
+            )
+    else:
+        s = f"concat({m}, array_join(split({col}, ''), concat({m}, {m})), {m})"
+        for a, b in BPE_FIXED_MERGES:
+            s = (
+                f"replace({s}, concat({m},'{a}',{m},{m},'{b}',{m}),"
+                f" concat({m},'{a}{b}',{m}))"
+            )
+    return s
+
+
+@register(
+    "bpe_encode_topk",
+    f"""WITH words AS (
+            SELECT w AS word, COUNT(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w),
+        toks AS (
+            SELECT unnest(string_split(
+                       trim({_bpe_sym_sql('word', True)}, chr(1)),
+                       chr(1) || chr(1))) AS token,
+                   freq
+            FROM words)
+        SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM toks GROUP BY token
+        ORDER BY cnt DESC, token LIMIT {BPE_ENCODE_TOPK}""",
+)
+def bpe_encode_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE ENCODING applied distributed — the other half of the
+    tokenizer story beside `bpe_pair_counts`/`learn_bpe`: every word is
+    segmented by a fixed ordered merge table (chained non-overlapping
+    replace over a marker-framed symbol string — builtin string ops,
+    whole-stage codegen, no Python), and the corpus's resulting token
+    frequencies roll up to the top {BPE_ENCODE_TOPK}. The decisive
+    scale property mirrors training: encoding runs over the DISTINCT
+    WORD table (vocabulary-sized) and corpus-weights by word frequency,
+    so the per-token cost is paid once per unique word, not once per
+    corpus occurrence — exactly how production tokenizer services
+    cache. Ties break lexicographically; fully deterministic."""
+    words = (
+        read_table(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    toks = words.select(
+        F.explode(
+            F.expr(
+                f"split(trim(BOTH chr(1) FROM {_bpe_sym_sql('word', False)}),"
+                f" concat(chr(1), chr(1)))"
+            )
+        ).alias("token"),
+        "freq",
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(BPE_ENCODE_TOPK)
+    )

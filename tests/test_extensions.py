@@ -606,3 +606,21 @@ class TestKnnIndexLakehouse:
         )
         assert "PartitionFilters" in plan
         assert "centroid_id" in plan
+
+
+class TestBpeEncode:
+    def test_ordered_merges_segment_words(self, spark, tmp_path):
+        """Merge order is semantic: 'lowers' -> l o w er s -> l o w ers
+        (er+s only after e+r), and 'thing' -> th ing via th, in, in+g."""
+        from nshm2022db_spark.extensions.text import bpe_encode_topk
+
+        d = str(tmp_path)
+        spark.createDataFrame(
+            [(0, "lowers thing", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {(r.token, r.cnt) for r in bpe_encode_topk(spark, d).collect()}
+        assert got == {
+            ("l", 1), ("o", 1), ("w", 1), ("ers", 1),
+            ("th", 1), ("ing", 1),
+        }
