@@ -179,6 +179,20 @@ _DRIVER_ORDER = [
     #     registry query has a driver row from r4 or later;
     # (d) remaining slots refresh the stalest r4 rows.
     #
+    # (a2) queries NEW in the round's second half: bloom equality
+    # skipping, the CDC-maintained rollup, the BPE train/encode pair,
+    # the bigram LM, substring-run dedup, and the materialized IVF
+    # index — bloom_skip_scan and cdc_incremental_agg double as
+    # in-window representatives for this half's shared-primitive
+    # changes (sinks.py: eq/bloom prune split on the read path, the
+    # change feed's RESTORE-skip):
+    "bloom_skip_scan",
+    "cdc_incremental_agg",
+    "bpe_pair_counts",
+    "bpe_encode_topk",
+    "lm_bigram_score",
+    "dedup_substring_runs",
+    "knn_index_lakehouse",
     # (a) new queries + the geometry pair:
     "delete_tombstone_mor",
     "agg_pushdown_scan",
@@ -222,9 +236,13 @@ _DRIVER_ORDER = [
     "cohort_retention",
     "compact_small_files",
     "lm_unigram_score",
-    # (d) stalest r4 rows:
+    # (d) stalest r4 rows (the second-half additions displaced the
+    # rest of this group below the boundary):
     "weighted_sample",
     "pack_sequences",
+    # --- 50-query window boundary (driver gate cap observed r01-r05) ---
+    # Tail head: the remaining r4-row queries — stalest after this
+    # round; rotate into the round-7 window.
     "source_mix_sample",
     "orc_scan",
     "stream_static_join",
@@ -232,9 +250,6 @@ _DRIVER_ORDER = [
     "stream_stream_join",
     "stream_stateful_profile",
     "text_repetition_stats",
-    # --- 50-query window boundary (driver gate cap observed r01-r05) ---
-    # Tail head: the remaining r4-row queries — stalest after this
-    # round; rotate into the round-7 window.
     "stream_upsert_table",
     "text_lang_id",
     "text_quality_score",

@@ -225,6 +225,14 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
+            # round-6 second-half new queries (bloom equality skipping,
+            # CDC rollup, BPE train/encode, bigram LM, substring-run
+            # dedup, materialized IVF index) — bloom_skip_scan and
+            # cdc_incremental_agg also represent the second half's
+            # sinks.py read-path/change-feed changes
+            "bloom_skip_scan", "cdc_incremental_agg",
+            "bpe_pair_counts", "bpe_encode_topk", "lm_bigram_score",
+            "dedup_substring_runs", "knn_index_lakehouse",
             # round-6 new queries: the two table-format proofs, the
             # geometry partial-hash companion (kept beside
             # geometry_planes itself), and the three new training-data

@@ -155,6 +155,17 @@ LADDER = [
     "delete_tombstone_mor",
     # r6: footer-answered aggregates (should be ~flat in data volume)
     "agg_pushdown_scan",
+    # r6 second half: bloom equality skipping (probe cost ~flat, land
+    # cost linear), CDC-maintained rollup, BPE train/encode (vocab-
+    # bound), bigram LM, substring-run dedup (gram-shuffle linear),
+    # materialized IVF index
+    "bloom_skip_scan",
+    "cdc_incremental_agg",
+    "bpe_pair_counts",
+    "bpe_encode_topk",
+    "lm_bigram_score",
+    "dedup_substring_runs",
+    "knn_index_lakehouse",
 ]
 
 
