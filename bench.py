@@ -135,6 +135,13 @@ HEADLINE = [
     "dedup_index_lakehouse",
     "agg_pushdown_scan",
     "delete_tombstone_mor",
+    "bloom_skip_scan",
+    "cdc_incremental_agg",
+    "bpe_pair_counts",
+    "bpe_encode_topk",
+    "lm_bigram_score",
+    "dedup_substring_runs",
+    "knn_index_lakehouse",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)
