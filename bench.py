@@ -142,6 +142,8 @@ HEADLINE = [
     "lm_bigram_score",
     "dedup_substring_runs",
     "knn_index_lakehouse",
+    "multimodal_resize_downsample",
+    "multimodal_audio_energy",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

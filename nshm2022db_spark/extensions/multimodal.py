@@ -530,3 +530,165 @@ def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
         F.round("mean_abs", 6).alias("mean_abs"),
         "peak", "wsum",
     )
+
+
+def _downsample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL resize: decode each BMP, 2x nearest-neighbor downsample
+    (keep even rows/cols — the canonical stride trick), aggregate the
+    RESULT grid. The position-weighted checksum runs over the output
+    coordinates, so an off-by-one in the stride (odd rows kept, origin
+    shifted) hash-mismatches even though channel means barely move."""
+    for pdf in batches:
+        out = []
+        for media_id, blob in zip(pdf["media_id"], pdf["media"]):
+            img = decode_bmp(bytes(blob)).astype(np.int64)
+            small = img[::2, ::2]
+            h, w = small.shape[0], small.shape[1]
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            wsum = int(((xx + 2 * yy + 1) * small.sum(axis=-1)).sum())
+            out.append(
+                (
+                    int(media_id), w, h, h * w,
+                    float(small[..., 0].mean()),
+                    float(small[..., 1].mean()),
+                    float(small[..., 2].mean()),
+                    wsum,
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "media_id", "width", "height", "n_pixels",
+                "mean_r", "mean_g", "mean_b", "wsum",
+            ],
+        )
+
+
+@register(
+    "multimodal_resize_downsample",
+    f"""WITH dims AS (
+            SELECT doc_id AS media_id,
+                   {_BMP_DIMS[0].replace('media_id', 'doc_id')} AS w,
+                   {_BMP_DIMS[1].replace('media_id', 'doc_id')} AS h,
+                   {_BMP_DIMS[2].replace('media_id', 'doc_id')} AS seed
+            FROM documents),
+        xs AS (SELECT media_id, w, h, seed, unnest(range(0, w, 2)) AS x
+               FROM dims),
+        px AS (SELECT media_id, w, h, x, seed, unnest(range(0, h, 2)) AS y
+               FROM xs),
+        ch AS (SELECT media_id, w, h, x // 2 AS x2, y // 2 AS y2,
+                      {_PX_R} AS r, {_PX_G} AS g, {_PX_B} AS b
+               FROM px)
+        SELECT media_id,
+               MAX((w + 1) // 2)::INTEGER AS width,
+               MAX((h + 1) // 2)::INTEGER AS height,
+               COUNT(*) AS n_pixels,
+               ROUND(AVG(r), 6) AS mean_r,
+               ROUND(AVG(g), 6) AS mean_g,
+               ROUND(AVG(b), 6) AS mean_b,
+               CAST(SUM((x2 + 2 * y2 + 1) * (r + g + b)) AS BIGINT) AS wsum
+        FROM ch GROUP BY media_id""",
+)
+def multimodal_resize_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Image RESIZE through the real codec path: encode every document's
+    BMP, decode it, 2x nearest-neighbor downsample, and aggregate the
+    output grid — the canonical thumbnail/preprocess stage of a
+    multimodal training pipeline, as a third chained map-only
+    mapInPandas stage (encode → decode+resize → aggregate) with the
+    binary never leaving the executors. The oracle recomputes the
+    closed-form EVEN-coordinate pixels in SQL with no codec: the
+    output-coordinate weighted checksum pins both the stride and the
+    origin of the resample."""
+    decoded = bmp_media_table(spark, sf).mapInPandas(
+        _downsample_batches, _PIXEL_SCHEMA
+    )
+    return decoded.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "wsum",
+    )
+
+
+ENERGY_FRAME = 160  # samples per energy frame (10 ms at 16 kHz)
+
+
+def _wav_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode → framed RMS energy, one row per frame (the VAD /
+    silence-trim feature an audio curation pipeline computes). The last
+    partial frame is kept with its true sample count."""
+    for pdf in batches:
+        out = []
+        for media_id, blob in zip(pdf["media_id"], pdf["media"]):
+            _, s = decode_wav(bytes(blob))
+            s64 = s.astype(np.float64)
+            for f in range(0, len(s64), ENERGY_FRAME):
+                seg = s64[f : f + ENERGY_FRAME]
+                out.append(
+                    (
+                        int(media_id),
+                        f // ENERGY_FRAME,
+                        len(seg),
+                        float(np.sqrt((seg * seg).mean())),
+                    )
+                )
+        yield pd.DataFrame(
+            out, columns=["media_id", "frame", "n_samples", "rms"]
+        )
+
+
+@register(
+    "multimodal_audio_energy",
+    f"""WITH audio AS (
+            SELECT doc_id AS media_id,
+                   {_WAV_N.replace('media_id', 'doc_id')} AS n,
+                   doc_id % 256 AS seed
+            FROM documents WHERE doc_id % 3 = 1),
+        samp AS (SELECT media_id, n, seed, unnest(range(0, n)) AS i
+                 FROM audio),
+        vals AS (SELECT media_id, i // {ENERGY_FRAME} AS frame,
+                        {_WAV_SAMPLE} AS s
+                 FROM samp)
+        SELECT media_id,
+               CAST(frame AS BIGINT) AS frame,
+               COUNT(*) AS n_samples,
+               ROUND(sqrt(AVG(s::DOUBLE * s::DOUBLE)), 6) AS rms
+        FROM vals GROUP BY media_id, frame""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Framed RMS energy over REAL decoded audio — per {ENERGY_FRAME}-
+    sample frame (10 ms at {SAMPLE_RATE} Hz), the feature a voice-
+    activity / silence-trimming curation stage consumes. Same two-stage
+    map-only mapInPandas shape as the decode queries; the frame fan-out
+    happens inside the Python stage (rows out > rows in is mapInPandas'
+    contract, no explode shuffle). The oracle regenerates the closed-
+    form PCM samples in SQL and frames them with integer division —
+    mean-of-int-squares is exact in doubles at this frame size, so
+    ROUND(,6) of an IEEE sqrt agrees bit-for-bit."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": [
+                        encode_wav(_wav_samples(int(m)), SAMPLE_RATE)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    audio_ids = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    wavs = audio_ids.mapInPandas(encode_batches, "media_id long, media binary")
+    framed = wavs.mapInPandas(
+        _wav_energy_batches,
+        "media_id long, frame long, n_samples long, rms double",
+    )
+    return framed.select(
+        "media_id", "frame", "n_samples", F.round("rms", 6).alias("rms")
+    )

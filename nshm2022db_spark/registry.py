@@ -193,6 +193,8 @@ _DRIVER_ORDER = [
     "lm_bigram_score",
     "dedup_substring_runs",
     "knn_index_lakehouse",
+    "multimodal_resize_downsample",
+    "multimodal_audio_energy",
     # (a) new queries + the geometry pair:
     "delete_tombstone_mor",
     "agg_pushdown_scan",
@@ -236,13 +238,11 @@ _DRIVER_ORDER = [
     "cohort_retention",
     "compact_small_files",
     "lm_unigram_score",
-    # (d) stalest r4 rows (the second-half additions displaced the
-    # rest of this group below the boundary):
-    "weighted_sample",
-    "pack_sequences",
     # --- 50-query window boundary (driver gate cap observed r01-r05) ---
     # Tail head: the remaining r4-row queries — stalest after this
     # round; rotate into the round-7 window.
+    "weighted_sample",
+    "pack_sequences",
     "source_mix_sample",
     "orc_scan",
     "stream_static_join",

@@ -233,6 +233,7 @@ class TestDriverOrder:
             "bloom_skip_scan", "cdc_incremental_agg",
             "bpe_pair_counts", "bpe_encode_topk", "lm_bigram_score",
             "dedup_substring_runs", "knn_index_lakehouse",
+            "multimodal_resize_downsample", "multimodal_audio_energy",
             # round-6 new queries: the two table-format proofs, the
             # geometry partial-hash companion (kept beside
             # geometry_planes itself), and the three new training-data

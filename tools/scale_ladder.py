@@ -166,6 +166,9 @@ LADDER = [
     "lm_bigram_score",
     "dedup_substring_runs",
     "knn_index_lakehouse",
+    # r6 second half: real-codec transforms (resize stride, framed RMS)
+    "multimodal_resize_downsample",
+    "multimodal_audio_energy",
 ]
 
 
