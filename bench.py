@@ -144,6 +144,7 @@ HEADLINE = [
     "knn_index_lakehouse",
     "multimodal_resize_downsample",
     "multimodal_audio_energy",
+    "stream_cdc_rollup",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -195,6 +195,7 @@ _DRIVER_ORDER = [
     "knn_index_lakehouse",
     "multimodal_resize_downsample",
     "multimodal_audio_energy",
+    "stream_cdc_rollup",
     # (a) new queries + the geometry pair:
     "delete_tombstone_mor",
     "agg_pushdown_scan",
@@ -210,7 +211,9 @@ _DRIVER_ORDER = [
     "rowgroup_skip_scan",
     "schema_evolution_read",
     "geometry_planes_checksum",
-    "geometry_planes",
+    # (geometry_planes itself rotated to the tail for the second half:
+    # rows-only row, fresh r5 driver row, and the hash-oracled checksum
+    # companion above covers the same construction path in-window)
     "delete_where_rewrite",
     "manifest_skip_scan",
     "stream_partitioned_land",
@@ -241,6 +244,7 @@ _DRIVER_ORDER = [
     # --- 50-query window boundary (driver gate cap observed r01-r05) ---
     # Tail head: the remaining r4-row queries — stalest after this
     # round; rotate into the round-7 window.
+    "geometry_planes",
     "weighted_sample",
     "pack_sequences",
     "source_mix_sample",

@@ -220,6 +220,81 @@ def stream_partitioned_land(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_cdc_rollup",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              COUNT(*) AS n,
+              CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              ROUND(SUM(value), 2) AS total
+       FROM events GROUP BY 1""",
+)
+def stream_cdc_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """The full MEDALLION streaming flow in one oracled query: each
+    micro-batch (3-file replay) appends to the BRONZE partition table
+    and then, in the same foreachBatch, `maintain_incremental_agg`
+    folds bronze's new change-feed commits into the SILVER day rollup —
+    silver is maintained continuously from CDC, never recomputed from
+    bronze. Exactly-once composes at both hops: the bronze append
+    no-ops on a replayed micro-batch id, and silver's refresh cursor
+    (bronze versions in silver's own ledger) no-ops on already-folded
+    commits, so a crash or replay anywhere between the four commits
+    resolves cleanly. The oracle recomputes the rollup from base events
+    in one shot — two layers of incrementality must be invisible in
+    the result."""
+    import tempfile
+
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        maintain_incremental_agg,
+        read_keyed_table,
+    )
+
+    stream = _raw_event_stream(
+        spark, sf, _stream_dir_split(spark, sf), maxFilesPerTrigger=1
+    ).withColumn("day", F.col("ts").cast("date").cast("string"))
+    bronze = tempfile.mkdtemp(prefix="cdc_bronze_")
+    silver = tempfile.mkdtemp(prefix="cdc_silver_")
+
+    def agg(delta: DataFrame) -> DataFrame:
+        return delta.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum("value").alias("total"),
+        )
+
+    def merge(cur: DataFrame | None, add: DataFrame) -> DataFrame:
+        if cur is None:
+            return add
+        return cur.unionByName(add).groupBy("day").agg(
+            F.sum("n").alias("n"),
+            F.sum("id_sum").alias("id_sum"),
+            F.sum("total").alias("total"),
+        )
+
+    def land_and_maintain(batch_df: DataFrame, bid: int) -> None:
+        s = batch_df.sparkSession
+        append_partition_transaction(
+            s, bronze, "day", batch_df, batch_id=bid
+        )
+        maintain_incremental_agg(s, bronze, silver, agg, merge)
+
+    q = (
+        stream.writeStream.foreachBatch(land_and_maintain)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = read_keyed_table(spark, silver)
+    return t.groupBy("day").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("id_sum").cast("long").alias("id_sum"),
+        F.round(F.sum("total"), 2).alias("total"),
+    )
+
+
 def _event_stream(spark: SparkSession, sf: str) -> DataFrame:
     return _raw_event_stream(spark, sf, _stream_dir(sf)).withWatermark("ts", "1 hour")
 

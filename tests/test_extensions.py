@@ -234,12 +234,15 @@ class TestDriverOrder:
             "bpe_pair_counts", "bpe_encode_topk", "lm_bigram_score",
             "dedup_substring_runs", "knn_index_lakehouse",
             "multimodal_resize_downsample", "multimodal_audio_energy",
+            "stream_cdc_rollup",
             # round-6 new queries: the two table-format proofs, the
             # geometry partial-hash companion (kept beside
             # geometry_planes itself), and the three new training-data
             # operators (epoch shuffle, upsampling, priority dedup)
+            # (geometry_planes rotated to the tail in the second half —
+            # rows-only, fresh r5 row, checksum companion in-window)
             "rowgroup_skip_scan", "schema_evolution_read",
-            "geometry_planes_checksum", "geometry_planes",
+            "geometry_planes_checksum",
             "epoch_shuffle", "quality_upsample", "dedup_keep_best",
             "bloom_join_prefilter", "stream_source_quota",
             "table_changes_feed", "null_skip_scan",

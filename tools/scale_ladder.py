@@ -169,6 +169,9 @@ LADDER = [
     # r6 second half: real-codec transforms (resize stride, framed RMS)
     "multimodal_resize_downsample",
     "multimodal_audio_energy",
+    # r6 second half: streaming medallion flow (bronze land + CDC-fed
+    # silver rollup per micro-batch)
+    "stream_cdc_rollup",
 ]
 
 
