@@ -145,6 +145,8 @@ HEADLINE = [
     "multimodal_resize_downsample",
     "multimodal_audio_energy",
     "stream_cdc_rollup",
+    "manifest_count_scan",
+    "constrained_land",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

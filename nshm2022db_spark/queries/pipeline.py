@@ -776,6 +776,91 @@ def bloom_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "manifest_count_scan",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def manifest_count_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only COUNT(*) — the Delta trick where a count never
+    touches data: events land day-partitioned with footer-derived row
+    counts in the manifest stats, and `read_partition_counts` answers
+    the per-day counts from that JSON alone — zero parquet files
+    opened (inputFiles() == [] is pinned by test). Footer `num_rows`
+    is exact for what's on disk, so the metadata answer IS the scan
+    answer — which the oracle proves by recomputing from raw events.
+    At 100 TB this is the difference between O(partitions) driver
+    metadata and a full-table scan for the most common query there
+    is. Stat-less entries, tombstones, or legacy layouts silently
+    fall back to real scans of exactly the uncovered data."""
+    from nshm2022db_spark.streaming.sinks import (
+        committed_partition_transaction,
+        read_partition_counts,
+    )
+
+    base = scratch_path("events_count_meta_r6", sf)
+    path = os.path.join(base, "events_by_day")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").withColumn(
+            "day", F.col("ts").cast("date").cast("string")
+        )
+        committed_partition_transaction(
+            spark, path, "day", lambda b: ev, stats_cols=["event_id"]
+        )
+        mark_landed(base)
+    return read_partition_counts(spark, path).select("day", "n")
+
+
+@register(
+    "constrained_land",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              CAST(MIN(event_id) AS BIGINT) AS min_id,
+              ROUND(SUM(value), 4) AS sum_value
+       FROM events GROUP BY event_type""",
+)
+def constrained_land(spark: SparkSession, sf: str) -> DataFrame:
+    """CHECK constraints on the write path (Delta's ADD CONSTRAINT):
+    the first append lands bare, `set_table_constraints` validates the
+    existing data and stores the checks in the manifest, and the
+    second append is gated through them before its CAS — the data
+    contract every production landing zone wants, enforced by the
+    TABLE rather than remembered by each writer. Constraints hold ⇒
+    the read equals the raw rollup (the oracle); a violating batch
+    would have failed the land loudly instead of shipping bad rows.
+    Enforcement cost is one O(batch) scan of the staged files —
+    the same files the commit was about to publish."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        read_keyed_table,
+        set_table_constraints,
+    )
+
+    base = scratch_path("events_constrained_r6", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id", "event_type", "value"
+        )
+        append_partition_transaction(
+            spark, path, "event_type", ev.filter(F.col("event_id") % 2 == 0)
+        )
+        set_table_constraints(
+            spark, path, ["event_id >= 0", "value IS NOT NULL"]
+        )
+        append_partition_transaction(
+            spark, path, "event_type", ev.filter(F.col("event_id") % 2 == 1)
+        )
+        mark_landed(base)
+    t = read_keyed_table(spark, path)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
     "cdc_incremental_agg",
     """SELECT user_id,
               COUNT(*) AS n,

@@ -196,6 +196,8 @@ _DRIVER_ORDER = [
     "multimodal_resize_downsample",
     "multimodal_audio_energy",
     "stream_cdc_rollup",
+    "manifest_count_scan",
+    "constrained_land",
     # (a) new queries + the geometry pair:
     "delete_tombstone_mor",
     "agg_pushdown_scan",
@@ -230,8 +232,6 @@ _DRIVER_ORDER = [
     "events_locf",
     "rank_distribution",
     "value_drift_trend",
-    "csv_gzip_scan",
-    "multimodal_audio_chunks",
     "snapshot_diff",
     "zorder_key",
     "bucket_by_cutpoints",
@@ -242,8 +242,12 @@ _DRIVER_ORDER = [
     "compact_small_files",
     "lm_unigram_score",
     # --- 50-query window boundary (driver gate cap observed r01-r05) ---
-    # Tail head: the remaining r4-row queries — stalest after this
-    # round; rotate into the round-7 window.
+    # Tail head — FIRST PRIORITY for the round-7 window: the two (c)
+    # rows the second-half additions displaced (newest driver row
+    # still r3; both trivial untouched scans covered by the local
+    # full-registry gates every round), then the remaining r4 rows.
+    "csv_gzip_scan",
+    "multimodal_audio_chunks",
     "geometry_planes",
     "weighted_sample",
     "pack_sequences",

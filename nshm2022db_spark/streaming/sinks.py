@@ -635,6 +635,19 @@ def committed_partition_transaction(
             n for n in os.listdir(stage_path) if n.startswith(prefix)
         }
         _check_entry_values(written)
+        if cur.get("constraints") and written:
+            _enforce_constraints(
+                _read_partition_map(
+                    spark,
+                    table_dir,
+                    {
+                        "partition_col": partition_col,
+                        "partitions": {e: stage for e in sorted(written)},
+                    },
+                ),
+                cur["constraints"],
+                stage_path,
+            )
         claimed = (
             set(cur["partitions"]) | written
             if affected is None
@@ -680,6 +693,8 @@ def committed_partition_transaction(
             manifest["stats"] = new_stats
         if new_bloom:
             manifest["bloom"] = new_bloom
+        if cur.get("constraints"):
+            manifest["constraints"] = cur["constraints"]
         if cur.get("legacy_layouts"):
             manifest["legacy_layouts"] = cur["legacy_layouts"]
         if cur.get("dv") and not _drop_dv:
@@ -699,6 +714,86 @@ def committed_partition_transaction(
 class AuditError(RuntimeError):
     """A write-audit-publish audit rejected the staged batch; nothing
     was published and the stage was removed."""
+
+
+class ConstraintViolation(RuntimeError):
+    """A staged write (or ADD CONSTRAINT over existing data) violated a
+    table CHECK constraint; nothing was published."""
+
+
+def set_table_constraints(
+    spark: SparkSession, table_dir: str, exprs: list[str]
+) -> int:
+    """Declare CHECK constraints on a partition-mapped committed table
+    (Delta's ALTER TABLE ADD CONSTRAINT): boolean SQL expressions every
+    row must satisfy, stored in the manifest and enforced on EVERY
+    subsequent write transaction before its manifest CAS — a violating
+    batch is never published, streaming or batch, with no opt-in
+    needed at the write site (the difference from the per-call
+    ``audit``). Like Delta, adding a constraint first validates the
+    EXISTING data (one scan) and refuses if any current row violates
+    it. Metadata-only commit; returns the new version."""
+    for e in exprs:
+        F.expr(e)  # fail fast on unparseable expressions
+    for _ in range(10):
+        cur = current_commit(table_dir)
+        if cur["version"] == 0 or "partitions" not in cur:
+            raise ValueError(
+                f"{table_dir} is not a partition-mapped committed table"
+            )
+        existing = read_keyed_table(spark, table_dir)
+        bad = _first_violation(existing, exprs)
+        if bad is not None:
+            raise ConstraintViolation(
+                f"existing data violates {bad!r}; constraint not added"
+            )
+        stage = f"data-{uuid.uuid4().hex}"
+        os.makedirs(os.path.join(table_dir, stage), exist_ok=True)
+        manifest = {
+            k: cur[k]
+            for k in (
+                "partition_col", "partitions", "stats", "bloom",
+                "legacy_layouts", "dv", "dv_key",
+            )
+            if k in cur
+        }
+        manifest["version"] = cur["version"] + 1
+        manifest["dir"] = stage
+        manifest["constraints"] = sorted(set(exprs))
+        manifest["batch_ids"] = []
+        if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
+            return manifest["version"]
+    raise RuntimeError(f"commit conflict persisted on {table_dir}")
+
+
+def _first_violation(df: DataFrame | None, exprs: list[str]) -> str | None:
+    """The first constraint (sorted order) some row of ``df`` violates,
+    or None. NULL predicate results count as violations (a CHECK must
+    prove truth), matching the strict reading a data contract wants."""
+    if df is None:
+        return None
+    for e in sorted(set(exprs)):
+        ok = F.expr(e)
+        if df.filter(~F.coalesce(ok, F.lit(False))).limit(1).count() > 0:
+            return e
+    return None
+
+
+def _enforce_constraints(
+    staged: DataFrame, exprs: list[str] | None, stage_path: str
+) -> None:
+    """Validate a staged write against the table's CHECK constraints
+    BEFORE its manifest CAS — the constraint half of write-audit-
+    publish: on violation the stage is deleted and the transaction
+    fails loudly; readers never saw a row."""
+    if not exprs:
+        return
+    bad = _first_violation(staged, exprs)
+    if bad is not None:
+        shutil.rmtree(stage_path, ignore_errors=True)
+        raise ConstraintViolation(
+            f"staged write violates {bad!r}; nothing published"
+        )
 
 
 def append_partition_transaction(
@@ -768,7 +863,7 @@ def append_partition_transaction(
         )
         written = {n for n in os.listdir(stage_path) if n.startswith(prefix)}
         _check_entry_values(written)
-        if audit is not None and written:
+        if (audit is not None or cur.get("constraints")) and written:
             staged = _read_partition_map(
                 spark,
                 table_dir,
@@ -777,17 +872,19 @@ def append_partition_transaction(
                     "partitions": {e: stage for e in sorted(written)},
                 },
             )
-            try:
-                verdict = audit(staged)
-            except Exception:
-                shutil.rmtree(stage_path, ignore_errors=True)
-                raise
-            if not verdict:
-                shutil.rmtree(stage_path, ignore_errors=True)
-                raise AuditError(
-                    f"audit rejected staged batch for {table_dir}; "
-                    "nothing published"
-                )
+            _enforce_constraints(staged, cur.get("constraints"), stage_path)
+            if audit is not None:
+                try:
+                    verdict = audit(staged)
+                except Exception:
+                    shutil.rmtree(stage_path, ignore_errors=True)
+                    raise
+                if not verdict:
+                    shutil.rmtree(stage_path, ignore_errors=True)
+                    raise AuditError(
+                        f"audit rejected staged batch for {table_dir}; "
+                        "nothing published"
+                    )
         new_parts = {e: v for e, v in cur["partitions"].items()}
         for e in written:
             new_parts[e] = (
@@ -892,6 +989,8 @@ def append_partition_transaction(
             manifest["stats"] = new_stats
         if new_bloom:
             manifest["bloom"] = new_bloom
+        if cur.get("constraints"):
+            manifest["constraints"] = cur["constraints"]
         if cur.get("legacy_layouts"):
             manifest["legacy_layouts"] = cur["legacy_layouts"]
         if cur.get("dv"):
@@ -1099,7 +1198,7 @@ def tombstone_keys(
             k: cur[k]
             for k in (
                 "partition_col", "partitions", "stats", "bloom",
-                "legacy_layouts",
+                "constraints", "legacy_layouts",
             )
             if k in cur
         }
@@ -1195,6 +1294,8 @@ def evolve_partition_column(
             "legacy_layouts": legacy,
             "batch_ids": [],
         }
+        if cur.get("constraints"):
+            manifest["constraints"] = cur["constraints"]
         if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
             return manifest["version"]
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
@@ -1281,6 +1382,8 @@ def migrate_legacy_layouts(
         }
         if new_stats:
             manifest["stats"] = new_stats
+        if cur.get("constraints"):
+            manifest["constraints"] = cur["constraints"]
         if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
             return manifest["version"]
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
@@ -1306,7 +1409,8 @@ def restore_table_version(table_dir: str, version: int) -> int:
             for k, v in target.items()
             if k in (
                 "dir", "partition_col", "partitions", "stats", "bloom",
-                "mor", "dirs", "legacy_layouts", "dv", "dv_key",
+                "constraints", "mor", "dirs", "legacy_layouts", "dv",
+                "dv_key",
             )
         }
         manifest["version"] = cur["version"] + 1
@@ -1493,6 +1597,56 @@ def read_table_changes(
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
         )
+    return out
+
+
+def read_partition_counts(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Per-partition COUNT(*) answered from the MANIFEST — Delta's
+    metadata-only count optimization: every footer-scanned entry
+    carries its exact row count in stats (`n`), so the answer for
+    those partitions is O(partitions) JSON already in memory, zero
+    data files opened. Entries without stats fall back to scanning
+    JUST those partitions; tombstoned or legacy-layout tables fall
+    back to a full counted read (manifest counts don't see deletion
+    vectors or other layouts — correctness before cleverness). The
+    result schema is (partition_col string, n long) either way, so
+    callers can't tell which path answered — only how fast."""
+    cur = current_commit(table_dir)
+    if cur["version"] == 0:
+        raise ValueError(f"{table_dir} has no commits")
+    if "partitions" not in cur or "mor" in cur:
+        raise ValueError(
+            f"{table_dir} is not a partition-mapped committed table"
+        )
+    pcol = cur["partition_col"]
+
+    def scan_counts(df: DataFrame) -> DataFrame:
+        return df.groupBy(pcol).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    if cur.get("dv") or cur.get("legacy_layouts"):
+        return scan_counts(read_keyed_table(spark, table_dir))
+    stats = cur.get("stats", {})
+    counted = [
+        (e.split("=", 1)[1], int(stats[e]["n"]))
+        for e in cur["partitions"]
+        if e in stats and stats[e].get("n") is not None
+    ]
+    missing = {
+        e: d
+        for e, d in cur["partitions"].items()
+        if e not in stats or stats[e].get("n") is None
+    }
+    out = None
+    if counted:
+        out = spark.createDataFrame(counted, f"{pcol} string, n long")
+    if missing:
+        part = _read_partition_map(
+            spark, table_dir, {"partition_col": pcol, "partitions": missing}
+        )
+        scanned = scan_counts(part)
+        out = scanned if out is None else out.unionByName(scanned)
+    if out is None:
+        return spark.createDataFrame([], f"{pcol} string, n long")
     return out
 
 

@@ -234,7 +234,8 @@ class TestDriverOrder:
             "bpe_pair_counts", "bpe_encode_topk", "lm_bigram_score",
             "dedup_substring_runs", "knn_index_lakehouse",
             "multimodal_resize_downsample", "multimodal_audio_energy",
-            "stream_cdc_rollup",
+            "stream_cdc_rollup", "manifest_count_scan",
+            "constrained_land",
             # round-6 new queries: the two table-format proofs, the
             # geometry partial-hash companion (kept beside
             # geometry_planes itself), and the three new training-data
@@ -261,8 +262,9 @@ class TestDriverOrder:
             "fk_integrity_check", "events_tumbling_window",
             "events_funnel", "json_extract", "scd2_build",
             "timeline_gapfill", "events_locf", "rank_distribution",
-            "value_drift_trend", "csv_gzip_scan",
-            "multimodal_audio_chunks", "snapshot_diff", "zorder_key",
+            # (csv_gzip_scan and multimodal_audio_chunks displaced to
+            # the round-7 priority tail by the second-half additions)
+            "value_drift_trend", "snapshot_diff", "zorder_key",
             "bucket_by_cutpoints", "hll_shard_merge",
             "salted_skew_join", "sql_api_pricing_summary",
             "cohort_retention", "compact_small_files",

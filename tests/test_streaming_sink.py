@@ -1912,3 +1912,127 @@ class TestCommitLog:
         # log is still consistent: one committed version, readable
         assert sk.current_commit(t)["version"] == 1
         assert sk.read_keyed_table(spark, t).count() == 1
+
+
+class TestPartitionCounts:
+    def test_metadata_only_when_fully_statted(self, spark, tmp_path):
+        """A fully footer-scanned table answers per-partition counts
+        with ZERO files opened; a stat-less entry is scanned (and only
+        it); tombstones force the honest full-read path."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_partition_counts,
+            tombstone_keys,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"k{i % 3}", float(i)) for i in range(30)],
+            "id long, k string, v double",
+        )
+        append_partition_transaction(spark, t, "k", df, stats_cols=["id"])
+        counts = read_partition_counts(spark, t)
+        assert counts.inputFiles() == []  # pure metadata answer
+        assert {(r.k, r.n) for r in counts.collect()} == {
+            ("k0", 10), ("k1", 10), ("k2", 10)
+        }
+
+        # a stat-less append: only the touched partition is scanned
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame([(100, "k0", 1.0)], "id long, k string, v double"),
+        )
+        counts2 = read_partition_counts(spark, t)
+        files = counts2.inputFiles()
+        assert files and all("k=k0" in f for f in files)
+        assert {(r.k, r.n) for r in counts2.collect()} == {
+            ("k0", 11), ("k1", 10), ("k2", 10)
+        }
+
+        # tombstones: manifest counts would overcount deleted rows —
+        # the fallback full read keeps the answer honest
+        tombstone_keys(
+            spark, t, "id",
+            spark.createDataFrame([(0,), (4,)], "id long"),
+        )
+        counts3 = read_partition_counts(spark, t)
+        assert {(r.k, r.n) for r in counts3.collect()} == {
+            ("k0", 10), ("k1", 9), ("k2", 10)
+        }
+
+
+class TestCheckConstraints:
+    def test_constraints_gate_every_write(self, spark, tmp_path):
+        """ADD CONSTRAINT validates existing data; after it, every
+        write transaction enforces the checks before its CAS — a
+        violating batch (including a NULL predicate result) publishes
+        nothing and leaves no stage garbage; constraints survive
+        appends, rewrites, and restores."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            ConstraintViolation,
+            append_partition_transaction,
+            committed_partition_transaction,
+            current_commit,
+            read_keyed_table,
+            restore_table_version,
+            set_table_constraints,
+        )
+
+        t = str(tmp_path / "t")
+        ok_rows = spark.createDataFrame(
+            [(1, "k0", 5.0), (2, "k1", 7.5)], "id long, k string, v double"
+        )
+        append_partition_transaction(spark, t, "k", ok_rows)
+        v = set_table_constraints(spark, t, ["v > 0", "id IS NOT NULL"])
+        assert current_commit(t)["version"] == v
+
+        # adding a constraint the data violates refuses
+        with pytest.raises(ConstraintViolation):
+            set_table_constraints(spark, t, ["v > 6"])
+
+        # a violating append publishes nothing
+        before = current_commit(t)["version"]
+        with pytest.raises(ConstraintViolation):
+            append_partition_transaction(
+                spark, t, "k",
+                spark.createDataFrame([(3, "k0", -1.0)], "id long, k string, v double"),
+            )
+        assert current_commit(t)["version"] == before
+        assert not [
+            d for d in __import__("os").listdir(t)
+            if d.startswith("data-")
+            and d not in {
+                m["dir"]
+                for m in __import__(
+                    "nshm2022db_spark.streaming.sinks", fromlist=["table_history"]
+                ).table_history(t)
+            }
+        ]
+
+        # NULL predicate result counts as a violation (strict CHECK)
+        with pytest.raises(ConstraintViolation):
+            append_partition_transaction(
+                spark, t, "k",
+                spark.createDataFrame([(4, "k0", None)], "id long, k string, v double"),
+            )
+
+        # a good append passes; the constraint carries forward
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame([(5, "k2", 1.0)], "id long, k string, v double"),
+        )
+        assert current_commit(t)["constraints"] == ["id IS NOT NULL", "v > 0"]
+
+        # rewrite transactions are gated too
+        with pytest.raises(ConstraintViolation):
+            committed_partition_transaction(
+                spark, t, "k",
+                lambda base: base.withColumn("v", F.lit(-5.0)),
+            )
+        assert {r.id for r in read_keyed_table(spark, t).collect()} == {1, 2, 5}
+
+        # restore keeps the constraint in the re-published manifest
+        restore_table_version(t, v)
+        assert current_commit(t)["constraints"] == ["id IS NOT NULL", "v > 0"]

@@ -172,6 +172,10 @@ LADDER = [
     # r6 second half: streaming medallion flow (bronze land + CDC-fed
     # silver rollup per micro-batch)
     "stream_cdc_rollup",
+    # r6 second half: metadata-only counts (should be ~flat) and the
+    # constraint-gated landing path (enforcement is O(batch))
+    "manifest_count_scan",
+    "constrained_land",
 ]
 
 
