@@ -147,6 +147,7 @@ HEADLINE = [
     "stream_cdc_rollup",
     "manifest_count_scan",
     "constrained_land",
+    "clone_evolve_read",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

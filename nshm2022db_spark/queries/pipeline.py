@@ -776,6 +776,58 @@ def bloom_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "clone_evolve_read",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              ROUND(SUM(value), 4) AS sum_value
+       FROM events GROUP BY event_type""",
+)
+def clone_evolve_read(spark: SparkSession, sf: str) -> DataFrame:
+    """SHALLOW CLONE + independent evolution under the oracle gate: the
+    first half of events lands in a source table, `clone_table_shallow`
+    publishes a clone that references the source's data dirs by path
+    (zero bytes copied, O(manifest) at any size — the dev/test-
+    environment fork every lakehouse team makes), and the second half
+    is appended TO THE CLONE — copy-on-write via the immutable-data-dir
+    invariant means the source never changes. The query reads the
+    evolved clone; the oracle recomputes the full rollup from raw
+    events, so the result proves the clone sees both the referenced
+    source files and its own appended generation, exactly once each.
+    Isolation in both directions is pinned by
+    tests/test_streaming_sink.py (TestShallowClone)."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        clone_table_shallow,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_clone_r6", sf)
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "clone")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id", "event_type", "value"
+        )
+        append_partition_transaction(
+            spark, src, "event_type", ev.filter(F.col("event_id") % 2 == 0),
+            stats_cols=["event_id"],
+        )
+        clone_table_shallow(src, dst)
+        append_partition_transaction(
+            spark, dst, "event_type", ev.filter(F.col("event_id") % 2 == 1),
+            stats_cols=["event_id"],
+        )
+        mark_landed(base)
+    t = read_keyed_table(spark, dst)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
     "manifest_count_scan",
     """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
               COUNT(*) AS n

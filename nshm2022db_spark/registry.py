@@ -198,6 +198,7 @@ _DRIVER_ORDER = [
     "stream_cdc_rollup",
     "manifest_count_scan",
     "constrained_land",
+    "clone_evolve_read",
     # (a) new queries + the geometry pair:
     "delete_tombstone_mor",
     "agg_pushdown_scan",
@@ -226,7 +227,6 @@ _DRIVER_ORDER = [
     "fk_integrity_check",
     "events_tumbling_window",
     "events_funnel",
-    "json_extract",
     "scd2_build",
     "timeline_gapfill",
     "events_locf",
@@ -248,6 +248,7 @@ _DRIVER_ORDER = [
     # full-registry gates every round), then the remaining r4 rows.
     "csv_gzip_scan",
     "multimodal_audio_chunks",
+    "json_extract",
     "geometry_planes",
     "weighted_sample",
     "pack_sequences",

@@ -1011,6 +1011,7 @@ def land_stream_to_partitioned_table(
     stats_cols: list[str] | None = None,
     trigger_available_now: bool = True,
     audit=None,
+    bloom_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Land a stream into a partition-mapped committed table via
     foreachBatch appends — the streaming half of the lakehouse write
@@ -1024,7 +1025,10 @@ def land_stream_to_partitioned_table(
     ``audit`` applies write-audit-publish to every micro-batch: a batch
     the audit rejects is never published and fails the stream loudly
     (no silent data loss; the operator decides whether to fix and
-    restart — the checkpoint has not advanced past the bad batch)."""
+    restart — the checkpoint has not advanced past the bad batch).
+    ``bloom_cols`` builds per-partition Bloom bitmaps per micro-batch
+    (OR-merged across batches in the manifest) so equality skipping
+    works on the streamed table too."""
 
     def land(batch_df: DataFrame, bid: int) -> None:
         append_partition_transaction(
@@ -1035,6 +1039,7 @@ def land_stream_to_partitioned_table(
             stats_cols=stats_cols,
             batch_id=bid,
             audit=audit,
+            bloom_cols=bloom_cols,
         )
 
     writer = df.writeStream.foreachBatch(land).option(
@@ -1387,6 +1392,62 @@ def migrate_legacy_layouts(
         if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
             return manifest["version"]
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
+
+
+def clone_table_shallow(
+    src_dir: str, dest_dir: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE (Delta semantics): publish a new table whose
+    manifest references the SOURCE's committed data dirs by absolute
+    path — zero bytes copied, O(manifest) cost at any table size.
+    The clone then lives its own life: appends/rewrites/constraints
+    land in the clone's own dir and never touch the source, because
+    every mutation writes new stage dirs and only ever carries the
+    cloned entries forward by reference — the copy-on-write the
+    immutable-data-dir invariant gives for free. Like Delta, a clone
+    depends on the source's files EXISTING: a retention vacuum on the
+    source can break clones made from its history (documented trade;
+    deep-copy by reading+landing when that matters). Cloning a
+    specific ``version`` time-travels the clone's starting point."""
+    hist = table_history(src_dir)
+    if version is None:
+        src = current_commit(src_dir)
+    else:
+        src = next((m for m in hist if m["version"] == version), None)
+        if src is None:
+            raise ValueError(f"version {version} not committed in {src_dir}")
+    if src.get("version", 0) == 0:
+        raise ValueError(f"{src_dir} has no commits to clone")
+    if "partitions" not in src or "mor" in src or src.get("legacy_layouts"):
+        raise ValueError(
+            "shallow clone supports plain partition-mapped tables"
+        )
+    os.makedirs(dest_dir, exist_ok=True)
+    src_abs = os.path.abspath(src_dir)
+
+    def _ref(d: str) -> str:
+        return os.path.join(src_abs, d)
+
+    manifest = {
+        "version": 1,
+        "dir": f"data-{uuid.uuid4().hex}",
+        "partition_col": src["partition_col"],
+        "partitions": {
+            e: [_ref(d) for d in _entry_dirs(v)]
+            for e, v in src["partitions"].items()
+        },
+        "batch_ids": [],
+    }
+    for k in ("stats", "bloom", "constraints"):
+        if src.get(k):
+            manifest[k] = src[k]
+    if src.get("dv"):
+        manifest["dv"] = [_ref(d) for d in src["dv"]]
+        manifest["dv_key"] = src["dv_key"]
+    os.makedirs(os.path.join(dest_dir, manifest["dir"]), exist_ok=True)
+    if not _publish(dest_dir, manifest, os.path.join(dest_dir, manifest["dir"])):
+        raise RuntimeError(f"clone target {dest_dir} is not empty")
+    return 1
 
 
 def restore_table_version(table_dir: str, version: int) -> int:

@@ -235,7 +235,7 @@ class TestDriverOrder:
             "dedup_substring_runs", "knn_index_lakehouse",
             "multimodal_resize_downsample", "multimodal_audio_energy",
             "stream_cdc_rollup", "manifest_count_scan",
-            "constrained_land",
+            "constrained_land", "clone_evolve_read",
             # round-6 new queries: the two table-format proofs, the
             # geometry partial-hash companion (kept beside
             # geometry_planes itself), and the three new training-data
@@ -260,7 +260,7 @@ class TestDriverOrder:
             # registry query has a driver row from r4 or later
             "curation_pipeline", "chunk_documents",
             "fk_integrity_check", "events_tumbling_window",
-            "events_funnel", "json_extract", "scd2_build",
+            "events_funnel", "scd2_build",
             "timeline_gapfill", "events_locf", "rank_distribution",
             # (csv_gzip_scan and multimodal_audio_chunks displaced to
             # the round-7 priority tail by the second-half additions)

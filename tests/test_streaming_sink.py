@@ -2036,3 +2036,63 @@ class TestCheckConstraints:
         # restore keeps the constraint in the re-published manifest
         restore_table_version(t, v)
         assert current_commit(t)["constraints"] == ["id IS NOT NULL", "v > 0"]
+
+
+class TestShallowClone:
+    def test_clone_is_zero_copy_and_isolated(self, spark, tmp_path):
+        """A shallow clone reads identically to its source version
+        without copying a byte; afterwards each table evolves
+        independently — appends to one never change the other."""
+        import os as _os
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            clone_table_shallow,
+            read_keyed_table,
+        )
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        df = spark.createDataFrame(
+            [(i, f"k{i % 2}", float(i)) for i in range(20)],
+            "id long, k string, v double",
+        )
+        append_partition_transaction(spark, src, "k", df, stats_cols=["id"])
+        clone_table_shallow(src, dst)
+        # zero copy: the clone dir holds no parquet of its own
+        assert not [
+            f
+            for root, _, files in _os.walk(dst)
+            for f in files
+            if f.endswith(".parquet") or f.startswith("part-")
+        ]
+        same = lambda d: {  # noqa: E731
+            (r.id, r.k, r.v) for r in read_keyed_table(spark, d).collect()
+        }
+        assert same(dst) == same(src) and len(same(src)) == 20
+
+        # clone evolves independently of the source…
+        append_partition_transaction(
+            spark, dst, "k",
+            spark.createDataFrame([(100, "k0", 1.0)], "id long, k string, v double"),
+        )
+        assert len(same(dst)) == 21 and len(same(src)) == 20
+        # …and vice versa
+        append_partition_transaction(
+            spark, src, "k",
+            spark.createDataFrame([(200, "k1", 2.0)], "id long, k string, v double"),
+        )
+        assert len(same(src)) == 21
+        assert {r.id for r in read_keyed_table(spark, dst).collect()} == (
+            set(range(20)) | {100}
+        )
+
+        # cloning a historical version time-travels the starting point
+        old = str(tmp_path / "old")
+        clone_table_shallow(src, old, version=1)
+        assert len(same(old)) == 20
+
+        # stats/constraints metadata rides along: the clone still
+        # prunes on the carried manifest stats
+        pruned = read_keyed_table(spark, old, prune={"id": (0, 0)})
+        assert pruned.filter(F.col("id") == 0).count() == 1

@@ -176,6 +176,9 @@ LADDER = [
     # constraint-gated landing path (enforcement is O(batch))
     "manifest_count_scan",
     "constrained_land",
+    # r6 second half: shallow clone + independent evolution (read-side
+    # cost is the referenced scan; clone itself is O(manifest))
+    "clone_evolve_read",
 ]
 
 
