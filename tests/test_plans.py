@@ -299,3 +299,54 @@ class TestAggPushdown:
             F.min("event_id"), F.max("event_id"), F.count(F.lit(1))
         ).collect()[0]
         assert (got.min_id, got.max_id, got.n) == tuple(want)
+
+
+class TestRound6SecondHalfPlans:
+    def test_no_python_eval_outside_sanctioned_codecs(self, spark, sf_dir):
+        """Every second-half query stays JVM-side; the only Python in
+        any plan is the sanctioned mapInPandas codec stages of the
+        multimodal family (which never enter a shuffle)."""
+        from nshm2022db_spark.registry import QUERIES
+
+        jvm_only = (
+            "bloom_skip_scan", "cdc_incremental_agg", "bpe_pair_counts",
+            "bpe_encode_topk", "lm_bigram_score", "dedup_substring_runs",
+            "knn_index_lakehouse", "stream_cdc_rollup",
+            "manifest_count_scan", "constrained_land", "clone_evolve_read",
+        )
+        for name in jvm_only:
+            plan = _plan(QUERIES[name](spark, sf_dir))
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+            assert "MapInPandas" not in plan, name
+
+    def test_bpe_queries_two_exchanges_and_topk(self, spark, sf_dir):
+        """Both BPE queries: one vocabulary exchange, one pair/token
+        exchange, and the limit runs as TakeOrderedAndProject — never a
+        full sort."""
+        from nshm2022db_spark.registry import QUERIES
+
+        for name in ("bpe_pair_counts", "bpe_encode_topk"):
+            plan = _plan(QUERIES[name](spark, sf_dir))
+            assert plan.count("Arguments: hashpartitioning") == 2, name
+            assert "TakeOrderedAndProject" in plan, name
+            assert "- Sort " not in plan, name
+
+    def test_bigram_model_tables_broadcast(self, spark, sf_dir):
+        """The bigram scoring join keeps every model table on the
+        broadcast side — the corpus never shuffles for the join."""
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["lm_bigram_score"](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_substring_runs_no_cartesian_no_python(self, spark, sf_dir):
+        """The substring-run dedup is pure blocking joins + windows:
+        no nested-loop/cartesian anywhere, bounded exchange count (gram
+        agg, gram join sides, doc window, run rollup)."""
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["dedup_substring_runs"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Arguments: hashpartitioning") <= 6
