@@ -92,6 +92,90 @@ def main() -> None:
     print("vacuumed versions:", out["versions"], "dirs:", len(out["dirs"]))
     print("final rows:", read_keyed_table(spark, table).count())
 
+    # --- 7. CHECK constraints (ALTER TABLE ADD CONSTRAINT) --------------
+    # Validates existing data first; afterwards EVERY write transaction
+    # enforces the checks before its CAS — no per-writer opt-in.
+    from nshm2022db_spark.streaming.sinks import (
+        ConstraintViolation,
+        set_table_constraints,
+    )
+
+    set_table_constraints(spark, table, ["event_id >= 0", "user_id IS NOT NULL"])
+    try:
+        append_partition_transaction(
+            spark, table, "day",
+            spark.createDataFrame(
+                [(-1, 0, "2024-01-01")], "event_id long, user_id long, day string"
+            ),
+        )
+    except ConstraintViolation as e:
+        print("constraint blocked bad batch:", e)
+
+    # --- 8. Bloom equality skipping -------------------------------------
+    # Range stats can't prune a point probe on an unsorted column; a
+    # per-partition Bloom bitmap can. Build on append, probe via
+    # prune={col: ("eq", value)}.
+    append_partition_transaction(
+        spark, table, "day",
+        spark.range(5000, 5200).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).alias("user_id"),
+            F.lit("2024-01-04").alias("day"),
+        ),
+        stats_cols=["event_id"], bloom_cols=["user_id"],
+    )
+    probe = read_keyed_table(spark, table, prune={"user_id": ("eq", 3)})
+    print("bloom-probed files:", len(probe.inputFiles()))
+
+    # --- 9. metadata-only COUNT -----------------------------------------
+    from nshm2022db_spark.streaming.sinks import read_partition_counts
+
+    counts = read_partition_counts(spark, table)
+    print("counts from manifest (files opened:", len(counts.inputFiles()), "):")
+    counts.orderBy("day").show(truncate=False)
+
+    # --- 10. shallow clone ----------------------------------------------
+    # Zero-copy dev fork: the clone references this table's data dirs;
+    # both evolve independently afterwards.
+    from nshm2022db_spark.streaming.sinks import clone_table_shallow
+
+    clone = tempfile.mkdtemp(prefix="events_clone_")
+    clone_table_shallow(table, clone)
+    print("clone rows:", read_keyed_table(spark, clone).count(), "(0 bytes copied)")
+
+    # --- 11. CDC-maintained rollup (incremental materialized view) -----
+    # A derived aggregate refreshed from an APPEND-ONLY landing table's
+    # change feed; the cursor lives in the rollup's own commit ledger
+    # (exactly-once per source version). Additive maintenance over a
+    # table with rewrites/restores/vacuumed history raises instead of
+    # silently double-counting — which is why this uses a fresh
+    # append-only bronze, the shape a landing zone actually has.
+    from nshm2022db_spark.streaming.sinks import maintain_incremental_agg
+
+    bronze = tempfile.mkdtemp(prefix="events_bronze_")
+    for bid in range(3):
+        append_partition_transaction(
+            spark, bronze, "day",
+            spark.range(bid * 500, bid * 500 + 500).select(
+                F.col("id").alias("event_id"),
+                (F.col("id") % 7).alias("user_id"),
+                F.lit(f"2024-02-0{bid + 1}").alias("day"),
+            ),
+            batch_id=bid,
+        )
+    rollup = tempfile.mkdtemp(prefix="events_rollup_")
+
+    def refresh() -> int:
+        return maintain_incremental_agg(
+            spark, bronze, rollup,
+            agg=lambda d: d.groupBy("day").agg(F.count(F.lit(1)).alias("n")),
+            merge=lambda cur_df, add: add if cur_df is None else (
+                cur_df.unionByName(add).groupBy("day").agg(F.sum("n").alias("n"))
+            ),
+        )
+
+    print("rollup commits applied:", refresh(), "(re-run applies:", refresh(), ")")
+
 
 if __name__ == "__main__":
     main()

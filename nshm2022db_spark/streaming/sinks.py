@@ -688,6 +688,7 @@ def committed_partition_transaction(
             "partition_col": partition_col,
             "partitions": new_parts,
             "batch_ids": [],
+            "op": "rewrite",
         }
         if new_stats:
             manifest["stats"] = new_stats
@@ -761,6 +762,7 @@ def set_table_constraints(
         manifest["dir"] = stage
         manifest["constraints"] = sorted(set(exprs))
         manifest["batch_ids"] = []
+        manifest["op"] = "set-constraints"
         if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
             return manifest["version"]
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
@@ -984,6 +986,7 @@ def append_partition_transaction(
             "partition_col": partition_col,
             "partitions": new_parts,
             "batch_ids": [batch_id] if batch_id is not None else [],
+            "op": "append",
         }
         if new_stats:
             manifest["stats"] = new_stats
@@ -1212,6 +1215,7 @@ def tombstone_keys(
         manifest["dv"] = cur.get("dv", []) + [stage]
         manifest["dv_key"] = key_col
         manifest["batch_ids"] = [batch_id] if batch_id is not None else []
+        manifest["op"] = "delete"
         if _publish(table_dir, manifest, stage_path):
             return
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
@@ -1298,6 +1302,7 @@ def evolve_partition_column(
             "partitions": {},
             "legacy_layouts": legacy,
             "batch_ids": [],
+            "op": "evolve",
         }
         if cur.get("constraints"):
             manifest["constraints"] = cur["constraints"]
@@ -1384,6 +1389,7 @@ def migrate_legacy_layouts(
             "partition_col": pcol,
             "partitions": new_parts,
             "batch_ids": [],
+            "op": "migrate",
         }
         if new_stats:
             manifest["stats"] = new_stats
@@ -1437,6 +1443,7 @@ def clone_table_shallow(
             for e, v in src["partitions"].items()
         },
         "batch_ids": [],
+        "op": "clone",
     }
     for k in ("stats", "bloom", "constraints"):
         if src.get(k):
@@ -1476,6 +1483,7 @@ def restore_table_version(table_dir: str, version: int) -> int:
         }
         manifest["version"] = cur["version"] + 1
         manifest["batch_ids"] = []
+        manifest["op"] = "restore"
         if try_commit(table_dir, manifest):
             _write_hint(table_dir, manifest)
             _maybe_checkpoint_ledger(table_dir, manifest["version"])
@@ -1731,13 +1739,38 @@ def maintain_incremental_agg(
     contribute no rows and are skipped. Cost per refresh is O(changed
     rows) + O(aggregate table), never O(source) — the only sane shape
     when the source is 100 TB and the rollup is megabytes. Returns the
-    number of source commits applied."""
+    number of source commits applied.
+
+    SOUND FOR APPEND-ONLY SOURCES: the change feed surfaces rewrite
+    commits (compaction, erasure, migration) as upsert images and
+    deletes/restores as state changes with no add rows — an additive
+    fold would double-count or silently miss them, so any such commit
+    in the unfolded range RAISES (each manifest carries its ``op``
+    tag; recompute the aggregate instead, or keep the source
+    append-only, which is what a landing zone is). A source commit
+    vacuumed before it was folded also raises — its rows are
+    unfoldable, so schedule maintenance inside the retention
+    window."""
     applied = 0
+    hist = {m["version"]: m for m in table_history(source_dir)}
     head = current_commit(source_dir)["version"]
     done = committed_batch_ids(dest_dir) if os.path.isdir(dest_dir) else set()
     for v in range(1, head + 1):
         if v in done:
             continue
+        m = hist.get(v)
+        if m is None:
+            raise ValueError(
+                f"source commit {v} was vacuumed before it was folded; "
+                "recompute the aggregate from the current table instead"
+            )
+        op = m.get("op")
+        if op in ("rewrite", "delete", "restore", "migrate"):
+            raise ValueError(
+                f"source commit {v} is a {op!r} — additive incremental "
+                "maintenance is only sound over append-only history; "
+                "recompute the aggregate from the current table instead"
+            )
         delta = read_table_changes(spark, source_dir, v - 1, v)
         if delta is None:
             continue  # metadata-only commit: nothing to fold

@@ -1374,12 +1374,17 @@ class TestCommitLog:
         derived aggregate exactly once: the cursor is the destination's
         own committed batch ids, so a re-run applies nothing, a new
         source commit applies only itself, metadata-only commits are
-        skipped, and the rollup always equals a full recompute."""
+        skipped, non-append history RAISES (additive folds would
+        double-count a rewrite or miss a restore), and the rollup
+        always equals a full recompute."""
+        import pytest
+
         from nshm2022db_spark.streaming.sinks import (
             append_partition_transaction,
             maintain_incremental_agg,
             read_keyed_table,
             restore_table_version,
+            set_table_constraints,
         )
 
         src = str(tmp_path / "bronze")
@@ -1406,9 +1411,8 @@ class TestCommitLog:
         assert maintain_incremental_agg(spark, src, dst, agg, merge) == 2
         # idempotent: nothing new → nothing applied
         assert maintain_incremental_agg(spark, src, dst, agg, merge) == 0
-        # metadata-only commit (RESTORE re-publishes the same state):
-        # skipped, not folded twice
-        restore_table_version(src, 2)
+        # metadata-only commit (ADD CONSTRAINT): skipped, not folded
+        set_table_constraints(spark, src, ["id >= 0"])
         assert maintain_incremental_agg(spark, src, dst, agg, merge) == 0
         # one new commit → exactly one fold, and the rollup equals a
         # full recompute over the source
@@ -1423,6 +1427,11 @@ class TestCommitLog:
             for r in agg(read_keyed_table(spark, src)).collect()
         }
         assert got == want
+        # non-append history is refused, not silently double-counted:
+        # a RESTORE in the unfolded range raises
+        restore_table_version(src, 2)
+        with pytest.raises(ValueError, match="restore"):
+            maintain_incremental_agg(spark, src, dst, agg, merge)
 
     def test_change_feed_reads_only_requested_commits(self, spark, tmp_path):
         """read_table_changes returns exactly what each commit in the
