@@ -148,6 +148,7 @@ HEADLINE = [
     "manifest_count_scan",
     "constrained_land",
     "clone_evolve_read",
+    "text_novelty_score",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

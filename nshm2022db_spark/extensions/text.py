@@ -724,3 +724,73 @@ def bpe_encode_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "token")
         .limit(BPE_ENCODE_TOPK)
     )
+
+
+NOVELTY_GRAM = 5  # token-gram width for the novelty metric
+
+
+@register(
+    "text_novelty_score",
+    f"""WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   array_to_string(
+                       a[CAST(i AS INTEGER):
+                         CAST(i + {NOVELTY_GRAM - 1} AS INTEGER)], ' ')
+                       AS gram
+            FROM arr,
+                 LATERAL unnest(
+                     generate_series(1, len(a) - {NOVELTY_GRAM - 1})) AS t(i)),
+        df AS (
+            SELECT gram, COUNT(DISTINCT doc_id) AS nd
+            FROM grams GROUP BY gram)
+        SELECT doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel,
+               ROUND(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / COUNT(*), 6) AS novelty
+        FROM grams JOIN df USING (gram)
+        GROUP BY doc_id""",
+)
+def text_novelty_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Gram-novelty scoring — the curation twin of the substring-run
+    dedup: per document, the fraction of its {NOVELTY_GRAM}-gram
+    positions whose gram appears in NO other document. Low novelty
+    means boilerplate or near-copies (downweight or drop); the same
+    statistic, inverted, is the memorization-risk signal training-data
+    analyses report. Scale shape matches `dedup_substring_runs`: a
+    map-side positional gram explode, ONE gram-keyed shuffle for
+    document frequency, a join back, and a doc-keyed rollup — gram
+    text as the key keeps the DuckDB oracle byte-identical (a 100 TB
+    run would hash it)."""
+    grams = (
+        read_table(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("a"))
+        .filter(F.size("a") >= NOVELTY_GRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(a) - {NOVELTY_GRAM - 1}),"
+                    f" i -> concat_ws(' ', slice(a, i, {NOVELTY_GRAM})))"
+                )
+            ).alias("gram"),
+        )
+    )
+    df_t = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    novel = (F.col("nd") == 1).cast("long")
+    return (
+        grams.join(df_t, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )

@@ -199,6 +199,7 @@ _DRIVER_ORDER = [
     "manifest_count_scan",
     "constrained_land",
     "clone_evolve_read",
+    "text_novelty_score",
     # (a) new queries + the geometry pair:
     "delete_tombstone_mor",
     "agg_pushdown_scan",
@@ -226,7 +227,6 @@ _DRIVER_ORDER = [
     "chunk_documents",
     "fk_integrity_check",
     "events_tumbling_window",
-    "events_funnel",
     "scd2_build",
     "timeline_gapfill",
     "events_locf",
@@ -249,6 +249,7 @@ _DRIVER_ORDER = [
     "csv_gzip_scan",
     "multimodal_audio_chunks",
     "json_extract",
+    "events_funnel",
     "geometry_planes",
     "weighted_sample",
     "pack_sequences",

@@ -236,6 +236,7 @@ class TestDriverOrder:
             "multimodal_resize_downsample", "multimodal_audio_energy",
             "stream_cdc_rollup", "manifest_count_scan",
             "constrained_land", "clone_evolve_read",
+            "text_novelty_score",
             # round-6 new queries: the two table-format proofs, the
             # geometry partial-hash companion (kept beside
             # geometry_planes itself), and the three new training-data
@@ -260,7 +261,7 @@ class TestDriverOrder:
             # registry query has a driver row from r4 or later
             "curation_pipeline", "chunk_documents",
             "fk_integrity_check", "events_tumbling_window",
-            "events_funnel", "scd2_build",
+            "scd2_build",
             "timeline_gapfill", "events_locf", "rank_distribution",
             # (csv_gzip_scan and multimodal_audio_chunks displaced to
             # the round-7 priority tail by the second-half additions)

@@ -2105,3 +2105,37 @@ class TestShallowClone:
         # prunes on the carried manifest stats
         pruned = read_keyed_table(spark, old, prune={"id": (0, 0)})
         assert pruned.filter(F.col("id") == 0).count() == 1
+
+
+class TestOperationHistory:
+    def test_history_records_operations(self, spark, tmp_path):
+        """DESCRIBE HISTORY parity: every commit carries its op tag, in
+        order, across the whole mutation surface."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            compact_partition_table,
+            restore_table_version,
+            set_table_constraints,
+            table_history,
+            tombstone_keys,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"k{i % 2}", float(i)) for i in range(40)],
+            "id long, k string, v double",
+        )
+        for j in range(3):
+            append_partition_transaction(
+                spark, t, "k", df.filter(f"id % 3 = {j}")
+            )
+        compact_partition_table(spark, t, max_files_per_partition=1)
+        set_table_constraints(spark, t, ["id >= 0"])
+        tombstone_keys(
+            spark, t, "id", spark.createDataFrame([(1,)], "id long")
+        )
+        restore_table_version(t, 4)
+        assert [m.get("op") for m in table_history(t)] == [
+            "append", "append", "append", "rewrite",
+            "set-constraints", "delete", "restore",
+        ]

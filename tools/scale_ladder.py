@@ -179,6 +179,9 @@ LADDER = [
     # r6 second half: shallow clone + independent evolution (read-side
     # cost is the referenced scan; clone itself is O(manifest))
     "clone_evolve_read",
+    # r6 second half: gram-novelty curation metric (scan-linear like
+    # the substring-run dedup it mirrors)
+    "text_novelty_score",
 ]
 
 
