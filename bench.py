@@ -149,6 +149,7 @@ HEADLINE = [
     "constrained_land",
     "clone_evolve_read",
     "text_novelty_score",
+    "text_winnow_fingerprints",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -8,7 +8,7 @@ are embarrassingly parallel map-only stages: no shuffle anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nshm2022db_spark.functions.portable import (
@@ -792,5 +792,125 @@ def text_novelty_score(spark: SparkSession, sf: str) -> DataFrame:
             F.round(
                 F.sum(novel).cast("double") / F.count(F.lit(1)), 6
             ).alias("novelty"),
+        )
+    )
+
+
+# Winnowing geometry: k-token grams hashed, windows of WINNOW_W
+# consecutive gram hashes, rightmost-minimum selected per window
+# (Schleimer/Wilkerson/Aiken 2003 "robust winnowing" — the MOSS
+# fingerprint selector). POS_BITS bounds document length (2^21 gram
+# positions); the (hash, rightmost-pos) pair packs into one BIGINT so
+# both engines pick identical fingerprints with plain MIN.
+WINNOW_K = 3
+WINNOW_W = 4
+_POS_BITS = 21
+_POS_CAP = 1 << _POS_BITS
+
+
+def _winnow_key(h: str, pos: str) -> str:
+    """Encode (hash asc, pos desc) into one orderable BIGINT: the MIN
+    key in a window is the smallest hash, ties to the RIGHTMOST
+    position — robust winnowing's tie rule, which keeps the selected
+    set consistent across overlapping windows."""
+    return f"({h} * {_POS_CAP} + ({_POS_CAP - 1} - {pos}))"
+
+
+@register(
+    "text_winnow_fingerprints",
+    f"""WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   {duck_char_hash("array_to_string(a[CAST(i AS INTEGER):CAST(i + WK AS INTEGER)], ' ')")} AS h
+            FROM (SELECT doc_id, a, {WINNOW_K - 1} AS WK FROM arr),
+                 LATERAL unnest(
+                     generate_series(1, len(a) - {WINNOW_K - 1})) AS t(i)),
+        keys AS (
+            SELECT doc_id, pos, {_winnow_key('h', 'pos')} AS key,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM grams),
+        wins AS (
+            SELECT doc_id, n_grams,
+                   MIN(key) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+                   ) AS sel,
+                   pos
+            FROM keys),
+        fps AS (
+            SELECT DISTINCT doc_id, n_grams, sel
+            FROM wins WHERE pos <= n_grams - {WINNOW_W - 1}),
+        dec AS (
+            SELECT doc_id, n_grams, sel // {_POS_CAP} AS h FROM fps)
+        SELECT doc_id,
+               CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+               COUNT(*) AS n_fp,
+               CAST(SUM(h) % {P} AS BIGINT) AS fp_checksum
+        FROM dec GROUP BY doc_id""",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """WINNOWING document fingerprints — the MOSS selection algorithm
+    (Schleimer et al. 2003): hash every {WINNOW_K}-token gram, slide a
+    window of {WINNOW_W} hashes, keep each window's minimum (ties to
+    the rightmost), and the DISTINCT selected set is the document's
+    fingerprint — guaranteed to share a fingerprint with any document
+    it shares a {WINNOW_K + WINNOW_W - 1}-token substring with, at
+    ~2/(w+1) the density of full gram sets. This is the principled
+    sub-sampling the substring-run dedup scales with: index
+    fingerprints instead of every gram, same detection guarantee.
+
+    Scale shape: gram hashing is map-side (portable char-hash fold, so
+    the DuckDB oracle is bit-identical); the window MIN runs on ONE
+    doc-keyed shuffle that the distinct and final rollup reuse (same
+    partitioning, no second exchange); the (hash, rightmost-pos) pair
+    packs into one BIGINT so the window needs plain MIN, not a struct
+    argmin."""
+    k1 = WINNOW_K - 1
+    grams = (
+        read_table(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("a"))
+        .filter(F.size("a") >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(a) - {k1}),"
+                    f" i -> concat_ws(' ', slice(a, i, {WINNOW_K})))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.expr(spark_char_hash("gram")).alias("h"),
+        )
+    )
+    wd = Window.partitionBy("doc_id")
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    keys = grams.select(
+        "doc_id",
+        "pos",
+        F.expr(_winnow_key("h", "pos")).alias("key"),
+    ).withColumn("n_grams", F.count(F.lit(1)).over(wd))
+    fps = (
+        keys.withColumn("sel", F.min("key").over(wf))
+        .filter(F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+        .select("doc_id", "n_grams", "sel")
+        .distinct()
+    )
+    return (
+        fps.select(
+            "doc_id", "n_grams", (F.col("sel") / _POS_CAP).cast("long").alias("h")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_fp"),
+            (F.sum("h") % P).cast("long").alias("fp_checksum"),
         )
     )

@@ -200,6 +200,7 @@ _DRIVER_ORDER = [
     "constrained_land",
     "clone_evolve_read",
     "text_novelty_score",
+    "text_winnow_fingerprints",
     # (a) new queries + the geometry pair:
     "delete_tombstone_mor",
     "agg_pushdown_scan",
@@ -233,7 +234,6 @@ _DRIVER_ORDER = [
     "rank_distribution",
     "value_drift_trend",
     "snapshot_diff",
-    "zorder_key",
     "bucket_by_cutpoints",
     "hll_shard_merge",
     "salted_skew_join",
@@ -250,6 +250,7 @@ _DRIVER_ORDER = [
     "multimodal_audio_chunks",
     "json_extract",
     "events_funnel",
+    "zorder_key",
     "geometry_planes",
     "weighted_sample",
     "pack_sequences",

@@ -236,7 +236,7 @@ class TestDriverOrder:
             "multimodal_resize_downsample", "multimodal_audio_energy",
             "stream_cdc_rollup", "manifest_count_scan",
             "constrained_land", "clone_evolve_read",
-            "text_novelty_score",
+            "text_novelty_score", "text_winnow_fingerprints",
             # round-6 new queries: the two table-format proofs, the
             # geometry partial-hash companion (kept beside
             # geometry_planes itself), and the three new training-data
@@ -265,7 +265,7 @@ class TestDriverOrder:
             "timeline_gapfill", "events_locf", "rank_distribution",
             # (csv_gzip_scan and multimodal_audio_chunks displaced to
             # the round-7 priority tail by the second-half additions)
-            "value_drift_trend", "snapshot_diff", "zorder_key",
+            "value_drift_trend", "snapshot_diff",
             "bucket_by_cutpoints", "hll_shard_merge",
             "salted_skew_join", "sql_api_pricing_summary",
             "cohort_retention", "compact_small_files",
@@ -639,3 +639,57 @@ class TestBpeEncode:
             ("l", 1), ("o", 1), ("w", 1), ("ers", 1),
             ("th", 1), ("ing", 1),
         }
+
+
+class TestWinnowing:
+    def test_matches_reference_winnow(self, spark, tmp_path):
+        """The distributed selection must equal the classic sequential
+        robust-winnowing algorithm (min per window, ties rightmost)
+        computed in plain Python, per document."""
+        from nshm2022db_spark.extensions.text import (
+            WINNOW_K,
+            WINNOW_W,
+            _POS_CAP,
+            text_winnow_fingerprints,
+        )
+        from nshm2022db_spark.functions.portable import P
+
+        def chash(s):
+            acc = 0
+            for c in s:
+                acc = (acc * 31 + ord(c)) % P
+            return acc
+
+        def reference(text):
+            toks = text.split(" ")
+            grams = [
+                " ".join(toks[i : i + WINNOW_K])
+                for i in range(len(toks) - WINNOW_K + 1)
+            ]
+            keys = [
+                chash(g) * _POS_CAP + (_POS_CAP - 1 - (i + 1))
+                for i, g in enumerate(grams)
+            ]
+            sels = {
+                min(keys[s : s + WINNOW_W])
+                for s in range(0, len(keys) - WINNOW_W + 1)
+            }
+            hs = [k // _POS_CAP for k in sels]
+            return len(grams), len(sels), sum(hs) % P
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog again today",
+            "a shared span sits here the quick brown fox jumps over",
+            "completely different words populate this document entirely now",
+            "repeat repeat repeat repeat repeat repeat repeat repeat repeat",
+        ]
+        d = str(tmp_path)
+        spark.createDataFrame(
+            [(i, t, "en", "s", 1) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_grams, r.n_fp, r.fp_checksum)
+            for r in text_winnow_fingerprints(spark, d).collect()
+        }
+        assert got == {i: reference(t) for i, t in enumerate(texts)}

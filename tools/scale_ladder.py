@@ -182,6 +182,9 @@ LADDER = [
     # r6 second half: gram-novelty curation metric (scan-linear like
     # the substring-run dedup it mirrors)
     "text_novelty_score",
+    # r6 second half: winnowing fingerprint selection (window MIN on
+    # the one doc-keyed shuffle)
+    "text_winnow_fingerprints",
 ]
 
 
