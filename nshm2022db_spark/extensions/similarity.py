@@ -719,34 +719,23 @@ _IVF_ORACLE = f"""WITH {_DUCK_IVF_CENTS},
         FROM ranked WHERE rank <= {KNN_K}"""
 
 
-@register("knn_ivf", _IVF_ORACLE)
-def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN with one k-means refinement: 8 sampled seed vectors →
-    assign → per-dim-mean refined centroids (balanced lists, the real IVF
-    training step) → re-assign → queries probe their nprobe={IVF_NPROBE}
-    nearest lists and rank exactly within candidates.
-
-    Scale shape: centroids broadcast at every step; each assignment is one
-    pass over the corpus with map-side partial aggregation; refinement is
-    a single 8-row hash agg; the candidate join shuffles by centroid_id
-    (list id). nlist follows the sqrt balance via the count-derived tier
-    table (IVF_NLIST_TIERS — 8 lists at driver scales, doubling per
-    ~4x corpus growth); on a real corpus nlist is 10⁴-10⁵ and more
-    k-means rounds amortize over every query. Ties on cosine are measure-zero with
-    distinct real-valued vectors (both engines fall back on argmax order
-    only for exact-double ties)."""
-    emb = read_table(spark, sf, "embeddings")
-    # Trained centroids materialize ONCE per corpus (memoized — see
-    # _trained_centroids): three downstream consumers (list assignment,
-    # query probing ×2) would each re-run the whole training pass if left
-    # lazy. The driver round-trip turns 8 rows into a LocalRelation the
-    # optimizer broadcasts for free (same small-dim pattern as
-    # operators/asof.py).
-    cents = _trained_centroids(spark, sf)
-    lists = _assign_lists(emb, cents)
+def _ivf_probe_and_rank(emb: DataFrame, cents: DataFrame, lists_for) -> DataFrame:
+    """The shared IVF QUERY path (knn_ivf and the materialized
+    knn_index_lakehouse must return byte-identical results against the
+    same oracle, so the probe selection, scoring, and ranking live
+    once): each query probes its nprobe nearest lists (qcos desc,
+    centroid_id ties), scores exactly within the candidate lists, and
+    keeps KNN_K (cos desc, neighbor_id ties). ``lists_for(probes)``
+    supplies the candidate relation — inline assignment or the
+    committed index — exposing columns (vec_id, embedding, enorm,
+    pcid), with pcid the STRING form of the list id (the committed
+    index stores it as a partition-dir string; the inline path casts,
+    which changes nothing for integer ids)."""
     centsn = _with_norm(cents, "cv", "cnorm")
     qp = (
-        _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "embedding", "qnorm")
+        _with_norm(
+            emb.filter(F.col("vec_id") < N_QUERIES), "embedding", "qnorm"
+        )
         .crossJoin(F.broadcast(centsn))
         .select(
             F.col("vec_id").alias("query_id"),
@@ -762,28 +751,77 @@ def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     wp = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc(), F.col("centroid_id")
     )
-    probes = F.broadcast(
+    probes = (
         qp.withColumn("prk", F.row_number().over(wp))
         .filter(F.col("prk") <= IVF_NPROBE)
-        .select("query_id", "qv", "qnorm", "centroid_id")
+        .select(
+            "query_id", "qv", "qnorm",
+            F.col("centroid_id").cast("string").alias("pcid"),
+        )
     )
-    scored = lists.alias("l").join(
-        probes,
-        (F.col("l.centroid_id") == probes["centroid_id"])
-        & (F.col("l.vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("l.vec_id").alias("neighbor_id"),
-        (
-            F.expr(spark_dot("qv", "embedding"))
-            / (F.col("qnorm") * F.col("enorm"))
-        ).alias("cos"),
+    scored = (
+        lists_for(probes)
+        .alias("l")
+        .join(
+            F.broadcast(probes.alias("p")),
+            (F.col("l.pcid") == F.col("p.pcid"))
+            & (F.col("l.vec_id") != F.col("p.query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("l.vec_id").alias("neighbor_id"),
+            (
+                F.expr(spark_dot("qv", "embedding"))
+                / (F.col("qnorm") * F.col("enorm"))
+            ).alias("cos"),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
-        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos"), 6).alias("cos"),
+            "rank",
+        )
+    )
+
+
+@register("knn_ivf", _IVF_ORACLE)
+def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with one k-means refinement: 8 sampled seed vectors →
+    assign → per-dim-mean refined centroids (balanced lists, the real IVF
+    training step) → re-assign → queries probe their nprobe={IVF_NPROBE}
+    nearest lists and rank exactly within candidates (the shared
+    `_ivf_probe_and_rank` path).
+
+    Scale shape: centroids broadcast at every step; each assignment is one
+    pass over the corpus with map-side partial aggregation; refinement is
+    a single 8-row hash agg; the candidate join shuffles by list id.
+    nlist follows the sqrt balance via the count-derived tier
+    table (IVF_NLIST_TIERS — 8 lists at driver scales, doubling per
+    ~4x corpus growth); on a real corpus nlist is 10⁴-10⁵ and more
+    k-means rounds amortize over every query. Ties on cosine are
+    measure-zero with distinct real-valued vectors (both engines fall
+    back on argmax order only for exact-double ties)."""
+    emb = read_table(spark, sf, "embeddings")
+    # Trained centroids materialize ONCE per corpus (memoized — see
+    # _trained_centroids): three downstream consumers (list assignment,
+    # query probing ×2) would each re-run the whole training pass if left
+    # lazy. The driver round-trip turns 8 rows into a LocalRelation the
+    # optimizer broadcasts for free (same small-dim pattern as
+    # operators/asof.py).
+    cents = _trained_centroids(spark, sf)
+    return _ivf_probe_and_rank(
+        emb,
+        cents,
+        lambda probes: _assign_lists(emb, cents).withColumn(
+            "pcid", F.col("centroid_id").cast("string")
+        ),
     )
 
 
@@ -1054,62 +1092,13 @@ def knn_index_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
         append_partition_transaction(spark, path, "centroid_id", late)
         mark_landed(base)
     idx = read_keyed_table(spark, path)
-    centsn = _with_norm(cents, "cv", "cnorm")
-    qp = (
-        _with_norm(
-            emb.filter(F.col("vec_id") < N_QUERIES), "embedding", "qnorm"
+
+    def lists_for(probes):
+        probed_ids = sorted(
+            {r["pcid"] for r in probes.select("pcid").collect()}
         )
-        .crossJoin(F.broadcast(centsn))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            "qnorm",
-            "centroid_id",
-            (
-                F.expr(spark_dot("embedding", "cv"))
-                / (F.col("qnorm") * F.col("cnorm"))
-            ).alias("qcos"),
+        return idx.filter(F.col("centroid_id").isin(probed_ids)).withColumn(
+            "pcid", F.col("centroid_id")
         )
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("qcos").desc(), F.col("centroid_id")
-    )
-    probes = (
-        qp.withColumn("prk", F.row_number().over(wp))
-        .filter(F.col("prk") <= IVF_NPROBE)
-        .select(
-            "query_id", "qv", "qnorm",
-            F.col("centroid_id").cast("string").alias("pcid"),
-        )
-    )
-    probed_ids = sorted({r["pcid"] for r in probes.select("pcid").collect()})
-    scored = (
-        idx.filter(F.col("centroid_id").isin(probed_ids))
-        .alias("l")
-        .join(
-            F.broadcast(probes),
-            (F.col("l.centroid_id") == F.col("pcid"))
-            & (F.col("l.vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("l.vec_id").alias("neighbor_id"),
-            (
-                F.expr(spark_dot("qv", "embedding"))
-                / (F.col("qnorm") * F.col("enorm"))
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cos"), 6).alias("cos"),
-            "rank",
-        )
-    )
+
+    return _ivf_probe_and_rank(emb, cents, lists_for)

@@ -745,7 +745,7 @@ def bloom_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
         read_keyed_table,
     )
 
-    base = scratch_path("events_bloom_skip_r6", sf)
+    base = scratch_path("events_bloom_skip_r6b", sf)
     path = os.path.join(base, "events_by_type_bloom")
     if not is_landed(base):
         ev = read_table(spark, sf, "events").select(
@@ -943,7 +943,7 @@ def cdc_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
         read_keyed_table,
     )
 
-    base = scratch_path("events_cdc_agg_r6", sf)
+    base = scratch_path("events_cdc_agg_r6b", sf)
     bronze = os.path.join(base, "bronze_events")
     silver = os.path.join(base, "silver_user_rollup")
 

@@ -407,6 +407,16 @@ def _bloom_position_cols(col, m: int, k: int) -> list:
     return [F.pmod(F.xxhash64(F.lit(i), s), F.lit(m)) for i in range(k)]
 
 
+def _check_bloom_spec(m: int, k: int) -> None:
+    """Reject bitmap geometries the byte packing can't represent BEFORE
+    anything is staged — a bad m discovered mid-transaction would
+    orphan the staged write."""
+    if m <= 0 or m % 8:
+        raise ValueError(f"bloom_bits must be a positive multiple of 8, got {m}")
+    if k <= 0:
+        raise ValueError(f"bloom_hashes must be positive, got {k}")
+
+
 def _collect_stage_blooms(
     spark: SparkSession,
     stage_path: str,
@@ -420,11 +430,16 @@ def _collect_stage_blooms(
     staged write — the manifest half of Delta's bloom-filter index /
     Iceberg's puffin sidecars: equality predicates on high-cardinality
     columns can skip partitions whose min/max ranges all overlap (where
-    range stats prove nothing). ONE distributed aggregation per column
-    over only the staged files; the explode feeds a map-side partial
-    collect_set whose size is bounded by m, so the shuffle is
-    O(partitions × m) regardless of appended row count, and the driver
-    packs each set to m/8 bytes of base64. NULLs are not inserted
+    range stats prove nothing). ONE distributed aggregation over only
+    the staged files regardless of column count (each row contributes
+    (col, position) pairs for every bloom column in one explode); the
+    map-side partial collect_set is bounded by m per (partition, col),
+    so the shuffle is O(partitions × cols × m) regardless of appended
+    row count, and the driver packs each set to m/8 bytes of base64.
+    Each spec records the COLUMN TYPE it hashed through (``t``) so the
+    probe side can cast its literal identically — hashing the string
+    form of a double ('3.0') and probing with an int ('3') would
+    otherwise be a silent false negative. NULLs are not inserted
     (equality against NULL is the ``"null"`` prune spec's job)."""
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     prev = spark.conf.get(key)
@@ -435,50 +450,78 @@ def _collect_stage_blooms(
         )
     finally:
         spark.conf.set(key, prev)
-    out: dict[str, dict] = {e: {} for e in written}
-    prefix = f"{partition_col}="
-    for c in bloom_cols:
-        if c not in df.columns:
-            continue
-        rows = (
-            df.where(F.col(c).isNotNull())
-            .select(
-                F.col(partition_col).cast("string").alias("_e"),
-                F.explode(
-                    F.array(*_bloom_position_cols(F.col(c), m, k))
-                ).alias("_p"),
-            )
-            .groupBy("_e")
-            .agg(F.collect_set("_p").alias("_ps"))
-            .collect()
+    types = dict(df.dtypes)
+    cols = [c for c in bloom_cols if c in df.columns]
+    if not cols:
+        return {}
+    pair_arrays = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("_c"),
+                        p.alias("_p"),
+                    )
+                    for p in _bloom_position_cols(F.col(c), m, k)
+                ]
+            ),
+        ).otherwise(F.array())
+        for c in cols
+    ]
+    rows = (
+        df.select(
+            F.col(partition_col).cast("string").alias("_e"),
+            F.explode(F.flatten(F.array(*pair_arrays))).alias("_cp"),
         )
-        for r in rows:
-            bits = bytearray(m // 8)
-            for p in r["_ps"]:
-                bits[p >> 3] |= 1 << (p & 7)
-            out[f"{prefix}{r['_e']}"][c] = {
-                "m": m,
-                "k": k,
-                "bits": base64.b64encode(bytes(bits)).decode("ascii"),
-            }
-    return {e: b for e, b in out.items() if b}
+        .groupBy("_e", F.col("_cp._c").alias("_c"))
+        .agg(F.collect_set(F.col("_cp._p")).alias("_ps"))
+        .collect()
+    )
+    prefix = f"{partition_col}="
+    out: dict[str, dict] = {}
+    for r in rows:
+        bits = bytearray(m // 8)
+        for p in r["_ps"]:
+            bits[p >> 3] |= 1 << (p & 7)
+        out.setdefault(f"{prefix}{r['_e']}", {})[r["_c"]] = {
+            "m": m,
+            "k": k,
+            "t": types[r["_c"]],
+            "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    return out
 
 
 _PROBE_CACHE: dict = {}
 
 
-def _bloom_probes(spark: SparkSession, value, m: int, k: int) -> list[int]:
+def _bloom_probes(
+    spark: SparkSession, value, m: int, k: int, t: str
+) -> list[int] | None:
     """Probe positions for an equality value, computed BY SPARK (a 1-row
     local-relation job, cached per value+spec) so the probe hashes are
-    bit-identical to the build side's xxhash64 — no Python reimplementation
-    of the JVM hash to drift."""
-    ck = (type(value).__name__, value, m, k)
+    bit-identical to the build side's xxhash64 — no Python
+    reimplementation of the JVM hash to drift. The literal is cast to
+    the COLUMN TYPE the bitmap recorded (``t``) before the canonical
+    string cast, so an int probe against a double column hashes '3.0'
+    exactly like the build did — probing the raw literal's own string
+    form would be a silent false negative. Returns None (caller must
+    not prune) when the literal doesn't cast to ``t``."""
+    ck = (type(value).__name__, value, m, k, t)
     if ck not in _PROBE_CACHE:
-        cols = _bloom_position_cols(F.lit(value), m, k)
+        # try_cast, not cast: ANSI mode throws on a malformed literal
+        # (e.g. probing a numeric column with 'abc'), where the right
+        # answer is simply "can't prune"
+        lit = F.lit(value).try_cast(t)
+        cols = _bloom_position_cols(lit, m, k)
         row = spark.range(1).select(
-            *[c.alias(f"p{i}") for i, c in enumerate(cols)]
+            lit.isNull().alias("nul"),
+            *[c.alias(f"p{i}") for i, c in enumerate(cols)],
         ).first()
-        _PROBE_CACHE[ck] = [row[f"p{i}"] for i in range(k)]
+        _PROBE_CACHE[ck] = (
+            None if row["nul"] else [row[f"p{i}"] for i in range(k)]
+        )
     return _PROBE_CACHE[ck]
 
 
@@ -521,13 +564,15 @@ def _bloom_prune(
         keep = True
         for c, v in eq.items():
             sp = specs.get(c)
-            if sp is None or v is None:
+            if sp is None or v is None or "t" not in sp:
+                # no bitmap, NULL probe, or a pre-type-tag bitmap whose
+                # build-side string form we can't reproduce: never prune
                 continue
+            probes = _bloom_probes(spark, v, sp["m"], sp["k"], sp["t"])
+            if probes is None:
+                continue  # literal doesn't cast to the column type
             bits = base64.b64decode(sp["bits"])
-            if any(
-                not (bits[p >> 3] >> (p & 7)) & 1
-                for p in _bloom_probes(spark, v, sp["m"], sp["k"])
-            ):
+            if any(not (bits[p >> 3] >> (p & 7)) & 1 for p in probes):
                 keep = False
                 break
         if keep:
@@ -586,6 +631,8 @@ def committed_partition_transaction(
     mapping. Readers use them for data skipping
     (`read_keyed_table(prune=...)`) — the manifest half of
     Delta/Iceberg column-stats pruning."""
+    if bloom_cols:
+        _check_bloom_spec(bloom_bits, bloom_hashes)
     os.makedirs(table_dir, exist_ok=True)
     prefix = f"{partition_col}="
     for _ in range(max_retries):
@@ -836,6 +883,8 @@ def append_partition_transaction(
     never saw a row, and an `AuditError` (or the audit's own exception)
     propagates. Bad data can then never become visible: the audit reads
     the same immutable files the table would have served."""
+    if bloom_cols:
+        _check_bloom_spec(bloom_bits, bloom_hashes)
     os.makedirs(table_dir, exist_ok=True)
     prefix = f"{partition_col}="
     for _ in range(max_retries):
@@ -966,12 +1015,18 @@ def append_partition_transaction(
                 merged_b = {}
                 for c, sp in add_b.items():
                     osp = old_b.get(c)
-                    if osp and osp["m"] == sp["m"] and osp["k"] == sp["k"]:
+                    if (
+                        osp
+                        and osp["m"] == sp["m"]
+                        and osp["k"] == sp["k"]
+                        and osp.get("t") == sp.get("t")
+                    ):
                         ob = base64.b64decode(osp["bits"])
                         nb = base64.b64decode(sp["bits"])
                         merged_b[c] = {
                             "m": sp["m"],
                             "k": sp["k"],
+                            "t": sp["t"],
                             "bits": base64.b64encode(
                                 bytes(a | b for a, b in zip(ob, nb))
                             ).decode("ascii"),
@@ -1415,11 +1470,13 @@ def clone_table_shallow(
     source can break clones made from its history (documented trade;
     deep-copy by reading+landing when that matters). Cloning a
     specific ``version`` time-travels the clone's starting point."""
-    hist = table_history(src_dir)
     if version is None:
-        src = current_commit(src_dir)
+        src = current_commit(src_dir)  # O(1): hint + newest manifest
     else:
-        src = next((m for m in hist if m["version"] == version), None)
+        src = next(
+            (m for m in table_history(src_dir) if m["version"] == version),
+            None,
+        )
         if src is None:
             raise ValueError(f"version {version} not committed in {src_dir}")
     if src.get("version", 0) == 0:
@@ -1765,9 +1822,15 @@ def maintain_incremental_agg(
                 "recompute the aggregate from the current table instead"
             )
         op = m.get("op")
-        if op in ("rewrite", "delete", "restore", "migrate"):
+        if op not in ("append", "set-constraints", "evolve"):
+            # Refuse everything an additive fold cannot express: rewrites
+            # double-count, deletes/restores change state without add
+            # rows, a clone's base table hides behind an empty stage,
+            # and an UNTAGGED commit (pre-op manifest) could be any of
+            # those — raising beats silently wrong (re-land legacy
+            # sources, or recompute).
             raise ValueError(
-                f"source commit {v} is a {op!r} — additive incremental "
+                f"source commit {v} is {op!r} — additive incremental "
                 "maintenance is only sound over append-only history; "
                 "recompute the aggregate from the current table instead"
             )

@@ -2139,3 +2139,113 @@ class TestOperationHistory:
             "append", "append", "append", "rewrite",
             "set-constraints", "delete", "restore",
         ]
+
+
+class TestBloomTypeSafety:
+    def test_probe_literal_type_never_false_negatives(self, spark, tmp_path):
+        """An int probe against a DOUBLE bloom column (and a float probe
+        against a LONG one) must cast through the recorded column type
+        before hashing — probing the raw literal's string form would
+        silently skip the partition that holds the value."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(float(i), i, f"k{i % 2}") for i in range(50)],
+            "dv double, lv long, k string",
+        )
+        append_partition_transaction(
+            spark, t, "k", df, bloom_cols=["dv", "lv"], bloom_bits=8192
+        )
+        spec = table_history(t)[-1]["bloom"]["k=k0"]
+        assert spec["dv"]["t"] == "double" and spec["lv"]["t"] == "bigint"
+        # int probe against the double column: 3 must find 3.0
+        r = read_keyed_table(spark, t, prune={"dv": ("eq", 3)})
+        assert r.filter(F.col("dv") == 3).count() == 1
+        # float probe against the long column: 4.0 must find 4
+        r = read_keyed_table(spark, t, prune={"lv": ("eq", 4.0)})
+        assert r.filter(F.col("lv") == 4.0).count() == 1
+        # an uncastable probe never prunes (and the filter matches 0)
+        r = read_keyed_table(spark, t, prune={"lv": ("eq", "abc")})
+        assert len(r.inputFiles()) > 0
+
+    def test_bad_bloom_geometry_rejected_before_staging(
+        self, spark, tmp_path
+    ):
+        """bloom_bits that can't byte-pack is rejected up front — no
+        staged orphan, no commit."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+        )
+
+        t = str(tmp_path / "t")
+        with pytest.raises(ValueError, match="multiple of 8"):
+            append_partition_transaction(
+                spark, t, "k",
+                spark.createDataFrame([(1, "a")], "id long, k string"),
+                bloom_cols=["id"], bloom_bits=1001,
+            )
+        assert current_commit(t)["version"] == 0
+        import os as _os
+
+        assert not _os.path.isdir(t) or not [
+            d for d in _os.listdir(t) if d.startswith("data-")
+        ]
+
+    def test_maintain_refuses_clone_and_untagged_sources(
+        self, spark, tmp_path
+    ):
+        """A shallow-cloned source hides its base table behind an empty
+        stage; an untagged commit could be anything — both refuse
+        instead of silently under/over-counting."""
+        import json as _json
+        import os as _os
+
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            clone_table_shallow,
+            maintain_incremental_agg,
+        )
+
+        agg = lambda d: d.groupBy("k").agg(F.count(F.lit(1)).alias("n"))  # noqa: E731
+        merge = lambda c, a: a if c is None else c.unionByName(a).groupBy(  # noqa: E731
+            "k"
+        ).agg(F.sum("n").alias("n"))
+
+        src = str(tmp_path / "src")
+        append_partition_transaction(
+            spark, src, "k",
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string"),
+        )
+        dst = str(tmp_path / "clone")
+        clone_table_shallow(src, dst)
+        append_partition_transaction(
+            spark, dst, "k",
+            spark.createDataFrame([(3, "a")], "id long, k string"),
+        )
+        with pytest.raises(ValueError, match="clone"):
+            maintain_incremental_agg(
+                spark, dst, str(tmp_path / "s1"), agg, merge
+            )
+        # untagged legacy commit: strip the op field in place
+        log = _os.path.join(src, "_commits")
+        name = sorted(_os.listdir(log))[0]
+        p = _os.path.join(log, name)
+        m = _json.load(open(p))
+        del m["op"]
+        tmp = p + ".tmp"
+        _json.dump(m, open(tmp, "w"))
+        _os.replace(tmp, p)
+        with pytest.raises(ValueError, match="append-only"):
+            maintain_incremental_agg(
+                spark, src, str(tmp_path / "s2"), agg, merge
+            )
