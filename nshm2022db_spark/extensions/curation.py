@@ -681,18 +681,19 @@ def epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
 _UP_HI, _UP_MID = 800, 400  # n_chars thresholds → 3x / 2x / 1x
 
 
-def _n_copies(_duck: bool) -> str:
-    return (
-        f"CASE WHEN n_chars >= {_UP_HI} THEN 3 "
-        f"WHEN n_chars >= {_UP_MID} THEN 2 ELSE 1 END"
-    )
+# One portable string — the CASE chain is identical SQL on both engines
+# (a dialect parameter here would imply a distinction that doesn't exist)
+_N_COPIES = (
+    f"CASE WHEN n_chars >= {_UP_HI} THEN 3 "
+    f"WHEN n_chars >= {_UP_MID} THEN 2 ELSE 1 END"
+)
 
 
 _UPSAMPLE_ORACLE = f"""
     SELECT doc_id,
-           CAST(unnest(generate_series(1, {_n_copies(True)})) AS BIGINT)
+           CAST(unnest(generate_series(1, {_N_COPIES})) AS BIGINT)
                AS copy_idx,
-           CAST({_n_copies(True)} AS BIGINT) AS n_copies
+           CAST({_N_COPIES} AS BIGINT) AS n_copies
     FROM documents
 """
 
@@ -711,7 +712,7 @@ def quality_upsample(spark: SparkSession, sf: str) -> DataFrame:
     the scan stage — no shuffle at any corpus size; the oracle's
     generate_series unnest is the same explode relationally."""
     docs = read_table(spark, sf, "documents").select(
-        "doc_id", F.expr(_n_copies(False)).alias("nc")
+        "doc_id", F.expr(_N_COPIES).alias("nc")
     )
     return docs.select(
         "doc_id",

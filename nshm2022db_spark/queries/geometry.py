@@ -143,6 +143,19 @@ def _pt_lat(i: int) -> str:
     return f"CAST(-47.0 + n_nationkey * 0.1 + {i} * 0.03 AS DOUBLE)"
 
 
+def _trace_sum(pt) -> str:
+    """Top-corner checksum as a function of the trace length: each
+    interior trace point is a corner of TWO planes (end of one, start
+    of the next), endpoints of one — generated from _N_TRACE_POINTS so
+    the oracle stays correct if the synthesis geometry ever changes
+    (hardcoded 1,2,2,1 weights would silently diverge)."""
+    terms = " + ".join(
+        ("" if i in (0, _N_TRACE_POINTS - 1) else "2 * ") + pt(i)
+        for i in range(_N_TRACE_POINTS)
+    )
+    return f"({terms})"
+
+
 @register(
     "geometry_planes_checksum",
     f"""SELECT n_nationkey AS fault_nshm_id,
@@ -151,19 +164,15 @@ def _pt_lat(i: int) -> str:
               ROUND({_pt_lon(_N_TRACE_POINTS - 1)}, 4) AS max_top_lon,
               ROUND({_pt_lat(0)}, 4) AS min_top_lat,
               ROUND({_pt_lat(_N_TRACE_POINTS - 1)}, 4) AS max_top_lat,
-              ROUND({_pt_lon(0)} + 2 * {_pt_lon(1)}
-                    + 2 * {_pt_lon(2)} + {_pt_lon(3)}, 4) AS top_lon_sum,
-              ROUND({_pt_lat(0)} + 2 * {_pt_lat(1)}
-                    + 2 * {_pt_lat(2)} + {_pt_lat(3)}, 4) AS top_lat_sum,
+              ROUND({_trace_sum(_pt_lon)}, 4) AS top_lon_sum,
+              ROUND({_trace_sum(_pt_lat)}, 4) AS top_lat_sum,
               CAST(n_nationkey % 4 AS DOUBLE) AS top_depth,
               CAST(n_nationkey % 4 + 10 AS DOUBLE) AS bottom_depth,
               CASE WHEN n_nationkey % 7 = 6
-                   THEN ROUND({_pt_lon(0)} + 2 * {_pt_lon(1)}
-                        + 2 * {_pt_lon(2)} + {_pt_lon(3)}, 4)
+                   THEN ROUND({_trace_sum(_pt_lon)}, 4)
                    ELSE NULL END AS vert_bot_lon_sum,
               CASE WHEN n_nationkey % 7 = 6
-                   THEN ROUND({_pt_lat(0)} + 2 * {_pt_lat(1)}
-                        + 2 * {_pt_lat(2)} + {_pt_lat(3)}, 4)
+                   THEN ROUND({_trace_sum(_pt_lat)}, 4)
                    ELSE NULL END AS vert_bot_lat_sum
        FROM nation""",
 )

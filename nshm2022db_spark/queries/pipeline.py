@@ -1042,6 +1042,33 @@ def delete_tombstone_mor(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PUSHDOWN_SESSIONS: dict = {}
+
+
+def _pushdown_session(spark: SparkSession) -> SparkSession:
+    """One cached sibling session per parent with the DSv2 parquet
+    reader + aggregate pushdown enabled (the repo's default v1 reader
+    cannot push aggregates, and flipping the confs on the shared
+    session would leak into every other query). Cached so repeated
+    invocations (bench/ladder run this in a loop) don't accumulate
+    session state on the SparkContext; mirrors the parent's
+    determinism-relevant confs."""
+    key = id(spark)
+    s2 = _PUSHDOWN_SESSIONS.get(key)
+    if s2 is None:
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        s2.conf.set("spark.sql.sources.useV1SourceList", "")
+        for conf in (
+            "spark.sql.session.timeZone",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+        ):
+            s2.conf.set(conf, spark.conf.get(conf))
+        _PUSHDOWN_SESSIONS[key] = s2
+    return s2
+
+
 @register(
     "agg_pushdown_scan",
     """SELECT CAST(MIN(event_id) AS BIGINT) AS min_id,
@@ -1055,19 +1082,17 @@ def agg_pushdown_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Aggregate pushdown INTO the parquet scan: MIN/MAX/COUNT answered
     from footer statistics and row-group metadata without decoding a
     single data page — at 100 TB the difference between touching ~KB of
-    footers and scanning the table. Runs on a sibling session with the
+    footers and scanning the table. The sibling session is cached per
+    parent (one per process, not one per invocation — this query runs
+    repeatedly in the bench/ladder harnesses) and mirrors the parent's
+    determinism-relevant confs. Runs on a sibling session with the
     DSv2 parquet reader and spark.sql.parquet.aggregatePushdown enabled
     (v1, the repo default elsewhere, cannot push aggregates); the plan
     must show `PushedAggregation: [MIN(...), MAX(...), COUNT(*)]`
     (pinned by tests/test_plans.py). The oracle computes the same
     aggregates the honest way — footer metadata must agree with the
     data exactly."""
-    s2 = spark.newSession()  # own SQLConf: v2 reader + pushdown, nothing
-    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")  # else leaks
-    s2.conf.set("spark.sql.sources.useV1SourceList", "")
-    s2.conf.set(
-        "spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone")
-    )
+    s2 = _pushdown_session(spark)
     return read_table(s2, sf, "events").agg(
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),

@@ -352,6 +352,12 @@ def _collect_stage_stats(
         n = 0
         bounds: dict[str, list] = {c: [None, None] for c in stats_cols}
         nulls: dict[str, int | None] = {c: 0 for c in stats_cols}
+        # bounds are only publishable if EVERY non-empty row group that
+        # holds the column reported min/max — a stats-less group (a
+        # foreign writer with statistics disabled) holds rows the
+        # recorded bounds would not cover, and publishing them anyway
+        # would let range pruning skip partitions with matching rows
+        covered: dict[str, bool] = {c: True for c in stats_cols}
         for f in os.listdir(d):
             if not (f.endswith(".parquet") or f.startswith("part-")):
                 continue
@@ -363,19 +369,31 @@ def _collect_stage_stats(
             for c in stats_cols:
                 if c not in idx:
                     # column absent from this file (schema evolution):
-                    # every one of its rows reads back NULL for c
+                    # every one of its rows reads back NULL for c (and
+                    # NULLs never match a range predicate, so absent
+                    # files don't invalidate bounds)
                     if nulls[c] is not None:
                         nulls[c] += md.num_rows
                     continue
                 for g in range(md.num_row_groups):
+                    if md.row_group(g).num_rows == 0:
+                        continue
                     st = md.row_group(g).column(idx[c]).statistics
                     if st is None:
                         nulls[c] = None  # unknown → record no null stat
+                        covered[c] = False
                         continue
                     if nulls[c] is not None:
                         nc = st.null_count
                         nulls[c] = None if nc is None else nulls[c] + nc
                     if not st.has_min_max:
+                        # rows exist here with unknown values: unless
+                        # they are ALL null, the bounds can't claim
+                        # coverage
+                        if st.null_count is None or (
+                            st.null_count != md.row_group(g).num_rows
+                        ):
+                            covered[c] = False
                         continue
                     lo, hi = bounds[c]
                     bounds[c][0] = st.min if lo is None else min(lo, st.min)
@@ -383,7 +401,11 @@ def _collect_stage_stats(
         out[e] = {
             "n": n,
             "cols": {
-                c: [_json_stat(bounds[c][0]), _json_stat(bounds[c][1])]
+                c: (
+                    [_json_stat(bounds[c][0]), _json_stat(bounds[c][1])]
+                    if covered[c]
+                    else [None, None]  # no bound = never range-pruned
+                )
                 for c in stats_cols
             },
             "nulls": {c: k for c, k in nulls.items() if k is not None},
@@ -1307,7 +1329,16 @@ def materialize_tombstones(
         spark,
         table_dir,
         cur["partition_col"],
-        lambda base: _apply_tombstones(spark, table_dir, cur, base),
+        # Re-read the head INSIDE compute: the transaction retries
+        # against new heads, and a tombstone committed concurrently
+        # must be applied by the rewrite that is about to CLEAR the dv
+        # list (_drop_dv) — anti-joining the entry snapshot's dv would
+        # lose it. If compute observes a newer head than the retry's
+        # base, the CAS fails and the whole transaction re-runs, so
+        # the pair stays consistent.
+        lambda base: _apply_tombstones(
+            spark, table_dir, current_commit(table_dir), base
+        ),
         affected=None,
         stats_cols=stats_cols,
         _drop_dv=True,
@@ -1361,6 +1392,11 @@ def evolve_partition_column(
         }
         if cur.get("constraints"):
             manifest["constraints"] = cur["constraints"]
+        if cur.get("dv"):
+            # outstanding tombstones survive the spec change — dropping
+            # them here would resurrect deleted rows on the next read
+            manifest["dv"] = cur["dv"]
+            manifest["dv_key"] = cur["dv_key"]
         if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
             return manifest["version"]
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
@@ -1450,6 +1486,9 @@ def migrate_legacy_layouts(
             manifest["stats"] = new_stats
         if cur.get("constraints"):
             manifest["constraints"] = cur["constraints"]
+        if cur.get("dv"):
+            manifest["dv"] = cur["dv"]
+            manifest["dv_key"] = cur["dv_key"]
         if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
             return manifest["version"]
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
@@ -2015,7 +2054,14 @@ def resolve_version_as_of(table_dir: str, as_of: float) -> int | None:
     stable across restores and replays."""
     best = None
     for m in table_history(table_dir):
-        if m.get("committed_at", 0.0) <= as_of:
+        ts = m.get("committed_at")
+        if ts is None:
+            # pre-feature manifest with no publish timestamp: its place
+            # in time is unknown, so it can never RESOLVE an as_of —
+            # defaulting it to 0 would answer pre-creation instants
+            # with current data
+            continue
+        if ts <= as_of:
             best = m["version"] if best is None else max(best, m["version"])
     return best
 
@@ -2213,12 +2259,20 @@ def append_keyed_mor(
     the later COMMIT deterministically (update-wins, same contract as
     `merge_into`).
 
-    ``max_open_generations`` is the Hudi-style compaction trigger: when
-    an append leaves more than that many open generations, it folds them
-    with `compact_keyed_mor` before returning — bounding read
-    amplification (the per-read window spans at most N+1 generations
-    over a stream's whole life) at the cost of a periodic rewrite."""
+    ``max_open_generations`` is the Hudi-style compaction trigger,
+    enforced at ENTRY (before the idempotence short-circuit, so a
+    replayed batch still re-enforces the bound a crashed compaction
+    left violated) and retried best-effort after a publish that
+    crosses it — a post-publish compaction failure must not fail the
+    caller's batch, whose data is already durably committed; the next
+    append's entry-side trigger picks it up. Read amplification is
+    thus bounded at N+1 generations over a stream's whole life at the
+    cost of a periodic rewrite."""
     os.makedirs(table_dir, exist_ok=True)
+    if max_open_generations is not None:
+        head = current_commit(table_dir)
+        if len(head.get("dirs", [])) > max_open_generations:
+            compact_keyed_mor(spark, table_dir)
     w = Window.partitionBy(*keys).orderBy(
         F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak or []]
     )
@@ -2269,7 +2323,13 @@ def append_keyed_mor(
                 max_open_generations is not None
                 and len(manifest["dirs"]) > max_open_generations
             ):
-                compact_keyed_mor(spark, table_dir)
+                try:
+                    compact_keyed_mor(spark, table_dir)
+                except Exception:
+                    # the append IS committed; failing the caller now
+                    # would replay a durable batch. The bound is
+                    # re-enforced by the next call's entry-side trigger.
+                    pass
             return
     raise RuntimeError(
         f"commit conflict persisted for {max_retries} retries on {table_dir}"

@@ -2249,3 +2249,65 @@ class TestBloomTypeSafety:
             maintain_incremental_agg(
                 spark, src, str(tmp_path / "s2"), agg, merge
             )
+
+
+class TestTombstoneSurvival:
+    def test_tombstones_survive_evolution_and_migration(
+        self, spark, tmp_path
+    ):
+        """A metadata-only spec change must not resurrect deleted rows:
+        partition evolution and legacy migration both carry the
+        outstanding deletion vectors forward."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            evolve_partition_column,
+            migrate_legacy_layouts,
+            read_keyed_table,
+            tombstone_keys,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"k{i % 2}", f"g{i % 3}") for i in range(12)],
+            "id long, k string, g string",
+        )
+        append_partition_transaction(spark, t, "k", df)
+        tombstone_keys(
+            spark, t, "id", spark.createDataFrame([(0,), (5,)], "id long")
+        )
+        assert read_keyed_table(spark, t).count() == 10
+        evolve_partition_column(spark, t, "g")
+        assert read_keyed_table(spark, t).count() == 10  # still hidden
+        migrate_legacy_layouts(spark, t)
+        got = {r.id for r in read_keyed_table(spark, t).collect()}
+        assert got == set(range(12)) - {0, 5}
+
+    def test_as_of_unknowable_on_untimed_manifests(self, spark, tmp_path):
+        """Manifests without a publish timestamp can never RESOLVE a
+        TIMESTAMP AS OF — a pre-creation instant must answer None, not
+        current data."""
+        import json as _json
+        import os as _os
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            resolve_version_as_of,
+        )
+
+        t = str(tmp_path / "t")
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame([(1, "a")], "id long, k string"),
+        )
+        log = _os.path.join(t, "_commits")
+        for name in _os.listdir(log):
+            if not name.endswith(".json") or "checkpoint" in name:
+                continue
+            p = _os.path.join(log, name)
+            m = _json.load(open(p))
+            m.pop("committed_at", None)
+            tmp = p + ".tmp"
+            _json.dump(m, open(tmp, "w"))
+            _os.replace(tmp, p)
+        assert resolve_version_as_of(t, 0.0) is None
+        assert resolve_version_as_of(t, 9e12) is None
