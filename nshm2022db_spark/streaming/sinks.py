@@ -41,11 +41,13 @@ period (mtime-based, so an in-flight writer's fresh stage survives).
 from __future__ import annotations
 
 import base64
+import contextlib
 import json
 import os
 import re
 import shutil
 import tempfile
+import threading
 import time
 import uuid
 
@@ -91,7 +93,7 @@ def _write_hint(table_dir: str, manifest: dict) -> None:
     is the source of truth; the hint only speeds up / legacy-bridges
     `current_commit`. Two racing hint writes can land out of order —
     harmless, because the log scan always wins when present."""
-    fd, tmp = tempfile.mkstemp(dir=table_dir)
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="_hint-tmp-")
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(table_dir, _POINTER))
@@ -400,13 +402,16 @@ def _collect_stage_stats(
                     bounds[c][1] = st.max if hi is None else max(hi, st.max)
         out[e] = {
             "n": n,
+            # an uncovered column is OMITTED, not published as
+            # [None, None]: absent reads as "no bound, never pruned"
+            # everywhere AND the append merge drops it from the merged
+            # entry (a [None, None] would be mistaken for an all-NULL
+            # column there, carrying the OLD bounds forward over rows
+            # they don't cover)
             "cols": {
-                c: (
-                    [_json_stat(bounds[c][0]), _json_stat(bounds[c][1])]
-                    if covered[c]
-                    else [None, None]  # no bound = never range-pruned
-                )
+                c: [_json_stat(bounds[c][0]), _json_stat(bounds[c][1])]
                 for c in stats_cols
+                if covered[c]
             },
             "nulls": {c: k for c, k in nulls.items() if k is not None},
         }
@@ -439,6 +444,36 @@ def _check_bloom_spec(m: int, k: int) -> None:
         raise ValueError(f"bloom_hashes must be positive, got {k}")
 
 
+_INFERENCE_GUARD = threading.Lock()
+_INFERENCE_STATE: dict[int, list] = {}  # id(spark) -> [depth, saved value]
+
+
+@contextlib.contextmanager
+def _no_partition_inference(spark: SparkSession):
+    """Disable partition-dir type inference for the reads inside the
+    block, REENTRANTLY per session: a bare save/set/restore pair is
+    not — two interleaved callers (concurrent foreachBatch threads on
+    one session) would capture each other's 'false' as the value to
+    restore and leave inference off for the whole session forever.
+    Depth-counted per session id, first caller saves, last restores."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    sid = id(spark)
+    with _INFERENCE_GUARD:
+        st = _INFERENCE_STATE.get(sid)
+        if st is None:
+            st = _INFERENCE_STATE[sid] = [0, spark.conf.get(key)]
+            spark.conf.set(key, "false")
+        st[0] += 1
+    try:
+        yield
+    finally:
+        with _INFERENCE_GUARD:
+            st[0] -= 1
+            if st[0] == 0:
+                spark.conf.set(key, st[1])
+                _INFERENCE_STATE.pop(sid, None)
+
+
 def _collect_stage_blooms(
     spark: SparkSession,
     stage_path: str,
@@ -463,15 +498,10 @@ def _collect_stage_blooms(
     form of a double ('3.0') and probing with an int ('3') would
     otherwise be a silent false negative. NULLs are not inserted
     (equality against NULL is the ``"null"`` prune spec's job)."""
-    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
+    with _no_partition_inference(spark):
         df = spark.read.option("basePath", stage_path).parquet(
             *[os.path.join(stage_path, e) for e in sorted(written)]
         )
-    finally:
-        spark.conf.set(key, prev)
     types = dict(df.dtypes)
     cols = [c for c in bloom_cols if c in df.columns]
     if not cols:
@@ -1525,6 +1555,11 @@ def clone_table_shallow(
             "shallow clone supports plain partition-mapped tables"
         )
     os.makedirs(dest_dir, exist_ok=True)
+    # "empty" must mean NO commit history at all — the version-1 CAS
+    # alone would succeed on an existing table whose early manifests
+    # were vacuumed, silently splicing a foreign v1 into its history
+    if current_commit(dest_dir)["version"] != 0 or _manifest_names(dest_dir):
+        raise ValueError(f"clone target {dest_dir} is not an empty table")
     src_abs = os.path.abspath(src_dir)
 
     def _ref(d: str) -> str:
@@ -1566,6 +1601,24 @@ def restore_table_version(table_dir: str, version: int) -> int:
     target = next((m for m in hist if m["version"] == version), None)
     if target is None:
         raise ValueError(f"version {version} not committed in {table_dir}")
+
+    def _missing_dirs() -> list[str]:
+        return [
+            d
+            for d in sorted(_manifest_dirs(target) - {"."})
+            # os.path.join passes a clone's absolute refs through, so a
+            # source-side vacuum is caught here too
+            if not os.path.isdir(os.path.join(table_dir, d))
+        ]
+
+    # a retention vacuum may already have deleted the target's data —
+    # refuse up front rather than committing a manifest to dead paths
+    gone = _missing_dirs()
+    if gone:
+        raise ValueError(
+            f"version {version} data was vacuumed ({gone[0]} missing); "
+            "restore is impossible"
+        )
     for _ in range(10):
         cur = current_commit(table_dir)
         manifest = {
@@ -1581,6 +1634,18 @@ def restore_table_version(table_dir: str, version: int) -> int:
         manifest["batch_ids"] = []
         manifest["op"] = "restore"
         if try_commit(table_dir, manifest):
+            # re-verify AFTER the commit: a vacuum running concurrently
+            # could have deleted the target's dirs between our check
+            # and the CAS (it cannot see this manifest yet). Raising is
+            # loud and actionable — restore again to a live version —
+            # where silence would leave a head pointing at dead data.
+            gone = _missing_dirs()
+            if gone:
+                raise RuntimeError(
+                    f"restore of version {version} raced a vacuum "
+                    f"({gone[0]} deleted after commit); restore the "
+                    "table to a live version"
+                )
             _write_hint(table_dir, manifest)
             _maybe_checkpoint_ledger(table_dir, manifest["version"])
             return manifest["version"]
@@ -1612,7 +1677,16 @@ def vacuum_versions(table_dir: str, keep_last: int) -> dict:
             out.update(_manifest_dirs(m))
         return out
 
-    doomed = dirs_of(drop) - dirs_of(keep) - {"."}
+    # Deletion is restricted to LOCAL data dirs (simple names directly
+    # under this table): a shallow clone's manifest references the
+    # SOURCE table's dirs by absolute path, and vacuuming the clone
+    # must never reach through those references and destroy committed
+    # data it does not own.
+    doomed = {
+        d
+        for d in dirs_of(drop) - dirs_of(keep) - {"."}
+        if not os.path.isabs(d) and os.sep not in d
+    }
     log = os.path.join(table_dir, _COMMITS)
     # Preserve the batch-id ledger BEFORE unlinking: dropped manifests
     # carry delta ids that replay idempotence still needs. Roll them into
@@ -1669,6 +1743,16 @@ def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
         ):
             shutil.rmtree(p, ignore_errors=True)
             removed.append(n)
+        elif (
+            n.startswith("_hint-tmp-")
+            and os.path.isfile(p)
+            and now - os.path.getmtime(p) > grace_sec
+        ):
+            # a writer that crashed inside _write_hint between mkstemp
+            # and os.replace leaves this orphan — same grace-window
+            # sweep as the _commits/*.tmp case
+            os.unlink(p)
+            removed.append(n)
     # A writer that crashes between mkstemp and try_commit's finally
     # leaves an orphan *.tmp manifest in the log dir forever (ADVICE
     # r04); sweep those under the same grace window. A live writer's
@@ -1706,6 +1790,7 @@ def read_table_changes(
     table_dir: str,
     from_version: int,
     to_version: int | None = None,
+    history: list[dict] | None = None,
 ) -> DataFrame | None:
     """CHANGE FEED over a partition-mapped committed table: the rows
     each commit in ``(from_version, to_version]`` ADDED, tagged with
@@ -1727,7 +1812,10 @@ def read_table_changes(
     with data."""
     out = None
     seen_dirs: set[str] = set()
-    for m in table_history(table_dir):
+    # ``history`` lets a caller iterating many version ranges (the
+    # incremental maintainer) pay the full commit-log scan ONCE instead
+    # of once per range — O(V) metadata cost over a refresh, not O(V²)
+    for m in history if history is not None else table_history(table_dir):
         v = m["version"]
         republished = m.get("dir") in seen_dirs
         if m.get("dir"):
@@ -1789,7 +1877,10 @@ def read_partition_counts(spark: SparkSession, table_dir: str) -> DataFrame:
         return df.groupBy(pcol).agg(F.count(F.lit(1)).cast("long").alias("n"))
 
     if cur.get("dv") or cur.get("legacy_layouts"):
-        return scan_counts(read_keyed_table(spark, table_dir))
+        full = read_keyed_table(spark, table_dir)
+        if full is None:  # every partition dropped; dv/layouts remain
+            return spark.createDataFrame([], f"{pcol} string, n long")
+        return scan_counts(full)
     stats = cur.get("stats", {})
     counted = [
         (e.split("=", 1)[1], int(stats[e]["n"]))
@@ -1848,7 +1939,8 @@ def maintain_incremental_agg(
     unfoldable, so schedule maintenance inside the retention
     window."""
     applied = 0
-    hist = {m["version"]: m for m in table_history(source_dir)}
+    ordered = table_history(source_dir)
+    hist = {m["version"]: m for m in ordered}
     head = current_commit(source_dir)["version"]
     done = committed_batch_ids(dest_dir) if os.path.isdir(dest_dir) else set()
     for v in range(1, head + 1):
@@ -1873,7 +1965,9 @@ def maintain_incremental_agg(
                 "maintenance is only sound over append-only history; "
                 "recompute the aggregate from the current table instead"
             )
-        delta = read_table_changes(spark, source_dir, v - 1, v)
+        delta = read_table_changes(
+            spark, source_dir, v - 1, v, history=ordered
+        )
         if delta is None:
             continue  # metadata-only commit: nothing to fold
         committed_transaction(
@@ -2029,18 +2123,15 @@ def _read_partition_map(
             # would not). The flip only spans this eager resolve, and
             # every reader in this module normalizes the column to
             # string anyway, so a concurrent resolve observing it still
-            # reads correct values.
-            key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-            prev = spark.conf.get(key)
-            spark.conf.set(key, "false")
-            try:
+            # reads correct values. The flip itself goes through the
+            # reentrant guard — interleaved callers on one session must
+            # not capture each other's 'false' as the restore value.
+            with _no_partition_inference(spark):
                 df = (
                     spark.read.option("basePath", root)
                     .option("mergeSchema", "true")
                     .parquet(*[os.path.join(root, e) for e in entries])
                 )
-            finally:
-                spark.conf.set(key, prev)
             df = df.withColumn(pcol, F.col(pcol).cast("string"))
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     return out

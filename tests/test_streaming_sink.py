@@ -2311,3 +2311,110 @@ class TestTombstoneSurvival:
             _os.replace(tmp, p)
         assert resolve_version_as_of(t, 0.0) is None
         assert resolve_version_as_of(t, 9e12) is None
+
+
+class TestVacuumCloneSafety:
+    def test_vacuum_on_clone_never_touches_source(self, spark, tmp_path):
+        """Retention vacuum on a shallow clone must not reach through
+        the clone's absolute references and delete the SOURCE table's
+        committed data."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            clone_table_shallow,
+            committed_partition_transaction,
+            read_keyed_table,
+            vacuum_versions,
+        )
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        df = spark.createDataFrame(
+            [(i, f"k{i % 2}") for i in range(10)], "id long, k string"
+        )
+        append_partition_transaction(spark, src, "k", df)
+        clone_table_shallow(src, dst)
+        # rewrite the clone so its head no longer references the source
+        committed_partition_transaction(
+            spark, dst, "k", lambda base: base.filter("id < 5")
+        )
+        out = vacuum_versions(dst, keep_last=1)
+        assert all("/" not in d for d in out["dirs"])
+        # the source is fully intact
+        assert read_keyed_table(spark, src).count() == 10
+
+    def test_clone_refuses_nonempty_target(self, spark, tmp_path):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            clone_table_shallow,
+        )
+
+        src = str(tmp_path / "src")
+        other = str(tmp_path / "other")
+        df = spark.createDataFrame([(1, "a")], "id long, k string")
+        append_partition_transaction(spark, src, "k", df)
+        append_partition_transaction(spark, other, "k", df)
+        with pytest.raises(ValueError, match="not an empty table"):
+            clone_table_shallow(src, other)
+
+    def test_restore_refuses_vacuumed_target(self, spark, tmp_path):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            committed_partition_transaction,
+            restore_table_version,
+            table_history,
+            vacuum_versions,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"k{i % 2}") for i in range(6)], "id long, k string"
+        )
+        append_partition_transaction(spark, t, "k", df)
+        committed_partition_transaction(
+            spark, t, "k", lambda base: base.filter("id < 3")
+        )
+        committed_partition_transaction(
+            spark, t, "k", lambda base: base.filter("id < 2")
+        )
+        vacuum_versions(t, keep_last=1)
+        # v1's data dirs are gone along with its manifest; restoring a
+        # REMAINING version whose dirs were vacuumed must refuse
+        remaining = [m["version"] for m in table_history(t)]
+        assert remaining == [3]
+        with pytest.raises(ValueError):
+            restore_table_version(t, 1)
+
+
+class TestUncoveredStatsMerge:
+    def test_uncovered_column_never_carries_stale_bounds(
+        self, spark, tmp_path
+    ):
+        """A generation whose footer lacks min/max for a column (foreign
+        writer) must DROP the entry's bounds on merge — carrying the old
+        bounds forward would let range pruning skip rows the bounds
+        never covered."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from nshm2022db_spark.streaming.sinks import (
+            _collect_stage_stats,
+        )
+
+        d = tmp_path / "stage" / "k=a"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table({"x": [500, 600]}),
+            str(d / "foreign.parquet"),
+            write_statistics=False,
+        )
+        stats = _collect_stage_stats(
+            str(tmp_path / "stage"), {"k=a"}, ["x"]
+        )
+        # no bounds published at all: absent = never pruned, and the
+        # append merge drops the column instead of keeping old bounds
+        assert "x" not in stats["k=a"]["cols"]
+        assert stats["k=a"]["n"] == 2
