@@ -480,16 +480,20 @@ def source_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 QUALITY_MIN = 0.4
 
-_DUCK_QUALITY = (
-    "least(len({toks})::DOUBLE / 100.0, 1.0) * "
-    "(1.0 - length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))::DOUBLE"
-    " / greatest(length(text), 1))"
+# Quality, bucket, and rate formulas are IMPORTED from extensions.text —
+# this pipeline composes text_quality_score / text_fingerprint /
+# stratified_sample, and the composition claim is only true while the
+# expressions are literally shared (hand-copied twins desync silently).
+from nshm2022db_spark.extensions.text import (  # noqa: E402
+    _SAMPLE_RATES as _TEXT_RATES,
+    _bucket as _text_bucket,
+    quality_expr,
 )
 
 _PIPELINE_ORACLE = f"""
     WITH scored AS (
         SELECT doc_id, lang,
-               {_DUCK_QUALITY.format(toks=duck_tokens('text'))} AS q,
+               {quality_expr(True)} AS q,
                md5({{norm}}) AS fp
         FROM documents),
     kept AS (SELECT * FROM scored WHERE q >= {QUALITY_MIN}),
@@ -511,10 +515,10 @@ _PIPELINE_ORACLE = f"""
     "curation_pipeline",
     _PIPELINE_ORACLE.format(
         norm=duck_norm_text("text"),
-        bucket=f"(((doc_id * 48271 + 11) % {P}) % 100)",
-        r_en=50,
-        r_de=80,
-        r_fr=20,
+        bucket=_text_bucket("doc_id"),
+        r_en=_TEXT_RATES["en"],
+        r_de=_TEXT_RATES["de"],
+        r_fr=_TEXT_RATES["fr"],
     ),
 )
 def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
@@ -534,26 +538,18 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     below the dedup window would let a group whose smallest-id member is
     sampled out resurrect a larger-id duplicate (caught by the sf0.1
     oracle run: a cross-language duplicate pair, round 3)."""
-    toks = spark_tokens("text")
-    punct = (
-        "CAST(length(regexp_replace(text, '[A-Za-z0-9 \\\\t\\\\n\\\\x0B\\\\f\\\\r]', '')) AS DOUBLE)"
-        " / greatest(length(text), 1)"
-    )
     norm = spark_norm_text("text")
     scored = read_table(spark, sf, "documents").select(
         "doc_id",
         "lang",
-        F.expr(
-            f"least(CAST(size({toks}) AS DOUBLE) / 100.0, 1.0) * (1.0 - {punct})"
-        ).alias("q"),
+        F.expr(quality_expr(False)).alias("q"),
         F.expr(f"md5({norm})").alias("fp"),
     )
     kept = scored.filter(F.col("q") >= QUALITY_MIN)
     w = Window.partitionBy("fp").orderBy("doc_id")
-    sampled_rates = {"en": 50, "de": 80, "fr": 20}
-    bucket = F.expr(f"((doc_id * 48271 + 11) % {P}) % 100")
+    bucket = F.expr(_text_bucket("doc_id"))
     keep = F.lit(False)
-    for lang, rate in sampled_rates.items():
+    for lang, rate in _TEXT_RATES.items():
         keep = F.when(F.col("lang") == lang, bucket < rate).otherwise(keep)
     return (
         kept.withColumn("rn", F.row_number().over(w))
@@ -583,6 +579,11 @@ _CHUNK_ORACLE = f"""
            i AS chunk_id,
            i * {_STEP} AS tok_start,
            least(i * {_STEP} + {CHUNK_TOKENS}, n) AS tok_end
+    -- ORACLE-ONLY bound: the cross-unnest needs a finite series; 10000
+    -- chunks = ~1.12M whitespace tokens in one document, far above any
+    -- real row (testdata max is ~3 orders of magnitude smaller). The
+    -- Spark side emits ALL chunks — a pathological giant document would
+    -- hash-mismatch here rather than silently truncate.
     FROM spans, (SELECT unnest(range(0, 10000)) AS i)
     WHERE i < n_chunks
 """

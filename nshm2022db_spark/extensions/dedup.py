@@ -76,13 +76,34 @@ def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
 
     Tokens are hashed once per token, shingle hash = arithmetic combine of
     3 consecutive token hashes — the char-level fold never runs per
-    shingle (functions.portable.spark_shingle_hashes)."""
-    return (
-        read_table(spark, sf, "documents")
-        .select("doc_id", F.expr(spark_token_hashes(spark_tokens("text"))).alias("hx"))
-        .select("doc_id", F.explode(F.expr(spark_shingle_hashes("hx"))).alias("x"))
-        .cache()
-    )
+    shingle (functions.portable.spark_shingle_hashes).
+
+    The cache is MEMOIZED per (session, sf): repeated calls (bench and
+    verify harnesses run the whole dedup family) reuse ONE cached
+    relation instead of stacking a fresh corpus-sized cache entry per
+    call that nothing ever unpersists."""
+    key = (id(spark), sf)
+    df = _SHINGLE_CACHE.get(key)
+    if df is None:
+        df = (
+            read_table(spark, sf, "documents")
+            .select(
+                "doc_id",
+                F.expr(spark_token_hashes(spark_tokens("text"))).alias("hx"),
+            )
+            .select(
+                "doc_id", F.explode(F.expr(spark_shingle_hashes("hx"))).alias("x")
+            )
+        )
+        _SHINGLE_CACHE[key] = df
+    if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        # (re-)register persistence — a harness-level clearCache between
+        # queries drops it, and the next dedup query wants it back
+        df.cache()
+    return df
+
+
+_SHINGLE_CACHE: dict = {}
 
 
 def capped_shingles(ex: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
@@ -214,8 +235,8 @@ def ngram_jaccard_pairs(ex: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     )
     jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
     return (
-        common.join(F.broadcast(sz.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sz.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        common.join(sz.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sz.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -323,8 +344,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
     jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
     return (
-        common.join(F.broadcast(sz.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sz.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        common.join(sz.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sz.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -424,10 +445,10 @@ def _batch_verdicts(
     )
     scored = (
         common.join(
-            F.broadcast(sz.alias("sa")), F.col("sa.doc_id") == F.col("new_id")
+            sz.alias("sa"), F.col("sa.doc_id") == F.col("new_id")
         )
         .join(
-            F.broadcast(sz.alias("sb")), F.col("sb.doc_id") == F.col("old_id")
+            sz.alias("sb"), F.col("sb.doc_id") == F.col("old_id")
         )
         .select("new_id", "old_id", jac.alias("jac"))
     )

@@ -172,7 +172,14 @@ def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     functions of the byte payload so the DuckDB oracle can mirror them."""
     for pdf in batches:
         n_bytes = pdf["media"].map(len)
-        header = pdf["media"].map(lambda b: b[0] if len(b) else 0)
+        # first CODEPOINT, not first utf-8 byte: the oracle's
+        # ord(substr(text,1,1)) is codepoint-valued, and a non-ASCII
+        # leading character would otherwise diverge (0xC3 lead byte vs
+        # U+00E9) — byte-vs-rune agreement is part of the portable
+        # discipline even though the synthetic corpus is ASCII
+        header = pdf["media"].map(
+            lambda b: ord(bytes(b).decode("utf-8")[0]) if len(b) else 0
+        )
         out = pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
@@ -196,9 +203,12 @@ def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
                   AS media_type,
               octet_length(encode(text)) AS n_bytes,
-              ord(substr(text, 1, 1)) AS header_byte,
+              CASE WHEN length(text) = 0 THEN 0
+                   ELSE ord(substr(text, 1, 1)) END AS header_byte,
               (64 + octet_length(encode(text)) % 1024)::INTEGER AS width,
-              (64 + (ord(substr(text, 1, 1)) * 7) % 512)::INTEGER AS height,
+              (64 + (CASE WHEN length(text) = 0 THEN 0
+                          ELSE ord(substr(text, 1, 1)) END * 7) % 512)
+                  ::INTEGER AS height,
               (octet_length(encode(text)) // 256 + 1)::INTEGER AS n_frames,
               ROUND(octet_length(encode(text)) / 16000.0, 6) AS duration_s
        FROM documents""",
@@ -225,13 +235,21 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling: every 16th byte of the payload as a signature —
     pure column math (no Python), the shape of a stride-decimation pass
     over video bytes."""
+    # sequence(1, 0, 16) THROWS on an empty payload (illegal
+    # boundaries); the guard generates over max(len, 1) then filters
+    # positions past the end, which for len=0 yields the empty list the
+    # oracle's range(1, 1, 16) produces
+    pos = (
+        "filter(sequence(1, greatest(length(text), 1), 16),"
+        " i -> i <= length(text))"
+    )
     return read_table(spark, sf, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.expr(
-            "concat_ws('-', transform(sequence(1, length(text), 16), "
+            f"concat_ws('-', transform({pos}, "
             "i -> CAST(ascii(substr(text, i, 1)) AS STRING)))"
         ).alias("frame_sig"),
-        F.expr("size(sequence(1, length(text), 16))").cast("long").alias("n_samples"),
+        F.expr(f"size({pos})").cast("long").alias("n_samples"),
     )
 
 

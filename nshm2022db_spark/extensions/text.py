@@ -28,6 +28,36 @@ from nshm2022db_spark.sources import read_table
 STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+
+# Shared quality formula — text_quality_score AND curation_pipeline
+# compose the SAME expression; single per-engine builders keep them in
+# lockstep (the pipeline previously hand-copied these strings, which
+# desyncs silently the first time one side is edited).
+def punct_ratio_expr(duck: bool) -> str:
+    if duck:
+        return (
+            "length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g'))::DOUBLE"
+            " / greatest(length(text), 1)"
+        )
+    return (
+        "CAST(length(regexp_replace(text, '[A-Za-z0-9 \\\\t\\\\n\\\\x0B\\\\f\\\\r]', '')) AS DOUBLE)"
+        " / greatest(length(text), 1)"
+    )
+
+
+def quality_expr(duck: bool) -> str:
+    """length-capped × (1 − punct ratio), the cheap quality proxy."""
+    if duck:
+        return (
+            f"least(len({duck_tokens('text')})::DOUBLE / 100.0, 1.0)"
+            f" * (1.0 - {punct_ratio_expr(True)})"
+        )
+    return (
+        f"least(CAST(size({spark_tokens('text')}) AS DOUBLE) / 100.0,"
+        f" CAST(1.0 AS DOUBLE))"
+        f" * (CAST(1.0 AS DOUBLE) - {punct_ratio_expr(False)})"
+    )
+
 # word-or-single-punct tokenization, BPE-ish lower bound on token count.
 # Two renderings: Spark SQL literals eat one backslash level, DuckDB doesn't.
 BPE_PATTERN_SPARK = r"[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
@@ -106,32 +136,25 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     "text_quality_score",
     f"""SELECT doc_id,
                length(text) AS n_chars_measured,
-               ROUND(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g'))::DOUBLE
-                     / greatest(length(text), 1), 6) AS punct_ratio,
+               ROUND({punct_ratio_expr(True)}, 6) AS punct_ratio,
                ROUND(len(list_filter({duck_tokens('text')}, t -> translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({_STOP_SQL})))::DOUBLE
                      / greatest(len({duck_tokens('text')}), 1), 6) AS stopword_ratio,
-               ROUND(least(len({duck_tokens('text')})::DOUBLE / 100.0, 1.0)
-                     * (1.0 - length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g'))::DOUBLE
-                              / greatest(length(text), 1)), 6) AS quality_score
+               ROUND({quality_expr(True)}, 6) AS quality_score
         FROM documents""",
 )
 def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Quality scoring from length / punctuation ratio / stopword ratio —
     the standard cheap pre-filters of a training-data pipeline."""
     toks = spark_tokens("text")
-    punct = "CAST(length(regexp_replace(text, '[A-Za-z0-9 \\\\t\\\\n\\\\x0B\\\\f\\\\r]', '')) AS DOUBLE) / greatest(length(text), 1)"
     return read_table(spark, sf, "documents").select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
-        F.expr(f"ROUND({punct}, 6)").alias("punct_ratio"),
+        F.expr(f"ROUND({punct_ratio_expr(False)}, 6)").alias("punct_ratio"),
         F.expr(
             f"ROUND(CAST(size(filter({toks}, t -> " + spark_ascii_lower('t') + f" IN ({_STOP_SQL}))) AS DOUBLE)"
             f" / greatest(size({toks}), 1), 6)"
         ).alias("stopword_ratio"),
-        F.expr(
-            f"ROUND(least(CAST(size({toks}) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))"
-            f" * (CAST(1.0 AS DOUBLE) - {punct}), 6)"
-        ).alias("quality_score"),
+        F.expr(f"ROUND({quality_expr(False)}, 6)").alias("quality_score"),
     )
 
 
@@ -840,7 +863,8 @@ def _winnow_key(h: str, pos: str) -> str:
             FROM keys),
         fps AS (
             SELECT DISTINCT doc_id, n_grams, sel
-            FROM wins WHERE pos <= n_grams - {WINNOW_W - 1}),
+            FROM wins
+            WHERE pos <= greatest(n_grams - {WINNOW_W - 1}, 1)),
         dec AS (
             SELECT doc_id, n_grams, sel // {_POS_CAP} AS h FROM fps)
         SELECT doc_id,
@@ -899,7 +923,14 @@ def text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn("n_grams", F.count(F.lit(1)).over(wd))
     fps = (
         keys.withColumn("sel", F.min("key").over(wf))
-        .filter(F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+        # short docs (fewer grams than one window) still get ONE
+        # fingerprint — the min over all their grams — instead of
+        # silently vanishing from the index (greatest(..., 1) keeps the
+        # pos=1 row, whose trailing frame covers every gram present)
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("n_grams") - (WINNOW_W - 1), F.lit(1))
+        )
         .select("doc_id", "n_grams", "sel")
         .distinct()
     )

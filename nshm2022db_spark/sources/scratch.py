@@ -23,9 +23,31 @@ import tempfile
 _MARKER = "_LANDED"
 
 
+def _corpus_fingerprint(sf: str) -> str:
+    """(name, mtime_ns, size) of every parquet in the sf dir — the
+    cheapest stable identity of the CORPUS CONTENT. Keying scratch
+    dirs on it means a corpus regenerated in place lands fresh scratch
+    (old markers simply stop matching) instead of serving stale
+    landed indexes/tables across processes — the staleness class the
+    mtime-keyed centroid memo already guards against in-process."""
+    try:
+        entries = sorted(
+            (n, st.st_mtime_ns, st.st_size)
+            for n in os.listdir(sf)
+            if n.endswith(".parquet")
+            for st in [os.stat(os.path.join(sf, n))]
+        )
+    except (FileNotFoundError, NotADirectoryError):
+        entries = []
+    return repr(entries)
+
+
 def scratch_path(kind: str, sf: str) -> str:
-    """Per-(kind, sf-dir) scratch directory path, stable across processes."""
-    key = hashlib.sha1(sf.encode()).hexdigest()[:12]
+    """Per-(kind, sf-dir, corpus-content) scratch directory path, stable
+    across processes while the corpus is unchanged."""
+    key = hashlib.sha1(
+        f"{sf}|{_corpus_fingerprint(sf)}".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"{kind}_{key}")
 
 

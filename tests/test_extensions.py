@@ -672,7 +672,7 @@ class TestWinnowing:
             ]
             sels = {
                 min(keys[s : s + WINNOW_W])
-                for s in range(0, len(keys) - WINNOW_W + 1)
+                for s in range(0, max(len(keys) - WINNOW_W + 1, 1))
             }
             hs = [k // _POS_CAP for k in sels]
             return len(grams), len(sels), sum(hs) % P
@@ -682,6 +682,7 @@ class TestWinnowing:
             "a shared span sits here the quick brown fox jumps over",
             "completely different words populate this document entirely now",
             "repeat repeat repeat repeat repeat repeat repeat repeat repeat",
+            "tiny little doc here",  # 4 tokens -> 2 grams < one window
         ]
         d = str(tmp_path)
         spark.createDataFrame(
