@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 def nearest_ge_lookup(domain: DataFrame, value_col: str, targets: DataFrame, target_col: str) -> DataFrame:
     """For each target t: min distinct domain value ≥ t, clamped to max.
 
-    Returns targets + ``rounded`` column. Plan: broadcast targets into a
+    Returns the DISTINCT (``target_col``, ``rounded``) pairs — any other
+    targets columns are dropped (join the result back on ``target_col``
+    to re-attach payload; for targets carrying per-row keys use the
+    per-key variant below, which preserves them). Plan: broadcast targets into a
     range join against the distinct domain (no full sort, no collect), then
     one hash-agg; the clamp max is a scalar broadcast join.
 

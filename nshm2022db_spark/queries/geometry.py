@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,7 +75,10 @@ def _synth_geojson(spark: SparkSession, sf: str) -> str:
                 "properties": props,
             }
         )
-    tmp = path + ".tmp"
+    # unique tmp per writer: a SHARED tmp name lets two concurrent
+    # processes interleave writes and publish corrupt JSON — atomicity
+    # of os.replace only covers a single writer's file
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         json.dump({"type": "FeatureCollection", "features": features}, f)
     os.replace(tmp, path)

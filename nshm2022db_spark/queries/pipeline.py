@@ -98,8 +98,10 @@ def range_join_events(spark: SparkSession, sf: str) -> DataFrame:
             "bucket",
             F.explode(
                 F.array(
-                    (F.col("c_us") / HOUR_US).cast("long"),
-                    (F.col("c_us") / HOUR_US).cast("long") + 1,
+                    # integer div, NOT double-divide-then-cast — the
+                    # same boundary-ulp rule cohort_retention documents
+                    F.expr(f"c_us div {HOUR_US}"),
+                    F.expr(f"c_us div {HOUR_US}") + 1,
                 )
             ),
         )
@@ -108,7 +110,7 @@ def range_join_events(spark: SparkSession, sf: str) -> DataFrame:
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("p_id"),
         epoch_us("ts").alias("p_us"),
-        (epoch_us("ts") / HOUR_US).cast("long").alias("p_bucket"),
+        F.expr(f"({epoch_us_sql('ts')}) div {HOUR_US}").alias("p_bucket"),
     )
     joined = clicks.join(
         purchases,
@@ -1042,9 +1044,6 @@ def delete_tombstone_mor(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_PUSHDOWN_SESSIONS: dict = {}
-
-
 def _pushdown_session(spark: SparkSession) -> SparkSession:
     """One cached sibling session per parent with the DSv2 parquet
     reader + aggregate pushdown enabled (the repo's default v1 reader
@@ -1053,8 +1052,11 @@ def _pushdown_session(spark: SparkSession) -> SparkSession:
     invocations (bench/ladder run this in a loop) don't accumulate
     session state on the SparkContext; mirrors the parent's
     determinism-relevant confs."""
-    key = id(spark)
-    s2 = _PUSHDOWN_SESSIONS.get(key)
+    # cached as an ATTRIBUTE on the parent (the _replay_session
+    # pattern), not a module dict keyed by id(spark): an id can be
+    # reused by a new session after the old one is freed, aliasing it
+    # to a sibling bound to a dead parent
+    s2 = getattr(spark, "_nshm_pushdown_child", None)
     if s2 is None:
         s2 = spark.newSession()
         s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
@@ -1065,7 +1067,7 @@ def _pushdown_session(spark: SparkSession) -> SparkSession:
             "spark.sql.adaptive.enabled",
         ):
             s2.conf.set(conf, spark.conf.get(conf))
-        _PUSHDOWN_SESSIONS[key] = s2
+        spark._nshm_pushdown_child = s2
     return s2
 
 

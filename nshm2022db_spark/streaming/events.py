@@ -126,6 +126,21 @@ def ntz(col) -> Column:
     return c.cast("timestamp_ntz")
 
 
+def _ensure_symlink(target: str, link: str) -> None:
+    """Idempotent, race-tolerant symlink: the target is absolutized (a
+    RELATIVE sf path would otherwise resolve relative to the scratch
+    dir — a dangling link that os.path.exists() reports absent while
+    os.symlink still collides on), and a concurrent process creating
+    the same link is a win, not an error."""
+    target = os.path.abspath(target)
+    if os.path.lexists(link):
+        return
+    try:
+        os.symlink(target, link)
+    except FileExistsError:
+        pass
+
+
 def _stream_dir(sf: str) -> str:
     """The file source requires a DIRECTORY; expose the single events
     parquet through a symlink in a scratch dir (testdata is read-only).
@@ -135,9 +150,8 @@ def _stream_dir(sf: str) -> str:
 
     d = scratch_path("events_stream", sf)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf, "events.parquet"), link)
+    _ensure_symlink(os.path.join(sf, "events.parquet"),
+                    os.path.join(d, "events.parquet"))
     return d
 
 
@@ -150,9 +164,8 @@ def _stream_dir_doubled(sf: str) -> str:
     d = scratch_path("events_stream_dup", sf)
     os.makedirs(d, exist_ok=True)
     for name in ("events_a.parquet", "events_b.parquet"):
-        link = os.path.join(d, name)
-        if not os.path.exists(link):
-            os.symlink(os.path.join(sf, "events.parquet"), link)
+        _ensure_symlink(os.path.join(sf, "events.parquet"),
+                        os.path.join(d, name))
     return d
 
 
@@ -498,6 +511,11 @@ def stream_upsert_table(spark: SparkSession, sf: str) -> DataFrame:
         tiebreak=["event_id"],
     )
     q.awaitTermination()
+    # the NTZ cast below is exact only under a UTC session zone — pin it
+    # on the CALLER session (the driver builds its own, unpinned; the
+    # batch read path pins as a side effect, but this query must not
+    # depend on running after one that does)
+    ensure_nanos_as_long(spark)
     return read_keyed_table(spark, table_dir).select("user_id", "event_id", ntz("ts").alias("ts"))
 
 
@@ -548,6 +566,7 @@ def stream_upsert_mor(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     compact_keyed_mor(spark, table_dir)
+    ensure_nanos_as_long(spark)  # NTZ cast below needs the UTC pin
     return read_keyed_mor(spark, table_dir).select(
         "user_id", "event_id", ntz("ts").alias("ts")
     )
@@ -599,6 +618,7 @@ def stream_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
         sum_cols={"value": "total"},
     )
     q.awaitTermination()
+    ensure_nanos_as_long(spark)  # NTZ cast below needs the UTC pin
     out = read_keyed_table(spark, table_dir)
     return out.select(
         "event_type",
