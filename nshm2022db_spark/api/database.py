@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nshm2022db_spark import schemas
-from nshm2022db_spark.operators import upsert_missing
+from nshm2022db_spark.operators import dense_surrogate_keys, upsert_missing
 from nshm2022db_spark.plans.advanced_query import AdvancedQueryTables, advanced_query
 
 # corner order matches the reference plane layout (schema.sql:22-31)
@@ -168,8 +168,6 @@ class NSHMDB:
         existing = self.table("parent_fault")
         fresh = upsert_missing(names.select("name").distinct(), existing, ["name"])
         offset = existing.agg(F.coalesce(F.max("parent_id"), F.lit(0))).collect()[0][0]
-        from nshm2022db_spark.operators import dense_surrogate_keys
-
         self._append(
             "parent_fault",
             dense_surrogate_keys(fresh, ["name"], "parent_id", offset=int(offset)),
@@ -238,8 +236,6 @@ class NSHMDB:
                 .agg(F.coalesce(F.max("plane_id"), F.lit(0)))
                 .collect()[0][0]
             )
-            from nshm2022db_spark.operators import dense_surrogate_keys
-
             self._append(
                 "fault_plane",
                 dense_surrogate_keys(
@@ -297,8 +293,6 @@ class NSHMDB:
             .agg(F.coalesce(F.max("rupture_id"), F.lit(0)))
             .collect()[0][0]
         )
-        from nshm2022db_spark.operators import dense_surrogate_keys
-
         self._append(
             "rupture",
             dense_surrogate_keys(
@@ -352,8 +346,6 @@ class NSHMDB:
         against a database that already has the faults (unresolvable
         bridge keys raise via _assert_resolved)."""
         from nshm2022db_spark.functions.geo import traces_to_planes
-        from nshm2022db_spark.operators import dense_surrogate_keys
-
         faults = sol["faults"]
         if not include_faults:
             if include_ruptures:
@@ -437,8 +429,6 @@ class NSHMDB:
             .agg(F.coalesce(F.max("entry_id"), F.lit(0)))
             .collect()[0][0]
         )
-        from nshm2022db_spark.operators import dense_surrogate_keys
-
         self._append(
             "magnitude_frequency_distribution",
             dense_surrogate_keys(
@@ -509,9 +499,22 @@ class NSHMDB:
             .orderBy("rf.rupture_id", "pf.parent_id", "fp.plane_id")
             .select(
                 F.col("rf.rupture_id").alias("rid"),
-                F.concat(
-                    F.col("pf.name"), F.lit(": Section "), F.col("f.nshm_id")
-                ).alias("name"),  # section label, nshmdb.py:559-563
+                # reference labeling (nshmdb.py:559-563): CRUSTAL
+                # ruptures merge every section of a parent into ONE
+                # fault keyed by the bare parent name (geometries are
+                # only connected in the crustal setting); other systems
+                # keep per-section labels, and the numeric part is the
+                # SURROGATE fault_id, exactly as the reference formats
+                F.when(
+                    F.col("f.fault_system") == 3,  # FaultSystem.Crustal
+                    F.col("pf.name"),
+                )
+                .otherwise(
+                    F.concat(
+                        F.col("pf.name"), F.lit(": Section "), F.col("f.fault_id")
+                    )
+                )
+                .alias("name"),
                 *[F.col(f"fp.{c}_{ax}") for c in _CORNERS for ax in ("lat", "lon")],
                 "fp.top_depth",
                 "fp.bottom_depth",
@@ -597,9 +600,14 @@ class NSHMDB:
         self, fault_system: int, rupture_nshm_id: int, magnitudes: dict[str, float]
     ) -> dict[str, float]:
         """Σ MFD rate per parent fault at the nearest-≥ magnitude
-        (J11 + A1, nshmdb.py:204-234): round each requested magnitude up to
-        the smallest distinct MFD magnitude ≥ it (clamped to max) among
-        this rupture's faults, then sum rates per parent-fault name."""
+        (J11 + A1, nshmdb.py:204-234): round each requested magnitude up
+        to the smallest distinct MFD magnitude ≥ it (clamped to max)
+        over the rupture's GLOBAL magnitude set — all its faults, the
+        reference's single searchsorted array — then sum rates per
+        parent-fault name. A parent with no MFD row at its rounded
+        magnitude is OMITTED from the result, exactly as the
+        reference's equality join drops it (rounding within each
+        parent's own set would fabricate an answer instead)."""
         r = self.table("rupture").alias("r")
         rf = self.table("rupture_faults").alias("rf")
         mfd = self.table("magnitude_frequency_distribution").alias("mfd")
@@ -621,13 +629,17 @@ class NSHMDB:
         targets = self.spark.createDataFrame(
             list(magnitudes.items()), "name string, target double"
         )
-        from nshm2022db_spark.operators import nearest_ge_lookup_per_key
+        from nshm2022db_spark.operators import nearest_ge_lookup
 
-        rounded = nearest_ge_lookup_per_key(
-            rupture_mfd, "name", "magnitude", targets, "name", "target"
+        # GLOBAL domain: one distinct-magnitude set across the whole
+        # rupture (the reference's single searchsorted array), shared by
+        # every requested parent
+        rounded = nearest_ge_lookup(
+            rupture_mfd.select("magnitude"), "magnitude", targets, "target"
         )
+        named = targets.join(rounded, "target").select("name", "rounded")
         rates = (
-            rounded.alias("t")
+            named.alias("t")
             .join(
                 rupture_mfd.alias("m"),
                 (F.col("m.name") == F.col("t.name"))

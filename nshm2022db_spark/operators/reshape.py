@@ -49,19 +49,34 @@ def explode_tokens(df: DataFrame, id_col: str, text_col: str, token_col: str = "
 
 def parse_ragged_indices(lines: DataFrame, line_col: str = "value") -> DataFrame:
     """Ragged CSV `rupture, n, fault_1..fault_n` → (rupture_id, fault_id)
-    pairs (reference S7, api.py:362-398: hand loop + np.repeat).
+    pairs (reference S7, api.py:362-398: hand loop + np.repeat, which
+    SKIPS the header line and slices exactly ``n`` entries).
 
-    Spark-first: split once, take element 0 as the id, explode the slice
-    after column 2 — all codegen'd, no Python in the loop."""
+    Spark-first: split once, take element 0 as the id, explode the
+    ``n``-bounded slice after column 2 — all codegen'd, no Python in the
+    loop. Real solution files start with a 'Rupture Index,...' header
+    and may pad rows with trailing empty cells: the id/cell try_casts
+    drop both (under ANSI mode a plain cast would crash the whole
+    ingest on the header), and the count bound ignores padding exactly
+    as the reference's ``parts[2:2+n]`` does. A missing/invalid count
+    falls back to everything-after-column-2."""
     parts = F.split(F.col(line_col), ",")
+    n = F.coalesce(
+        F.trim(parts.getItem(1)).try_cast("int"),
+        (F.size(parts) - 2).cast("int"),
+    )
     return (
         lines.select(
-            parts.getItem(0).cast("long").alias("rupture_id"),
-            F.slice(parts, 3, F.greatest(F.size(parts) - 2, F.lit(0))).alias("__faults"),
+            parts.getItem(0).try_cast("long").alias("rupture_id"),
+            F.slice(parts, F.lit(3), F.greatest(n, F.lit(0))).alias("__faults"),
         )
+        .filter(F.col("rupture_id").isNotNull())
         .select(
             "rupture_id",
             F.explode("__faults").alias("__f"),
         )
-        .select("rupture_id", F.trim(F.col("__f")).cast("long").alias("fault_id"))
+        .select(
+            "rupture_id", F.trim(F.col("__f")).try_cast("long").alias("fault_id")
+        )
+        .filter(F.col("fault_id").isNotNull())
     )

@@ -236,8 +236,14 @@ def merge_branch_dirs(
         )
 
     first_props = props_of(first_dir)
+    # reuse first_props for branch 0 — props_of(first_dir) would scan
+    # and join its two CSVs a second time
     merged_rates = weighted_branch_merge(
-        [(w, props_of(d).select("nshm_id", "rate")) for w, d in branches],
+        [(branches[0][0], first_props.select("nshm_id", "rate"))]
+        + [
+            (w, props_of(d).select("nshm_id", "rate"))
+            for w, d in branches[1:]
+        ],
         ["nshm_id"],
     )
     properties = first_props.drop("rate").join(merged_rates, "nshm_id")

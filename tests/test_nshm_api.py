@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from nshm2022db_spark.api import NSHMDB
+from nshm2022db_spark.api.database import Fault, FaultInfo, Plane
 from nshm2022db_spark.etl import (
     merge_branches,
     parse_mfd_wide,
@@ -87,11 +88,14 @@ class TestPointLookups:
         # reference: tests/test_nshmdb.py:92-102
         r = db.get_rupture(3, 1)
         assert (r.magnitude, r.area, r.length, r.rate) == (6.5, 100.0, 10.0, 0.01)
-        assert set(r.faults) == {"Alpine Fault: Section 1"}
+        # CRUSTAL ruptures merge sections under the bare parent name
+        # (reference nshmdb.py:559-563; its tests/test_nshmdb.py:85-101
+        # expect exactly this)
+        assert set(r.faults) == {"Alpine Fault"}
 
     def test_rupture_spanning_two_faults(self, db):
         r = db.get_rupture(3, 2)
-        assert set(r.faults) == {"Alpine Fault: Section 1", "Hope Fault: Section 2"}
+        assert set(r.faults) == {"Alpine Fault", "Hope Fault"}
 
     def test_get_rupture_fault_info_includes_system(self, db):
         infos = db.get_rupture_fault_info(3, 2)
@@ -126,7 +130,7 @@ class TestAdvancedQueryOnDomain:
             (1, 6.5, 0.01),
             (2, 7.1, 0.002),
         ]
-        assert set(hits[1].faults) == {"Alpine Fault: Section 1", "Hope Fault: Section 2"}
+        assert set(hits[1].faults) == {"Alpine Fault", "Hope Fault"}
 
     def test_query_negation_with_geometry(self, db):
         hits = db.query("Alpine Fault & !Hope Fault")
@@ -232,8 +236,8 @@ class TestBulkInserts:
         )
         rupture = fresh.get_rupture(3, 11)
         assert rupture.magnitude == 7.2 and rupture.rate == 0.004
-        # section label format, reference nshmdb.py:559-563
-        assert list(rupture.faults) == ["Alpine Fault: Section 101"]
+        # crustal: bare parent name (reference nshmdb.py:559-563)
+        assert list(rupture.faults) == ["Alpine Fault"]
 
         fresh.insert_magnitude_frequency_distribution(
             spark.createDataFrame(
@@ -357,3 +361,76 @@ class TestCsvAndPlots:
             length = int.from_bytes(data[idat_at - 4 : idat_at], "big")
             raw = zlib.decompress(data[idat_at + 4 : idat_at + 4 + length])
             assert raw.count(b"\xdc\x3c\x32") > 100  # (220,60,50) fill runs
+
+
+class TestReferenceParityDetails:
+    def test_crustal_sections_merge_under_parent(self, spark, tmp_path):
+        """A crustal rupture spanning TWO sections of one parent returns
+        ONE merged Fault keyed by the bare parent name with both
+        sections' planes (reference nshmdb.py:559-563)."""
+        db = NSHMDB.create(spark, str(tmp_path / "db"))
+        db.insert_many_faults(
+            [
+                FaultInfo(3, 11, "Alpine Fault", 90.0, None,
+                          Fault([Plane(np.zeros((4, 3)))])),
+                FaultInfo(3, 12, "Alpine Fault", 90.0, None,
+                          Fault([Plane(np.ones((4, 3)))])),
+            ]
+        )
+        db.insert_many_ruptures(
+            spark.createDataFrame(
+                [(21, 3, 7.0, 50.0, 5.0, 0.01)],
+                "nshm_id long, fault_system int, magnitude double,"
+                " area double, len double, rate double",
+            ),
+            spark.createDataFrame(
+                [(21, 11, 3), (21, 12, 3)],
+                "rupture_nshm_id long, fault_nshm_id long, fault_system int",
+            ),
+        )
+        r = db.get_rupture(3, 21)
+        assert list(r.faults) == ["Alpine Fault"]
+        assert len(r.faults["Alpine Fault"].planes) == 2
+
+    def test_most_likely_fault_rounds_in_global_set_and_omits(
+        self, spark, tmp_path
+    ):
+        """Rounding uses the rupture's GLOBAL distinct-magnitude set; a
+        parent with no MFD row at the rounded magnitude is OMITTED
+        (reference nshmdb.py:204-234: single searchsorted array + an
+        equality join that drops non-matches)."""
+        db = NSHMDB.create(spark, str(tmp_path / "db"))
+        db.insert_many_faults(
+            [
+                FaultInfo(3, 11, "A", 90.0, None,
+                          Fault([Plane(np.zeros((4, 3)))])),
+                FaultInfo(3, 12, "B", 90.0, None,
+                          Fault([Plane(np.ones((4, 3)))])),
+            ]
+        )
+        db.insert_many_ruptures(
+            spark.createDataFrame(
+                [(21, 3, 7.0, 50.0, 5.0, 0.01)],
+                "nshm_id long, fault_system int, magnitude double,"
+                " area double, len double, rate double",
+            ),
+            spark.createDataFrame(
+                [(21, 11, 3), (21, 12, 3)],
+                "rupture_nshm_id long, fault_nshm_id long, fault_system int",
+            ),
+        )
+        # A has bins {6.5, 7.0}; B has {6.6}: the global set is
+        # {6.5, 6.6, 7.0}
+        db.insert_magnitude_frequency_distribution(
+            spark.createDataFrame(
+                [(11, 3, 6.5, 0.01), (11, 3, 7.0, 0.002), (12, 3, 6.6, 0.03)],
+                "nshm_id long, fault_system int, magnitude double, rate double",
+            )
+        )
+        # 6.55 rounds to 6.6 in the GLOBAL set; A has no 6.6 row → A is
+        # omitted (per-parent rounding would have fabricated 7.0/0.002)
+        assert db.most_likely_fault(3, 21, {"A": 6.55}) == {}
+        # B at 6.55 → global 6.6 → B's own bin
+        assert db.most_likely_fault(3, 21, {"B": 6.55}) == {"B": 0.03}
+        # A at 6.3 → global 6.5 → A's 6.5 row
+        assert db.most_likely_fault(3, 21, {"A": 6.3}) == {"A": 0.01}

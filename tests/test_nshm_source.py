@@ -204,7 +204,8 @@ def test_insert_solution_end_to_end(spark, tmp_path):
 
     r = db.get_rupture(3, 101)
     assert r.rate == pytest.approx(0.015) and r.magnitude == 7.2
-    assert list(r.faults) == ["Alpine Fault: Section 7"]
+    # crustal system: bare parent name (reference nshmdb.py:559-563)
+    assert list(r.faults) == ["Alpine Fault"]
 
     rates = db.most_likely_fault(3, 101, {"Alpine Fault": 6.0})
     assert rates["Alpine Fault"] == pytest.approx(0.015)  # 6.5 bin, weighted

@@ -72,6 +72,22 @@ class TestRaggedParser:
         got = rows(parse_ragged_indices(lines), "rupture_id", "fault_id")
         assert got == [(7, 1), (7, 2), (7, 5), (9, 4)]
 
+    def test_header_and_padding_skipped(self, spark):
+        """Real solution files start with a header line and may pad rows
+        with trailing empty cells; the reference skips the header and
+        slices exactly n entries (api.py:377-385) — so do we (under ANSI
+        a plain cast would crash the ingest on 'Rupture Index')."""
+        lines = spark.createDataFrame(
+            [
+                ("Rupture Index,Num Sections,# 1,# 2",),
+                ("7,2,1,2,,",),   # padded row: slice stops at n=2
+                ("9,1,4",),
+            ],
+            "value string",
+        )
+        got = rows(parse_ragged_indices(lines), "rupture_id", "fault_id")
+        assert got == [(7, 1), (7, 2), (9, 4)]
+
 
 class TestTopK:
     def test_per_group(self, spark):
