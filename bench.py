@@ -171,6 +171,15 @@ CONTRACT_QUERIES = {
 }
 
 
+def _sf_number(sf: str):
+    # "0.0.1".replace(".","").isdigit() is True but float() raises —
+    # try the conversion instead of guessing at validity
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
+
+
 def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -191,14 +200,20 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        _run(qs[name](spark, sf_dir))  # warm-up: codegen + worker startup
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _run(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            _run(qs[name](spark, sf_dir))  # warm-up: codegen + workers
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _run(qs[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            # one broken query must not discard an hour of collected
+            # timings — record it and keep the partial run writable
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
         # Some operators cache/localCheckpoint internally (dedup clusters,
         # stream replay); dropping those blocks between queries keeps one
         # query's residue from inflating the next 40 measurements
@@ -215,8 +230,10 @@ def main() -> None:
         # than engine throughput (see CONTRACT_QUERIES above) — excluded
         # from bench_compare's regression gate.
         "contract_queries": sorted(CONTRACT_QUERIES & set(timings)),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": _sf_number(sf),
     }
+    if errors:
+        result["errors"] = errors
     line = json.dumps(result)
     # The driver records only a bounded stdout tail, which clipped the
     # first ~7 per-query timings in r03 (BENCH_r03.json parsed:null) —

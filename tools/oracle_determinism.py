@@ -51,10 +51,10 @@ import sys, hashlib
 sys.path.insert(0, {repo!r})
 import duckdb
 import __spark_entry__ as mod
+from nshm2022db_spark.schemas import STAR_TABLES
 osql = mod.oracle_sql()
 con = duckdb.connect()
-for t in ("region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"):
+for t in STAR_TABLES:
     con.execute(f"CREATE VIEW {{t}} AS SELECT * FROM '{sf}/{{t}}.parquet'")
 for n in {names!r}:
     rows = sorted(map(repr, con.sql(osql[n]).fetchall()))

@@ -304,6 +304,17 @@ def run(dest: str, only: set[str] | None = None) -> None:
         return best
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ladder_results.json")
+    if only is not None:
+        # a subset name missing from LADDER (or the registry) previously
+        # no-op'd SILENTLY while still printing a green-looking "worst
+        # exponent" from stale data — the exact trap that burned a round
+        not_laddered = sorted(set(only) - set(LADDER))
+        not_registered = sorted(set(only) & set(LADDER) - set(qs))
+        if not_laddered or not_registered:
+            raise SystemExit(
+                f"subset names not in LADDER: {not_laddered}; "
+                f"not registered: {not_registered} — add them first"
+            )
     results: dict[str, dict] = {}
     if only is not None and os.path.exists(out):
         with open(out) as f:
@@ -329,8 +340,11 @@ def run(dest: str, only: set[str] | None = None) -> None:
             f,
             indent=1,
         )
-    worst = max(results.items(), key=lambda kv: kv[1]["exponent"])
-    print(f"wrote {out}; worst exponent: {worst[0]} {worst[1]['exponent']}")
+    if results:
+        worst = max(results.items(), key=lambda kv: kv[1]["exponent"])
+        print(f"wrote {out}; worst exponent: {worst[0]} {worst[1]['exponent']}")
+    else:
+        print(f"wrote {out}; no queries measured")
 
 
 if __name__ == "__main__":

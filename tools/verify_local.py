@@ -36,14 +36,30 @@ def _norm(v):
         return v.replace(tzinfo=None) if v.tzinfo in (None, timezone.utc) else v.astimezone(timezone.utc).replace(tzinfo=None)
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
+    if hasattr(v, "asDict"):  # pyspark Row
+        v = v.asDict()
+    if isinstance(v, dict):
+        # struct columns: Spark Rows and DuckDB dicts normalize to the
+        # same sorted (key, value) tuple so they can actually compare
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     return v
+
+
+def _sort_key_scalar(x):
+    # floats sort on a COARSE rounding (well inside the 1e-9 compare
+    # tolerance): sorting on exact values would let two engines order
+    # near-equal floats oppositely and zip semantically-equal rows
+    # against the wrong partners
+    if isinstance(x, float):
+        return (x is None, "float", round(x, 6))
+    return (x is None, str(type(x)), x if not isinstance(x, tuple) else str(x))
 
 
 def _rowset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
         [tuple(_norm(r[i]) for i in order) for r in rows],
-        key=lambda t: tuple((x is None, str(type(x)), x if not isinstance(x, tuple) else str(x)) for x in t),
+        key=lambda t: tuple(_sort_key_scalar(x) for x in t),
     )
 
 
@@ -148,6 +164,14 @@ def main() -> int:
     for t in STAR_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            # a typo'd subset previously ran ZERO queries and still
+            # printed a full-registry green — the worst kind of gate
+            print(f"FAIL unknown query names: {unknown}")
+            return 1
+    selected = [n for n in qs if not only or n in only]
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -197,7 +221,11 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(srows)} rows match oracle")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    label = "selected " if only else ""
+    print(
+        f"\n{len(selected) - len(failures)}/{len(selected)} "
+        f"{label}queries pass"
+    )
     return 1 if failures else 0
 
 
