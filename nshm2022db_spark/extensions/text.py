@@ -416,12 +416,15 @@ def lm_unigram_score(spark: SparkSession, sf: str) -> DataFrame:
     reference LM's table, same plan.
 
     Scale shape: pass 1 aggregates token frequencies — a shuffle whose
-    width is the VOCABULARY, not the corpus; the frequency table
-    broadcasts into pass 2's scoring join (at web scale a vocabulary cap
-    or a shuffle join on token, which the explode already partitions
-    for); the per-doc rollup is partial-aggregated on doc_id. AVG is a
-    data-ordered float sum, so both sides ROUND(, 4) — the standard
-    discipline."""
+    width is the VOCABULARY, not the corpus. The scoring join carries NO
+    broadcast hint: the vocabulary is Heaps-law bounded but still grows
+    with the corpus, so the join strategy is left to AQE — broadcast at
+    driver scales (runtime size stats), token-keyed shuffle at web scale
+    (a forced hint is not degradable and would OOM the 8 GB broadcast
+    limit first; same hazard class VERDICT r06 #2 / the r6 dedup-family
+    de-hinting). Only the 1-row corpus total keeps its hint. The per-doc
+    rollup is partial-aggregated on doc_id. AVG is a data-ordered float
+    sum, so both sides ROUND(, 4) — the standard discipline."""
     tok = (
         read_table(spark, sf, "documents")
         .select(
@@ -432,7 +435,7 @@ def lm_unigram_score(spark: SparkSession, sf: str) -> DataFrame:
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = tok.agg(F.count(F.lit(1)).alias("t"))
     return (
-        tok.join(F.broadcast(freq), "token")
+        tok.join(freq, "token")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -612,10 +615,14 @@ def lm_bigram_score(spark: SparkSession, sf: str) -> DataFrame:
     so the backoff weight is a smoothing choice, not a zero-guard).
 
     Scale shape: the bigram explode is map-side; the bigram count table
-    is ONE shuffle whose width is the observed-bigram vocabulary; both
-    model tables broadcast into the scoring join (at web scale the
-    bigram table exceeds broadcast range and the join shuffles on w1,w2
-    — the explode already clusters by document, so AQE picks that up);
+    is ONE shuffle whose width is the observed-bigram vocabulary. The
+    model-table joins carry NO broadcast hints (VERDICT r06 #2): the
+    observed-bigram table grows with the corpus — much faster than the
+    unigram vocab — so a forced hint would OOM the driver or hit the
+    8 GB broadcast limit at 100× scale, and an explicit hint is not
+    AQE-degradable. Hint-free, AQE broadcasts at driver scales from
+    runtime size stats and falls back to (w1,w2)- / w-keyed shuffle
+    joins at web scale. Only the 1-row corpus total keeps its hint;
     the per-doc rollup partial-aggregates on doc_id. AVG is a
     data-ordered float sum → ROUND(,4) both sides."""
     arr = read_table(spark, sf, "documents").select(
@@ -645,15 +652,9 @@ def lm_bigram_score(spark: SparkSession, sf: str) -> DataFrame:
         + F.lit(1 - LM_LAMBDA) * F.col("cw2").cast("double") / F.col("t").cast("double")
     )
     return (
-        big.join(F.broadcast(c2), ["w1", "w2"])
-        .join(
-            F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c").alias("cw1"))),
-            "w1",
-        )
-        .join(
-            F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c").alias("cw2"))),
-            "w2",
-        )
+        big.join(c2, ["w1", "w2"])
+        .join(c1.select(F.col("w").alias("w1"), F.col("c").alias("cw1")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c").alias("cw2")), "w2")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

@@ -240,14 +240,23 @@ def _maybe_checkpoint_ledger(table_dir: str, version: int) -> None:
         _write_ledger_checkpoint(table_dir, version, committed_batch_ids(table_dir))
 
 
-def _publish(table_dir: str, manifest: dict, stage_path: str) -> bool:
+def _publish(
+    table_dir: str,
+    manifest: dict,
+    stage_path: str,
+    keep_stage_on_conflict: bool = False,
+) -> bool:
     """CAS-publish a staged manifest — the one publish sequence every
     writer shares (committed/partition/append/MOR transactions and
     compaction): refresh the stage mtime so vacuum's grace window
     restarts, link the manifest (the CAS), fail LOUDLY un-publishing if
     a misconfigured vacuum deleted the stage in the race window, then
     write the hint and roll the batch-id ledger. Returns False on a
-    version conflict (stage deleted; caller recomputes and retries)."""
+    version conflict (stage deleted so the caller recomputes and
+    retries — unless ``keep_stage_on_conflict``, the append REBASE path:
+    staged data dirs are position-independent, so a loser that can prove
+    logical non-conflict re-manifests the SAME stage instead of
+    re-running its whole transaction)."""
     os.utime(stage_path)
     if try_commit(table_dir, manifest):
         if not os.path.isdir(stage_path):
@@ -264,7 +273,8 @@ def _publish(table_dir: str, manifest: dict, stage_path: str) -> bool:
         _write_hint(table_dir, manifest)
         _maybe_checkpoint_ledger(table_dir, manifest["version"])
         return True
-    shutil.rmtree(stage_path, ignore_errors=True)
+    if not keep_stage_on_conflict:
+        shutil.rmtree(stage_path, ignore_errors=True)
     return False
 
 
@@ -895,6 +905,43 @@ def _enforce_constraints(
         raise ConstraintViolation(
             f"staged write violates {bad!r}; nothing published"
         )
+
+
+def _rebase_conflict(
+    table_dir: str, base: dict, head: dict, written: set[str]
+) -> str | None:
+    """Delta-style LOGICAL conflict detection for an already-staged
+    append (VERDICT r06 #4): decide whether a CAS loser whose base was
+    ``base`` can re-manifest its immutable stage on top of ``head``
+    WITHOUT re-running the transaction. Returns None when safe, else the
+    reason the full optimistic re-run is required.
+
+    Safe means: every intervening commit is a plain append that touched
+    only partitions DISJOINT from ours, and nothing that gates a commit
+    changed under us — partition spec, CHECK constraints (ours were
+    enforced against ``base``'s), tombstones/DVs, legacy layouts. Those
+    conservative checks make the rebase a pure manifest rebuild: our
+    stage's entries still merge against exactly the per-entry state we
+    computed them from (disjointness ⇒ the winners never moved them),
+    so stats/bloom merges replay byte-identically."""
+    for k in ("partition_col", "constraints", "dv", "dv_key", "legacy_layouts"):
+        if head.get(k) != base.get(k):
+            return f"{k} changed"
+    log = os.path.join(table_dir, _COMMITS)
+    prev = base.get("partitions", {})
+    for v in range(base["version"] + 1, head["version"] + 1):
+        m = _read_json(os.path.join(log, f"{v:020d}.json"))
+        if m is None:
+            return f"manifest {v} vacuumed mid-race"
+        if m.get("op") != "append":
+            return f"commit {v} is {m.get('op')!r}"
+        parts = m.get("partitions", {})
+        touched = {e for e in parts if parts.get(e) != prev.get(e)}
+        touched |= {e for e in prev if e not in parts}
+        if touched & written:
+            return f"commit {v} touched {sorted(touched & written)[:3]}"
+        prev = parts
+    return None
 
 
 def append_partition_transaction(

@@ -225,81 +225,47 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
-            # round-6 second-half new queries (bloom equality skipping,
-            # CDC rollup, BPE train/encode, bigram LM, substring-run
-            # dedup, materialized IVF index) — bloom_skip_scan and
-            # cdc_incremental_agg also represent the second half's
-            # sinks.py read-path/change-feed changes
-            "bloom_skip_scan", "cdc_incremental_agg",
-            "bpe_pair_counts", "bpe_encode_topk", "lm_bigram_score",
-            "dedup_substring_runs", "knn_index_lakehouse",
-            "multimodal_resize_downsample", "multimodal_audio_energy",
-            "stream_cdc_rollup", "manifest_count_scan",
-            "constrained_land", "clone_evolve_read",
-            "text_novelty_score", "text_winnow_fingerprints",
-            # round-6 new queries: the two table-format proofs, the
-            # geometry partial-hash companion (kept beside
-            # geometry_planes itself), and the three new training-data
-            # operators (epoch shuffle, upsampling, priority dedup)
-            # (geometry_planes rotated to the tail in the second half —
-            # rows-only, fresh r5 row, checksum companion in-window)
-            "rowgroup_skip_scan", "schema_evolution_read",
-            "geometry_planes_checksum",
-            "epoch_shuffle", "quality_upsample", "dedup_keep_best",
-            "bloom_join_prefilter", "stream_source_quota",
-            "table_changes_feed", "null_skip_scan",
-            "partition_evolution_read", "dedup_index_lakehouse",
-            "agg_pushdown_scan", "delete_tombstone_mor",
-            # round-6 shared-primitive changes (streaming/sinks.py:
-            # stat-less append stats drop, inference-free partition
-            # values, merged-schema empty relations, MOR config
-            # validation + compaction bound, max_records_per_file
-            # writes): the four commit-log representatives
-            "delete_where_rewrite", "manifest_skip_scan",
-            "stream_partitioned_land", "stream_upsert_mor",
-            # the stale r3 tail head (VERDICT r05 #1) — after r6 every
-            # registry query has a driver row from r4 or later
-            "curation_pipeline", "chunk_documents",
-            "fk_integrity_check", "events_tumbling_window",
-            "scd2_build",
-            "timeline_gapfill", "events_locf", "rank_distribution",
-            # (csv_gzip_scan and multimodal_audio_chunks displaced to
-            # the round-7 priority tail by the second-half additions)
-            "value_drift_trend", "snapshot_diff",
-            "bucket_by_cutpoints", "hll_shard_merge",
-            "salted_skew_join", "sql_api_pricing_summary",
-            "cohort_retention", "compact_small_files",
-            "lm_unigram_score",
+            # round-7 plan changes: the two LM scorers lost their
+            # corpus-scaling broadcast hints (VERDICT r06 #2)
+            "lm_bigram_score", "lm_unigram_score",
+            # round-7 NEW queries (inserted as they land)
+            "stream_table_source", "bpe_encode_learned",
+            "lm_bigram_assoc", "doc_dedup_cross_shard",
+            "commit_rebase_stats",
+            # the 9 r3-stale rows (VERDICT r06 #1 priority order)
+            "csv_gzip_scan", "multimodal_audio_chunks", "json_extract",
+            "events_funnel", "zorder_key", "weighted_sample",
+            "pack_sequences", "source_mix_sample", "orc_scan",
         }
-        out = must_verify - window
+        registered_must = {n for n in must_verify if n in QUERIES}
+        out = registered_must - window
         assert not out, f"need driver verification but outside window: {out}"
-        # The freshness sweep: everything in-window beyond must_verify
-        # should be a STALE query (last green row r4), not one that
-        # already got a fresh r05 row — rotating fresh rows back in
-        # would waste window slots. Pin the known-fresh r05 set out of
-        # the remaining window slots.
-        fresh_r05 = {
-            "multimodal_decode_pixels", "multimodal_wav_decode",
-            "asof_nearest_ge", "asof_nearest_ge_per_key",
-            "value_histogram", "knn_quantized", "dedup_incremental",
-            "topk_global", "topk_per_group", "groupby_agg",
-            "count_distinct", "point_lookup", "range_filter",
-            "scan_project", "distinct_ordered", "window_running_sum",
-            "union_all_stack", "intersect_types", "except_types",
-            "pivot_wide", "scalar_string_format", "scalar_max",
-            "left_join_count", "semi_join_membership",
-            "anti_join_missing", "any_value_carry", "having_postagg",
-            "surrogate_keys_dense", "conditional_agg_membership",
-            "unpivot_long", "table_profile", "advanced_query_dsl",
-            "stream_sliding_window", "stream_session_window",
-            "stream_dedup_events", "stream_windowed_distinct",
-            "stream_incremental_rollup", "window_range_frame",
-            "events_sessionize", "range_join_events", "jsonl_scan",
-            "embedding_random_projection", "tfidf_search",
-            "decontaminate_ngram", "decontaminate_bloom",
-        }
-        wasted = (window - must_verify) & fresh_r05
-        assert not wasted, f"fresh r05 rows burning window slots: {wasted}"
+        # The freshness sweep, computed from the committed CORRECTNESS
+        # files rather than a hand-maintained list: every window slot
+        # beyond must_verify must hold a STALE query (newest green
+        # driver row r4 or older) — rotating fresh r5/r6 rows back in
+        # would waste window slots.
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        root = _os.path.join(_os.path.dirname(__file__), _os.pardir)
+        freshness: dict[str, int] = {}
+        for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r0*.json"))):
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+            for qname, row in _json.load(open(path)).items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("hash_match")
+                    and row.get("schema_match")
+                    and row.get("rows_match")
+                ):
+                    freshness[qname] = rnd
+        if freshness:  # skip if driver files absent (fresh clone)
+            wasted = {
+                n for n in window - registered_must if freshness.get(n, 0) > 4
+            }
+            assert not wasted, f"fresh r5/r6 rows burning window slots: {wasted}"
         # ORACLES iterates in the same order (driver zips them).
         assert [n for n in QUERIES if n in ORACLES] == list(ORACLES)
 

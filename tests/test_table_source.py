@@ -1,0 +1,216 @@
+"""Streaming source over the commit-log table (streaming/table_source.py).
+
+The contract under test is `read_table_changes`' batch semantics lifted
+into a Structured Streaming source: version-cursor offsets, per-commit
+partition planning, append-only soundness raises, schema evolution, and
+crash/replay exactly-once at a mid-stream cursor (VERDICT r06 #3's
+"plus a crash/replay test" requirement).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.streaming.sinks import (
+    append_partition_transaction,
+    committed_transaction,
+    read_keyed_table,
+    tombstone_keys,
+)
+from nshm2022db_spark.streaming.table_source import (
+    CommitLogStreamReader,
+    _plan_changes,
+    register_commitlog_source,
+    table_stream_schema,
+)
+
+
+def _mkrows(spark, lo, hi, day="2024-01-01", extra=None):
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("double").alias("v"),
+        F.lit(day).alias("day"),
+    )
+    if extra is not None:
+        df = df.withColumn("tag", F.lit(extra))
+    return df
+
+
+@pytest.fixture()
+def bronze(spark):
+    d = tempfile.mkdtemp(prefix="tsrc_")
+    append_partition_transaction(spark, d, "day", _mkrows(spark, 0, 5), batch_id=0)
+    append_partition_transaction(
+        spark, d, "day", _mkrows(spark, 5, 9, day="2024-01-02"), batch_id=1
+    )
+    append_partition_transaction(spark, d, "day", _mkrows(spark, 9, 12), batch_id=2)
+    return d
+
+
+class TestPlanning:
+    def test_plan_covers_only_range(self, bronze):
+        plan = _plan_changes(bronze, 1, 3)
+        assert {p["version"] for p in plan} == {2, 3}
+        assert all(p["pcol"] == "day" for p in plan)
+        # commit 2 landed only day 2024-01-02; commit 3 only 2024-01-01
+        by_v = {}
+        for p in plan:
+            by_v.setdefault(p["version"], set()).add(p["value"])
+        assert by_v == {2: {"2024-01-02"}, 3: {"2024-01-01"}}
+
+    def test_schema_includes_partition_and_version(self, bronze):
+        s = table_stream_schema(bronze)
+        assert s["day"].dataType.simpleString() == "string"
+        assert s["_commit_version"].dataType.simpleString() == "bigint"
+        assert s["k"].dataType.simpleString() == "bigint"
+
+    def test_non_append_history_raises(self, spark, bronze):
+        tombstone_keys(
+            spark, bronze, "k", spark.range(5, 7).select(F.col("id").alias("k"))
+        )
+        with pytest.raises(ValueError, match="append-only"):
+            _plan_changes(bronze, 0, 4)
+        # but a range BEFORE the delete still plans fine
+        assert {p["version"] for p in _plan_changes(bronze, 0, 3)} == {1, 2, 3}
+
+    def test_vacuumed_range_raises(self, spark, bronze):
+        from nshm2022db_spark.streaming.sinks import vacuum_versions
+
+        vacuum_versions(bronze, keep_last=1)
+        with pytest.raises(ValueError, match="vacuumed"):
+            _plan_changes(bronze, 0, 3)
+
+    def test_single_dir_table_rejected(self, spark):
+        d = tempfile.mkdtemp(prefix="tsrc_single_")
+        committed_transaction(
+            spark, d, lambda base: _mkrows(spark, 0, 3), batch_id=0
+        )
+        with pytest.raises(ValueError, match="partition-mapped"):
+            _plan_changes(d, 0, 1)
+
+
+class TestOffsets:
+    def test_admission_control_bounds_batches(self, bronze):
+        r = CommitLogStreamReader(
+            table_stream_schema(bronze),
+            {"path": bronze, "maxversionsperbatch": "1"},
+        )
+        assert r.initialOffset() == {"version": 0}
+        assert r.latestOffset() == {"version": 1}
+        r.partitions({"version": 0}, {"version": 1})
+        assert r.latestOffset() == {"version": 2}
+        r.commit({"version": 2})
+        assert r.latestOffset() == {"version": 3}
+
+    def test_restart_without_floor_is_unbounded(self, bronze):
+        # a restarted reader (no initialOffset call) must never return
+        # an offset below the checkpoint — first latestOffset is the
+        # raw head, so a lagging stream can't stall
+        r = CommitLogStreamReader(
+            table_stream_schema(bronze),
+            {"path": bronze, "maxversionsperbatch": "1"},
+        )
+        assert r.latestOffset() == {"version": 3}
+
+
+class TestEndToEnd:
+    def _stream(self, spark, bronze, **opts):
+        register_commitlog_source(spark)
+        reader = spark.readStream.format("commitlog").option("path", bronze)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def test_stream_equals_batch_read(self, spark, bronze):
+        got = self._stream(spark, bronze, maxVersionsPerBatch=1)
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_all")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # 3 commits drained through 1-version micro-batches
+            assert len(q.recentProgress) >= 3
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "select k, v, day, _commit_version from tsrc_all"
+        ).collect()
+        spark.catalog.dropTempView("tsrc_all")
+        batch = read_keyed_table(spark, bronze)
+        assert {(r.k, r.v, r.day) for r in rows} == {
+            (r.k, r.v, r.day) for r in batch.collect()
+        }
+        by_version = {}
+        for r in rows:
+            by_version.setdefault(r._commit_version, set()).add(r.k)
+        assert by_version == {
+            1: set(range(0, 5)),
+            2: set(range(5, 9)),
+            3: set(range(9, 12)),
+        }
+
+    def test_crash_replay_mid_cursor_exactly_once(self, spark, bronze):
+        """Stop after the first micro-batch, append one MORE commit while
+        the stream is down, restart from the same checkpoint: every row
+        exactly once, no re-emission of folded commits."""
+        ckpt = tempfile.mkdtemp(prefix="tsrc_ckpt_")
+        out_dir = tempfile.mkdtemp(prefix="tsrc_out_")
+
+        def drain():
+            got = self._stream(spark, bronze, maxVersionsPerBatch=1)
+            q = (
+                got.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        # phase 1: drain what exists (3 commits), then "crash" (stop)
+        drain()
+        # crash window: a 4th commit lands while the stream is down
+        append_partition_transaction(
+            spark, bronze, "day",
+            _mkrows(spark, 12, 15, day="2024-01-03"), batch_id=3,
+        )
+        # phase 2: restart from the checkpoint — only commit 4 is new
+        drain()
+        rows = spark.read.parquet(out_dir).collect()
+        ks = sorted(r.k for r in rows)
+        assert ks == list(range(15)), "exactly-once across restart"
+        v4 = {r.k for r in rows if r._commit_version == 4}
+        assert v4 == {12, 13, 14}
+
+    def test_schema_evolution_nulls_for_old_commits(self, spark):
+        d = tempfile.mkdtemp(prefix="tsrc_evo_")
+        append_partition_transaction(spark, d, "day", _mkrows(spark, 0, 3), batch_id=0)
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 3, 6, extra="x"), batch_id=1
+        )
+        got = self._stream(spark, d)
+        assert "tag" in got.columns
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_evo")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("select k, tag, _commit_version from tsrc_evo").collect()
+        spark.catalog.dropTempView("tsrc_evo")
+        assert {r.tag for r in rows if r._commit_version == 1} == {None}
+        assert {r.tag for r in rows if r._commit_version == 2} == {"x"}
