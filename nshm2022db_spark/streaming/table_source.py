@@ -59,13 +59,15 @@ _ADDITIVE_OPS = ("append", "set-constraints", "evolve")
 def _plan_changes(table_dir: str, start: int, end: int) -> list[dict]:
     """Driver-side plan of the add-rows feed for versions (start, end]:
     one dict per (commit, partition entry) with the entry's immutable
-    file list. Reuses `read_table_changes`'s skip rules (republished
-    RESTORE dirs, metadata-only commits) but never touches Spark — this
-    is the metadata half, `CommitLogReader.read` is the data half."""
+    file list. Metadata-only commits plan nothing; a RESTORE (or any
+    other non-additive op) in the range always RAISES — unlike
+    `read_table_changes`'s snapshot diff, a version-cursor stream
+    cannot re-attribute republished rows without double-counting.
+    Never touches Spark — this is the metadata half,
+    `CommitLogStreamReader.read` is the data half."""
     from nshm2022db_spark.streaming.sinks import table_history
 
     out: list[dict] = []
-    seen_dirs: set[str] = set()
     hist = table_history(table_dir)
     have = {m["version"] for m in hist}
     for v in range(start + 1, end + 1):
@@ -77,9 +79,6 @@ def _plan_changes(table_dir: str, start: int, end: int) -> list[dict]:
             )
     for m in hist:
         v = m["version"]
-        republished = m.get("dir") in seen_dirs
-        if m.get("dir"):
-            seen_dirs.add(m["dir"])
         if v <= start or v > end:
             continue
         if "partitions" not in m or "mor" in m:
@@ -95,8 +94,6 @@ def _plan_changes(table_dir: str, start: int, end: int) -> list[dict]:
                 "(rewrites/deletes/restores would double-count or "
                 "silently drop state); recompute downstream instead"
             )
-        if republished:
-            continue  # metadata-only re-publish (RESTORE)
         stage = m["dir"]
         prefix = f"{m['partition_col']}="
         stage_abs = os.path.join(table_dir, stage)
@@ -166,6 +163,16 @@ def table_stream_schema(table_dir: str) -> StructType:
                         merged = merged.append(f)
     if merged is None:
         raise ValueError(f"{table_dir} holds no data files to infer from")
+    # Force every data field NULLABLE: Spark writes REQUIRED parquet
+    # fields for non-nullable DataFrame columns, but under schema
+    # evolution a column added by a later commit must surface as NULL
+    # for rows from earlier generations — a required field there makes
+    # the JVM reject the Arrow batch outright.
+    import pyarrow as pa
+
+    merged = pa.schema(
+        [f.with_nullable(True) for f in merged], metadata=merged.metadata
+    )
     # prefer_timestamp_ntz: tz-naive parquet timestamps surface as
     # TIMESTAMP_NTZ, matching what read_keyed_table's batch scan of the
     # same files yields (a stream consumer needing watermarking casts to
@@ -198,31 +205,33 @@ class CommitLogStreamReader(DataSourceStreamReader):
         self._start = int(options.get("startingversion", 0))
         self._max_versions = int(options.get("maxversionsperbatch", 0))
         # admission-control floor: the newest offset THIS process has
-        # planned or committed. None until we learn one — initialOffset
-        # (fresh start) or partitions/commit (restart replay) set it, so
-        # a restarted-while-lagging stream's first latestOffset is
-        # UNBOUNDED rather than below the checkpoint (which would stall
-        # the query forever: Spark only triggers when latest > committed)
-        self._floor: int | None = None
+        # planned or committed. Spark 4.1.2's call order (probed, both
+        # paths): FRESH start = latestOffset() BEFORE initialOffset(),
+        # so the floor must start at `startingversion`; RESTART = a
+        # partitions(committed, committed) replay of the checkpointed
+        # range BEFORE the first latestOffset(), which raises the floor
+        # to the checkpoint — latestOffset can therefore never fall
+        # below the committed offset (no backwards batches) and the
+        # catch-up after a lagging restart stays bounded too.
+        self._floor: int = self._start
 
     # -- offset protocol (driver) ---------------------------------------
     def initialOffset(self) -> dict:
-        self._floor = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         from nshm2022db_spark.streaming.sinks import current_commit
 
         head = current_commit(self._path)["version"]
-        if self._max_versions > 0 and self._floor is not None:
+        if self._max_versions > 0:
             # bound each micro-batch to N commits so a lagging consumer
-            # catches up in bounded-memory steps (best-effort: the first
-            # batch after a restart may span all outstanding commits)
+            # catches up in bounded-memory steps (Delta's
+            # maxFilesPerTrigger analog, keyed on commits)
             head = min(head, self._floor + self._max_versions)
-        return {"version": head}
+        return {"version": max(head, self._floor)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        self._floor = max(self._floor or 0, end["version"])
+        self._floor = max(self._floor, end["version"])
         plan = _plan_changes(self._path, start["version"], end["version"])
         return [
             CommitLogPartition(p["files"], p["pcol"], p["value"], p["version"])
@@ -256,7 +265,7 @@ class CommitLogStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # progress durably lives in Spark's checkpoint; remember it only
         # as this process's admission-control floor
-        self._floor = max(self._floor or 0, end["version"])
+        self._floor = max(self._floor, end["version"])
 
 
 class CommitLogDataSource(DataSource):

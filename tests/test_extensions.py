@@ -237,6 +237,12 @@ class TestDriverOrder:
             "events_funnel", "zorder_key", "weighted_sample",
             "pack_sequences", "source_mix_sample", "orc_scan",
         }
+        # Names in must_verify that have not landed yet must be listed
+        # here explicitly — anything else missing from QUERIES is a typo
+        # or a forgotten rotation and fails loudly (ADVICE r07).
+        planned: set[str] = set()
+        unknown = must_verify - QUERIES.keys() - planned
+        assert not unknown, f"must_verify names neither registered nor planned: {unknown}"
         registered_must = {n for n in must_verify if n in QUERIES}
         out = registered_must - window
         assert not out, f"need driver verification but outside window: {out}"
@@ -251,8 +257,10 @@ class TestDriverOrder:
 
         root = _os.path.join(_os.path.dirname(__file__), _os.pardir)
         freshness: dict[str, int] = {}
+        rounds: set[int] = set()
         for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r0*.json"))):
             rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+            rounds.add(rnd)
             for qname, row in _json.load(open(path)).items():
                 if (
                     isinstance(row, dict)
@@ -262,10 +270,31 @@ class TestDriverOrder:
                 ):
                     freshness[qname] = rnd
         if freshness:  # skip if driver files absent (fresh clone)
+            # Stalest-first contract, round-relative (ADVICE r07: a
+            # hardcoded cutoff self-breaks when the new round's file
+            # lands): a non-must window slot is WASTED iff some
+            # oracle-able query OUTSIDE the window is strictly staler
+            # than it. Rows green in the newest file are exempt — they
+            # were verified BECAUSE they sit in this window, so the
+            # check stays true after the driver's own file lands.
+            max_round = max(rounds)
+            outside_stalest = min(
+                (
+                    freshness.get(m, 0)
+                    for m in set(names) - window
+                    if m in ORACLES
+                ),
+                default=0,
+            )
             wasted = {
-                n for n in window - registered_must if freshness.get(n, 0) > 4
+                n
+                for n in window - registered_must
+                if outside_stalest < freshness.get(n, 0) < max_round
             }
-            assert not wasted, f"fresh r5/r6 rows burning window slots: {wasted}"
+            assert not wasted, (
+                f"window slots fresher than out-of-window rows "
+                f"(stalest outside: r{outside_stalest}): {wasted}"
+            )
         # ORACLES iterates in the same order (driver zips them).
         assert [n for n in QUERIES if n in ORACLES] == list(ORACLES)
 

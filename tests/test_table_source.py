@@ -106,14 +106,30 @@ class TestOffsets:
         r.commit({"version": 2})
         assert r.latestOffset() == {"version": 3}
 
-    def test_restart_without_floor_is_unbounded(self, bronze):
-        # a restarted reader (no initialOffset call) must never return
-        # an offset below the checkpoint — first latestOffset is the
-        # raw head, so a lagging stream can't stall
+    def test_fresh_start_latest_before_initial_is_bounded(self, bronze):
+        # Spark 4.1.2 calls latestOffset() BEFORE initialOffset() on a
+        # fresh start (probed call order) — admission control must
+        # already engage on the very first micro-batch
         r = CommitLogStreamReader(
             table_stream_schema(bronze),
             {"path": bronze, "maxversionsperbatch": "1"},
         )
+        assert r.latestOffset() == {"version": 1}
+
+    def test_restart_replay_raises_floor_never_backwards(self, bronze):
+        # Spark 4.1.2 restart (probed call order): a
+        # partitions(committed, committed) replay of the checkpointed
+        # range arrives BEFORE the first latestOffset(), so the floor
+        # learns the checkpoint and latestOffset never returns an
+        # offset below it (backwards batches would re-emit commits)
+        r = CommitLogStreamReader(
+            table_stream_schema(bronze),
+            {"path": bronze, "maxversionsperbatch": "1"},
+        )
+        r.partitions({"version": 2}, {"version": 2})  # checkpoint replay
+        assert r.latestOffset() == {"version": 3}
+        # even with no new commits beyond the floor, never below it
+        r.commit({"version": 3})
         assert r.latestOffset() == {"version": 3}
 
 
