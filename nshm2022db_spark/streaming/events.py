@@ -364,6 +364,83 @@ def stream_table_source(spark: SparkSession, sf: str) -> DataFrame:
     return _run_to_memory(agg, f"stream_tbl_src_{next(_counter)}")
 
 
+@register(
+    "commit_rebase_stats",
+    """SELECT CAST(event_id % 8 AS VARCHAR) AS bucket,
+              COUNT(*) AS n,
+              CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              ROUND(SUM(value), 2) AS total,
+              CAST(9 AS BIGINT) AS n_commits
+       FROM events GROUP BY 1""",
+)
+def commit_rebase_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Eight WRITERS race disjoint appends into one partition-mapped
+    table (VERDICT r06 #4 / r07 #4): each thread lands one bucket of
+    events through `append_partition_transaction`, so all CAS losers
+    exercise the REBASE path — a loser whose intervening commits are
+    provably disjoint re-manifests its immutable stage instead of
+    re-running its Spark write (Delta's logical conflict resolution;
+    the no-recompute property itself is pinned by the 8-thread race
+    test in tests/test_streaming_sink.py). The rollup over the final
+    table must equal the one-shot oracle over base events — no batch
+    lost, doubled, or cross-bucket leaked no matter how the race
+    resolves — and n_commits proves the ledger serialized exactly
+    seed + 8 commits (a lost update would skip a version; a double
+    apply would add one)."""
+    import tempfile
+    import threading
+
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        current_commit,
+        read_keyed_table,
+    )
+
+    ev = read_table(spark, sf, "events").withColumn(
+        "bucket", (F.col("event_id") % 8).cast("string")
+    )
+    table_dir = tempfile.mkdtemp(prefix="rebase_stats_")
+    # seed commit pins the partition spec so every racer's base is a
+    # real append head (a version-0 base can't prove disjointness)
+    append_partition_transaction(
+        spark, table_dir, "bucket",
+        ev.limit(1).withColumn("bucket", F.lit("seed")),
+    )
+    barrier = threading.Barrier(8)
+    errs: list[Exception] = []
+
+    def land(i: int) -> None:
+        try:
+            barrier.wait()
+            append_partition_transaction(
+                spark, table_dir, "bucket",
+                ev.filter(F.col("event_id") % 8 == i),
+                stats_cols=["event_id"], max_retries=32,
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=land, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    n_commits = current_commit(table_dir)["version"]
+    t = read_keyed_table(spark, table_dir)
+    return (
+        t.filter(F.col("bucket") != "seed")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .withColumn("n_commits", F.lit(n_commits).cast("long"))
+    )
+
+
 def _event_stream(spark: SparkSession, sf: str) -> DataFrame:
     return _raw_event_stream(spark, sf, _stream_dir(sf)).withWatermark("ts", "1 hour")
 

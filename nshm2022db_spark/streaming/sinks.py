@@ -981,183 +981,243 @@ def append_partition_transaction(
     False (or raising) aborts the commit — the stage is deleted, readers
     never saw a row, and an `AuditError` (or the audit's own exception)
     propagates. Bad data can then never become visible: the audit reads
-    the same immutable files the table would have served."""
+    the same immutable files the table would have served.
+
+    CAS losers REBASE when they can (Delta's logical conflict
+    resolution): staged data dirs are position-independent, so a loser
+    whose intervening commits `_rebase_conflict` proves disjoint
+    re-manifests the SAME stage on top of the winner — no Spark re-run,
+    no footer re-scan. Concurrent appends to disjoint partitions then
+    each pay their write exactly once regardless of commit order; only
+    a LOGICAL conflict (same entry touched, spec/constraint/tombstone
+    change, non-append op) falls back to the full optimistic re-run."""
     if bloom_cols:
         _check_bloom_spec(bloom_bits, bloom_hashes)
     os.makedirs(table_dir, exist_ok=True)
     prefix = f"{partition_col}="
-    for _ in range(max_retries):
-        # hot path: newest manifest + checkpointed ledger (O(tail))
-        cur = current_commit(table_dir)
-        if cur["version"] == 0:
-            cur = {"version": 0, "partitions": {}}
-        elif "partitions" not in cur:
-            raise ValueError(
-                f"{table_dir} is a single-dir committed table; "
-                "use committed_transaction"
-            )
-        elif cur["partition_col"] != partition_col:
-            # the current SPEC owns the layout — after partition
-            # evolution an append with the old column would land data
-            # under the wrong dir names and corrupt the map
-            raise ValueError(
-                f"{table_dir} is partitioned by {cur['partition_col']!r}; "
-                f"append supplied {partition_col!r}"
-            )
-        if batch_id is not None and batch_id in committed_batch_ids(table_dir):
-            return
-        stage = f"data-{uuid.uuid4().hex}"
-        stage_path = os.path.join(table_dir, stage)
-        batch_df.write.mode("overwrite").partitionBy(partition_col).parquet(
-            stage_path
-        )
-        written = {n for n in os.listdir(stage_path) if n.startswith(prefix)}
-        _check_entry_values(written)
-        if (audit is not None or cur.get("constraints")) and written:
-            staged = _read_partition_map(
-                spark,
-                table_dir,
-                {
-                    "partition_col": partition_col,
-                    "partitions": {e: stage for e in sorted(written)},
-                },
-            )
-            _enforce_constraints(staged, cur.get("constraints"), stage_path)
-            if audit is not None:
-                try:
-                    verdict = audit(staged)
-                except Exception:
-                    shutil.rmtree(stage_path, ignore_errors=True)
-                    raise
-                if not verdict:
-                    shutil.rmtree(stage_path, ignore_errors=True)
-                    raise AuditError(
-                        f"audit rejected staged batch for {table_dir}; "
-                        "nothing published"
+    stage = stage_path = None
+    written: set[str] = set()
+    staged_stats: dict = {}
+    staged_blooms: dict = {}
+    try:
+        for _ in range(max_retries):
+            # hot path: newest manifest + checkpointed ledger (O(tail))
+            cur = current_commit(table_dir)
+            if cur["version"] == 0:
+                cur = {"version": 0, "partitions": {}}
+            elif "partitions" not in cur:
+                raise ValueError(
+                    f"{table_dir} is a single-dir committed table; "
+                    "use committed_transaction"
+                )
+            elif cur["partition_col"] != partition_col:
+                # the current SPEC owns the layout — after partition
+                # evolution an append with the old column would land data
+                # under the wrong dir names and corrupt the map
+                raise ValueError(
+                    f"{table_dir} is partitioned by "
+                    f"{cur['partition_col']!r}; append supplied "
+                    f"{partition_col!r}"
+                )
+            if batch_id is not None and batch_id in committed_batch_ids(
+                table_dir
+            ):
+                return
+            if stage_path is None:
+                stage = f"data-{uuid.uuid4().hex}"
+                stage_path = os.path.join(table_dir, stage)
+                batch_df.write.mode("overwrite").partitionBy(
+                    partition_col
+                ).parquet(stage_path)
+                written = {
+                    n for n in os.listdir(stage_path) if n.startswith(prefix)
+                }
+                _check_entry_values(written)
+                if (audit is not None or cur.get("constraints")) and written:
+                    staged = _read_partition_map(
+                        spark,
+                        table_dir,
+                        {
+                            "partition_col": partition_col,
+                            "partitions": {e: stage for e in sorted(written)},
+                        },
                     )
-        new_parts = {e: v for e, v in cur["partitions"].items()}
-        for e in written:
-            new_parts[e] = (
-                _entry_dirs(new_parts[e]) + [stage] if e in new_parts else stage
-            )
-        new_stats = {
-            e: s for e, s in cur.get("stats", {}).items() if e in new_parts
-        }
-        if not stats_cols:
-            # this append did not footer-scan: a written entry's carried
-            # bounds no longer cover its new generation, so keeping them
-            # would let pruning skip partitions that now hold matching
-            # rows. Drop them — stat-less = never pruned, always safe.
+                    _enforce_constraints(
+                        staged, cur.get("constraints"), stage_path
+                    )
+                    if audit is not None:
+                        try:
+                            verdict = audit(staged)
+                        except Exception:
+                            shutil.rmtree(stage_path, ignore_errors=True)
+                            stage_path = None
+                            raise
+                        if not verdict:
+                            shutil.rmtree(stage_path, ignore_errors=True)
+                            stage_path = None
+                            raise AuditError(
+                                f"audit rejected staged batch for "
+                                f"{table_dir}; nothing published"
+                            )
+                # footer scans are per-stage facts: collect ONCE, reuse
+                # across rebase retries (the files never change)
+                staged_stats = (
+                    _collect_stage_stats(stage_path, written, stats_cols)
+                    if stats_cols and written
+                    else {}
+                )
+                staged_blooms = (
+                    _collect_stage_blooms(
+                        stage_path=stage_path, spark=spark,
+                        partition_col=partition_col, written=written,
+                        bloom_cols=bloom_cols, m=bloom_bits, k=bloom_hashes,
+                    )
+                    if bloom_cols and written
+                    else {}
+                )
+            new_parts = {e: v for e, v in cur["partitions"].items()}
             for e in written:
-                new_stats.pop(e, None)
-        if stats_cols and written:
-            staged_stats = _collect_stage_stats(stage_path, written, stats_cols)
-            for e, add in staged_stats.items():
-                if e in cur["partitions"] and e not in cur.get("stats", {}):
-                    continue  # pre-existing unstatted data: stay stat-less
-                old = new_stats.get(e)
-                if old is None:
-                    new_stats[e] = add
-                else:
-                    # merge ONLY columns scanned on both sides: an old
-                    # column absent from this append's stats_cols was
-                    # never footer-scanned in the new files, so carrying
-                    # its bounds forward would claim coverage of
-                    # unscanned data — dishonest stats that make pruning
-                    # drop real rows. Dropped = stat-less = never pruned.
-                    merged = {"n": old["n"] + add["n"], "cols": {}, "nulls": {}}
-                    for c in add["cols"]:
-                        if c in old["cols"]:
-                            lo = [old["cols"][c][0], add["cols"][c][0]]
-                            hi = [old["cols"][c][1], add["cols"][c][1]]
-                            lo = [x for x in lo if x is not None]
-                            hi = [x for x in hi if x is not None]
-                            merged["cols"][c] = [
-                                min(lo) if lo else None,
-                                max(hi) if hi else None,
-                            ]
-                    # null counts are additive, but only when KNOWN on
-                    # both sides — a side without the count (older
-                    # manifest, footer without stats) drops the column
-                    # (absent = never null-pruned, always safe)
-                    for c, k in add.get("nulls", {}).items():
-                        if c in old.get("nulls", {}):
-                            merged["nulls"][c] = old["nulls"][c] + k
-                    new_stats[e] = merged
-        # blooms: a set-union structure, so appends MERGE by OR-ing
-        # bitmaps — but only when both sides exist with the same (m, k);
-        # anything else drops the entry's bloom (bloom-less = never
-        # pruned), mirroring the stats drop-or-merge discipline above.
-        new_bloom = {
-            e: b for e, b in cur.get("bloom", {}).items() if e in new_parts
-        }
-        if not bloom_cols:
-            for e in written:
-                new_bloom.pop(e, None)
-        elif written:
-            staged_blooms = _collect_stage_blooms(
-                stage_path=stage_path, spark=spark,
-                partition_col=partition_col, written=written,
-                bloom_cols=bloom_cols, m=bloom_bits, k=bloom_hashes,
-            )
-            for e in written:
-                add_b = staged_blooms.get(e)
-                if e in cur["partitions"] and e not in cur.get("bloom", {}):
-                    continue  # pre-existing unbloomed data: stay bloom-less
-                old_b = cur.get("bloom", {}).get(e)
-                if add_b is None:
-                    new_bloom.pop(e, None)
-                    continue
-                if old_b is None:
-                    new_bloom[e] = add_b  # brand-new entry
-                    continue
-                merged_b = {}
-                for c, sp in add_b.items():
-                    osp = old_b.get(c)
-                    if (
-                        osp
-                        and osp["m"] == sp["m"]
-                        and osp["k"] == sp["k"]
-                        and osp.get("t") == sp.get("t")
-                    ):
-                        ob = base64.b64decode(osp["bits"])
-                        nb = base64.b64decode(sp["bits"])
-                        merged_b[c] = {
-                            "m": sp["m"],
-                            "k": sp["k"],
-                            "t": sp["t"],
-                            "bits": base64.b64encode(
-                                bytes(a | b for a, b in zip(ob, nb))
-                            ).decode("ascii"),
+                new_parts[e] = (
+                    _entry_dirs(new_parts[e]) + [stage]
+                    if e in new_parts
+                    else stage
+                )
+            new_stats = {
+                e: s for e, s in cur.get("stats", {}).items() if e in new_parts
+            }
+            if not stats_cols:
+                # this append did not footer-scan: a written entry's
+                # carried bounds no longer cover its new generation, so
+                # keeping them would let pruning skip partitions that now
+                # hold matching rows. Drop them — stat-less = never
+                # pruned, always safe.
+                for e in written:
+                    new_stats.pop(e, None)
+            if stats_cols and written:
+                for e, add in staged_stats.items():
+                    if e in cur["partitions"] and e not in cur.get("stats", {}):
+                        continue  # pre-existing unstatted data: stay stat-less
+                    old = new_stats.get(e)
+                    if old is None:
+                        new_stats[e] = add
+                    else:
+                        # merge ONLY columns scanned on both sides: an old
+                        # column absent from this append's stats_cols was
+                        # never footer-scanned in the new files, so
+                        # carrying its bounds forward would claim coverage
+                        # of unscanned data — dishonest stats that make
+                        # pruning drop real rows. Dropped = stat-less =
+                        # never pruned.
+                        merged = {
+                            "n": old["n"] + add["n"], "cols": {}, "nulls": {}
                         }
-                if merged_b:
-                    new_bloom[e] = merged_b
-                else:
+                        for c in add["cols"]:
+                            if c in old["cols"]:
+                                lo = [old["cols"][c][0], add["cols"][c][0]]
+                                hi = [old["cols"][c][1], add["cols"][c][1]]
+                                lo = [x for x in lo if x is not None]
+                                hi = [x for x in hi if x is not None]
+                                merged["cols"][c] = [
+                                    min(lo) if lo else None,
+                                    max(hi) if hi else None,
+                                ]
+                        # null counts are additive, but only when KNOWN on
+                        # both sides — a side without the count (older
+                        # manifest, footer without stats) drops the column
+                        # (absent = never null-pruned, always safe)
+                        for c, k in add.get("nulls", {}).items():
+                            if c in old.get("nulls", {}):
+                                merged["nulls"][c] = old["nulls"][c] + k
+                        new_stats[e] = merged
+            # blooms: a set-union structure, so appends MERGE by OR-ing
+            # bitmaps — but only when both sides exist with the same
+            # (m, k); anything else drops the entry's bloom (bloom-less =
+            # never pruned), mirroring the stats drop-or-merge discipline
+            # above.
+            new_bloom = {
+                e: b for e, b in cur.get("bloom", {}).items() if e in new_parts
+            }
+            if not bloom_cols:
+                for e in written:
                     new_bloom.pop(e, None)
-        manifest = {
-            "version": cur["version"] + 1,
-            "dir": stage,
-            "partition_col": partition_col,
-            "partitions": new_parts,
-            "batch_ids": [batch_id] if batch_id is not None else [],
-            "op": "append",
-        }
-        if new_stats:
-            manifest["stats"] = new_stats
-        if new_bloom:
-            manifest["bloom"] = new_bloom
-        if cur.get("constraints"):
-            manifest["constraints"] = cur["constraints"]
-        if cur.get("legacy_layouts"):
-            manifest["legacy_layouts"] = cur["legacy_layouts"]
-        if cur.get("dv"):
-            manifest["dv"] = cur["dv"]
-            manifest["dv_key"] = cur["dv_key"]
-        if _publish(table_dir, manifest, stage_path):
-            return
-    raise RuntimeError(
-        f"commit conflict persisted for {max_retries} retries on {table_dir}"
-    )
+            elif written:
+                for e in written:
+                    add_b = staged_blooms.get(e)
+                    if e in cur["partitions"] and e not in cur.get("bloom", {}):
+                        continue  # pre-existing unbloomed data: stay bloom-less
+                    old_b = cur.get("bloom", {}).get(e)
+                    if add_b is None:
+                        new_bloom.pop(e, None)
+                        continue
+                    if old_b is None:
+                        new_bloom[e] = add_b  # brand-new entry
+                        continue
+                    merged_b = {}
+                    for c, sp in add_b.items():
+                        osp = old_b.get(c)
+                        if (
+                            osp
+                            and osp["m"] == sp["m"]
+                            and osp["k"] == sp["k"]
+                            and osp.get("t") == sp.get("t")
+                        ):
+                            ob = base64.b64decode(osp["bits"])
+                            nb = base64.b64decode(sp["bits"])
+                            merged_b[c] = {
+                                "m": sp["m"],
+                                "k": sp["k"],
+                                "t": sp["t"],
+                                "bits": base64.b64encode(
+                                    bytes(a | b for a, b in zip(ob, nb))
+                                ).decode("ascii"),
+                            }
+                    if merged_b:
+                        new_bloom[e] = merged_b
+                    else:
+                        new_bloom.pop(e, None)
+            manifest = {
+                "version": cur["version"] + 1,
+                "dir": stage,
+                "partition_col": partition_col,
+                "partitions": new_parts,
+                "batch_ids": [batch_id] if batch_id is not None else [],
+                "op": "append",
+            }
+            if new_stats:
+                manifest["stats"] = new_stats
+            if new_bloom:
+                manifest["bloom"] = new_bloom
+            if cur.get("constraints"):
+                manifest["constraints"] = cur["constraints"]
+            if cur.get("legacy_layouts"):
+                manifest["legacy_layouts"] = cur["legacy_layouts"]
+            if cur.get("dv"):
+                manifest["dv"] = cur["dv"]
+                manifest["dv_key"] = cur["dv_key"]
+            if _publish(
+                table_dir, manifest, stage_path, keep_stage_on_conflict=True
+            ):
+                stage_path = None  # published: the stage is live table data
+                return
+            # CAS lost. If every intervening commit is provably disjoint,
+            # keep the stage and re-manifest it on top of the winner next
+            # iteration; otherwise discard it and re-run the transaction.
+            head = current_commit(table_dir)
+            if (
+                "partitions" not in head
+                or _rebase_conflict(table_dir, cur, head, written) is not None
+            ):
+                shutil.rmtree(stage_path, ignore_errors=True)
+                stage_path = None
+        raise RuntimeError(
+            f"commit conflict persisted for {max_retries} retries on "
+            f"{table_dir}"
+        )
+    finally:
+        # give-up / audit-failure cleanup: an unpublished stage must not
+        # leak (published stages reset stage_path above)
+        if stage_path is not None:
+            shutil.rmtree(stage_path, ignore_errors=True)
 
 
 def land_stream_to_partitioned_table(

@@ -2418,3 +2418,166 @@ class TestUncoveredStatsMerge:
         # append merge drops the column instead of keeping old bounds
         assert "x" not in stats["k=a"]["cols"]
         assert stats["k=a"]["n"] == 2
+
+
+class TestAppendRebase:
+    """CAS losers re-manifest their immutable stage when every
+    intervening commit is provably disjoint (Delta-style logical
+    conflict resolution) — the batch is written ONCE no matter how the
+    race resolves; a logical conflict (same entry touched) falls back
+    to the full optimistic re-run."""
+
+    def _batch(self, spark, lo, hi, day):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+            F.lit(day).alias("day"),
+        )
+
+    def _seed(self, spark, d):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+        )
+
+        append_partition_transaction(
+            spark, d, "day", self._batch(spark, 900, 901, "seed")
+        )
+
+    def test_disjoint_loser_rebases_without_recompute(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        calls = []
+
+        def audit(staged):
+            # the audit runs AFTER staging, BEFORE the CAS — landing the
+            # winner here makes the loser's first CAS fail
+            # deterministically. A second call would mean the loser
+            # re-ran its whole transaction instead of rebasing.
+            calls.append(1)
+            if len(calls) == 1:
+                append_partition_transaction(
+                    spark, d, "day",
+                    self._batch(spark, 0, 4, "2024-01-01"),
+                    stats_cols=["k"],
+                )
+            return True
+
+        append_partition_transaction(
+            spark, d, "day", self._batch(spark, 10, 14, "2024-01-02"),
+            stats_cols=["k"], audit=audit,
+        )
+        assert calls == [1]  # staged + audited exactly once: a rebase
+        cur = current_commit(d)
+        assert cur["version"] == 3  # seed + winner + rebased loser
+        got = read_keyed_table(spark, d)
+        assert {(r.k, r.day) for r in got.collect() if r.day != "seed"} == (
+            {(k, "2024-01-01") for k in range(0, 4)}
+            | {(k, "2024-01-02") for k in range(10, 14)}
+        )
+        # the rebased manifest carries BOTH sides' stats bounds
+        st = cur["stats"]
+        assert st["day=2024-01-01"]["cols"]["k"] == [0, 3]
+        assert st["day=2024-01-02"]["cols"]["k"] == [10, 13]
+
+    def test_same_partition_conflict_reruns(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        calls = []
+
+        def audit(staged):
+            calls.append(1)
+            if len(calls) == 1:
+                append_partition_transaction(
+                    spark, d, "day",
+                    self._batch(spark, 0, 4, "2024-01-01"),
+                )
+            return True
+
+        append_partition_transaction(
+            spark, d, "day", self._batch(spark, 10, 14, "2024-01-01"),
+            audit=audit,
+        )
+        # same entry touched by the winner: the loser must re-run (and
+        # re-audit) against the new base — rebasing would merge against
+        # a stale per-entry state
+        assert calls == [1, 1]
+        got = read_keyed_table(spark, d)
+        assert sorted(
+            r.k for r in got.collect() if r.day == "2024-01-01"
+        ) == [0, 1, 2, 3, 10, 11, 12, 13]
+        assert current_commit(d)["version"] == 3
+
+    def test_8_thread_disjoint_race_stages_each_batch_once(
+        self, spark, tmp_path
+    ):
+        import threading
+
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        cls = type(spark.range(1))
+        orig = cls.write
+        n_stages = [0]
+        lock = threading.Lock()
+
+        def counting_write(df):
+            with lock:
+                n_stages[0] += 1
+            return orig.fget(df)
+
+        barrier = threading.Barrier(8)
+        errs = []
+
+        def worker(i):
+            try:
+                df = self._batch(spark, i * 10, i * 10 + 5, f"day-{i}")
+                barrier.wait()
+                append_partition_transaction(
+                    spark, d, "day", df, stats_cols=["k"], max_retries=32
+                )
+            except Exception as e:  # pragma: no cover - diagnostic
+                errs.append(e)
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(cls, "write", property(counting_write))
+            ts = [
+                threading.Thread(target=worker, args=(i,)) for i in range(8)
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        assert not errs
+        # disjoint partitions: every CAS loser rebases its immutable
+        # stage — 8 writers, exactly 8 stage writes, zero re-runs
+        assert n_stages[0] == 8
+        cur = current_commit(d)
+        assert cur["version"] == 9  # seed + 8 racing commits, none lost
+        got = read_keyed_table(spark, d).collect()
+        assert sorted(r.k for r in got if r.day != "seed") == sorted(
+            k for i in range(8) for k in range(i * 10, i * 10 + 5)
+        )
+        # stats survived every rebase re-merge
+        for i in range(8):
+            assert cur["stats"][f"day=day-{i}"]["cols"]["k"] == [
+                i * 10, i * 10 + 4,
+            ]
