@@ -150,6 +150,15 @@ HEADLINE = [
     "clone_evolve_read",
     "text_novelty_score",
     "text_winnow_fingerprints",
+    # round 7/8: the streaming table source and the r8 quartet
+    # (VERDICT r08 #2 — first time benched)
+    "stream_table_source",
+    "bpe_encode_learned",
+    "lm_bigram_assoc",
+    "doc_dedup_cross_shard",
+    "commit_rebase_stats",  # CONTRACT query — timed, gated out (below)
+    # round 9: INSERT OVERWRITE / replaceWhere round trip
+    "overwrite_partition_transaction",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)
@@ -168,6 +177,9 @@ CONTRACT_QUERIES = {
     "hll_shard_merge",               # exact + merged-sketch pin
     "salted_skew_join",              # salted + plain join parity pin
     "stream_windowed_distinct",      # exact distinct + windowed HLL pin
+    "commit_rebase_stats",           # 9-commit 8-thread write-race proof:
+    # its wall time tracks the transaction CONTRACT (serialized CAS
+    # ledger + rebase re-manifests), not a query plan
 }
 
 

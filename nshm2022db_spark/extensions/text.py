@@ -789,10 +789,16 @@ def _bpe_learned_oracle(n_merges: int, topk: int) -> str:
             SELECT a, b FROM p{k} GROUP BY a, b
             ORDER BY SUM(freq) DESC, a || ' ' || b LIMIT 1),
         v{k} AS (
-            SELECT replace(sym, {m} || a || {mm} || b || {m},
-                           {m} || a || b || {m}) AS sym,
+            -- LEFT JOIN ON TRUE: when the corpus exhausts mergeable
+            -- pairs before step {k}, m{k} is EMPTY — a cross join would
+            -- empty the whole vocab, while learn_bpe just stops early
+            -- and the Spark side still encodes (ADVICE r08). NULL a/b
+            -- makes the step a pass-through instead.
+            SELECT CASE WHEN a IS NULL THEN sym
+                        ELSE replace(sym, {m} || a || {mm} || b || {m},
+                                     {m} || a || b || {m}) END AS sym,
                    freq
-            FROM v{k - 1}, m{k})"""
+            FROM v{k - 1} LEFT JOIN m{k} ON TRUE)"""
         )
     sql.append(
         f"""

@@ -524,6 +524,85 @@ def delete_where_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+OVERWRITE_REPLACE_TYPES = ("view", "click")  # replaceWhere targets
+OVERWRITE_DELETE_TYPE = "signup"  # listed with no batch rows → deleted
+OVERWRITE_DYNAMIC_TYPE = "purchase"  # dynamic-mode target
+
+
+@register(
+    "overwrite_partition_transaction",
+    f"""SELECT event_type,
+               COUNT(*) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        WHERE (event_type IN {OVERWRITE_REPLACE_TYPES!r}
+               AND event_id % 2 = 0)
+           OR (event_type = '{OVERWRITE_DYNAMIC_TYPE}'
+               AND event_id % 3 = 0)
+           OR event_type NOT IN ('view', 'click', 'signup', 'purchase')
+        GROUP BY event_type""",
+)
+def overwrite_partition_transaction(spark: SparkSession, sf: str) -> DataFrame:
+    """INSERT OVERWRITE / replaceWhere — the last Delta-core write mode
+    (VERDICT r08 stretch #8), both flavors in one round trip:
+
+    1. ``replace_where=['view', 'click', 'signup']`` replaces the
+       view/click partitions with a filtered recompute (even event_ids)
+       and DELETES signup (listed, no batch rows) — Delta's
+       replaceWhere, predicate containment enforced;
+    2. a DYNAMIC overwrite then replaces exactly the partition present
+       in its batch (purchase, every third event) — Spark's
+       ``partitionOverwriteMode=dynamic``.
+
+    Untouched partitions (error) carry forward byte-identical; cost is
+    O(batch + replaced entries), never O(table) — at 100 TB, refreshing
+    2 of 500 date partitions rewrites 0.4% of the files and one JSON
+    manifest. Concurrency: the overwrite rides the same rebase-aware
+    CAS as appends (disjoint concurrent appends rebase; an append INTO
+    a replaced partition is a real conflict and re-runs — pinned by the
+    race tests in test_streaming_sink.py). The oracle recomputes the
+    final state from base events, proving land + both overwrite modes +
+    the deletion + the manifest-resolved read."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        overwrite_partition_transaction as overwrite_txn,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_overwrite_partition_r9", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events")
+        append_partition_transaction(
+            spark, path, "event_type", ev, stats_cols=["event_id"]
+        )
+        overwrite_txn(
+            spark, path, "event_type",
+            ev.filter(
+                F.col("event_type").isin(*OVERWRITE_REPLACE_TYPES)
+                & (F.col("event_id") % 2 == 0)
+            ),
+            replace_where=[*OVERWRITE_REPLACE_TYPES, OVERWRITE_DELETE_TYPE],
+            stats_cols=["event_id"],
+        )
+        overwrite_txn(
+            spark, path, "event_type",
+            ev.filter(
+                (F.col("event_type") == OVERWRITE_DYNAMIC_TYPE)
+                & (F.col("event_id") % 3 == 0)
+            ),
+            stats_cols=["event_id"],
+        )
+        mark_landed(base)
+    table = read_keyed_table(spark, path)
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # Fixed absolute event_id window for the skip-scan demo: present at every
 # sf (sf0.001 already has ids 0..999) and a small fraction of any larger
 # corpus, so manifest stats prune all but 1-2 day partitions.

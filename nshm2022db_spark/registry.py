@@ -163,87 +163,34 @@ from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # ROUND-7 WINDOW (VERDICT r06 next-round #1 + the standing contract
+    # ROUND-9 WINDOW (VERDICT r08 next-round #1 + the standing contract
     # above):
-    # (a) queries whose OWN plans changed this round: the two LM scorers
-    #     (corpus-scaling broadcast hints dropped per VERDICT r06 #2 —
-    #     results cannot change, the driver row proves it);
-    # (b) the 9 r3-stale rows the r6 registry tail earmarked;
-    # (c) remaining slots refresh the stalest r4 rows, substantive
-    #     families first; queries NEW this round are inserted at the
-    #     top as they land, displacing the final r4 rows back to the
-    #     tail head.
-    "lm_bigram_score",
-    "lm_unigram_score",
-    # (d) NEW in r7 (each insertion displaces the last (c) row past the
-    # boundary):
+    # (a) NEW in r8 (registered, judge-verified at both sfs, but never
+    #     inside a driver window — r8 ended mid-checklist) and queries
+    #     whose OWN code changed in r9: the learned-BPE oracle gained
+    #     the empty-merge pass-through (ADVICE r08), commit_rebase_stats
+    #     reaps its scratch table and exercises the per-retry rebase
+    #     re-validation, stream_table_source gained the stall-probe
+    #     admission fallback; plus the query NEW in r9 (INSERT OVERWRITE /
+    #     replaceWhere — VERDICT r08 stretch #8, displacing tfidf_search
+    #     to the tail head):
+    "overwrite_partition_transaction",
+    "bpe_encode_learned",
+    "lm_bigram_assoc",
+    "doc_dedup_cross_shard",
+    "commit_rebase_stats",
     "stream_table_source",
-    # (b) the 9 r3-stale rows (registry r6 tail-comment priority order):
-    "csv_gzip_scan",
-    "multimodal_audio_chunks",
-    "json_extract",
-    "events_funnel",
-    "zorder_key",
-    "weighted_sample",
-    "pack_sequences",
-    "source_mix_sample",
-    "orc_scan",
-    # (c) stalest r4 rows; the END of this block is the displacement
-    # zone for new-in-r7 queries:
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "knn_bruteforce",
-    "knn_lsh_bucketed",
-    "knn_lsh_multiprobe",
-    "knn_ivf",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "text_pii_scrub",
-    "text_fingerprint",
-    "text_repetition_stats",
-    "vocab_topk",
-    "explode_tokens",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "stream_static_join",
-    "stream_tumbling_window",
-    "stream_stream_join",
-    "stream_stateful_profile",
-    "stream_upsert_table",
-    "stratified_sample",
-    "session_funnel",
-    "anomaly_mad",
-    "weighted_branch_merge",
-    "join_dim_hierarchy",
-    "join_5way_agg",
-    "csv_scan_join",
-    "ragged_csv_roundtrip",
-    "geojson_scan",
-    "merge_upsert",
-    "advanced_query_negation",
-    "advanced_query_or_bounds",
-    "approx_percentile_bound",
-    # --- 50-query window boundary (driver gate cap observed r01-r06) ---
-    # Tail head — FIRST PRIORITY for the round-8 window: the r4 rows
-    # that did not fit (trivial relational aggregates/sketches displaced
-    # by the r7 insertions, re-proven by the local full-registry gates
-    # every round):
-    "approx_count_distinct_sketch",
+    # (b) the 7 stalest rows (newest green driver row r4 — the refresh
+    #     VERDICT r07/r08 earmarked):
     "approx_count_distinct",
+    "approx_count_distinct_sketch",
     "cube_agg",
     "grouping_sets_agg",
     "ntile_buckets",
     "percentile_agg",
     "rollup_agg",
-    # rows-only geometry row (no SQL oracle; its hash-green checksum
-    # companion geometry_planes_checksum has a fresh r6 row):
-    "geometry_planes",
-    # fresh r5 driver rows:
+    # (c) stalest remaining rows (r5), alphabetical; the LAST entries
+    #     are the displacement zone for queries landing new in r9:
     "advanced_query_dsl",
     "anti_join_missing",
     "any_value_carry",
@@ -282,6 +229,10 @@ _DRIVER_ORDER = [
     "surrogate_keys_dense",
     "table_profile",
     "tfidf_search",
+    # --- 50-query window boundary (driver gate cap observed r01-r08) ---
+    # Tail head — FIRST PRIORITY for the round-10 window: the r5 rows
+    # that did not fit (re-proven by the local full-registry gates every
+    # round):
     "topk_global",
     "topk_per_group",
     "union_all_stack",
@@ -289,6 +240,59 @@ _DRIVER_ORDER = [
     "value_histogram",
     "window_range_frame",
     "window_running_sum",
+    # rows-only geometry row (no SQL oracle; its hash-green checksum
+    # companion geometry_planes_checksum has a fresh r6 row):
+    "geometry_planes",
+    # fresh r8 driver rows (the former r7/r8 window, verified r8):
+    "lm_bigram_score",
+    "lm_unigram_score",
+    "csv_gzip_scan",
+    "multimodal_audio_chunks",
+    "json_extract",
+    "events_funnel",
+    "zorder_key",
+    "weighted_sample",
+    "pack_sequences",
+    "source_mix_sample",
+    "orc_scan",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "knn_bruteforce",
+    "knn_lsh_bucketed",
+    "knn_lsh_multiprobe",
+    "knn_ivf",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_pii_scrub",
+    "text_fingerprint",
+    "text_repetition_stats",
+    "vocab_topk",
+    "explode_tokens",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "stream_static_join",
+    "stream_tumbling_window",
+    "stream_stream_join",
+    "stream_stateful_profile",
+    "stream_upsert_table",
+    "stratified_sample",
+    "session_funnel",
+    "anomaly_mad",
+    "weighted_branch_merge",
+    "join_dim_hierarchy",
+    "join_5way_agg",
+    "csv_scan_join",
+    "ragged_csv_roundtrip",
+    "geojson_scan",
+    "merge_upsert",
+    "advanced_query_negation",
+    "advanced_query_or_bounds",
+    "approx_percentile_bound",
     # fresh r6 driver rows:
     "agg_pushdown_scan",
     "bloom_join_prefilter",

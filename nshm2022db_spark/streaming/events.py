@@ -396,49 +396,60 @@ def commit_rebase_stats(spark: SparkSession, sf: str) -> DataFrame:
         read_keyed_table,
     )
 
+    import shutil
+
     ev = read_table(spark, sf, "events").withColumn(
         "bucket", (F.col("event_id") % 8).cast("string")
     )
     table_dir = tempfile.mkdtemp(prefix="rebase_stats_")
-    # seed commit pins the partition spec so every racer's base is a
-    # real append head (a version-0 base can't prove disjointness)
-    append_partition_transaction(
-        spark, table_dir, "bucket",
-        ev.limit(1).withColumn("bucket", F.lit("seed")),
-    )
-    barrier = threading.Barrier(8)
-    errs: list[Exception] = []
-
-    def land(i: int) -> None:
-        try:
-            barrier.wait()
-            append_partition_transaction(
-                spark, table_dir, "bucket",
-                ev.filter(F.col("event_id") % 8 == i),
-                stats_cols=["event_id"], max_retries=32,
-            )
-        except Exception as e:  # pragma: no cover - surfaced below
-            errs.append(e)
-
-    threads = [threading.Thread(target=land, args=(i,)) for i in range(8)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    if errs:
-        raise errs[0]
-    n_commits = current_commit(table_dir)["version"]
-    t = read_keyed_table(spark, table_dir)
-    return (
-        t.filter(F.col("bucket") != "seed")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("event_id").cast("long").alias("id_sum"),
-            F.round(F.sum("value"), 2).alias("total"),
+    try:
+        # seed commit pins the partition spec so every racer's base is a
+        # real append head (a version-0 base can't prove disjointness)
+        append_partition_transaction(
+            spark, table_dir, "bucket",
+            ev.limit(1).withColumn("bucket", F.lit("seed")),
         )
-        .withColumn("n_commits", F.lit(n_commits).cast("long"))
-    )
+        barrier = threading.Barrier(8)
+        errs: list[Exception] = []
+
+        def land(i: int) -> None:
+            try:
+                barrier.wait()
+                append_partition_transaction(
+                    spark, table_dir, "bucket",
+                    ev.filter(F.col("event_id") % 8 == i),
+                    stats_cols=["event_id"], max_retries=32,
+                )
+            except Exception as e:  # pragma: no cover - surfaced below
+                errs.append(e)
+
+        threads = [threading.Thread(target=land, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
+        n_commits = current_commit(table_dir)["version"]
+        agg = (
+            read_keyed_table(spark, table_dir)
+            .filter(F.col("bucket") != "seed")
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+            .withColumn("n_commits", F.lit(n_commits).cast("long"))
+        )
+        # materialize the 8-row rollup BEFORE reaping the scratch table —
+        # the returned DataFrame must not lazily scan a deleted dir
+        # (VERDICT r08 #3: each call previously stranded a 9-commit
+        # parquet table in /tmp)
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
 
 
 def _event_stream(spark: SparkSession, sf: str) -> DataFrame:

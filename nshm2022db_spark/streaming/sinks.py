@@ -990,7 +990,13 @@ def append_partition_transaction(
     no footer re-scan. Concurrent appends to disjoint partitions then
     each pay their write exactly once regardless of commit order; only
     a LOGICAL conflict (same entry touched, spec/constraint/tombstone
-    change, non-append op) falls back to the full optimistic re-run."""
+    change, non-append op) falls back to the full optimistic re-run.
+    An ``audit`` is the one thing a rebase DOES re-run (against the
+    head it actually publishes on): unlike CHECK constraints — per-row
+    predicates whose validity disjoint intervening appends cannot
+    change — an audit may assert table-state invariants, so skipping
+    it on rebase would let two concurrently-audited batches publish a
+    state neither audit saw."""
     if bloom_cols:
         _check_bloom_spec(bloom_bits, bloom_hashes)
     os.makedirs(table_dir, exist_ok=True)
@@ -999,6 +1005,13 @@ def append_partition_transaction(
     written: set[str] = set()
     staged_stats: dict = {}
     staged_blooms: dict = {}
+    # the table state the kept stage was last conflict-checked against
+    # (ADVICE r08): every retry iteration re-validates from here to the
+    # freshly-read head, so a commit landing in ANY read gap — not just
+    # the one immediately after a failed CAS — is conflict-checked
+    # before the stage re-manifests (Delta's per-attempt re-validation
+    # from the read version to the latest version)
+    validated_base: dict | None = None
     try:
         for _ in range(max_retries):
             # hot path: newest manifest + checkpointed ledger (O(tail))
@@ -1023,6 +1036,54 @@ def append_partition_transaction(
                 table_dir
             ):
                 return
+            if (
+                stage_path is not None
+                and cur["version"] > validated_base["version"]
+            ):
+                # per-attempt re-validation (TOCTOU close): commits that
+                # landed since the stage was last validated must prove
+                # disjoint+spec-stable or the stage is discarded and the
+                # whole transaction re-runs against the new base (which
+                # re-enforces the new constraints and re-audits)
+                if (
+                    _rebase_conflict(table_dir, validated_base, cur, written)
+                    is not None
+                ):
+                    shutil.rmtree(stage_path, ignore_errors=True)
+                    stage_path = None
+                else:
+                    validated_base = cur
+                    if audit is not None and written:
+                        # WAP audits may check TABLE-STATE invariants
+                        # (not just per-row predicates like constraints,
+                        # whose validity disjointness preserves) — so a
+                        # rebase re-runs the audit against the base it
+                        # will actually publish on. Cheap: the staged
+                        # files are immutable, nothing is re-written or
+                        # re-footer-scanned (r9 review).
+                        staged = _read_partition_map(
+                            spark,
+                            table_dir,
+                            {
+                                "partition_col": partition_col,
+                                "partitions": {
+                                    e: stage for e in sorted(written)
+                                },
+                            },
+                        )
+                        try:
+                            verdict = audit(staged)
+                        except Exception:
+                            shutil.rmtree(stage_path, ignore_errors=True)
+                            stage_path = None
+                            raise
+                        if not verdict:
+                            shutil.rmtree(stage_path, ignore_errors=True)
+                            stage_path = None
+                            raise AuditError(
+                                f"audit rejected rebased batch for "
+                                f"{table_dir}; nothing published"
+                            )
             if stage_path is None:
                 stage = f"data-{uuid.uuid4().hex}"
                 stage_path = os.path.join(table_dir, stage)
@@ -1075,6 +1136,8 @@ def append_partition_transaction(
                     if bloom_cols and written
                     else {}
                 )
+                # staging enforced constraints/audit against THIS state
+                validated_base = cur
             new_parts = {e: v for e, v in cur["partitions"].items()}
             for e in written:
                 new_parts[e] = (
@@ -1199,16 +1262,11 @@ def append_partition_transaction(
             ):
                 stage_path = None  # published: the stage is live table data
                 return
-            # CAS lost. If every intervening commit is provably disjoint,
-            # keep the stage and re-manifest it on top of the winner next
-            # iteration; otherwise discard it and re-run the transaction.
-            head = current_commit(table_dir)
-            if (
-                "partitions" not in head
-                or _rebase_conflict(table_dir, cur, head, written) is not None
-            ):
-                shutil.rmtree(stage_path, ignore_errors=True)
-                stage_path = None
+            # CAS lost. Keep the stage; the NEXT iteration's top-of-loop
+            # re-validation decides rebase vs discard against the head it
+            # will actually manifest on (checking an intermediate head
+            # here would leave commits landing after it unchecked —
+            # ADVICE r08's TOCTOU).
         raise RuntimeError(
             f"commit conflict persisted for {max_retries} retries on "
             f"{table_dir}"
@@ -1216,6 +1274,264 @@ def append_partition_transaction(
     finally:
         # give-up / audit-failure cleanup: an unpublished stage must not
         # leak (published stages reset stage_path above)
+        if stage_path is not None:
+            shutil.rmtree(stage_path, ignore_errors=True)
+
+
+def overwrite_partition_transaction(
+    spark: SparkSession,
+    table_dir: str,
+    partition_col: str,
+    batch_df: DataFrame,
+    replace_where: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    batch_id: int | None = None,
+    max_retries: int = 10,
+    audit=None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_BITS,
+    bloom_hashes: int = _BLOOM_HASHES,
+) -> None:
+    """INSERT OVERWRITE a partition-mapped table as one commit — the
+    last Delta-core write mode beside append/delete/rewrite/evolve/
+    clone (VERDICT r08 stretch #8).
+
+    ``replace_where=None`` is DYNAMIC partition overwrite (Spark's
+    ``partitionOverwriteMode=dynamic`` / Hive's INSERT OVERWRITE with
+    dynamic partitions): exactly the partitions PRESENT in ``batch_df``
+    are replaced — each points at the new stage as its ONLY data dir —
+    and every other entry carries forward untouched. An empty batch is
+    a no-op (nothing to replace).
+
+    ``replace_where=[v1, ...]`` is Delta's ``replaceWhere`` on the
+    partition column: the LISTED values are replaced; a batch row
+    landing OUTSIDE them raises before anything publishes (Delta's
+    predicate-containment check), and a listed value with no batch rows
+    is DELETED from the map — its old files stay on disk as committed
+    history, readable via time travel until a retention vacuum.
+
+    Cost is O(batch + replaced entries), never O(table): untouched
+    partitions' files are not read, moved, or rewritten. Stats/blooms
+    for replaced entries are REPLACED by the stage's own footer scans
+    (an overwrite cannot merge against bounds of data it just deleted);
+    dropped when the call doesn't scan. CHECK constraints and the WAP
+    ``audit`` gate the staged rows exactly like the append path.
+
+    Commits tag ``op: "overwrite"``, so every reader of history that
+    must refuse non-append semantics (change feed, additive CDC
+    maintenance, the streaming table source, an appender's rebase)
+    already treats it correctly as a logical barrier. Unmigrated legacy
+    layouts REFUSE (a replaced value's legacy rows would survive the
+    read union — the same miss a rewrite guards against).
+
+    Concurrency follows the append path's rebase-aware CAS: a losing
+    overwrite whose intervening commits are provably disjoint plain
+    appends (none touching a REPLACED entry, no spec/constraint/DV/
+    legacy change) re-manifests its immutable stage — concurrent
+    appends to OTHER partitions and this overwrite each pay their
+    write exactly once. An intervening append INTO a replaced entry is
+    a real write-write conflict (the overwrite would silently erase
+    it): the stage is discarded and the transaction re-runs, exactly
+    Delta's ConcurrentAppendException-then-retry."""
+    if bloom_cols:
+        _check_bloom_spec(bloom_bits, bloom_hashes)
+    os.makedirs(table_dir, exist_ok=True)
+    prefix = f"{partition_col}="
+    if replace_where is not None:
+        claimed = {f"{prefix}{v}" for v in replace_where}
+        _check_entry_values(claimed)
+        if not claimed:
+            return  # replace nothing = no-op
+    stage = stage_path = None
+    written: set[str] = set()
+    replaced: set[str] = set()
+    staged_stats: dict = {}
+    staged_blooms: dict = {}
+    validated_base: dict | None = None
+    try:
+        for _ in range(max_retries):
+            cur = current_commit(table_dir)
+            if cur["version"] == 0:
+                cur = {"version": 0, "partitions": {}}
+            elif "partitions" not in cur:
+                raise ValueError(
+                    f"{table_dir} is a single-dir committed table; "
+                    "use committed_transaction"
+                )
+            elif cur["partition_col"] != partition_col:
+                raise ValueError(
+                    f"{table_dir} is partitioned by "
+                    f"{cur['partition_col']!r}; overwrite supplied "
+                    f"{partition_col!r}"
+                )
+            if cur.get("legacy_layouts"):
+                raise ValueError(
+                    f"{table_dir} has unmigrated legacy partition "
+                    "layouts; an overwrite computed against the current "
+                    "layout would leave replaced values' legacy rows "
+                    "readable — run migrate_legacy_layouts first"
+                )
+            if batch_id is not None and batch_id in committed_batch_ids(
+                table_dir
+            ):
+                return
+            if (
+                stage_path is not None
+                and cur["version"] > validated_base["version"]
+            ):
+                # per-attempt re-validation, same TOCTOU discipline as
+                # the append path — checked against the entries this
+                # overwrite REPLACES
+                if (
+                    _rebase_conflict(table_dir, validated_base, cur, replaced)
+                    is not None
+                ):
+                    shutil.rmtree(stage_path, ignore_errors=True)
+                    stage_path = None
+                else:
+                    validated_base = cur
+                    if audit is not None and written:
+                        staged = _read_partition_map(
+                            spark,
+                            table_dir,
+                            {
+                                "partition_col": partition_col,
+                                "partitions": {
+                                    e: stage for e in sorted(written)
+                                },
+                            },
+                        )
+                        try:
+                            verdict = audit(staged)
+                        except Exception:
+                            shutil.rmtree(stage_path, ignore_errors=True)
+                            stage_path = None
+                            raise
+                        if not verdict:
+                            shutil.rmtree(stage_path, ignore_errors=True)
+                            stage_path = None
+                            raise AuditError(
+                                f"audit rejected rebased overwrite for "
+                                f"{table_dir}; nothing published"
+                            )
+            if stage_path is None:
+                stage = f"data-{uuid.uuid4().hex}"
+                stage_path = os.path.join(table_dir, stage)
+                batch_df.write.mode("overwrite").partitionBy(
+                    partition_col
+                ).parquet(stage_path)
+                written = {
+                    n for n in os.listdir(stage_path) if n.startswith(prefix)
+                }
+                _check_entry_values(written)
+                if replace_where is None:
+                    if not written:
+                        return  # dynamic overwrite of nothing: no-op
+                    replaced = set(written)
+                else:
+                    outside = written - claimed
+                    if outside:
+                        raise ValueError(
+                            f"batch rows land outside replace_where "
+                            f"{sorted(replace_where)}: "
+                            f"{sorted(outside)[:3]} — Delta's "
+                            "predicate-containment contract; widen "
+                            "replace_where or filter the batch"
+                        )
+                    replaced = set(claimed)
+                if (audit is not None or cur.get("constraints")) and written:
+                    staged = _read_partition_map(
+                        spark,
+                        table_dir,
+                        {
+                            "partition_col": partition_col,
+                            "partitions": {e: stage for e in sorted(written)},
+                        },
+                    )
+                    _enforce_constraints(
+                        staged, cur.get("constraints"), stage_path
+                    )
+                    if audit is not None:
+                        try:
+                            verdict = audit(staged)
+                        except Exception:
+                            shutil.rmtree(stage_path, ignore_errors=True)
+                            stage_path = None
+                            raise
+                        if not verdict:
+                            shutil.rmtree(stage_path, ignore_errors=True)
+                            stage_path = None
+                            raise AuditError(
+                                f"audit rejected staged overwrite for "
+                                f"{table_dir}; nothing published"
+                            )
+                staged_stats = (
+                    _collect_stage_stats(stage_path, written, stats_cols)
+                    if stats_cols and written
+                    else {}
+                )
+                staged_blooms = (
+                    _collect_stage_blooms(
+                        stage_path=stage_path, spark=spark,
+                        partition_col=partition_col, written=written,
+                        bloom_cols=bloom_cols, m=bloom_bits, k=bloom_hashes,
+                    )
+                    if bloom_cols and written
+                    else {}
+                )
+                validated_base = cur
+            # REPLACE semantics: replaced entries point at the stage
+            # alone (or vanish when the batch holds no rows for them);
+            # everything else carries forward. Stats/blooms follow the
+            # same replace-don't-merge rule.
+            new_parts = {
+                e: v
+                for e, v in cur["partitions"].items()
+                if e not in replaced
+            }
+            for e in written:
+                new_parts[e] = stage
+            new_stats = {
+                e: s for e, s in cur.get("stats", {}).items() if e in new_parts
+            }
+            for e in replaced:
+                new_stats.pop(e, None)
+            if stats_cols:
+                new_stats.update(staged_stats)
+            new_bloom = {
+                e: b
+                for e, b in cur.get("bloom", {}).items()
+                if e in new_parts and e not in replaced
+            }
+            if bloom_cols:
+                new_bloom.update(staged_blooms)
+            manifest = {
+                "version": cur["version"] + 1,
+                "dir": stage,
+                "partition_col": partition_col,
+                "partitions": new_parts,
+                "batch_ids": [batch_id] if batch_id is not None else [],
+                "op": "overwrite",
+            }
+            if new_stats:
+                manifest["stats"] = new_stats
+            if new_bloom:
+                manifest["bloom"] = new_bloom
+            if cur.get("constraints"):
+                manifest["constraints"] = cur["constraints"]
+            if cur.get("dv"):
+                manifest["dv"] = cur["dv"]
+                manifest["dv_key"] = cur["dv_key"]
+            if _publish(
+                table_dir, manifest, stage_path, keep_stage_on_conflict=True
+            ):
+                stage_path = None
+                return
+        raise RuntimeError(
+            f"commit conflict persisted for {max_retries} retries on "
+            f"{table_dir}"
+        )
+    finally:
         if stage_path is not None:
             shutil.rmtree(stage_path, ignore_errors=True)
 

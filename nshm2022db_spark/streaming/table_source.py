@@ -163,15 +163,49 @@ def table_stream_schema(table_dir: str) -> StructType:
                         merged = merged.append(f)
     if merged is None:
         raise ValueError(f"{table_dir} holds no data files to infer from")
-    # Force every data field NULLABLE: Spark writes REQUIRED parquet
-    # fields for non-nullable DataFrame columns, but under schema
-    # evolution a column added by a later commit must surface as NULL
-    # for rows from earlier generations — a required field there makes
-    # the JVM reject the Arrow batch outright.
+    # Force every data field NULLABLE — RECURSIVELY: Spark writes
+    # REQUIRED parquet fields for non-nullable DataFrame columns, but
+    # under schema evolution a column added by a later commit must
+    # surface as NULL for rows from earlier generations — a required
+    # field there makes the JVM reject the Arrow batch outright. A
+    # top-level-only rewrite would leave an evolution-added STRUCT
+    # column's children required and hit the same rejection when
+    # old-generation files fill it with null children (r9 review).
     import pyarrow as pa
 
+    def _force_nullable(t: pa.DataType) -> pa.DataType:
+        if pa.types.is_struct(t):
+            return pa.struct(
+                [
+                    pa.field(
+                        f.name, _force_nullable(f.type),
+                        nullable=True, metadata=f.metadata,
+                    )
+                    for f in t
+                ]
+            )
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            mk = pa.large_list if pa.types.is_large_list(t) else pa.list_
+            return mk(
+                pa.field(
+                    t.value_field.name, _force_nullable(t.value_type),
+                    nullable=True, metadata=t.value_field.metadata,
+                )
+            )
+        if pa.types.is_map(t):
+            # map KEYS stay non-nullable (parquet/Arrow invariant)
+            return pa.map_(t.key_type, _force_nullable(t.item_type))
+        return t
+
     merged = pa.schema(
-        [f.with_nullable(True) for f in merged], metadata=merged.metadata
+        [
+            pa.field(
+                f.name, _force_nullable(f.type),
+                nullable=True, metadata=f.metadata,
+            )
+            for f in merged
+        ],
+        metadata=merged.metadata,
     )
     # prefer_timestamp_ntz: tz-naive parquet timestamps surface as
     # TIMESTAMP_NTZ, matching what read_keyed_table's batch scan of the
@@ -214,9 +248,33 @@ class CommitLogStreamReader(DataSourceStreamReader):
         # below the committed offset (no backwards batches) and the
         # catch-up after a lagging restart stays bounded too.
         self._floor: int = self._start
+        # defensive fallback (ADVICE r08): the floor hard-depends on the
+        # restart replay above. On a runtime WITHOUT it, a clamped offset
+        # at-or-below the checkpoint would stall the stream forever
+        # (Spark never fetches below its committed offset, and neither
+        # partitions() nor commit() would ever fire to raise the floor).
+        # Track whether any partitions()/commit() has been observed; until
+        # then, each REPEATED clamped latestOffset probe steps the floor
+        # by one admission quantum — advertising a larger end can never
+        # lose data (Spark supplies the batch's start), so catch-up stays
+        # bounded yet always terminates. The fallback additionally
+        # DISARMS the moment initialOffset() is called: initialOffset
+        # only fires on a checkpoint-less FRESH start, where a stall is
+        # impossible (Spark's committed offset starts at our own initial
+        # offset, strictly below any clamped advertisement) — so a
+        # runtime that probes latestOffset more than once per trigger
+        # can never widen a fresh start's first batch (r9 review). Only
+        # the no-replay-restart signature (repeated clamped probes with
+        # NO initialOffset/partitions/commit ever seen) arms stepping.
+        self._observed = False
+        self._fresh_start = False
+        self._stall_probes = 0
 
     # -- offset protocol (driver) ---------------------------------------
     def initialOffset(self) -> dict:
+        # only called on a checkpoint-less fresh start — a stall below
+        # the (nonexistent) checkpoint is impossible, disarm the probe
+        self._fresh_start = True
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
@@ -227,10 +285,21 @@ class CommitLogStreamReader(DataSourceStreamReader):
             # bound each micro-batch to N commits so a lagging consumer
             # catches up in bounded-memory steps (Delta's
             # maxFilesPerTrigger analog, keyed on commits)
-            head = min(head, self._floor + self._max_versions)
+            bound = self._floor + self._max_versions
+            if head > bound and not self._observed and not self._fresh_start:
+                # stall-probe fallback (see __init__): a second clamped
+                # advertisement with still no partitions()/commit() means
+                # the runtime never constructed a batch from the first —
+                # its checkpointed offset sits above our floor. Step up.
+                self._stall_probes += 1
+                if self._stall_probes >= 2:
+                    self._floor = bound
+                    bound = self._floor + self._max_versions
+            head = min(head, bound)
         return {"version": max(head, self._floor)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._observed = True
         self._floor = max(self._floor, end["version"])
         plan = _plan_changes(self._path, start["version"], end["version"])
         return [
@@ -265,6 +334,7 @@ class CommitLogStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # progress durably lives in Spark's checkpoint; remember it only
         # as this process's admission-control floor
+        self._observed = True
         self._floor = max(self._floor, end["version"])
 
 

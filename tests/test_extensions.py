@@ -225,17 +225,16 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
-            # round-7 plan changes: the two LM scorers lost their
-            # corpus-scaling broadcast hints (VERDICT r06 #2)
-            "lm_bigram_score", "lm_unigram_score",
-            # round-7 NEW queries (inserted as they land)
-            "stream_table_source", "bpe_encode_learned",
-            "lm_bigram_assoc", "doc_dedup_cross_shard",
-            "commit_rebase_stats",
-            # the 9 r3-stale rows (VERDICT r06 #1 priority order)
-            "csv_gzip_scan", "multimodal_audio_chunks", "json_extract",
-            "events_funnel", "zorder_key", "weighted_sample",
-            "pack_sequences", "source_mix_sample", "orc_scan",
+            # NEW in r8, never inside a driver window (VERDICT r08 #1)
+            "bpe_encode_learned", "lm_bigram_assoc",
+            "doc_dedup_cross_shard", "commit_rebase_stats",
+            # own code changed in r9: learned-BPE oracle pass-through,
+            # rebase_stats scratch reap + per-retry re-validation,
+            # table_source stall-probe fallback (ADVICE r08)
+            "stream_table_source",
+            # NEW in r9: INSERT OVERWRITE / replaceWhere (VERDICT r08
+            # stretch #8)
+            "overwrite_partition_transaction",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo
@@ -634,6 +633,46 @@ class TestBpeEncode:
             ("l", 1), ("o", 1), ("w", 1), ("ers", 1),
             ("th", 1), ("ing", 1),
         }
+
+    def test_learned_oracle_passthrough_on_exhausted_merges(
+        self, spark, tmp_path
+    ):
+        """ADVICE r08: when the corpus exhausts mergeable pairs before
+        BPE_LEARN_MERGES steps, `learn_bpe` stops early and the Spark
+        side still encodes — the unrolled oracle's empty m{k} step must
+        pass the vocab through (LEFT JOIN), not cross-join it to zero
+        rows. Corpus: 'ab' merges once (a+b), then no word has two
+        symbols left — 5 of the 6 unrolled steps run empty."""
+        import duckdb
+
+        from nshm2022db_spark.extensions.text import (
+            BPE_ENCODE_TOPK,
+            BPE_LEARN_MERGES,
+            _bpe_learned_oracle,
+            bpe_encode_learned,
+        )
+
+        d = str(tmp_path)
+        spark.createDataFrame(
+            [(0, "ab ab c", "en", "s", 1), (1, "ab c c", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            (r.token, r.cnt) for r in bpe_encode_learned(spark, d).collect()
+        }
+        assert got == {("ab", 3), ("c", 3)}
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        oracle = {
+            tuple(r)
+            for r in con.sql(
+                _bpe_learned_oracle(BPE_LEARN_MERGES, BPE_ENCODE_TOPK)
+            ).fetchall()
+        }
+        assert oracle == got
 
 
 class TestWinnowing:

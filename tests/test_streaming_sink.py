@@ -2444,6 +2444,8 @@ class TestAppendRebase:
         )
 
     def test_disjoint_loser_rebases_without_recompute(self, spark, tmp_path):
+        import pytest
+
         from nshm2022db_spark.streaming.sinks import (
             append_partition_transaction,
             current_commit,
@@ -2454,11 +2456,18 @@ class TestAppendRebase:
         self._seed(spark, d)
         calls = []
 
+        cls = type(spark.range(1))
+        orig_write = cls.write
+        n_stages = [0]
+
+        def counting_write(df):
+            n_stages[0] += 1
+            return orig_write.fget(df)
+
         def audit(staged):
             # the audit runs AFTER staging, BEFORE the CAS — landing the
             # winner here makes the loser's first CAS fail
-            # deterministically. A second call would mean the loser
-            # re-ran its whole transaction instead of rebasing.
+            # deterministically.
             calls.append(1)
             if len(calls) == 1:
                 append_partition_transaction(
@@ -2468,11 +2477,18 @@ class TestAppendRebase:
                 )
             return True
 
-        append_partition_transaction(
-            spark, d, "day", self._batch(spark, 10, 14, "2024-01-02"),
-            stats_cols=["k"], audit=audit,
-        )
-        assert calls == [1]  # staged + audited exactly once: a rebase
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(cls, "write", property(counting_write))
+            append_partition_transaction(
+                spark, d, "day", self._batch(spark, 10, 14, "2024-01-02"),
+                stats_cols=["k"], audit=audit,
+            )
+        # staged exactly once (the winner's write is the second): a
+        # rebase, not a re-run — but the audit re-ran on the rebase
+        # attempt against the post-winner base (r9: table-state
+        # invariants must hold on the actual publish base)
+        assert n_stages[0] == 2  # loser's stage + winner's stage
+        assert calls == [1, 1]
         cur = current_commit(d)
         assert cur["version"] == 3  # seed + winner + rebased loser
         got = read_keyed_table(spark, d)
@@ -2518,6 +2534,407 @@ class TestAppendRebase:
             r.k for r in got.collect() if r.day == "2024-01-01"
         ) == [0, 1, 2, 3, 10, 11, 12, 13]
         assert current_commit(d)["version"] == 3
+
+    def test_rebase_rerunning_audit_can_reject(self, spark, tmp_path):
+        """A table-state-dependent audit that passed against the
+        pre-race base must get a second look on rebase: here it
+        rejects once the winner's rows exist, so the loser's stage is
+        never published (and does not leak) even though the commits
+        are disjoint."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            AuditError,
+            append_partition_transaction,
+            current_commit,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+
+        def audit(staged):
+            # table-wide invariant: total row count stays under 4 —
+            # true when the loser audits against the pre-race table,
+            # false after the winner's 4 rows land
+            n = read_keyed_table(spark, d).count()
+            if n < 4:
+                append_partition_transaction(
+                    spark, d, "day", self._batch(spark, 0, 4, "2024-01-01")
+                )
+                return True
+            return False
+
+        with pytest.raises(AuditError, match="rebased"):
+            append_partition_transaction(
+                spark, d, "day", self._batch(spark, 10, 14, "2024-01-02"),
+                audit=audit,
+            )
+        cur = current_commit(d)
+        assert cur["version"] == 2  # seed + winner only
+        got = read_keyed_table(spark, d).collect()
+        assert sorted(r.k for r in got if r.day != "seed") == [0, 1, 2, 3]
+
+    def test_retry_revalidates_against_latest_head(self, spark, tmp_path):
+        """ADVICE r08 (TOCTOU): a commit landing BETWEEN the failed CAS
+        and the retry's manifest rebuild must still be conflict-checked
+        before the kept stage publishes. Here a constraint change lands
+        exactly at the retry's head read: the loser must discard its
+        stage, re-stage against the new base, and enforce the new
+        constraint — publishing the stale stage would be a constraint
+        bypass under concurrent-writer load."""
+        import pytest
+
+        import nshm2022db_spark.streaming.sinks as sinks
+        from nshm2022db_spark.streaming.sinks import (
+            ConstraintViolation,
+            append_partition_transaction,
+            current_commit,
+            read_keyed_table,
+            set_table_constraints,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        state = {"audit_done": False, "injected": False, "in_inject": False}
+
+        def audit(staged):
+            if not state["audit_done"]:
+                # land a DISJOINT winner so the loser's first CAS fails
+                # and it enters the rebase retry with a kept stage
+                append_partition_transaction(
+                    spark, d, "day", self._batch(spark, 0, 4, "2024-01-01")
+                )
+                state["audit_done"] = True
+            return True
+
+        real_cc = sinks.current_commit
+
+        def injecting_cc(table_dir):
+            # fire ONCE, on the retry's own head read — after the failed
+            # CAS already conflict-checked nothing (the fix moves all
+            # validation to this read)
+            if (
+                state["audit_done"]
+                and not state["injected"]
+                and not state["in_inject"]
+            ):
+                state["in_inject"] = True
+                try:
+                    set_table_constraints(
+                        spark, d, ["k < 200 OR day = 'seed'"]
+                    )
+                finally:
+                    state["injected"] = True
+                    state["in_inject"] = False
+            return real_cc(table_dir)
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(sinks, "current_commit", injecting_cc)
+            with pytest.raises(ConstraintViolation):
+                # k in [300, 305) violates the injected constraint: the
+                # retry must re-stage and enforce, never publish stale
+                append_partition_transaction(
+                    spark, d, "day",
+                    self._batch(spark, 300, 305, "2024-01-02"),
+                    audit=audit,
+                )
+        cur = current_commit(d)
+        assert cur["version"] == 3  # seed + winner + set-constraints
+        assert cur["constraints"] == ["k < 200 OR day = 'seed'"]
+        got = read_keyed_table(spark, d).collect()
+        assert sorted(r.k for r in got if r.day != "seed") == [0, 1, 2, 3]
+        # no unpublished stage leaked
+        import os as _os
+
+        live = set()
+        for m in cur["partitions"].values():
+            live |= set(m) if isinstance(m, list) else {m}
+        stray = [
+            n
+            for n in _os.listdir(d)
+            if n.startswith("data-")
+            and n not in live
+            and _os.listdir(_os.path.join(d, n))
+        ]
+        assert not stray, f"leaked non-empty stages: {stray}"
+
+class TestOverwritePartition:
+    """INSERT OVERWRITE / replaceWhere (VERDICT r08 stretch #8): replace
+    semantics both modes, predicate containment, deletion of listed
+    values, time travel, replay idempotence, and the race contracts —
+    disjoint concurrent appends rebase, an append INTO a replaced
+    partition is a real conflict and re-runs."""
+
+    def _batch(self, spark, lo, hi, day):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+            F.lit(day).alias("day"),
+        )
+
+    def _seed(self, spark, d):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+        )
+
+        append_partition_transaction(
+            spark, d, "day",
+            self._batch(spark, 0, 3, "a")
+            .union(self._batch(spark, 10, 13, "b"))
+            .union(self._batch(spark, 20, 23, "c")),
+            stats_cols=["k"],
+        )
+
+    def test_dynamic_overwrite_replaces_present_partitions_only(
+        self, spark, tmp_path
+    ):
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            overwrite_partition_transaction,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        overwrite_partition_transaction(
+            spark, d, "day", self._batch(spark, 100, 102, "a"),
+            stats_cols=["k"],
+        )
+        got = {(r.k, r.day) for r in read_keyed_table(spark, d).collect()}
+        assert got == (
+            {(100, "a"), (101, "a")}
+            | {(k, "b") for k in range(10, 13)}
+            | {(k, "c") for k in range(20, 23)}
+        )
+        cur = current_commit(d)
+        assert cur["op"] == "overwrite"
+        # stats REPLACED for 'a', carried for others
+        assert cur["stats"]["day=a"]["cols"]["k"] == [100, 101]
+        assert cur["stats"]["day=b"]["cols"]["k"] == [10, 12]
+        # time travel still serves the pre-overwrite state
+        old = read_keyed_table(spark, d, version=1)
+        assert sorted(r.k for r in old.collect() if r.day == "a") == [0, 1, 2]
+
+    def test_replace_where_deletes_listed_empty_and_enforces_containment(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            overwrite_partition_transaction,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        with pytest.raises(ValueError, match="outside replace_where"):
+            overwrite_partition_transaction(
+                spark, d, "day", self._batch(spark, 100, 102, "b"),
+                replace_where=["a"],
+            )
+        overwrite_partition_transaction(
+            spark, d, "day", self._batch(spark, 100, 102, "a"),
+            replace_where=["a", "c"],  # c listed, no rows: full delete
+        )
+        got = {(r.k, r.day) for r in read_keyed_table(spark, d).collect()}
+        assert got == (
+            {(100, "a"), (101, "a")} | {(k, "b") for k in range(10, 13)}
+        )
+
+    def test_overwrite_batch_id_replay_noop(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            overwrite_partition_transaction,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        for _ in range(2):
+            overwrite_partition_transaction(
+                spark, d, "day", self._batch(spark, 100, 102, "a"),
+                batch_id=7,
+            )
+        assert current_commit(d)["version"] == 2  # second call no-ops
+        assert sorted(
+            r.k
+            for r in read_keyed_table(spark, d).collect()
+            if r.day == "a"
+        ) == [100, 101]
+
+    def test_disjoint_concurrent_append_rebases_overwrite(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+            overwrite_partition_transaction,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        cls = type(spark.range(1))
+        orig = cls.write
+        n_stages = [0]
+
+        def counting_write(df):
+            n_stages[0] += 1
+            return orig.fget(df)
+
+        calls = []
+
+        def audit(staged):
+            calls.append(1)
+            if len(calls) == 1:
+                # land a winner appending to UNTOUCHED partition 'b'
+                append_partition_transaction(
+                    spark, d, "day", self._batch(spark, 50, 52, "b")
+                )
+            return True
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(cls, "write", property(counting_write))
+            overwrite_partition_transaction(
+                spark, d, "day", self._batch(spark, 100, 102, "a"),
+                audit=audit,
+            )
+        # overwrite staged ONCE (second write is the winner's):
+        # a rebase, with the audit re-run on the rebase attempt
+        assert n_stages[0] == 2
+        assert calls == [1, 1]
+        cur = current_commit(d)
+        assert cur["version"] == 3  # seed + append + rebased overwrite
+        got = read_keyed_table(spark, d).collect()
+        assert sorted(r.k for r in got if r.day == "a") == [100, 101]
+        assert sorted(r.k for r in got if r.day == "b") == [
+            10, 11, 12, 50, 51,
+        ]
+
+    def test_append_into_replaced_partition_conflicts_and_reruns(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+            overwrite_partition_transaction,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        cls = type(spark.range(1))
+        orig = cls.write
+        n_stages = [0]
+
+        def counting_write(df):
+            n_stages[0] += 1
+            return orig.fget(df)
+
+        calls = []
+
+        def audit(staged):
+            calls.append(1)
+            if len(calls) == 1:
+                # a concurrent append INTO the partition being replaced —
+                # rebasing would silently erase it without either writer
+                # ever seeing the other
+                append_partition_transaction(
+                    spark, d, "day", self._batch(spark, 50, 52, "a")
+                )
+            return True
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(cls, "write", property(counting_write))
+            overwrite_partition_transaction(
+                spark, d, "day", self._batch(spark, 100, 102, "a"),
+                audit=audit,
+            )
+        # real conflict: the overwrite re-staged (3 writes total) and
+        # re-audited against the post-append base
+        assert n_stages[0] == 3
+        assert calls == [1, 1]
+        cur = current_commit(d)
+        assert cur["version"] == 3
+        got = read_keyed_table(spark, d).collect()
+        # the retried overwrite's content wins — the append is replaced
+        # KNOWINGLY (the re-run read the post-append head), Delta's
+        # retry-after-ConcurrentAppendException semantics
+        assert sorted(r.k for r in got if r.day == "a") == [100, 101]
+
+    def test_appender_rerun_after_published_overwrite(self, spark, tmp_path):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+            overwrite_partition_transaction,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        calls = []
+
+        def audit(staged):
+            calls.append(1)
+            if len(calls) == 1:
+                # a non-append op lands mid-race: the appender must NOT
+                # rebase across it (op tag barrier) — full re-run
+                overwrite_partition_transaction(
+                    spark, d, "day", self._batch(spark, 100, 102, "a")
+                )
+            return True
+
+        append_partition_transaction(
+            spark, d, "day", self._batch(spark, 50, 52, "b"), audit=audit
+        )
+        assert calls == [1, 1]  # re-staged + re-audited: no rebase
+        assert current_commit(d)["version"] == 3
+        got = read_keyed_table(spark, d).collect()
+        assert sorted(r.k for r in got if r.day == "a") == [100, 101]
+        assert sorted(r.k for r in got if r.day == "b") == [
+            10, 11, 12, 50, 51,
+        ]
+
+    def test_legacy_layouts_refuse_overwrite(self, spark, tmp_path):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            evolve_partition_column,
+            overwrite_partition_transaction,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        evolve_partition_column(spark, d, "k")
+        with pytest.raises(ValueError, match="legacy"):
+            overwrite_partition_transaction(
+                spark, d, "k", self._batch(spark, 100, 102, "a")
+            )
+
+
+class TestAppendRebaseRace:
+    def _batch(self, spark, lo, hi, day):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+            F.lit(day).alias("day"),
+        )
+
+    def _seed(self, spark, d):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+        )
+
+        append_partition_transaction(
+            spark, d, "day", self._batch(spark, 900, 901, "seed")
+        )
 
     def test_8_thread_disjoint_race_stages_each_batch_once(
         self, spark, tmp_path

@@ -132,6 +132,58 @@ class TestOffsets:
         r.commit({"version": 3})
         assert r.latestOffset() == {"version": 3}
 
+    def test_stall_probe_fallback_steps_floor_on_replayless_restart(
+        self, bronze
+    ):
+        # ADVICE r08: on a runtime that restarts WITHOUT the
+        # partitions(committed, committed) replay, a clamped offset can
+        # sit at-or-below the checkpoint forever. Repeated clamped
+        # latestOffset probes (with no partitions()/commit() observed)
+        # must step the floor by one admission quantum per trigger so
+        # the advertised offset eventually passes any checkpoint —
+        # bounded catch-up, never a stall, never data loss (Spark
+        # supplies the batch's start).
+        r = CommitLogStreamReader(
+            table_stream_schema(bronze),
+            {"path": bronze, "maxversionsperbatch": "1"},
+        )
+        # bronze holds 3 commits; simulate a checkpoint at version 2
+        assert r.latestOffset() == {"version": 1}  # first probe: clamped
+        assert r.latestOffset() == {"version": 2}  # stepped one quantum
+        assert r.latestOffset() == {"version": 3}  # reaches the head
+        # once Spark constructs a batch, the fallback disarms for good
+        r.partitions({"version": 2}, {"version": 3})
+        assert r.latestOffset() == {"version": 3}
+
+    def test_stall_probe_disarmed_by_initial_offset(self, bronze):
+        # r9 review: initialOffset only fires on a checkpoint-less FRESH
+        # start, where a stall is impossible — a runtime that probes
+        # latestOffset repeatedly before planning the first batch must
+        # NOT widen the admission bound once initialOffset was seen
+        r = CommitLogStreamReader(
+            table_stream_schema(bronze),
+            {"path": bronze, "maxversionsperbatch": "1"},
+        )
+        assert r.latestOffset() == {"version": 1}
+        assert r.initialOffset() == {"version": 0}
+        assert r.latestOffset() == {"version": 1}  # still clamped
+        assert r.latestOffset() == {"version": 1}  # never steps
+
+    def test_stall_probe_never_fires_after_observation(self, bronze):
+        # the healthy Spark 4.1.2 path: a fresh start's first clamped
+        # offset is followed by a real batch — the fallback must then
+        # never widen a later clamp (admission stays exactly N commits)
+        r = CommitLogStreamReader(
+            table_stream_schema(bronze),
+            {"path": bronze, "maxversionsperbatch": "1"},
+        )
+        assert r.latestOffset() == {"version": 1}
+        r.partitions({"version": 0}, {"version": 1})
+        assert r.latestOffset() == {"version": 2}
+        assert r.latestOffset() == {"version": 2}  # no stepping
+        r.commit({"version": 2})
+        assert r.latestOffset() == {"version": 3}
+
 
 class TestEndToEnd:
     def _stream(self, spark, bronze, **opts):
@@ -230,3 +282,46 @@ class TestEndToEnd:
         spark.catalog.dropTempView("tsrc_evo")
         assert {r.tag for r in rows if r._commit_version == 1} == {None}
         assert {r.tag for r in rows if r._commit_version == 2} == {"x"}
+
+    def test_schema_evolution_struct_column_nulls_for_old_commits(
+        self, spark
+    ):
+        # r9 review: an evolution-added STRUCT column whose children
+        # Spark wrote as REQUIRED (non-nullable source columns) must
+        # surface as nulls for old-generation rows — nullable-forcing
+        # has to recurse, or the JVM rejects the Arrow batch.
+        d = tempfile.mkdtemp(prefix="tsrc_evo_struct_")
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 0, 3), batch_id=0
+        )
+        with_struct = _mkrows(spark, 3, 6).withColumn(
+            "meta",
+            F.struct(
+                F.col("k").alias("a"),  # non-nullable: from spark.range
+                (F.col("k") * 2).alias("b"),
+            ),
+        )
+        append_partition_transaction(spark, d, "day", with_struct, batch_id=1)
+        s = table_stream_schema(d)
+        meta = s["meta"]
+        assert meta.nullable
+        assert all(f.nullable for f in meta.dataType.fields)
+        got = self._stream(spark, d)
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_evo_struct")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "select k, meta, _commit_version from tsrc_evo_struct"
+        ).collect()
+        spark.catalog.dropTempView("tsrc_evo_struct")
+        assert {r.meta for r in rows if r._commit_version == 1} == {None}
+        assert {
+            (r.meta.a, r.meta.b) for r in rows if r._commit_version == 2
+        } == {(k, k * 2) for k in range(3, 6)}

@@ -185,6 +185,22 @@ LADDER = [
     # r6 second half: winnowing fingerprint selection (window MIN on
     # the one doc-keyed shuffle)
     "text_winnow_fingerprints",
+    # r7: bounded streaming read of the commit-log table (admission
+    # control caps per-batch work; total cost linear in commits)
+    "stream_table_source",
+    # r8: learned-BPE end-to-end (training per-merge vocab-sized,
+    # encoding per DISTINCT word), PMI association (two model joins),
+    # cross-shard fingerprint dedup (one fingerprint-keyed shuffle),
+    # and the 9-commit write-race contract proof (cost tracks the
+    # transaction ledger, not data volume — expect ~flat)
+    "bpe_encode_learned",
+    "lm_bigram_assoc",
+    "doc_dedup_cross_shard",
+    "commit_rebase_stats",
+    # r9: INSERT OVERWRITE / replaceWhere (land + 2 overwrites + read;
+    # cost O(batch + replaced partitions) — the land dominates, so
+    # expect ~scan-linear)
+    "overwrite_partition_transaction",
 ]
 
 
