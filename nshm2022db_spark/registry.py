@@ -180,6 +180,14 @@ _DRIVER_ORDER = [
     "doc_dedup_cross_shard",
     "commit_rebase_stats",
     "stream_table_source",
+    # (a2) streaming-protocol queries whose OWN bodies changed in r9:
+    #      per-invocation scratch (tables + checkpoints) is now
+    #      materialized-and-reaped (VERDICT r08 #3 generalized);
+    #      results provably identical — the driver rows prove it:
+    "stream_partitioned_land",
+    "stream_cdc_rollup",
+    "stream_upsert_table",
+    "stream_upsert_mor",
     # (b) the 7 stalest rows (newest green driver row r4 — the refresh
     #     VERDICT r07/r08 earmarked):
     "approx_count_distinct",
@@ -224,15 +232,15 @@ _DRIVER_ORDER = [
     "stream_dedup_events",
     "stream_incremental_rollup",
     "stream_session_window",
+    # --- 50-query window boundary (driver gate cap observed r01-r08) ---
+    # Tail head — FIRST PRIORITY for the round-10 window: the r5 rows
+    # that did not fit, led by the r9 displacements (re-proven by the
+    # local full-registry gates every round):
+    "tfidf_search",
     "stream_sliding_window",
     "stream_windowed_distinct",
     "surrogate_keys_dense",
     "table_profile",
-    "tfidf_search",
-    # --- 50-query window boundary (driver gate cap observed r01-r08) ---
-    # Tail head — FIRST PRIORITY for the round-10 window: the r5 rows
-    # that did not fit (re-proven by the local full-registry gates every
-    # round):
     "topk_global",
     "topk_per_group",
     "union_all_stack",
@@ -279,7 +287,6 @@ _DRIVER_ORDER = [
     "stream_tumbling_window",
     "stream_stream_join",
     "stream_stateful_profile",
-    "stream_upsert_table",
     "stratified_sample",
     "session_funnel",
     "anomaly_mad",
@@ -333,10 +340,7 @@ _DRIVER_ORDER = [
     "schema_evolution_read",
     "snapshot_diff",
     "sql_api_pricing_summary",
-    "stream_cdc_rollup",
-    "stream_partitioned_land",
     "stream_source_quota",
-    "stream_upsert_mor",
     "table_changes_feed",
     "text_novelty_score",
     "text_winnow_fingerprints",

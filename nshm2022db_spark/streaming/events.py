@@ -31,6 +31,27 @@ from nshm2022db_spark.sources.parquet import (
 _counter = itertools.count()
 
 
+def _reap_scratch(df: DataFrame, spark: SparkSession, *dirs: str) -> DataFrame:
+    """Materialize a rollup-sized result and delete its per-invocation
+    scratch (table dirs + checkpoints). The streaming-protocol queries
+    re-run the whole land/upsert/fold flow on every call BY DESIGN
+    (the protocol cost is what bench times), so their scratch is
+    per-call — without the reap, every verify/bench cycle strands
+    tables and checkpoints in /tmp (VERDICT r08 #3, generalized from
+    commit_rebase_stats to the whole family: ~1.8 GB observed after one
+    round's runs). The returned DataFrame must not lazily scan a
+    deleted dir, so the result is collected and re-materialized on the
+    caller's session."""
+    import shutil
+
+    try:
+        rows = df.collect()
+        return spark.createDataFrame(rows, df.schema)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _replay_session(spark: SparkSession) -> SparkSession:
     """Dedicated child session for streaming replays (VERDICT r03
     "What's wrong" #2): `newSession()` shares the SparkContext (same
@@ -217,20 +238,22 @@ def stream_partitioned_land(spark: SparkSession, sf: str) -> DataFrame:
         spark, sf, _stream_dir_split(spark, sf), maxFilesPerTrigger=1
     ).withColumn("day", F.col("ts").cast("date").cast("string"))
     table_dir = tempfile.mkdtemp(prefix="part_land_")
+    ckpt = tempfile.mkdtemp(prefix="part_land_ckpt_")
     q = land_stream_to_partitioned_table(
         stream,
         table_dir,
-        tempfile.mkdtemp(prefix="part_land_ckpt_"),
+        ckpt,
         "day",
         stats_cols=["event_id"],
     )
     q.awaitTermination()
     t = read_keyed_table(spark, table_dir)
-    return t.groupBy("day").agg(
+    rollup = t.groupBy("day").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").alias("id_sum"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+    return _reap_scratch(rollup, spark, table_dir, ckpt)
 
 
 @register(
@@ -291,21 +314,21 @@ def stream_cdc_rollup(spark: SparkSession, sf: str) -> DataFrame:
         )
         maintain_incremental_agg(s, bronze, silver, agg, merge)
 
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
     q = (
         stream.writeStream.foreachBatch(land_and_maintain)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     t = read_keyed_table(spark, silver)
-    return t.groupBy("day").agg(
+    rollup = t.groupBy("day").agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("id_sum").cast("long").alias("id_sum"),
         F.round(F.sum("total"), 2).alias("total"),
     )
+    return _reap_scratch(rollup, spark, bronze, silver, ckpt)
 
 
 @register(
@@ -342,26 +365,33 @@ def stream_table_source(spark: SparkSession, sf: str) -> DataFrame:
         "day", F.col("ts").cast("date").cast("string")
     )
     bronze = tempfile.mkdtemp(prefix="tbl_src_bronze_")
-    for i in range(3):
-        append_partition_transaction(
-            spark, bronze, "day", ev.filter(F.col("event_id") % 3 == i),
-            batch_id=i,
+    try:
+        for i in range(3):
+            append_partition_transaction(
+                spark, bronze, "day", ev.filter(F.col("event_id") % 3 == i),
+                batch_id=i,
+            )
+        replay = _replay_session(spark)
+        register_commitlog_source(replay)
+        stream = (
+            replay.readStream.format("commitlog")
+            .option("path", bronze)
+            .option("maxVersionsPerBatch", 1)
+            .load()
         )
-    replay = _replay_session(spark)
-    register_commitlog_source(replay)
-    stream = (
-        replay.readStream.format("commitlog")
-        .option("path", bronze)
-        .option("maxVersionsPerBatch", 1)
-        .load()
-    )
-    agg = stream.groupBy("day").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("event_id").cast("long").alias("id_sum"),
-        F.round(F.sum("value"), 2).alias("total"),
-        F.max("_commit_version").alias("max_commit"),
-    )
-    return _run_to_memory(agg, f"stream_tbl_src_{next(_counter)}")
+        agg = stream.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.max("_commit_version").alias("max_commit"),
+        )
+        # _run_to_memory already materializes off the memory sink, so
+        # the result never scans bronze after the reap
+        return _run_to_memory(agg, f"stream_tbl_src_{next(_counter)}")
+    finally:
+        import shutil
+
+        shutil.rmtree(bronze, ignore_errors=True)
 
 
 @register(
@@ -646,10 +676,11 @@ def stream_upsert_table(spark: SparkSession, sf: str) -> DataFrame:
         spark, sf, _stream_dir_doubled(sf), maxFilesPerTrigger=1
     ).select("user_id", "event_id", "ts")
     table_dir = tempfile.mkdtemp(prefix="upsert_table_")
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
     q = upsert_stream_to_table(
         stream,
         table_dir,
-        tempfile.mkdtemp(prefix="upsert_ckpt_"),
+        ckpt,
         keys=["user_id"],
         order_col="ts",
         tiebreak=["event_id"],
@@ -660,7 +691,10 @@ def stream_upsert_table(spark: SparkSession, sf: str) -> DataFrame:
     # batch read path pins as a side effect, but this query must not
     # depend on running after one that does)
     ensure_nanos_as_long(spark)
-    return read_keyed_table(spark, table_dir).select("user_id", "event_id", ntz("ts").alias("ts"))
+    latest = read_keyed_table(spark, table_dir).select(
+        "user_id", "event_id", ntz("ts").alias("ts")
+    )
+    return _reap_scratch(latest, spark, table_dir, ckpt)
 
 
 @register(
@@ -699,10 +733,11 @@ def stream_upsert_mor(spark: SparkSession, sf: str) -> DataFrame:
         spark, sf, _stream_dir_doubled(sf), maxFilesPerTrigger=1
     ).select("user_id", "event_id", "ts")
     table_dir = tempfile.mkdtemp(prefix="upsert_mor_")
+    ckpt = tempfile.mkdtemp(prefix="upsert_mor_ckpt_")
     q = upsert_stream_to_table_mor(
         stream,
         table_dir,
-        tempfile.mkdtemp(prefix="upsert_mor_ckpt_"),
+        ckpt,
         keys=["user_id"],
         order_col="ts",
         tiebreak=["event_id"],
@@ -711,9 +746,10 @@ def stream_upsert_mor(spark: SparkSession, sf: str) -> DataFrame:
     q.awaitTermination()
     compact_keyed_mor(spark, table_dir)
     ensure_nanos_as_long(spark)  # NTZ cast below needs the UTC pin
-    return read_keyed_mor(spark, table_dir).select(
+    latest = read_keyed_mor(spark, table_dir).select(
         "user_id", "event_id", ntz("ts").alias("ts")
     )
+    return _reap_scratch(latest, spark, table_dir, ckpt)
 
 
 @register(
@@ -754,22 +790,23 @@ def stream_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     table_dir = tempfile.mkdtemp(prefix="rollup_table_")
+    ckpt = tempfile.mkdtemp(prefix="rollup_ckpt_")
     q = rollup_stream_to_table(
         stream,
         table_dir,
-        tempfile.mkdtemp(prefix="rollup_ckpt_"),
+        ckpt,
         keys=["event_type", "hour_start"],
         sum_cols={"value": "total"},
     )
     q.awaitTermination()
     ensure_nanos_as_long(spark)  # NTZ cast below needs the UTC pin
-    out = read_keyed_table(spark, table_dir)
-    return out.select(
+    out = read_keyed_table(spark, table_dir).select(
         "event_type",
         ntz("hour_start").alias("hour_start"),
         "n",
         F.round("total", 2).alias("total"),
     )
+    return _reap_scratch(out, spark, table_dir, ckpt)
 
 
 @register(

@@ -235,6 +235,12 @@ class TestDriverOrder:
             # NEW in r9: INSERT OVERWRITE / replaceWhere (VERDICT r08
             # stretch #8)
             "overwrite_partition_transaction",
+            # r9 scratch-reap sweep (VERDICT r08 #3 generalized): these
+            # streaming-protocol queries now materialize their result
+            # and delete per-invocation scratch — own-body change
+            "stream_partitioned_land", "stream_cdc_rollup",
+            "stream_upsert_table", "stream_upsert_mor",
+            "stream_incremental_rollup",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo
