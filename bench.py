@@ -157,8 +157,12 @@ HEADLINE = [
     "lm_bigram_assoc",
     "doc_dedup_cross_shard",
     "commit_rebase_stats",  # CONTRACT query — timed, gated out (below)
-    # round 9: INSERT OVERWRITE / replaceWhere round trip
+    # round 9: INSERT OVERWRITE / replaceWhere round trip, the
+    # streaming partition-refresh over it, and DSIR importance
+    # resampling
     "overwrite_partition_transaction",
+    "stream_overwrite_refresh",
+    "dsir_select",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 
 from nshm2022db_spark.functions.portable import (
     duck_ascii_lower,
+    duck_char_hash,
     duck_norm_text,
     spark_ascii_lower,
+    spark_char_hash,
     spark_norm_text,
     P,
     duck_shingle_hashes,
@@ -720,3 +722,130 @@ def quality_upsample(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.expr("sequence(1, nc)")).alias("copy_idx"),
         F.col("nc").cast("long").alias("n_copies"),
     ).withColumn("copy_idx", F.col("copy_idx").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every document by how
+# much more likely its hashed-n-gram features are under a TARGET
+# distribution than under the raw corpus, then sample proportionally via
+# deterministic Gumbel top-k. The production shape for "make the pretrain
+# mix look like the high-quality target" at 100 TB.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512  # hashed-feature dimensionality (the paper uses 10^4)
+DSIR_K = 50  # documents selected
+DSIR_TARGET_LANG = "en"  # target-distribution proxy in the synthetic corpus
+_DSIR_A, _DSIR_B = 48_271, 11  # Gumbel affine constants (distinct streams)
+
+
+def _dsir_gumbel(duck: bool) -> str:
+    """Deterministic Gumbel noise g = -ln(-ln(u)) with u in (0, 1) from an
+    affine hash of doc_id — h in [0, P) gives u <= P/(P+1) < 1 and
+    u >= 1/(P+1) > 0, so neither ln ever sees 0 or 1. Same formula, same
+    doubles, both engines (the weighted_sample race-key discipline)."""
+    u = (
+        f"(CAST((doc_id * {_DSIR_A} + {_DSIR_B}) % {P} AS DOUBLE) + 1.0)"
+        f" / {P + 1}.0"
+    )
+    return f"-ln(-ln({u}))"
+
+
+_DSIR_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({duck_tokens(duck_ascii_lower('text'))}) AS tok
+        FROM documents),
+    b AS (
+        SELECT doc_id, lang, ({duck_char_hash('tok')}) % {DSIR_BUCKETS} AS bk
+        FROM toks),
+    raw AS (SELECT bk, COUNT(*) AS cr FROM b GROUP BY bk),
+    tgt AS (SELECT bk, COUNT(*) AS ct FROM b
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bk),
+    tot AS (SELECT (SELECT COUNT(*) FROM b) AS tr,
+                   (SELECT COUNT(*) FROM b
+                    WHERE lang = '{DSIR_TARGET_LANG}') AS tt),
+    delta AS (
+        SELECT raw.bk,
+               ln(COALESCE(ct, 0) + 1.0) - ln(tt + {DSIR_BUCKETS}.0)
+               - ln(cr + 1.0) + ln(tr + {DSIR_BUCKETS}.0) AS d
+        FROM raw LEFT JOIN tgt USING (bk), tot),
+    w AS (
+        SELECT doc_id, ANY_VALUE(lang) AS lang, SUM(d) AS logw
+        FROM b JOIN delta USING (bk) GROUP BY doc_id)
+    SELECT doc_id, lang, ROUND(logw, 6) AS log_importance
+    FROM w
+    ORDER BY ROUND(logw + ({_dsir_gumbel(True)}), 6) DESC, doc_id
+    LIMIT {DSIR_K}
+"""
+
+
+@register("dsir_select", _DSIR_ORACLE)
+def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Importance resampling over hashed unigram features: the per-bucket
+    log-likelihood-ratio model ln p_target(b) - ln p_raw(b) (add-1
+    smoothed) is built from two corpus passes, each reduced to at most
+    {DSIR_BUCKETS} rows, and every document's log importance weight is
+    the sum of its tokens' bucket ratios. Selection is Gumbel top-k on
+    logw + g(doc_id) — sampling proportional to the importance weights,
+    but a pure function of the row like every sampler here, so the
+    selected set is identical on every engine, run, and partitioning.
+
+    Scale shape: one token explode in the scan stage, ONE doc_id
+    exchange for the weight sum, and two model aggregations whose
+    results are bounded by the bucket count ({DSIR_BUCKETS} rows — a
+    constant, not corpus-scaling), broadcast back into the scoring
+    join; the final top-k plans as TakeOrderedAndProject. At 100 TB
+    the model build is two scan-linear partial aggregations and the
+    scoring pass never shuffles the corpus by anything but doc_id.
+    Floats follow the lm-scorer discipline: per-doc sums of doubles
+    are ROUND()ed identically on both sides, and the Gumbel key is
+    ordered on its rounded value with a doc_id tiebreak."""
+    toks = (
+        read_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(spark_tokens(spark_ascii_lower("text")))
+            ).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (F.expr(spark_char_hash("tok")) % DSIR_BUCKETS).alias("bk"),
+        )
+    )
+    raw = toks.groupBy("bk").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = toks.filter(F.col("lang") == DSIR_TARGET_LANG).groupBy("bk").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    tot = toks.select(
+        F.count(F.lit(1)).alias("tr"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("tt"),
+    )
+    # the model is bounded by the bucket constant (<= DSIR_BUCKETS rows)
+    # and the totals are 1 row — both broadcast-safe at ANY corpus size
+    delta = (
+        raw.join(F.broadcast(tgt), "bk", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bk",
+            (
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                - F.log(F.col("tt") + float(DSIR_BUCKETS))
+                - F.log(F.col("cr") + 1.0)
+                + F.log(F.col("tr") + float(DSIR_BUCKETS))
+            ).alias("d"),
+        )
+    )
+    w = (
+        toks.join(F.broadcast(delta), "bk")
+        .groupBy("doc_id")
+        .agg(F.any_value("lang").alias("lang"), F.sum("d").alias("logw"))
+    )
+    key = F.round(F.col("logw") + F.expr(_dsir_gumbel(False)), 6)
+    return (
+        w.orderBy(key.desc(), "doc_id")
+        .limit(DSIR_K)
+        .select("doc_id", "lang", F.round("logw", 6).alias("log_importance"))
+    )

@@ -174,6 +174,11 @@ _DRIVER_ORDER = [
     #     admission fallback; plus the query NEW in r9 (INSERT OVERWRITE /
     #     replaceWhere — VERDICT r08 stretch #8, displacing tfidf_search
     #     to the tail head):
+    # (a0) NEW in r9, second half: streaming partition-refresh
+    #      materialization over the new overwrite mode, and DSIR
+    #      importance resampling:
+    "stream_overwrite_refresh",
+    "dsir_select",
     "overwrite_partition_transaction",
     "bpe_encode_learned",
     "lm_bigram_assoc",
@@ -229,14 +234,14 @@ _DRIVER_ORDER = [
     "scalar_string_format",
     "scan_project",
     "semi_join_membership",
-    "stream_dedup_events",
     "stream_incremental_rollup",
-    "stream_session_window",
     # --- 50-query window boundary (driver gate cap observed r01-r08) ---
     # Tail head — FIRST PRIORITY for the round-10 window: the r5 rows
     # that did not fit, led by the r9 displacements (re-proven by the
     # local full-registry gates every round):
     "tfidf_search",
+    "stream_dedup_events",
+    "stream_session_window",
     "stream_sliding_window",
     "stream_windowed_distinct",
     "surrogate_keys_dense",

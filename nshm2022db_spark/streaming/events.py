@@ -332,6 +332,86 @@ def stream_cdc_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "stream_overwrite_refresh",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              COUNT(*) AS n,
+              CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              ROUND(SUM(value), 2) AS total
+       FROM events GROUP BY 1""",
+)
+def stream_overwrite_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """The PARTITION-REFRESH materialization strategy — the third
+    classic way to keep a silver table current, beside the additive
+    fold (`stream_incremental_rollup`) and the CDC-fed incremental
+    maintainer (`stream_cdc_rollup`): each micro-batch (3-file replay)
+    appends raw rows to BRONZE, then recomputes the day rollup FOR
+    EXACTLY THE DAYS THE BATCH TOUCHED from bronze and INSERT
+    OVERWRITEs those day partitions in SILVER
+    (`overwrite_partition_transaction`, dynamic mode — the new r9
+    write path under the streaming gate). Untouched silver days are
+    never read or rewritten, so refresh cost is O(affected days'
+    bronze data), not O(table) — the Databricks "overwrite latest
+    partition per trigger" pattern.
+
+    Exactly-once composes through replays and the crash window: both
+    commits are batch-id-keyed, a replayed batch no-ops bronze and the
+    overwrite, and a crash BETWEEN them resolves on replay because the
+    recompute reads post-append bronze — recompute-then-overwrite is
+    idempotent where an additive fold would double-count. Batch
+    invariance is what the oracle pins: silver's final state must
+    equal the one-shot day rollup over base events no matter how the
+    replay batched."""
+    import tempfile
+
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        overwrite_partition_transaction,
+        read_keyed_table,
+    )
+
+    stream = _raw_event_stream(
+        spark, sf, _stream_dir_split(spark, sf), maxFilesPerTrigger=1
+    ).withColumn("day", F.col("ts").cast("date").cast("string"))
+    bronze = tempfile.mkdtemp(prefix="ovw_refresh_bronze_")
+    silver = tempfile.mkdtemp(prefix="ovw_refresh_silver_")
+    ckpt = tempfile.mkdtemp(prefix="ovw_refresh_ckpt_")
+
+    def land_and_refresh(batch_df: DataFrame, bid: int) -> None:
+        s = batch_df.sparkSession
+        append_partition_transaction(s, bronze, "day", batch_df, batch_id=bid)
+        # the batch's distinct days: a bounded driver-side list (the
+        # dataset's day domain), the repo-sanctioned collect shape
+        days = [r.day for r in batch_df.select("day").distinct().collect()]
+        if not days:
+            return
+        refreshed = (
+            read_keyed_table(s, bronze)
+            .filter(F.col("day").isin(*days))
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+                F.sum("value").alias("total"),
+            )
+        )
+        overwrite_partition_transaction(
+            s, silver, "day", refreshed, batch_id=bid
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(land_and_refresh)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = read_keyed_table(spark, silver).select(
+        "day", "n", "id_sum", F.round("total", 2).alias("total")
+    )
+    return _reap_scratch(out, spark, bronze, silver, ckpt)
+
+
+@register(
     "stream_table_source",
     """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
               COUNT(*) AS n,

@@ -241,6 +241,9 @@ class TestDriverOrder:
             "stream_partitioned_land", "stream_cdc_rollup",
             "stream_upsert_table", "stream_upsert_mor",
             "stream_incremental_rollup",
+            # NEW in r9 second half: streaming partition-refresh over
+            # the overwrite mode; DSIR importance resampling
+            "stream_overwrite_refresh", "dsir_select",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

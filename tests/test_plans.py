@@ -364,3 +364,22 @@ class TestRound6SecondHalfPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert plan.count("Arguments: hashpartitioning") <= 6
+
+
+class TestRound9Plans:
+    def test_dsir_select_bounded_model_broadcast_topk(self, spark, sf_dir):
+        """DSIR importance resampling: the scoring join's build side is
+        the bucket-bounded model (broadcast — never a corpus-sized
+        shuffle), the corpus shuffles ONLY on doc_id for the weight
+        sum (plus the two bucket-bounded model aggregations), and the
+        Gumbel top-k plans as TakeOrderedAndProject."""
+        from nshm2022db_spark.extensions.curation import dsir_select
+
+        plan = _plan(dsir_select(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        # doc_id weight sum + two bucket-model aggs (bounded at
+        # DSIR_BUCKETS rows) — nothing else may shuffle
+        assert plan.count("Arguments: hashpartitioning") <= 3
+        # the scoring join builds on the broadcast model side
+        assert "BroadcastHashJoin" in plan

@@ -201,6 +201,12 @@ LADDER = [
     # cost O(batch + replaced partitions) — the land dominates, so
     # expect ~scan-linear)
     "overwrite_partition_transaction",
+    # r9 second half: streaming partition-refresh (per-batch recompute
+    # of affected days — protocol + affected-day scans) and DSIR
+    # scoring (token explode + bounded model + one doc shuffle —
+    # scan-linear ceiling)
+    "stream_overwrite_refresh",
+    "dsir_select",
 ]
 
 
