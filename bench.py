@@ -163,6 +163,8 @@ HEADLINE = [
     "overwrite_partition_transaction",
     "stream_overwrite_refresh",
     "dsir_select",
+    "table_changes_typed",
+    "hybrid_search_rrf",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

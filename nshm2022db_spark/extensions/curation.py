@@ -32,9 +32,11 @@ from pyspark.sql import functions as F
 from nshm2022db_spark.functions.portable import (
     duck_ascii_lower,
     duck_char_hash,
+    duck_dot,
     duck_norm_text,
     spark_ascii_lower,
     spark_char_hash,
+    spark_dot,
     spark_norm_text,
     P,
     duck_shingle_hashes,
@@ -848,4 +850,170 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
         w.orderBy(key.desc(), "doc_id")
         .limit(DSIR_K)
         .select("doc_id", "lang", F.round("logw", 6).alias("log_importance"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (RRF) of a lexical ranker
+# (TF-IDF over the query terms) and a vector ranker (cosine to a query
+# embedding). The standard production shape for RAG / training-data
+# retrieval — two independent top-N lists fused by rank, not by score, so
+# the fusion needs no score calibration between rankers.
+# ---------------------------------------------------------------------------
+
+HYBRID_N = 100  # per-ranker candidate list length
+HYBRID_K = 20  # fused results returned
+RRF_C = 60  # the standard RRF damping constant (Cormack et al.)
+HYBRID_QUERY_VEC_ID = 0  # embedding playing the query vector
+
+
+def _cos_expr(q: str, e: str, duck: bool) -> str:
+    """cos(q, e) with IDENTICAL structure both engines: three sequential
+    -fold dots and two sqrts — bit-identical doubles, so the rank
+    windows order the same rows on both sides."""
+    dot = duck_dot if duck else spark_dot
+    return (
+        f"{dot(q, e)} / (sqrt({dot(q, q)}) * sqrt({dot(e, e)}))"
+    )
+
+
+_HYBRID_ORACLE = f"""
+    WITH tf AS (
+        SELECT doc_id,
+               {', '.join(f"{_tf(w, True)} AS tf{i}" for i, w in enumerate(TFIDF_TERMS))}
+        FROM documents),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               {', '.join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                          for i in range(len(TFIDF_TERMS)))}
+        FROM tf),
+    lexall AS (
+        SELECT doc_id, {_score('n', '', True)} AS s
+        FROM tf, stats
+        WHERE {_score('n', '', True)} > 0),
+    lex AS (
+        SELECT doc_id, lex_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+            FROM lexall)
+        WHERE lex_rank <= {HYBRID_N}),
+    qv AS (SELECT embedding AS q FROM embeddings
+           WHERE vec_id = {HYBRID_QUERY_VEC_ID}),
+    cosall AS (
+        SELECT vec_id AS doc_id,
+               {_cos_expr('q', 'embedding', True)} AS c
+        FROM embeddings, qv),
+    vec AS (
+        SELECT doc_id, vec_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS vec_rank
+            FROM cosall)
+        WHERE vec_rank <= {HYBRID_N}),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank,
+               COALESCE(1.0 / ({RRF_C} + lex_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_C} + vec_rank), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+    SELECT doc_id, lex_rank, vec_rank, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {HYBRID_K}
+"""
+
+
+@register("hybrid_search_rrf", _HYBRID_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of TF-IDF and embedding-cosine retrieval:
+    rrf(d) = sum over rankers of 1 / (C + rank_i(d)) over each ranker's
+    top-N list, fused by FULL OUTER join on doc_id (a document strong
+    in either list surfaces). Rank fusion needs no cross-ranker score
+    calibration — the reason RRF is the default hybrid in production
+    retrieval stacks.
+
+    Scale shape: the lexical pass is tfidf_search's (map-side term
+    frequencies, one 1-row stats broadcast, TakeOrderedAndProject
+    top-N); the vector pass broadcasts the 1-row query embedding and
+    scores map-side with hoistable fold dots, top-N again; ranking,
+    fusion, and the final top-k then run over two <= N-row lists —
+    bounded by constants, not the corpus. Two corpus scans total, no
+    wide exchange. Determinism: both rankers order by bit-identical
+    doubles (fixed-order fold sums) with doc_id tiebreaks, so the rank
+    integers — and therefore the fused scores — are exact cross-engine."""
+    # lexical top-N (the tfidf_search shape, reduced to ranks)
+    tf_cols = [
+        F.expr(_tf(w, False)).alias(f"tf{i}")
+        for i, w in enumerate(TFIDF_TERMS)
+    ]
+    tf = (
+        read_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.expr(spark_tokens(spark_ascii_lower("text"))).alias("tk"),
+        )
+        .select("doc_id", *tf_cols)
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(TFIDF_TERMS))
+        ],
+    )
+    lex_top = (
+        tf.join(F.broadcast(stats))
+        .select("doc_id", F.expr(_score("n", "", False)).alias("s"))
+        .filter(F.col("s") > 0)
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(HYBRID_N)
+    )
+    # rank the <= N-row list (single tiny partition — post-top-N, so the
+    # unpartitioned window is constant-sized at any corpus scale)
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    # vector top-N (the knn shape with a single broadcast query row)
+    emb = read_table(spark, sf, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID).select(
+            F.col("embedding").alias("q")
+        )
+    )
+    cos_top = (
+        emb.crossJoin(q)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(_cos_expr("q", "embedding", False)).alias("c"),
+        )
+        .orderBy(F.col("c").desc(), "doc_id")
+        .limit(HYBRID_N)
+    )
+    vec = cos_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "doc_id"))
+        .cast("long")
+        .alias("vec_rank"),
+    )
+    fused = lex.join(vec, "doc_id", "full").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(1.0 / (RRF_C + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_C + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(HYBRID_K)
+        .select(
+            "doc_id", "lex_rank", "vec_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
     )

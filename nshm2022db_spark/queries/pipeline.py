@@ -1326,6 +1326,88 @@ def table_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+TYPED_DELETE_MOD = 7  # tombstoned keys in the typed-change-feed demo
+
+
+@register(
+    "table_changes_typed",
+    """WITH e AS (
+           SELECT event_id, event_id % 4 AS b FROM events)
+       SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS commit_version,
+                  'insert' AS change_type,
+                  COUNT(*) AS n,
+                  CAST(SUM(event_id) AS BIGINT) AS id_sum
+           FROM e
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'insert', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT)
+           FROM e WHERE b = 1 AND event_id % 8 = 1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'delete', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT)
+           FROM e WHERE b = 1
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), 'delete', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT)
+           FROM e WHERE (b <> 1 OR event_id % 8 = 1)
+                    AND event_id % 7 = 0
+       )""",
+)
+def table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
+    """The TYPED change feed (Delta CDF's `_change_type` surface) over a
+    mixed-op history: v1 APPENDs all events bucketed by event_id % 4,
+    v2 INSERT OVERWRITEs bucket 1 keeping only ids = 1 mod 8 (upsert image
+    pair: the new content as inserts, bucket 1's prior content as
+    deletes), v3 TOMBSTONES event_id % 7 == 0 (delete images = the rows
+    visible at v2 matching the keys). The per-(commit, change_type)
+    rollup is recomputed by the oracle from base events, so commit
+    attribution, image pairing, AND the tombstone delete-image
+    reconstruction (prior-version read semi-joined on the commit's key
+    file) are all value-checked. Cost is O(changed data) per commit —
+    insert images are the commit's own stage, delete images open only
+    touched entries' prior dirs."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        overwrite_partition_transaction,
+        read_table_changes_typed,
+        tombstone_keys,
+    )
+
+    base = scratch_path("events_changes_typed_r9b", sf)
+    path = os.path.join(base, "events_by_bucket")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            (F.col("event_id") % 4).cast("string").alias("b"),
+        )
+        append_partition_transaction(spark, path, "b", ev)
+        overwrite_partition_transaction(
+            spark, path, "b",
+            ev.filter((F.col("b") == "1") & (F.col("event_id") % 8 == 1)),
+            replace_where=["1"],
+        )
+        tombstone_keys(
+            spark, path, "event_id",
+            ev.filter(F.col("event_id") % TYPED_DELETE_MOD == 0).select(
+                "event_id"
+            ),
+        )
+        mark_landed(base)
+    feed = read_table_changes_typed(spark, path, from_version=0)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
 DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot
 DIFF_UPDATE_MOD = 11  # keys repriced in the "new" snapshot
 

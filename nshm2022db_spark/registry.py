@@ -177,6 +177,10 @@ _DRIVER_ORDER = [
     # (a0) NEW in r9, second half: streaming partition-refresh
     #      materialization over the new overwrite mode, and DSIR
     #      importance resampling:
+    # (a0b) NEW in r9, third wave: typed change feed (Delta CDF
+    #       _change_type surface) and hybrid RRF retrieval:
+    "table_changes_typed",
+    "hybrid_search_rrf",
     "stream_overwrite_refresh",
     "dsir_select",
     "overwrite_partition_transaction",
@@ -232,14 +236,14 @@ _DRIVER_ORDER = [
     "range_join_events",
     "scalar_max",
     "scalar_string_format",
-    "scan_project",
-    "semi_join_membership",
     "stream_incremental_rollup",
     # --- 50-query window boundary (driver gate cap observed r01-r08) ---
     # Tail head — FIRST PRIORITY for the round-10 window: the r5 rows
     # that did not fit, led by the r9 displacements (re-proven by the
     # local full-registry gates every round):
     "tfidf_search",
+    "semi_join_membership",
+    "scan_project",
     "stream_dedup_events",
     "stream_session_window",
     "stream_sliding_window",

@@ -1711,8 +1711,9 @@ def tombstone_keys(
     row of a tombstoned key is hidden from every read — including rows
     APPENDED LATER — until a materialize clears the tombstones. Earlier
     snapshots still show the pre-delete state (their manifests carry no
-    tombstone). The change feed does not emit delete events; consumers
-    needing them read the tombstone commits' key files directly."""
+    tombstone). The untyped change feed does not emit delete events;
+    `read_table_changes_typed` reconstructs them (the prior version's
+    rows matching the commit's newly-added keys, as ``delete`` images)."""
     os.makedirs(table_dir, exist_ok=True)
     for _ in range(max_retries):
         cur = current_commit(table_dir)
@@ -2273,6 +2274,139 @@ def read_table_changes(
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
         )
+    return out
+
+
+def read_table_changes_typed(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    history: list[dict] | None = None,
+) -> DataFrame | None:
+    """TYPED change feed — `read_table_changes` with a ``_change_type``
+    column (Delta CDF's full surface): per commit in
+    ``(from_version, to_version]``,
+
+    * ``append``     → the stage's rows as ``insert``;
+    * ``overwrite`` / ``rewrite`` → upsert image PAIRS for exactly the
+      entries whose mapping changed: the new content as ``insert`` and
+      the PRIOR version's content of those entries as ``delete`` (an
+      entry dropped by the commit emits deletes only). A pure
+      compaction therefore emits matched insert/delete pairs — this
+      format has no dataChange=false flag, disclosed here;
+    * ``delete`` (key tombstone) → the PRIOR version's rows matching
+      the commit's newly-added keys as ``delete`` — the event stream
+      `tombstone_keys` itself cannot provide (its docstring used to
+      point consumers at raw key files);
+    * ``set-constraints`` / ``evolve`` → metadata-only, no rows;
+    * ``restore`` / ``clone`` / ``migrate`` / untagged → raise: their
+      row images are not defined by one commit's files, and guessing
+      would double-fold downstream consumers.
+
+    Like the untyped feed the cost is O(changed data): insert images
+    are the commit's own immutable stage, delete images open only the
+    touched entries' prior dirs (or one prior-version filtered read for
+    tombstones). Deletes respect the prior version's OWN tombstones —
+    an already-hidden row never re-deletes."""
+    hist = history if history is not None else table_history(table_dir)
+    by_v = {m["version"]: m for m in hist}
+    head = max(by_v) if by_v else 0
+    hi = head if to_version is None else to_version
+    out = None
+
+    def _entries_df(manifest_like: dict, version: int, ctype: str):
+        nonlocal out
+        part = _read_partition_map(spark, table_dir, manifest_like)
+        if part is None:
+            return
+        part = part.withColumn(
+            "_commit_version", F.lit(version).cast("long")
+        ).withColumn("_change_type", F.lit(ctype))
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+
+    for v in range(from_version + 1, hi + 1):
+        m = by_v.get(v)
+        if m is None:
+            raise ValueError(
+                f"commit {v} of {table_dir} was vacuumed; typed changes "
+                "for it cannot be reconstructed"
+            )
+        op = m.get("op")
+        if op in ("set-constraints", "evolve"):
+            continue  # metadata-only commits move no rows
+        if op not in ("append", "overwrite", "rewrite", "delete"):
+            raise ValueError(
+                f"commit {v} is {op!r} — its row images are not defined "
+                "by a single commit's files; consume it via a recompute"
+            )
+        prev = by_v.get(v - 1, {"partitions": {}}) if v > 1 else {
+            "partitions": {}
+        }
+        if "partitions" not in m:
+            raise ValueError(
+                f"{table_dir} is not partition-mapped; read versions "
+                "directly for single-dir tables"
+            )
+        pcol = m["partition_col"]
+        if op == "append":
+            stage_abs = os.path.join(table_dir, m["dir"])
+            entries = (
+                {
+                    n
+                    for n in os.listdir(stage_abs)
+                    if n.startswith(f"{pcol}=")
+                }
+                if os.path.isdir(stage_abs)
+                else set()
+            )
+            if entries:
+                _entries_df(
+                    {
+                        "partition_col": pcol,
+                        "partitions": {e: m["dir"] for e in sorted(entries)},
+                    },
+                    v,
+                    "insert",
+                )
+        elif op in ("overwrite", "rewrite"):
+            cur_p, prev_p = m["partitions"], prev.get("partitions", {})
+            touched = {
+                e for e in set(cur_p) | set(prev_p)
+                if cur_p.get(e) != prev_p.get(e)
+            }
+            ins = {e: cur_p[e] for e in sorted(touched) if e in cur_p}
+            dels = {e: prev_p[e] for e in sorted(touched) if e in prev_p}
+            if ins:
+                _entries_df(
+                    {"partition_col": pcol, "partitions": ins}, v, "insert"
+                )
+            if dels:
+                _entries_df(
+                    {"partition_col": pcol, "partitions": dels}, v, "delete"
+                )
+        else:  # op == "delete": key tombstone commit
+            new_dv = [
+                d for d in m.get("dv", []) if d not in prev.get("dv", [])
+            ]
+            if not new_dv:
+                continue
+            key = m["dv_key"]
+            keys = spark.read.parquet(
+                *[os.path.join(table_dir, d) for d in new_dv]
+            ).distinct()
+            before = read_keyed_table(spark, table_dir, version=v - 1)
+            if before is None:
+                continue
+            deleted = before.join(F.broadcast(keys), on=key, how="left_semi")
+            deleted = deleted.withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            ).withColumn("_change_type", F.lit("delete"))
+            out = deleted if out is None else out.unionByName(
+                deleted, allowMissingColumns=True
+            )
     return out
 
 

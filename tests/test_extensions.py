@@ -242,8 +242,10 @@ class TestDriverOrder:
             "stream_upsert_table", "stream_upsert_mor",
             "stream_incremental_rollup",
             # NEW in r9 second half: streaming partition-refresh over
-            # the overwrite mode; DSIR importance resampling
+            # the overwrite mode; DSIR importance resampling; typed
+            # change feed; hybrid RRF retrieval
             "stream_overwrite_refresh", "dsir_select",
+            "table_changes_typed", "hybrid_search_rrf",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

@@ -2998,3 +2998,109 @@ class TestAppendRebaseRace:
             assert cur["stats"][f"day=day-{i}"]["cols"]["k"] == [
                 i * 10, i * 10 + 4,
             ]
+
+
+class TestTypedChangeFeed:
+    """read_table_changes_typed: Delta CDF's _change_type surface over
+    the commit log — insert/delete image pairing, tombstone delete
+    reconstruction, metadata-only transparency, and the refusals."""
+
+    def _batch(self, spark, lo, hi, day):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+            F.lit(day).alias("day"),
+        )
+
+    def test_append_only_matches_untyped_feed(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_table_changes,
+            read_table_changes_typed,
+        )
+
+        d = str(tmp_path / "t")
+        append_partition_transaction(spark, d, "day", self._batch(spark, 0, 3, "a"))
+        append_partition_transaction(spark, d, "day", self._batch(spark, 3, 6, "b"))
+        typed = read_table_changes_typed(spark, d, 0)
+        assert {r._change_type for r in typed.collect()} == {"insert"}
+        untyped = read_table_changes(spark, d, 0)
+        a = sorted((r.k, r._commit_version) for r in typed.collect())
+        b = sorted((r.k, r._commit_version) for r in untyped.collect())
+        assert a == b
+
+    def test_overwrite_emits_upsert_image_pair(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            overwrite_partition_transaction,
+            read_table_changes_typed,
+        )
+
+        d = str(tmp_path / "t")
+        append_partition_transaction(
+            spark, d, "day",
+            self._batch(spark, 0, 3, "a").union(self._batch(spark, 10, 13, "b")),
+        )
+        overwrite_partition_transaction(
+            spark, d, "day", self._batch(spark, 100, 102, "a")
+        )
+        rows = read_table_changes_typed(spark, d, 1).collect()
+        ins = sorted(r.k for r in rows if r._change_type == "insert")
+        dels = sorted(r.k for r in rows if r._change_type == "delete")
+        assert ins == [100, 101]  # the new content of the touched entry
+        assert dels == [0, 1, 2]  # its prior content; 'b' never appears
+        assert {r._commit_version for r in rows} == {2}
+
+    def test_tombstone_emits_prior_version_delete_images(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_table_changes_typed,
+            tombstone_keys,
+        )
+
+        d = str(tmp_path / "t")
+        append_partition_transaction(spark, d, "day", self._batch(spark, 0, 6, "a"))
+        tombstone_keys(
+            spark, d, "k", spark.range(2, 4).select(F.col("id").alias("k"))
+        )
+        # a SECOND tombstone must not re-delete already-hidden rows
+        tombstone_keys(
+            spark, d, "k", spark.range(3, 5).select(F.col("id").alias("k"))
+        )
+        rows = read_table_changes_typed(spark, d, 1).collect()
+        v2 = sorted(r.k for r in rows if r._commit_version == 2)
+        v3 = sorted(r.k for r in rows if r._commit_version == 3)
+        assert v2 == [2, 3]
+        assert v3 == [4]  # 3 was already tombstoned at v2 — no re-delete
+        assert {r._change_type for r in rows} == {"delete"}
+
+    def test_metadata_only_commits_emit_nothing(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_table_changes_typed,
+            set_table_constraints,
+        )
+
+        d = str(tmp_path / "t")
+        append_partition_transaction(spark, d, "day", self._batch(spark, 0, 3, "a"))
+        set_table_constraints(spark, d, ["k >= 0"])
+        rows = read_table_changes_typed(spark, d, 1)
+        assert rows is None  # the only in-range commit moved no rows
+
+    def test_restore_and_untagged_raise(self, spark, tmp_path):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_table_changes_typed,
+            restore_table_version,
+        )
+
+        d = str(tmp_path / "t")
+        append_partition_transaction(spark, d, "day", self._batch(spark, 0, 3, "a"))
+        append_partition_transaction(spark, d, "day", self._batch(spark, 3, 6, "b"))
+        restore_table_version(d, 1)
+        with pytest.raises(ValueError, match="row images"):
+            read_table_changes_typed(spark, d, 0)
+        # ranges that stop before the restore still read fine
+        assert read_table_changes_typed(spark, d, 0, to_version=2).count() == 6

@@ -207,6 +207,10 @@ LADDER = [
     # scan-linear ceiling)
     "stream_overwrite_refresh",
     "dsir_select",
+    # r9 third wave: typed change feed (O(changed data) per commit) and
+    # hybrid RRF (two corpus scans + constant-bounded fusion)
+    "table_changes_typed",
+    "hybrid_search_rrf",
 ]
 
 
