@@ -741,11 +741,14 @@ DSIR_TARGET_LANG = "en"  # target-distribution proxy in the synthetic corpus
 _DSIR_A, _DSIR_B = 48_271, 11  # Gumbel affine constants (distinct streams)
 
 
-def _dsir_gumbel(duck: bool) -> str:
+def _dsir_gumbel() -> str:
     """Deterministic Gumbel noise g = -ln(-ln(u)) with u in (0, 1) from an
     affine hash of doc_id — h in [0, P) gives u <= P/(P+1) < 1 and
-    u >= 1/(P+1) > 0, so neither ln ever sees 0 or 1. Same formula, same
-    doubles, both engines (the weighted_sample race-key discipline)."""
+    u >= 1/(P+1) > 0, so neither ln ever sees 0 or 1. ONE engine-shared
+    string by design (plain arithmetic both engines parse identically —
+    unlike the dotted/hashed siblings there is no syntax divergence to
+    branch on), same doubles both sides (the weighted_sample race-key
+    discipline)."""
     u = (
         f"(CAST((doc_id * {_DSIR_A} + {_DSIR_B}) % {P} AS DOUBLE) + 1.0)"
         f" / {P + 1}.0"
@@ -776,7 +779,7 @@ _DSIR_ORACLE = f"""
         FROM b JOIN delta USING (bk) GROUP BY doc_id)
     SELECT doc_id, lang, ROUND(logw, 6) AS log_importance
     FROM w
-    ORDER BY ROUND(logw + ({_dsir_gumbel(True)}), 6) DESC, doc_id
+    ORDER BY ROUND(logw + ({_dsir_gumbel()}), 6) DESC, doc_id
     LIMIT {DSIR_K}
 """
 
@@ -792,13 +795,13 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     but a pure function of the row like every sampler here, so the
     selected set is identical on every engine, run, and partitioning.
 
-    Scale shape: one token explode in the scan stage, ONE doc_id
-    exchange for the weight sum, and two model aggregations whose
-    results are bounded by the bucket count ({DSIR_BUCKETS} rows — a
-    constant, not corpus-scaling), broadcast back into the scoring
-    join; the final top-k plans as TakeOrderedAndProject. At 100 TB
-    the model build is two scan-linear partial aggregations and the
-    scoring pass never shuffles the corpus by anything but doc_id.
+    Scale shape: TWO corpus passes total — one bucket aggregation
+    builds raw AND target counts together (a conditional count; the
+    totals re-aggregate from the bounded model itself, never the
+    corpus), one scoring pass joins the broadcast model and shuffles
+    only on doc_id; the final top-k plans as TakeOrderedAndProject.
+    The model is bounded by the bucket count ({DSIR_BUCKETS} rows — a
+    constant, not corpus-scaling).
     Floats follow the lm-scorer discipline: per-doc sums of doubles
     are ROUND()ed identically on both sides, and the Gumbel key is
     ordered on its rounded value with a doc_id tiebreak."""
@@ -817,35 +820,38 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
             (F.expr(spark_char_hash("tok")) % DSIR_BUCKETS).alias("bk"),
         )
     )
-    raw = toks.groupBy("bk").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = toks.filter(F.col("lang") == DSIR_TARGET_LANG).groupBy("bk").agg(
-        F.count(F.lit(1)).alias("ct")
+    # ONE model pass: raw and target counts come out of the same
+    # bucket aggregation (a conditional count), and the two totals are
+    # re-aggregated from the <= DSIR_BUCKETS-row model itself — one
+    # corpus tokenize+explode instead of three (r9 review #3; Spark
+    # plans self-join sides independently, so separate raw/tgt/tot
+    # DataFrames each re-scan the corpus)
+    model = toks.groupBy("bk").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+        ).alias("ct"),
     )
-    tot = toks.select(
-        F.count(F.lit(1)).alias("tr"),
-        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("tt"),
+    tot = model.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     )
     # the model is bounded by the bucket constant (<= DSIR_BUCKETS rows)
     # and the totals are 1 row — both broadcast-safe at ANY corpus size
-    delta = (
-        raw.join(F.broadcast(tgt), "bk", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bk",
-            (
-                F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                - F.log(F.col("tt") + float(DSIR_BUCKETS))
-                - F.log(F.col("cr") + 1.0)
-                + F.log(F.col("tr") + float(DSIR_BUCKETS))
-            ).alias("d"),
-        )
+    delta = model.crossJoin(F.broadcast(tot)).select(
+        "bk",
+        (
+            F.log(F.col("ct") + 1.0)
+            - F.log(F.col("tt") + float(DSIR_BUCKETS))
+            - F.log(F.col("cr") + 1.0)
+            + F.log(F.col("tr") + float(DSIR_BUCKETS))
+        ).alias("d"),
     )
     w = (
         toks.join(F.broadcast(delta), "bk")
         .groupBy("doc_id")
         .agg(F.any_value("lang").alias("lang"), F.sum("d").alias("logw"))
     )
-    key = F.round(F.col("logw") + F.expr(_dsir_gumbel(False)), 6)
+    key = F.round(F.col("logw") + F.expr(_dsir_gumbel()), 6)
     return (
         w.orderBy(key.desc(), "doc_id")
         .limit(DSIR_K)

@@ -2304,20 +2304,30 @@ def read_table_changes_typed(
       row images are not defined by one commit's files, and guessing
       would double-fold downstream consumers.
 
-    Like the untyped feed the cost is O(changed data): insert images
-    are the commit's own immutable stage, delete images open only the
-    touched entries' prior dirs (or one prior-version filtered read for
-    tombstones). Deletes respect the prior version's OWN tombstones —
-    an already-hidden row never re-deletes."""
+    Cost: insert images are the commit's own immutable stage and
+    overwrite/rewrite delete images open only the touched entries'
+    prior dirs — O(changed data). The tombstone branch's delete-image
+    read resolves the prior VERSION and prunes it to partitions whose
+    recorded stats can hold the deleted keys; without stats on the key
+    column that one commit costs a prior-version scan (disclosed — the
+    keys are arbitrary, so only stats can narrow it). Every image is
+    filtered through ITS version's tombstones, so an already-hidden row
+    never appears in an insert or re-deletes."""
     hist = history if history is not None else table_history(table_dir)
     by_v = {m["version"]: m for m in hist}
     head = max(by_v) if by_v else 0
     hi = head if to_version is None else to_version
     out = None
 
-    def _entries_df(manifest_like: dict, version: int, ctype: str):
+    def _entries_df(manifest_like: dict, dv_of: dict, version: int, ctype: str):
+        # images are STATE diffs: rows a version's own tombstones hide
+        # are not part of that state, so they never appear as images
+        # (r9 review #1 — the function's own contract)
         nonlocal out
-        part = _read_partition_map(spark, table_dir, manifest_like)
+        part = _apply_tombstones(
+            spark, table_dir, dv_of,
+            _read_partition_map(spark, table_dir, manifest_like),
+        )
         if part is None:
             return
         part = part.withColumn(
@@ -2333,6 +2343,15 @@ def read_table_changes_typed(
             raise ValueError(
                 f"commit {v} of {table_dir} was vacuumed; typed changes "
                 "for it cannot be reconstructed"
+            )
+        if v - 1 >= 1 and v - 1 not in by_v:
+            # the DIFF BASE one below the range: defaulting it to an
+            # empty table would emit the whole table as inserts and
+            # re-emit every historical tombstone (r9 review #2)
+            raise ValueError(
+                f"commit {v - 1} of {table_dir} (the diff base for "
+                f"{v}) was vacuumed; typed changes cannot be "
+                "reconstructed from this from_version"
             )
         op = m.get("op")
         if op in ("set-constraints", "evolve"):
@@ -2368,6 +2387,7 @@ def read_table_changes_typed(
                         "partition_col": pcol,
                         "partitions": {e: m["dir"] for e in sorted(entries)},
                     },
+                    m,
                     v,
                     "insert",
                 )
@@ -2381,11 +2401,12 @@ def read_table_changes_typed(
             dels = {e: prev_p[e] for e in sorted(touched) if e in prev_p}
             if ins:
                 _entries_df(
-                    {"partition_col": pcol, "partitions": ins}, v, "insert"
+                    {"partition_col": pcol, "partitions": ins}, m, v, "insert"
                 )
             if dels:
                 _entries_df(
-                    {"partition_col": pcol, "partitions": dels}, v, "delete"
+                    {"partition_col": pcol, "partitions": dels},
+                    prev, v, "delete",
                 )
         else:  # op == "delete": key tombstone commit
             new_dv = [
@@ -2397,7 +2418,20 @@ def read_table_changes_typed(
             keys = spark.read.parquet(
                 *[os.path.join(table_dir, d) for d in new_dv]
             ).distinct()
-            before = read_keyed_table(spark, table_dir, version=v - 1)
+            # narrow the prior-version read to partitions whose stats
+            # can hold the deleted keys (the key file is O(deleted
+            # keys), so its bounds are one tiny job — r9 review #5)
+            lo_hi = keys.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).collect()[0]
+            prune = (
+                {key: (lo_hi.lo, lo_hi.hi)}
+                if lo_hi.lo is not None
+                else None
+            )
+            before = read_keyed_table(
+                spark, table_dir, version=v - 1, prune=prune
+            )
             if before is None:
                 continue
             deleted = before.join(F.broadcast(keys), on=key, how="left_semi")

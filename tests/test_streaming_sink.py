@@ -3087,6 +3087,55 @@ class TestTypedChangeFeed:
         rows = read_table_changes_typed(spark, d, 1)
         assert rows is None  # the only in-range commit moved no rows
 
+    def test_overwrite_images_respect_prior_tombstones(self, spark, tmp_path):
+        """r9 review #1: images are STATE diffs — a row hidden by a
+        version's tombstones is not part of that state, so an overwrite
+        after a tombstone must not re-emit the hidden rows as deletes
+        (a folding consumer would double-subtract them)."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            overwrite_partition_transaction,
+            read_table_changes_typed,
+            tombstone_keys,
+        )
+
+        d = str(tmp_path / "t")
+        append_partition_transaction(spark, d, "day", self._batch(spark, 0, 6, "a"))
+        tombstone_keys(
+            spark, d, "k", spark.range(2, 4).select(F.col("id").alias("k"))
+        )
+        overwrite_partition_transaction(
+            spark, d, "day", self._batch(spark, 100, 102, "a")
+        )
+        rows = read_table_changes_typed(spark, d, 2).collect()
+        dels = sorted(r.k for r in rows if r._change_type == "delete")
+        ins = sorted(r.k for r in rows if r._change_type == "insert")
+        assert dels == [0, 1, 4, 5]  # 2, 3 were hidden at v2 — no re-delete
+        assert ins == [100, 101]
+
+    def test_vacuumed_diff_base_raises(self, spark, tmp_path):
+        """r9 review #2: a vacuumed manifest one version BELOW the range
+        must raise like an in-range vacuum — defaulting it to an empty
+        table would emit the whole table as inserts."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            overwrite_partition_transaction,
+            read_table_changes_typed,
+            vacuum_versions,
+        )
+
+        d = str(tmp_path / "t")
+        append_partition_transaction(spark, d, "day", self._batch(spark, 0, 3, "a"))
+        append_partition_transaction(spark, d, "day", self._batch(spark, 3, 6, "b"))
+        overwrite_partition_transaction(
+            spark, d, "day", self._batch(spark, 100, 102, "a")
+        )
+        vacuum_versions(d, keep_last=1)  # only v3 retained
+        with pytest.raises(ValueError, match="diff base"):
+            read_table_changes_typed(spark, d, 2)
+
     def test_restore_and_untagged_raise(self, spark, tmp_path):
         import pytest
 
