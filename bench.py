@@ -165,6 +165,7 @@ HEADLINE = [
     "dsir_select",
     "table_changes_typed",
     "hybrid_search_rrf",
+    "split_leakage_free",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

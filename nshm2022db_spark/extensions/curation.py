@@ -1023,3 +1023,101 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/val/test split: assignment is a pure function of the
+# DUPLICATE-GROUP fingerprint, never the document, so exact near-copies can
+# never straddle splits (the classic eval-inflation bug: a test document's
+# duplicate in train makes the benchmark score a memorization measure).
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 10  # train/val/test = 80/10/10
+_SPLIT_A, _SPLIT_B = 16_807, 3  # affine split-hash constants
+
+
+def _split_case(h: str) -> str:
+    """'train'/'val'/'test' from an integer via affine hash mod 100 —
+    engine-shared arithmetic (the _dsir_gumbel discipline)."""
+    u = f"(({h}) * {_SPLIT_A} + {_SPLIT_B}) % {P} % 100"
+    return (
+        f"CASE WHEN {u} < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {u} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+_SPLIT_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               {duck_char_hash(duck_norm_text('text'))} AS fp
+        FROM documents),
+    g AS (
+        SELECT fp,
+               COUNT(*) AS n,
+               -- what NAIVE per-document assignment would do to this
+               -- group: >1 distinct split = a leaking group
+               COUNT(DISTINCT {_split_case('doc_id')}) AS n_naive_splits
+        FROM d GROUP BY fp),
+    a AS (
+        SELECT fp, n, n_naive_splits, {_split_case('fp')} AS split FROM g),
+    leak AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE n_naive_splits > 1) AS BIGINT)
+                   AS naive_straddling_groups
+        FROM a)
+    SELECT split,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_groups,
+           naive_straddling_groups
+    FROM a, leak
+    GROUP BY split, naive_straddling_groups
+"""
+
+
+@register("split_leakage_free", _SPLIT_ORACLE)
+def split_leakage_free(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-aware dataset split: documents are grouped by the exact-dedup
+    fingerprint (normalized-text polynomial hash — the `dedup_exact`
+    key), each GROUP is hashed to train/val/test, and every member
+    inherits the group's split — duplicates can never straddle, by
+    construction rather than by audit. The result also reports
+    `naive_straddling_groups`: how many duplicate groups WOULD leak
+    across splits under per-document assignment — the data-dependent
+    number that justifies the operator, value-checked by the oracle.
+
+    Scale shape: ONE fingerprint exchange (the same shuffle dedup_exact
+    pays) reduces the corpus to group rows carrying size + the naive
+    leak flag; the split rollup and the 1-row leak total then run over
+    group-sized data, with the total broadcast back. Assignment is a
+    pure function of the fingerprint — reproducible on any engine,
+    run, or partitioning, and INCREMENTAL: a new document joins its
+    group's existing split without reshuffling history (the property a
+    growing 100 TB corpus needs — re-randomizing splits per snapshot
+    would leak test data into yesterday's training run)."""
+    d = read_table(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(spark_char_hash(spark_norm_text("text"))).alias("fp"),
+    )
+    g = d.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.expr(_split_case("doc_id"))).alias(
+            "n_naive_splits"
+        ),
+    )
+    a = g.select(
+        "fp", "n", "n_naive_splits", F.expr(_split_case("fp")).alias("split")
+    )
+    leak = a.agg(
+        F.sum((F.col("n_naive_splits") > 1).cast("long")).alias(
+            "naive_straddling_groups"
+        )
+    )
+    return (
+        a.crossJoin(F.broadcast(leak))
+        .groupBy("split", "naive_straddling_groups")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .select("split", "n_docs", "n_groups", "naive_straddling_groups")
+    )

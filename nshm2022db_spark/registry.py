@@ -179,6 +179,7 @@ _DRIVER_ORDER = [
     #      importance resampling:
     # (a0b) NEW in r9, third wave: typed change feed (Delta CDF
     #       _change_type surface) and hybrid RRF retrieval:
+    "split_leakage_free",
     "table_changes_typed",
     "hybrid_search_rrf",
     "stream_overwrite_refresh",
@@ -235,13 +236,13 @@ _DRIVER_ORDER = [
     "range_filter",
     "range_join_events",
     "scalar_max",
-    "scalar_string_format",
     "stream_incremental_rollup",
     # --- 50-query window boundary (driver gate cap observed r01-r08) ---
     # Tail head — FIRST PRIORITY for the round-10 window: the r5 rows
     # that did not fit, led by the r9 displacements (re-proven by the
     # local full-registry gates every round):
     "tfidf_search",
+    "scalar_string_format",
     "semi_join_membership",
     "scan_project",
     "stream_dedup_events",

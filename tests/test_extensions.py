@@ -246,6 +246,7 @@ class TestDriverOrder:
             # change feed; hybrid RRF retrieval
             "stream_overwrite_refresh", "dsir_select",
             "table_changes_typed", "hybrid_search_rrf",
+            "split_leakage_free",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

@@ -211,6 +211,9 @@ LADDER = [
     # hybrid RRF (two corpus scans + constant-bounded fusion)
     "table_changes_typed",
     "hybrid_search_rrf",
+    # r9: group-aware split (one fingerprint exchange — the dedup_exact
+    # shuffle — then group-sized rollups; scan-linear ceiling)
+    "split_leakage_free",
 ]
 
 
