@@ -383,3 +383,23 @@ class TestRound9Plans:
         assert plan.count("Arguments: hashpartitioning") <= 3
         # the scoring join builds on the broadcast model side
         assert "BroadcastHashJoin" in plan
+
+    def test_hybrid_rrf_two_topk_no_corpus_shuffle(self, spark, sf_dir):
+        """Hybrid RRF: each ranker reduces its corpus scan through a
+        TakeOrderedAndProject top-N; the fusion joins two constant-
+        bounded lists. No corpus-keyed exchange anywhere — the only
+        shuffles the plan may contain are the post-top-N single-
+        partition rank windows and the tiny fusion join sides."""
+        from nshm2022db_spark.extensions.curation import (
+            HYBRID_N,
+            hybrid_search_rrf,
+        )
+
+        plan = _plan(hybrid_search_rrf(spark, sf_dir))
+        assert plan.count("TakeOrderedAndProject") >= 2  # both rankers
+        assert "CartesianProduct" not in plan
+        # every remaining exchange operates on <= HYBRID_N rows
+        # (rank windows + fusion); corpus-sized hashpartitioning on
+        # doc_id/tokens must not appear
+        assert HYBRID_N == 100  # the bound the argument above rests on
+        assert plan.count("Arguments: hashpartitioning") <= 2

@@ -2902,6 +2902,49 @@ class TestOverwritePartition:
             10, 11, 12, 50, 51,
         ]
 
+    def test_vacuum_reclaims_replaced_dirs(self, spark, tmp_path):
+        """Retention after an overwrite: the replaced partition's old
+        dir is referenced ONLY by pre-overwrite manifests, so once
+        those drop out of the retention window the dir is reclaimed —
+        while dirs the overwrite carried forward (untouched partitions)
+        survive because the retained manifest still references them."""
+        import os
+
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            overwrite_partition_transaction,
+            read_keyed_table,
+            vacuum_versions,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)  # v1: days a/b/c in one seed dir
+        seed_dir = current_commit(d)["partitions"]["day=a"]
+        overwrite_partition_transaction(
+            spark, d, "day", self._batch(spark, 100, 102, "a")
+        )  # v2: day=a replaced; b/c still point at the seed dir
+        rep = vacuum_versions(d, keep_last=1)
+        # the seed dir is STILL referenced by v2 (days b/c carry
+        # forward) — vacuum must not reclaim it
+        assert seed_dir not in rep["dirs"]
+        assert os.path.isdir(os.path.join(d, seed_dir))
+        got = read_keyed_table(spark, d).collect()
+        assert sorted(r.k for r in got if r.day == "a") == [100, 101]
+        assert sorted(r.k for r in got if r.day == "b") == [10, 11, 12]
+        # now overwrite b and c too: the seed dir becomes unreferenced
+        # by every retained manifest and IS reclaimed
+        overwrite_partition_transaction(
+            spark, d, "day",
+            self._batch(spark, 200, 202, "b").union(
+                self._batch(spark, 300, 302, "c")
+            ),
+        )
+        rep2 = vacuum_versions(d, keep_last=1)
+        assert seed_dir in rep2["dirs"]
+        assert not os.path.isdir(os.path.join(d, seed_dir))
+        got = read_keyed_table(spark, d).collect()
+        assert sorted(r.k for r in got) == [100, 101, 200, 201, 300, 301]
+
     def test_legacy_layouts_refuse_overwrite(self, spark, tmp_path):
         import pytest
 
