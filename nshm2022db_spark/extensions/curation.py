@@ -1098,26 +1098,33 @@ def split_leakage_free(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.expr(spark_char_hash(spark_norm_text("text"))).alias("fp"),
     )
+    # ONE corpus scan, ONE fp exchange (r10 review fix: the first cut
+    # computed the leak total on a SEPARATE crossJoin branch — Spark
+    # re-plans shared subtrees with zero ReusedExchange, so the corpus
+    # was scanned and fingerprinted twice). min!=max replaces
+    # countDistinct for the straddle flag (no Expand exchange), and the
+    # global total is a window over the ≤3-row split rollup.
     g = d.groupBy("fp").agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct(F.expr(_split_case("doc_id"))).alias(
-            "n_naive_splits"
-        ),
+        (
+            F.min(F.expr(_split_case("doc_id")))
+            != F.max(F.expr(_split_case("doc_id")))
+        ).alias("straddles"),
     )
-    a = g.select(
-        "fp", "n", "n_naive_splits", F.expr(_split_case("fp")).alias("split")
-    )
-    leak = a.agg(
-        F.sum((F.col("n_naive_splits") > 1).cast("long")).alias(
-            "naive_straddling_groups"
-        )
-    )
-    return (
-        a.crossJoin(F.broadcast(leak))
-        .groupBy("split", "naive_straddling_groups")
+    roll = (
+        g.select("fp", "n", "straddles", F.expr(_split_case("fp")).alias("split"))
+        .groupBy("split")
         .agg(
             F.sum("n").cast("long").alias("n_docs"),
             F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.col("straddles").cast("long")).alias("_straddling"),
+        )
+    )
+    # unpartitioned window over the ≤3-row rollup only (plan-pinned)
+    return (
+        roll.withColumn(
+            "naive_straddling_groups",
+            F.sum("_straddling").over(Window.partitionBy()),
         )
         .select("split", "n_docs", "n_groups", "naive_straddling_groups")
     )

@@ -178,7 +178,8 @@ _DRIVER_ORDER = [
     #      materialization over the new overwrite mode, and DSIR
     #      importance resampling:
     # (a0b) NEW in r9, third wave: typed change feed (Delta CDF
-    #       _change_type surface) and hybrid RRF retrieval:
+    #       _change_type surface), hybrid RRF retrieval, and the
+    #       leakage-free group split:
     "split_leakage_free",
     "table_changes_typed",
     "hybrid_search_rrf",

@@ -396,10 +396,31 @@ class TestRound9Plans:
         )
 
         plan = _plan(hybrid_search_rrf(spark, sf_dir))
-        assert plan.count("TakeOrderedAndProject") >= 2  # both rankers
+        # formatted explain names each node twice (tree + detail), so
+        # the 3 expected nodes (lex top-N, vec top-N, fused top-K)
+        # count 6 — >= 2 would be satisfied by a single node and miss
+        # a ranker regressing to a full Sort (r10 review)
+        assert plan.count("TakeOrderedAndProject") >= 6  # both rankers + fuse
         assert "CartesianProduct" not in plan
         # every remaining exchange operates on <= HYBRID_N rows
         # (rank windows + fusion); corpus-sized hashpartitioning on
         # doc_id/tokens must not appear
         assert HYBRID_N == 100  # the bound the argument above rests on
         assert plan.count("Arguments: hashpartitioning") <= 2
+
+    def test_split_leakage_free_one_scan_one_fp_exchange(self, spark, sf_dir):
+        """split_leakage_free's documented contract: ONE corpus scan,
+        ONE fingerprint exchange, rollups over group-sized data, the
+        global leak total a window over the <=3-row split rollup. The
+        r10 review found the first cut scanned + fingerprinted the
+        corpus TWICE via a crossJoin leak branch (no ReusedExchange
+        for shared subtrees) — this pin keeps the fixed shape."""
+        from nshm2022db_spark.extensions.curation import split_leakage_free
+
+        plan = _plan(split_leakage_free(spark, sf_dir))
+        # formatted explain names nodes twice (tree + detail)
+        assert plan.count("Scan parquet") <= 2  # exactly one scan
+        # fp agg + split rollup; the total's window is SinglePartition
+        assert plan.count("Arguments: hashpartitioning") <= 2
+        assert "Expand" not in plan  # min!=max, not countDistinct
+        assert "CartesianProduct" not in plan

@@ -2908,8 +2908,6 @@ class TestOverwritePartition:
         those drop out of the retention window the dir is reclaimed —
         while dirs the overwrite carried forward (untouched partitions)
         survive because the retained manifest still references them."""
-        import os
-
         from nshm2022db_spark.streaming.sinks import (
             current_commit,
             overwrite_partition_transaction,
