@@ -30,23 +30,45 @@ from nshm2022db_spark.sources.parquet import (
 
 _counter = itertools.count()
 
+_RESULT_SCRATCH: list[str] = []  # lazily-created process-scoped root
+
+
+def _result_scratch_root() -> str:
+    """One tempdir per process for reaped queries' RESULT parquet,
+    removed at interpreter exit. Results are rollup-sized (KBs) — the
+    reap exists for the GB-sized table/checkpoint scratch, not these."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _RESULT_SCRATCH:
+        root = tempfile.mkdtemp(prefix="nshm-reap-results-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _RESULT_SCRATCH.append(root)
+    return _RESULT_SCRATCH[0]
+
 
 def _reap_scratch(df: DataFrame, spark: SparkSession, *dirs: str) -> DataFrame:
-    """Materialize a rollup-sized result and delete its per-invocation
-    scratch (table dirs + checkpoints). The streaming-protocol queries
-    re-run the whole land/upsert/fold flow on every call BY DESIGN
-    (the protocol cost is what bench times), so their scratch is
-    per-call — without the reap, every verify/bench cycle strands
-    tables and checkpoints in /tmp (VERDICT r08 #3, generalized from
+    """Materialize a result and delete its per-invocation scratch
+    (table dirs + checkpoints). The streaming-protocol queries re-run
+    the whole land/upsert/fold flow on every call BY DESIGN (the
+    protocol cost is what bench times), so their scratch is per-call —
+    without the reap, every verify/bench cycle strands tables and
+    checkpoints in /tmp (VERDICT r08 #3, generalized from
     commit_rebase_stats to the whole family: ~1.8 GB observed after one
     round's runs). The returned DataFrame must not lazily scan a
-    deleted dir, so the result is collected and re-materialized on the
-    caller's session."""
+    deleted dir, so the result is written to a small parquet OUTSIDE
+    the reaped dirs and re-read — executor-side, no driver collect, so
+    per-key (corpus-scaling) results like stream_upsert_table's stay
+    distributed (ADVICE r09; the first cut collect()ed them). The
+    result parquet is tiny relative to the reaped scratch and is
+    removed at process exit."""
     import shutil
 
     try:
-        rows = df.collect()
-        return spark.createDataFrame(rows, df.schema)
+        res = os.path.join(_result_scratch_root(), f"res-{next(_counter)}")
+        df.write.mode("overwrite").parquet(res)
+        return spark.read.parquet(res)
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)

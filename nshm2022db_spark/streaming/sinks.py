@@ -1315,7 +1315,10 @@ def overwrite_partition_transaction(
     for replaced entries are REPLACED by the stage's own footer scans
     (an overwrite cannot merge against bounds of data it just deleted);
     dropped when the call doesn't scan. CHECK constraints and the WAP
-    ``audit`` gate the staged rows exactly like the append path.
+    ``audit`` gate the staged rows exactly like the append path; a
+    deletion-only ``replace_where`` batch (no staged rows) still runs
+    the audit — against an empty frame in the batch's schema — so an
+    audited pipeline can never delete partitions un-audited.
 
     Commits tag ``op: "overwrite"``, so every reader of history that
     must refuse non-append semantics (change feed, additive CDC
@@ -1390,16 +1393,24 @@ def overwrite_partition_transaction(
                     stage_path = None
                 else:
                     validated_base = cur
-                    if audit is not None and written:
-                        staged = _read_partition_map(
-                            spark,
-                            table_dir,
-                            {
-                                "partition_col": partition_col,
-                                "partitions": {
-                                    e: stage for e in sorted(written)
+                    if audit is not None:
+                        # deletion-only batches (written empty) audit an
+                        # empty staged frame — an audited pipeline must
+                        # not be able to delete partitions un-audited
+                        # (ADVICE r09)
+                        staged = (
+                            _read_partition_map(
+                                spark,
+                                table_dir,
+                                {
+                                    "partition_col": partition_col,
+                                    "partitions": {
+                                        e: stage for e in sorted(written)
+                                    },
                                 },
-                            },
+                            )
+                            if written
+                            else batch_df.limit(0)
                         )
                         try:
                             verdict = audit(staged)
@@ -1439,18 +1450,30 @@ def overwrite_partition_transaction(
                             "replace_where or filter the batch"
                         )
                     replaced = set(claimed)
-                if (audit is not None or cur.get("constraints")) and written:
-                    staged = _read_partition_map(
-                        spark,
-                        table_dir,
-                        {
-                            "partition_col": partition_col,
-                            "partitions": {e: stage for e in sorted(written)},
-                        },
+                if (cur.get("constraints") and written) or audit is not None:
+                    # constraints are per-row (nothing to enforce on an
+                    # empty batch); the audit ALWAYS runs when provided —
+                    # a deletion-only replaceWhere must not skip the gate
+                    # its pipeline configured (ADVICE r09), so it audits
+                    # an empty staged frame in the batch's schema
+                    staged = (
+                        _read_partition_map(
+                            spark,
+                            table_dir,
+                            {
+                                "partition_col": partition_col,
+                                "partitions": {
+                                    e: stage for e in sorted(written)
+                                },
+                            },
+                        )
+                        if written
+                        else batch_df.limit(0)
                     )
-                    _enforce_constraints(
-                        staged, cur.get("constraints"), stage_path
-                    )
+                    if written:
+                        _enforce_constraints(
+                            staged, cur.get("constraints"), stage_path
+                        )
                     if audit is not None:
                         try:
                             verdict = audit(staged)
@@ -2292,9 +2315,15 @@ def read_table_changes_typed(
     * ``overwrite`` / ``rewrite`` → upsert image PAIRS for exactly the
       entries whose mapping changed: the new content as ``insert`` and
       the PRIOR version's content of those entries as ``delete`` (an
-      entry dropped by the commit emits deletes only). A pure
-      compaction therefore emits matched insert/delete pairs — this
-      format has no dataChange=false flag, disclosed here;
+      entry dropped by the commit emits deletes only). Delta-CDF
+      parity notes (ADVICE r09): rewrites emit insert/delete pairs,
+      not ``update_preimage``/``update_postimage`` — pairing pre/post
+      images per ROW needs a declared row key, which a partition-
+      mapped (non-keyed) table does not have; and a pure compaction
+      emits pairs for unchanged data because this format has no
+      ``dataChange=false`` flag. Consumers folding the feed should
+      key on their own id columns and treat delete+insert of an
+      identical row as a no-op;
     * ``delete`` (key tombstone) → the PRIOR version's rows matching
       the commit's newly-added keys as ``delete`` — the event stream
       `tombstone_keys` itself cannot provide (its docstring used to
@@ -2312,12 +2341,26 @@ def read_table_changes_typed(
     column that one commit costs a prior-version scan (disclosed — the
     keys are arbitrary, so only stats can narrow it). Every image is
     filtered through ITS version's tombstones, so an already-hidden row
-    never appears in an insert or re-deletes."""
+    never appears in an insert or re-deletes. Rows carry
+    ``_commit_version``, ``_change_type``, and ``_commit_timestamp``
+    (the manifest's publish wall-clock; NULL for pre-feature
+    manifests) — Delta CDF's metadata columns."""
     hist = history if history is not None else table_history(table_dir)
     by_v = {m["version"]: m for m in hist}
     head = max(by_v) if by_v else 0
     hi = head if to_version is None else to_version
     out = None
+
+    def _commit_ts(version: int):
+        # Delta CDF's _commit_timestamp, from the manifest's publish
+        # wall-clock (committed_at, recorded once at try_commit); NULL
+        # for pre-feature manifests without one (ADVICE r09)
+        ts = by_v.get(version, {}).get("committed_at")
+        return (
+            F.timestamp_seconds(F.lit(float(ts)))
+            if ts is not None
+            else F.lit(None).cast("timestamp")
+        )
 
     def _entries_df(manifest_like: dict, dv_of: dict, version: int, ctype: str):
         # images are STATE diffs: rows a version's own tombstones hide
@@ -2330,9 +2373,11 @@ def read_table_changes_typed(
         )
         if part is None:
             return
-        part = part.withColumn(
-            "_commit_version", F.lit(version).cast("long")
-        ).withColumn("_change_type", F.lit(ctype))
+        part = (
+            part.withColumn("_commit_version", F.lit(version).cast("long"))
+            .withColumn("_change_type", F.lit(ctype))
+            .withColumn("_commit_timestamp", _commit_ts(version))
+        )
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
         )
@@ -2344,15 +2389,6 @@ def read_table_changes_typed(
                 f"commit {v} of {table_dir} was vacuumed; typed changes "
                 "for it cannot be reconstructed"
             )
-        if v - 1 >= 1 and v - 1 not in by_v:
-            # the DIFF BASE one below the range: defaulting it to an
-            # empty table would emit the whole table as inserts and
-            # re-emit every historical tombstone (r9 review #2)
-            raise ValueError(
-                f"commit {v - 1} of {table_dir} (the diff base for "
-                f"{v}) was vacuumed; typed changes cannot be "
-                "reconstructed from this from_version"
-            )
         op = m.get("op")
         if op in ("set-constraints", "evolve"):
             continue  # metadata-only commits move no rows
@@ -2360,6 +2396,23 @@ def read_table_changes_typed(
             raise ValueError(
                 f"commit {v} is {op!r} — its row images are not defined "
                 "by a single commit's files; consume it via a recompute"
+            )
+        if (
+            op in ("overwrite", "rewrite", "delete")
+            and v - 1 >= 1
+            and v - 1 not in by_v
+        ):
+            # the DIFF BASE one below the range: defaulting it to an
+            # empty table would emit the whole table as inserts and
+            # re-emit every historical tombstone (r9 review #2). Only
+            # these ops diff against v-1 — an append's inserts are its
+            # own stage, so a vacuumed v-1 under a plain append is fine
+            # (ADVICE r09: a from_version just below the retention
+            # horizon must not fail when the range is all appends)
+            raise ValueError(
+                f"commit {v - 1} of {table_dir} (the diff base for "
+                f"{v}) was vacuumed; typed changes cannot be "
+                "reconstructed from this from_version"
             )
         prev = by_v.get(v - 1, {"partitions": {}}) if v > 1 else {
             "partitions": {}
@@ -2435,9 +2488,11 @@ def read_table_changes_typed(
             if before is None:
                 continue
             deleted = before.join(F.broadcast(keys), on=key, how="left_semi")
-            deleted = deleted.withColumn(
-                "_commit_version", F.lit(v).cast("long")
-            ).withColumn("_change_type", F.lit("delete"))
+            deleted = (
+                deleted.withColumn("_commit_version", F.lit(v).cast("long"))
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_timestamp", _commit_ts(v))
+            )
             out = deleted if out is None else out.unionByName(
                 deleted, allowMissingColumns=True
             )

@@ -2742,6 +2742,45 @@ class TestOverwritePartition:
             {(100, "a"), (101, "a")} | {(k, "b") for k in range(10, 13)}
         )
 
+    def test_deletion_only_overwrite_still_runs_audit(self, spark, tmp_path):
+        """ADVICE r09: a deletion-only replaceWhere batch (listed
+        values, zero staged rows) must still run the WAP audit — an
+        audited pipeline must not be able to delete partitions
+        un-audited. The audit sees an empty frame in the batch's
+        schema; rejecting it aborts with nothing deleted."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            AuditError,
+            overwrite_partition_transaction,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        empty = self._batch(spark, 0, 0, "a")
+        seen = {}
+
+        def audit(staged):
+            seen["n"] = staged.count()
+            seen["cols"] = set(staged.columns)
+            return False
+
+        with pytest.raises(AuditError):
+            overwrite_partition_transaction(
+                spark, d, "day", empty, replace_where=["a"], audit=audit
+            )
+        assert seen == {"n": 0, "cols": {"k", "v", "day"}}
+        days = {r.day for r in read_keyed_table(spark, d).collect()}
+        assert "a" in days  # rejected: nothing was deleted
+        # an approving audit lets the deletion publish
+        overwrite_partition_transaction(
+            spark, d, "day", empty, replace_where=["a"],
+            audit=lambda s: s.count() == 0,
+        )
+        days = {r.day for r in read_keyed_table(spark, d).collect()}
+        assert "a" not in days
+
     def test_overwrite_batch_id_replay_noop(self, spark, tmp_path):
         from nshm2022db_spark.streaming.sinks import (
             current_commit,
@@ -3176,6 +3215,51 @@ class TestTypedChangeFeed:
         vacuum_versions(d, keep_last=1)  # only v3 retained
         with pytest.raises(ValueError, match="diff base"):
             read_table_changes_typed(spark, d, 2)
+
+    def test_vacuumed_diff_base_ok_when_range_is_appends(self, spark, tmp_path):
+        """ADVICE r09: only overwrite/rewrite/delete commits diff
+        against v-1 — a from_version just below the retention horizon
+        must NOT fail when every in-range commit is a plain append
+        (its inserts are its own stage)."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_table_changes_typed,
+            vacuum_versions,
+        )
+
+        d = str(tmp_path / "t")
+        append_partition_transaction(spark, d, "day", self._batch(spark, 0, 3, "a"))
+        append_partition_transaction(spark, d, "day", self._batch(spark, 3, 6, "b"))
+        append_partition_transaction(spark, d, "day", self._batch(spark, 6, 9, "c"))
+        vacuum_versions(d, keep_last=2)  # v1 dropped; v2's diff base gone
+        rows = read_table_changes_typed(spark, d, 1).collect()
+        assert sorted(r.k for r in rows) == [3, 4, 5, 6, 7, 8]
+        assert {r._change_type for r in rows} == {"insert"}
+
+    def test_commit_timestamp_from_manifest(self, spark, tmp_path):
+        """_commit_timestamp mirrors the manifest's committed_at
+        publish wall-clock (Delta CDF's metadata column — ADVICE r09)
+        on every image family, including tombstone delete images."""
+        import datetime
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_table_changes_typed,
+            table_history,
+            tombstone_keys,
+        )
+
+        d = str(tmp_path / "t")
+        append_partition_transaction(spark, d, "day", self._batch(spark, 0, 4, "a"))
+        tombstone_keys(
+            spark, d, "k", spark.range(1, 3).select(F.col("id").alias("k"))
+        )
+        at = {m["version"]: m["committed_at"] for m in table_history(d)}
+        for r in read_table_changes_typed(spark, d, 0).collect():
+            want = datetime.datetime.fromtimestamp(
+                at[r._commit_version], datetime.timezone.utc
+            ).replace(tzinfo=None)
+            assert abs((r._commit_timestamp - want).total_seconds()) < 1e-3
 
     def test_restore_and_untagged_raise(self, spark, tmp_path):
         import pytest
