@@ -603,6 +603,107 @@ def overwrite_partition_transaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MERGE_ORACLE = """
+    WITH t AS (
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_id % 7 <> 0),
+    s AS (
+        SELECT event_id, user_id, event_type, value * 2 AS nv
+        FROM events WHERE event_id % 5 = 0),
+    kept AS (
+        SELECT t.event_id, t.user_id, t.event_type,
+               CASE WHEN s.event_id IS NOT NULL
+                         AND s.nv > t.value + 300 THEN s.nv
+                    ELSE t.value END AS value
+        FROM t LEFT JOIN s ON t.event_id = s.event_id
+        WHERE NOT (s.event_id IS NOT NULL
+                   AND NOT (s.nv > t.value + 300)
+                   AND t.value < 50)
+          AND NOT (s.event_id IS NULL
+                   AND t.event_type = 'error'
+                   AND t.event_id % 3 = 0)),
+    ins AS (
+        SELECT s.event_id, s.user_id, s.event_type, s.nv AS value
+        FROM s LEFT JOIN t ON s.event_id = t.event_id
+        WHERE t.event_id IS NULL)
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    GROUP BY event_type
+"""
+
+
+@register("merge_into_conditional", _MERGE_ORACLE)
+def merge_into_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional multi-clause MERGE INTO (VERDICT r09 #1) — Delta's
+    full MERGE surface as ONE commit on the CAS log: events (minus
+    every 7th id) land partitioned by event_type, then one merge with
+    every clause family applies a CDC batch (every 5th id, doubled
+    value):
+
+    * WHEN MATCHED AND s.nv > t.value + 300 THEN UPDATE value = s.nv;
+    * WHEN MATCHED AND t.value < 50 THEN DELETE;
+    * WHEN NOT MATCHED THEN INSERT (the ids % 7 == 0 rows);
+    * WHEN NOT MATCHED BY SOURCE AND error/3rd-id THEN DELETE.
+
+    Execution is ONE union+window pass — both sides shuffle once on
+    the merge key, every clause evaluates per key-group — not the
+    2-shuffle join MERGE. Partition economics (pinned by the unit
+    tests): untouched partitions carry byte-identical, delete-only
+    partitions take a tombstone instead of a rewrite, inserts into
+    unscanned partitions append a generation; the BY SOURCE clause
+    here forces a full scan, exactly as in Delta. Reference anchor:
+    the INSERT OR IGNORE upsert of nshmdb/nshmdb.py:263-266,
+    generalized to the conditional multi-clause surface. The oracle
+    recomputes the post-merge state from base events with the
+    LEFT-JOIN clause algebra — proving land + all four clauses + the
+    manifest-resolved, tombstone-filtered read."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        merge_into_table,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_merge_into_r10", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events")
+        append_partition_transaction(
+            spark, path, "event_type",
+            ev.filter(F.col("event_id") % 7 != 0),
+            stats_cols=["event_id"],
+        )
+        src = ev.filter(F.col("event_id") % 5 == 0).select(
+            "event_id", "user_id", "event_type",
+            (F.col("value") * 2).alias("nv"),
+        )
+        merge_into_table(
+            spark, path, src, ["event_id"],
+            when_matched_update={"value": "s.nv"},
+            when_matched_update_condition="s.nv > t.value + 300",
+            when_matched_delete="t.value < 50",
+            when_not_matched_insert={
+                "event_id": "s.event_id",
+                "user_id": "s.user_id",
+                "event_type": "s.event_type",
+                "value": "s.nv",
+            },
+            when_not_matched_by_source_delete=(
+                "t.event_type = 'error' AND t.event_id % 3 = 0"
+            ),
+            stats_cols=["event_id"],
+        )
+        mark_landed(base)
+    table = read_keyed_table(spark, path)
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # Fixed absolute event_id window for the skip-scan demo: present at every
 # sf (sf0.001 already has ids 0..999) and a small fraction of any larger
 # corpus, so manifest stats prune all but 1-2 day partitions.

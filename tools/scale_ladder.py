@@ -214,6 +214,10 @@ LADDER = [
     # r9: group-aware split (one fingerprint exchange — the dedup_exact
     # shuffle — then group-sized rollups; scan-linear ceiling)
     "split_leakage_free",
+    # r10: conditional multi-clause MERGE INTO (one union+window pass on
+    # the merge key; the BY SOURCE clause makes it scan-linear — the
+    # Delta full-scan case, by design)
+    "merge_into_conditional",
 ]
 
 
