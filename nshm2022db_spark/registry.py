@@ -176,8 +176,11 @@ _DRIVER_ORDER = [
     #     collect() (stream_upsert_table / stream_upsert_mor /
     #     stream_cdc_rollup represent it), and the overwrite staging
     #     block was restructured for the deletion-only audit gate
-    #     (overwrite_partition_transaction represents it):
+    #     (overwrite_partition_transaction represents it). Also NEW in
+    #     r10: pure-NumPy PNG decode (VERDICT r09 #5 — displaces
+    #     manifest_count_scan to the tail head):
     "merge_into_conditional",
+    "multimodal_decode_png",
     "split_leakage_free",
     "table_changes_typed",
     "stream_upsert_table",
@@ -229,12 +232,12 @@ _DRIVER_ORDER = [
     "geometry_planes_checksum",
     "hll_shard_merge",
     "knn_index_lakehouse",
-    "manifest_count_scan",
     # --- 50-query window boundary (driver gate cap observed r01-r09) ---
     # Tail head — FIRST PRIORITY for the round-11 window: the remaining
     # r6-evidence rows (stalest oracle-able evidence after this
     # rotation); then the r8 rows, the rows-only geometry row, and the
     # r9/r10-fresh displacements last:
+    "manifest_count_scan",
     "manifest_skip_scan",
     "multimodal_audio_energy",
     "multimodal_resize_downsample",

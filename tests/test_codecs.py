@@ -11,11 +11,14 @@ import pytest
 
 from nshm2022db_spark.extensions.multimodal import (
     _bmp_pixels,
+    _png_pixels,
     _wav_samples,
     decode_bmp,
     decode_image_real,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
 )
 
@@ -59,8 +62,104 @@ class TestBMP:
         img = _bmp_pixels(3)
         w, h, fmt = decode_image_real(encode_bmp(img))
         assert (w, h, fmt) == (img.shape[1], img.shape[0], "BMP")
-        with pytest.raises(NotImplementedError):
+        # a PNG-signature blob with garbage chunks fails CRC in the
+        # NATIVE decoder now (r10) — ValueError, not NotImplemented
+        with pytest.raises(ValueError, match="CRC"):
             decode_image_real(b"\x89PNG\r\n\x1a\n" + bytes(32))
+        # JPEG still needs a codec library
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image_real(b"\xff\xd8\xff\xe0" + bytes(32))
+
+
+class TestPNG:
+    """Pure stdlib-zlib + NumPy PNG codec (r10, VERDICT r09 #5): full
+    filter coverage, both color types, CRC validation, multi-IDAT
+    reassembly, and rejection of variants the parser doesn't claim."""
+
+    @pytest.mark.parametrize("shape", [(1, 1, 3), (5, 3, 3), (12, 17, 4),
+                                       (6, 1, 4), (8, 200, 3)])
+    def test_roundtrip(self, shape):
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        assert back.shape == img.shape and (back == img).all()
+
+    def test_roundtrip_deterministic_test_images(self):
+        for mid in (0, 1, 2, 3, 9, 100):  # mixes RGB and RGBA
+            img = _png_pixels(mid)
+            assert (decode_png(encode_png(img)) == img).all()
+
+    def test_every_filter_type_appears_and_decodes(self):
+        """The encoder rotates filters per scanline (y % 5); an image
+        with >= 5 rows therefore carries all five filter types, and the
+        round trip proves every unfilter (the property that lets the
+        corpus-level checksum oracle pin the whole filter matrix)."""
+        import zlib
+
+        img = np.arange(9 * 7 * 3, dtype=np.uint8).reshape(9, 7, 3) * 31 % 256
+        blob = encode_png(img)
+        # reassemble the zlib stream and read each scanline's filter tag
+        pos, idat = 8, b""
+        while pos + 12 <= len(blob):
+            (ln,) = struct.unpack_from(">I", blob, pos)
+            if blob[pos + 4:pos + 8] == b"IDAT":
+                idat += blob[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = 1 + 7 * 3
+        tags = {raw[y * stride] for y in range(9)}
+        assert tags == {0, 1, 2, 3, 4}
+        assert (decode_png(blob) == img).all()
+
+    def test_multi_idat_and_crc_tamper(self):
+        blob = bytearray(encode_png(_png_pixels(9)))
+        assert blob.count(b"IDAT") == 2  # reassembly exercised
+        blob[40] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(blob))
+
+    def test_rejects_unsupported_variants(self):
+        import zlib
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        # 16-bit depth
+        bad = sig + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        ) + chunk(b"IDAT", zlib.compress(bytes(20))) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="natively"):
+            decode_png(bad)
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"BM" + bytes(32))
+
+    def test_filter0_only_external_construction(self):
+        """A PNG assembled independently of encode_png (filter 0 only,
+        single IDAT) decodes identically — the decoder is not merely
+        the encoder's inverse."""
+        import zlib
+
+        img = _png_pixels(9)
+        h, w = img.shape[:2]
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        lines = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(lines))
+            + chunk(b"IEND", b"")
+        )
+        assert (decode_png(blob) == img).all()
 
 
 class TestWAV:

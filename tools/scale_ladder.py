@@ -218,6 +218,9 @@ LADDER = [
     # the merge key; the BY SOURCE clause makes it scan-linear — the
     # Delta full-scan case, by design)
     "merge_into_conditional",
+    # r10: compressed PNG encode+decode per document (map-only chained
+    # mapInPandas — scan-linear in documents, no shuffle)
+    "multimodal_decode_png",
 ]
 
 
