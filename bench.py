@@ -166,9 +166,11 @@ HEADLINE = [
     "table_changes_typed",
     "hybrid_search_rrf",
     "split_leakage_free",
-    # r10: conditional multi-clause MERGE INTO; compressed PNG decode
+    # r10: conditional multi-clause MERGE INTO; compressed PNG decode;
+    # typed CDF streaming source
     "merge_into_conditional",
     "multimodal_decode_png",
+    "stream_table_changes_typed",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -497,6 +497,131 @@ def stream_table_source(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "stream_table_changes_typed",
+    """WITH e AS (
+           SELECT event_id, user_id, event_id % 4 AS b FROM events),
+       vis3 AS (
+           SELECT * FROM e
+           WHERE (b <> 1 OR event_id % 8 = 1) AND event_id % 7 <> 0)
+       SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS commit_version,
+                  'insert' AS change_type,
+                  COUNT(*) AS n,
+                  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+                  CAST(1 AS BIGINT) AS ts_ok
+           FROM e
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'insert', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
+           FROM e WHERE b = 1 AND event_id % 8 = 1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'delete', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
+           FROM e WHERE b = 1
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), 'delete', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
+           FROM e WHERE (b <> 1 OR event_id % 8 = 1)
+                    AND event_id % 7 = 0
+           UNION ALL
+           SELECT CAST(4 AS BIGINT), 'delete', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
+           FROM vis3 WHERE event_id % 6 = 0
+           UNION ALL
+           SELECT CAST(4 AS BIGINT), 'insert', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
+           FROM e WHERE event_id % 6 = 0
+                    AND NOT ((b <> 1 OR event_id % 8 = 1)
+                             AND event_id % 7 <> 0)
+       ) WHERE n > 0""",
+)
+def stream_table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
+    """The TYPED change feed AS A STREAMING SOURCE (VERDICT r09 #6 —
+    the streaming half of Delta CDF): the same mixed history as
+    `table_changes_typed` (v1 append all, v2 INSERT OVERWRITE bucket 1
+    keeping ids = 1 mod 8, v3 tombstone ids % 7 == 0) PLUS a v4
+    conditional MERGE (delete matched ids % 6 == 0 — a delete-only
+    merge, so keys go to the deletion vector — and re-insert the
+    unmatched ones into a new partition, which CONSOLIDATES the dv:
+    re-inserted keys leave it). A silver job consumes it as
+    `spark.readStream.format("commitlog").option("changeTypes",
+    "true")` with `maxVersionsPerBatch=1` — four REAL micro-batches,
+    each emitting exactly the insert/delete images
+    `read_table_changes_typed` computes for that version (the
+    stream-equals-batch pin lives in tests/test_table_source.py; the
+    oracle here recomputes every image family from base events, so
+    pairing, tombstone delete-image semi-filtering, merge dv key-diff,
+    AND the consolidation's no-re-delete property are all
+    value-checked). ts_ok pins `_commit_timestamp` non-null on every
+    image row."""
+    import tempfile
+
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        merge_into_table,
+        overwrite_partition_transaction,
+        tombstone_keys,
+    )
+    from nshm2022db_spark.streaming.table_source import (
+        register_commitlog_source,
+    )
+
+    ev = read_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 4).cast("string").alias("b"),
+    )
+    bronze = tempfile.mkdtemp(prefix="tbl_cdf_bronze_")
+    try:
+        append_partition_transaction(spark, bronze, "b", ev, batch_id=0)
+        overwrite_partition_transaction(
+            spark, bronze, "b",
+            ev.filter((F.col("b") == "1") & (F.col("event_id") % 8 == 1)),
+            replace_where=["1"], batch_id=1,
+        )
+        tombstone_keys(
+            spark, bronze, "event_id",
+            ev.filter(F.col("event_id") % 7 == 0).select("event_id"),
+            batch_id=2,
+        )
+        merge_into_table(
+            spark, bronze,
+            ev.filter(F.col("event_id") % 6 == 0), ["event_id"],
+            when_matched_delete=True,
+            when_not_matched_insert={
+                "event_id": "s.event_id",
+                "user_id": "s.user_id",
+                "b": "'x'",
+            },
+            batch_id=3,
+        )
+        replay = _replay_session(spark)
+        register_commitlog_source(replay)
+        stream = (
+            replay.readStream.format("commitlog")
+            .option("path", bronze)
+            .option("changeTypes", "true")
+            .option("maxVersionsPerBatch", 1)
+            .load()
+        )
+        agg = stream.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.min(F.col("_commit_timestamp").isNotNull().cast("long")).alias(
+                "ts_ok"
+            ),
+        )
+        return _run_to_memory(agg, f"stream_cdf_{next(_counter)}")
+    finally:
+        import shutil
+
+        shutil.rmtree(bronze, ignore_errors=True)
+
+
+@register(
     "commit_rebase_stats",
     """SELECT CAST(event_id % 8 AS VARCHAR) AS bucket,
               COUNT(*) AS n,

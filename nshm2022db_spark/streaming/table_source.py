@@ -33,6 +33,16 @@ restore, or clone in the unread range RAISES rather than silently
 double-counting (each manifest carries its `op` tag); metadata-only
 commits (set-constraints, partition evolution's empty stage) emit
 nothing; a commit vacuumed before it was read also raises.
+
+`.option("changeTypes", "true")` switches to the TYPED feed (r10,
+VERDICT r09 #6): the streaming half of Delta CDF. Each micro-batch
+emits the same images `read_table_changes_typed` computes for its
+version range — insert/delete pairs for rewrites, added-generation
+inserts for merge extensions, tombstone delete images semi-filtered to
+the commit's added keys — plus `_change_type` and `_commit_timestamp`.
+Overwrite/delete/merge commits are then first-class instead of
+raising; stream-equals-batch is oracle-pinned by
+`stream_table_changes_typed`.
 """
 
 from __future__ import annotations
@@ -122,12 +132,218 @@ def _plan_changes(table_dir: str, start: int, end: int) -> list[dict]:
     return out
 
 
-def table_stream_schema(table_dir: str) -> StructType:
+def _entry_files(table_dir: str, dirs, entry: str) -> list[str]:
+    """Every parquet file of one partition entry across its generation
+    dirs — the immutable file list a read unit captures at plan time."""
+    from nshm2022db_spark.streaming.sinks import _entry_dirs
+
+    files: list[str] = []
+    for dirname in _entry_dirs(dirs):
+        d = os.path.join(table_dir, dirname, entry)
+        if os.path.isdir(d):
+            files += sorted(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+    return files
+
+
+def _dv_added_bounds(
+    table_dir: str, key: str, cur_dirs: list[str], prev_dirs: list[str]
+) -> tuple:
+    """(lo, hi, any) over the keys ADDED by a dv change (cur − prev) —
+    driver-side pyarrow over the delete-sized key files, zero Spark
+    jobs (the same data the batch path broadcasts)."""
+    import pyarrow.parquet as pq
+
+    def keys_of(dirs: list[str]) -> set:
+        out: set = set()
+        for d in dirs:
+            dd = os.path.join(table_dir, d)
+            if not os.path.isdir(dd):
+                continue
+            for f in sorted(os.listdir(dd)):
+                if f.endswith(".parquet"):
+                    out.update(
+                        pq.read_table(
+                            os.path.join(dd, f), columns=[key]
+                        )[key].to_pylist()
+                    )
+        return out
+
+    added = {k for k in keys_of(cur_dirs) - keys_of(prev_dirs) if k is not None}
+    if not added:
+        return None, None, False
+    return min(added), max(added), True
+
+
+def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
+    """Driver-side plan of the TYPED change feed for versions
+    (start, end] — the streaming half of `read_table_changes_typed`
+    (sinks.py), unit for unit:
+
+    * append → the stage's entries as ``insert`` units;
+    * overwrite / rewrite / merge → map-diff PAIRS (cur content insert,
+      prev content delete) per touched entry, except entries whose dir
+      list merely GREW (a merge's unscanned-partition insert): those
+      plan only the added generations as inserts;
+    * delete (key tombstone) and a merge's dv change → ``delete`` image
+      units over the PRIOR version's stats-pruned entries, carrying the
+      key-file lists; the executor semi-filters rows to the ADDED keys
+      (cur dv − prev dv) after anti-filtering the prior version's own
+      tombstones — no re-deletes;
+    * metadata-only commits plan nothing; restore/clone/migrate raise.
+
+    Every unit is tombstone-aware: insert/delete file units carry their
+    version's dv file list and the executor anti-filters hidden keys,
+    so an image matches what `read_table_changes_typed` computes for
+    the same commit (pinned stream-equals-batch by the oracle)."""
+    from nshm2022db_spark.streaming.sinks import (
+        _entry_dirs,
+        _stats_prune,
+        table_history,
+    )
+
+    hist = table_history(table_dir)
+    by_v = {m["version"]: m for m in hist}
+    units: list[dict] = []
+    for v in range(start + 1, end + 1):
+        m = by_v.get(v)
+        if m is None:
+            raise ValueError(
+                f"commit {v} of {table_dir} was vacuumed before the "
+                "stream read it; keep retention above the max consumer lag"
+            )
+        if "partitions" not in m or "mor" in m:
+            raise ValueError(
+                f"{table_dir} is not a partition-mapped table; the typed "
+                "commitlog stream reads those only"
+            )
+        op = m.get("op")
+        if op in ("set-constraints", "evolve"):
+            continue
+        if op not in ("append", "overwrite", "rewrite", "delete", "merge"):
+            raise ValueError(
+                f"commit {v} is {op!r} — its row images are not defined "
+                "by a single commit's files; consume it via a recompute"
+            )
+        if (
+            op in ("overwrite", "rewrite", "delete", "merge")
+            and v - 1 >= 1
+            and v - 1 not in by_v
+        ):
+            raise ValueError(
+                f"commit {v - 1} of {table_dir} (the diff base for {v}) "
+                "was vacuumed; typed changes cannot stream from here"
+            )
+        prev = by_v.get(v - 1, {"partitions": {}}) if v > 1 else {
+            "partitions": {}
+        }
+        pcol = m["partition_col"]
+        ts = m.get("committed_at")
+        m_dv = [os.path.join(table_dir, d) for d in m.get("dv", [])]
+        p_dv = [os.path.join(table_dir, d) for d in prev.get("dv", [])]
+
+        def unit(files, value, ctype, anti, key=None, inc=None, exc=None):
+            if files:
+                units.append(
+                    {
+                        "files": files, "pcol": pcol, "value": value,
+                        "version": v, "ctype": ctype, "ts": ts,
+                        "key": key or m.get("dv_key") or prev.get("dv_key"),
+                        "anti": anti, "inc": inc or [], "exc": exc or [],
+                    }
+                )
+
+        if op == "append":
+            stage_abs = os.path.join(table_dir, m["dir"])
+            entries = (
+                sorted(
+                    n for n in os.listdir(stage_abs)
+                    if n.startswith(f"{pcol}=")
+                )
+                if os.path.isdir(stage_abs)
+                else []
+            )
+            for e in entries:
+                unit(
+                    _entry_files(table_dir, m["dir"], e),
+                    e.split("=", 1)[1], "insert", m_dv,
+                )
+        elif op in ("overwrite", "rewrite", "merge"):
+            cur_p, prev_p = m["partitions"], prev.get("partitions", {})
+            touched = {
+                e for e in set(cur_p) | set(prev_p)
+                if cur_p.get(e) != prev_p.get(e)
+            }
+            for e in sorted(touched):
+                cd = _entry_dirs(cur_p[e]) if e in cur_p else []
+                pd_ = _entry_dirs(prev_p[e]) if e in prev_p else []
+                value = e.split("=", 1)[1]
+                if pd_ and cd[: len(pd_)] == pd_:
+                    unit(
+                        _entry_files(table_dir, cd[len(pd_):], e),
+                        value, "insert", m_dv,
+                    )
+                else:
+                    if e in cur_p:
+                        unit(
+                            _entry_files(table_dir, cur_p[e], e),
+                            value, "insert", m_dv,
+                        )
+                    if e in prev_p:
+                        unit(
+                            _entry_files(table_dir, prev_p[e], e),
+                            value, "delete", p_dv,
+                        )
+            if op == "merge" and m.get("dv") != prev.get("dv"):
+                key = m.get("dv_key")
+                if key is not None:
+                    lo, hi, any_ = _dv_added_bounds(
+                        table_dir, key, m.get("dv", []), prev.get("dv", [])
+                    )
+                    if any_:
+                        for e, dirs in sorted(
+                            _stats_prune(prev, {key: (lo, hi)}).items()
+                        ):
+                            unit(
+                                _entry_files(table_dir, dirs, e),
+                                e.split("=", 1)[1], "delete", p_dv,
+                                key=key, inc=m_dv, exc=p_dv,
+                            )
+        else:  # op == "delete": key tombstone commit
+            new_dv = [
+                d for d in m.get("dv", []) if d not in prev.get("dv", [])
+            ]
+            if not new_dv:
+                continue
+            key = m["dv_key"]
+            lo, hi, any_ = _dv_added_bounds(table_dir, key, new_dv, [])
+            if not any_:
+                continue
+            nd_abs = [os.path.join(table_dir, d) for d in new_dv]
+            for e, dirs in sorted(
+                _stats_prune(prev, {key: (lo, hi)}).items()
+            ):
+                unit(
+                    _entry_files(table_dir, dirs, e),
+                    e.split("=", 1)[1], "delete", p_dv,
+                    key=key, inc=nd_abs, exc=[],
+                )
+    return units
+
+
+def table_stream_schema(
+    table_dir: str, change_types: bool = False
+) -> StructType:
     """The stream's schema: the union of every live generation's parquet
     schema (schema evolution — later generations may add columns; older
     ones read those as NULL) + the partition column (string, the
-    module-wide normalization) + `_commit_version` (long). Footer-only
-    metadata work, no Spark jobs."""
+    module-wide normalization) + `_commit_version` (long); with
+    ``change_types``, also `_change_type` (string) and
+    `_commit_timestamp` (timestamp) — the Delta CDF metadata columns.
+    Footer-only metadata work, no Spark jobs."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -215,19 +431,37 @@ def table_stream_schema(table_dir: str) -> StructType:
     spark_schema = spark_schema.add(pcol, "string").add(
         "_commit_version", "long"
     )
+    if change_types:
+        spark_schema = spark_schema.add("_change_type", "string").add(
+            "_commit_timestamp", "timestamp"
+        )
     return spark_schema
 
 
 class CommitLogPartition(InputPartition):
     """One (commit, partition entry) unit of parallel read work. Files
     are immutable once committed, so capturing paths at plan time is
-    race-free by construction."""
+    race-free by construction. Typed-feed units additionally carry the
+    image type, the commit timestamp, and the key-file lists for
+    executor-side tombstone anti-filtering (``anti``) and
+    delete-image semi-filtering (``inc`` minus ``exc``)."""
 
-    def __init__(self, files: list[str], pcol: str, value: str, version: int):
+    def __init__(
+        self, files: list[str], pcol: str, value: str, version: int,
+        ctype: str | None = None, ts: float | None = None,
+        key: str | None = None, anti: list[str] | None = None,
+        inc: list[str] | None = None, exc: list[str] | None = None,
+    ):
         self.files = files
         self.pcol = pcol
         self.value = value
         self.version = version
+        self.ctype = ctype
+        self.ts = ts
+        self.key = key
+        self.anti = anti or []
+        self.inc = inc or []
+        self.exc = exc or []
 
 
 class CommitLogStreamReader(DataSourceStreamReader):
@@ -238,6 +472,13 @@ class CommitLogStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._start = int(options.get("startingversion", 0))
         self._max_versions = int(options.get("maxversionsperbatch", 0))
+        # typed mode (.option("changeTypes", "true")): emit the Delta
+        # CDF surface — _change_type + _commit_timestamp per image —
+        # and accept overwrite/rewrite/delete/merge commits (the
+        # additive-only allow-list is the UNTYPED feed's constraint)
+        self._typed = str(options.get("changetypes", "")).lower() in (
+            "true", "1", "yes",
+        )
         # admission-control floor: the newest offset THIS process has
         # planned or committed. Spark 4.1.2's call order (probed, both
         # paths): FRESH start = latestOffset() BEFORE initialOffset(),
@@ -301,6 +542,16 @@ class CommitLogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         self._observed = True
         self._floor = max(self._floor, end["version"])
+        if self._typed:
+            plan = _typed_plan(self._path, start["version"], end["version"])
+            return [
+                CommitLogPartition(
+                    p["files"], p["pcol"], p["value"], p["version"],
+                    ctype=p["ctype"], ts=p["ts"], key=p["key"],
+                    anti=p["anti"], inc=p["inc"], exc=p["exc"],
+                )
+                for p in plan
+            ]
         plan = _plan_changes(self._path, start["version"], end["version"])
         return [
             CommitLogPartition(p["files"], p["pcol"], p["value"], p["version"])
@@ -310,19 +561,71 @@ class CommitLogStreamReader(DataSourceStreamReader):
     # -- data read (executors) ------------------------------------------
     def read(self, partition: CommitLogPartition) -> Iterator:
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        def key_set(dirs: list[str]) -> set:
+            out: set = set()
+            for d in dirs:
+                if not os.path.isdir(d):
+                    continue
+                for f in sorted(os.listdir(d)):
+                    if f.endswith(".parquet"):
+                        out.update(
+                            pq.read_table(
+                                os.path.join(d, f), columns=[partition.key]
+                            )[partition.key].to_pylist()
+                        )
+            return out
+
+        # executor-side key filters (delete-sized sets, the same data
+        # the batch path broadcasts): drop rows the image version's own
+        # tombstones hide, and for delete-image units keep only the
+        # keys this commit ADDED (inc − exc)
+        drop: set = set()
+        keep: set | None = None
+        if partition.key is not None:
+            if partition.anti:
+                drop = key_set(partition.anti)
+            if partition.inc:
+                keep = key_set(partition.inc) - key_set(partition.exc)
         target = to_arrow_schema(self._schema)
         for path in partition.files:
             t = pq.read_table(path)
+            if partition.key is not None and partition.key in t.column_names:
+                if keep is not None:
+                    mask = pc.is_in(
+                        t[partition.key],
+                        value_set=pa.array(sorted(keep - drop)),
+                    )
+                    t = t.filter(pc.fill_null(mask, False))
+                elif drop:
+                    mask = pc.is_in(
+                        t[partition.key], value_set=pa.array(sorted(drop))
+                    )
+                    t = t.filter(
+                        pc.fill_null(pc.invert(mask), True)
+                    )
             n = t.num_rows
+            if n == 0:
+                continue
             cols = []
             for field in target:
                 if field.name == partition.pcol:
                     arr = pa.array([partition.value] * n, type=field.type)
                 elif field.name == "_commit_version":
                     arr = pa.array([partition.version] * n, type=field.type)
+                elif field.name == "_change_type":
+                    arr = pa.array([partition.ctype] * n, type=field.type)
+                elif field.name == "_commit_timestamp":
+                    arr = (
+                        pa.array(
+                            [int(partition.ts * 1e6)] * n, type=pa.int64()
+                        ).cast(field.type)
+                        if partition.ts is not None
+                        else pa.nulls(n, type=field.type)
+                    )
                 elif field.name in t.column_names:
                     arr = t.column(field.name).cast(field.type)
                 else:  # schema evolution: column added by a later commit
@@ -347,7 +650,12 @@ class CommitLogDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> StructType:
-        return table_stream_schema(self.options["path"])
+        return table_stream_schema(
+            self.options["path"],
+            change_types=str(
+                self.options.get("changetypes", "")
+            ).lower() in ("true", "1", "yes"),
+        )
 
     def streamReader(self, schema: StructType) -> CommitLogStreamReader:
         return CommitLogStreamReader(schema, dict(self.options))

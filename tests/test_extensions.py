@@ -226,9 +226,12 @@ class TestDriverOrder:
         # slots refresh the stalest tail rows.
         must_verify = {
             # NEW in r10: conditional multi-clause MERGE INTO (VERDICT
-            # r09 #1) and the pure-NumPy PNG decode (VERDICT r09 #5)
+            # r09 #1), the pure-NumPy PNG decode (VERDICT r09 #5), and
+            # the typed change feed as a streaming source (VERDICT
+            # r09 #6)
             "merge_into_conditional",
             "multimodal_decode_png",
+            "stream_table_changes_typed",
             # own code changed in r10: split_leakage_free collapsed to
             # one corpus scan (r10 review sweep)
             "split_leakage_free",

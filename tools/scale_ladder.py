@@ -221,6 +221,9 @@ LADDER = [
     # r10: compressed PNG encode+decode per document (map-only chained
     # mapInPandas — scan-linear in documents, no shuffle)
     "multimodal_decode_png",
+    # r10: typed CDF streaming source (4 bounded micro-batches over the
+    # commit protocol — admission-walk floor like stream_table_source)
+    "stream_table_changes_typed",
 ]
 
 
