@@ -167,10 +167,11 @@ HEADLINE = [
     "hybrid_search_rrf",
     "split_leakage_free",
     # r10: conditional multi-clause MERGE INTO; compressed PNG decode;
-    # typed CDF streaming source
+    # typed CDF streaming source; Z-order clustered compaction
     "merge_into_conditional",
     "multimodal_decode_png",
     "stream_table_changes_typed",
+    "zorder_clustered_scan",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -832,6 +832,91 @@ def rowgroup_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Two independent range slices for the Z-order demo: each covers a
+# modest fraction of its dimension, and the columns are uncorrelated —
+# the layout must serve BOTH from one sort order.
+ZSCAN_ID_LO, ZSCAN_ID_HI = 100, 400
+ZSCAN_USER_LO, ZSCAN_USER_HI = 50, 220
+
+
+@register(
+    "zorder_clustered_scan",
+    f"""SELECT * FROM (
+        SELECT 'by_id' AS dim,
+               COUNT(*) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               CAST(SUM(user_id) AS BIGINT) AS sum_user,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        WHERE event_id BETWEEN {ZSCAN_ID_LO} AND {ZSCAN_ID_HI}
+        UNION ALL
+        SELECT 'by_user', COUNT(*),
+               CAST(SUM(event_id) AS BIGINT),
+               CAST(SUM(user_id) AS BIGINT),
+               ROUND(SUM(value), 4)
+        FROM events
+        WHERE user_id BETWEEN {ZSCAN_USER_LO} AND {ZSCAN_USER_HI})""",
+)
+def zorder_clustered_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """MULTI-COLUMN clustered compaction (r10, VERDICT r09 stretch #7 —
+    Delta OPTIMIZE ZORDER BY): events land by event_type through three
+    interleaved appends (files span both id and user ranges — nothing
+    skippable), then `compact_partition_table(cluster_by=["event_id",
+    "user_id"])` rewrites each partition in Morton-interleaved order
+    (each column scaled monotonely from its actual bounds), so row-
+    group min/max are simultaneously tight on BOTH columns. The two
+    branches then range-scan on EACH dimension alone — where a plain
+    `sort_within=["event_id"]` layout serves only the first — and the
+    oracle recomputes both aggregates from raw events, proving the
+    relayout changed nothing. Row-group skipping on both columns is
+    pinned from executed-plan scan metrics by
+    tests/test_streaming_sink.py
+    (test_cluster_by_skips_rowgroups_on_both_columns)."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        compact_partition_table,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_zorder_clustered_r10", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        for i in range(3):
+            append_partition_transaction(
+                spark, path, "event_type",
+                ev.filter(F.col("event_id") % 3 == i).repartition(
+                    4, "event_id"
+                ),
+                stats_cols=["event_id", "user_id"],
+            )
+        compact_partition_table(
+            spark, path, max_files_per_partition=2,
+            cluster_by=["event_id", "user_id"], max_records_per_file=512,
+        )
+        mark_landed(base)
+
+    def slice_agg(dim: str, cond) -> DataFrame:
+        t = read_keyed_table(spark, path)
+        return t.filter(cond).agg(
+            F.lit(dim).alias("dim"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+            F.sum("user_id").cast("long").alias("sum_user"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ).select("dim", "n", "sum_id", "sum_user", "sum_value")
+
+    return slice_agg(
+        "by_id", F.col("event_id").between(ZSCAN_ID_LO, ZSCAN_ID_HI)
+    ).unionByName(
+        slice_agg(
+            "by_user", F.col("user_id").between(ZSCAN_USER_LO, ZSCAN_USER_HI)
+        )
+    )
+
+
 @register(
     "schema_evolution_read",
     """SELECT event_type,

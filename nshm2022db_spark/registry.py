@@ -177,12 +177,14 @@ _DRIVER_ORDER = [
     #     stream_cdc_rollup represent it), and the overwrite staging
     #     block was restructured for the deletion-only audit gate
     #     (overwrite_partition_transaction represents it). Also NEW in
-    #     r10: pure-NumPy PNG decode (VERDICT r09 #5) and the typed
-    #     change feed as a streaming source (VERDICT r09 #6) — each
-    #     displaces one r6 row to the tail head:
+    #     r10: pure-NumPy PNG decode (VERDICT r09 #5), the typed
+    #     change feed as a streaming source (VERDICT r09 #6), and the
+    #     multi-column Z-order clustered compaction (stretch #7) —
+    #     each displaces one r6 row to the tail head:
     "merge_into_conditional",
     "multimodal_decode_png",
     "stream_table_changes_typed",
+    "zorder_clustered_scan",
     "split_leakage_free",
     "table_changes_typed",
     "stream_upsert_table",
@@ -232,12 +234,12 @@ _DRIVER_ORDER = [
     "events_tumbling_window",
     "fk_integrity_check",
     "geometry_planes_checksum",
-    "hll_shard_merge",
     # --- 50-query window boundary (driver gate cap observed r01-r09) ---
     # Tail head — FIRST PRIORITY for the round-11 window: the remaining
     # r6-evidence rows (stalest oracle-able evidence after this
     # rotation); then the r8 rows, the rows-only geometry row, and the
     # r9/r10-fresh displacements last:
+    "hll_shard_merge",
     "knn_index_lakehouse",
     "manifest_count_scan",
     "manifest_skip_scan",

@@ -1612,12 +1612,42 @@ def land_stream_to_partitioned_table(
     return writer.start()
 
 
+_ZORDER_BITS = 16  # per-dimension resolution of the clustering key
+
+
+def _zorder_sort_expr(cols: list[str], bounds: dict) -> "F.Column":
+    """The multi-column clustering key for ``cluster_by`` compaction —
+    Delta OPTIMIZE ZORDER BY's layout: scale each column MONOTONELY
+    into [0, 2^bits) from its actual min/max (a modulo would destroy
+    the range locality the clustering exists to create), then
+    interleave the bits. Sorting by the interleaved key gives every
+    clustered column simultaneously-tight row-group min/max, so a
+    range scan on ANY of them prunes row groups — where a single-
+    column sort serves only its own column."""
+    n = len(cols)
+    scaled = []
+    for c in cols:
+        lo, hi = bounds[c]
+        span = max(float(hi) - float(lo), 1.0)
+        scaled.append(
+            f"CAST((CAST({c} AS DOUBLE) - {float(lo)!r}) * "
+            f"{float((1 << _ZORDER_BITS) - 1)!r} / {span!r} AS BIGINT)"
+        )
+    terms = [
+        f"((({s}) >> {i} & 1) << {i * n + j})"
+        for j, s in enumerate(scaled)
+        for i in range(_ZORDER_BITS)
+    ]
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+
+
 def compact_partition_table(
     spark: SparkSession,
     table_dir: str,
     max_files_per_partition: int = 4,
     sort_within: list[str] | None = None,
     max_records_per_file: int | None = None,
+    cluster_by: list[str] | None = None,
 ) -> list[str]:
     """OPTIMIZE as a commit: rewrite fragmented partitions of a
     partition-mapped committed table into one file each, published as a
@@ -1649,7 +1679,16 @@ def compact_partition_table(
     DISJOINT key slice — a range scan then opens only the files whose
     footer stats overlap it. Note a partition compacted into more than
     ``max_files_per_partition`` files still counts as fragmented to a
-    later compaction call; pick the two knobs together."""
+    later compaction call; pick the two knobs together.
+
+    ``cluster_by=[c1, c2, ...]`` (r10, VERDICT r09 stretch #7 —
+    mutually exclusive with ``sort_within``) is Delta OPTIMIZE ZORDER
+    BY: rows sort by the Morton interleave of the named NUMERIC
+    columns, scaled monotonely from their actual bounds (one tiny
+    1-row job over the fragmented partitions), so row-group min/max
+    are simultaneously tight on EVERY clustered column — a range scan
+    on any one of them prunes row groups, pinned from executed-plan
+    scan metrics in tests/test_streaming_sink.py."""
     cur = current_commit(table_dir)
     if "partitions" not in cur:
         raise ValueError(
@@ -1680,8 +1719,29 @@ def compact_partition_table(
     bloom_cols = sorted({c for e in blo.values() for c in e}) or None
     bloom_spec = next((s for e in blo.values() for s in e.values()), None)
 
+    if cluster_by and sort_within:
+        raise ValueError("pass sort_within or cluster_by, not both")
+
     def rewrite(base: DataFrame) -> DataFrame:
         out = base.filter(F.col(pcol).isin(values)).repartition(F.col(pcol))
+        if cluster_by:
+            # bounds for the monotone scaling: one 1-row job over the
+            # fragmented partitions (the sanctioned scalar-bounds shape)
+            b = out.agg(
+                *[F.min(c).alias(f"_lo_{c}") for c in cluster_by],
+                *[F.max(c).alias(f"_hi_{c}") for c in cluster_by],
+            ).collect()[0]
+            bounds = {
+                c: (b[f"_lo_{c}"] or 0, b[f"_hi_{c}"] or 0)
+                for c in cluster_by
+            }
+            # sort by the EXPRESSION (pcol first — the file writer
+            # requires partition-column-led ordering or inserts its own
+            # non-stable sort): a materialized-then-dropped key column
+            # would invalidate the outputOrdering the writer checks
+            return out.sortWithinPartitions(
+                F.col(pcol), _zorder_sort_expr(cluster_by, bounds)
+            )
         if sort_within:
             # lead with the partition column: the file writer requires
             # its input ordered by the partition columns and would

@@ -232,6 +232,9 @@ class TestDriverOrder:
             "merge_into_conditional",
             "multimodal_decode_png",
             "stream_table_changes_typed",
+            # NEW in r10: multi-column Z-order clustered compaction
+            # (VERDICT r09 stretch #7)
+            "zorder_clustered_scan",
             # own code changed in r10: split_leakage_free collapsed to
             # one corpus scan (r10 review sweep)
             "split_leakage_free",

@@ -975,6 +975,115 @@ class TestCommitLog:
         pre_v = read_keyed_table(spark, t, version=pre_version).filter(rng)
         assert got == pre_v.count() == hi - lo + 1
 
+    def test_cluster_by_skips_rowgroups_on_both_columns(
+        self, spark, tmp_path
+    ):
+        """Multi-column clustered compaction (r10, VERDICT r09 stretch
+        #7): after `cluster_by=[uid, gid]` Z-order compaction, a range
+        scan on EITHER column alone prunes row groups — the property a
+        single-column sort cannot provide (sorting by uid leaves gid
+        interleaved across every row group, and vice versa). Pinned
+        from the EXECUTED plan's scan metric against the exact footer
+        prediction, per column."""
+        import pyarrow.parquet as pq
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            compact_partition_table,
+            read_keyed_table,
+            table_history,
+        )
+
+        def scan_rows(df):
+            df.collect()
+            total = 0
+            it = (
+                df._jdf.queryExecution().executedPlan().collectLeaves()
+                .iterator()
+            )
+            while it.hasNext():
+                m = it.next().metrics()
+                if m.contains("numOutputRows"):
+                    total += m.apply("numOutputRows").value()
+            return total
+
+        t = str(tmp_path / "t")
+        n = 2000
+        # gid decorrelated from uid: a uid sort leaves gid unsorted
+        ev = spark.range(n).select(
+            F.col("id").alias("uid"),
+            ((F.col("id") * 37) % 1000).alias("gid"),
+            F.lit("a").alias("k"),
+        )
+        for i in range(3):
+            append_partition_transaction(
+                spark, t, "k",
+                ev.filter(F.col("uid") % 3 == i).repartition(2, "uid"),
+                stats_cols=["uid", "gid"],
+            )
+        uid_rng = F.col("uid").between(100, 299)
+        gid_rng = F.col("gid").between(100, 299)
+        assert scan_rows(read_keyed_table(spark, t).filter(uid_rng)) == n
+        # ~40 row groups: the Z-curve carves a fine enough grid that a
+        # 20% range on either dimension keeps well under half the blocks
+        compact_partition_table(
+            spark, t, max_files_per_partition=2,
+            cluster_by=["uid", "gid"], max_records_per_file=50,
+        )
+        m = table_history(t)[-1]
+
+        def footer_expect(col_idx, lo, hi):
+            expect, groups, live = 0, 0, 0
+            for entry, d in m["partitions"].items():
+                pdir = os.path.join(
+                    t, d if isinstance(d, str) else d[0], entry
+                )
+                for fname in os.listdir(pdir):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    meta = pq.ParquetFile(
+                        os.path.join(pdir, fname)
+                    ).metadata
+                    for g in range(meta.num_row_groups):
+                        st = meta.row_group(g).column(col_idx).statistics
+                        groups += 1
+                        if st.min <= hi and st.max >= lo:
+                            live += 1
+                            expect += meta.row_group(g).num_rows
+            return expect, groups, live
+
+        # uid hits 200 rows; gid cycles twice over 2000 ids -> 400
+        for col_idx, rng, col, n_match in (
+            (0, uid_rng, "uid", 200), (1, gid_rng, "gid", 400)
+        ):
+            post = scan_rows(read_keyed_table(spark, t).filter(rng))
+            expect, groups, live = footer_expect(col_idx, 100, 299)
+            assert post == expect, col
+            assert live < groups, f"no row groups skipped on {col}"
+            assert post <= 0.6 * n, f"{col} scan surfaced most of the table"
+            # skipping is read-side only: the answer is unchanged
+            assert read_keyed_table(spark, t).filter(rng).count() == n_match
+
+    def test_cluster_by_excludes_sort_within(self, spark, tmp_path):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            compact_partition_table,
+        )
+
+        t = str(tmp_path / "t")
+        append_partition_transaction(
+            spark, t, "k",
+            spark.range(10).select(
+                F.col("id").alias("uid"), F.lit("a").alias("k")
+            ),
+        )
+        with pytest.raises(ValueError, match="not both"):
+            compact_partition_table(
+                spark, t, sort_within=["uid"], cluster_by=["uid"]
+            )
+
     def test_key_tombstones(self, spark, tmp_path):
         """MOR DELETE via key tombstones: O(keys) commit hides every row
         of the keys from every read (including later appends), earlier

@@ -224,6 +224,9 @@ LADDER = [
     # r10: typed CDF streaming source (4 bounded micro-batches over the
     # commit protocol — admission-walk floor like stream_table_source)
     "stream_table_changes_typed",
+    # r10: Z-order clustered compaction round trip (land + relayout at
+    # first call; the timed warm path is the two row-group-pruned scans)
+    "zorder_clustered_scan",
 ]
 
 
