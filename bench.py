@@ -172,6 +172,7 @@ HEADLINE = [
     "multimodal_decode_png",
     "stream_table_changes_typed",
     "zorder_clustered_scan",
+    "cdc_apply_typed",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -1594,6 +1594,85 @@ def table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_apply_typed",
+    """WITH e AS (
+           SELECT event_id, user_id, event_id % 4 AS b FROM events),
+       final AS (
+           SELECT event_id, user_id, CAST(b AS VARCHAR) AS b FROM e
+           WHERE (b <> 1 OR event_id % 8 = 1) AND event_id % 7 <> 0
+                 AND event_id % 6 <> 0
+           UNION ALL
+           SELECT event_id, user_id, 'x' AS b FROM e
+           WHERE event_id % 6 = 0
+             AND NOT ((b <> 1 OR event_id % 8 = 1)
+                      AND event_id % 7 <> 0))
+       SELECT b, COUNT(*) AS n,
+              CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              CAST(SUM(user_id) AS BIGINT) AS user_sum
+       FROM final GROUP BY b""",
+)
+def cdc_apply_typed(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC APPLY over the typed change feed (r10): the same mixed
+    4-commit history as `stream_table_changes_typed` (append →
+    replaceWhere overwrite → key tombstone → dv-consolidating merge),
+    then `apply_typed_changes` folds EVERY image — insert/delete
+    pairs, tombstone delete images, merge re-inserts — back into a
+    replica with one multiset aggregation, and the replica's rollup
+    must equal the oracle's direct recomputation of the FINAL state
+    from base events. This is the downstream half of Delta CDF: proof
+    that a consumer holding only the feed reconstructs the table
+    exactly (replica == head is additionally row-level-pinned in
+    tests/test_streaming_sink.py)."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        apply_typed_changes,
+        merge_into_table,
+        overwrite_partition_transaction,
+        read_table_changes_typed,
+        tombstone_keys,
+    )
+
+    base = scratch_path("events_cdc_apply_r10b", sf)
+    path = os.path.join(base, "events_by_bucket")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            (F.col("event_id") % 4).cast("string").alias("b"),
+        )
+        append_partition_transaction(spark, path, "b", ev, batch_id=0)
+        overwrite_partition_transaction(
+            spark, path, "b",
+            ev.filter((F.col("b") == "1") & (F.col("event_id") % 8 == 1)),
+            replace_where=["1"], batch_id=1,
+        )
+        tombstone_keys(
+            spark, path, "event_id",
+            ev.filter(F.col("event_id") % 7 == 0).select("event_id"),
+            batch_id=2,
+        )
+        merge_into_table(
+            spark, path,
+            ev.filter(F.col("event_id") % 6 == 0), ["event_id"],
+            when_matched_delete=True,
+            when_not_matched_insert={
+                "event_id": "s.event_id",
+                "user_id": "s.user_id",
+                "b": "'x'",
+            },
+            batch_id=3,
+        )
+        mark_landed(base)
+    feed = read_table_changes_typed(spark, path, from_version=0)
+    replica = apply_typed_changes(feed, ["event_id", "user_id", "b"])
+    return replica.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.sum("user_id").cast("long").alias("user_sum"),
+    )
+
+
 DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot
 DIFF_UPDATE_MOD = 11  # keys repriced in the "new" snapshot
 

@@ -524,15 +524,24 @@ def stream_table_source(spark: SparkSession, sf: str) -> DataFrame:
            FROM e WHERE (b <> 1 OR event_id % 8 = 1)
                     AND event_id % 7 = 0
            UNION ALL
+           -- v4 merge: the re-inserts purge-rewrite every (stat-less)
+           -- partition that may hold their stale tombstoned rows, so
+           -- the pair images cover the FULL prior visible state...
            SELECT CAST(4 AS BIGINT), 'delete', COUNT(*),
                   CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
-           FROM vis3 WHERE event_id % 6 = 0
+           FROM vis3
            UNION ALL
+           -- ...and the post-merge content: survivors (matched deletes
+           -- applied in-place) plus the re-inserted rows
            SELECT CAST(4 AS BIGINT), 'insert', COUNT(*),
                   CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
-           FROM e WHERE event_id % 6 = 0
-                    AND NOT ((b <> 1 OR event_id % 8 = 1)
-                             AND event_id % 7 <> 0)
+           FROM (
+               SELECT event_id FROM vis3 WHERE event_id % 6 <> 0
+               UNION ALL
+               SELECT event_id FROM e
+               WHERE event_id % 6 = 0
+                 AND NOT ((b <> 1 OR event_id % 8 = 1)
+                          AND event_id % 7 <> 0))
        ) WHERE n > 0""",
 )
 def stream_table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
@@ -540,10 +549,13 @@ def stream_table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
     the streaming half of Delta CDF): the same mixed history as
     `table_changes_typed` (v1 append all, v2 INSERT OVERWRITE bucket 1
     keeping ids = 1 mod 8, v3 tombstone ids % 7 == 0) PLUS a v4
-    conditional MERGE (delete matched ids % 6 == 0 — a delete-only
-    merge, so keys go to the deletion vector — and re-insert the
-    unmatched ones into a new partition, which CONSOLIDATES the dv:
-    re-inserted keys leave it). A silver job consumes it as
+    conditional MERGE (delete matched ids % 6 == 0, re-insert the
+    unmatched ones into a new partition). The re-inserts CONSOLIDATE
+    the dv (re-inserted keys leave it) and therefore purge-rewrite
+    every partition that may hold their stale tombstoned rows — here
+    all of them (stat-less entries are conservative candidates), so
+    v4 emits full pair images plus the re-inserts, and the matched
+    deletes apply in-place rather than via new tombstones. A silver job consumes it as
     `spark.readStream.format("commitlog").option("changeTypes",
     "true")` with `maxVersionsPerBatch=1` — four REAL micro-batches,
     each emitting exactly the insert/delete images

@@ -2633,6 +2633,36 @@ def read_table_changes_typed(
     return out
 
 
+def apply_typed_changes(feed: DataFrame, cols: list[str]) -> DataFrame:
+    """CDC APPLY: fold a typed change feed into the replica state it
+    encodes. Images are exact state diffs, so the head state equals
+    (multiset of insert images) − (multiset of delete images) over the
+    data columns: ONE hash aggregation on the row values, rows with a
+    positive net count emitted that many times (an update nets 0 on
+    its old image and +1 on its new; a delete-then-identical-reinsert
+    nets +1; duplicate physical rows net their multiplicity). ``cols``
+    is the replica's column set — the feed's metadata columns are
+    dropped.
+
+    This is the batch proof that the feed ALONE reconstructs the
+    table (`cdc_apply_typed` pins replica == head against the oracle);
+    a consumer maintaining a replica incrementally folds each
+    version's images into a keyed `merge_into_table` instead. Scale
+    shape: one shuffle on the full row values — the same cost class as
+    the dedup_exact fingerprint exchange."""
+    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        feed.select(*cols, w.alias("_w"))
+        .groupBy(*cols)
+        .agg(F.sum("_w").alias("_net"))
+        .filter(F.col("_net") > 0)
+        .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_net"))))
+        .drop("_net", "_i")
+    )
+
+
 def read_partition_counts(spark: SparkSession, table_dir: str) -> DataFrame:
     """Per-partition COUNT(*) answered from the MANIFEST — Delta's
     metadata-only count optimization: every footer-scanned entry
@@ -3134,8 +3164,11 @@ def merge_into_table(
     tombstones (a hidden key is NOT MATCHED, so the insert clause can
     resurrect it), and a merge that inserts while tombstones exist
     consolidates the DV list minus the re-inserted keys — otherwise
-    the old tombstone would hide the new row. Requires the table's
-    ``dv_key`` to be the single merge key (raises otherwise).
+    the old tombstone would hide the new row. Partitions that may
+    still hold a re-inserted key's STALE physical rows are rewritten
+    (purged) in the same commit, so clearing the tombstone can never
+    resurrect them. Requires the table's ``dv_key`` to be the single
+    merge key (raises otherwise).
 
     Commits tag ``op: "merge"``. Concurrency: the merge itself re-runs
     on CAS conflict (its output depends on the base, so its stage
@@ -3435,6 +3468,47 @@ def merge_into_table(
                 | moved_out
                 | {v for v in ins_in if v in scanned_vals}
             )
+            if cur.get("dv") and n_ins:
+                # re-inserting a tombstoned key clears it from the DV
+                # (consolidation below) — which would RESURRECT the
+                # key's stale physical rows in their old partitions.
+                # Those partitions must be rewritten (purged) in this
+                # same commit: their staged content is the tombstone-
+                # filtered base read, so the stale rows drop out. They
+                # are necessarily in the scan set (a re-inserted key is
+                # a source key, and pruning kept every partition whose
+                # stats can hold one); one extra bounds job, only on
+                # the dv-and-inserts path. (Found by the CDC-apply
+                # replica≠head pin, r10.)
+                k = keys[0]
+                reins = (
+                    dec.filter(F.col("_action") == "insert")
+                    .select(k)
+                    .join(
+                        spark.read.parquet(
+                            *[
+                                os.path.join(table_dir, d)
+                                for d in cur["dv"]
+                            ]
+                        ).distinct(),
+                        on=k,
+                        how="left_semi",
+                    )
+                )
+                rb = reins.agg(
+                    F.min(k).alias("lo"), F.max(k).alias("hi")
+                ).collect()[0]
+                if rb.lo is not None:
+                    stale = _stats_prune(
+                        {
+                            "partitions": dict(scan_parts),
+                            "stats": cur.get("stats", {}),
+                        },
+                        {k: (rb.lo, rb.hi)},
+                    )
+                    rewrite_vals |= {
+                        e.split("=", 1)[1] for e in stale
+                    }
             extend_vals = (upd_in | ins_in) - scanned_vals - rewrite_vals
             tomb_vals = set()
             for v in del_in - rewrite_vals:

@@ -233,8 +233,11 @@ class TestDriverOrder:
             "multimodal_decode_png",
             "stream_table_changes_typed",
             # NEW in r10: multi-column Z-order clustered compaction
-            # (VERDICT r09 stretch #7)
+            # (VERDICT r09 stretch #7) and CDC APPLY (typed-feed fold
+            # whose replica==head pin found the re-insert resurrection
+            # bug)
             "zorder_clustered_scan",
+            "cdc_apply_typed",
             # own code changed in r10: split_leakage_free collapsed to
             # one corpus scan (r10 review sweep)
             "split_leakage_free",

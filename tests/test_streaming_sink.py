@@ -3370,6 +3370,54 @@ class TestTypedChangeFeed:
             ).replace(tzinfo=None)
             assert abs((r._commit_timestamp - want).total_seconds()) < 1e-3
 
+    def test_apply_typed_changes_reconstructs_head(self, spark, tmp_path):
+        """CDC APPLY (r10): folding EVERY typed image over a mixed
+        append/overwrite/tombstone/merge history — including duplicate
+        physical rows, whose multiplicity the multiset fold must
+        preserve — reconstructs exactly the head state."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            apply_typed_changes,
+            merge_into_table,
+            overwrite_partition_transaction,
+            read_keyed_table,
+            read_table_changes_typed,
+            tombstone_keys,
+        )
+
+        d = str(tmp_path / "t")
+        dup = self._batch(spark, 50, 51, "b")  # duplicated row, survives
+        append_partition_transaction(
+            spark, d, "day",
+            self._batch(spark, 0, 8, "a").union(dup).union(dup),
+        )
+        overwrite_partition_transaction(
+            spark, d, "day",
+            self._batch(spark, 0, 8, "a").filter("k % 2 = 0"),
+            replace_where=["a"],
+        )
+        tombstone_keys(
+            spark, d, "k", spark.range(0, 3).select(F.col("id").alias("k"))
+        )
+        merge_into_table(
+            spark, d,
+            spark.range(2, 5).select(
+                F.col("id").alias("k"), (F.col("id") * 9.0).alias("nv")
+            ),
+            ["k"],
+            when_matched_delete="t.v > 7",
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'n'"},
+        )
+        replica = apply_typed_changes(
+            read_table_changes_typed(spark, d, 0), ["k", "v", "day"]
+        )
+        head = read_keyed_table(spark, d)
+        assert sorted(
+            (r.k, r.v, r.day) for r in replica.collect()
+        ) == sorted((r.k, r.v, r.day) for r in head.collect())
+        # the duplicate row kept its multiplicity through the fold
+        assert replica.filter("k = 50").count() == 2
+
     def test_restore_and_untagged_raise(self, spark, tmp_path):
         import pytest
 
@@ -3794,11 +3842,19 @@ class TestMergeIntoTable:
             when_matched_update={"v": "s.nv"},
         )
         rows3 = read_table_changes_typed(spark, d, 2).collect()
-        assert sorted(
-            (r.k, r._change_type) for r in rows3
-        ) == [(0, "delete"), (0, "insert"), (1, "delete"), (1, "insert"),
-              (2, "delete"), (2, "insert"), (3, "insert"), (4, "delete"),
-              (4, "insert")]
+        # the re-insert purges partitions that may hold the tombstoned
+        # key's stale rows (stat-less entries are conservative
+        # candidates), so b and c re-pair their unchanged content; the
+        # load-bearing pins: 3's tombstone history is NOT re-deleted,
+        # and 3's insert appears exactly once
+        ins3 = sorted(r.k for r in rows3 if r._change_type == "insert")
+        dels3 = sorted(r.k for r in rows3 if r._change_type == "delete")
+        assert ins3 == sorted(
+            [0, 1, 2, 3, 4] + list(range(5, 15)) + list(range(20, 25))
+        )
+        assert dels3 == sorted(
+            [0, 1, 2, 4] + list(range(5, 15)) + list(range(20, 25))
+        )
 
     def test_merge_requires_clause_and_commits(self, spark, tmp_path):
         import pytest

@@ -428,10 +428,13 @@ class TestTypedStream:
         assert by[(3, "delete")] == set(range(0, 8))
         # v4 tombstone: 1 was NOT visible (overwritten away) — no image
         assert by[(4, "delete")] == {0, 4}
-        # v5 merge: matched deletes 8, 10; re-inserts 1 and 4 — and the
-        # consolidation must NOT re-delete historical keys
-        assert by[(5, "delete")] == {8, 10}
-        assert by[(5, "insert")] == {1, 4}
+        # v5 merge: the re-inserts (1, 4) purge-rewrite the stat-less
+        # partitions (stale-row resurrection guard), so both days
+        # re-pair their content; matched deletes 8, 10 apply in-place.
+        # Load-bearing pins: no tombstone history re-deleted (0 absent),
+        # and the re-inserted keys appear exactly once as inserts.
+        assert by[(5, "delete")] == {2, 6, 8, 9, 10, 11}
+        assert by[(5, "insert")] == {1, 2, 4, 6, 9, 11}
         assert all(r._commit_timestamp is not None for r in stream_rows)
 
     def test_untyped_stream_still_raises_on_rewrites(self, spark):

@@ -227,6 +227,9 @@ LADDER = [
     # r10: Z-order clustered compaction round trip (land + relayout at
     # first call; the timed warm path is the two row-group-pruned scans)
     "zorder_clustered_scan",
+    # r10: CDC APPLY — typed-feed multiset fold into a replica (one
+    # shuffle on the full row values, the dedup_exact cost class)
+    "cdc_apply_typed",
 ]
 
 
