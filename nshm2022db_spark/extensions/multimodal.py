@@ -210,6 +210,10 @@ def decode_png(data: bytes) -> np.ndarray:
     pos, ihdr, idat = 8, None, []
     while pos + 12 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            # keep the ValueError contract decode_image_real's PIL-tier
+            # fallback relies on — a bare struct.error would escape it
+            raise ValueError("truncated PNG chunk")
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)

@@ -1625,18 +1625,23 @@ def _zorder_sort_expr(cols: list[str], bounds: dict) -> "F.Column":
     range scan on ANY of them prunes row groups — where a single-
     column sort serves only its own column."""
     n = len(cols)
+    # total interleaved width must stay below the BIGINT sign bit: bit
+    # 63 would flip the sort order and >=64 wraps mod 64 in Java shift
+    # semantics, silently destroying the clustering (r10 review #6) —
+    # so per-dimension resolution shrinks as columns are added
+    bits = min(_ZORDER_BITS, 63 // n)
     scaled = []
     for c in cols:
         lo, hi = bounds[c]
         span = max(float(hi) - float(lo), 1.0)
         scaled.append(
             f"CAST((CAST({c} AS DOUBLE) - {float(lo)!r}) * "
-            f"{float((1 << _ZORDER_BITS) - 1)!r} / {span!r} AS BIGINT)"
+            f"{float((1 << bits) - 1)!r} / {span!r} AS BIGINT)"
         )
     terms = [
         f"((({s}) >> {i} & 1) << {i * n + j})"
         for j, s in enumerate(scaled)
-        for i in range(_ZORDER_BITS)
+        for i in range(bits)
     ]
     return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
@@ -2573,9 +2578,36 @@ def read_table_changes_typed(
                         F.min(key).alias("lo"), F.max(key).alias("hi")
                     ).collect()[0]
                     if lo_hi.lo is not None:  # NULL/empty keys hide nothing
-                        before = read_keyed_table(
-                            spark, table_dir, version=v - 1,
-                            prune={key: (lo_hi.lo, lo_hi.hi)},
+                        # delete images come from entries this commit
+                        # did NOT touch: a touched entry's removed rows
+                        # are already in its pair images, so including
+                        # it here would double-delete keys whose rows
+                        # span both (r10 review #2). Legacy layouts
+                        # cannot exist under a merge commit (the write
+                        # path refuses them), so the current-layout map
+                        # is the whole prior state.
+                        untouched = {
+                            e: prev_p[e] for e in prev_p if e not in touched
+                        }
+                        sub = {
+                            "partition_col": pcol,
+                            "partitions": dict(
+                                _stats_prune(
+                                    {
+                                        "partitions": untouched,
+                                        "stats": prev.get("stats", {}),
+                                    },
+                                    {key: (lo_hi.lo, lo_hi.hi)},
+                                )
+                            ),
+                        }
+                        before = (
+                            _apply_tombstones(
+                                spark, table_dir, prev,
+                                _read_partition_map(spark, table_dir, sub),
+                            )
+                            if sub["partitions"]
+                            else None
                         )
                         if before is not None:
                             deleted = before.join(
@@ -3290,9 +3322,20 @@ def merge_into_table(
             F.struct(*[F.col(c) for c in source.columns]).alias("s"),
         )
         if base is not None:
+            # the pruned base may lack columns only UNSCANNED
+            # generations carry (schema evolution + stats pruning) —
+            # pad them as typed NULLs so the full-table struct resolves
+            # (r10 review #1)
+            have = set(base.columns)
             t2 = base.select(
                 *keys, F.lit("t").alias("_side"),
-                F.struct(*[F.col(c) for c in tcols]).alias("t"),
+                F.struct(
+                    *[
+                        F.col(c) if c in have
+                        else F.lit(None).cast(ttypes[c]).alias(c)
+                        for c in tcols
+                    ]
+                ).alias("t"),
             )
             u = t2.unionByName(s2, allowMissingColumns=True)
         else:
@@ -3414,11 +3457,16 @@ def merge_into_table(
                 .cast(ttypes[c])
             )
             if c == pcol:
+                # updates can also null the partition column (r10
+                # review #5): without the guard the NULL leaks into the
+                # rollup and fails later with an opaque sorted() error
                 col = F.when(
-                    (F.col("_act") == "insert") & col.isNull(),
+                    (F.col("_act") != "carry")
+                    & (F.col("_act") != "delete")
+                    & col.isNull(),
                     F.raise_error(
                         F.lit(
-                            f"MERGE: inserted row has NULL partition "
+                            f"MERGE: merged row has NULL partition "
                             f"column {pcol!r}"
                         )
                     ).cast("string"),

@@ -60,6 +60,9 @@ from pyspark.sql.types import StructType
 
 FORMAT_NAME = "commitlog"
 
+# per-worker memo of dv key-file reads (files are immutable; see read())
+_KEYSET_CACHE: dict = {}
+
 # ops an additive streaming read can express; everything else raises
 # (same allow-list as maintain_incremental_agg — evolve and
 # set-constraints are metadata-only for the ADD-rows feed)
@@ -304,8 +307,21 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                         table_dir, key, m.get("dv", []), prev.get("dv", [])
                     )
                     if any_:
+                        # untouched entries only — a touched entry's
+                        # removed rows are already in its pair images;
+                        # including it would double-delete keys whose
+                        # rows span both (r10 review #2, same fix as
+                        # the batch path)
+                        untouched = {
+                            "partitions": {
+                                e: d
+                                for e, d in prev.get("partitions", {}).items()
+                                if e not in touched
+                            },
+                            "stats": prev.get("stats", {}),
+                        }
                         for e, dirs in sorted(
-                            _stats_prune(prev, {key: (lo, hi)}).items()
+                            _stats_prune(untouched, {key: (lo, hi)}).items()
                         ):
                             unit(
                                 _entry_files(table_dir, dirs, e),
@@ -318,6 +334,17 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
             ]
             if not new_dv:
                 continue
+            if m.get("legacy_layouts") or prev.get("legacy_layouts"):
+                # the deleted keys' rows may live in a legacy layout the
+                # current-layout plan below cannot see — the batch feed
+                # reads all layouts, a silent stream would miss delete
+                # images (r10 review #4)
+                raise ValueError(
+                    f"commit {v} of {table_dir} tombstones keys over "
+                    "unmigrated legacy partition layouts; run "
+                    "migrate_legacy_layouts or consume "
+                    "read_table_changes_typed in batch"
+                )
             key = m["dv_key"]
             lo, hi, any_ = _dv_added_bounds(table_dir, key, new_dv, [])
             if not any_:
@@ -565,7 +592,14 @@ class CommitLogStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        def key_set(dirs: list[str]) -> set:
+        def key_set(dirs: list[str]) -> frozenset:
+            # per-worker memo: a commit fanning out to many units would
+            # otherwise re-parse the same immutable dv key files once
+            # per unit (r10 review #7)
+            ck = (partition.key, tuple(dirs))
+            hit = _KEYSET_CACHE.get(ck)
+            if hit is not None:
+                return hit
             out: set = set()
             for d in dirs:
                 if not os.path.isdir(d):
@@ -577,14 +611,18 @@ class CommitLogStreamReader(DataSourceStreamReader):
                                 os.path.join(d, f), columns=[partition.key]
                             )[partition.key].to_pylist()
                         )
-            return out
+            if len(_KEYSET_CACHE) >= 64:
+                _KEYSET_CACHE.clear()
+            res = frozenset(out)
+            _KEYSET_CACHE[ck] = res
+            return res
 
         # executor-side key filters (delete-sized sets, the same data
         # the batch path broadcasts): drop rows the image version's own
         # tombstones hide, and for delete-image units keep only the
         # keys this commit ADDED (inc − exc)
-        drop: set = set()
-        keep: set | None = None
+        drop: frozenset = frozenset()
+        keep: frozenset | None = None
         if partition.key is not None:
             if partition.anti:
                 drop = key_set(partition.anti)
@@ -593,8 +631,16 @@ class CommitLogStreamReader(DataSourceStreamReader):
         target = to_arrow_schema(self._schema)
         for path in partition.files:
             t = pq.read_table(path)
-            if partition.key is not None and partition.key in t.column_names:
-                if keep is not None:
+            if partition.key is not None:
+                if partition.key not in t.column_names:
+                    if keep is not None:
+                        # a semi-filter over a file WITHOUT the key
+                        # column matches nothing (the batch path's
+                        # semi-join on the NULL evolved column emits
+                        # zero rows — r10 review #3); an anti-filter
+                        # over it drops nothing, so fall through
+                        continue
+                elif keep is not None:
                     mask = pc.is_in(
                         t[partition.key],
                         value_set=pa.array(sorted(keep - drop)),

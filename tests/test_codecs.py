@@ -118,6 +118,18 @@ class TestPNG:
         with pytest.raises(ValueError, match="CRC"):
             decode_png(bytes(blob))
 
+    def test_truncated_chunk_raises_valueerror(self):
+        """r10 review #8: a truncated/corrupt chunk length must keep
+        the ValueError contract (decode_image_real's PIL-tier fallback
+        catches ValueError, not struct.error)."""
+        blob = encode_png(_png_pixels(1))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(blob[: len(blob) // 2])
+        bad = bytearray(blob)
+        bad[8:12] = (2 ** 31).to_bytes(4, "big")  # absurd IHDR length
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(bytes(bad))
+
     def test_rejects_unsupported_variants(self):
         import zlib
 

@@ -3856,6 +3856,93 @@ class TestMergeIntoTable:
             [0, 1, 2, 4] + list(range(5, 15)) + list(range(20, 25))
         )
 
+    def test_merge_on_schema_evolved_table_with_pruning(
+        self, spark, tmp_path
+    ):
+        """r10 review #1: the target struct is the FULL table schema,
+        but stats pruning may drop every partition carrying an evolved
+        column — the pruned base must pad it as a typed NULL instead
+        of failing to resolve."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)  # a: 0-4, b: 10-14, c: 20-24 (stats on k)
+        # evolved column 'tag' exists ONLY in partition c's generation
+        append_partition_transaction(
+            spark, d, "day",
+            self._batch(spark, 25, 27, "c").withColumn("tag", F.lit("zz")),
+            stats_cols=["k"],
+        )
+        # source keys 3..4 prune c (k >= 20 there) — the scanned base
+        # has no 'tag' column
+        m = merge_into_table(
+            spark, d, self._src(spark, 3, 5), ["k"],
+            when_matched_update={"v": "s.nv"},
+        )
+        assert m["updated"] == 2
+        got = read_keyed_table(spark, d)
+        assert got.filter("k = 3").collect()[0].v == 300.0
+        assert got.filter("k = 3").collect()[0].tag is None
+        assert got.filter("k = 25").collect()[0].tag == "zz"
+
+    def test_update_to_null_partition_raises_cleanly(self, spark, tmp_path):
+        """r10 review #5: an UPDATE nulling the partition column gets
+        the same clean raise as the insert path — not an opaque
+        TypeError from the driver rollup."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import merge_into_table
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        with pytest.raises(Exception, match="NULL partition column"):
+            merge_into_table(
+                spark, d, self._src(spark, 3, 4), ["k"],
+                when_matched_update={"day": "CAST(NULL AS STRING)"},
+            )
+
+    def test_no_double_delete_when_key_spans_rewritten_partition(
+        self, spark, tmp_path
+    ):
+        """r10 review #2: key k has rows in TWO partitions; a merge
+        matched-deletes k (one partition delete-only -> tombstoned,
+        the other rewritten for an unrelated update, k dropped
+        in-place). The typed feed must emit exactly one delete image
+        per physical row — the dv key-diff must not re-emit the
+        rewritten partition's row the pair already covered."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            merge_into_table,
+            read_table_changes_typed,
+        )
+
+        d = str(tmp_path / "t")
+        append_partition_transaction(
+            spark, d, "day",
+            self._batch(spark, 7, 9, "a").union(self._batch(spark, 7, 12, "b")),
+            stats_cols=["k"],
+        )
+        # k=7 lives in a AND b; delete k=7 everywhere, update k=10 (b)
+        m = merge_into_table(
+            spark, d,
+            spark.createDataFrame([(7, 0.0), (10, 999.0)], "k long, nv double"),
+            ["k"],
+            when_matched_update={"v": "s.nv"},
+            when_matched_update_condition="s.nv > 100",
+            when_matched_delete=True,
+        )
+        # per-ROW actions: k=7's two rows (a, b) both delete, k=10
+        # updates
+        assert (m["updated"], m["deleted"]) == (1, 2)
+        rows = read_table_changes_typed(spark, d, 1).collect()
+        dels = [(r.k, r.day) for r in rows if r._change_type == "delete"]
+        assert sorted(dels).count((7, "b")) == 1  # exactly once
+        assert sorted(dels).count((7, "a")) == 1
+
     def test_merge_requires_clause_and_commits(self, spark, tmp_path):
         import pytest
 
@@ -3869,3 +3956,21 @@ class TestMergeIntoTable:
                 spark, d, self._src(spark, 0, 1), ["k"],
                 when_matched_update={"v": "s.nv"},
             )
+
+
+class TestZorderExpr:
+    def test_four_columns_stay_below_sign_bit(self):
+        """r10 review #6: with n columns the interleave must fit below
+        BIGINT bit 63 (bit 63 flips sort order; >=64 wraps mod 64 in
+        Java shifts) — per-dimension bits shrink as columns grow."""
+        import re
+
+        from nshm2022db_spark.streaming.sinks import _zorder_sort_expr
+
+        for n in (2, 3, 4, 5):
+            cols = [f"c{i}" for i in range(n)]
+            expr = str(
+                _zorder_sort_expr(cols, {c: (0, 1000) for c in cols})._jc
+            )
+            shifts = [int(s) for s in re.findall(r"<<\s*(\d+)", expr)]
+            assert shifts and max(shifts) < 63, (n, max(shifts))

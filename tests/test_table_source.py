@@ -458,3 +458,77 @@ class TestTypedStream:
         finally:
             q.stop()
             spark.catalog.dropTempView("tsrc_untyped_guard")
+
+    def test_typed_stream_evolved_key_column_matches_batch(self, spark):
+        """r10 review #3: delete-image units over old-generation files
+        that LACK the dv key column must emit nothing (the batch path's
+        semi-join on the NULL evolved column matches nothing)."""
+        from nshm2022db_spark.streaming.sinks import (
+            read_table_changes_typed,
+            tombstone_keys,
+        )
+
+        d = tempfile.mkdtemp(prefix="tsrc_typed_evo_")
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 0, 4), batch_id=0
+        )
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 4, 8, extra="x"), batch_id=1
+        )
+        tombstone_keys(
+            spark, d, "tag",
+            spark.createDataFrame([("x",)], "tag string"),
+        )
+        register_commitlog_source(spark)
+        got = (
+            spark.readStream.format("commitlog")
+            .option("path", d)
+            .option("changeTypes", "true")
+            .load()
+        )
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_typed_evo")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stream_rows = spark.sql(
+            "select k, _commit_version, _change_type from tsrc_typed_evo"
+        ).collect()
+        spark.catalog.dropTempView("tsrc_typed_evo")
+        batch_rows = read_table_changes_typed(spark, d, 0).select(
+            "k", "_commit_version", "_change_type"
+        ).collect()
+        key = lambda rows: sorted(
+            (r.k, r._commit_version, r._change_type) for r in rows
+        )
+        assert key(stream_rows) == key(batch_rows)
+        # the tombstone's delete images cover ONLY the tagged rows
+        dels = {r.k for r in stream_rows if r._change_type == "delete"}
+        assert dels == {4, 5, 6, 7}
+
+    def test_typed_plan_refuses_legacy_layout_tombstones(self, spark):
+        """r10 review #4: a tombstone commit over unmigrated legacy
+        layouts cannot plan its delete images from the current layout
+        alone — raise instead of silently missing images."""
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            evolve_partition_column,
+            tombstone_keys,
+        )
+        from nshm2022db_spark.streaming.table_source import _typed_plan
+
+        d = tempfile.mkdtemp(prefix="tsrc_typed_leg_")
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 0, 4), batch_id=0
+        )
+        evolve_partition_column(spark, d, "k")
+        tombstone_keys(
+            spark, d, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        with pytest.raises(ValueError, match="legacy"):
+            _typed_plan(d, 0, current_commit(d)["version"])
