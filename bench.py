@@ -173,6 +173,7 @@ HEADLINE = [
     "stream_table_changes_typed",
     "zorder_clustered_scan",
     "cdc_apply_typed",
+    "merge_schema_evolution",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -1673,6 +1673,63 @@ def cdc_apply_typed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_schema_evolution",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              CAST(COUNT(nv) AS BIGINT) AS n_scored,
+              ROUND(CAST(SUM(nv) AS DOUBLE), 2) AS sum_nv
+       FROM (SELECT event_type,
+                    CASE WHEN event_id % 5 = 0 THEN value * 2 END AS nv
+             FROM events)
+       GROUP BY event_type""",
+)
+def merge_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE schema auto-merge (Delta's
+    spark.databricks.delta.schema.autoMerge, r10): events land
+    partitioned by event_type, then one `merge_into_table(...,
+    evolve_schema=True)` applies a scoring batch (every 5th id) whose
+    `nv` column does not exist in the target — the SET clause assigns
+    it, the column joins the table schema, carried rows and untouched
+    generations surface it as NULL through the mergeSchema read path
+    (parquet's own evolution contract: only files this merge wrote
+    carry the column). The oracle recomputes the evolved column
+    closed-form from base events, value-checking assignment, NULL
+    carry, and the evolved read."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        merge_into_table,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_merge_evolve_r10", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        append_partition_transaction(
+            spark, path, "event_type", ev, stats_cols=["event_id"]
+        )
+        merge_into_table(
+            spark, path,
+            ev.filter(F.col("event_id") % 5 == 0).select(
+                "event_id", (F.col("value") * 2).alias("nv")
+            ),
+            ["event_id"],
+            when_matched_update={"nv": "s.nv"},
+            evolve_schema=True,
+            stats_cols=["event_id"],
+        )
+        mark_landed(base)
+    t = read_keyed_table(spark, path)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("nv").cast("long").alias("n_scored"),
+        F.round(F.sum("nv"), 2).alias("sum_nv"),
+    )
+
+
 DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot
 DIFF_UPDATE_MOD = 11  # keys repriced in the "new" snapshot
 

@@ -3142,6 +3142,7 @@ def merge_into_table(
     stats_cols: list[str] | None = None,
     batch_id: int | None = None,
     max_retries: int = 10,
+    evolve_schema: bool = False,
 ) -> dict:
     """Conditional multi-clause MERGE INTO on a partition-mapped table —
     Delta's full MERGE surface as ONE commit on the CAS log (VERDICT
@@ -3212,6 +3213,15 @@ def merge_into_table(
     (``stats_cols``); extended entries drop stats/blooms (stat-less =
     never pruned = safe; compaction re-establishes them), and
     rewritten entries drop blooms the same way.
+
+    ``evolve_schema=True`` is Delta's MERGE schema auto-merge: columns
+    present only in the source join the target schema — SET/INSERT
+    expressions may assign them, carried and by-source rows surface
+    them as NULL, and only the files this merge writes carry the new
+    columns (older generations read them as NULL through the
+    mergeSchema read path). Without it, source-only columns are simply
+    not part of the output (the SET/INSERT expressions can still READ
+    them via ``s.<col>``).
 
     Returns ``{"version", "updated", "deleted", "inserted",
     "carried"}`` (Delta's operationMetrics)."""
@@ -3298,8 +3308,21 @@ def merge_into_table(
 
         # target schema from the full map (plan resolve, zero jobs)
         full = _read_partition_map(spark, table_dir, cur)
-        tcols = full.columns
+        tcols = list(full.columns)
         ttypes = dict(zip(full.schema.names, [f.dataType for f in full.schema]))
+        base_cols = set(tcols)
+        if evolve_schema:
+            # Delta's schema auto-merge: source-only columns join the
+            # target schema. Only the rewritten/extended files carry
+            # them; older generations read them as NULL through the
+            # mergeSchema read path — parquet's own evolution contract.
+            src_types = dict(
+                zip(source.schema.names, [f.dataType for f in source.schema])
+            )
+            for c in source.columns:
+                if c not in base_cols:
+                    tcols.append(c)
+                    ttypes[c] = src_types[c]
         for k in keys:
             if k not in tcols:
                 raise ValueError(f"merge key {k!r} not a target column")
@@ -3333,7 +3356,7 @@ def merge_into_table(
                     *[
                         F.col(c) if c in have
                         else F.lit(None).cast(ttypes[c]).alias(c)
-                        for c in tcols
+                        for c in sorted(base_cols, key=tcols.index)
                     ]
                 ).alias("t"),
             )
@@ -3343,7 +3366,11 @@ def merge_into_table(
                 "t",
                 F.lit(None).cast(
                     T.StructType(
-                        [T.StructField(c, ttypes[c]) for c in tcols]
+                        [
+                            T.StructField(c, ttypes[c])
+                            for c in tcols
+                            if c in base_cols
+                        ]
                     )
                 ),
             )
@@ -3432,20 +3459,29 @@ def merge_into_table(
             if isinstance(when_not_matched_insert, dict)
             else {c: f"s.{c}" for c in tcols if c in source.columns}
         )
+        def t_val(c: str):
+            # carry value: an evolved (source-only) column has no t
+            # field — older rows carry NULL, parquet evolution's rule
+            return (
+                F.expr(f"t.{c}")
+                if c in base_cols
+                else F.lit(None).cast(ttypes[c])
+            )
+
+        def clause_val(mapping: dict | None, c: str):
+            m_ = mapping or {}
+            return F.expr(m_[c]) if c in m_ else t_val(c)
+
         out_cols = []
         for c in tcols:
             col = (
                 F.when(
                     F.col("_act") == "update",
-                    F.expr((when_matched_update or {}).get(c, f"t.{c}")),
+                    clause_val(when_matched_update, c),
                 )
                 .when(
                     F.col("_act") == "update_bys",
-                    F.expr(
-                        (when_not_matched_by_source_update or {}).get(
-                            c, f"t.{c}"
-                        )
-                    ),
+                    clause_val(when_not_matched_by_source_update, c),
                 )
                 .when(
                     F.col("_act") == "insert",
@@ -3453,7 +3489,7 @@ def merge_into_table(
                     if c in ins_map
                     else F.lit(None).cast(ttypes[c]),
                 )
-                .otherwise(F.expr(f"t.{c}"))
+                .otherwise(t_val(c))
                 .cast(ttypes[c])
             )
             if c == pcol:

@@ -238,6 +238,8 @@ class TestDriverOrder:
             # bug)
             "zorder_clustered_scan",
             "cdc_apply_typed",
+            # NEW in r10: MERGE schema auto-merge
+            "merge_schema_evolution",
             # own code changed in r10: split_leakage_free collapsed to
             # one corpus scan (r10 review sweep)
             "split_leakage_free",

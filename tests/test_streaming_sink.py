@@ -3943,6 +3943,46 @@ class TestMergeIntoTable:
         assert sorted(dels).count((7, "b")) == 1  # exactly once
         assert sorted(dels).count((7, "a")) == 1
 
+    def test_evolve_schema_adds_source_columns(self, spark, tmp_path):
+        """Delta's MERGE schema auto-merge: with evolve_schema the
+        source-only column joins the target schema (SET can assign it,
+        carried rows read NULL); without it, output schema unchanged."""
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        merge_into_table(
+            spark, d, self._src(spark, 3, 5), ["k"],
+            when_matched_update={"nv": "s.nv"},
+        )
+        assert "nv" not in read_keyed_table(spark, d).columns
+        merge_into_table(
+            spark, d, self._src(spark, 3, 5), ["k"],
+            when_matched_update={"nv": "s.nv"},
+            evolve_schema=True,
+        )
+        got = read_keyed_table(spark, d)
+        assert "nv" in got.columns
+        assert got.filter("k = 3").collect()[0].nv == 300.0
+        assert got.filter("k = 0").collect()[0].nv is None  # carried
+        # untouched partitions' old files read the column as NULL
+        assert got.filter("day = 'c'").collect()[0].nv is None
+        # inserting through evolution works too (insert=True includes
+        # the evolved column by name)
+        merge_into_table(
+            spark, d,
+            self._src(spark, 60, 61).withColumn("v", F.lit(1.0))
+            .withColumn("day", F.lit("b")),
+            ["k"],
+            when_not_matched_insert=True,
+            evolve_schema=True,
+        )
+        row = read_keyed_table(spark, d).filter("k = 60").collect()[0]
+        assert (row.v, row.nv, row.day) == (1.0, 6000.0, "b")
+
     def test_merge_requires_clause_and_commits(self, spark, tmp_path):
         import pytest
 

@@ -230,6 +230,9 @@ LADDER = [
     # r10: CDC APPLY — typed-feed multiset fold into a replica (one
     # shuffle on the full row values, the dedup_exact cost class)
     "cdc_apply_typed",
+    # r10: MERGE schema auto-merge (the merge cost model + an evolved
+    # mergeSchema read — warm path is the evolved-column aggregate)
+    "merge_schema_evolution",
 ]
 
 
