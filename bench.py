@@ -174,6 +174,7 @@ HEADLINE = [
     "zorder_clustered_scan",
     "cdc_apply_typed",
     "merge_schema_evolution",
+    "stream_merge_conditional",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -187,6 +187,7 @@ _DRIVER_ORDER = [
     "zorder_clustered_scan",
     "cdc_apply_typed",
     "merge_schema_evolution",
+    "stream_merge_conditional",
     "split_leakage_free",
     "table_changes_typed",
     "stream_upsert_table",
@@ -233,12 +234,12 @@ _DRIVER_ORDER = [
     "delete_where_rewrite",
     "epoch_shuffle",
     "events_locf",
-    "events_tumbling_window",
     # --- 50-query window boundary (driver gate cap observed r01-r09) ---
     # Tail head — FIRST PRIORITY for the round-11 window: the remaining
     # r6-evidence rows (stalest oracle-able evidence after this
     # rotation); then the r8 rows, the rows-only geometry row, and the
     # r9/r10-fresh displacements last:
+    "events_tumbling_window",
     "fk_integrity_check",
     "geometry_planes_checksum",
     "hll_shard_merge",

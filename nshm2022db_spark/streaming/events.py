@@ -634,6 +634,88 @@ def stream_table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "stream_merge_conditional",
+    """WITH seed AS (
+           SELECT user_id,
+                  CAST(user_id % 8 AS VARCHAR) AS bucket,
+                  COUNT(*) AS cnt,
+                  ROUND(SUM(value), 2) AS total
+           FROM events GROUP BY user_id),
+       final AS (
+           SELECT user_id, bucket, cnt,
+                  ROUND(total * 2, 2) AS total
+           FROM seed WHERE user_id % 5 <> 0)
+       SELECT bucket,
+              COUNT(*) AS n_users,
+              CAST(SUM(cnt) AS BIGINT) AS n_events,
+              ROUND(CAST(SUM(total) AS DOUBLE), 2) AS sum_total
+       FROM final GROUP BY bucket""",
+)
+def stream_merge_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional MERGE as a STREAMING sink (`merge_stream_to_table`):
+    a per-user profile table seeds from events, then a 3-batch CDC
+    feed (one file per user_id % 3 slice, maxFilesPerTrigger=1 — three
+    REAL micro-batches with disjoint key sets, so the clause outcome
+    is batch-invariant and oracle-able) applies
+    `WHEN MATCHED AND s.op='delete' THEN DELETE` /
+    `WHEN MATCHED AND s.op='upsert' THEN UPDATE total = s.nv` through
+    the foreachBatch merge with batch-id idempotence. Every user is
+    matched; % 5 == 0 users delete (delete-only partitions take the
+    deletion-vector path), the rest double their total. The oracle
+    recomputes the final profile state from base events — proving the
+    stream protocol, per-batch commit isolation, conditional clause
+    routing, and the tombstone-filtered read in one round trip."""
+    import tempfile
+
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        merge_stream_to_table,
+        read_keyed_table,
+    )
+
+    ev = read_table(spark, sf, "events")
+    seed = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total"),
+    ).withColumn("bucket", (F.col("user_id") % 8).cast("string"))
+    table_dir = tempfile.mkdtemp(prefix="merge_stream_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="merge_stream_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="merge_stream_src_")
+    append_partition_transaction(
+        spark, table_dir, "bucket", seed, stats_cols=["user_id"]
+    )
+    feed = seed.select(
+        "user_id",
+        F.when(F.col("user_id") % 5 == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.round(F.col("total") * 2, 2).alias("nv"),
+    )
+    for i in range(3):  # one file per disjoint key slice = one batch
+        feed.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    replay = _replay_session(spark)
+    stream = replay.readStream.schema(
+        "user_id long, op string, nv double"
+    ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = merge_stream_to_table(
+        stream, table_dir, ckpt, ["user_id"],
+        when_matched_update={"total": "s.nv"},
+        when_matched_update_condition="s.op = 'upsert'",
+        when_matched_delete="s.op = 'delete'",
+        stats_cols=["user_id"],
+    )
+    q.awaitTermination()
+    out = read_keyed_table(spark, table_dir).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.round(F.sum("total"), 2).alias("sum_total"),
+    )
+    return _reap_scratch(out, spark, table_dir, ckpt, src_dir)
+
+
+@register(
     "commit_rebase_stats",
     """SELECT CAST(event_id % 8 AS VARCHAR) AS bucket,
               COUNT(*) AS n,

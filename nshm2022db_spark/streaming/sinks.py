@@ -3810,6 +3810,64 @@ def upsert_stream_to_table(
     return writer.start()
 
 
+def merge_stream_to_table(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    reduce_order_col: str | None = None,
+    reduce_tiebreak: list[str] | None = None,
+    trigger_available_now: bool = True,
+    **merge_clauses,
+) -> StreamingQuery:
+    """Conditional multi-clause MERGE as a foreachBatch sink — the
+    streaming CDC APPLY: every micro-batch applies the clause set
+    (``merge_clauses`` pass straight through to `merge_into_table`:
+    when_matched_update / _delete, when_not_matched_insert,
+    by-source clauses, evolve_schema, stats_cols) as ONE commit with
+    batch-id idempotence, so a replayed batch no-ops and a crash
+    between write and checkpoint commit cannot double-apply.
+
+    ``reduce_order_col`` (plus ``reduce_tiebreak``) pre-reduces each
+    batch to the newest row per key first — a CDC feed can carry
+    several changes for one key in one batch, and MERGE raises on
+    multiple matched source rows. Without it the feed must already be
+    unique per key per batch.
+
+    The target table must exist (a merge into an empty table is an
+    append — land the initial snapshot first). Batch-composition note:
+    conditions referencing ``t`` evaluate against the table state AS
+    OF each micro-batch, so the outcome is batch-sensitive unless the
+    feed is per-key monotone (e.g. an order-column condition like
+    ``s.ts >= t.ts``) or batches carry disjoint keys — the same
+    contract as Delta's foreachBatch MERGE."""
+    os.makedirs(table_dir, exist_ok=True)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        src = batch_df
+        if reduce_order_col:
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(reduce_order_col).desc(),
+                *[F.col(c).desc() for c in reduce_tiebreak or []],
+            )
+            src = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        merge_into_table(
+            batch_df.sparkSession, table_dir, src, keys,
+            batch_id=batch_id, **merge_clauses,
+        )
+
+    writer = df.writeStream.foreachBatch(_merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def append_keyed_mor(
     spark: SparkSession,
     table_dir: str,

@@ -238,8 +238,10 @@ class TestDriverOrder:
             # bug)
             "zorder_clustered_scan",
             "cdc_apply_typed",
-            # NEW in r10: MERGE schema auto-merge
+            # NEW in r10: MERGE schema auto-merge; conditional MERGE
+            # as a streaming sink
             "merge_schema_evolution",
+            "stream_merge_conditional",
             # own code changed in r10: split_leakage_free collapsed to
             # one corpus scan (r10 review sweep)
             "split_leakage_free",

@@ -3983,6 +3983,56 @@ class TestMergeIntoTable:
         row = read_keyed_table(spark, d).filter("k = 60").collect()[0]
         assert (row.v, row.nv, row.day) == (1.0, 6000.0, "b")
 
+    def test_merge_stream_sink_applies_and_replays_idempotently(
+        self, spark, tmp_path
+    ):
+        """merge_stream_to_table: per-batch conditional merge with
+        batch-id idempotence — a restart from the same checkpoint (and
+        a replayed batch) must not double-apply."""
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            merge_stream_to_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)  # a: 0-4, b: 10-14, c: 20-24
+        src_dir = str(tmp_path / "src")
+        feed = spark.createDataFrame(
+            [(3, "delete", 0.0), (4, "upsert", 77.0),
+             (10, "upsert", 88.0), (21, "delete", 0.0)],
+            "k long, op string, nv double",
+        )
+        for i in range(2):  # two disjoint-key files -> two batches
+            feed.filter(F.col("k") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src_dir)
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            stream = spark.readStream.schema(
+                "k long, op string, nv double"
+            ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+            q = merge_stream_to_table(
+                stream, d, ckpt, ["k"],
+                when_matched_update={"v": "s.nv"},
+                when_matched_update_condition="s.op = 'upsert'",
+                when_matched_delete="s.op = 'delete'",
+            )
+            q.awaitTermination()
+
+        run()
+        v_after = current_commit(d)["version"]
+        got = {(r.k, r.v) for r in read_keyed_table(spark, d).collect()}
+        assert (4, 77.0) in got and (10, 88.0) in got
+        assert not any(k in (3, 21) for k, _ in got)
+        # restart from the same checkpoint: nothing new, no new commits
+        run()
+        assert current_commit(d)["version"] == v_after
+        assert {
+            (r.k, r.v) for r in read_keyed_table(spark, d).collect()
+        } == got
+
     def test_merge_requires_clause_and_commits(self, spark, tmp_path):
         import pytest
 

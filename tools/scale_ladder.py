@@ -233,6 +233,9 @@ LADDER = [
     # r10: MERGE schema auto-merge (the merge cost model + an evolved
     # mergeSchema read — warm path is the evolved-column aggregate)
     "merge_schema_evolution",
+    # r10: conditional MERGE as a streaming sink (3 micro-batch
+    # protocol floor + per-batch merge commits)
+    "stream_merge_conditional",
 ]
 
 
