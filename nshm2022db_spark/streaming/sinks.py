@@ -3143,6 +3143,8 @@ def merge_into_table(
     batch_id: int | None = None,
     max_retries: int = 10,
     evolve_schema: bool = False,
+    when_matched: list | None = None,
+    when_not_matched_by_source: list | None = None,
 ) -> dict:
     """Conditional multi-clause MERGE INTO on a partition-mapped table —
     Delta's full MERGE surface as ONE commit on the CAS log (VERDICT
@@ -3214,6 +3216,14 @@ def merge_into_table(
     never pruned = safe; compaction re-establishes them), and
     rewritten entries drop blooms the same way.
 
+    ``when_matched`` / ``when_not_matched_by_source`` accept Delta's
+    GENERAL ordered clause-list form — any number of conditional
+    clauses, first satisfied clause wins:
+    ``when_matched=[("update", "s.v > t.v", {"v": "s.v"}),
+    ("update", None, {"n": "t.n + 1"}), ("delete", "t.stale")]``.
+    The keyword pair (update-then-delete) is sugar for the two-clause
+    list; passing both forms for one family raises.
+
     ``evolve_schema=True`` is Delta's MERGE schema auto-merge: columns
     present only in the source join the target schema — SET/INSERT
     expressions may assign them, carried and by-source rows surface
@@ -3225,18 +3235,9 @@ def merge_into_table(
 
     Returns ``{"version", "updated", "deleted", "inserted",
     "carried"}`` (Delta's operationMetrics)."""
-    has_matched = (
-        when_matched_update is not None or when_matched_delete is not None
-    )
     has_insert = bool(when_not_matched_insert) or isinstance(
         when_not_matched_insert, dict
     )
-    by_source = (
-        when_not_matched_by_source_update is not None
-        or when_not_matched_by_source_delete is not None
-    )
-    if not (has_matched or has_insert or by_source):
-        raise ValueError("merge_into_table needs at least one clause")
     if when_matched_update_condition is not None and when_matched_update is None:
         raise ValueError("when_matched_update_condition without its clause")
     if (
@@ -3249,16 +3250,83 @@ def merge_into_table(
     for k in keys:
         if k in ("s", "t", "_side"):
             raise ValueError(f"merge key {k!r} collides with merge internals")
-    for name, clause in (
-        ("when_matched_delete", when_matched_delete),
-        ("when_not_matched_by_source_delete", when_not_matched_by_source_delete),
-    ):
-        if clause is not None and clause is not True and not isinstance(
-            clause, str
+    def _norm_clauses(name, lst, upd_map, upd_cond, del_clause):
+        """Normalize to an ORDERED [(kind, cond_or_None, map_or_None)]
+        list — either the explicit clause list (Delta's general form,
+        any number of conditional clauses, first match wins) or the
+        two-clause keyword sugar (update first, then delete)."""
+        if lst is not None:
+            if (
+                upd_map is not None
+                or upd_cond is not None
+                or del_clause is not None
+            ):
+                raise ValueError(
+                    f"pass {name} OR its keyword sugar, not both"
+                )
+            out = []
+            for cl in lst:
+                kind = cl[0]
+                if kind == "update":
+                    if len(cl) != 3 or not isinstance(cl[2], dict):
+                        raise ValueError(
+                            f"{name} update clause must be "
+                            "('update', cond, {col: expr})"
+                        )
+                    cond = cl[1]
+                elif kind == "delete":
+                    if len(cl) != 2:
+                        raise ValueError(
+                            f"{name} delete clause must be ('delete', cond)"
+                        )
+                    cond = cl[1]
+                else:
+                    raise ValueError(f"unknown {name} clause kind {kind!r}")
+                if cond is not None and cond is not True and not isinstance(
+                    cond, str
+                ):
+                    raise ValueError(
+                        f"{name} clause condition must be None, True, or "
+                        "a SQL string"
+                    )
+                out.append(
+                    (
+                        kind,
+                        None if cond is True else cond,
+                        cl[2] if kind == "update" else None,
+                    )
+                )
+            return out
+        if del_clause is not None and del_clause is not True and not isinstance(
+            del_clause, str
         ):
             raise ValueError(
-                f"{name} must be None, True, or a condition SQL string"
+                f"{name} delete sugar must be None, True, or a condition "
+                "SQL string"
             )
+        out = []
+        if upd_map is not None:
+            out.append(("update", upd_cond, upd_map))
+        if del_clause is not None:
+            out.append(
+                ("delete", None if del_clause is True else del_clause, None)
+            )
+        return out
+
+    m_clauses = _norm_clauses(
+        "when_matched", when_matched, when_matched_update,
+        when_matched_update_condition, when_matched_delete,
+    )
+    b_clauses = _norm_clauses(
+        "when_not_matched_by_source", when_not_matched_by_source,
+        when_not_matched_by_source_update,
+        when_not_matched_by_source_update_condition,
+        when_not_matched_by_source_delete,
+    )
+    has_matched = bool(m_clauses)
+    by_source = bool(b_clauses)
+    if not (has_matched or has_insert or by_source):
+        raise ValueError("merge_into_table needs at least one clause")
 
     for _ in range(max_retries):
         cur = current_commit(table_dir)
@@ -3393,57 +3461,38 @@ def merge_into_table(
         matched = F.col("_keyed") & (F.col("_s_cnt") == 1)
         unmatched_t = ~F.col("_keyed") | (F.col("_s_cnt") == 0)
         dup = F.col("_keyed") & (F.col("_s_cnt") > 1)
+        # ordered clause evaluation — the FIRST satisfied clause wins,
+        # Delta's rule; update clauses get positional labels so each
+        # keeps its own SET map
+        t_branch = F.when(
+            dup,
+            F.raise_error(
+                F.concat(
+                    F.lit("MERGE: multiple source rows match target key ("),
+                    F.concat_ws(
+                        ",", *[F.col(k).cast("string") for k in keys]
+                    ),
+                    F.lit(")"),
+                )
+            ).cast("string"),
+        )
+        update_labels: list[str] = []
+        for i, (kind, cond, _mp) in enumerate(m_clauses):
+            label = "delete" if kind == "delete" else f"u{i}"
+            if kind == "update":
+                update_labels.append(label)
+            t_branch = t_branch.when(
+                matched & _merge_cond(cond, True), F.lit(label)
+            )
+        for i, (kind, cond, _mp) in enumerate(b_clauses):
+            label = "delete" if kind == "delete" else f"b{i}"
+            if kind == "update":
+                update_labels.append(label)
+            t_branch = t_branch.when(
+                unmatched_t & _merge_cond(cond, True), F.lit(label)
+            )
         act = F.when(
-            F.col("_side") == "t",
-            F.when(
-                dup,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "MERGE: multiple source rows match target key ("
-                        ),
-                        F.concat_ws(
-                            ",", *[F.col(k).cast("string") for k in keys]
-                        ),
-                        F.lit(")"),
-                    )
-                ).cast("string"),
-            )
-            .when(
-                matched
-                & F.lit(when_matched_update is not None)
-                & _merge_cond(when_matched_update_condition, True),
-                F.lit("update"),
-            )
-            .when(
-                matched
-                & F.lit(when_matched_delete is not None)
-                & _merge_cond(
-                    None if when_matched_delete is True else when_matched_delete,
-                    when_matched_delete is True,
-                ),
-                F.lit("delete"),
-            )
-            .when(
-                unmatched_t
-                & F.lit(when_not_matched_by_source_update is not None)
-                & _merge_cond(
-                    when_not_matched_by_source_update_condition, True
-                ),
-                F.lit("update_bys"),
-            )
-            .when(
-                unmatched_t
-                & F.lit(when_not_matched_by_source_delete is not None)
-                & _merge_cond(
-                    None
-                    if when_not_matched_by_source_delete is True
-                    else when_not_matched_by_source_delete,
-                    when_not_matched_by_source_delete is True,
-                ),
-                F.lit("delete"),
-            )
-            .otherwise(F.lit("carry")),
+            F.col("_side") == "t", t_branch.otherwise(F.lit("carry"))
         ).otherwise(
             F.when(
                 ((F.col("_t_cnt") == 0) | ~F.col("_keyed"))
@@ -3474,24 +3523,23 @@ def merge_into_table(
 
         out_cols = []
         for c in tcols:
-            col = (
-                F.when(
-                    F.col("_act") == "update",
-                    clause_val(when_matched_update, c),
-                )
-                .when(
-                    F.col("_act") == "update_bys",
-                    clause_val(when_not_matched_by_source_update, c),
-                )
-                .when(
-                    F.col("_act") == "insert",
-                    F.expr(ins_map[c])
-                    if c in ins_map
-                    else F.lit(None).cast(ttypes[c]),
-                )
-                .otherwise(t_val(c))
-                .cast(ttypes[c])
+            col = F.when(
+                F.col("_act") == "insert",
+                F.expr(ins_map[c])
+                if c in ins_map
+                else F.lit(None).cast(ttypes[c]),
             )
+            for i, (kind, _cond, mapping) in enumerate(m_clauses):
+                if kind == "update":
+                    col = col.when(
+                        F.col("_act") == f"u{i}", clause_val(mapping, c)
+                    )
+            for i, (kind, _cond, mapping) in enumerate(b_clauses):
+                if kind == "update":
+                    col = col.when(
+                        F.col("_act") == f"b{i}", clause_val(mapping, c)
+                    )
+            col = col.otherwise(t_val(c)).cast(ttypes[c])
             if c == pcol:
                 # updates can also null the partition column (r10
                 # review #5): without the guard the NULL leaks into the
@@ -3510,9 +3558,13 @@ def merge_into_table(
             out_cols.append(col.alias(c))
         dec = dec.select(
             *out_cols,
-            F.when(F.col("_act") == "update_bys", F.lit("update"))
-            .otherwise(F.col("_act"))
-            .alias("_action"),
+            (
+                F.when(
+                    F.col("_act").isin(*update_labels), F.lit("update")
+                ).otherwise(F.col("_act"))
+                if update_labels
+                else F.col("_act")
+            ).alias("_action"),
             F.expr(f"t.{pcol}").cast("string").alias("_t_part"),
         )
 

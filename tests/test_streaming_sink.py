@@ -4033,6 +4033,60 @@ class TestMergeIntoTable:
             (r.k, r.v) for r in read_keyed_table(spark, d).collect()
         } == got
 
+    def test_ordered_clause_list_first_match_wins(self, spark, tmp_path):
+        """Delta's general form: N ordered conditional clauses; the
+        FIRST satisfied clause claims the row, each update clause
+        keeps its own SET map, and mixing list + keyword sugar
+        raises."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        m = merge_into_table(
+            spark, d, self._src(spark, 0, 5), ["k"],
+            when_matched=[
+                # k=0 (v=0): first clause
+                ("update", "t.v <= 0", {"v": "-1.0"}),
+                # k=1 (v=2): second clause (also true for k=0 — must
+                # NOT fire there)
+                ("update", "t.v <= 2", {"v": "s.nv + t.v"}),
+                # k=2 (v=4): delete
+                ("delete", "t.v <= 4"),
+                # k=3, 4: unconditional fallback update
+                ("update", None, {"v": "99.0"}),
+            ],
+        )
+        assert (m["updated"], m["deleted"]) == (4, 1)
+        got = {r.k: r.v for r in read_keyed_table(spark, d).collect()}
+        assert got[0] == -1.0
+        assert got[1] == 102.0  # s.nv(100) + t.v(2)
+        assert 2 not in got
+        assert got[3] == got[4] == 99.0
+        # by-source list form too
+        m2 = merge_into_table(
+            spark, d, self._src(spark, 0, 1), ["k"],
+            when_matched_update={"v": "t.v"},
+            when_not_matched_by_source=[
+                ("update", "t.day = 'b'", {"v": "0.5"}),
+                ("delete", "t.day = 'c'"),
+            ],
+        )
+        got2 = read_keyed_table(spark, d)
+        assert got2.filter("day = 'c'").count() == 0
+        assert {r.v for r in got2.filter("day = 'b'").collect()} == {0.5}
+        assert m2["deleted"] == 5
+        with pytest.raises(ValueError, match="not both"):
+            merge_into_table(
+                spark, d, self._src(spark, 0, 1), ["k"],
+                when_matched_update={"v": "s.nv"},
+                when_matched=[("delete", None)],
+            )
+
     def test_merge_requires_clause_and_commits(self, spark, tmp_path):
         import pytest
 
