@@ -644,7 +644,7 @@ def stream_table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
        final AS (
            SELECT user_id, bucket, cnt,
                   ROUND(total * 2, 2) AS total
-           FROM seed WHERE user_id % 5 <> 0)
+           FROM seed WHERE user_id % 5 <> 0 AND user_id % 8 <> 7)
        SELECT bucket,
               COUNT(*) AS n_users,
               CAST(SUM(cnt) AS BIGINT) AS n_events,
@@ -660,11 +660,15 @@ def stream_merge_conditional(spark: SparkSession, sf: str) -> DataFrame:
     `WHEN MATCHED AND s.op='delete' THEN DELETE` /
     `WHEN MATCHED AND s.op='upsert' THEN UPDATE total = s.nv` through
     the foreachBatch merge with batch-id idempotence. Every user is
-    matched; % 5 == 0 users delete (delete-only partitions take the
-    deletion-vector path), the rest double their total. The oracle
-    recomputes the final profile state from base events — proving the
-    stream protocol, per-batch commit isolation, conditional clause
-    routing, and the tombstone-filtered read in one round trip."""
+    matched; deleters are % 5 == 0 users PLUS all of bucket 7 — so
+    bucket 7 is delete-ONLY in every batch and takes the
+    deletion-vector path, while the mixed buckets delete via rewrite
+    (both delete routes on the oracle-checked path; the r10 sweep
+    found the first cut only exercised rewrites). The rest double
+    their total. The oracle recomputes the final profile state from
+    base events — proving the stream protocol, per-batch commit
+    isolation, conditional clause routing, and the tombstone-filtered
+    read in one round trip."""
     import tempfile
 
     from nshm2022db_spark.streaming.sinks import (
@@ -684,15 +688,25 @@ def stream_merge_conditional(spark: SparkSession, sf: str) -> DataFrame:
     append_partition_transaction(
         spark, table_dir, "bucket", seed, stats_cols=["user_id"]
     )
-    feed = seed.select(
+    # derive the feed from the LANDED table and slice the 3 batch files
+    # from one materialized frame — the first cut re-ran the full
+    # events aggregation once per slice write (r10 sweep: shared scan
+    # subtrees re-scan, no ReusedExchange)
+    feed = read_keyed_table(spark, table_dir).select(
         "user_id",
-        F.when(F.col("user_id") % 5 == 0, "delete")
+        F.when(
+            (F.col("user_id") % 5 == 0) | (F.col("user_id") % 8 == 7),
+            "delete",
+        )
         .otherwise("upsert")
         .alias("op"),
         F.round(F.col("total") * 2, 2).alias("nv"),
     )
+    feed_stage = tempfile.mkdtemp(prefix="merge_stream_feed_")
+    feed.write.mode("overwrite").parquet(feed_stage)
+    staged = spark.read.parquet(feed_stage)
     for i in range(3):  # one file per disjoint key slice = one batch
-        feed.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode(
+        staged.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode(
             "append"
         ).parquet(src_dir)
     replay = _replay_session(spark)
@@ -712,7 +726,7 @@ def stream_merge_conditional(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("n_events"),
         F.round(F.sum("total"), 2).alias("sum_total"),
     )
-    return _reap_scratch(out, spark, table_dir, ckpt, src_dir)
+    return _reap_scratch(out, spark, table_dir, ckpt, src_dir, feed_stage)
 
 
 @register(

@@ -3264,8 +3264,18 @@ def merge_into_table(
                 raise ValueError(
                     f"pass {name} OR its keyword sugar, not both"
                 )
+            if isinstance(lst, tuple) and lst and isinstance(lst[0], str):
+                # the easy API mistake: a bare clause tuple instead of
+                # a list of tuples — iterating it would produce the
+                # misleading "unknown clause kind 'u'" (r10 sweep)
+                lst = [lst]
             out = []
             for cl in lst:
+                if not isinstance(cl, (tuple, list)) or not cl:
+                    raise ValueError(
+                        f"{name} must be a list of ('update', cond, "
+                        "{col: expr}) / ('delete', cond) tuples"
+                    )
                 kind = cl[0]
                 if kind == "update":
                     if len(cl) != 3 or not isinstance(cl[2], dict):

@@ -4033,6 +4033,67 @@ class TestMergeIntoTable:
             (r.k, r.v) for r in read_keyed_table(spark, d).collect()
         } == got
 
+    def test_merge_stream_reduce_order_col(self, spark, tmp_path):
+        """r10 sweep: the per-batch latest-per-key reduce — a CDC feed
+        carrying several changes for one key in one batch must apply
+        only the NEWEST row (tiebreak deterministic), not raise on
+        multiple matches."""
+        from nshm2022db_spark.streaming.sinks import (
+            merge_stream_to_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        src_dir = str(tmp_path / "src")
+        # one batch, three changes for k=3 (latest seq wins) plus an
+        # equal-seq pair for k=10 (tiebreak on nv: greatest wins)
+        spark.createDataFrame(
+            [(3, 1, 10.0), (3, 3, 30.0), (3, 2, 20.0),
+             (10, 5, 51.0), (10, 5, 52.0)],
+            "k long, seq long, nv double",
+        ).coalesce(1).write.parquet(src_dir)
+        stream = spark.readStream.schema(
+            "k long, seq long, nv double"
+        ).parquet(src_dir)
+        q = merge_stream_to_table(
+            stream, d, str(tmp_path / "ckpt"), ["k"],
+            reduce_order_col="seq",
+            reduce_tiebreak=["nv"],
+            when_matched_update={"v": "s.nv"},
+        )
+        q.awaitTermination()
+        got = {r.k: r.v for r in read_keyed_table(spark, d).collect()}
+        assert got[3] == 30.0
+        assert got[10] == 52.0
+
+    def test_clause_list_shape_errors(self, spark, tmp_path):
+        """r10 sweep: malformed clause lists raise ValueError with the
+        expected-shape message (not IndexError), and a bare clause
+        tuple is accepted as a single-clause list."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        with pytest.raises(ValueError, match="list of"):
+            merge_into_table(
+                spark, d, self._src(spark, 0, 1), ["k"],
+                when_matched=[()],
+            )
+        # bare tuple = single-clause list (the easy API mistake)
+        merge_into_table(
+            spark, d, self._src(spark, 1, 2), ["k"],
+            when_matched=("update", None, {"v": "s.nv"}),
+        )
+        assert (
+            read_keyed_table(spark, d).filter("k = 1").collect()[0].v == 100.0
+        )
+
     def test_ordered_clause_list_first_match_wins(self, spark, tmp_path):
         """Delta's general form: N ordered conditional clauses; the
         FIRST satisfied clause claims the row, each update clause
