@@ -176,6 +176,52 @@ def main() -> None:
 
     print("rollup commits applied:", refresh(), "(re-run applies:", refresh(), ")")
 
+    # --- 12. conditional MERGE INTO (r10) --------------------------------
+    # Delta's full MERGE surface as one commit: conditions and SET
+    # expressions are SQL over the source (s) and target (t) structs;
+    # untouched partitions carry byte-identical, delete-only partitions
+    # take the deletion-vector path, and evolve_schema adds source-only
+    # columns (older files read them as NULL).
+    from nshm2022db_spark.streaming.sinks import merge_into_table
+
+    cdc = spark.createDataFrame(
+        [(10, 990.0, "fixup"), (11, 0.0, "drop"), (9999, 5.0, "new")],
+        "event_id long, amount double, op string",
+    )
+    metrics = merge_into_table(
+        spark, bronze, cdc, ["event_id"],
+        when_matched_update={"user_id": "CAST(s.amount AS BIGINT)"},
+        when_matched_update_condition="s.op = 'fixup'",
+        when_matched_delete="s.op = 'drop'",
+        when_not_matched_insert={
+            "event_id": "s.event_id",
+            "user_id": "0",
+            "day": "'2024-02-09'",
+        },
+        evolve_schema=False,
+    )
+    print("merge metrics:", metrics)
+
+    # --- 13. typed change feed, batch and streaming (r10) ----------------
+    # Delta CDF's _change_type surface: per commit, inserts/deletes as
+    # exact state diffs; apply_typed_changes folds the feed back into
+    # the table it encodes. The same feed streams via
+    # .format("commitlog").option("changeTypes", "true").
+    from nshm2022db_spark.streaming.sinks import (
+        apply_typed_changes,
+        read_table_changes_typed,
+    )
+
+    feed = read_table_changes_typed(spark, bronze, from_version=0)
+    feed.groupBy("_commit_version", "_change_type").count().orderBy(
+        "_commit_version"
+    ).show(truncate=False)
+    replica = apply_typed_changes(feed, ["event_id", "user_id", "day"])
+    print(
+        "replica == head:",
+        replica.count() == read_keyed_table(spark, bronze).count(),
+    )
+
 
 if __name__ == "__main__":
     main()
