@@ -4148,6 +4148,46 @@ class TestMergeIntoTable:
                 when_matched=[("delete", None)],
             )
 
+    def test_concurrent_merges_serialize(self, spark, tmp_path):
+        """Two merges racing on DISJOINT keys: the CAS serializes them
+        (the loser re-runs against the winner's head) and both apply —
+        no lost update regardless of commit order."""
+        import threading
+
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        errs: list[Exception] = []
+
+        def worker(lo: int, hi: int):
+            try:
+                merge_into_table(
+                    spark, d, self._src(spark, lo, hi), ["k"],
+                    when_matched_update={"v": "s.nv"},
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=worker, args=(0, 3)),
+            threading.Thread(target=worker, args=(10, 13)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        assert current_commit(d)["version"] == 3  # seed + two merges
+        got = {r.k: r.v for r in read_keyed_table(spark, d).collect()}
+        assert got[0] == 0.0 and got[1] == 100.0 and got[2] == 200.0
+        assert got[10] == 1000.0 and got[12] == 1200.0
+        assert got[20] == 40.0  # untouched partition intact
+
     def test_merge_requires_clause_and_commits(self, spark, tmp_path):
         import pytest
 
