@@ -1824,9 +1824,13 @@ def tombstone_keys(
             return
         stage = f"data-{uuid.uuid4().hex}"
         stage_path = os.path.join(table_dir, stage)
-        keys_df.select(key_col).distinct().write.mode("overwrite").parquet(
-            stage_path
-        )
+        # NULL keys are dropped, not recorded: the read-side anti-join on
+        # NULL matches nothing (SQL equality), so a NULL tombstone hides
+        # no row — recording it would only poison the dv key files for
+        # sorted-set consumers (ADVICE r10)
+        keys_df.select(key_col).filter(
+            F.col(key_col).isNotNull()
+        ).distinct().write.mode("overwrite").parquet(stage_path)
         manifest = {
             k: cur[k]
             for k in (
@@ -3235,6 +3239,14 @@ def merge_into_table(
 
     Returns ``{"version", "updated", "deleted", "inserted",
     "carried"}`` (Delta's operationMetrics)."""
+    if isinstance(when_not_matched_insert, dict) and not when_not_matched_insert:
+        # {} is truthy-adjacent enough to read as "insert with defaults"
+        # but would stage all-NULL rows that only fail much later via
+        # the opaque NULL-partition-column raise_error (ADVICE r10)
+        raise ValueError(
+            "when_not_matched_insert={} inserts all-NULL rows; pass True "
+            "(insert source columns by name) or a non-empty {col: expr} map"
+        )
     has_insert = bool(when_not_matched_insert) or isinstance(
         when_not_matched_insert, dict
     )
@@ -3588,12 +3600,19 @@ def merge_into_table(
 
             # per-partition action rollup — bounded by the partition
             # domain (the repo's sanctioned bounded-collect shape)
+            null_key = F.lit(False)
+            for k in keys:
+                null_key = null_key | F.col(k).isNull()
             rollup = (
-                dec.groupBy("_action", "_t_part", F.col(pcol).alias("_p"))
+                dec.groupBy(
+                    "_action", "_t_part", F.col(pcol).alias("_p"),
+                    null_key.alias("_kn"),
+                )
                 .count()
                 .collect()
             )
             upd_in, ins_in, del_in, moved_out = set(), set(), set(), set()
+            null_del = set()  # partitions with NULL-key delete rows
             n_upd = n_del = n_ins = n_carry = 0
             for r in rollup:
                 if r._action == "carry":
@@ -3606,6 +3625,14 @@ def merge_into_table(
                 elif r._action == "delete":
                     n_del += r["count"]
                     del_in.add(r._t_part)
+                    if r._kn:
+                        # a NULL merge key cannot be expressed as a key
+                        # tombstone: the read-side anti-join on NULL
+                        # matches nothing, so the "deleted" row would
+                        # silently survive (and poison the dv key files
+                        # for the typed stream reader) — force the
+                        # partition to rewrite instead (ADVICE r10)
+                        null_del.add(r._t_part)
                 else:
                     n_ins += r["count"]
                     ins_in.add(r._p)
@@ -3655,6 +3682,42 @@ def merge_into_table(
                     rewrite_vals |= {
                         e.split("=", 1)[1] for e in stale
                     }
+            rewrite_vals |= null_del & del_in
+            cand = del_in - rewrite_vals if tomb_ok else set()
+            if cand:
+                # the DV path is sound only for WHOLE-KEY deletes: a key
+                # with duplicate target rows and a row-divergent delete
+                # condition (one row deletes here, another carries or
+                # updates elsewhere) must NOT be tombstoned — the
+                # key-wide tombstone would hide the surviving row
+                # everywhere (ADVICE r10 high). One bounded aggregation
+                # over the decision frame (guarded: only merges with
+                # tombstone-candidate partitions pay it); the output is
+                # the mixed keys' delete partitions — partition-domain
+                # bounded, the sanctioned collect shape.
+                keyed_rows = F.lit(True)
+                for k in keys:
+                    keyed_rows = keyed_rows & F.col(k).isNotNull()
+                mixed = (
+                    dec.filter((F.col("_action") != "insert") & keyed_rows)
+                    .groupBy(*keys)
+                    .agg(
+                        F.collect_set(
+                            F.when(
+                                F.col("_action") == "delete",
+                                F.col("_t_part"),
+                            )
+                        ).alias("_dp"),
+                        F.max(
+                            (F.col("_action") != "delete").cast("int")
+                        ).alias("_live"),
+                    )
+                    .filter((F.size("_dp") > 0) & (F.col("_live") == 1))
+                    .select(F.explode("_dp").alias("_p"))
+                    .distinct()
+                    .collect()
+                )
+                rewrite_vals |= {r._p for r in mixed} & cand
             extend_vals = (upd_in | ins_in) - scanned_vals - rewrite_vals
             tomb_vals = set()
             for v in del_in - rewrite_vals:

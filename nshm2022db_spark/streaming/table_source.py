@@ -641,14 +641,24 @@ class CommitLogStreamReader(DataSourceStreamReader):
                         # over it drops nothing, so fall through
                         continue
                 elif keep is not None:
+                    # NULL-safe sort key: the write paths keep NULLs out
+                    # of dv files, but a pre-fix file may carry one —
+                    # sorted() over {None, int} raises TypeError
+                    # (ADVICE r10); a NULL key matches/hides nothing
+                    # either way, so excluding it is the batch semantics
                     mask = pc.is_in(
                         t[partition.key],
-                        value_set=pa.array(sorted(keep - drop)),
+                        value_set=pa.array(
+                            sorted(x for x in keep - drop if x is not None)
+                        ),
                     )
                     t = t.filter(pc.fill_null(mask, False))
                 elif drop:
                     mask = pc.is_in(
-                        t[partition.key], value_set=pa.array(sorted(drop))
+                        t[partition.key],
+                        value_set=pa.array(
+                            sorted(x for x in drop if x is not None)
+                        ),
                     )
                     t = t.filter(
                         pc.fill_null(pc.invert(mask), True)

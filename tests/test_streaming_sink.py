@@ -4202,6 +4202,133 @@ class TestMergeIntoTable:
                 when_matched_update={"v": "s.nv"},
             )
 
+    def test_empty_insert_dict_rejected(self, spark, tmp_path):
+        """ADVICE r10 low: {} used to count as a truthy insert clause
+        with an empty SET map, staging all-NULL rows that only failed
+        later via the opaque NULL-partition-column raise_error."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import merge_into_table
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        with pytest.raises(ValueError, match="all-NULL"):
+            merge_into_table(
+                spark, d, self._src(spark, 50, 51), ["k"],
+                when_not_matched_insert={},
+            )
+
+    def test_row_divergent_delete_forces_rewrite(self, spark, tmp_path):
+        """ADVICE r10 high: a key with duplicate target rows and a
+        row-divergent delete condition (one row deletes, the other
+        carries elsewhere) must NOT take the key-tombstone path — the
+        key-wide DV would hide the surviving row everywhere. The
+        delete-only partition rewrites instead."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        dup = spark.createDataFrame(
+            [(30, 30.0, "d"), (30, 100.0, "e")], "k long, v double, day string"
+        )
+        append_partition_transaction(spark, d, "day", dup, stats_cols=["k"])
+        m = merge_into_table(
+            spark, d,
+            spark.createDataFrame([(30,)], "k long").withColumn(
+                "nv", F.lit(0.0)
+            ),
+            ["k"],
+            when_matched_delete="t.v < 50",
+        )
+        assert m["deleted"] == 1
+        cur = current_commit(d)
+        # no key tombstone was taken (it would hide the v=100 row too)
+        assert not cur.get("dv")
+        assert "day=d" not in cur["partitions"]  # fully deleted, dropped
+        got = read_keyed_table(spark, d).filter("k = 30").collect()
+        assert [(r.v, r.day) for r in got] == [(100.0, "e")]
+
+    def test_whole_key_delete_still_tombstones(self, spark, tmp_path):
+        """The guard above must not cost the DV economics when the
+        delete IS whole-key: every row of the key deletes, so the
+        delete-only partition still takes a tombstone, not a rewrite."""
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            merge_into_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        before = dict(current_commit(d)["partitions"])
+        m = merge_into_table(
+            spark, d, self._src(spark, 0, 2), ["k"],
+            when_matched_delete=True,
+        )
+        assert m["deleted"] == 2
+        cur = current_commit(d)
+        assert cur.get("dv")  # DV path taken
+        assert cur["partitions"]["day=a"] == before["day=a"]  # not rewritten
+
+    def test_null_key_by_source_delete_rewrites(self, spark, tmp_path):
+        """ADVICE r10 medium: a BY SOURCE delete can select NULL-key
+        target rows; a NULL key in a DV parquet hides nothing (the
+        anti-join never matches NULL) and poisons sorted-key-set
+        consumers. The partition must rewrite so the row actually
+        dies, and no NULL ever lands in a dv file."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            current_commit,
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        nrow = spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS k, 1.0 AS v, 'z' AS day"
+        )
+        append_partition_transaction(spark, d, "day", nrow, stats_cols=["k"])
+        m = merge_into_table(
+            spark, d, self._src(spark, 0, 1), ["k"],
+            when_matched_update={"v": "s.nv"},
+            when_not_matched_by_source_delete="t.day = 'z'",
+        )
+        assert m["deleted"] == 1
+        cur = current_commit(d)
+        assert not cur.get("dv")  # no NULL tombstone was written
+        assert "day=z" not in cur["partitions"]
+        assert read_keyed_table(spark, d).filter("day = 'z'").count() == 0
+
+    def test_tombstone_keys_drops_null_keys(self, spark, tmp_path):
+        """tombstone_keys filters NULLs out of the dv key file: a NULL
+        tombstone hides nothing by anti-join semantics, and recording
+        it would break the typed stream reader's sorted key sets."""
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            read_keyed_table,
+            tombstone_keys,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        tombstone_keys(
+            spark, d, "k",
+            spark.sql(
+                "SELECT CAST(NULL AS BIGINT) AS k UNION ALL SELECT 3"
+            ),
+        )
+        cur = current_commit(d)
+        dv = spark.read.parquet(
+            *[str(tmp_path / "t" / x) for x in cur["dv"]]
+        ).collect()
+        assert [r.k for r in dv] == [3]
+        assert read_keyed_table(spark, d).filter("k = 3").count() == 0
+
 
 class TestZorderExpr:
     def test_four_columns_stay_below_sign_bit(self):
