@@ -1730,6 +1730,81 @@ def merge_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_delete_composite",
+    """WITH e AS (
+           SELECT event_id, user_id, event_type, value FROM events),
+       final AS (
+           SELECT event_type, event_id, user_id, value
+           FROM e WHERE event_id % 9 <> 0
+           UNION ALL
+           SELECT 'synth', event_id, user_id, FLOOR(value) * 0.5
+           FROM e WHERE event_id % 50 = 0)
+       SELECT event_type,
+              COUNT(*) AS n,
+              CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+       FROM final GROUP BY event_type""",
+)
+def merge_delete_composite(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite-key MERGE DELETE with deletion-vector economics
+    (VERDICT r10 #2): events land bucketed by event_id % 4 with the
+    COMPOSITE natural key (event_type, event_id) — the reference's own
+    (fault_system, nshm_id) shape (schema.sql:12,47) — then ONE merge
+    on both key columns deletes every 9th id (WHEN MATCHED DELETE) and
+    inserts a synthetic re-scored row per 50th id under a new
+    event_type (WHEN NOT MATCHED INSERT). The deletes are whole-key,
+    so delete-only buckets take TUPLE tombstones (the dv parquet
+    carries both key columns; reads anti-join on the pair) instead of
+    rewriting — O(deleted keys) write cost on a composite key, the
+    economics the single-key-only gate used to forfeit. Buckets that
+    also receive inserts append a generation holding only the new rows
+    (VERDICT r10 #3). The oracle recomputes the final state from base
+    events; the DV/extend mechanics are pinned by
+    tests/test_streaming_sink.py::TestMergeIntoTable."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        merge_into_table,
+        read_keyed_table,
+    )
+
+    base = scratch_path("events_merge_composite_r11", sf)
+    path = os.path.join(base, "events_by_bucket")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value",
+            (F.col("event_id") % 4).cast("string").alias("b"),
+        )
+        append_partition_transaction(
+            spark, path, "b", ev, stats_cols=["event_id"]
+        )
+        dels = ev.filter(F.col("event_id") % 9 == 0).select(
+            "event_type", "event_id"
+        )
+        synth = ev.filter(F.col("event_id") % 50 == 0).select(
+            F.lit("synth").alias("event_type"), "event_id", "user_id",
+            # floor()*0.5 is dyadic-exact: the synth bucket's SUM is
+            # then order-independent across engines (a raw value*0.5
+            # sum landed on a cent boundary at sf0.1)
+            (F.floor("value") * 0.5).alias("value"), "b",
+        )
+        merge_into_table(
+            spark, path,
+            dels.unionByName(synth, allowMissingColumns=True),
+            ["event_type", "event_id"],
+            when_matched_delete=True,
+            when_not_matched_insert=True,
+            stats_cols=["event_id"],
+        )
+        mark_landed(base)
+    t = read_keyed_table(spark, path)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot
 DIFF_UPDATE_MOD = 11  # keys repriced in the "new" snapshot
 

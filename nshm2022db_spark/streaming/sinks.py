@@ -1788,7 +1788,7 @@ def _manifest_dirs(m: dict) -> set[str]:
 def tombstone_keys(
     spark: SparkSession,
     table_dir: str,
-    key_col: str,
+    key_col: str | list[str],
     keys_df: DataFrame,
     batch_id: int | None = None,
     max_retries: int = 10,
@@ -1807,15 +1807,20 @@ def tombstone_keys(
     snapshots still show the pre-delete state (their manifests carry no
     tombstone). The untyped change feed does not emit delete events;
     `read_table_changes_typed` reconstructs them (the prior version's
-    rows matching the commit's newly-added keys, as ``delete`` images)."""
+    rows matching the commit's newly-added keys, as ``delete`` images).
+
+    ``key_col`` may be a list for a COMPOSITE natural key (VERDICT r10
+    #2): the dv file then carries key TUPLES and every read anti-joins
+    on all columns."""
     os.makedirs(table_dir, exist_ok=True)
+    kcols = [key_col] if isinstance(key_col, str) else list(key_col)
     for _ in range(max_retries):
         cur = current_commit(table_dir)
         if cur["version"] == 0 or "partitions" not in cur:
             raise ValueError(
                 f"{table_dir} is not a partition-mapped committed table"
             )
-        if "dv_key" in cur and cur["dv_key"] != key_col:
+        if "dv_key" in cur and _dv_keys(cur) != kcols:
             raise ValueError(
                 f"{table_dir} tombstones key {cur['dv_key']!r}; "
                 f"delete supplied {key_col!r}"
@@ -1824,13 +1829,16 @@ def tombstone_keys(
             return
         stage = f"data-{uuid.uuid4().hex}"
         stage_path = os.path.join(table_dir, stage)
-        # NULL keys are dropped, not recorded: the read-side anti-join on
-        # NULL matches nothing (SQL equality), so a NULL tombstone hides
-        # no row — recording it would only poison the dv key files for
-        # sorted-set consumers (ADVICE r10)
-        keys_df.select(key_col).filter(
-            F.col(key_col).isNotNull()
-        ).distinct().write.mode("overwrite").parquet(stage_path)
+        # NULL key components are dropped, not recorded: the read-side
+        # anti-join on NULL matches nothing (SQL equality), so a NULL
+        # tombstone hides no row — recording it would only poison the
+        # dv key files for sorted-set consumers (ADVICE r10)
+        not_null = F.lit(True)
+        for k in kcols:
+            not_null = not_null & F.col(k).isNotNull()
+        keys_df.select(*kcols).filter(not_null).distinct().write.mode(
+            "overwrite"
+        ).parquet(stage_path)
         manifest = {
             k: cur[k]
             for k in (
@@ -1842,7 +1850,7 @@ def tombstone_keys(
         manifest["version"] = cur["version"] + 1
         manifest["dir"] = stage
         manifest["dv"] = cur.get("dv", []) + [stage]
-        manifest["dv_key"] = key_col
+        manifest["dv_key"] = _dv_key_field(kcols)
         manifest["batch_ids"] = [batch_id] if batch_id is not None else []
         manifest["op"] = "delete"
         if _publish(table_dir, manifest, stage_path):
@@ -1850,20 +1858,39 @@ def tombstone_keys(
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
 
 
+def _dv_keys(manifest: dict) -> list[str]:
+    """The manifest's tombstone key COLUMNS as a list — ``dv_key`` is a
+    plain string for single-column keys (the pre-r11 format, kept for
+    every existing manifest) and a list for composite natural keys
+    (VERDICT r10 #2, e.g. the reference's (fault_system, nshm_id),
+    schema.sql:12,47)."""
+    k = manifest.get("dv_key")
+    if k is None:
+        return []
+    return [k] if isinstance(k, str) else list(k)
+
+
+def _dv_key_field(keys: list[str]):
+    """Canonical manifest form: a bare string for single-column keys
+    (backward-compatible), the list for composite keys."""
+    return keys[0] if len(keys) == 1 else list(keys)
+
+
 def _apply_tombstones(
     spark: SparkSession, table_dir: str, manifest: dict, df: DataFrame | None
 ) -> DataFrame | None:
-    """Anti-join a read against the manifest's tombstoned keys. The key
-    set is deleted-rows-sized, so the anti-join broadcasts — the
-    read-side half of the deletion-vector trade."""
+    """Anti-join a read against the manifest's tombstoned keys (single
+    or composite — the join is on every key column). The key set is
+    deleted-rows-sized, so the anti-join broadcasts — the read-side
+    half of the deletion-vector trade. NULL key components never match
+    (SQL equality), and the write paths keep NULLs out of dv files."""
     dvs = manifest.get("dv", [])
     if not dvs or df is None:
         return df
-    key = manifest["dv_key"]
     keys = spark.read.parquet(
         *[os.path.join(table_dir, d) for d in dvs]
     ).distinct()
-    return df.join(F.broadcast(keys), on=key, how="left_anti")
+    return df.join(F.broadcast(keys), on=_dv_keys(manifest), how="left_anti")
 
 
 def materialize_tombstones(
@@ -2570,18 +2597,27 @@ def read_table_changes_typed(
                     else None
                 )
                 if cur_keys is not None:
-                    key = m["dv_key"]
+                    kcols = _dv_keys(m)
                     if prev.get("dv"):
                         prev_keys = spark.read.parquet(
                             *[os.path.join(table_dir, d) for d in prev["dv"]]
                         ).distinct()
-                        added = cur_keys.join(prev_keys, on=key, how="left_anti")
+                        added = cur_keys.join(
+                            prev_keys, on=kcols, how="left_anti"
+                        )
                     else:
                         added = cur_keys
                     lo_hi = added.agg(
-                        F.min(key).alias("lo"), F.max(key).alias("hi")
+                        *[
+                            F.min(k).alias(f"_lo{i}")
+                            for i, k in enumerate(kcols)
+                        ],
+                        *[
+                            F.max(k).alias(f"_hi{i}")
+                            for i, k in enumerate(kcols)
+                        ],
                     ).collect()[0]
-                    if lo_hi.lo is not None:  # NULL/empty keys hide nothing
+                    if lo_hi["_lo0"] is not None:  # empty set hides nothing
                         # delete images come from entries this commit
                         # did NOT touch: a touched entry's removed rows
                         # are already in its pair images, so including
@@ -2601,7 +2637,10 @@ def read_table_changes_typed(
                                         "partitions": untouched,
                                         "stats": prev.get("stats", {}),
                                     },
-                                    {key: (lo_hi.lo, lo_hi.hi)},
+                                    {
+                                        k: (lo_hi[f"_lo{i}"], lo_hi[f"_hi{i}"])
+                                        for i, k in enumerate(kcols)
+                                    },
                                 )
                             ),
                         }
@@ -2615,7 +2654,7 @@ def read_table_changes_typed(
                         )
                         if before is not None:
                             deleted = before.join(
-                                F.broadcast(added), on=key, how="left_semi"
+                                F.broadcast(added), on=kcols, how="left_semi"
                             )
                             deleted = (
                                 deleted.withColumn(
@@ -2637,7 +2676,7 @@ def read_table_changes_typed(
             ]
             if not new_dv:
                 continue
-            key = m["dv_key"]
+            kcols = _dv_keys(m)
             keys = spark.read.parquet(
                 *[os.path.join(table_dir, d) for d in new_dv]
             ).distinct()
@@ -2645,11 +2684,15 @@ def read_table_changes_typed(
             # can hold the deleted keys (the key file is O(deleted
             # keys), so its bounds are one tiny job — r9 review #5)
             lo_hi = keys.agg(
-                F.min(key).alias("lo"), F.max(key).alias("hi")
+                *[F.min(k).alias(f"_lo{i}") for i, k in enumerate(kcols)],
+                *[F.max(k).alias(f"_hi{i}") for i, k in enumerate(kcols)],
             ).collect()[0]
             prune = (
-                {key: (lo_hi.lo, lo_hi.hi)}
-                if lo_hi.lo is not None
+                {
+                    k: (lo_hi[f"_lo{i}"], lo_hi[f"_hi{i}"])
+                    for i, k in enumerate(kcols)
+                }
+                if lo_hi["_lo0"] is not None
                 else None
             )
             before = read_keyed_table(
@@ -2657,7 +2700,7 @@ def read_table_changes_typed(
             )
             if before is None:
                 continue
-            deleted = before.join(F.broadcast(keys), on=key, how="left_semi")
+            deleted = before.join(F.broadcast(keys), on=kcols, how="left_semi")
             deleted = (
                 deleted.withColumn("_commit_version", F.lit(v).cast("long"))
                 .withColumn("_change_type", F.lit("delete"))
@@ -3191,13 +3234,17 @@ def merge_into_table(
       their mapping, stats, and blooms carry forward untouched;
     * a partition whose ONLY change is whole-key deletes is tombstoned
       (O(deleted keys), the deletion-vector trade) instead of
-      rewritten — single merge key tables only;
-    * inserts and partition-moving updates landing in UNSCANNED
-      partitions append a generation to the entry (O(new rows)), never
-      rewrite it;
-    * only partitions with in-place updates / arrivals / departures
-      are rewritten. ``BY SOURCE`` clauses force a full scan —
-      disclosed, same as Delta.
+      rewritten — composite merge keys included (the dv file carries
+      key tuples, VERDICT r10 #2);
+    * inserts append a generation to their entry (O(new rows)), never
+      rewrite it — whether the partition was scanned or not (VERDICT
+      r10 #3: a single new key landing in a large otherwise-unchanged
+      partition stages only the new rows, Delta's pure-insert append);
+      partition-moving updates landing in UNSCANNED partitions extend
+      the same way;
+    * only partitions with in-place updates / arrivals into scanned
+      partitions / departures are rewritten. ``BY SOURCE`` clauses
+      force a full scan — disclosed, same as Delta.
 
     Tombstone/DV integration: the base is read THROUGH the current
     tombstones (a hidden key is NOT MATCHED, so the insert clause can
@@ -3206,8 +3253,9 @@ def merge_into_table(
     the old tombstone would hide the new row. Partitions that may
     still hold a re-inserted key's STALE physical rows are rewritten
     (purged) in the same commit, so clearing the tombstone can never
-    resurrect them. Requires the table's ``dv_key`` to be the single
-    merge key (raises otherwise).
+    resurrect them. Requires the table's ``dv_key`` columns to equal
+    the merge keys (raises otherwise; composite keys are first-class —
+    the dv files carry key tuples).
 
     Commits tag ``op: "merge"``. Concurrency: the merge itself re-runs
     on CAS conflict (its output depends on the base, so its stage
@@ -3368,8 +3416,7 @@ def merge_into_table(
                 "merge computed against the current layout would miss "
                 "their rows — run migrate_legacy_layouts first"
             )
-        tomb_ok = len(keys) == 1
-        if cur.get("dv") and (not tomb_ok or cur["dv_key"] != keys[0]):
+        if cur.get("dv") and _dv_keys(cur) != keys:
             raise ValueError(
                 f"{table_dir} tombstones key {cur.get('dv_key')!r}; a merge "
                 f"on {keys!r} cannot maintain the deletion vectors — "
@@ -3636,11 +3683,13 @@ def merge_into_table(
                 else:
                     n_ins += r["count"]
                     ins_in.add(r._p)
-            rewrite_vals = (
-                {v for v in upd_in if v in scanned_vals}
-                | moved_out
-                | {v for v in ins_in if v in scanned_vals}
-            )
+            # Inserts do NOT force a rewrite by themselves (VERDICT r10
+            # #3 — Delta appends new files for pure inserts): a scanned
+            # partition whose only change is arrivals of NEW keys takes
+            # a generation append below (extend_vals), O(new rows)
+            # instead of O(partition). Only in-place updates, moves,
+            # and (non-tombstonable) deletes rewrite.
+            rewrite_vals = {v for v in upd_in if v in scanned_vals} | moved_out
             if cur.get("dv") and n_ins:
                 # re-inserting a tombstoned key clears it from the DV
                 # (consolidation below) — which would RESURRECT the
@@ -3653,10 +3702,9 @@ def merge_into_table(
                 # stats can hold one); one extra bounds job, only on
                 # the dv-and-inserts path. (Found by the CDC-apply
                 # replica≠head pin, r10.)
-                k = keys[0]
                 reins = (
                     dec.filter(F.col("_action") == "insert")
-                    .select(k)
+                    .select(*keys)
                     .join(
                         spark.read.parquet(
                             *[
@@ -3664,26 +3712,30 @@ def merge_into_table(
                                 for d in cur["dv"]
                             ]
                         ).distinct(),
-                        on=k,
+                        on=keys,
                         how="left_semi",
                     )
                 )
                 rb = reins.agg(
-                    F.min(k).alias("lo"), F.max(k).alias("hi")
+                    *[F.min(k).alias(f"_lo{i}") for i, k in enumerate(keys)],
+                    *[F.max(k).alias(f"_hi{i}") for i, k in enumerate(keys)],
                 ).collect()[0]
-                if rb.lo is not None:
+                if rb["_lo0"] is not None:
                     stale = _stats_prune(
                         {
                             "partitions": dict(scan_parts),
                             "stats": cur.get("stats", {}),
                         },
-                        {k: (rb.lo, rb.hi)},
+                        {
+                            k: (rb[f"_lo{i}"], rb[f"_hi{i}"])
+                            for i, k in enumerate(keys)
+                        },
                     )
                     rewrite_vals |= {
                         e.split("=", 1)[1] for e in stale
                     }
             rewrite_vals |= null_del & del_in
-            cand = del_in - rewrite_vals if tomb_ok else set()
+            cand = del_in - rewrite_vals
             if cand:
                 # the DV path is sound only for WHOLE-KEY deletes: a key
                 # with duplicate target rows and a row-divergent delete
@@ -3718,24 +3770,33 @@ def merge_into_table(
                     .collect()
                 )
                 rewrite_vals |= {r._p for r in mixed} & cand
+            # extend = generation append: unscanned arrival partitions
+            # (whole partition absent from the base read) AND scanned
+            # insert-only partitions (their carried rows stay in the old
+            # generations; only the _act == "insert" rows are staged)
             extend_vals = (upd_in | ins_in) - scanned_vals - rewrite_vals
-            tomb_vals = set()
-            for v in del_in - rewrite_vals:
-                if tomb_ok:
-                    tomb_vals.add(v)  # delete-only: DV, not rewrite
-                else:
-                    rewrite_vals.add(v)
+            extend_vals |= (ins_in & scanned_vals) - rewrite_vals
+            tomb_vals = del_in - rewrite_vals  # delete-only: DV, not rewrite
 
             write_vals = sorted(rewrite_vals | extend_vals)
             written: set[str] = set()
             if write_vals:
+                # per-partition staging mode: rewrites stage every
+                # surviving row; extended entries stage ONLY the rows
+                # this merge created there (inserts, moved-in updates) —
+                # their carried rows live on in the prior generations
                 vals_df = spark.createDataFrame(
-                    [(v,) for v in write_vals], f"{pcol} string"
+                    [(v, v in rewrite_vals) for v in write_vals],
+                    f"{pcol} string, _rw boolean",
                 )
                 stage_rows = (
                     dec.filter(F.col("_action") != "delete")
-                    .join(F.broadcast(vals_df), pcol, "left_semi")
-                    .drop("_action", "_t_part")
+                    .join(F.broadcast(vals_df), pcol, "inner")
+                    .filter(
+                        F.col("_rw")
+                        | F.col("_action").isin("insert", "update")
+                    )
+                    .drop("_action", "_t_part", "_rw")
                 )
                 stage_rows.write.mode("overwrite").partitionBy(pcol).parquet(
                     stage_path
@@ -3763,8 +3824,7 @@ def merge_into_table(
             new_dv = cur.get("dv", [])
             dv_key = cur.get("dv_key")
             if tomb_vals or (new_dv and n_ins):
-                k = keys[0]
-                dv_key = k
+                dv_key = _dv_key_field(keys)
                 tomb_df = None
                 if tomb_vals:
                     tp_df = spark.createDataFrame(
@@ -3773,7 +3833,7 @@ def merge_into_table(
                     tomb_df = (
                         dec.filter(F.col("_action") == "delete")
                         .join(F.broadcast(tp_df), "_t_part", "left_semi")
-                        .select(k)
+                        .select(*keys)
                     )
                 if new_dv and n_ins:
                     # consolidate: re-inserted keys must leave the DV or
@@ -3783,10 +3843,10 @@ def merge_into_table(
                     ).distinct()
                     ins_keys = (
                         dec.filter(F.col("_action") == "insert")
-                        .select(k)
+                        .select(*keys)
                         .distinct()
                     )
-                    kept = old_keys.join(ins_keys, on=k, how="left_anti")
+                    kept = old_keys.join(ins_keys, on=keys, how="left_anti")
                     tomb_df = (
                         kept
                         if tomb_df is None

@@ -153,11 +153,12 @@ def _entry_files(table_dir: str, dirs, entry: str) -> list[str]:
 
 
 def _dv_added_bounds(
-    table_dir: str, key: str, cur_dirs: list[str], prev_dirs: list[str]
+    table_dir: str, keys: list[str], cur_dirs: list[str], prev_dirs: list[str]
 ) -> tuple:
-    """(lo, hi, any) over the keys ADDED by a dv change (cur − prev) —
-    driver-side pyarrow over the delete-sized key files, zero Spark
-    jobs (the same data the batch path broadcasts)."""
+    """(per-column {col: (lo, hi)} bounds, any) over the key TUPLES
+    ADDED by a dv change (cur − prev) — driver-side pyarrow over the
+    delete-sized key files, zero Spark jobs (the same data the batch
+    path broadcasts). ``keys`` may be composite (VERDICT r10 #2)."""
     import pyarrow.parquet as pq
 
     def keys_of(dirs: list[str]) -> set:
@@ -168,17 +169,21 @@ def _dv_added_bounds(
                 continue
             for f in sorted(os.listdir(dd)):
                 if f.endswith(".parquet"):
-                    out.update(
-                        pq.read_table(
-                            os.path.join(dd, f), columns=[key]
-                        )[key].to_pylist()
-                    )
+                    t = pq.read_table(os.path.join(dd, f), columns=keys)
+                    out.update(zip(*[t[k].to_pylist() for k in keys]))
         return out
 
-    added = {k for k in keys_of(cur_dirs) - keys_of(prev_dirs) if k is not None}
+    added = {
+        tup
+        for tup in keys_of(cur_dirs) - keys_of(prev_dirs)
+        if all(x is not None for x in tup)
+    }
     if not added:
-        return None, None, False
-    return min(added), max(added), True
+        return None, False
+    bounds = {
+        k: (min(vs), max(vs)) for k, vs in zip(keys, zip(*added))
+    }
+    return bounds, True
 
 
 def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
@@ -203,6 +208,7 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
     so an image matches what `read_table_changes_typed` computes for
     the same commit (pinned stream-equals-batch by the oracle)."""
     from nshm2022db_spark.streaming.sinks import (
+        _dv_keys,
         _entry_dirs,
         _stats_prune,
         table_history,
@@ -254,7 +260,7 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                     {
                         "files": files, "pcol": pcol, "value": value,
                         "version": v, "ctype": ctype, "ts": ts,
-                        "key": key or m.get("dv_key") or prev.get("dv_key"),
+                        "key": key or _dv_keys(m) or _dv_keys(prev) or None,
                         "anti": anti, "inc": inc or [], "exc": exc or [],
                     }
                 )
@@ -301,10 +307,10 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                             value, "delete", p_dv,
                         )
             if op == "merge" and m.get("dv") != prev.get("dv"):
-                key = m.get("dv_key")
-                if key is not None:
-                    lo, hi, any_ = _dv_added_bounds(
-                        table_dir, key, m.get("dv", []), prev.get("dv", [])
+                kcols = _dv_keys(m)
+                if kcols:
+                    bounds, any_ = _dv_added_bounds(
+                        table_dir, kcols, m.get("dv", []), prev.get("dv", [])
                     )
                     if any_:
                         # untouched entries only — a touched entry's
@@ -321,12 +327,12 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                             "stats": prev.get("stats", {}),
                         }
                         for e, dirs in sorted(
-                            _stats_prune(untouched, {key: (lo, hi)}).items()
+                            _stats_prune(untouched, bounds).items()
                         ):
                             unit(
                                 _entry_files(table_dir, dirs, e),
                                 e.split("=", 1)[1], "delete", p_dv,
-                                key=key, inc=m_dv, exc=p_dv,
+                                key=kcols, inc=m_dv, exc=p_dv,
                             )
         else:  # op == "delete": key tombstone commit
             new_dv = [
@@ -345,18 +351,16 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                     "migrate_legacy_layouts or consume "
                     "read_table_changes_typed in batch"
                 )
-            key = m["dv_key"]
-            lo, hi, any_ = _dv_added_bounds(table_dir, key, new_dv, [])
+            kcols = _dv_keys(m)
+            bounds, any_ = _dv_added_bounds(table_dir, kcols, new_dv, [])
             if not any_:
                 continue
             nd_abs = [os.path.join(table_dir, d) for d in new_dv]
-            for e, dirs in sorted(
-                _stats_prune(prev, {key: (lo, hi)}).items()
-            ):
+            for e, dirs in sorted(_stats_prune(prev, bounds).items()):
                 unit(
                     _entry_files(table_dir, dirs, e),
                     e.split("=", 1)[1], "delete", p_dv,
-                    key=key, inc=nd_abs, exc=[],
+                    key=kcols, inc=nd_abs, exc=[],
                 )
     return units
 
@@ -476,7 +480,7 @@ class CommitLogPartition(InputPartition):
     def __init__(
         self, files: list[str], pcol: str, value: str, version: int,
         ctype: str | None = None, ts: float | None = None,
-        key: str | None = None, anti: list[str] | None = None,
+        key: list[str] | None = None, anti: list[str] | None = None,
         inc: list[str] | None = None, exc: list[str] | None = None,
     ):
         self.files = files
@@ -485,7 +489,9 @@ class CommitLogPartition(InputPartition):
         self.version = version
         self.ctype = ctype
         self.ts = ts
-        self.key = key
+        # tombstone key COLUMNS (list; composite keys are tuples in the
+        # dv files) — None when the unit needs no key filtering
+        self.key = list(key) if key else None
         self.anti = anti or []
         self.inc = inc or []
         self.exc = exc or []
@@ -595,8 +601,9 @@ class CommitLogStreamReader(DataSourceStreamReader):
         def key_set(dirs: list[str]) -> frozenset:
             # per-worker memo: a commit fanning out to many units would
             # otherwise re-parse the same immutable dv key files once
-            # per unit (r10 review #7)
-            ck = (partition.key, tuple(dirs))
+            # per unit (r10 review #7). Members are key TUPLES (single
+            # or composite).
+            ck = (tuple(partition.key), tuple(dirs))
             hit = _KEYSET_CACHE.get(ck)
             if hit is not None:
                 return hit
@@ -606,16 +613,45 @@ class CommitLogStreamReader(DataSourceStreamReader):
                     continue
                 for f in sorted(os.listdir(d)):
                     if f.endswith(".parquet"):
+                        t = pq.read_table(
+                            os.path.join(d, f), columns=partition.key
+                        )
                         out.update(
-                            pq.read_table(
-                                os.path.join(d, f), columns=[partition.key]
-                            )[partition.key].to_pylist()
+                            zip(*[t[k].to_pylist() for k in partition.key])
                         )
             if len(_KEYSET_CACHE) >= 64:
                 _KEYSET_CACHE.clear()
             res = frozenset(out)
             _KEYSET_CACHE[ck] = res
             return res
+
+        def key_mask(t, sel: frozenset, keep_matches: bool):
+            """Arrow row mask: row's key tuple ∈ sel (or its negation).
+            Single-column keys stay on the vectorized is_in path; NULL
+            components never match (a NULL key hides nothing — the
+            write paths also keep NULLs out of dv files, and sorted()
+            over {None, int} would raise, ADVICE r10). Composite keys
+            fall back to a tuple-set probe over the delete-image unit's
+            rows — stats-pruned partitions, bounded by design."""
+            if len(partition.key) == 1:
+                vals = sorted(x[0] for x in sel if x[0] is not None)
+                if not vals:
+                    # empty selection: nothing matches — pa.array([])
+                    # would be null-typed and confuse is_in
+                    return pa.array([not keep_matches] * t.num_rows)
+                mask = pc.is_in(
+                    t[partition.key[0]], value_set=pa.array(vals)
+                )
+                if keep_matches:
+                    return pc.fill_null(mask, False)
+                return pc.fill_null(pc.invert(mask), True)
+            cols = [t[k].to_pylist() for k in partition.key]
+            return pa.array(
+                [
+                    (tup in sel) == keep_matches
+                    for tup in zip(*cols)
+                ]
+            )
 
         # executor-side key filters (delete-sized sets, the same data
         # the batch path broadcasts): drop rows the image version's own
@@ -632,7 +668,7 @@ class CommitLogStreamReader(DataSourceStreamReader):
         for path in partition.files:
             t = pq.read_table(path)
             if partition.key is not None:
-                if partition.key not in t.column_names:
+                if any(k not in t.column_names for k in partition.key):
                     if keep is not None:
                         # a semi-filter over a file WITHOUT the key
                         # column matches nothing (the batch path's
@@ -641,28 +677,9 @@ class CommitLogStreamReader(DataSourceStreamReader):
                         # over it drops nothing, so fall through
                         continue
                 elif keep is not None:
-                    # NULL-safe sort key: the write paths keep NULLs out
-                    # of dv files, but a pre-fix file may carry one —
-                    # sorted() over {None, int} raises TypeError
-                    # (ADVICE r10); a NULL key matches/hides nothing
-                    # either way, so excluding it is the batch semantics
-                    mask = pc.is_in(
-                        t[partition.key],
-                        value_set=pa.array(
-                            sorted(x for x in keep - drop if x is not None)
-                        ),
-                    )
-                    t = t.filter(pc.fill_null(mask, False))
+                    t = t.filter(key_mask(t, keep - drop, True))
                 elif drop:
-                    mask = pc.is_in(
-                        t[partition.key],
-                        value_set=pa.array(
-                            sorted(x for x in drop if x is not None)
-                        ),
-                    )
-                    t = t.filter(
-                        pc.fill_null(pc.invert(mask), True)
-                    )
+                    t = t.filter(key_mask(t, drop, False))
             n = t.num_rows
             if n == 0:
                 continue

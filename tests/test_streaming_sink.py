@@ -4202,6 +4202,79 @@ class TestMergeIntoTable:
                 when_matched_update={"v": "s.nv"},
             )
 
+    def test_insert_into_scanned_partition_extends_not_rewrites(
+        self, spark, tmp_path
+    ):
+        """VERDICT r10 #3: a new key landing in a scanned but otherwise
+        unchanged partition appends a generation holding ONLY the new
+        rows — the old generation dir is carried in the entry's dir
+        list, not rewritten (Delta's pure-insert append economics)."""
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        before = current_commit(d)["partitions"]["day=a"]
+        # k=2 matches (no satisfied clause -> carry, but forces 'a'
+        # into the scan set); k=100 is new and inserts into 'a'
+        src = spark.createDataFrame(
+            [(2, 0.0), (100, 999.0)], "k long, nv double"
+        )
+        m = merge_into_table(
+            spark, d, src, ["k"],
+            when_matched_update={"v": "s.nv"},
+            when_matched_update_condition="s.nv > 1e9",  # never fires
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'a'"},
+        )
+        assert (m["updated"], m["inserted"]) == (0, 1)
+        cur = current_commit(d)
+        entry = cur["partitions"]["day=a"]
+        # generation list: the pre-merge dir carried byte-identical,
+        # plus exactly one appended generation
+        assert isinstance(entry, list) and len(entry) == 2
+        assert entry[0] == before and entry[1] != before
+        # the appended generation holds ONLY the inserted row
+        new_gen = spark.read.parquet(
+            str(tmp_path / "t" / entry[1] / "day=a")
+        )
+        assert new_gen.count() == 1 and new_gen.collect()[0].k == 100
+        got = read_keyed_table(spark, d).filter("day = 'a'")
+        assert got.count() == 6  # 5 carried + 1 inserted
+
+    def test_insert_plus_update_in_scanned_partition_rewrites(
+        self, spark, tmp_path
+    ):
+        """The extend shortcut applies ONLY to insert-only partitions:
+        an in-place update in the same partition still rewrites it
+        (and the insert rides the rewrite)."""
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        before = current_commit(d)["partitions"]["day=a"]
+        src = spark.createDataFrame(
+            [(2, 777.0), (100, 999.0)], "k long, nv double"
+        )
+        merge_into_table(
+            spark, d, src, ["k"],
+            when_matched_update={"v": "s.nv"},
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'a'"},
+        )
+        entry = current_commit(d)["partitions"]["day=a"]
+        assert isinstance(entry, str) and entry != before  # rewritten
+        got = {
+            (r.k, r.v)
+            for r in read_keyed_table(spark, d).filter("day = 'a'").collect()
+        }
+        assert (2, 777.0) in got and (100, 999.0) in got and len(got) == 6
+
     def test_empty_insert_dict_rejected(self, spark, tmp_path):
         """ADVICE r10 low: {} used to count as a truthy insert clause
         with an empty SET map, staging all-NULL rows that only failed
@@ -4303,6 +4376,107 @@ class TestMergeIntoTable:
         assert not cur.get("dv")  # no NULL tombstone was written
         assert "day=z" not in cur["partitions"]
         assert read_keyed_table(spark, d).filter("day = 'z'").count() == 0
+
+    def test_composite_key_merge_delete_uses_dv(self, spark, tmp_path):
+        """VERDICT r10 #2: composite natural keys get the full DV
+        economics — a delete-only partition under a multi-column merge
+        key is tombstoned with key TUPLES (not rewritten), the typed
+        feed reconstructs its delete images, the CDC fold still equals
+        the head, and a re-insert consolidates the tuple DV."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            apply_typed_changes,
+            current_commit,
+            merge_into_table,
+            read_keyed_table,
+            read_table_changes_typed,
+        )
+
+        d = str(tmp_path / "t")
+        rows = [
+            (g, k, float(k), day)
+            for day, g in (("a", "x"), ("b", "y"))
+            for k in range(5)
+        ]
+        append_partition_transaction(
+            spark, d, "day",
+            spark.createDataFrame(
+                rows, "g string, k long, v double, day string"
+            ),
+            stats_cols=["k"],
+        )
+        before = dict(current_commit(d)["partitions"])
+        src = spark.createDataFrame(
+            [("x", k) for k in range(5)], "g string, k long"
+        )
+        m = merge_into_table(
+            spark, d, src, ["g", "k"], when_matched_delete=True
+        )
+        assert m["deleted"] == 5
+        cur = current_commit(d)
+        assert cur.get("dv") and cur["dv_key"] == ["g", "k"]
+        # the delete-only partition took the DV, not a rewrite
+        assert cur["partitions"]["day=a"] == before["day=a"]
+        got = read_keyed_table(spark, d)
+        assert got.filter("day = 'a'").count() == 0
+        assert got.filter("day = 'b'").count() == 5
+        # typed feed over the tuple DV; CDC fold == head
+        feed = read_table_changes_typed(spark, d, from_version=0)
+        replica = apply_typed_changes(feed, ["g", "k", "v", "day"])
+        assert sorted((r.g, r.k, r.v, r.day) for r in replica.collect()) == (
+            sorted((r.g, r.k, r.v, r.day) for r in got.collect())
+        )
+        # re-insert one tuple: consolidation clears it, stale row purged
+        m2 = merge_into_table(
+            spark, d,
+            spark.createDataFrame(
+                [("x", 2, 99.0, "a")], "g string, k long, v double, day string"
+            ),
+            ["g", "k"],
+            when_not_matched_insert=True,
+        )
+        assert m2["inserted"] == 1
+        got2 = read_keyed_table(spark, d).filter("day = 'a'").collect()
+        assert [(r.g, r.k, r.v) for r in got2] == [("x", 2, 99.0)]
+
+    def test_composite_key_tombstone_keys_and_typed_feed(
+        self, spark, tmp_path
+    ):
+        """tombstone_keys with a key-column LIST: the dv file carries
+        tuples, reads anti-join on both columns (same k, different g
+        survives), and the typed feed's delete images match."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+            read_table_changes_typed,
+            tombstone_keys,
+        )
+
+        d = str(tmp_path / "t")
+        rows = [
+            (g, k, float(k), "a") for g in ("x", "y") for k in range(4)
+        ]
+        append_partition_transaction(
+            spark, d, "day",
+            spark.createDataFrame(
+                rows, "g string, k long, v double, day string"
+            ),
+            stats_cols=["k"],
+        )
+        tombstone_keys(
+            spark, d, ["g", "k"],
+            spark.createDataFrame([("x", 1), ("x", 3)], "g string, k long"),
+        )
+        got = read_keyed_table(spark, d)
+        assert got.count() == 6
+        # same k under the other g survives — tuple, not column, match
+        assert got.filter("k = 1").collect()[0].g == "y"
+        feed = read_table_changes_typed(spark, d, from_version=1)
+        dels = {
+            (r.g, r.k)
+            for r in feed.filter("_change_type = 'delete'").collect()
+        }
+        assert dels == {("x", 1), ("x", 3)}
 
     def test_tombstone_keys_drops_null_keys(self, spark, tmp_path):
         """tombstone_keys filters NULLs out of the dv key file: a NULL

@@ -511,6 +511,66 @@ class TestTypedStream:
         dels = {r.k for r in stream_rows if r._change_type == "delete"}
         assert dels == {4, 5, 6, 7}
 
+    def test_typed_stream_composite_key_tombstone_matches_batch(
+        self, spark
+    ):
+        """VERDICT r10 #2: a composite-key tombstone streams its delete
+        images by TUPLE membership — same k under another group
+        survives — and stream equals batch over the tuple DV."""
+        from nshm2022db_spark.streaming.sinks import (
+            read_table_changes_typed,
+            tombstone_keys,
+        )
+
+        d = tempfile.mkdtemp(prefix="tsrc_typed_comp_")
+        rows = spark.createDataFrame(
+            [
+                (g, k, float(k), "2024-01-01")
+                for g in ("x", "y")
+                for k in range(4)
+            ],
+            "g string, k long, v double, day string",
+        )
+        append_partition_transaction(spark, d, "day", rows, batch_id=0)
+        tombstone_keys(
+            spark, d, ["g", "k"],
+            spark.createDataFrame([("x", 1), ("x", 3)], "g string, k long"),
+        )
+        register_commitlog_source(spark)
+        got = (
+            spark.readStream.format("commitlog")
+            .option("path", d)
+            .option("changeTypes", "true")
+            .load()
+        )
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_typed_comp")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stream_rows = spark.sql(
+            "select g, k, _commit_version, _change_type from tsrc_typed_comp"
+        ).collect()
+        spark.catalog.dropTempView("tsrc_typed_comp")
+        batch_rows = read_table_changes_typed(spark, d, 0).select(
+            "g", "k", "_commit_version", "_change_type"
+        ).collect()
+        key = lambda rows: sorted(
+            (r.g, r.k, r._commit_version, r._change_type) for r in rows
+        )
+        assert key(stream_rows) == key(batch_rows)
+        dels = {
+            (r.g, r.k)
+            for r in stream_rows
+            if r._change_type == "delete"
+        }
+        assert dels == {("x", 1), ("x", 3)}
+
     def test_typed_plan_refuses_legacy_layout_tombstones(self, spark):
         """r10 review #4: a tombstone commit over unmigrated legacy
         layouts cannot plan its delete images from the current layout
