@@ -1515,125 +1515,77 @@ def table_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
 TYPED_DELETE_MOD = 7  # tombstoned keys in the typed-change-feed demo
 
 
-@register(
-    "table_changes_typed",
-    """WITH e AS (
-           SELECT event_id, event_id % 4 AS b FROM events)
-       SELECT * FROM (
-           SELECT CAST(1 AS BIGINT) AS commit_version,
-                  'insert' AS change_type,
-                  COUNT(*) AS n,
-                  CAST(SUM(event_id) AS BIGINT) AS id_sum
-           FROM e
-           UNION ALL
-           SELECT CAST(2 AS BIGINT), 'insert', COUNT(*),
-                  CAST(SUM(event_id) AS BIGINT)
-           FROM e WHERE b = 1 AND event_id % 8 = 1
-           UNION ALL
-           SELECT CAST(2 AS BIGINT), 'delete', COUNT(*),
-                  CAST(SUM(event_id) AS BIGINT)
-           FROM e WHERE b = 1
-           UNION ALL
-           SELECT CAST(3 AS BIGINT), 'delete', COUNT(*),
-                  CAST(SUM(event_id) AS BIGINT)
-           FROM e WHERE (b <> 1 OR event_id % 8 = 1)
-                    AND event_id % 7 = 0
-       )""",
-)
-def table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
-    """The TYPED change feed (Delta CDF's `_change_type` surface) over a
-    mixed-op history: v1 APPENDs all events bucketed by event_id % 4,
-    v2 INSERT OVERWRITEs bucket 1 keeping only ids = 1 mod 8 (upsert image
-    pair: the new content as inserts, bucket 1's prior content as
-    deletes), v3 TOMBSTONES event_id % 7 == 0 (delete images = the rows
-    visible at v2 matching the keys). The per-(commit, change_type)
-    rollup is recomputed by the oracle from base events, so commit
-    attribution, image pairing, AND the tombstone delete-image
-    reconstruction (prior-version read semi-joined on the commit's key
-    file) are all value-checked. Cost is O(changed data) per commit —
-    insert images are the commit's own stage, delete images open only
-    touched entries' prior dirs."""
+_TYPED_FEED_ORACLE = """
+    WITH e AS (
+        SELECT event_id, user_id, event_id % 4 AS b FROM events),
+    vis3 AS (
+        SELECT * FROM e
+        WHERE (b <> 1 OR event_id % 8 = 1) AND event_id % 7 <> 0)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS commit_version,
+               'insert' AS change_type,
+               COUNT(*) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum,
+               CAST(SUM(user_id) AS BIGINT) AS user_sum
+        FROM e
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'insert', COUNT(*),
+               CAST(SUM(event_id) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        FROM e WHERE b = 1 AND event_id % 8 = 1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'delete', COUNT(*),
+               CAST(SUM(event_id) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        FROM e WHERE b = 1
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'delete', COUNT(*),
+               CAST(SUM(event_id) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        FROM e WHERE (b <> 1 OR event_id % 8 = 1)
+                 AND event_id % 7 = 0
+        UNION ALL
+        -- v4 merge (CDC sidecar): WHEN MATCHED %12==0 updates emit
+        -- pre/post PAIRS keyed by the merge key...
+        SELECT CAST(4 AS BIGINT), 'update_preimage', COUNT(*),
+               CAST(SUM(event_id) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        FROM vis3 WHERE event_id % 12 = 0
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), 'update_postimage', COUNT(*),
+               CAST(SUM(event_id) AS BIGINT),
+               CAST(SUM(user_id + 1000) AS BIGINT)
+        FROM vis3 WHERE event_id % 12 = 0
+        UNION ALL
+        -- ...the remaining matched rows (%12==6) delete as before-images...
+        SELECT CAST(4 AS BIGINT), 'delete', COUNT(*),
+               CAST(SUM(event_id) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        FROM vis3 WHERE event_id % 12 = 6
+        UNION ALL
+        -- ...and unmatched source rows insert (carried rows absent;
+        -- v5's compaction is dataChange=false and emits NOTHING)
+        SELECT CAST(4 AS BIGINT), 'insert', COUNT(*),
+               CAST(SUM(event_id) AS BIGINT),
+               CAST(SUM(user_id + 1000) AS BIGINT)
+        FROM e WHERE event_id % 6 = 0
+          AND NOT ((b <> 1 OR event_id % 8 = 1) AND event_id % 7 <> 0)
+    ) WHERE n > 0
+"""
+
+
+def _typed_feed_history(spark: SparkSession, sf: str) -> str:
+    """The shared 5-commit mixed history behind the typed-feed queries:
+    v1 append all (bucketed by event_id % 4), v2 INSERT OVERWRITE
+    bucket 1 keeping ids = 1 mod 8, v3 tombstone ids % 7 == 0, v4 a
+    conditional MERGE (update user_id += 1000 where id % 12 == 0,
+    delete the other matched ids % 6 == 0, insert the unmatched ones
+    into bucket 'x') that writes a CDC sidecar, v5 a compaction
+    (dataChange=false). Returns the landed table path."""
     from nshm2022db_spark.streaming.sinks import (
         append_partition_transaction,
-        overwrite_partition_transaction,
-        read_table_changes_typed,
-        tombstone_keys,
-    )
-
-    base = scratch_path("events_changes_typed_r9b", sf)
-    path = os.path.join(base, "events_by_bucket")
-    if not is_landed(base):
-        ev = read_table(spark, sf, "events").select(
-            "event_id",
-            "user_id",
-            (F.col("event_id") % 4).cast("string").alias("b"),
-        )
-        append_partition_transaction(spark, path, "b", ev)
-        overwrite_partition_transaction(
-            spark, path, "b",
-            ev.filter((F.col("b") == "1") & (F.col("event_id") % 8 == 1)),
-            replace_where=["1"],
-        )
-        tombstone_keys(
-            spark, path, "event_id",
-            ev.filter(F.col("event_id") % TYPED_DELETE_MOD == 0).select(
-                "event_id"
-            ),
-        )
-        mark_landed(base)
-    feed = read_table_changes_typed(spark, path, from_version=0)
-    return (
-        feed.groupBy(
-            F.col("_commit_version").alias("commit_version"),
-            F.col("_change_type").alias("change_type"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("event_id").cast("long").alias("id_sum"),
-        )
-    )
-
-
-@register(
-    "cdc_apply_typed",
-    """WITH e AS (
-           SELECT event_id, user_id, event_id % 4 AS b FROM events),
-       final AS (
-           SELECT event_id, user_id, CAST(b AS VARCHAR) AS b FROM e
-           WHERE (b <> 1 OR event_id % 8 = 1) AND event_id % 7 <> 0
-                 AND event_id % 6 <> 0
-           UNION ALL
-           SELECT event_id, user_id, 'x' AS b FROM e
-           WHERE event_id % 6 = 0
-             AND NOT ((b <> 1 OR event_id % 8 = 1)
-                      AND event_id % 7 <> 0))
-       SELECT b, COUNT(*) AS n,
-              CAST(SUM(event_id) AS BIGINT) AS id_sum,
-              CAST(SUM(user_id) AS BIGINT) AS user_sum
-       FROM final GROUP BY b""",
-)
-def cdc_apply_typed(spark: SparkSession, sf: str) -> DataFrame:
-    """CDC APPLY over the typed change feed (r10): the same mixed
-    4-commit history as `stream_table_changes_typed` (append →
-    replaceWhere overwrite → key tombstone → dv-consolidating merge),
-    then `apply_typed_changes` folds EVERY image — insert/delete
-    pairs, tombstone delete images, merge re-inserts — back into a
-    replica with one multiset aggregation, and the replica's rollup
-    must equal the oracle's direct recomputation of the FINAL state
-    from base events. This is the downstream half of Delta CDF: proof
-    that a consumer holding only the feed reconstructs the table
-    exactly (replica == head is additionally row-level-pinned in
-    tests/test_streaming_sink.py)."""
-    from nshm2022db_spark.streaming.sinks import (
-        append_partition_transaction,
-        apply_typed_changes,
+        compact_partition_table,
         merge_into_table,
         overwrite_partition_transaction,
-        read_table_changes_typed,
         tombstone_keys,
     )
 
-    base = scratch_path("events_cdc_apply_r10b", sf)
+    base = scratch_path("events_changes_typed_r11", sf)
     path = os.path.join(base, "events_by_bucket")
     if not is_landed(base):
         ev = read_table(spark, sf, "events").select(
@@ -1649,21 +1601,110 @@ def cdc_apply_typed(spark: SparkSession, sf: str) -> DataFrame:
         )
         tombstone_keys(
             spark, path, "event_id",
-            ev.filter(F.col("event_id") % 7 == 0).select("event_id"),
+            ev.filter(F.col("event_id") % TYPED_DELETE_MOD == 0).select(
+                "event_id"
+            ),
             batch_id=2,
         )
         merge_into_table(
             spark, path,
-            ev.filter(F.col("event_id") % 6 == 0), ["event_id"],
-            when_matched_delete=True,
+            ev.filter(F.col("event_id") % 6 == 0).select(
+                "event_id", (F.col("user_id") + 1000).alias("nv")
+            ),
+            ["event_id"],
+            when_matched=[
+                ("update", "s.event_id % 12 = 0", {"user_id": "s.nv"}),
+                ("delete", None),
+            ],
             when_not_matched_insert={
                 "event_id": "s.event_id",
-                "user_id": "s.user_id",
+                "user_id": "s.nv",
                 "b": "'x'",
             },
             batch_id=3,
         )
+        # v5: every partition compacts (threshold 0) — a provable
+        # restatement the feeds must SKIP (dataChange=false)
+        compact_partition_table(spark, path, max_files_per_partition=0)
         mark_landed(base)
+    return path
+
+
+@register("table_changes_typed", _TYPED_FEED_ORACLE)
+def table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
+    """The TYPED change feed (Delta CDF's full `_change_type` surface)
+    over the shared 5-commit history (`_typed_feed_history`): append →
+    overwrite pair images → tombstone delete images → a MERGE whose
+    CDC sidecar yields ``update_preimage``/``update_postimage`` PAIRS
+    plus exact delete/insert images (VERDICT r10 #1 — the update-image
+    form a CDC consumer porting Delta logic expects) → a compaction
+    the feed SKIPS entirely (dataChange=false). The
+    per-(commit, change_type) rollup sums BOTH event_id and user_id,
+    so the oracle value-checks that pre-images carry the OLD user_id
+    and post-images the updated one — pairing, not just counts. Cost
+    is O(changed data) per commit: insert images are the commit's own
+    stage, the merge's images are its change-sized sidecar, delete
+    images open only stats-pruned prior entries."""
+    from nshm2022db_spark.streaming.sinks import read_table_changes_typed
+
+    path = _typed_feed_history(spark, sf)
+    feed = read_table_changes_typed(spark, path, from_version=0)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+        )
+    )
+
+
+@register(
+    "cdc_apply_typed",
+    """WITH e AS (
+           SELECT event_id, user_id, event_id % 4 AS b FROM events),
+       vis3 AS (
+           SELECT * FROM e
+           WHERE (b <> 1 OR event_id % 8 = 1) AND event_id % 7 <> 0),
+       final AS (
+           SELECT event_id,
+                  CASE WHEN event_id % 12 = 0 THEN user_id + 1000
+                       ELSE user_id END AS user_id,
+                  CAST(b AS VARCHAR) AS b
+           FROM vis3 WHERE event_id % 12 <> 6
+           UNION ALL
+           SELECT event_id, user_id + 1000, 'x' AS b FROM e
+           WHERE event_id % 6 = 0
+             AND NOT ((b <> 1 OR event_id % 8 = 1)
+                      AND event_id % 7 <> 0))
+       SELECT b, COUNT(*) AS n,
+              CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              CAST(SUM(user_id) AS BIGINT) AS user_sum
+       FROM final GROUP BY b""",
+)
+def cdc_apply_typed(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC APPLY over the typed change feed (r10, update images r11):
+    the shared 5-commit history (`_typed_feed_history` — append →
+    replaceWhere overwrite → key tombstone → CDC-sidecar merge with
+    UPDATE pairs → dataChange=false compaction), then
+    `apply_typed_changes` folds EVERY image — pairs, tombstone delete
+    images, update_preimage (−1) / update_postimage (+1), merge
+    inserts, and the compaction's absence — back into a replica with
+    one multiset aggregation, and the replica's rollup must equal the
+    oracle's direct recomputation of the FINAL state from base events.
+    This is the downstream half of Delta CDF: proof that a consumer
+    holding only the feed reconstructs the table exactly (replica ==
+    head is additionally row-level-pinned in
+    tests/test_streaming_sink.py)."""
+    from nshm2022db_spark.streaming.sinks import (
+        apply_typed_changes,
+        read_table_changes_typed,
+    )
+
+    path = _typed_feed_history(spark, sf)
     feed = read_table_changes_typed(spark, path, from_version=0)
     replica = apply_typed_changes(feed, ["event_id", "user_id", "b"])
     return replica.groupBy("b").agg(

@@ -508,68 +508,78 @@ def stream_table_source(spark: SparkSession, sf: str) -> DataFrame:
                   'insert' AS change_type,
                   COUNT(*) AS n,
                   CAST(SUM(event_id) AS BIGINT) AS id_sum,
+                  CAST(SUM(user_id) AS BIGINT) AS user_sum,
                   CAST(1 AS BIGINT) AS ts_ok
            FROM e
            UNION ALL
            SELECT CAST(2 AS BIGINT), 'insert', COUNT(*),
-                  CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
+                  CAST(SUM(event_id) AS BIGINT),
+                  CAST(SUM(user_id) AS BIGINT), CAST(1 AS BIGINT)
            FROM e WHERE b = 1 AND event_id % 8 = 1
            UNION ALL
            SELECT CAST(2 AS BIGINT), 'delete', COUNT(*),
-                  CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
+                  CAST(SUM(event_id) AS BIGINT),
+                  CAST(SUM(user_id) AS BIGINT), CAST(1 AS BIGINT)
            FROM e WHERE b = 1
            UNION ALL
            SELECT CAST(3 AS BIGINT), 'delete', COUNT(*),
-                  CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
+                  CAST(SUM(event_id) AS BIGINT),
+                  CAST(SUM(user_id) AS BIGINT), CAST(1 AS BIGINT)
            FROM e WHERE (b <> 1 OR event_id % 8 = 1)
                     AND event_id % 7 = 0
            UNION ALL
-           -- v4 merge: the re-inserts purge-rewrite every (stat-less)
-           -- partition that may hold their stale tombstoned rows, so
-           -- the pair images cover the FULL prior visible state...
-           SELECT CAST(4 AS BIGINT), 'delete', COUNT(*),
-                  CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
-           FROM vis3
+           -- v4 merge (CDC sidecar): update pre/post PAIRS for the
+           -- matched %12==0 keys (pre carries the OLD user_id, post
+           -- the updated one — pairing value-checked, not counted)...
+           SELECT CAST(4 AS BIGINT), 'update_preimage', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT),
+                  CAST(SUM(user_id) AS BIGINT), CAST(1 AS BIGINT)
+           FROM vis3 WHERE event_id % 12 = 0
            UNION ALL
-           -- ...and the post-merge content: survivors (matched deletes
-           -- applied in-place) plus the re-inserted rows
+           SELECT CAST(4 AS BIGINT), 'update_postimage', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT),
+                  CAST(SUM(user_id + 1000) AS BIGINT), CAST(1 AS BIGINT)
+           FROM vis3 WHERE event_id % 12 = 0
+           UNION ALL
+           -- ...the other matched rows (%12==6) delete as before-images...
+           SELECT CAST(4 AS BIGINT), 'delete', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT),
+                  CAST(SUM(user_id) AS BIGINT), CAST(1 AS BIGINT)
+           FROM vis3 WHERE event_id % 12 = 6
+           UNION ALL
+           -- ...unmatched source rows insert; carried rows are ABSENT
+           -- and v5's compaction micro-batch is EMPTY (dataChange=false)
            SELECT CAST(4 AS BIGINT), 'insert', COUNT(*),
-                  CAST(SUM(event_id) AS BIGINT), CAST(1 AS BIGINT)
-           FROM (
-               SELECT event_id FROM vis3 WHERE event_id % 6 <> 0
-               UNION ALL
-               SELECT event_id FROM e
-               WHERE event_id % 6 = 0
-                 AND NOT ((b <> 1 OR event_id % 8 = 1)
-                          AND event_id % 7 <> 0))
+                  CAST(SUM(event_id) AS BIGINT),
+                  CAST(SUM(user_id + 1000) AS BIGINT), CAST(1 AS BIGINT)
+           FROM e WHERE event_id % 6 = 0
+             AND NOT ((b <> 1 OR event_id % 8 = 1)
+                      AND event_id % 7 <> 0)
        ) WHERE n > 0""",
 )
 def stream_table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
-    """The TYPED change feed AS A STREAMING SOURCE (VERDICT r09 #6 —
-    the streaming half of Delta CDF): the same mixed history as
-    `table_changes_typed` (v1 append all, v2 INSERT OVERWRITE bucket 1
-    keeping ids = 1 mod 8, v3 tombstone ids % 7 == 0) PLUS a v4
-    conditional MERGE (delete matched ids % 6 == 0, re-insert the
-    unmatched ones into a new partition). The re-inserts CONSOLIDATE
-    the dv (re-inserted keys leave it) and therefore purge-rewrite
-    every partition that may hold their stale tombstoned rows — here
-    all of them (stat-less entries are conservative candidates), so
-    v4 emits full pair images plus the re-inserts, and the matched
-    deletes apply in-place rather than via new tombstones. A silver job consumes it as
-    `spark.readStream.format("commitlog").option("changeTypes",
-    "true")` with `maxVersionsPerBatch=1` — four REAL micro-batches,
-    each emitting exactly the insert/delete images
+    """The TYPED change feed AS A STREAMING SOURCE (VERDICT r09 #6,
+    update images r10 #1 — the streaming half of Delta CDF): the same
+    5-commit history as `table_changes_typed` (v1 append all, v2
+    INSERT OVERWRITE bucket 1 keeping ids = 1 mod 8, v3 tombstone
+    ids % 7 == 0, v4 a conditional MERGE whose CDC sidecar yields
+    ``update_preimage``/``update_postimage`` pairs for the %12==0
+    updates plus exact delete/insert images, v5 a compaction the
+    stream SKIPS — its micro-batch plans zero units, dataChange=false).
+    A silver job consumes it as `spark.readStream.format("commitlog")
+    .option("changeTypes", "true")` with `maxVersionsPerBatch=1` —
+    one REAL micro-batch per commit, each emitting exactly the images
     `read_table_changes_typed` computes for that version (the
     stream-equals-batch pin lives in tests/test_table_source.py; the
-    oracle here recomputes every image family from base events, so
-    pairing, tombstone delete-image semi-filtering, merge dv key-diff,
-    AND the consolidation's no-re-delete property are all
+    oracle recomputes every image family from base events, summing
+    BOTH event_id and user_id so the update pairing itself is
     value-checked). ts_ok pins `_commit_timestamp` non-null on every
     image row."""
     import tempfile
 
     from nshm2022db_spark.streaming.sinks import (
         append_partition_transaction,
+        compact_partition_table,
         merge_into_table,
         overwrite_partition_transaction,
         tombstone_keys,
@@ -598,15 +608,22 @@ def stream_table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
         )
         merge_into_table(
             spark, bronze,
-            ev.filter(F.col("event_id") % 6 == 0), ["event_id"],
-            when_matched_delete=True,
+            ev.filter(F.col("event_id") % 6 == 0).select(
+                "event_id", (F.col("user_id") + 1000).alias("nv")
+            ),
+            ["event_id"],
+            when_matched=[
+                ("update", "s.event_id % 12 = 0", {"user_id": "s.nv"}),
+                ("delete", None),
+            ],
             when_not_matched_insert={
                 "event_id": "s.event_id",
-                "user_id": "s.user_id",
+                "user_id": "s.nv",
                 "b": "'x'",
             },
             batch_id=3,
         )
+        compact_partition_table(spark, bronze, max_files_per_partition=0)
         replay = _replay_session(spark)
         register_commitlog_source(replay)
         stream = (
@@ -622,6 +639,7 @@ def stream_table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
         ).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("event_id").cast("long").alias("id_sum"),
+            F.sum("user_id").cast("long").alias("user_sum"),
             F.min(F.col("_commit_timestamp").isNotNull().cast("long")).alias(
                 "ts_ok"
             ),

@@ -657,6 +657,7 @@ def committed_partition_transaction(
     bloom_bits: int = _BLOOM_BITS,
     bloom_hashes: int = _BLOOM_HASHES,
     _drop_dv: bool = False,
+    data_change: bool = True,
 ) -> None:
     """One optimistic-concurrency transaction over a PARTITION-MAPPED
     table — the same CAS commit protocol as `committed_transaction`, but
@@ -800,6 +801,12 @@ def committed_partition_transaction(
             "batch_ids": [],
             "op": "rewrite",
         }
+        if not data_change:
+            # Delta's dataChange=false: the rewrite provably RESTATES
+            # rows (compaction, Z-order, tombstone materialization) —
+            # change feeds skip the commit entirely instead of emitting
+            # no-op pairs, and additive consumers stay sound across it
+            manifest["data_change"] = False
         if new_stats:
             manifest["stats"] = new_stats
         if new_bloom:
@@ -1765,6 +1772,9 @@ def compact_partition_table(
         # current-layout rows, so unmigrated legacy layouts are safe to
         # leave untouched
         allow_legacy=True,
+        # a compaction restates rows byte-for-value: tag the commit so
+        # change feeds skip it (Delta OPTIMIZE's dataChange=false)
+        data_change=False,
     )
     return sorted(frag)
 
@@ -1777,6 +1787,8 @@ def _manifest_dirs(m: dict) -> set[str]:
     out = {m["dir"]} if "dir" in m else set()
     out.update(m.get("dirs", []))
     out.update(m.get("dv", []))
+    if m.get("cdc"):
+        out.add(m["cdc"])  # the merge's change-data sidecar
     for v in m.get("partitions", {}).values():
         out.update(_entry_dirs(v))
     for lay in m.get("legacy_layouts", []):
@@ -1921,6 +1933,9 @@ def materialize_tombstones(
         affected=None,
         stats_cols=stats_cols,
         _drop_dv=True,
+        # the VISIBLE state is unchanged (hidden rows become physically
+        # absent): change feeds skip the commit (dataChange=false)
+        data_change=False,
     )
     return current_commit(table_dir)["version"]
 
@@ -2285,7 +2300,7 @@ def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
     for n in os.listdir(table_dir):
         p = os.path.join(table_dir, n)
         if (
-            n.startswith("data-")
+            (n.startswith("data-") or n.startswith("cdc-"))
             and n not in referenced
             and os.path.isdir(p)
             and now - os.path.getmtime(p) > grace_sec
@@ -2373,6 +2388,11 @@ def read_table_changes(
             continue
         if republished:
             continue  # metadata-only re-publish (RESTORE)
+        if m.get("op") == "rewrite" and m.get("data_change") is False:
+            # compaction / Z-order / materialization: provably a
+            # restatement (Delta's dataChange=false) — emitting its
+            # stage would replay unchanged rows as "changes"
+            continue
         if "partitions" not in m:
             raise ValueError(
                 f"{table_dir} is not partition-mapped; read versions "
@@ -2418,25 +2438,30 @@ def read_table_changes_typed(
       entries whose mapping changed: the new content as ``insert`` and
       the PRIOR version's content of those entries as ``delete`` (an
       entry dropped by the commit emits deletes only). Delta-CDF
-      parity notes (ADVICE r09): rewrites emit insert/delete pairs,
-      not ``update_preimage``/``update_postimage`` — pairing pre/post
-      images per ROW needs a declared row key, which a partition-
-      mapped (non-keyed) table does not have; and a pure compaction
-      emits pairs for unchanged data because this format has no
-      ``dataChange=false`` flag. Consumers folding the feed should
-      key on their own id columns and treat delete+insert of an
-      identical row as a no-op;
+      parity note (ADVICE r09): a non-keyed rewrite emits
+      insert/delete pairs, not update images — pairing pre/post per
+      ROW needs a declared row key, which a partition-mapped
+      (non-keyed) overwrite does not have. Consumers folding the feed
+      key on their own id columns; a ``rewrite`` tagged
+      ``data_change: false`` (compaction, Z-order, tombstone
+      materialization — Delta's dataChange=false) provably restates
+      rows and emits NOTHING;
     * ``delete`` (key tombstone) → the PRIOR version's rows matching
       the commit's newly-added keys as ``delete`` — the event stream
       `tombstone_keys` itself cannot provide (its docstring used to
       point consumers at raw key files);
-    * ``merge`` → the map diff as pairs like a rewrite, EXCEPT entries
-      whose dir list merely GREW (a merge insert into an unscanned
-      partition): those emit only the added generations as inserts.
-      Keys the merge's delete clauses tombstoned emit delete images
-      via the dv KEY diff (the consolidated dv file holds old keys
-      too, so a dir-list diff would re-delete history); re-inserted
-      keys reappear through the map diff;
+    * ``merge`` with a ``cdc`` sidecar (the default since r11 —
+      Delta's _change_data files) → the EXACT row-level images the
+      merge recorded at commit time: WHEN MATCHED updates as
+      ``update_preimage``/``update_postimage`` PAIRS (keyed by the
+      merge keys by construction), deletes as before-images, inserts
+      as after-images, carried rows absent (VERDICT r10 #1 / the
+      second half of ADVICE r09 #5). O(changed rows) read, zero
+      reconstruction. A pre-r11 merge (or ``change_data=False``)
+      falls back to the map-diff pairs: entries whose dir list merely
+      GREW emit only the added generations as inserts, tombstoned
+      keys emit delete images via the dv KEY diff, re-inserted keys
+      reappear through the map diff;
     * ``set-constraints`` / ``evolve`` → metadata-only, no rows;
     * ``restore`` / ``clone`` / ``migrate`` / untagged → raise: their
       row images are not defined by one commit's files, and guessing
@@ -2506,6 +2531,25 @@ def read_table_changes_typed(
                 f"commit {v} is {op!r} — its row images are not defined "
                 "by a single commit's files; consume it via a recompute"
             )
+        if op == "rewrite" and m.get("data_change") is False:
+            # compaction / Z-order / tombstone materialization: the
+            # commit provably restates rows (Delta's dataChange=false)
+            # — no images, and no diff base needed
+            continue
+        if op == "merge" and m.get("cdc"):
+            # Delta's _change_data path: the merge recorded exact
+            # row-level images (update pre/post pairs keyed by the
+            # merge keys, deletes, inserts; carried rows absent) at
+            # commit time — read them directly, no diff base, no
+            # reconstruction joins
+            cdc = spark.read.parquet(os.path.join(table_dir, m["cdc"]))
+            cdc = cdc.withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            ).withColumn("_commit_timestamp", _commit_ts(v))
+            out = cdc if out is None else out.unionByName(
+                cdc, allowMissingColumns=True
+            )
+            continue
         if (
             op in ("overwrite", "rewrite", "delete", "merge")
             and v - 1 >= 1
@@ -2721,7 +2765,9 @@ def apply_typed_changes(feed: DataFrame, cols: list[str]) -> DataFrame:
     its old image and +1 on its new; a delete-then-identical-reinsert
     nets +1; duplicate physical rows net their multiplicity). ``cols``
     is the replica's column set — the feed's metadata columns are
-    dropped.
+    dropped. Update images weigh like their pair halves:
+    ``update_preimage`` −1 (the before state leaves), ``insert`` and
+    ``update_postimage`` +1, ``delete`` −1.
 
     This is the batch proof that the feed ALONE reconstructs the
     table (`cdc_apply_typed` pins replica == head against the oracle);
@@ -2729,9 +2775,9 @@ def apply_typed_changes(feed: DataFrame, cols: list[str]) -> DataFrame:
     version's images into a keyed `merge_into_table` instead. Scale
     shape: one shuffle on the full row values — the same cost class as
     the dedup_exact fingerprint exchange."""
-    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
     return (
         feed.select(*cols, w.alias("_w"))
         .groupBy(*cols)
@@ -2818,12 +2864,15 @@ def maintain_incremental_agg(
     number of source commits applied.
 
     SOUND FOR APPEND-ONLY SOURCES: the change feed surfaces rewrite
-    commits (compaction, erasure, migration) as upsert images and
-    deletes/restores as state changes with no add rows — an additive
-    fold would double-count or silently miss them, so any such commit
-    in the unfolded range RAISES (each manifest carries its ``op``
-    tag; recompute the aggregate instead, or keep the source
-    append-only, which is what a landing zone is). A source commit
+    commits (erasure, migration) as upsert images and deletes/restores
+    as state changes with no add rows — an additive fold would
+    double-count or silently miss them, so any such commit in the
+    unfolded range RAISES (each manifest carries its ``op`` tag;
+    recompute the aggregate instead, or keep the source append-only,
+    which is what a landing zone is). The exception is a rewrite
+    tagged ``data_change: false`` (compaction / Z-order — Delta's
+    dataChange=false): a provable restatement, skipped, so table
+    maintenance never breaks incremental refresh. A source commit
     vacuumed before it was folded also raises — its rows are
     unfoldable, so schedule maintenance inside the retention
     window."""
@@ -2842,6 +2891,8 @@ def maintain_incremental_agg(
                 "recompute the aggregate from the current table instead"
             )
         op = m.get("op")
+        if op == "rewrite" and m.get("data_change") is False:
+            continue  # compaction: restatement, nothing to fold
         if op not in ("append", "set-constraints", "evolve"):
             # Refuse everything an additive fold cannot express: rewrites
             # double-count, deletes/restores change state without add
@@ -3192,6 +3243,7 @@ def merge_into_table(
     evolve_schema: bool = False,
     when_matched: list | None = None,
     when_not_matched_by_source: list | None = None,
+    change_data: bool = True,
 ) -> dict:
     """Conditional multi-clause MERGE INTO on a partition-mapped table —
     Delta's full MERGE surface as ONE commit on the CAS log (VERDICT
@@ -3275,6 +3327,15 @@ def merge_into_table(
     ("update", None, {"n": "t.n + 1"}), ("delete", "t.stale")]``.
     The keyword pair (update-then-delete) is sugar for the two-clause
     list; passing both forms for one family raises.
+
+    ``change_data=True`` (default) writes Delta's _change_data sidecar:
+    a ``cdc-*`` dir recording the merge's EXACT row-level images —
+    updates as ``update_preimage``/``update_postimage`` pairs, deletes
+    as before-images, inserts as after-images, carried rows absent —
+    which `read_table_changes_typed` and the ``changeTypes`` streaming
+    source read directly (O(changed rows), no diff-base
+    reconstruction; VERDICT r10 #1). ``change_data=False`` skips the
+    sidecar write and consumers fall back to map-diff pair images.
 
     ``evolve_schema=True`` is Delta's MERGE schema auto-merge: columns
     present only in the source join the target schema — SET/INSERT
@@ -3635,12 +3696,29 @@ def merge_into_table(
                 else F.col("_act")
             ).alias("_action"),
             F.expr(f"t.{pcol}").cast("string").alias("_t_part"),
+            # pre-image carrier for the CDC sidecar: update rows keep
+            # their full BEFORE struct (NULL for everything else, so
+            # the scratch write stays change-sized on that column)
+            (
+                F.when(F.col("_act").isin(*update_labels), F.col("t"))
+                if update_labels
+                else F.lit(None).cast(
+                    T.StructType(
+                        [
+                            T.StructField(c, ttypes[c])
+                            for c in tcols
+                            if c in base_cols
+                        ]
+                    )
+                )
+            ).alias("_pre"),
         )
 
         scratch = os.path.join(table_dir, f"scratch-{uuid.uuid4().hex}")
         stage = f"data-{uuid.uuid4().hex}"
         stage_path = os.path.join(table_dir, stage)
         dv_stage = None
+        cdc_stage = None
         try:
             dec.write.mode("overwrite").parquet(scratch)
             dec = spark.read.parquet(scratch)
@@ -3796,7 +3874,7 @@ def merge_into_table(
                         F.col("_rw")
                         | F.col("_action").isin("insert", "update")
                     )
-                    .drop("_action", "_t_part", "_rw")
+                    .drop("_action", "_t_part", "_rw", "_pre")
                 )
                 stage_rows.write.mode("overwrite").partitionBy(pcol).parquet(
                     stage_path
@@ -3902,6 +3980,63 @@ def merge_into_table(
                     "version": cur["version"], "updated": 0, "deleted": 0,
                     "inserted": 0, "carried": n_carry,
                 }
+
+            # ---- CDC sidecar (Delta's _change_data files) ----
+            # The decision frame knows every row-level action, so the
+            # merge records its EXACT images at commit time: update rows
+            # as update_preimage/update_postimage PAIRS (keyed by
+            # construction — same dec row), deletes as their before
+            # image, inserts as their after image, carried rows absent
+            # (Delta's dataChange discipline). The typed change feed
+            # (batch and stream) then reads this O(changed rows) dir
+            # instead of reconstructing pair images from map diffs —
+            # VERDICT r10 #1 / ADVICE r09 #5 second half. One
+            # change-sized write per merge; `change_data=False` skips it
+            # and consumers fall back to the pair reconstruction.
+            if change_data and (n_upd or n_del or n_ins):
+                pre_fields = [
+                    (
+                        F.col(f"_pre.{c}").cast(ttypes[c])
+                        if c in base_cols
+                        else F.lit(None).cast(ttypes[c])
+                    ).alias(c)
+                    for c in tcols
+                ]
+                cur_fields = [
+                    F.col(c).cast(ttypes[c]).alias(c) for c in tcols
+                ]
+
+                def _img(fields, ct: str):
+                    return F.struct(
+                        *fields, F.lit(ct).alias("_change_type")
+                    )
+
+                cdc_rows = (
+                    dec.filter(F.col("_action") != "carry")
+                    .select(
+                        F.explode(
+                            F.when(
+                                F.col("_action") == "update",
+                                F.array(
+                                    _img(pre_fields, "update_preimage"),
+                                    _img(cur_fields, "update_postimage"),
+                                ),
+                            )
+                            .when(
+                                F.col("_action") == "delete",
+                                F.array(_img(cur_fields, "delete")),
+                            )
+                            .otherwise(
+                                F.array(_img(cur_fields, "insert"))
+                            )
+                        ).alias("_c")
+                    )
+                    .select("_c.*")
+                )
+                cdc_stage = f"cdc-{uuid.uuid4().hex}"
+                cdc_rows.write.mode("overwrite").parquet(
+                    os.path.join(table_dir, cdc_stage)
+                )
             manifest = {
                 "version": cur["version"] + 1,
                 # a delete-only merge stages no data files: anchor the
@@ -3921,6 +4056,8 @@ def merge_into_table(
             if new_dv:
                 manifest["dv"] = new_dv
                 manifest["dv_key"] = dv_key
+            if cdc_stage:
+                manifest["cdc"] = cdc_stage
             anchor = stage_path if write_vals else os.path.join(
                 table_dir, dv_stage
             )
@@ -3935,6 +4072,10 @@ def merge_into_table(
             if dv_stage:
                 shutil.rmtree(
                     os.path.join(table_dir, dv_stage), ignore_errors=True
+                )
+            if cdc_stage:
+                shutil.rmtree(
+                    os.path.join(table_dir, cdc_stage), ignore_errors=True
                 )
         finally:
             shutil.rmtree(scratch, ignore_errors=True)

@@ -37,12 +37,17 @@ nothing; a commit vacuumed before it was read also raises.
 `.option("changeTypes", "true")` switches to the TYPED feed (r10,
 VERDICT r09 #6): the streaming half of Delta CDF. Each micro-batch
 emits the same images `read_table_changes_typed` computes for its
-version range — insert/delete pairs for rewrites, added-generation
-inserts for merge extensions, tombstone delete images semi-filtered to
-the commit's added keys — plus `_change_type` and `_commit_timestamp`.
+version range — a merge's CDC sidecar rows verbatim (update
+pre/post-image pairs, deletes, inserts — r11, VERDICT r10 #1),
+insert/delete pairs for non-keyed rewrites, added-generation inserts
+for merge extensions, tombstone delete images semi-filtered to the
+commit's added keys — plus `_change_type` and `_commit_timestamp`.
 Overwrite/delete/merge commits are then first-class instead of
 raising; stream-equals-batch is oracle-pinned by
-`stream_table_changes_typed`.
+`stream_table_changes_typed`. Rewrites tagged `data_change: false`
+(compaction / Z-order) are provable restatements and plan NOTHING in
+both modes — the untyped additive stream keeps flowing across table
+maintenance instead of dying on it.
 """
 
 from __future__ import annotations
@@ -101,6 +106,11 @@ def _plan_changes(table_dir: str, start: int, end: int) -> list[dict]:
             )
         op = m.get("op")
         if op not in _ADDITIVE_OPS:
+            if op == "rewrite" and m.get("data_change") is False:
+                # compaction / Z-order (Delta's dataChange=false): a
+                # provable restatement — the stream keeps flowing
+                # across table maintenance instead of dying on it
+                continue
             raise ValueError(
                 f"commit {v} of {table_dir} is {op!r} — a streaming "
                 "read is only sound over append-only history "
@@ -237,6 +247,33 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                 f"commit {v} is {op!r} — its row images are not defined "
                 "by a single commit's files; consume it via a recompute"
             )
+        if op == "rewrite" and m.get("data_change") is False:
+            continue  # compaction (dataChange=false): restatement only
+        if op == "merge" and m.get("cdc"):
+            # the merge's _change_data sidecar holds its exact images
+            # (update pre/post pairs, deletes, inserts) — plan one unit
+            # per cdc file; _change_type and the partition column are
+            # DATA columns there (value=None / ctype=None sentinels)
+            cdc_abs = os.path.join(table_dir, m["cdc"])
+            files = (
+                sorted(
+                    os.path.join(cdc_abs, f)
+                    for f in os.listdir(cdc_abs)
+                    if f.endswith(".parquet")
+                )
+                if os.path.isdir(cdc_abs)
+                else []
+            )
+            if files:
+                units.append(
+                    {
+                        "files": files, "pcol": m["partition_col"],
+                        "value": None, "version": v, "ctype": None,
+                        "ts": m.get("committed_at"), "key": None,
+                        "anti": [], "inc": [], "exc": [],
+                    }
+                )
+            continue
         if (
             op in ("overwrite", "rewrite", "delete", "merge")
             and v - 1 >= 1
@@ -686,11 +723,24 @@ class CommitLogStreamReader(DataSourceStreamReader):
             cols = []
             for field in target:
                 if field.name == partition.pcol:
-                    arr = pa.array([partition.value] * n, type=field.type)
+                    # cdc units (value=None) carry the partition column
+                    # as a DATA column in the sidecar file
+                    arr = (
+                        pa.array([partition.value] * n, type=field.type)
+                        if partition.value is not None
+                        else t.column(field.name).cast(field.type)
+                    )
                 elif field.name == "_commit_version":
                     arr = pa.array([partition.version] * n, type=field.type)
                 elif field.name == "_change_type":
-                    arr = pa.array([partition.ctype] * n, type=field.type)
+                    # cdc units (ctype=None) read the per-row type the
+                    # merge recorded (update_preimage / update_postimage
+                    # / delete / insert)
+                    arr = (
+                        pa.array([partition.ctype] * n, type=field.type)
+                        if partition.ctype is not None
+                        else t.column(field.name).cast(field.type)
+                    )
                 elif field.name == "_commit_timestamp":
                     arr = (
                         pa.array(

@@ -1545,10 +1545,13 @@ class TestCommitLog:
     def test_change_feed_reads_only_requested_commits(self, spark, tmp_path):
         """read_table_changes returns exactly what each commit in the
         range added (tagged with its version), scans nothing outside the
-        range, and surfaces a rewrite commit's new partition contents."""
+        range, SKIPS dataChange=false compactions (r11 — a restatement
+        is not a change), and surfaces a state-CHANGING rewrite's new
+        partition contents."""
         from nshm2022db_spark.streaming.sinks import (
             append_partition_transaction,
             compact_partition_table,
+            committed_partition_transaction,
             read_table_changes,
         )
 
@@ -1578,17 +1581,24 @@ class TestCommitLog:
         feed = read_table_changes(spark, t, 2)
         assert all("data-" in f for f in feed.inputFiles())
         assert len({f.rsplit("/k=", 1)[0] for f in feed.inputFiles()}) == 1
-        # a rewrite commit (compaction) surfaces as the rewritten
-        # partition's upsert image
+        # a compaction is dataChange=false: the feed skips it entirely
         compact_partition_table(spark, t, max_files_per_partition=1)  # v4
+        assert read_table_changes(spark, t, 3) is None
+        # a state-CHANGING rewrite (erasure shape) still surfaces as
+        # the rewritten partition's upsert image
+        committed_partition_transaction(  # v5
+            spark, t, "k",
+            lambda base: base.filter("k = 'b' AND uid <> 2"),
+            affected=["b"],
+        )
         reb = {
             (r.uid, r.k, r._commit_version)
-            for r in read_table_changes(spark, t, 3).collect()
+            for r in read_table_changes(spark, t, 4).collect()
         }
-        assert {v for _, _, v in reb} == {4}
-        assert {u for u, k, _ in reb if k == "b"} == {2, 4, 5}
+        assert {v for _, _, v in reb} == {5}
+        assert {u for u, k, _ in reb if k == "b"} == {4, 5}
         # empty range → None
-        assert read_table_changes(spark, t, 4) is None
+        assert read_table_changes(spark, t, 5) is None
 
     def test_sorted_compaction_tightens_row_groups(self, spark, tmp_path):
         """OPTIMIZE ... ZORDER-style: compaction with sort_within writes
@@ -3802,10 +3812,12 @@ class TestMergeIntoTable:
         ) == [10, 11, 12, 13, 14, 50, 51]
 
     def test_typed_feed_over_merge(self, spark, tmp_path):
-        """The typed change feed over a merge commit: rewritten entries
-        emit pairs, EXTENDED entries emit only the added generation as
-        inserts, tombstoned keys emit delete images, and a later
-        consolidation does not re-delete historical keys."""
+        """The typed change feed over a merge commit WITH the CDC
+        sidecar (the r11 default — Delta's _change_data): exact
+        row-level images — updates as update_preimage/update_postimage
+        PAIRS, deletes as before-images, inserts as after-images,
+        carried rows ABSENT — and a later re-insert consolidation
+        emits only its insert (nothing re-deleted, no purge noise)."""
         from nshm2022db_spark.streaming.sinks import (
             merge_into_table,
             read_table_changes_typed,
@@ -3813,10 +3825,8 @@ class TestMergeIntoTable:
 
         d = str(tmp_path / "t")
         self._seed(spark, d)
-        # v2: update in b (rewrite), delete in a (tombstone), insert
-        # lands in c which is OUTSIDE the source key range [3, 12) ...
-        # wait: insert day 'c' comes from the insert map, and c was
-        # pruned from the scan -> generation EXTENSION of day=c
+        # v2: k=3 deletes (tombstone), k=10/11 update (rewrite b),
+        # 5..9 insert into pruned c (generation extension)
         merge_into_table(
             spark, d, self._src(spark, 3, 12), ["k"],
             when_matched_update={"v": "s.nv"},
@@ -3824,6 +3834,53 @@ class TestMergeIntoTable:
             when_matched_delete="t.v < 8",
             when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'c'"},
             when_not_matched_insert_condition="s.nv >= 500",
+        )
+        rows = read_table_changes_typed(spark, d, 1).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r._change_type, []).append((r.k, r.v))
+        assert sorted(by["insert"]) == [
+            (5, 500.0), (6, 600.0), (7, 700.0), (8, 800.0), (9, 900.0)
+        ]
+        assert sorted(by["delete"]) == [(3, 6.0)]  # the BEFORE image
+        # update pairs keyed by construction: pre carries the old v,
+        # post the SET result; carried rows (e.g. k=4, 12..14) absent
+        assert sorted(by["update_preimage"]) == [(10, 20.0), (11, 22.0)]
+        assert sorted(by["update_postimage"]) == [(10, 1000.0), (11, 1100.0)]
+        assert all(r._commit_timestamp is not None for r in rows)
+        # v3: re-insert 3 (dv consolidation + stale purge) — the feed
+        # emits ONLY the insert: the purge rewrites are restatements
+        merge_into_table(
+            spark, d, self._src(spark, 3, 4), ["k"],
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'a'"},
+            when_matched_update={"v": "s.nv"},
+        )
+        rows3 = read_table_changes_typed(spark, d, 2).collect()
+        assert [(r.k, r.v, r._change_type) for r in rows3] == [
+            (3, 300.0, "insert")
+        ]
+
+    def test_typed_feed_merge_fallback_without_cdc(self, spark, tmp_path):
+        """change_data=False (and any pre-r11 merge commit): the feed
+        falls back to the map-diff reconstruction — rewritten entries
+        emit pairs, EXTENDED entries emit only the added generation as
+        inserts, tombstoned keys emit delete images via the dv key
+        diff."""
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_table_changes_typed,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        merge_into_table(
+            spark, d, self._src(spark, 3, 12), ["k"],
+            when_matched_update={"v": "s.nv"},
+            when_matched_update_condition="s.nv > t.v + 500",
+            when_matched_delete="t.v < 8",
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'c'"},
+            when_not_matched_insert_condition="s.nv >= 500",
+            change_data=False,
         )
         rows = read_table_changes_typed(spark, d, 1).collect()
         ins = sorted(r.k for r in rows if r._change_type == "insert")
@@ -3834,26 +3891,54 @@ class TestMergeIntoTable:
         # deletes: b's prior content (pair) + the tombstoned key 3
         assert dels == [3, 10, 11, 12, 13, 14]
         assert all(r._commit_timestamp is not None for r in rows)
-        # v3: re-insert 3 (consolidation) — feed must NOT re-delete
-        # anything, only insert 3
-        merge_into_table(
-            spark, d, self._src(spark, 3, 4), ["k"],
-            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'a'"},
-            when_matched_update={"v": "s.nv"},
+
+    def test_compaction_data_change_false_emits_nothing(
+        self, spark, tmp_path
+    ):
+        """Delta's dataChange=false (VERDICT r10 #1 second half): a
+        compaction (and a tombstone materialization) provably restates
+        rows — both change feeds skip the commit entirely instead of
+        emitting no-op pairs, and the CDC fold over the whole history
+        still equals the head."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            apply_typed_changes,
+            compact_partition_table,
+            current_commit,
+            materialize_tombstones,
+            read_keyed_table,
+            read_table_changes,
+            read_table_changes_typed,
+            tombstone_keys,
         )
-        rows3 = read_table_changes_typed(spark, d, 2).collect()
-        # the re-insert purges partitions that may hold the tombstoned
-        # key's stale rows (stat-less entries are conservative
-        # candidates), so b and c re-pair their unchanged content; the
-        # load-bearing pins: 3's tombstone history is NOT re-deleted,
-        # and 3's insert appears exactly once
-        ins3 = sorted(r.k for r in rows3 if r._change_type == "insert")
-        dels3 = sorted(r.k for r in rows3 if r._change_type == "delete")
-        assert ins3 == sorted(
-            [0, 1, 2, 3, 4] + list(range(5, 15)) + list(range(20, 25))
+
+        d = str(tmp_path / "t")
+        # fragment one partition across several appends
+        for lo in (0, 5, 10):
+            append_partition_transaction(
+                spark, d, "day", self._batch(spark, lo, lo + 5, "a"),
+                stats_cols=["k"],
+            )
+        tombstone_keys(
+            spark, d, "k", spark.createDataFrame([(1,)], "k long")
         )
-        assert dels3 == sorted(
-            [0, 1, 2, 4] + list(range(5, 15)) + list(range(20, 25))
+        assert compact_partition_table(
+            spark, d, max_files_per_partition=2
+        ) == ["day=a"]
+        v_compact = current_commit(d)["version"]
+        assert current_commit(d).get("data_change") is False
+        materialize_tombstones(spark, d)
+        v_mat = current_commit(d)["version"]
+        # neither feed emits anything for the two maintenance commits
+        assert read_table_changes(spark, d, v_compact - 1, v_mat) is None
+        typed = read_table_changes_typed(spark, d, v_compact - 1, v_mat)
+        assert typed is None
+        # the full-history CDC fold is unaffected by the skips
+        feed = read_table_changes_typed(spark, d, 0)
+        replica = apply_typed_changes(feed, ["k", "v", "day"])
+        head = read_keyed_table(spark, d)
+        assert sorted((r.k, r.v) for r in replica.collect()) == sorted(
+            (r.k, r.v) for r in head.collect()
         )
 
     def test_merge_on_schema_evolved_table_with_pruning(

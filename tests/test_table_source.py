@@ -428,13 +428,12 @@ class TestTypedStream:
         assert by[(3, "delete")] == set(range(0, 8))
         # v4 tombstone: 1 was NOT visible (overwritten away) — no image
         assert by[(4, "delete")] == {0, 4}
-        # v5 merge: the re-inserts (1, 4) purge-rewrite the stat-less
-        # partitions (stale-row resurrection guard), so both days
-        # re-pair their content; matched deletes 8, 10 apply in-place.
-        # Load-bearing pins: no tombstone history re-deleted (0 absent),
-        # and the re-inserted keys appear exactly once as inserts.
-        assert by[(5, "delete")] == {2, 6, 8, 9, 10, 11}
-        assert by[(5, "insert")] == {1, 2, 4, 6, 9, 11}
+        # v5 merge (CDC sidecar, r11): exact images only — matched
+        # deletes 8, 10 and the re-inserts 1, 4. The consolidation's
+        # purge rewrites are restatements and emit NOTHING (carried
+        # rows absent; no tombstone history re-deleted).
+        assert by[(5, "delete")] == {8, 10}
+        assert by[(5, "insert")] == {1, 4}
         assert all(r._commit_timestamp is not None for r in stream_rows)
 
     def test_untyped_stream_still_raises_on_rewrites(self, spark):
@@ -510,6 +509,114 @@ class TestTypedStream:
         # the tombstone's delete images cover ONLY the tagged rows
         dels = {r.k for r in stream_rows if r._change_type == "delete"}
         assert dels == {4, 5, 6, 7}
+
+    def test_typed_stream_update_pairs_match_batch(self, spark):
+        """VERDICT r10 #1: a merge's WHEN MATCHED updates stream as
+        update_preimage/update_postimage pairs from the CDC sidecar —
+        stream equals batch, values pinned row-level."""
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_table_changes_typed,
+        )
+
+        d = tempfile.mkdtemp(prefix="tsrc_typed_upd_")
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 0, 6), batch_id=0
+        )
+        merge_into_table(
+            spark, d,
+            spark.createDataFrame(
+                [(1, 111.0), (3, 333.0), (9, 900.0)], "k long, nv double"
+            ),
+            ["k"],
+            when_matched_update={"v": "s.nv"},
+            when_not_matched_insert={
+                "k": "s.k", "v": "s.nv", "day": "'2024-02-01'",
+            },
+        )
+        register_commitlog_source(spark)
+        got = (
+            spark.readStream.format("commitlog")
+            .option("path", d)
+            .option("changeTypes", "true")
+            .load()
+        )
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_typed_upd")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stream_rows = spark.sql(
+            "select k, v, _commit_version, _change_type from tsrc_typed_upd"
+        ).collect()
+        spark.catalog.dropTempView("tsrc_typed_upd")
+        batch_rows = read_table_changes_typed(spark, d, 0).select(
+            "k", "v", "_commit_version", "_change_type"
+        ).collect()
+        key = lambda rows: sorted(
+            (r.k, r.v, r._commit_version, r._change_type) for r in rows
+        )
+        assert key(stream_rows) == key(batch_rows)
+        v2 = {
+            (r.k, r.v, r._change_type)
+            for r in stream_rows
+            if r._commit_version == 2
+        }
+        assert v2 == {
+            (1, 10.0, "update_preimage"), (1, 111.0, "update_postimage"),
+            (3, 30.0, "update_preimage"), (3, 333.0, "update_postimage"),
+            (9, 900.0, "insert"),
+        }
+
+    def test_untyped_stream_flows_across_compaction(self, spark):
+        """dataChange=false lets the ADDITIVE stream survive table
+        maintenance: appends → compaction → append streams every added
+        row exactly once, with no rewrite error and nothing re-emitted
+        for the compaction commit."""
+        from nshm2022db_spark.streaming.sinks import (
+            compact_partition_table,
+        )
+
+        d = tempfile.mkdtemp(prefix="tsrc_compact_flow_")
+        for lo in (0, 4, 8):
+            append_partition_transaction(
+                spark, d, "day", _mkrows(spark, lo, lo + 4),
+                batch_id=lo,
+            )
+        assert compact_partition_table(
+            spark, d, max_files_per_partition=2
+        )
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 12, 16), batch_id=12
+        )
+        register_commitlog_source(spark)
+        got = (
+            spark.readStream.format("commitlog")
+            .option("path", d)
+            .load()
+        )
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_compact_flow")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "select k, _commit_version from tsrc_compact_flow"
+        ).collect()
+        spark.catalog.dropTempView("tsrc_compact_flow")
+        assert sorted(r.k for r in rows) == list(range(16))
+        # the compaction version (4) contributed nothing
+        assert {r._commit_version for r in rows} == {1, 2, 3, 5}
 
     def test_typed_stream_composite_key_tombstone_matches_batch(
         self, spark
