@@ -431,6 +431,10 @@ def _collect_stage_stats(
 
 _BLOOM_BITS = 65536  # default m: 8 KiB/partition/col, <1% FP up to ~n=6800
 _BLOOM_HASHES = 5  # k: optimal for m/n ≈ 10
+# merge pruning probes blooms per source key only when the source's
+# distinct key set is at most this many (one limit-bounded job; the
+# driver-side probe loop is partitions x keys x k bit tests)
+_MERGE_BLOOM_PROBE_CAP = 64
 
 
 def _bloom_position_cols(col, m: int, k: int) -> list:
@@ -608,6 +612,19 @@ def _split_prune(prune: dict | None) -> tuple[dict | None, dict]:
     return base, eq
 
 
+def _bloom_may_contain(spark: SparkSession, sp: dict | None, v) -> bool:
+    """True unless the bitmap PROVES value ``v`` was never inserted.
+    A missing bitmap, NULL probe, pre-type-tag spec, or uncastable
+    literal can never prune (conservative, like min/max stats)."""
+    if sp is None or v is None or "t" not in sp:
+        return True
+    probes = _bloom_probes(spark, v, sp["m"], sp["k"], sp["t"])
+    if probes is None:
+        return True  # literal doesn't cast to the column type
+    bits = base64.b64decode(sp["bits"])
+    return all((bits[p >> 3] >> (p & 7)) & 1 for p in probes)
+
+
 def _bloom_prune(
     spark: SparkSession, manifest: dict, parts: dict, eq: dict
 ) -> dict:
@@ -624,21 +641,7 @@ def _bloom_prune(
     out = {}
     for entry, dirname in parts.items():
         specs = blooms.get(entry, {})
-        keep = True
-        for c, v in eq.items():
-            sp = specs.get(c)
-            if sp is None or v is None or "t" not in sp:
-                # no bitmap, NULL probe, or a pre-type-tag bitmap whose
-                # build-side string form we can't reproduce: never prune
-                continue
-            probes = _bloom_probes(spark, v, sp["m"], sp["k"], sp["t"])
-            if probes is None:
-                continue  # literal doesn't cast to the column type
-            bits = base64.b64decode(sp["bits"])
-            if any(not (bits[p >> 3] >> (p & 7)) & 1 for p in probes):
-                keep = False
-                break
-        if keep:
+        if all(_bloom_may_contain(spark, specs.get(c), v) for c, v in eq.items()):
             out[entry] = dirname
     return out
 
@@ -3281,7 +3284,11 @@ def merge_into_table(
 
     * partitions whose manifest stats DISPROVE every source key are
       never scanned (no ``BY SOURCE`` clause ⇒ touched-partition
-      pruning via the source keys' min/max — one tiny job);
+      pruning via the source keys' min/max — one tiny job); when the
+      source's distinct key set is small and the table carries Bloom
+      bitmaps on the keys, each partition is additionally probed PER
+      KEY, so scattered CDC keys spanning the whole range still prune
+      (VERDICT r10 stretch #7);
     * scanned partitions whose rows all carry are NOT rewritten —
       their mapping, stats, and blooms carry forward untouched;
     * a partition whose ONLY change is whole-key deletes is tombstoned
@@ -3502,6 +3509,46 @@ def merge_into_table(
                 if b[f"_lo{i}"] is not None
             }
             scan_parts = _stats_prune(cur, prune)
+        if (
+            not by_source
+            and scan_parts
+            and cur.get("bloom")
+            and any(
+                c in specs
+                for specs in cur["bloom"].values()
+                for c in keys
+            )
+        ):
+            # bloom-probe refinement (VERDICT r10 stretch #7): one
+            # global min/max range degrades to nothing when the source
+            # keys are SCATTERED (the CDC-batch case — a handful of
+            # keys spanning the table's whole range). When the source's
+            # distinct key set is small (<= _MERGE_BLOOM_PROBE_CAP, one
+            # limit-bounded job), probe each partition's Bloom bitmaps
+            # per key instead: a partition survives only if SOME source
+            # key may be present in it. Conservative like all skipping —
+            # a missing bitmap or NULL key component keeps the entry.
+            ks = (
+                source.select(*keys)
+                .distinct()
+                .limit(_MERGE_BLOOM_PROBE_CAP + 1)
+                .collect()
+            )
+            if len(ks) <= _MERGE_BLOOM_PROBE_CAP:
+                blooms = cur["bloom"]
+                scan_parts = {
+                    entry: dirname
+                    for entry, dirname in scan_parts.items()
+                    if any(
+                        all(
+                            _bloom_may_contain(
+                                spark, blooms.get(entry, {}).get(c), row[c]
+                            )
+                            for c in keys
+                        )
+                        for row in ks
+                    )
+                }
         scanned_vals = {e.split("=", 1)[1] for e in scan_parts}
 
         # target schema from the full map (plan resolve, zero jobs)
