@@ -163,82 +163,38 @@ from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # ROUND-10 WINDOW (VERDICT r09 next-round #1/#4 + the standing
-    # contract above):
-    # (a) NEW in r10: conditional multi-clause MERGE INTO (the full
-    #     Delta MERGE surface as one commit on the CAS log);
-    # (b) own code / shared primitive changed in r10:
-    #     split_leakage_free collapsed to one corpus scan (r10 review),
-    #     the typed change feed gained _commit_timestamp + per-op
-    #     diff-base resolution + the merge branch (table_changes_typed
-    #     is the in-window representative), the streaming reap
-    #     primitive now materializes results to parquet instead of
-    #     collect() (stream_upsert_table / stream_upsert_mor /
-    #     stream_cdc_rollup represent it), and the overwrite staging
-    #     block was restructured for the deletion-only audit gate
-    #     (overwrite_partition_transaction represents it). Also NEW in
-    #     r10: pure-NumPy PNG decode (VERDICT r09 #5), the typed
-    #     change feed as a streaming source (VERDICT r09 #6), and the
-    #     multi-column Z-order clustered compaction (stretch #7) —
-    #     each displaces one r6 row to the tail head:
-    "merge_into_conditional",
-    "multimodal_decode_png",
-    "stream_table_changes_typed",
-    "zorder_clustered_scan",
+    # ROUND-11 WINDOW (VERDICT r10 next-round #1/#2/#3/#4 + the
+    # standing contract above):
+    # (a) NEW in r11: composite-key merge-delete over tuple deletion
+    #     vectors (VERDICT r10 #2);
+    # (b) own expressions changed in r11: the typed-feed trio now
+    #     shares a 5-commit history whose merge emits CDC-sidecar
+    #     update_preimage/update_postimage pairs and whose compaction
+    #     is dataChange=false (VERDICT r10 #1);
+    # (c) shared primitives changed in r11, one in-window
+    #     representative each: merge_into_table (mixed-key tombstone
+    #     guard, insert-extend economics, bloom-probe pruning, CDC
+    #     sidecar write — merge_into_conditional / merge_schema_
+    #     evolution / stream_merge_conditional), compaction's
+    #     data_change tag (zorder_clustered_scan, rowgroup_skip_scan),
+    #     the untyped feed's dataChange skip (table_changes_feed), and
+    #     maintain_incremental_agg's compaction skip
+    #     (cdc_incremental_agg):
+    "merge_delete_composite",
+    "table_changes_typed",
     "cdc_apply_typed",
+    "stream_table_changes_typed",
+    "merge_into_conditional",
     "merge_schema_evolution",
     "stream_merge_conditional",
-    "split_leakage_free",
-    "table_changes_typed",
-    "stream_upsert_table",
-    "stream_upsert_mor",
-    "stream_cdc_rollup",
-    "overwrite_partition_transaction",
-    # (c) stalest tail refresh: ALL 17 remaining r5-evidence rows
-    #     (VERDICT r09 #4 named the first ten; the rest are the same
-    #     vintage), then the 26 eldest r6 rows, alphabetical:
-    "tfidf_search",
-    "scalar_string_format",
-    "semi_join_membership",
-    "scan_project",
-    "stream_dedup_events",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_windowed_distinct",
-    "surrogate_keys_dense",
-    "table_profile",
-    "topk_global",
-    "topk_per_group",
-    "union_all_stack",
-    "unpivot_long",
-    "value_histogram",
-    "window_range_frame",
-    "window_running_sum",
-    "agg_pushdown_scan",
-    "bloom_join_prefilter",
-    "bloom_skip_scan",
-    "bpe_encode_topk",
-    "bpe_pair_counts",
-    "bucket_by_cutpoints",
+    "zorder_clustered_scan",
+    "rowgroup_skip_scan",
+    "table_changes_feed",
     "cdc_incremental_agg",
-    "chunk_documents",
-    "clone_evolve_read",
-    "cohort_retention",
-    "compact_small_files",
-    "constrained_land",
-    "curation_pipeline",
-    "dedup_index_lakehouse",
-    "dedup_keep_best",
-    "dedup_substring_runs",
-    "delete_tombstone_mor",
-    "delete_where_rewrite",
-    "epoch_shuffle",
-    "events_locf",
-    # --- 50-query window boundary (driver gate cap observed r01-r09) ---
-    # Tail head — FIRST PRIORITY for the round-11 window: the remaining
-    # r6-evidence rows (stalest oracle-able evidence after this
-    # rotation); then the r8 rows, the rows-only geometry row, and the
-    # r9/r10-fresh displacements last:
+    # (d) stalest tail refresh (VERDICT r10 #4): ALL 22 remaining
+    #     r6-evidence rows (rowgroup_skip_scan / table_changes_feed /
+    #     cdc_incremental_agg above are the same vintage), then the
+    #     eldest r8 rows:
     "events_tumbling_window",
     "fk_integrity_check",
     "geometry_planes_checksum",
@@ -252,19 +208,17 @@ _DRIVER_ORDER = [
     "partition_evolution_read",
     "quality_upsample",
     "rank_distribution",
-    "rowgroup_skip_scan",
     "salted_skew_join",
     "scd2_build",
     "schema_evolution_read",
     "snapshot_diff",
     "sql_api_pricing_summary",
     "stream_source_quota",
-    "table_changes_feed",
     "text_novelty_score",
     "text_winnow_fingerprints",
     "timeline_gapfill",
     "value_drift_trend",
-    # fresh r8 driver rows:
+    # r8-evidence fill to the window boundary:
     "lm_bigram_score",
     "lm_unigram_score",
     "csv_gzip_scan",
@@ -281,6 +235,11 @@ _DRIVER_ORDER = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    # --- 50-query window boundary (driver gate cap observed r01-r10) ---
+    # Tail head — FIRST PRIORITY for the round-12 window: the remaining
+    # r8-evidence rows (stalest oracle-able evidence after this
+    # rotation); then the r9 rows, the rows-only geometry row, and the
+    # r10/r11-fresh displacements last:
     "dedup_embedding_cosine",
     "knn_bruteforce",
     "knn_lsh_bucketed",
@@ -313,6 +272,49 @@ _DRIVER_ORDER = [
     "advanced_query_negation",
     "advanced_query_or_bounds",
     "approx_percentile_bound",
+    # r10-fresh displacements:
+    "multimodal_decode_png",
+    "split_leakage_free",
+    "stream_upsert_table",
+    "stream_upsert_mor",
+    "stream_cdc_rollup",
+    "overwrite_partition_transaction",
+    "tfidf_search",
+    "scalar_string_format",
+    "semi_join_membership",
+    "scan_project",
+    "stream_dedup_events",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_windowed_distinct",
+    "surrogate_keys_dense",
+    "table_profile",
+    "topk_global",
+    "topk_per_group",
+    "union_all_stack",
+    "unpivot_long",
+    "value_histogram",
+    "window_range_frame",
+    "window_running_sum",
+    "agg_pushdown_scan",
+    "bloom_join_prefilter",
+    "bloom_skip_scan",
+    "bpe_encode_topk",
+    "bpe_pair_counts",
+    "bucket_by_cutpoints",
+    "chunk_documents",
+    "clone_evolve_read",
+    "cohort_retention",
+    "compact_small_files",
+    "constrained_land",
+    "curation_pipeline",
+    "dedup_index_lakehouse",
+    "dedup_keep_best",
+    "dedup_substring_runs",
+    "delete_tombstone_mor",
+    "delete_where_rewrite",
+    "epoch_shuffle",
+    "events_locf",
     # rows-only geometry row (no SQL oracle; its hash-green checksum
     # companion geometry_planes_checksum is in-window this round):
     "geometry_planes",

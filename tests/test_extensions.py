@@ -225,35 +225,29 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
-            # NEW in r10: conditional multi-clause MERGE INTO (VERDICT
-            # r09 #1), the pure-NumPy PNG decode (VERDICT r09 #5), and
-            # the typed change feed as a streaming source (VERDICT
-            # r09 #6)
-            "merge_into_conditional",
-            "multimodal_decode_png",
-            "stream_table_changes_typed",
-            # NEW in r10: multi-column Z-order clustered compaction
-            # (VERDICT r09 stretch #7) and CDC APPLY (typed-feed fold
-            # whose replica==head pin found the re-insert resurrection
-            # bug)
-            "zorder_clustered_scan",
+            # NEW in r11: composite-key merge-delete over tuple
+            # deletion vectors (VERDICT r10 #2)
+            "merge_delete_composite",
+            # own expressions changed in r11: the typed-feed trio's
+            # shared 5-commit history now carries an update-clause
+            # merge (CDC sidecar pre/post images) and a
+            # dataChange=false compaction (VERDICT r10 #1)
+            "table_changes_typed",
             "cdc_apply_typed",
-            # NEW in r10: MERGE schema auto-merge; conditional MERGE
-            # as a streaming sink
+            "stream_table_changes_typed",
+            # shared primitives changed in r11, one in-window
+            # representative each: merge_into_table (mixed-key
+            # tombstone guard, insert-extend economics, bloom-probe
+            # pruning, CDC sidecar write), compaction's data_change
+            # tag, the untyped feed's dataChange skip, and
+            # maintain_incremental_agg's compaction skip
+            "merge_into_conditional",
             "merge_schema_evolution",
             "stream_merge_conditional",
-            # own code changed in r10: split_leakage_free collapsed to
-            # one corpus scan (r10 review sweep)
-            "split_leakage_free",
-            # shared primitives changed in r10, one in-window
-            # representative each: the typed change feed
-            # (_commit_timestamp, per-op diff-base, merge branch), the
-            # streaming reap (parquet scratch instead of collect), and
-            # the overwrite staging block (deletion-only audit gate)
-            "table_changes_typed",
-            "stream_upsert_table", "stream_upsert_mor",
-            "stream_cdc_rollup",
-            "overwrite_partition_transaction",
+            "zorder_clustered_scan",
+            "rowgroup_skip_scan",
+            "table_changes_feed",
+            "cdc_incremental_agg",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo
@@ -276,7 +270,9 @@ class TestDriverOrder:
         root = _os.path.join(_os.path.dirname(__file__), _os.pardir)
         freshness: dict[str, int] = {}
         rounds: set[int] = set()
-        for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r0*.json"))):
+        # r11 fix: the old "r0*" glob silently skipped CORRECTNESS_r10+
+        # and froze freshness at r9
+        for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
             rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
             rounds.add(rnd)
             for qname, row in _json.load(open(path)).items():
@@ -286,7 +282,7 @@ class TestDriverOrder:
                     and row.get("schema_match")
                     and row.get("rows_match")
                 ):
-                    freshness[qname] = rnd
+                    freshness[qname] = max(rnd, freshness.get(qname, 0))
         if freshness:  # skip if driver files absent (fresh clone)
             # Stalest-first contract, round-relative (ADVICE r07: a
             # hardcoded cutoff self-breaks when the new round's file

@@ -236,6 +236,10 @@ LADDER = [
     # r10: conditional MERGE as a streaming sink (3 micro-batch
     # protocol floor + per-batch merge commits)
     "stream_merge_conditional",
+    # r11: composite-key merge-delete (the merge cost model on a tuple
+    # DV; delete-only buckets tombstone, insert buckets extend — the
+    # timed warm path is the tombstone-filtered rollup scan)
+    "merge_delete_composite",
 ]
 
 
