@@ -175,8 +175,10 @@ HEADLINE = [
     "cdc_apply_typed",
     "merge_schema_evolution",
     "stream_merge_conditional",
-    # r11: composite-key merge-delete over tuple deletion vectors
+    # r11: composite-key merge-delete over tuple deletion vectors;
+    # baseline-sequential JPEG decode (pure NumPy)
     "merge_delete_composite",
+    "multimodal_decode_jpeg",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

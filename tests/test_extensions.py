@@ -226,8 +226,10 @@ class TestDriverOrder:
         # slots refresh the stalest tail rows.
         must_verify = {
             # NEW in r11: composite-key merge-delete over tuple
-            # deletion vectors (VERDICT r10 #2)
+            # deletion vectors (VERDICT r10 #2) and baseline JPEG
+            # decode (VERDICT r10 stretch #8)
             "merge_delete_composite",
+            "multimodal_decode_jpeg",
             # own expressions changed in r11: the typed-feed trio's
             # shared 5-commit history now carries an update-clause
             # merge (CDC sidecar pre/post images) and a

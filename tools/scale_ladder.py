@@ -240,6 +240,10 @@ LADDER = [
     # DV; delete-only buckets tombstone, insert buckets extend — the
     # timed warm path is the tombstone-filtered rollup scan)
     "merge_delete_composite",
+    # r11: baseline JPEG encode+decode per document (map-only chained
+    # mapInPandas — scan-linear in documents, no shuffle; entropy
+    # decode is the per-doc hot loop, bounded by compressed bytes)
+    "multimodal_decode_jpeg",
 ]
 
 
