@@ -405,7 +405,7 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def _encode_blocks(
-    blocks: np.ndarray, qtab: np.ndarray, dc_tab: dict, ac_tab: dict,
+    blocks: np.ndarray, dc_tab: dict, ac_tab: dict,
     bw: _BitWriter, pred: int,
 ) -> int:
     """Entropy-encode quantized (n, 8, 8) blocks; returns the new DC
@@ -500,8 +500,7 @@ def encode_jpeg(
                     seen = 0
                     pred = 0
                 pred = _encode_blocks(
-                    blocks[by, bx][None], _JPEG_QTAB, dc_enc, ac_enc,
-                    bw, pred,
+                    blocks[by, bx][None], dc_enc, ac_enc, bw, pred
                 )
                 seen += 1
         comps = [(1, 0x11, 0)]  # (id, sampling byte, qtab id)
@@ -529,15 +528,13 @@ def encode_jpeg(
                         2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2
                     ].reshape(4, 8, 8)
                     preds[0] = _encode_blocks(
-                        four, _JPEG_QTAB, dc_enc, ac_enc, bw, preds[0]
+                        four, dc_enc, ac_enc, bw, preds[0]
                     )
                     preds[1] = _encode_blocks(
-                        cbb[my, mx][None], _JPEG_QTAB, dc_enc, ac_enc,
-                        bw, preds[1],
+                        cbb[my, mx][None], dc_enc, ac_enc, bw, preds[1]
                     )
                     preds[2] = _encode_blocks(
-                        crb[my, mx][None], _JPEG_QTAB, dc_enc, ac_enc,
-                        bw, preds[2],
+                        crb[my, mx][None], dc_enc, ac_enc, bw, preds[2]
                     )
             comps = [(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)]
         else:
@@ -545,8 +542,7 @@ def encode_jpeg(
                 for mx in range(yb.shape[1]):
                     for ci, bl in enumerate((yb, cbb, crb)):
                         preds[ci] = _encode_blocks(
-                            bl[my, mx][None], _JPEG_QTAB, dc_enc, ac_enc,
-                            bw, preds[ci],
+                            bl[my, mx][None], dc_enc, ac_enc, bw, preds[ci]
                         )
             comps = [(1, 0x11, 0), (2, 0x11, 0), (3, 0x11, 0)]
     data = bw.flush()

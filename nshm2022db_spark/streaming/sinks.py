@@ -586,10 +586,46 @@ def _bloom_probes(
             lit.isNull().alias("nul"),
             *[c.alias(f"p{i}") for i, c in enumerate(cols)],
         ).first()
+        if len(_PROBE_CACHE) >= 4096:
+            # bounded like _KEYSET_CACHE: per-source-key merge probing
+            # feeds arbitrary CDC values through here — a long-lived
+            # streaming driver must not leak (r11 review #4)
+            _PROBE_CACHE.clear()
         _PROBE_CACHE[ck] = (
             None if row["nul"] else [row[f"p{i}"] for i in range(k)]
         )
     return _PROBE_CACHE[ck]
+
+
+def _bloom_probes_prefetch(
+    spark: SparkSession, values: list, m: int, k: int, t: str
+) -> None:
+    """Warm `_PROBE_CACHE` for MANY equality values with ONE local-
+    relation job (r11 review #3 — the per-key merge probing would
+    otherwise fire one driver job per distinct source key)."""
+    todo = [
+        v
+        for v in dict.fromkeys(values)
+        if v is not None
+        and (type(v).__name__, v, m, k, t) not in _PROBE_CACHE
+    ]
+    if not todo:
+        return
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(todo)])
+    lit = df[1].try_cast(t)
+    cols = _bloom_position_cols(lit, m, k)
+    rows = df.select(
+        df[0].alias("_i"),
+        lit.isNull().alias("nul"),
+        *[c.alias(f"p{i}") for i, c in enumerate(cols)],
+    ).collect()
+    if len(_PROBE_CACHE) >= 4096:
+        _PROBE_CACHE.clear()
+    for r in rows:
+        v = todo[r["_i"]]
+        _PROBE_CACHE[(type(v).__name__, v, m, k, t)] = (
+            None if r["nul"] else [r[f"p{i}"] for i in range(k)]
+        )
 
 
 def _split_prune(prune: dict | None) -> tuple[dict | None, dict]:
@@ -612,16 +648,21 @@ def _split_prune(prune: dict | None) -> tuple[dict | None, dict]:
     return base, eq
 
 
-def _bloom_may_contain(spark: SparkSession, sp: dict | None, v) -> bool:
+def _bloom_may_contain(
+    spark: SparkSession, sp: dict | None, v, bits: bytes | None = None
+) -> bool:
     """True unless the bitmap PROVES value ``v`` was never inserted.
     A missing bitmap, NULL probe, pre-type-tag spec, or uncastable
-    literal can never prune (conservative, like min/max stats)."""
+    literal can never prune (conservative, like min/max stats).
+    ``bits`` may carry the pre-decoded bitmap so callers probing many
+    values against one entry decode it once (r11 review #3)."""
     if sp is None or v is None or "t" not in sp:
         return True
     probes = _bloom_probes(spark, v, sp["m"], sp["k"], sp["t"])
     if probes is None:
         return True  # literal doesn't cast to the column type
-    bits = base64.b64decode(sp["bits"])
+    if bits is None:
+        bits = base64.b64decode(sp["bits"])
     return all((bits[p >> 3] >> (p & 7)) & 1 for p in probes)
 
 
@@ -2606,16 +2647,20 @@ def read_table_changes_typed(
                 e for e in set(cur_p) | set(prev_p)
                 if cur_p.get(e) != prev_p.get(e)
             }
-            ins, dels = {}, {}
+            ins, dels, extended = {}, {}, {}
             for e in sorted(touched):
                 cd = _entry_dirs(cur_p[e]) if e in cur_p else []
                 pd_ = _entry_dirs(prev_p[e]) if e in prev_p else []
                 if pd_ and cd[: len(pd_)] == pd_:
-                    # pure generation EXTENSION (a merge's insert into
-                    # an unscanned partition): only the added dirs are
-                    # new rows — emitting a full pair would re-state
-                    # unchanged data
+                    # pure generation EXTENSION (a merge insert): only
+                    # the added dirs are new rows — emitting a full
+                    # pair would re-state unchanged data. The PRIOR
+                    # generations still join the dv delete-image base
+                    # below (r11 review #1): an extension emits no pair
+                    # deletes, so keys the same merge tombstoned there
+                    # would otherwise lose their delete images.
                     ins[e] = cd[len(pd_):]
+                    extended[e] = pd_
                 else:
                     if e in cur_p:
                         ins[e] = cur_p[e]
@@ -2665,17 +2710,22 @@ def read_table_changes_typed(
                         ],
                     ).collect()[0]
                     if lo_hi["_lo0"] is not None:  # empty set hides nothing
-                        # delete images come from entries this commit
-                        # did NOT touch: a touched entry's removed rows
-                        # are already in its pair images, so including
-                        # it here would double-delete keys whose rows
-                        # span both (r10 review #2). Legacy layouts
-                        # cannot exist under a merge commit (the write
-                        # path refuses them), so the current-layout map
-                        # is the whole prior state.
+                        # delete images come from entries whose prior
+                        # rows are NOT already re-stated as pair
+                        # deletes: untouched entries, plus the PRIOR
+                        # generations of pure EXTENSIONS (their pair
+                        # images are insert-only — r11 review #1; a
+                        # REWRITTEN entry's removed rows are in its
+                        # pair deletes, so including it would
+                        # double-delete keys whose rows span both,
+                        # r10 review #2). Legacy layouts cannot exist
+                        # under a merge commit (the write path refuses
+                        # them), so the current-layout map is the
+                        # whole prior state.
                         untouched = {
                             e: prev_p[e] for e in prev_p if e not in touched
                         }
+                        untouched.update(extended)
                         sub = {
                             "partition_col": pcol,
                             "partitions": dict(
@@ -3536,16 +3586,40 @@ def merge_into_table(
             )
             if len(ks) <= _MERGE_BLOOM_PROBE_CAP:
                 blooms = cur["bloom"]
+                # ONE probe-position job per (column, spec) across all
+                # keys, and one bitmap decode per (entry, column) —
+                # not per (key, entry) (r11 review #3)
+                for c in keys:
+                    for spec in {
+                        (sp["m"], sp["k"], sp["t"])
+                        for e in scan_parts
+                        for sp in [blooms.get(e, {}).get(c)]
+                        if sp is not None and "t" in sp
+                    }:
+                        _bloom_probes_prefetch(
+                            spark, [row[c] for row in ks], *spec
+                        )
+                bits_of: dict = {}
+
+                def _entry_bits(entry: str, c: str, sp: dict):
+                    ck = (entry, c)
+                    if ck not in bits_of:
+                        bits_of[ck] = base64.b64decode(sp["bits"])
+                    return bits_of[ck]
+
+                def _may(entry: str, c: str, v) -> bool:
+                    sp = blooms.get(entry, {}).get(c)
+                    if sp is None or v is None or "t" not in sp:
+                        return True
+                    return _bloom_may_contain(
+                        spark, sp, v, bits=_entry_bits(entry, c, sp)
+                    )
+
                 scan_parts = {
                     entry: dirname
                     for entry, dirname in scan_parts.items()
                     if any(
-                        all(
-                            _bloom_may_contain(
-                                spark, blooms.get(entry, {}).get(c), row[c]
-                            )
-                            for c in keys
-                        )
+                        all(_may(entry, c, row[c]) for c in keys)
                         for row in ks
                     )
                 }

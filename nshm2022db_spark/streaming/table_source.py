@@ -323,6 +323,7 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                 e for e in set(cur_p) | set(prev_p)
                 if cur_p.get(e) != prev_p.get(e)
             }
+            extended: dict = {}
             for e in sorted(touched):
                 cd = _entry_dirs(cur_p[e]) if e in cur_p else []
                 pd_ = _entry_dirs(prev_p[e]) if e in prev_p else []
@@ -332,6 +333,7 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                         _entry_files(table_dir, cd[len(pd_):], e),
                         value, "insert", m_dv,
                     )
+                    extended[e] = pd_
                 else:
                     if e in cur_p:
                         unit(
@@ -350,17 +352,22 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                         table_dir, kcols, m.get("dv", []), prev.get("dv", [])
                     )
                     if any_:
-                        # untouched entries only — a touched entry's
-                        # removed rows are already in its pair images;
-                        # including it would double-delete keys whose
-                        # rows span both (r10 review #2, same fix as
-                        # the batch path)
+                        # delete-image base: untouched entries PLUS
+                        # the prior generations of pure EXTENSIONS —
+                        # their pair images are insert-only, so keys
+                        # tombstoned there need their delete images
+                        # from here (r11 review #1); a REWRITTEN
+                        # entry's removed rows are already in its pair
+                        # deletes (r10 review #2, same as the batch
+                        # path)
+                        base_parts = {
+                            e: d
+                            for e, d in prev.get("partitions", {}).items()
+                            if e not in touched
+                        }
+                        base_parts.update(extended)
                         untouched = {
-                            "partitions": {
-                                e: d
-                                for e, d in prev.get("partitions", {}).items()
-                                if e not in touched
-                            },
+                            "partitions": base_parts,
                             "stats": prev.get("stats", {}),
                         }
                         for e, dirs in sorted(
@@ -674,8 +681,11 @@ class CommitLogStreamReader(DataSourceStreamReader):
                 vals = sorted(x[0] for x in sel if x[0] is not None)
                 if not vals:
                     # empty selection: nothing matches — pa.array([])
-                    # would be null-typed and confuse is_in
-                    return pa.array([not keep_matches] * t.num_rows)
+                    # would be null-typed (Table.filter rejects it on
+                    # zero-row files too, r11 review #5)
+                    return pa.array(
+                        [not keep_matches] * t.num_rows, type=pa.bool_()
+                    )
                 mask = pc.is_in(
                     t[partition.key[0]], value_set=pa.array(vals)
                 )
@@ -684,10 +694,8 @@ class CommitLogStreamReader(DataSourceStreamReader):
                 return pc.fill_null(pc.invert(mask), True)
             cols = [t[k].to_pylist() for k in partition.key]
             return pa.array(
-                [
-                    (tup in sel) == keep_matches
-                    for tup in zip(*cols)
-                ]
+                [(tup in sel) == keep_matches for tup in zip(*cols)],
+                type=pa.bool_(),  # zero-row files: never null-typed
             )
 
         # executor-side key filters (delete-sized sets, the same data

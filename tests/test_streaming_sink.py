@@ -3892,6 +3892,47 @@ class TestMergeIntoTable:
         assert dels == [3, 10, 11, 12, 13, 14]
         assert all(r._commit_timestamp is not None for r in rows)
 
+    def test_fallback_feed_extend_plus_tombstone_same_partition(
+        self, spark, tmp_path
+    ):
+        """r11 review #1 (reproduced pre-fix): a non-cdc merge that
+        EXTENDS a partition with inserts while TOMBSTONING keys there
+        lost the delete images — the extension's pair images are
+        insert-only and the dv key-diff read only untouched entries.
+        The extended entry's PRIOR generations now join the
+        delete-image base; the CDC fold must equal the head."""
+        from nshm2022db_spark.streaming.sinks import (
+            apply_typed_changes,
+            merge_into_table,
+            read_keyed_table,
+            read_table_changes_typed,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)  # a: 0-4, b: 10-14, c: 20-24 (stats on k)
+        src = spark.createDataFrame(
+            [(2, 0.0), (100, 100.0)], "k long, nv double"
+        )
+        m = merge_into_table(
+            spark, d, src, ["k"],
+            when_matched_delete=True,  # whole-key: k=2 tombstones
+            when_not_matched_insert={"k": "s.k", "v": "s.nv", "day": "'a'"},
+            change_data=False,  # the map-diff fallback path
+        )
+        assert (m["deleted"], m["inserted"]) == (1, 1)
+        rows = read_table_changes_typed(spark, d, 1).collect()
+        dels = {(r.k, r.v) for r in rows if r._change_type == "delete"}
+        ins = {(r.k, r.v) for r in rows if r._change_type == "insert"}
+        assert dels == {(2, 4.0)}  # the lost image, now present
+        assert (100, 100.0) in ins
+        replica = apply_typed_changes(
+            read_table_changes_typed(spark, d, 0), ["k", "v", "day"]
+        )
+        head = read_keyed_table(spark, d)
+        assert sorted((r.k, r.v) for r in replica.collect()) == sorted(
+            (r.k, r.v) for r in head.collect()
+        )
+
     def test_compaction_data_change_false_emits_nothing(
         self, spark, tmp_path
     ):

@@ -618,6 +618,67 @@ class TestTypedStream:
         # the compaction version (4) contributed nothing
         assert {r._commit_version for r in rows} == {1, 2, 3, 5}
 
+    def test_typed_stream_fallback_extend_plus_tombstone(self, spark):
+        """r11 review #2: the streaming twin of the batch fix — a
+        non-cdc merge extending a partition with inserts while
+        tombstoning keys there must stream the delete images from the
+        extension's PRIOR generations."""
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_table_changes_typed,
+        )
+
+        d = tempfile.mkdtemp(prefix="tsrc_typed_ext_")
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 0, 4), batch_id=0
+        )
+        merge_into_table(
+            spark, d,
+            spark.createDataFrame(
+                [(2, 0.0), (100, 100.0)], "k long, nv double"
+            ),
+            ["k"],
+            when_matched_delete=True,
+            when_not_matched_insert={
+                "k": "s.k", "v": "s.nv", "day": "'2024-01-01'",
+            },
+            change_data=False,
+        )
+        register_commitlog_source(spark)
+        got = (
+            spark.readStream.format("commitlog")
+            .option("path", d)
+            .option("changeTypes", "true")
+            .load()
+        )
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_typed_ext")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stream_rows = spark.sql(
+            "select k, v, _commit_version, _change_type from tsrc_typed_ext"
+        ).collect()
+        spark.catalog.dropTempView("tsrc_typed_ext")
+        batch_rows = read_table_changes_typed(spark, d, 0).select(
+            "k", "v", "_commit_version", "_change_type"
+        ).collect()
+        key = lambda rows: sorted(
+            (r.k, r.v, r._commit_version, r._change_type) for r in rows
+        )
+        assert key(stream_rows) == key(batch_rows)
+        v2 = {
+            (r.k, r._change_type)
+            for r in stream_rows
+            if r._commit_version == 2
+        }
+        assert (2, "delete") in v2 and (100, "insert") in v2
+
     def test_typed_stream_composite_key_tombstone_matches_batch(
         self, spark
     ):
