@@ -347,7 +347,10 @@ class TestStatsPruningLaws:
         }
         sinks._PROBE_CACHE.clear()
         for v, ps in pos.items():
-            sinks._PROBE_CACHE[("int", v, m, k)] = ps
+            # the cache key carries the column-type tag since r10; a
+            # 4-tuple seed (and a spec without "t") short-circuits the
+            # prune path to always-True — vacuous (r11 review)
+            sinks._PROBE_CACHE[("int", v, m, k, "bigint")] = ps
         parts, bloom = {}, {}
         for pid, vals in contents.items():
             e = f"k={pid}"
@@ -360,17 +363,35 @@ class TestStatsPruningLaws:
                     bits[p >> 3] |= 1 << (p & 7)
             bloom[e] = {
                 "v": {
-                    "m": m, "k": k,
+                    "m": m, "k": k, "t": "bigint",
                     "bits": b64.b64encode(bytes(bits)).decode("ascii"),
                 }
             }
         manifest = {"partitions": parts, "bloom": bloom, "partition_col": "k"}
         kept = sinks._bloom_prune(None, manifest, parts, {"v": probe})
+        # the pre-decoded-bits fast path (merge's per-entry decode
+        # cache) must agree with the decode-per-call path entry by entry
+        for e, specs in bloom.items():
+            sp = specs["v"]
+            assert sinks._bloom_may_contain(None, sp, probe) == (
+                sinks._bloom_may_contain(
+                    None, sp, probe, bits=b64.b64decode(sp["bits"])
+                )
+            )
         sinks._PROBE_CACHE.clear()
         for pid, vals in contents.items():
             if probe in vals or pid in bloomless:
                 assert f"k={pid}" in kept, (pid, probe)
         assert set(kept) <= set(parts)
+        # and the path is NOT vacuous: an all-zero bitmap must prune a
+        # keyed probe (it proves the value was never inserted)
+        zero = {
+            "m": m, "k": k, "t": "bigint",
+            "bits": b64.b64encode(bytes(m // 8)).decode("ascii"),
+        }
+        sinks._PROBE_CACHE[("int", probe, m, k, "bigint")] = pos[probe]
+        assert not sinks._bloom_may_contain(None, zero, probe)
+        sinks._PROBE_CACHE.clear()
 
     @given(
         xs=st.lists(
