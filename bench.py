@@ -179,6 +179,8 @@ HEADLINE = [
     # baseline-sequential JPEG decode (pure NumPy)
     "merge_delete_composite",
     "multimodal_decode_jpeg",
+    # r11: standalone UPDATE ... SET ... WHERE (the DML triad)
+    "update_where_partition",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -1846,6 +1846,77 @@ def merge_delete_composite(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "update_where_partition",
+    """WITH s1 AS (
+           SELECT event_id, user_id,
+                  CASE WHEN event_id % 11 = 0 THEN 'flagged'
+                       ELSE event_type END AS event_type,
+                  CASE WHEN event_id % 11 = 0 THEN value + 1000
+                       ELSE value END AS value
+           FROM events),
+       s2 AS (
+           SELECT event_id, event_type, value,
+                  CASE WHEN event_id % 13 = 0 THEN user_id + 5
+                       ELSE user_id END AS user_id
+           FROM s1)
+       SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(user_id) AS BIGINT) AS user_sum,
+              ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+       FROM s2 GROUP BY event_type""",
+)
+def update_where_partition(spark: SparkSession, sf: str) -> DataFrame:
+    """Standalone UPDATE ... SET ... WHERE (r11 — the DML triad's third
+    leg, Delta's UPDATE): events land partitioned by event_type, then
+    two updates run as single commits on the CAS log: (1) a
+    PARTITION-MOVING update (SET event_type = 'flagged', value += 1000
+    WHERE event_id % 11 = 0) that rewrites every departure partition
+    and creates the arrival; (2) an in-place update (SET user_id += 5
+    WHERE event_id % 13 = 0) touching rows in all partitions including
+    the moved ones. Both commits tag op="update" and record
+    update_preimage/update_postimage pairs in a CDC sidecar (pinned in
+    tests/test_streaming_sink.py::TestUpdateTable, batch + stream).
+    Cost is O(matched partitions) rewrite after ONE decision scan —
+    Delta's own UPDATE cost model; a predicate narrowable by manifest
+    stats passes ``prune`` and never scans disproven partitions. The
+    oracle recomputes both update generations closed-form from base
+    events."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        read_keyed_table,
+        update_table,
+    )
+
+    base = scratch_path("events_update_where_r11", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        append_partition_transaction(
+            spark, path, "event_type", ev, stats_cols=["event_id"]
+        )
+        update_table(
+            spark, path,
+            {"event_type": "'flagged'", "value": "value + 1000"},
+            where="event_id % 11 = 0",
+            stats_cols=["event_id"],
+        )
+        update_table(
+            spark, path,
+            {"user_id": "user_id + 5"},
+            where="event_id % 13 = 0",
+            stats_cols=["event_id"],
+        )
+        mark_landed(base)
+    t = read_keyed_table(spark, path)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").cast("long").alias("user_sum"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot
 DIFF_UPDATE_MOD = 11  # keys repriced in the "new" snapshot
 

@@ -182,6 +182,7 @@ _DRIVER_ORDER = [
     #     (cdc_incremental_agg):
     "merge_delete_composite",
     "multimodal_decode_jpeg",
+    "update_where_partition",
     "table_changes_typed",
     "cdc_apply_typed",
     "stream_table_changes_typed",
@@ -234,8 +235,8 @@ _DRIVER_ORDER = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     # --- 50-query window boundary (driver gate cap observed r01-r10) ---
+    "dedup_ngram_jaccard",
     "dedup_clusters",
     # Tail head — FIRST PRIORITY for the round-12 window: the remaining
     # r8-evidence rows (stalest oracle-able evidence after this

@@ -985,11 +985,12 @@ def _rebase_conflict(
         m = _read_json(os.path.join(log, f"{v:020d}.json"))
         if m is None:
             return f"manifest {v} vacuumed mid-race"
-        if m.get("op") not in ("append", "merge"):
+        if m.get("op") not in ("append", "merge", "update"):
             return f"commit {v} is {m.get('op')!r}"
-        # a merge is rebase-transparent like an append: the entries it
-        # rewrote/extended/dropped show up in the map diff below, and a
-        # merge that changed tombstones trips the dv check above — so
+        # a merge (or standalone update) is rebase-transparent like an
+        # append: the entries it rewrote/extended/dropped show up in
+        # the map diff below, and a merge that changed tombstones
+        # trips the dv check above — so
         # disjointness carries the same guarantee (VERDICT r09 #1 race
         # contract: a disjoint append rebases over a published merge)
         parts = m.get("partitions", {})
@@ -2570,7 +2571,9 @@ def read_table_changes_typed(
         op = m.get("op")
         if op in ("set-constraints", "evolve"):
             continue  # metadata-only commits move no rows
-        if op not in ("append", "overwrite", "rewrite", "delete", "merge"):
+        if op not in (
+            "append", "overwrite", "rewrite", "delete", "merge", "update"
+        ):
             raise ValueError(
                 f"commit {v} is {op!r} — its row images are not defined "
                 "by a single commit's files; consume it via a recompute"
@@ -2580,12 +2583,11 @@ def read_table_changes_typed(
             # commit provably restates rows (Delta's dataChange=false)
             # — no images, and no diff base needed
             continue
-        if op == "merge" and m.get("cdc"):
-            # Delta's _change_data path: the merge recorded exact
-            # row-level images (update pre/post pairs keyed by the
-            # merge keys, deletes, inserts; carried rows absent) at
-            # commit time — read them directly, no diff base, no
-            # reconstruction joins
+        if op in ("merge", "update") and m.get("cdc"):
+            # Delta's _change_data path: the merge/update recorded
+            # exact row-level images (update pre/post pairs, deletes,
+            # inserts; carried rows absent) at commit time — read them
+            # directly, no diff base, no reconstruction joins
             cdc = spark.read.parquet(os.path.join(table_dir, m["cdc"]))
             cdc = cdc.withColumn(
                 "_commit_version", F.lit(v).cast("long")
@@ -2595,7 +2597,7 @@ def read_table_changes_typed(
             )
             continue
         if (
-            op in ("overwrite", "rewrite", "delete", "merge")
+            op in ("overwrite", "rewrite", "delete", "merge", "update")
             and v - 1 >= 1
             and v - 1 not in by_v
         ):
@@ -2641,7 +2643,7 @@ def read_table_changes_typed(
                     v,
                     "insert",
                 )
-        elif op in ("overwrite", "rewrite", "merge"):
+        elif op in ("overwrite", "rewrite", "merge", "update"):
             cur_p, prev_p = m["partitions"], prev.get("partitions", {})
             touched = {
                 e for e in set(cur_p) | set(prev_p)
@@ -4079,9 +4081,13 @@ def merge_into_table(
                 )
                 for e in written:
                     v = e.split("=", 1)[1]
-                    if v in extend_vals:
-                        continue  # extended: stat-less (never pruned) is
-                        # safe; compaction re-establishes stats
+                    if v in extend_vals and e in cur["partitions"]:
+                        # extended EXISTING entry: its old stats no
+                        # longer cover the new generation — stat-less
+                        # (never pruned) is safe; compaction
+                        # re-establishes them. A brand-NEW entry's
+                        # stage IS its full content: record stats.
+                        continue
                     if e in staged_stats:
                         new_stats[e] = staged_stats[e]
             # blooms: rewritten content invalidates bitmaps; extended
@@ -4194,6 +4200,299 @@ def merge_into_table(
                 shutil.rmtree(
                     os.path.join(table_dir, dv_stage), ignore_errors=True
                 )
+            if cdc_stage:
+                shutil.rmtree(
+                    os.path.join(table_dir, cdc_stage), ignore_errors=True
+                )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    raise RuntimeError(
+        f"commit conflict persisted for {max_retries} retries on {table_dir}"
+    )
+
+
+def update_table(
+    spark: SparkSession,
+    table_dir: str,
+    set_exprs: dict[str, str],
+    where: str | None = None,
+    stats_cols: list[str] | None = None,
+    batch_id: int | None = None,
+    max_retries: int = 10,
+    prune: dict | None = None,
+    change_data: bool = True,
+) -> dict:
+    """Standalone UPDATE ... SET ... WHERE on a partition-mapped table —
+    the third leg of the DML triad (Delta's UPDATE; DELETE is
+    `tombstone_keys` / `apply_erasure_rewrite`, upsert is
+    `merge_into_table`). No key or source required: ``where`` is a SQL
+    predicate over the row (NULL = not matched, Delta's rule),
+    ``set_exprs`` maps columns to SQL expressions evaluated over the
+    OLD row (``{"v": "v * 2", "flag": "'hot'"}``).
+
+    Partition economics mirror the merge's: only partitions holding a
+    matched row (or receiving a moved one) rewrite; a partition-moving
+    update rewrites the departure side and EXTENDS unscanned arrival
+    partitions with just the moved rows; everything else carries
+    byte-identical. ``prune`` is the advisory manifest-stats hint
+    (``{col: (lo, hi)}`` etc. — same spec as `read_keyed_table`):
+    entries it skips are never scanned, so it must PROVE no row there
+    matches ``where`` (the caller's contract, exactly like a pruned
+    read composed with its own filter). Without it the decision pass
+    scans the table once — Delta's own default when stats can't narrow
+    the predicate.
+
+    Updating the partition column to NULL raises. The base is read
+    THROUGH the tombstones (hidden rows are not updated; a rewritten
+    partition physically purges them — state-identical, the dv carries
+    forward). Commits tag ``op: "update"`` and write the same
+    ``cdc-*`` sidecar as MERGE (``update_preimage``/
+    ``update_postimage`` pairs; ``change_data=False`` opts out and the
+    typed feeds fall back to map-diff pair images). Concurrency: the
+    update re-runs on CAS conflict; disjoint concurrent appends rebase
+    over a published update exactly as over a merge. Returns
+    ``{"version", "updated", "carried"}``."""
+    if not set_exprs:
+        raise ValueError("update_table needs a non-empty SET map")
+    for _ in range(max_retries):
+        cur = current_commit(table_dir)
+        if cur["version"] == 0 or "partitions" not in cur:
+            raise ValueError(
+                f"{table_dir} is not a partition-mapped committed table"
+            )
+        if cur.get("legacy_layouts"):
+            raise ValueError(
+                f"{table_dir} has unmigrated legacy partition layouts; an "
+                "update computed against the current layout would miss "
+                "their rows — run migrate_legacy_layouts first"
+            )
+        if batch_id is not None and batch_id in committed_batch_ids(table_dir):
+            return {"version": cur["version"], "updated": 0, "carried": 0,
+                    "replayed": True}
+        pcol = cur["partition_col"]
+        prefix = f"{pcol}="
+        scan_parts = dict(_stats_prune(cur, prune))
+        scanned_vals = {e.split("=", 1)[1] for e in scan_parts}
+
+        # full-table schema (plan resolve, zero jobs) so a pruned base
+        # missing evolved columns still projects them as typed NULLs
+        full = _read_partition_map(spark, table_dir, cur)
+        tcols = list(full.columns)
+        ttypes = dict(zip(full.schema.names, [f.dataType for f in full.schema]))
+        for c in set_exprs:
+            if c not in tcols:
+                raise ValueError(f"SET column {c!r} not a table column")
+
+        base = (
+            _apply_tombstones(
+                spark, table_dir, cur,
+                _read_partition_map(
+                    spark, table_dir,
+                    {"partition_col": pcol, "partitions": scan_parts},
+                ),
+            )
+            if scan_parts
+            else None
+        )
+        if base is None:
+            return {"version": cur["version"], "updated": 0, "carried": 0}
+        have = set(base.columns)
+        dec = base.select(
+            *[
+                F.col(c) if c in have else F.lit(None).cast(ttypes[c]).alias(c)
+                for c in tcols
+            ]
+        )
+        # NULL predicate = not matched (Delta's UPDATE rule)
+        upd = F.coalesce(
+            F.expr(where) if where is not None else F.lit(True), F.lit(False)
+        )
+        dec = dec.withColumn("_upd", upd)
+        out_cols = []
+        for c in tcols:
+            col = (
+                F.when(F.col("_upd"), F.expr(set_exprs[c])).otherwise(
+                    F.col(c)
+                )
+                if c in set_exprs
+                else F.col(c)
+            ).cast(ttypes[c])
+            if c == pcol:
+                col = F.when(
+                    F.col("_upd") & col.isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"UPDATE: updated row has NULL partition "
+                            f"column {pcol!r}"
+                        )
+                    ).cast("string"),
+                ).otherwise(col).cast("string")
+            out_cols.append(col.alias(c))
+        dec = dec.select(
+            *out_cols,
+            F.col("_upd"),
+            F.col(pcol).cast("string").alias("_t_part"),
+            # pre-image carrier for the CDC sidecar (updated rows only)
+            F.when(
+                F.col("_upd"),
+                F.struct(*[F.col(c) for c in tcols if c in have]),
+            ).alias("_pre"),
+        )
+
+        scratch = os.path.join(table_dir, f"scratch-{uuid.uuid4().hex}")
+        stage = f"data-{uuid.uuid4().hex}"
+        stage_path = os.path.join(table_dir, stage)
+        cdc_stage = None
+        try:
+            dec.write.mode("overwrite").parquet(scratch)
+            dec = spark.read.parquet(scratch)
+
+            rollup = (
+                dec.groupBy("_upd", "_t_part", F.col(pcol).alias("_p"))
+                .count()
+                .collect()
+            )
+            n_upd = n_carry = 0
+            upd_old, upd_new = set(), set()
+            for r in rollup:
+                if r._upd:
+                    n_upd += r["count"]
+                    upd_old.add(r._t_part)
+                    upd_new.add(r._p)
+                else:
+                    n_carry += r["count"]
+            if not n_upd:
+                return {
+                    "version": cur["version"], "updated": 0,
+                    "carried": n_carry,
+                }
+            # departures and scanned arrivals rewrite; arrivals into
+            # UNSCANNED partitions extend with just the moved rows
+            rewrite_vals = upd_old | (upd_new & scanned_vals)
+            extend_vals = upd_new - scanned_vals
+            write_vals = sorted(rewrite_vals | extend_vals)
+            vals_df = spark.createDataFrame(
+                [(v, v in rewrite_vals) for v in write_vals],
+                f"{pcol} string, _rw boolean",
+            )
+            stage_rows = (
+                dec.join(F.broadcast(vals_df), pcol, "inner")
+                .filter(F.col("_rw") | F.col("_upd"))
+                .drop("_upd", "_t_part", "_rw", "_pre")
+            )
+            stage_rows.write.mode("overwrite").partitionBy(pcol).parquet(
+                stage_path
+            )
+            written = {
+                n for n in os.listdir(stage_path) if n.startswith(prefix)
+            }
+            _check_entry_values(written)
+            if cur.get("constraints") and written:
+                _enforce_constraints(
+                    _read_partition_map(
+                        spark, table_dir,
+                        {
+                            "partition_col": pcol,
+                            "partitions": {e: stage for e in sorted(written)},
+                        },
+                    ),
+                    cur["constraints"],
+                    stage_path,
+                )
+
+            if change_data:
+                # same sidecar contract as MERGE: exact pre/post pairs,
+                # carried rows absent
+                pre_fields = [
+                    (
+                        F.col(f"_pre.{c}").cast(ttypes[c])
+                        if c in have
+                        else F.lit(None).cast(ttypes[c])
+                    ).alias(c)
+                    for c in tcols
+                ]
+                cur_fields = [
+                    F.col(c).cast(ttypes[c]).alias(c) for c in tcols
+                ]
+
+                def _img(fields, ct: str):
+                    return F.struct(
+                        *fields, F.lit(ct).alias("_change_type")
+                    )
+
+                cdc_rows = (
+                    dec.filter(F.col("_upd"))
+                    .select(
+                        F.explode(
+                            F.array(
+                                _img(pre_fields, "update_preimage"),
+                                _img(cur_fields, "update_postimage"),
+                            )
+                        ).alias("_c")
+                    )
+                    .select("_c.*")
+                )
+                cdc_stage = f"cdc-{uuid.uuid4().hex}"
+                cdc_rows.write.mode("overwrite").parquet(
+                    os.path.join(table_dir, cdc_stage)
+                )
+
+            new_parts = dict(cur["partitions"])
+            for v in rewrite_vals:
+                new_parts.pop(f"{prefix}{v}", None)
+            for e in written:
+                v = e.split("=", 1)[1]
+                if v in extend_vals and e in cur["partitions"]:
+                    new_parts[e] = _entry_dirs(cur["partitions"][e]) + [stage]
+                else:
+                    new_parts[e] = stage
+            new_stats = {
+                e: s
+                for e, s in cur.get("stats", {}).items()
+                if e in new_parts and e not in written
+            }
+            if stats_cols and written:
+                staged_stats = _collect_stage_stats(
+                    stage_path, written, stats_cols
+                )
+                for e in written:
+                    v = e.split("=", 1)[1]
+                    if v in extend_vals and e in cur["partitions"]:
+                        continue  # extended existing entry: stat-less
+                        # is safe; a brand-new entry records stats
+                    if e in staged_stats:
+                        new_stats[e] = staged_stats[e]
+            new_bloom = {
+                e: bm
+                for e, bm in cur.get("bloom", {}).items()
+                if e in new_parts and e not in written
+            }
+            manifest = {
+                "version": cur["version"] + 1,
+                "dir": stage,
+                "partition_col": pcol,
+                "partitions": new_parts,
+                "batch_ids": [batch_id] if batch_id is not None else [],
+                "op": "update",
+            }
+            if new_stats:
+                manifest["stats"] = new_stats
+            if new_bloom:
+                manifest["bloom"] = new_bloom
+            if cur.get("constraints"):
+                manifest["constraints"] = cur["constraints"]
+            if cur.get("dv"):
+                manifest["dv"] = cur["dv"]
+                manifest["dv_key"] = cur["dv_key"]
+            if cdc_stage:
+                manifest["cdc"] = cdc_stage
+            if _publish(table_dir, manifest, stage_path):
+                return {
+                    "version": manifest["version"], "updated": n_upd,
+                    "carried": n_carry,
+                }
+            # CAS lost: re-run against the winner
+            shutil.rmtree(stage_path, ignore_errors=True)
             if cdc_stage:
                 shutil.rmtree(
                     os.path.join(table_dir, cdc_stage), ignore_errors=True

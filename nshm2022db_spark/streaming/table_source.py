@@ -242,15 +242,17 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
         op = m.get("op")
         if op in ("set-constraints", "evolve"):
             continue
-        if op not in ("append", "overwrite", "rewrite", "delete", "merge"):
+        if op not in (
+            "append", "overwrite", "rewrite", "delete", "merge", "update"
+        ):
             raise ValueError(
                 f"commit {v} is {op!r} — its row images are not defined "
                 "by a single commit's files; consume it via a recompute"
             )
         if op == "rewrite" and m.get("data_change") is False:
             continue  # compaction (dataChange=false): restatement only
-        if op == "merge" and m.get("cdc"):
-            # the merge's _change_data sidecar holds its exact images
+        if op in ("merge", "update") and m.get("cdc"):
+            # the merge's/update's _change_data sidecar holds its exact images
             # (update pre/post pairs, deletes, inserts) — plan one unit
             # per cdc file; _change_type and the partition column are
             # DATA columns there (value=None / ctype=None sentinels)
@@ -275,7 +277,7 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                 )
             continue
         if (
-            op in ("overwrite", "rewrite", "delete", "merge")
+            op in ("overwrite", "rewrite", "delete", "merge", "update")
             and v - 1 >= 1
             and v - 1 not in by_v
         ):
@@ -317,7 +319,7 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                     _entry_files(table_dir, m["dir"], e),
                     e.split("=", 1)[1], "insert", m_dv,
                 )
-        elif op in ("overwrite", "rewrite", "merge"):
+        elif op in ("overwrite", "rewrite", "merge", "update"):
             cur_p, prev_p = m["partitions"], prev.get("partitions", {})
             touched = {
                 e for e in set(cur_p) | set(prev_p)

@@ -230,6 +230,8 @@ class TestDriverOrder:
             # decode (VERDICT r10 stretch #8)
             "merge_delete_composite",
             "multimodal_decode_jpeg",
+            # NEW in r11: standalone UPDATE (DML triad third leg)
+            "update_where_partition",
             # own expressions changed in r11: the typed-feed trio's
             # shared 5-commit history now carries an update-clause
             # merge (CDC sidecar pre/post images) and a

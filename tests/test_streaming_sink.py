@@ -4678,6 +4678,198 @@ class TestMergeIntoTable:
         assert read_keyed_table(spark, d).filter("k = 3").count() == 0
 
 
+class TestUpdateTable:
+    """Standalone UPDATE ... SET ... WHERE (r11) — the DML triad's
+    third leg: partition economics, moves, CDC pairs, NULL-predicate
+    semantics, replay idempotence, and the typed feed over op=update."""
+
+    def _seed(self, spark, d):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+        )
+
+        append_partition_transaction(
+            spark, d, "day",
+            spark.createDataFrame(
+                [(k, float(k), "a" if k < 5 else "b") for k in range(10)],
+                "k long, v double, day string",
+            ),
+            stats_cols=["k"],
+        )
+
+    def test_update_in_place_and_economics(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            read_keyed_table,
+            update_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        before = dict(current_commit(d)["partitions"])
+        m = update_table(
+            spark, d, {"v": "v * 10"}, where="k % 2 = 0 AND day = 'a'",
+            stats_cols=["k"],
+        )
+        assert m["updated"] == 3 and m["carried"] == 7
+        cur = current_commit(d)
+        assert cur["op"] == "update" and cur.get("cdc")
+        # only the partition holding matched rows rewrote
+        assert cur["partitions"]["day=b"] == before["day=b"]
+        assert cur["partitions"]["day=a"] != before["day=a"]
+        got = {r.k: r.v for r in read_keyed_table(spark, d).collect()}
+        assert got[0] == 0.0 and got[2] == 20.0 and got[4] == 40.0
+        assert got[1] == 1.0 and got[6] == 6.0
+
+    def test_partition_move_and_extend(self, spark, tmp_path):
+        """A partition-moving update rewrites the departure side and
+        creates/extends the arrival; with prune, untouched partitions
+        are never scanned."""
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            read_keyed_table,
+            update_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        before = dict(current_commit(d)["partitions"])
+        m = update_table(
+            spark, d, {"day": "'hot'", "v": "v + 100"}, where="k IN (1, 7)",
+            prune={"k": (1, 7)}, stats_cols=["k"],
+        )
+        assert m["updated"] == 2
+        cur = current_commit(d)
+        assert "day=hot" in cur["partitions"]
+        got = read_keyed_table(spark, d)
+        assert {
+            (r.k, r.v) for r in got.filter("day = 'hot'").collect()
+        } == {(1, 101.0), (7, 107.0)}
+        assert got.count() == 10
+        # second move INTO the now-existing hot partition from a pruned
+        # scan: hot's recorded stats (k in [1, 7]) disprove k=9, so it
+        # is unscanned and the arrival EXTENDS it with just the row
+        m2 = update_table(
+            spark, d, {"day": "'hot'"}, where="k = 9", prune={"k": (9, 9)}
+        )
+        assert m2["updated"] == 1
+        entry = current_commit(d)["partitions"]["day=hot"]
+        assert isinstance(entry, list) and len(entry) == 2
+        assert read_keyed_table(spark, d).filter("day = 'hot'").count() == 3
+        # day=a held no matched rows in either update: mapping carried
+        assert current_commit(d)["partitions"]["day=a"] == (
+            cur["partitions"]["day=a"]
+        )
+        assert before["day=a"] != cur["partitions"]["day=a"]  # 1st moved k=1
+
+    def test_null_predicate_not_matched_and_null_pcol_raises(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            read_keyed_table,
+            update_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        # NULL predicate result = not matched (Delta's rule)
+        m = update_table(
+            spark, d, {"v": "-1.0"},
+            where="CASE WHEN k < 3 THEN NULL ELSE k = 3 END",
+        )
+        assert m["updated"] == 1
+        got = {r.k: r.v for r in read_keyed_table(spark, d).collect()}
+        assert got[3] == -1.0
+        assert got[0] == 0.0 and got[1] == 1.0 and got[2] == 2.0
+        with pytest.raises(Exception, match="NULL partition column"):
+            update_table(
+                spark, d, {"day": "CAST(NULL AS STRING)"}, where="k = 4"
+            )
+        with pytest.raises(ValueError, match="non-empty SET"):
+            update_table(spark, d, {})
+
+    def test_typed_feed_and_replay(self, spark, tmp_path):
+        """op=update commits emit exact pre/post pairs from the CDC
+        sidecar (batch and stream), the CDC fold equals the head, and
+        a replayed batch id no-ops."""
+        from nshm2022db_spark.streaming.sinks import (
+            apply_typed_changes,
+            current_commit,
+            read_keyed_table,
+            read_table_changes_typed,
+            update_table,
+        )
+        from nshm2022db_spark.streaming.table_source import (
+            register_commitlog_source,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        update_table(
+            spark, d, {"v": "v + 0.5"}, where="k >= 8", batch_id=7
+        )
+        rows = read_table_changes_typed(spark, d, 1).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r._change_type, set()).add((r.k, r.v))
+        assert by == {
+            "update_preimage": {(8, 8.0), (9, 9.0)},
+            "update_postimage": {(8, 8.5), (9, 9.5)},
+        }
+        replica = apply_typed_changes(
+            read_table_changes_typed(spark, d, 0), ["k", "v", "day"]
+        )
+        head = read_keyed_table(spark, d)
+        assert sorted((r.k, r.v) for r in replica.collect()) == sorted(
+            (r.k, r.v) for r in head.collect()
+        )
+        # stream equals batch over the update commit
+        register_commitlog_source(spark)
+        q = (
+            spark.readStream.format("commitlog")
+            .option("path", d)
+            .option("changeTypes", "true")
+            .load()
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("upd_cdf")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stream_rows = spark.sql(
+            "select k, v, _commit_version, _change_type from upd_cdf"
+        ).collect()
+        spark.catalog.dropTempView("upd_cdf")
+        batch_rows = read_table_changes_typed(spark, d, 0).select(
+            "k", "v", "_commit_version", "_change_type"
+        ).collect()
+        key = lambda rs: sorted(
+            (r.k, r.v, r._commit_version, r._change_type) for r in rs
+        )
+        assert key(stream_rows) == key(batch_rows)
+        # replay no-ops
+        v = current_commit(d)["version"]
+        m = update_table(spark, d, {"v": "v + 0.5"}, where="k >= 8", batch_id=7)
+        assert m.get("replayed") and current_commit(d)["version"] == v
+
+    def test_no_match_publishes_nothing(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            update_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        v = current_commit(d)["version"]
+        m = update_table(spark, d, {"v": "0.0"}, where="k > 1000")
+        assert m["updated"] == 0 and current_commit(d)["version"] == v
+
+
 class TestZorderExpr:
     def test_four_columns_stay_below_sign_bit(self):
         """r10 review #6: with n columns the interleave must fit below

@@ -244,6 +244,9 @@ LADDER = [
     # mapInPandas — scan-linear in documents, no shuffle; entropy
     # decode is the per-doc hot loop, bounded by compressed bytes)
     "multimodal_decode_jpeg",
+    # r11: standalone UPDATE (one decision scan + O(matched partitions)
+    # rewrite; the timed warm path is the two-generation rollup read)
+    "update_where_partition",
 ]
 
 
