@@ -1933,6 +1933,64 @@ def _dv_key_field(keys: list[str]):
     return keys[0] if len(keys) == 1 else list(keys)
 
 
+def _carry_stats_blooms(
+    cur: dict,
+    written: set[str],
+    new_parts: dict,
+    extend_vals: set,
+    stage_path: str,
+    stats_cols: list[str] | None,
+) -> tuple[dict, dict]:
+    """Stats/bloom bookkeeping shared by the DML writers (MERGE and
+    UPDATE — r11 review #3 extracted it so the invariant cannot
+    diverge): carried entries keep theirs; rewritten entries recompute
+    stats from the staged footers and drop blooms; an entry that
+    EXTENDED an existing mapping drops both (they no longer cover the
+    new generation — stat-/bloom-less is never pruned, so safe;
+    compaction re-establishes them); a brand-NEW entry's stage IS its
+    full content, so it records stats."""
+    new_stats = {
+        e: st
+        for e, st in cur.get("stats", {}).items()
+        if e in new_parts and e not in written
+    }
+    if stats_cols and written:
+        staged_stats = _collect_stage_stats(stage_path, written, stats_cols)
+        for e in written:
+            v = e.split("=", 1)[1]
+            if v in extend_vals and e in cur["partitions"]:
+                continue
+            if e in staged_stats:
+                new_stats[e] = staged_stats[e]
+    new_bloom = {
+        e: bm
+        for e, bm in cur.get("bloom", {}).items()
+        if e in new_parts and e not in written
+    }
+    return new_stats, new_bloom
+
+
+def _cdc_image_parts(tcols: list[str], ttypes: dict, have: set):
+    """(pre_fields, cur_fields, img) for the DML writers' CDC sidecar:
+    pre-images read the ``_pre`` struct (evolved columns pad NULL),
+    post-images read the decision frame's final values, ``img`` wraps
+    either with its ``_change_type`` tag."""
+    pre_fields = [
+        (
+            F.col(f"_pre.{c}").cast(ttypes[c])
+            if c in have
+            else F.lit(None).cast(ttypes[c])
+        ).alias(c)
+        for c in tcols
+    ]
+    cur_fields = [F.col(c).cast(ttypes[c]).alias(c) for c in tcols]
+
+    def img(fields, ct: str):
+        return F.struct(*fields, F.lit(ct).alias("_change_type"))
+
+    return pre_fields, cur_fields, img
+
+
 def _apply_tombstones(
     spark: SparkSession, table_dir: str, manifest: dict, df: DataFrame | None
 ) -> DataFrame | None:
@@ -4070,34 +4128,9 @@ def merge_into_table(
                     new_parts[e] = _entry_dirs(cur["partitions"][e]) + [stage]
                 else:
                     new_parts[e] = stage
-            new_stats = {
-                e: s
-                for e, s in cur.get("stats", {}).items()
-                if e in new_parts and e not in written
-            }
-            if stats_cols and written:
-                staged_stats = _collect_stage_stats(
-                    stage_path, written, stats_cols
-                )
-                for e in written:
-                    v = e.split("=", 1)[1]
-                    if v in extend_vals and e in cur["partitions"]:
-                        # extended EXISTING entry: its old stats no
-                        # longer cover the new generation — stat-less
-                        # (never pruned) is safe; compaction
-                        # re-establishes them. A brand-NEW entry's
-                        # stage IS its full content: record stats.
-                        continue
-                    if e in staged_stats:
-                        new_stats[e] = staged_stats[e]
-            # blooms: rewritten content invalidates bitmaps; extended
-            # entries' bitmaps no longer cover the new generation —
-            # drop both (bloom-less = never pruned), carry the rest
-            new_bloom = {
-                e: bm
-                for e, bm in cur.get("bloom", {}).items()
-                if e in new_parts and e not in written
-            }
+            new_stats, new_bloom = _carry_stats_blooms(
+                cur, written, new_parts, extend_vals, stage_path, stats_cols
+            )
             if not write_vals and not dv_stage:
                 # nothing changed (every row carried): Delta skips
                 # empty commits; so do we
@@ -4121,23 +4154,9 @@ def merge_into_table(
             # change-sized write per merge; `change_data=False` skips it
             # and consumers fall back to the pair reconstruction.
             if change_data and (n_upd or n_del or n_ins):
-                pre_fields = [
-                    (
-                        F.col(f"_pre.{c}").cast(ttypes[c])
-                        if c in base_cols
-                        else F.lit(None).cast(ttypes[c])
-                    ).alias(c)
-                    for c in tcols
-                ]
-                cur_fields = [
-                    F.col(c).cast(ttypes[c]).alias(c) for c in tcols
-                ]
-
-                def _img(fields, ct: str):
-                    return F.struct(
-                        *fields, F.lit(ct).alias("_change_type")
-                    )
-
+                pre_fields, cur_fields, _img = _cdc_image_parts(
+                    tcols, ttypes, base_cols
+                )
                 cdc_rows = (
                     dec.filter(F.col("_action") != "carry")
                     .select(
@@ -4269,9 +4288,27 @@ def update_table(
         if batch_id is not None and batch_id in committed_batch_ids(table_dir):
             return {"version": cur["version"], "updated": 0, "carried": 0,
                     "replayed": True}
+        if cur.get("dv") and set(_dv_keys(cur)) & set(set_exprs):
+            # assigning a tombstoned key column can write a value the
+            # carried-forward deletion vector HIDES — silent row loss
+            # (r11 review) — and merge's consolidation machinery is the
+            # right tool for key-changing writes
+            raise ValueError(
+                f"{table_dir} tombstones key {cur.get('dv_key')!r}; an "
+                "UPDATE assigning that column could write rows the "
+                "deletion vector hides — materialize_tombstones first, "
+                "or use merge_into_table (which consolidates the DV)"
+            )
         pcol = cur["partition_col"]
         prefix = f"{pcol}="
-        scan_parts = dict(_stats_prune(cur, prune))
+        # full prune spec support, same as read_keyed_table: range/null
+        # bounds through stats, ("eq", v) probes through stats' (v, v)
+        # degenerate range AND the Bloom bitmaps (r11 review — passing
+        # the raw eq tuple into _stats_prune mis-compared it as bounds)
+        base_prune, eq = _split_prune(prune)
+        scan_parts = dict(_stats_prune(cur, base_prune))
+        if eq and scan_parts:
+            scan_parts = dict(_bloom_prune(spark, cur, scan_parts, eq))
         scanned_vals = {e.split("=", 1)[1] for e in scan_parts}
 
         # full-table schema (plan resolve, zero jobs) so a pruned base
@@ -4403,23 +4440,9 @@ def update_table(
             if change_data:
                 # same sidecar contract as MERGE: exact pre/post pairs,
                 # carried rows absent
-                pre_fields = [
-                    (
-                        F.col(f"_pre.{c}").cast(ttypes[c])
-                        if c in have
-                        else F.lit(None).cast(ttypes[c])
-                    ).alias(c)
-                    for c in tcols
-                ]
-                cur_fields = [
-                    F.col(c).cast(ttypes[c]).alias(c) for c in tcols
-                ]
-
-                def _img(fields, ct: str):
-                    return F.struct(
-                        *fields, F.lit(ct).alias("_change_type")
-                    )
-
+                pre_fields, cur_fields, _img = _cdc_image_parts(
+                    tcols, ttypes, have
+                )
                 cdc_rows = (
                     dec.filter(F.col("_upd"))
                     .select(
@@ -4446,27 +4469,9 @@ def update_table(
                     new_parts[e] = _entry_dirs(cur["partitions"][e]) + [stage]
                 else:
                     new_parts[e] = stage
-            new_stats = {
-                e: s
-                for e, s in cur.get("stats", {}).items()
-                if e in new_parts and e not in written
-            }
-            if stats_cols and written:
-                staged_stats = _collect_stage_stats(
-                    stage_path, written, stats_cols
-                )
-                for e in written:
-                    v = e.split("=", 1)[1]
-                    if v in extend_vals and e in cur["partitions"]:
-                        continue  # extended existing entry: stat-less
-                        # is safe; a brand-new entry records stats
-                    if e in staged_stats:
-                        new_stats[e] = staged_stats[e]
-            new_bloom = {
-                e: bm
-                for e, bm in cur.get("bloom", {}).items()
-                if e in new_parts and e not in written
-            }
+            new_stats, new_bloom = _carry_stats_blooms(
+                cur, written, new_parts, extend_vals, stage_path, stats_cols
+            )
             manifest = {
                 "version": cur["version"] + 1,
                 "dir": stage,

@@ -4869,6 +4869,55 @@ class TestUpdateTable:
         m = update_table(spark, d, {"v": "0.0"}, where="k > 1000")
         assert m["updated"] == 0 and current_commit(d)["version"] == v
 
+    def test_eq_prune_spec_and_bloom(self, spark, tmp_path):
+        """r11 review: the ('eq', v) prune form must go through
+        _split_prune (stats degenerate range + Bloom probes), not be
+        mis-parsed as (lo, hi) bounds — and it must still UPDATE the
+        matching row."""
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+            update_table,
+        )
+
+        d = str(tmp_path / "t")
+        append_partition_transaction(
+            spark, d, "day",
+            spark.createDataFrame(
+                [(k, float(k), "a" if k % 2 == 0 else "b") for k in range(8)],
+                "k long, v double, day string",
+            ),
+            stats_cols=["k"], bloom_cols=["k"],
+        )
+        m = update_table(
+            spark, d, {"v": "777.0"}, where="k = 3",
+            prune={"k": ("eq", 3)},
+        )
+        assert m["updated"] == 1
+        got = {r.k: r.v for r in read_keyed_table(spark, d).collect()}
+        assert got[3] == 777.0 and got[2] == 2.0
+
+    def test_update_refuses_set_on_dv_key_column(self, spark, tmp_path):
+        """r11 review: assigning a tombstoned key column could write a
+        value the carried deletion vector HIDES — refuse up front."""
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            tombstone_keys,
+            update_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        tombstone_keys(
+            spark, d, "k", spark.createDataFrame([(5,)], "k long")
+        )
+        with pytest.raises(ValueError, match="deletion vector"):
+            update_table(spark, d, {"k": "5"}, where="k = 6")
+        # updates NOT touching the key column stay fine on a dv table
+        m = update_table(spark, d, {"v": "v + 1"}, where="k = 6")
+        assert m["updated"] == 1
+
 
 class TestZorderExpr:
     def test_four_columns_stay_below_sign_bit(self):
