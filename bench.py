@@ -181,6 +181,8 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     # r11: standalone UPDATE ... SET ... WHERE (the DML triad)
     "update_where_partition",
+    # r12: predicate DELETE with the CDC delete-image sidecar
+    "delete_where_cdc",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -1917,6 +1917,90 @@ def update_where_partition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "delete_where_cdc",
+    """WITH e AS (
+           SELECT event_id, user_id, event_type FROM events)
+       SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS commit_version,
+                  'insert' AS change_type, COUNT(*) AS n,
+                  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+                  CAST(SUM(user_id) AS BIGINT) AS user_sum
+           FROM e
+           UNION ALL
+           -- v2: DELETE FROM t WHERE event_id % 9 = 0 — one exact
+           -- delete image per matched row, from the CDC sidecar
+           SELECT CAST(2 AS BIGINT), 'delete', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT),
+                  CAST(SUM(user_id) AS BIGINT)
+           FROM e WHERE event_id % 9 = 0
+           UNION ALL
+           -- v3: the partition-scoped erasure (only click/view hold
+           -- "personal data"): survivors of v2 matching the user set
+           SELECT CAST(3 AS BIGINT), 'delete', COUNT(*),
+                  CAST(SUM(event_id) AS BIGINT),
+                  CAST(SUM(user_id) AS BIGINT)
+           FROM e WHERE event_id % 9 <> 0 AND user_id % 5 = 0
+             AND event_type IN ('click', 'view')
+       ) WHERE n > 0""",
+)
+def delete_where_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """First-class predicate DELETE with a CDC delete-image sidecar
+    (r12 — the DML triad's missing sidecar leg, Delta's ``DELETE FROM
+    ... WHERE`` with Change Data Feed): events land partitioned by
+    event_type, then two `delete_table` commits run on the CAS log:
+    (1) an un-narrowable predicate (every 9th event_id) — ONE decision
+    scan, only partitions holding matches rewrite; (2) a
+    partition-SCOPED erasure (user_id % 5 = 0 but only in the
+    'click'/'view' partitions — the GDPR shape: delete these users
+    from the partitions that hold personal data; the other three
+    partitions are never even scanned). Both tag op="delete" and
+    record each deleted row's full image in a ``cdc-*`` sidecar
+    (Delta's ``_change_data``, ``_change_type='delete'``).
+
+    The query returns the TYPED change feed's per-(commit, change_type)
+    rollup summing both event_id and user_id — value-checking that the
+    feed serves the append's insert images and each delete's EXACT
+    row images (not a rewrite restatement: a pair diff would add
+    'insert' groups for v2/v3). Replica == head and the changeTypes
+    STREAM are pinned in tests/test_streaming_sink.py::TestDeleteTable.
+    Cost at scale: the sidecar read is O(deleted rows); the delete
+    itself rewrites only matched partitions after one decision scan —
+    reference consumer anchor: the J13 CDC family (nshmdb.py:263-266)."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        delete_table,
+        read_table_changes_typed,
+    )
+
+    base = scratch_path("events_delete_cdc_r12", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        append_partition_transaction(
+            spark, path, "event_type", ev, stats_cols=["event_id"]
+        )
+        delete_table(
+            spark, path, where="event_id % 9 = 0", stats_cols=["event_id"]
+        )
+        delete_table(
+            spark, path, where="user_id % 5 = 0",
+            partition_values=["click", "view"], stats_cols=["event_id"],
+        )
+        mark_landed(base)
+    feed = read_table_changes_typed(spark, path, from_version=0)
+    return feed.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.sum("user_id").cast("long").alias("user_sum"),
+    )
+
+
 DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot
 DIFF_UPDATE_MOD = 11  # keys repriced in the "new" snapshot
 

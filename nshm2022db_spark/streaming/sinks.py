@@ -985,14 +985,15 @@ def _rebase_conflict(
         m = _read_json(os.path.join(log, f"{v:020d}.json"))
         if m is None:
             return f"manifest {v} vacuumed mid-race"
-        if m.get("op") not in ("append", "merge", "update"):
+        if m.get("op") not in ("append", "merge", "update", "delete"):
             return f"commit {v} is {m.get('op')!r}"
-        # a merge (or standalone update) is rebase-transparent like an
-        # append: the entries it rewrote/extended/dropped show up in
-        # the map diff below, and a merge that changed tombstones
-        # trips the dv check above — so
-        # disjointness carries the same guarantee (VERDICT r09 #1 race
-        # contract: a disjoint append rebases over a published merge)
+        # a merge (or standalone update/predicate delete) is rebase-
+        # transparent like an append: the entries it rewrote/extended/
+        # dropped show up in the map diff below, and a merge or
+        # key-tombstone delete that changed tombstones trips the dv
+        # check above — so disjointness carries the same guarantee
+        # (VERDICT r09 #1 race contract: a disjoint append rebases
+        # over a published merge)
         parts = m.get("partitions", {})
         touched = {e for e in parts if parts.get(e) != prev.get(e)}
         touched |= {e for e in prev if e not in parts}
@@ -1915,6 +1916,106 @@ def tombstone_keys(
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
 
 
+_SCHEMA_MAP_KEYS = ("column_map", "dropped_columns")
+
+
+def _carry_column_map(manifest: dict, cur: dict) -> None:
+    """Carry the column-mapping metadata (logical→physical rename map +
+    dropped physical names) forward onto a new manifest — every commit
+    that doesn't deliberately change the mapping must preserve it, or a
+    compaction/append would silently un-rename the table."""
+    for k in _SCHEMA_MAP_KEYS:
+        if cur.get(k):
+            manifest[k] = cur[k]
+
+
+def _column_map(manifest: dict) -> dict:
+    """``{logical: physical}`` for renamed columns (identity entries
+    never stored); ``{}`` when the table has no column mapping."""
+    return manifest.get("column_map", {}) or {}
+
+
+def _dropped_physical(manifest: dict) -> set:
+    """PHYSICAL names of dropped columns — their data stays in the
+    files forever (drop is metadata-only), reads never project them."""
+    return set(manifest.get("dropped_columns", []) or [])
+
+
+def _to_logical(df: DataFrame | None, manifest: dict) -> DataFrame | None:
+    """Project a physical-schema read to the manifest's LOGICAL view:
+    renamed columns alias physical→logical, dropped physical columns
+    disappear, unmapped columns (including feed metadata columns) pass
+    through. A no-op (same object) for unmapped tables."""
+    cmap = _column_map(manifest)
+    dropped = _dropped_physical(manifest)
+    if df is None or (not cmap and not dropped):
+        return df
+    inv = {v: k for k, v in cmap.items()}
+    cols = []
+    for c in df.columns:
+        if c in dropped:
+            continue
+        cols.append(F.col(c).alias(inv[c]) if c in inv else F.col(c))
+    return df.select(*cols)
+
+
+def _to_physical_batch(df: DataFrame, manifest: dict) -> DataFrame:
+    """Translate an incoming batch from LOGICAL names to the table's
+    PHYSICAL names before staging — and reject writes that would
+    corrupt the mapping: a column carrying a renamed column's OLD name
+    (the caller missed the rename), or one colliding with a dropped
+    column's physical data (re-adding a dropped name needs id-based
+    mapping; rejected — disclosed boundary)."""
+    cmap = _column_map(manifest)
+    dropped = _dropped_physical(manifest)
+    if not cmap and not dropped:
+        return df
+    inv = {v: k for k, v in cmap.items()}
+    out = []
+    for c in df.columns:
+        if c in dropped:
+            raise ValueError(
+                f"column {c!r} was dropped from this table (metadata-"
+                "only); its physical data still exists, so re-adding "
+                "the name would resurrect it — pick a different name"
+            )
+        if c in inv and inv[c] != c:
+            raise ValueError(
+                f"column {c!r} was renamed to {inv[c]!r}; write with "
+                "the current name"
+            )
+        out.append(F.col(c).alias(cmap[c]) if c in cmap else F.col(c))
+    return df.select(*out)
+
+
+def _physical_names(names, manifest: dict):
+    """Translate caller-facing LOGICAL column names (prune specs,
+    stats_cols, bloom_cols) to the PHYSICAL names recorded in files,
+    stats, and bloom bitmaps. Accepts a list (returns a list) or a
+    dict keyed by column (returns a re-keyed dict); None passes
+    through."""
+    cmap = _column_map(manifest)
+    if names is None or not cmap:
+        return names
+    if isinstance(names, dict):
+        return {cmap.get(k, k): v for k, v in names.items()}
+    return [cmap.get(c, c) for c in names]
+
+
+def _refuse_column_mapped(manifest: dict, what: str) -> None:
+    """DML writers whose expressions/keys run against PHYSICAL reads
+    refuse column-mapped tables up front — a logical-name predicate
+    silently matching nothing (or an old-name column match) is far
+    worse than this error. Disclosed boundary (Delta itself shipped
+    column mapping with an operation blocklist first)."""
+    if _column_map(manifest) or _dropped_physical(manifest):
+        raise ValueError(
+            f"{what} over a column-mapped table (RENAME/DROP COLUMN "
+            "history) is not supported yet; run rename_column back to "
+            "the physical names first, or rewrite the table"
+        )
+
+
 def _dv_keys(manifest: dict) -> list[str]:
     """The manifest's tombstone key COLUMNS as a list — ``dv_key`` is a
     plain string for single-column keys (the pre-r11 format, kept for
@@ -2094,6 +2195,154 @@ def evolve_partition_column(
             # them here would resurrect deleted rows on the next read
             manifest["dv"] = cur["dv"]
             manifest["dv_key"] = cur["dv_key"]
+        if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
+            return manifest["version"]
+    raise RuntimeError(f"commit conflict persisted on {table_dir}")
+
+
+def _logical_columns(spark: SparkSession, cur: dict, table_dir: str) -> list:
+    """The table's current LOGICAL column names — a plan resolve (zero
+    jobs) over the partition map, projected through the column map."""
+    full = _to_logical(_read_partition_map(spark, table_dir, cur), cur)
+    return list(full.columns) if full is not None else []
+
+
+def _check_mappable(cur: dict, col: str, action: str) -> None:
+    """Shared RENAME/DROP safety gates: the partition column names the
+    layout's directories, dv key columns name the tombstone files'
+    schema, and CHECK constraints are SQL strings over the original
+    names — each would silently decouple from a remapped column, so
+    all three refuse (Delta's own column-mapping restrictions)."""
+    if col == cur.get("partition_col"):
+        raise ValueError(
+            f"cannot {action} partition column {col!r}; its value IS "
+            "the layout's directory names — evolve the partition spec "
+            "instead"
+        )
+    if col in _dv_keys(cur):
+        raise ValueError(
+            f"cannot {action} tombstone key column {col!r}; the "
+            "deletion-vector files carry it by name — "
+            "materialize_tombstones first"
+        )
+    pat = re.compile(rf"\b{re.escape(col)}\b")
+    for c in cur.get("constraints", []) or []:
+        if pat.search(c):
+            raise ValueError(
+                f"cannot {action} {col!r}: CHECK constraint {c!r} "
+                "references it; drop the constraint first"
+            )
+
+
+def rename_column(
+    spark: SparkSession, table_dir: str, old: str, new: str,
+    max_retries: int = 10,
+) -> int:
+    """RENAME COLUMN without rewriting a byte (Delta's column mapping,
+    mode=name): a metadata-only ``op: "evolve"`` commit records the
+    logical→physical name map in the manifest; every read projects
+    through it (`read_keyed_table`, the change feeds), every
+    partition-mapped append translates incoming LOGICAL names to the
+    stable PHYSICAL names before staging — and an append still using
+    the OLD name is rejected (it would silently fork the column).
+    Time travel is automatic: each version's manifest carries ITS map,
+    so a pre-rename version reads with the old name. The partition
+    column, dv key columns, and constraint-referenced columns refuse
+    (their consumers address physical artifacts by name). Returns the
+    new version."""
+    if not old or not new or old == new:
+        raise ValueError(f"rename {old!r} -> {new!r} is not a rename")
+    for _ in range(max_retries):
+        cur = current_commit(table_dir)
+        if cur["version"] == 0 or "partitions" not in cur:
+            raise ValueError(
+                f"{table_dir} is not a partition-mapped committed table"
+            )
+        logical = _logical_columns(spark, cur, table_dir)
+        if old not in logical:
+            raise ValueError(f"no column {old!r} in {table_dir}")
+        if new in logical:
+            raise ValueError(f"column {new!r} already exists")
+        if new in _dropped_physical(cur):
+            raise ValueError(
+                f"{new!r} is a dropped column's physical name; reusing "
+                "it would collide with its retained file data"
+            )
+        _check_mappable(cur, old, "rename")
+        cmap = dict(_column_map(cur))
+        phys = cmap.pop(old, old)
+        if new != phys:
+            cmap[new] = phys
+        stage = f"data-{uuid.uuid4().hex}"
+        os.makedirs(os.path.join(table_dir, stage), exist_ok=True)
+        manifest = {
+            k: cur[k]
+            for k in (
+                "partition_col", "partitions", "stats", "bloom",
+                "constraints", "legacy_layouts", "dv", "dv_key",
+                "dropped_columns",
+            )
+            if k in cur
+        }
+        manifest["version"] = cur["version"] + 1
+        manifest["dir"] = stage
+        manifest["batch_ids"] = []
+        manifest["op"] = "evolve"
+        if cmap:
+            manifest["column_map"] = cmap
+        if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
+            return manifest["version"]
+    raise RuntimeError(f"commit conflict persisted on {table_dir}")
+
+
+def drop_column(
+    spark: SparkSession, table_dir: str, col: str, max_retries: int = 10,
+) -> int:
+    """DROP COLUMN without rewriting a byte (Delta column mapping): a
+    metadata-only ``op: "evolve"`` commit records the column's PHYSICAL
+    name as dropped — its data stays in every file, reads and feeds
+    simply never project it, and time travel to a pre-drop version
+    still sees it. Appends re-using the dropped name are rejected
+    (name-based mapping cannot distinguish the new column from the
+    retained data; id-based mapping would — disclosed boundary). Same
+    refusals as `rename_column` for the partition/dv/constraint
+    columns. Returns the new version."""
+    for _ in range(max_retries):
+        cur = current_commit(table_dir)
+        if cur["version"] == 0 or "partitions" not in cur:
+            raise ValueError(
+                f"{table_dir} is not a partition-mapped committed table"
+            )
+        logical = _logical_columns(spark, cur, table_dir)
+        if col not in logical:
+            raise ValueError(f"no column {col!r} in {table_dir}")
+        if len(logical) <= 2:
+            raise ValueError(
+                f"dropping {col!r} would leave only the partition "
+                "column; a one-column table is almost certainly a "
+                "mistake — rewrite instead"
+            )
+        _check_mappable(cur, col, "drop")
+        cmap = dict(_column_map(cur))
+        phys = cmap.pop(col, col)
+        dropped = sorted(_dropped_physical(cur) | {phys})
+        stage = f"data-{uuid.uuid4().hex}"
+        os.makedirs(os.path.join(table_dir, stage), exist_ok=True)
+        manifest = {
+            k: cur[k]
+            for k in (
+                "partition_col", "partitions", "stats", "bloom",
+                "constraints", "legacy_layouts", "dv", "dv_key",
+            )
+            if k in cur
+        }
+        manifest["version"] = cur["version"] + 1
+        manifest["dir"] = stage
+        manifest["batch_ids"] = []
+        manifest["op"] = "evolve"
+        manifest["dropped_columns"] = dropped
+        if cmap:
+            manifest["column_map"] = cmap
         if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
             return manifest["version"]
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
@@ -2479,6 +2728,11 @@ def read_table_changes(
     with data."""
     out = None
     seen_dirs: set[str] = set()
+    # the feed surfaces the END version's LOGICAL schema (Delta CDF
+    # reads a range with the end schema): frames are physical, one
+    # projection at the end maps them — rename is metadata-only, so
+    # physical names are stable across the whole range
+    end_m: dict = {}
     # ``history`` lets a caller iterating many version ranges (the
     # incremental maintainer) pay the full commit-log scan ONCE instead
     # of once per range — O(V) metadata cost over a refresh, not O(V²)
@@ -2487,6 +2741,10 @@ def read_table_changes(
         republished = m.get("dir") in seen_dirs
         if m.get("dir"):
             seen_dirs.add(m["dir"])
+        if (to_version is None or v <= to_version) and v > end_m.get(
+            "version", 0
+        ):
+            end_m = m
         if v <= from_version or (to_version is not None and v > to_version):
             continue
         if republished:
@@ -2522,7 +2780,7 @@ def read_table_changes(
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
         )
-    return out
+    return _to_logical(out, end_m)
 
 
 def read_table_changes_typed(
@@ -2553,6 +2811,15 @@ def read_table_changes_typed(
       the commit's newly-added keys as ``delete`` — the event stream
       `tombstone_keys` itself cannot provide (its docstring used to
       point consumers at raw key files);
+    * ``delete`` (predicate — `delete_table`, r12) → the commit's
+      ``cdc`` sidecar holds each deleted row's exact image (Delta's
+      DELETE ``_change_data``), served directly; with
+      ``change_data=False`` the commit falls back to the map-diff pair
+      images below (a rewrite diff — surviving rows restate as
+      ``insert``, prior contents as ``delete``), exactly like a
+      pre-CDF Delta delete. The two flavors are routed by artifact:
+      a new dv file means tombstone, a partition-map diff means
+      predicate;
     * ``merge`` with a ``cdc`` sidecar (the default since r11 —
       Delta's _change_data files) → the EXACT row-level images the
       merge recorded at commit time: WHEN MATCHED updates as
@@ -2641,11 +2908,11 @@ def read_table_changes_typed(
             # commit provably restates rows (Delta's dataChange=false)
             # — no images, and no diff base needed
             continue
-        if op in ("merge", "update") and m.get("cdc"):
-            # Delta's _change_data path: the merge/update recorded
-            # exact row-level images (update pre/post pairs, deletes,
-            # inserts; carried rows absent) at commit time — read them
-            # directly, no diff base, no reconstruction joins
+        if op in ("merge", "update", "delete") and m.get("cdc"):
+            # Delta's _change_data path: the merge/update/delete
+            # recorded exact row-level images (update pre/post pairs,
+            # deletes, inserts; carried rows absent) at commit time —
+            # read them directly, no diff base, no reconstruction joins
             cdc = spark.read.parquet(os.path.join(table_dir, m["cdc"]))
             cdc = cdc.withColumn(
                 "_commit_version", F.lit(v).cast("long")
@@ -2680,6 +2947,16 @@ def read_table_changes_typed(
                 "directly for single-dir tables"
             )
         pcol = m["partition_col"]
+        # a "delete" commit is either a PREDICATE delete (delete_table
+        # with change_data=False landing here — no new dv file, its
+        # diff is the partition-map rewrite) or a KEY tombstone
+        # (tombstone_keys — a new dv file, partitions untouched);
+        # route on which artifact it produced
+        new_dv = (
+            [d for d in m.get("dv", []) if d not in prev.get("dv", [])]
+            if op == "delete"
+            else []
+        )
         if op == "append":
             stage_abs = os.path.join(table_dir, m["dir"])
             entries = (
@@ -2701,7 +2978,9 @@ def read_table_changes_typed(
                     v,
                     "insert",
                 )
-        elif op in ("overwrite", "rewrite", "merge", "update"):
+        elif op in ("overwrite", "rewrite", "merge", "update") or (
+            op == "delete" and not new_dv
+        ):
             cur_p, prev_p = m["partitions"], prev.get("partitions", {})
             touched = {
                 e for e in set(cur_p) | set(prev_p)
@@ -2827,12 +3106,7 @@ def read_table_changes_typed(
                                     deleted, allowMissingColumns=True
                                 )
                             )
-        else:  # op == "delete": key tombstone commit
-            new_dv = [
-                d for d in m.get("dv", []) if d not in prev.get("dv", [])
-            ]
-            if not new_dv:
-                continue
+        else:  # op == "delete" with a new dv file: key tombstone commit
             kcols = _dv_keys(m)
             keys = spark.read.parquet(
                 *[os.path.join(table_dir, d) for d in new_dv]
@@ -3216,6 +3490,7 @@ def read_keyed_table(
     version: int | None = None,
     prune: dict | None = None,
     as_of: float | None = None,
+    _logical: bool = True,
 ) -> DataFrame | None:
     """Resolve a committed version and read its data dir, or None before
     the first commit. ``version`` time-travels to an older snapshot
@@ -3257,10 +3532,17 @@ def read_keyed_table(
                         "use read_keyed_mor"
                     )
                 if "partitions" in m:
-                    return _apply_tombstones(
+                    # prune specs name LOGICAL columns; stats/blooms are
+                    # keyed by the stable PHYSICAL names. Time travel is
+                    # map-correct for free: THIS version's manifest
+                    # carries the map that was live when it committed.
+                    df = _apply_tombstones(
                         spark, table_dir, m,
-                        _read_all_layouts(spark, table_dir, m, prune),
+                        _read_all_layouts(
+                            spark, table_dir, m, _physical_names(prune, m)
+                        ),
                     )
+                    return _to_logical(df, m) if _logical else df
                 return spark.read.parquet(os.path.join(table_dir, m["dir"]))
         legacy = os.path.join(table_dir, f"v{version}")
         if os.path.isdir(legacy):
@@ -3274,9 +3556,13 @@ def read_keyed_table(
             f"{table_dir} is a merge-on-read keyed table; use read_keyed_mor"
         )
     if "partitions" in cur:
-        return _apply_tombstones(
-            spark, table_dir, cur, _read_all_layouts(spark, table_dir, cur, prune)
+        df = _apply_tombstones(
+            spark, table_dir, cur,
+            _read_all_layouts(
+                spark, table_dir, cur, _physical_names(prune, cur)
+            ),
         )
+        return _to_logical(df, cur) if _logical else df
     return spark.read.parquet(os.path.join(table_dir, cur["dir"]))
 
 
@@ -4243,8 +4529,9 @@ def update_table(
 ) -> dict:
     """Standalone UPDATE ... SET ... WHERE on a partition-mapped table —
     the third leg of the DML triad (Delta's UPDATE; DELETE is
-    `tombstone_keys` / `apply_erasure_rewrite`, upsert is
-    `merge_into_table`). No key or source required: ``where`` is a SQL
+    `delete_table` (predicate, COW) / `tombstone_keys` (key, MOR),
+    upsert is `merge_into_table`). No key or source required: ``where``
+    is a SQL
     predicate over the row (NULL = not matched, Delta's rule),
     ``set_exprs`` maps columns to SQL expressions evaluated over the
     OLD row (``{"v": "v * 2", "flag": "'hot'"}``).
@@ -4494,6 +4781,237 @@ def update_table(
             if _publish(table_dir, manifest, stage_path):
                 return {
                     "version": manifest["version"], "updated": n_upd,
+                    "carried": n_carry,
+                }
+            # CAS lost: re-run against the winner
+            shutil.rmtree(stage_path, ignore_errors=True)
+            if cdc_stage:
+                shutil.rmtree(
+                    os.path.join(table_dir, cdc_stage), ignore_errors=True
+                )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    raise RuntimeError(
+        f"commit conflict persisted for {max_retries} retries on {table_dir}"
+    )
+
+
+def delete_table(
+    spark: SparkSession,
+    table_dir: str,
+    where: str,
+    stats_cols: list[str] | None = None,
+    batch_id: int | None = None,
+    max_retries: int = 10,
+    prune: dict | None = None,
+    partition_values: list[str] | None = None,
+    change_data: bool = True,
+) -> dict:
+    """First-class predicate DELETE on a partition-mapped table — the
+    copy-on-write leg of the DML triad's DELETE (Delta's ``DELETE FROM
+    ... WHERE``; the merge-on-read twin is `tombstone_keys`, which
+    hides KEYS for O(deleted keys) write cost). ``where`` is a SQL
+    predicate over the row; a NULL predicate means NOT matched (the row
+    survives — Delta's rule), so there is no way to delete a row by
+    accident through three-valued logic. The generalization of the J13
+    erasure demo (`apply_erasure_rewrite`, reference consumer
+    nshmdb/nshmdb.py:263-266): any predicate, any table, one commit.
+
+    Partition economics mirror `update_table`'s: after ONE decision
+    scan, only partitions holding ≥1 matched row rewrite (their
+    survivors restage); a partition whose rows ALL matched simply
+    leaves the manifest (no empty file is written — its old files
+    remain readable history); every other partition's mapping carries
+    forward byte-identical. Two narrowing hints bound the decision
+    scan itself: ``prune`` (the manifest-stats spec of
+    `read_keyed_table` — ranges/null through stats, ``("eq", v)``
+    through stats AND Bloom bitmaps) carries the caller's contract
+    that no row outside the surviving entries matches ``where``
+    (exactly like a pruned read composed with its own filter), while
+    ``partition_values`` is a SCOPE restriction — the delete applies
+    only to those partitions, i.e. ``WHERE pcol IN (...) AND where``
+    — the GDPR-erasure shape "delete these users from the partitions
+    that hold personal data". Without either, the decision pass scans
+    the table once — Delta's own default for un-narrowable
+    predicates.
+
+    Constraints are NOT re-enforced: survivors are a subset of already-
+    committed rows and row-level CHECKs are closed under subset (the
+    manifest still carries them forward). The base is read THROUGH the
+    tombstones, so dv-hidden rows are never counted as deleted and
+    never emit delete images; a rewritten partition physically purges
+    them (state-identical — the dv carries forward for the untouched
+    partitions that still need it).
+
+    Commits tag ``op: "delete"`` and by default record each deleted
+    row's full image in a ``cdc-*`` sidecar (Delta's ``_change_data``
+    with ``_change_type = 'delete'``) — the typed feeds (batch
+    `read_table_changes_typed` + the changeTypes stream) serve those
+    exact images with zero reconstruction; ``change_data=False`` opts
+    out and the feeds fall back to the map-diff pair images (a rewrite
+    diff). Concurrency: the delete re-runs on CAS conflict; a disjoint
+    concurrent append REBASES over a published delete exactly as over
+    a merge (`_rebase_conflict` — the touched entries show up in the
+    map diff). ``batch_id`` gives foreachBatch replay idempotence.
+    Returns ``{"version", "deleted", "carried"}``."""
+    if where is None:
+        raise ValueError(
+            "delete_table needs an explicit WHERE (use 'true' to delete "
+            "every row on purpose)"
+        )
+    for _ in range(max_retries):
+        cur = current_commit(table_dir)
+        if cur["version"] == 0 or "partitions" not in cur:
+            raise ValueError(
+                f"{table_dir} is not a partition-mapped committed table"
+            )
+        if cur.get("legacy_layouts"):
+            raise ValueError(
+                f"{table_dir} has unmigrated legacy partition layouts; a "
+                "delete computed against the current layout would miss "
+                "their rows — run migrate_legacy_layouts first"
+            )
+        if batch_id is not None and batch_id in committed_batch_ids(table_dir):
+            return {"version": cur["version"], "deleted": 0, "carried": 0,
+                    "replayed": True}
+        pcol = cur["partition_col"]
+        prefix = f"{pcol}="
+        base_prune, eq = _split_prune(prune)
+        scan_parts = dict(_stats_prune(cur, base_prune))
+        if eq and scan_parts:
+            scan_parts = dict(_bloom_prune(spark, cur, scan_parts, eq))
+        if partition_values is not None:
+            allowed = set(partition_values)
+            scan_parts = {
+                e: d
+                for e, d in scan_parts.items()
+                if e.split("=", 1)[1] in allowed
+            }
+
+        # full-table schema (plan resolve, zero jobs) so a pruned base
+        # missing evolved columns still projects them as typed NULLs
+        full = _read_partition_map(spark, table_dir, cur)
+        tcols = list(full.columns)
+        ttypes = dict(zip(full.schema.names, [f.dataType for f in full.schema]))
+
+        base = (
+            _apply_tombstones(
+                spark, table_dir, cur,
+                _read_partition_map(
+                    spark, table_dir,
+                    {"partition_col": pcol, "partitions": scan_parts},
+                ),
+            )
+            if scan_parts
+            else None
+        )
+        if base is None:
+            return {"version": cur["version"], "deleted": 0, "carried": 0}
+        have = set(base.columns)
+        dec = base.select(
+            *[
+                (
+                    F.col(c) if c in have else F.lit(None).cast(ttypes[c])
+                ).cast(ttypes[c]).alias(c)
+                for c in tcols
+            ]
+        )
+        # NULL predicate = not matched (Delta's DELETE rule)
+        dec = dec.withColumn(
+            "_del", F.coalesce(F.expr(where), F.lit(False))
+        )
+
+        scratch = os.path.join(table_dir, f"scratch-{uuid.uuid4().hex}")
+        stage = f"data-{uuid.uuid4().hex}"
+        stage_path = os.path.join(table_dir, stage)
+        cdc_stage = None
+        try:
+            # materialize the decision once: the rollup, the survivor
+            # stage, and the CDC sidecar would otherwise each re-run
+            # the scan (separate actions share no ReusedExchange)
+            dec.write.mode("overwrite").parquet(scratch)
+            dec = spark.read.parquet(scratch)
+
+            rollup = (
+                dec.groupBy("_del", F.col(pcol).cast("string").alias("_p"))
+                .count()
+                .collect()
+            )
+            n_del = n_carry = 0
+            del_vals = set()
+            for r in rollup:
+                if r._del:
+                    n_del += r["count"]
+                    del_vals.add(r._p)
+                else:
+                    n_carry += r["count"]
+            if not n_del:
+                return {
+                    "version": cur["version"], "deleted": 0,
+                    "carried": n_carry,
+                }
+            # ONLY partitions holding a matched row rewrite (survivors
+            # restage); a fully-deleted partition writes nothing and
+            # its entry drops from the map below
+            vals_df = spark.createDataFrame(
+                [(v,) for v in sorted(del_vals)], f"{pcol} string"
+            )
+            stage_rows = (
+                dec.filter(~F.col("_del"))
+                .withColumn(pcol, F.col(pcol).cast("string"))
+                .join(F.broadcast(vals_df), pcol, "inner")
+                .drop("_del")
+            )
+            stage_rows.write.mode("overwrite").partitionBy(pcol).parquet(
+                stage_path
+            )
+            written = {
+                n for n in os.listdir(stage_path) if n.startswith(prefix)
+            }
+            _check_entry_values(written)
+
+            if change_data:
+                # Delta's _change_data for DELETE: one full-row image
+                # per deleted row, tagged 'delete'; carried rows absent
+                cdc_rows = dec.filter(F.col("_del")).select(
+                    *[F.col(c).cast(ttypes[c]).alias(c) for c in tcols],
+                    F.lit("delete").alias("_change_type"),
+                )
+                cdc_stage = f"cdc-{uuid.uuid4().hex}"
+                cdc_rows.write.mode("overwrite").parquet(
+                    os.path.join(table_dir, cdc_stage)
+                )
+
+            new_parts = dict(cur["partitions"])
+            for v in del_vals:
+                new_parts.pop(f"{prefix}{v}", None)
+            for e in written:
+                new_parts[e] = stage
+            new_stats, new_bloom = _carry_stats_blooms(
+                cur, written, new_parts, set(), stage_path, stats_cols
+            )
+            manifest = {
+                "version": cur["version"] + 1,
+                "dir": stage,
+                "partition_col": pcol,
+                "partitions": new_parts,
+                "batch_ids": [batch_id] if batch_id is not None else [],
+                "op": "delete",
+            }
+            if new_stats:
+                manifest["stats"] = new_stats
+            if new_bloom:
+                manifest["bloom"] = new_bloom
+            if cur.get("constraints"):
+                manifest["constraints"] = cur["constraints"]
+            if cur.get("dv"):
+                manifest["dv"] = cur["dv"]
+                manifest["dv_key"] = cur["dv_key"]
+            if cdc_stage:
+                manifest["cdc"] = cdc_stage
+            if _publish(table_dir, manifest, stage_path):
+                return {
+                    "version": manifest["version"], "deleted": n_del,
                     "carried": n_carry,
                 }
             # CAS lost: re-run against the winner

@@ -251,8 +251,8 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
             )
         if op == "rewrite" and m.get("data_change") is False:
             continue  # compaction (dataChange=false): restatement only
-        if op in ("merge", "update") and m.get("cdc"):
-            # the merge's/update's _change_data sidecar holds its exact images
+        if op in ("merge", "update", "delete") and m.get("cdc"):
+            # the merge's/update's/delete's _change_data sidecar holds its exact images
             # (update pre/post pairs, deletes, inserts) — plan one unit
             # per cdc file; _change_type and the partition column are
             # DATA columns there (value=None / ctype=None sentinels)
@@ -292,6 +292,14 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
         ts = m.get("committed_at")
         m_dv = [os.path.join(table_dir, d) for d in m.get("dv", [])]
         p_dv = [os.path.join(table_dir, d) for d in prev.get("dv", [])]
+        # "delete" routing (same as the batch feed): a PREDICATE delete
+        # (delete_table, change_data=False) has no new dv file and
+        # diffs as a partition-map rewrite; a KEY tombstone has one
+        new_dv = (
+            [d for d in m.get("dv", []) if d not in prev.get("dv", [])]
+            if op == "delete"
+            else []
+        )
 
         def unit(files, value, ctype, anti, key=None, inc=None, exc=None):
             if files:
@@ -319,7 +327,9 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                     _entry_files(table_dir, m["dir"], e),
                     e.split("=", 1)[1], "insert", m_dv,
                 )
-        elif op in ("overwrite", "rewrite", "merge", "update"):
+        elif op in ("overwrite", "rewrite", "merge", "update") or (
+            op == "delete" and not new_dv
+        ):
             cur_p, prev_p = m["partitions"], prev.get("partitions", {})
             touched = {
                 e for e in set(cur_p) | set(prev_p)
@@ -380,12 +390,7 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                                 e.split("=", 1)[1], "delete", p_dv,
                                 key=kcols, inc=m_dv, exc=p_dv,
                             )
-        else:  # op == "delete": key tombstone commit
-            new_dv = [
-                d for d in m.get("dv", []) if d not in prev.get("dv", [])
-            ]
-            if not new_dv:
-                continue
+        else:  # op == "delete" with a new dv file: key tombstone commit
             if m.get("legacy_layouts") or prev.get("legacy_layouts"):
                 # the deleted keys' rows may live in a legacy layout the
                 # current-layout plan below cannot see — the batch feed

@@ -4919,6 +4919,253 @@ class TestUpdateTable:
         assert m["updated"] == 1
 
 
+class TestDeleteTable:
+    """First-class predicate DELETE (r12 — VERDICT r11 #1): partition
+    economics, fully-deleted entry drop, NULL-predicate semantics, CDC
+    delete-image sidecar through both typed feeds, the map-diff
+    fallback, dv interaction, replay idempotence, and rebase
+    transparency."""
+
+    def _seed(self, spark, d, **kw):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+        )
+
+        append_partition_transaction(
+            spark, d, "day",
+            spark.createDataFrame(
+                [(k, float(k), "a" if k < 5 else "b") for k in range(10)],
+                "k long, v double, day string",
+            ),
+            stats_cols=["k"], **kw,
+        )
+
+    def test_economics_and_full_partition_drop(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            delete_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        before = dict(current_commit(d)["partitions"])
+        m = delete_table(spark, d, where="k % 2 = 0 AND day = 'a'")
+        assert m["deleted"] == 3 and m["carried"] == 7
+        cur = current_commit(d)
+        assert cur["op"] == "delete" and cur.get("cdc")
+        # only the partition holding matched rows rewrote; day=b's
+        # mapping (and files) carried byte-identical
+        assert cur["partitions"]["day=b"] == before["day=b"]
+        assert cur["partitions"]["day=a"] != before["day=a"]
+        assert sorted(
+            r.k for r in read_keyed_table(spark, d).collect()
+        ) == [1, 3, 5, 6, 7, 8, 9]
+        # a partition whose rows ALL match simply leaves the manifest
+        m2 = delete_table(spark, d, where="day = 'a'",
+                          partition_values=["a"])
+        assert m2["deleted"] == 2 and m2["carried"] == 0
+        cur2 = current_commit(d)
+        assert "day=a" not in cur2["partitions"]
+        assert cur2["partitions"]["day=b"] == before["day=b"]
+        assert read_keyed_table(spark, d).count() == 5
+        # ...but stays readable as history
+        assert read_keyed_table(
+            spark, d, version=cur["version"]
+        ).count() == 7
+
+    def test_null_predicate_survives_and_where_required(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        from nshm2022db_spark.streaming.sinks import (
+            delete_table,
+            read_keyed_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        # NULL predicate result = not matched → the row SURVIVES
+        m = delete_table(
+            spark, d, where="CASE WHEN k < 3 THEN NULL ELSE k = 3 END"
+        )
+        assert m["deleted"] == 1
+        assert sorted(
+            r.k for r in read_keyed_table(spark, d).collect()
+        ) == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+        with pytest.raises(ValueError, match="explicit WHERE"):
+            delete_table(spark, d, where=None)
+
+    def test_prune_eq_bloom_and_no_match_noop(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            delete_table,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d, bloom_cols=["k"])
+        m = delete_table(
+            spark, d, where="k = 7", prune={"k": ("eq", 7)}
+        )
+        assert m["deleted"] == 1
+        # day=a's stats (k in [0,4]) disprove the probe: never scanned,
+        # so it is not even counted as carried
+        assert m["carried"] == 4
+        v = current_commit(d)["version"]
+        m2 = delete_table(spark, d, where="k > 1000")
+        assert m2["deleted"] == 0 and current_commit(d)["version"] == v
+
+    def test_typed_feeds_replay_and_fold(self, spark, tmp_path):
+        """op=delete commits serve the sidecar's exact delete images
+        (batch and stream), the CDC fold equals the head, and a
+        replayed batch id no-ops."""
+        from nshm2022db_spark.streaming.sinks import (
+            apply_typed_changes,
+            current_commit,
+            delete_table,
+            read_keyed_table,
+            read_table_changes_typed,
+        )
+        from nshm2022db_spark.streaming.table_source import (
+            register_commitlog_source,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        delete_table(spark, d, where="k IN (2, 8)", batch_id=9)
+        rows = read_table_changes_typed(spark, d, 1).collect()
+        assert {(r.k, r.v, r._change_type) for r in rows} == {
+            (2, 2.0, "delete"), (8, 8.0, "delete"),
+        }
+        replica = apply_typed_changes(
+            read_table_changes_typed(spark, d, 0), ["k", "v", "day"]
+        )
+        head = read_keyed_table(spark, d)
+        assert sorted((r.k, r.v) for r in replica.collect()) == sorted(
+            (r.k, r.v) for r in head.collect()
+        )
+        # stream equals batch over the delete commit
+        register_commitlog_source(spark)
+        q = (
+            spark.readStream.format("commitlog")
+            .option("path", d)
+            .option("changeTypes", "true")
+            .load()
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("del_cdf")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stream_rows = spark.sql(
+            "select k, v, _commit_version, _change_type from del_cdf"
+        ).collect()
+        spark.catalog.dropTempView("del_cdf")
+        batch_rows = read_table_changes_typed(spark, d, 0).select(
+            "k", "v", "_commit_version", "_change_type"
+        ).collect()
+        key = lambda rs: sorted(
+            (r.k, r.v, r._commit_version, r._change_type) for r in rs
+        )
+        assert key(stream_rows) == key(batch_rows)
+        # replay no-ops
+        v = current_commit(d)["version"]
+        m = delete_table(spark, d, where="k IN (2, 8)", batch_id=9)
+        assert m.get("replayed") and current_commit(d)["version"] == v
+
+    def test_change_data_false_falls_back_to_pair_images(
+        self, spark, tmp_path
+    ):
+        from nshm2022db_spark.streaming.sinks import (
+            apply_typed_changes,
+            current_commit,
+            delete_table,
+            read_keyed_table,
+            read_table_changes_typed,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        delete_table(spark, d, where="k = 6", change_data=False)
+        assert "cdc" not in current_commit(d)
+        rows = read_table_changes_typed(spark, d, 1).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r._change_type, set()).add(r.k)
+        # a rewrite diff: day=b's survivors restate as inserts, its
+        # prior contents as deletes; day=a contributes nothing
+        assert by == {
+            "insert": {5, 7, 8, 9},
+            "delete": {5, 6, 7, 8, 9},
+        }
+        replica = apply_typed_changes(
+            read_table_changes_typed(spark, d, 0), ["k", "v", "day"]
+        )
+        assert sorted(r.k for r in replica.collect()) == sorted(
+            r.k for r in read_keyed_table(spark, d).collect()
+        )
+
+    def test_dv_hidden_rows_never_delete(self, spark, tmp_path):
+        """The base is read THROUGH the tombstones: a dv-hidden row is
+        not counted, emits no delete image, and the rewrite physically
+        purges it (state-identical, dv carried forward)."""
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            delete_table,
+            read_keyed_table,
+            read_table_changes_typed,
+            tombstone_keys,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        tombstone_keys(
+            spark, d, "k", spark.createDataFrame([(6,)], "k long")
+        )
+        m = delete_table(spark, d, where="k IN (6, 7)")
+        assert m["deleted"] == 1  # k=6 is hidden — only k=7 matches
+        cur = current_commit(d)
+        assert cur.get("dv")  # carried forward
+        imgs = read_table_changes_typed(spark, d, 2).collect()
+        assert {(r.k, r._change_type) for r in imgs} == {(7, "delete")}
+        got = sorted(r.k for r in read_keyed_table(spark, d).collect())
+        assert got == [0, 1, 2, 3, 4, 5, 8, 9]
+        # the rewritten partition's files no longer hold k=6 physically
+        stage = cur["partitions"]["day=b"]
+        raw = spark.read.parquet(
+            f"{d}/{stage if isinstance(stage, str) else stage[0]}/day=b"
+        )
+        assert sorted(r.k for r in raw.collect()) == [5, 8, 9]
+
+    def test_rebase_transparency(self, spark, tmp_path):
+        """A disjoint concurrent append rebases over a published
+        predicate delete (map-diff disjointness); a key-tombstone
+        delete trips the dv check instead."""
+        from nshm2022db_spark.streaming.sinks import (
+            _rebase_conflict,
+            current_commit,
+            delete_table,
+            tombstone_keys,
+        )
+
+        d = str(tmp_path / "t")
+        self._seed(spark, d)
+        base = current_commit(d)
+        delete_table(spark, d, where="k < 2 AND day = 'a'")
+        head = current_commit(d)
+        assert _rebase_conflict(d, base, head, {"day=c"}) is None
+        assert _rebase_conflict(d, base, head, {"day=a"}) is not None
+        tombstone_keys(
+            spark, d, "k", spark.createDataFrame([(5,)], "k long")
+        )
+        head2 = current_commit(d)
+        assert _rebase_conflict(d, base, head2, {"day=c"}) == "dv changed"
+
+
 class TestZorderExpr:
     def test_four_columns_stay_below_sign_bit(self):
         """r10 review #6: with n columns the interleave must fit below

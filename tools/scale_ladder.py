@@ -247,6 +247,10 @@ LADDER = [
     # r11: standalone UPDATE (one decision scan + O(matched partitions)
     # rewrite; the timed warm path is the two-generation rollup read)
     "update_where_partition",
+    # r12: predicate DELETE with CDC sidecar (decision scan + matched-
+    # partition rewrite at land; the timed warm path reads the typed
+    # feed — insert images O(table) + two O(deleted-rows) sidecars)
+    "delete_where_cdc",
 ]
 
 
