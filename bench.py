@@ -183,6 +183,8 @@ HEADLINE = [
     "update_where_partition",
     # r12: predicate DELETE with the CDC delete-image sidecar
     "delete_where_cdc",
+    # r12: column mapping — rename/drop then the mapped two-generation read
+    "rename_column_read",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

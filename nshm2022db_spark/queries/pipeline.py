@@ -2001,6 +2001,78 @@ def delete_where_cdc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "rename_column_read",
+    """WITH base AS (
+           SELECT event_id, value AS score, event_type FROM events),
+       extra AS (
+           SELECT event_id + 1000000 AS event_id,
+                  FLOOR(value) * 2.0 AS score, event_type
+           FROM events WHERE event_id % 10 = 0),
+       final AS (
+           SELECT * FROM base UNION ALL SELECT * FROM extra)
+       SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              ROUND(CAST(SUM(score) AS DOUBLE), 2) AS score_sum
+       FROM final GROUP BY event_type""",
+)
+def rename_column_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Column mapping (r12 — Delta's columnMapping mode=name): events
+    land partitioned by event_type, then THREE metadata-only commits
+    run without rewriting a byte: RENAME COLUMN value→score, DROP
+    COLUMN props, DROP COLUMN user_id (each an ``op: "evolve"``
+    manifest carrying the logical→physical map — every partition
+    mapping carries forward byte-identical, pinned in
+    tests/test_column_mapping.py along with old-name append rejection
+    and per-version time travel). A post-rename append then lands a
+    batch under the NEW logical names (translated to the stable
+    physical names at stage time), and the head read projects the
+    whole table — pre-rename generations included — through the map.
+
+    The oracle recomputes the final logical state closed-form from
+    base events: value surfaces as score across both generations,
+    dropped columns are gone, and the appended rows carry exact
+    FLOOR()*2 scores (dyadic-exact, order-independent sums). At 100 TB
+    the point is the write amplification: a rename/drop costs one
+    manifest, not a table rewrite."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        drop_column,
+        read_keyed_table,
+        rename_column,
+    )
+
+    base = scratch_path("events_rename_col_r12", sf)
+    path = os.path.join(base, "events_by_type")
+    if not is_landed(base):
+        ev = read_table(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value", "props"
+        )
+        append_partition_transaction(
+            spark, path, "event_type", ev, stats_cols=["event_id"]
+        )
+        rename_column(spark, path, "value", "score")
+        drop_column(spark, path, "props")
+        drop_column(spark, path, "user_id")
+        extra = read_table(spark, sf, "events").filter(
+            F.col("event_id") % 10 == 0
+        ).select(
+            (F.col("event_id") + 1000000).alias("event_id"),
+            (F.floor("value") * 2.0).alias("score"),
+            "event_type",
+        )
+        append_partition_transaction(
+            spark, path, "event_type", extra, stats_cols=["event_id"]
+        )
+        mark_landed(base)
+    t = read_keyed_table(spark, path)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.round(F.sum("score"), 2).alias("score_sum"),
+    )
+
+
 DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot
 DIFF_UPDATE_MOD = 11  # keys repriced in the "new" snapshot
 

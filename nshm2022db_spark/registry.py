@@ -163,85 +163,47 @@ from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # ROUND-11 WINDOW (VERDICT r10 next-round #1/#2/#3/#4 + the
-    # standing contract above):
-    # (a) NEW in r11: composite-key merge-delete over tuple deletion
-    #     vectors (VERDICT r10 #2);
-    # (b) own expressions changed in r11: the typed-feed trio now
-    #     shares a 5-commit history whose merge emits CDC-sidecar
-    #     update_preimage/update_postimage pairs and whose compaction
-    #     is dataChange=false (VERDICT r10 #1);
-    # (c) shared primitives changed in r11, one in-window
-    #     representative each: merge_into_table (mixed-key tombstone
-    #     guard, insert-extend economics, bloom-probe pruning, CDC
-    #     sidecar write — merge_into_conditional / merge_schema_
-    #     evolution / stream_merge_conditional), compaction's
-    #     data_change tag (zorder_clustered_scan, rowgroup_skip_scan),
-    #     the untyped feed's dataChange skip (table_changes_feed), and
-    #     maintain_incremental_agg's compaction skip
-    #     (cdc_incremental_agg):
-    "merge_delete_composite",
-    "multimodal_decode_jpeg",
-    "update_where_partition",
+    # ROUND-12 WINDOW (VERDICT r11 next-round #1/#2 + stretch #5 + the
+    # standing contract):
+    # (a) NEW in r12: first-class predicate DELETE with the CDC
+    #     delete-image sidecar (VERDICT r11 #1) and column mapping —
+    #     metadata-only RENAME/DROP COLUMN (stretch #5);
+    # (b) shared primitives changed in r12, one in-window
+    #     representative each: read_table_changes_typed (op=delete
+    #     sidecar/tombstone/map-diff routing + end-schema column-map
+    #     projection) -> table_changes_typed/cdc_apply_typed; the typed
+    #     commitlog stream planner (same routing + mapped-commit guard)
+    #     -> stream_table_changes_typed; the untyped feed (end-manifest
+    #     tracking) -> table_changes_feed + cdc_incremental_agg;
+    #     merge/update DML (column-map guard + manifest carry) ->
+    #     merge_into_conditional/update_where_partition; tombstone_keys
+    #     (mapped-key guard + manifest key tuple) -> delete_tombstone_mor;
+    #     append/overwrite staging (logical->physical batch translation)
+    #     -> overwrite_partition_transaction; read_keyed_table (_logical
+    #     projection + prune-name translation) -> bloom_skip_scan;
+    #     committed_partition_transaction rewrite (map carry) ->
+    #     compact_small_files; _rebase_conflict (op=delete transparency
+    #     + map-change detection) -> commit_rebase_stats:
+    "delete_where_cdc",
+    "rename_column_read",
     "table_changes_typed",
     "cdc_apply_typed",
     "stream_table_changes_typed",
-    "merge_into_conditional",
-    "merge_schema_evolution",
-    "stream_merge_conditional",
-    "zorder_clustered_scan",
-    "rowgroup_skip_scan",
     "table_changes_feed",
+    "merge_into_conditional",
+    "update_where_partition",
+    "delete_tombstone_mor",
+    "overwrite_partition_transaction",
+    "bloom_skip_scan",
+    "compact_small_files",
     "cdc_incremental_agg",
-    # (d) stalest tail refresh (VERDICT r10 #4): ALL 22 remaining
-    #     r6-evidence rows (rowgroup_skip_scan / table_changes_feed /
-    #     cdc_incremental_agg above are the same vintage), then the
-    #     eldest r8 rows:
-    "events_tumbling_window",
-    "fk_integrity_check",
-    "geometry_planes_checksum",
-    "hll_shard_merge",
-    "knn_index_lakehouse",
-    "manifest_count_scan",
-    "manifest_skip_scan",
-    "multimodal_audio_energy",
-    "multimodal_resize_downsample",
-    "null_skip_scan",
-    "partition_evolution_read",
-    "quality_upsample",
-    "rank_distribution",
-    "salted_skew_join",
-    "scd2_build",
-    "schema_evolution_read",
-    "snapshot_diff",
-    "sql_api_pricing_summary",
-    "stream_source_quota",
-    "text_novelty_score",
-    "text_winnow_fingerprints",
-    "timeline_gapfill",
-    "value_drift_trend",
-    # r8-evidence fill to the window boundary:
-    "lm_bigram_score",
-    "lm_unigram_score",
-    "csv_gzip_scan",
-    "multimodal_audio_chunks",
-    "json_extract",
-    "events_funnel",
-    "zorder_key",
-    "weighted_sample",
-    "pack_sequences",
-    "source_mix_sample",
-    "orc_scan",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # --- 50-query window boundary (driver gate cap observed r01-r10) ---
+    "commit_rebase_stats",
+    # (c) stalest tail refresh (VERDICT r11 #2): ALL 34 remaining
+    #     r8-evidence rows (dedup_embedding_cosine + the knn/text
+    #     families per the r11 tail-head contract), then the two eldest
+    #     r9 rows to the window boundary:
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    # Tail head — FIRST PRIORITY for the round-12 window: the remaining
-    # r8-evidence rows (stalest oracle-able evidence after this
-    # rotation); then the r9 rows, the rows-only geometry row, and the
-    # r10/r11-fresh displacements last:
     "dedup_embedding_cosine",
     "knn_bruteforce",
     "knn_lsh_bucketed",
@@ -274,60 +236,17 @@ _DRIVER_ORDER = [
     "advanced_query_negation",
     "advanced_query_or_bounds",
     "approx_percentile_bound",
-    # r10-fresh displacements:
-    "multimodal_decode_png",
-    "split_leakage_free",
-    "stream_upsert_table",
-    "stream_upsert_mor",
-    "stream_cdc_rollup",
-    "overwrite_partition_transaction",
-    "tfidf_search",
-    "scalar_string_format",
-    "semi_join_membership",
-    "scan_project",
-    "stream_dedup_events",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_windowed_distinct",
-    "surrogate_keys_dense",
-    "table_profile",
-    "topk_global",
-    "topk_per_group",
-    "union_all_stack",
-    "unpivot_long",
-    "value_histogram",
-    "window_range_frame",
-    "window_running_sum",
-    "agg_pushdown_scan",
-    "bloom_join_prefilter",
-    "bloom_skip_scan",
-    "bpe_encode_topk",
-    "bpe_pair_counts",
-    "bucket_by_cutpoints",
-    "chunk_documents",
-    "clone_evolve_read",
-    "cohort_retention",
-    "compact_small_files",
-    "constrained_land",
-    "curation_pipeline",
-    "dedup_index_lakehouse",
-    "dedup_keep_best",
-    "dedup_substring_runs",
-    "delete_tombstone_mor",
-    "delete_where_rewrite",
-    "epoch_shuffle",
-    "events_locf",
-    # rows-only geometry row (no SQL oracle; its hash-green checksum
-    # companion geometry_planes_checksum is in-window this round):
-    "geometry_planes",
-    # fresh r9 driver rows displaced by this rotation:
     "hybrid_search_rrf",
     "stream_overwrite_refresh",
+    # --- 50-query window boundary (driver gate cap observed r01-r11) ---
+    # Tail head — FIRST PRIORITY for the round-13 window: the remaining
+    # r9-evidence rows (stalest oracle-able evidence after this
+    # rotation, dsir_select first), then the r10 rows, the rows-only
+    # geometry row, and the r11/r12-fresh displacements last:
     "dsir_select",
     "bpe_encode_learned",
     "lm_bigram_assoc",
     "doc_dedup_cross_shard",
-    "commit_rebase_stats",
     "stream_table_source",
     "stream_partitioned_land",
     "approx_count_distinct",
@@ -365,6 +284,88 @@ _DRIVER_ORDER = [
     "range_join_events",
     "scalar_max",
     "stream_incremental_rollup",
+    "multimodal_decode_png",
+    "split_leakage_free",
+    "stream_upsert_table",
+    "stream_upsert_mor",
+    "stream_cdc_rollup",
+    "tfidf_search",
+    "scalar_string_format",
+    "semi_join_membership",
+    "scan_project",
+    "stream_dedup_events",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_windowed_distinct",
+    "surrogate_keys_dense",
+    "table_profile",
+    "topk_global",
+    "topk_per_group",
+    "union_all_stack",
+    "unpivot_long",
+    "value_histogram",
+    "window_range_frame",
+    "window_running_sum",
+    "agg_pushdown_scan",
+    "bloom_join_prefilter",
+    "bpe_encode_topk",
+    "bpe_pair_counts",
+    "bucket_by_cutpoints",
+    "chunk_documents",
+    "clone_evolve_read",
+    "cohort_retention",
+    "constrained_land",
+    "curation_pipeline",
+    "dedup_index_lakehouse",
+    "dedup_keep_best",
+    "dedup_substring_runs",
+    "delete_where_rewrite",
+    "epoch_shuffle",
+    "events_locf",
+    "merge_delete_composite",
+    "multimodal_decode_jpeg",
+    "merge_schema_evolution",
+    "stream_merge_conditional",
+    "zorder_clustered_scan",
+    "rowgroup_skip_scan",
+    "events_tumbling_window",
+    "fk_integrity_check",
+    "geometry_planes_checksum",
+    "hll_shard_merge",
+    "knn_index_lakehouse",
+    "manifest_count_scan",
+    "manifest_skip_scan",
+    "multimodal_audio_energy",
+    "multimodal_resize_downsample",
+    "null_skip_scan",
+    "partition_evolution_read",
+    "quality_upsample",
+    "rank_distribution",
+    "salted_skew_join",
+    "scd2_build",
+    "schema_evolution_read",
+    "snapshot_diff",
+    "sql_api_pricing_summary",
+    "stream_source_quota",
+    "text_novelty_score",
+    "text_winnow_fingerprints",
+    "timeline_gapfill",
+    "value_drift_trend",
+    "lm_bigram_score",
+    "lm_unigram_score",
+    "csv_gzip_scan",
+    "multimodal_audio_chunks",
+    "json_extract",
+    "events_funnel",
+    "zorder_key",
+    "weighted_sample",
+    "pack_sequences",
+    "source_mix_sample",
+    "orc_scan",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "geometry_planes",
 ]
 
 

@@ -701,6 +701,7 @@ def committed_partition_transaction(
     bloom_bits: int = _BLOOM_BITS,
     bloom_hashes: int = _BLOOM_HASHES,
     _drop_dv: bool = False,
+    _drop_map: bool = False,
     data_change: bool = True,
 ) -> None:
     """One optimistic-concurrency transaction over a PARTITION-MAPPED
@@ -859,6 +860,8 @@ def committed_partition_transaction(
             manifest["constraints"] = cur["constraints"]
         if cur.get("legacy_layouts"):
             manifest["legacy_layouts"] = cur["legacy_layouts"]
+        if not _drop_map:
+            _carry_column_map(manifest, cur)
         if cur.get("dv") and not _drop_dv:
             # tombstones survive rewrites: the rewritten partitions
             # re-materialize their rows unfiltered, but reads keep
@@ -916,6 +919,7 @@ def set_table_constraints(
             for k in (
                 "partition_col", "partitions", "stats", "bloom",
                 "legacy_layouts", "dv", "dv_key",
+                "column_map", "dropped_columns",
             )
             if k in cur
         }
@@ -976,7 +980,10 @@ def _rebase_conflict(
     stage's entries still merge against exactly the per-entry state we
     computed them from (disjointness ⇒ the winners never moved them),
     so stats/bloom merges replay byte-identically."""
-    for k in ("partition_col", "constraints", "dv", "dv_key", "legacy_layouts"):
+    for k in (
+        "partition_col", "constraints", "dv", "dv_key", "legacy_layouts",
+        "column_map", "dropped_columns",
+    ):
         if head.get(k) != base.get(k):
             return f"{k} changed"
     log = os.path.join(table_dir, _COMMITS)
@@ -1146,9 +1153,11 @@ def append_partition_transaction(
             if stage_path is None:
                 stage = f"data-{uuid.uuid4().hex}"
                 stage_path = os.path.join(table_dir, stage)
-                batch_df.write.mode("overwrite").partitionBy(
-                    partition_col
-                ).parquet(stage_path)
+                # logical -> stable physical names (column mapping); an
+                # old-name or dropped-name column is rejected here
+                _to_physical_batch(batch_df, cur).write.mode(
+                    "overwrite"
+                ).partitionBy(partition_col).parquet(stage_path)
                 written = {
                     n for n in os.listdir(stage_path) if n.startswith(prefix)
                 }
@@ -1182,7 +1191,9 @@ def append_partition_transaction(
                 # footer scans are per-stage facts: collect ONCE, reuse
                 # across rebase retries (the files never change)
                 staged_stats = (
-                    _collect_stage_stats(stage_path, written, stats_cols)
+                    _collect_stage_stats(
+                        stage_path, written, _physical_names(stats_cols, cur)
+                    )
                     if stats_cols and written
                     else {}
                 )
@@ -1190,7 +1201,8 @@ def append_partition_transaction(
                     _collect_stage_blooms(
                         stage_path=stage_path, spark=spark,
                         partition_col=partition_col, written=written,
-                        bloom_cols=bloom_cols, m=bloom_bits, k=bloom_hashes,
+                        bloom_cols=_physical_names(bloom_cols, cur),
+                        m=bloom_bits, k=bloom_hashes,
                     )
                     if bloom_cols and written
                     else {}
@@ -1313,6 +1325,7 @@ def append_partition_transaction(
                 manifest["constraints"] = cur["constraints"]
             if cur.get("legacy_layouts"):
                 manifest["legacy_layouts"] = cur["legacy_layouts"]
+            _carry_column_map(manifest, cur)
             if cur.get("dv"):
                 manifest["dv"] = cur["dv"]
                 manifest["dv_key"] = cur["dv_key"]
@@ -1487,9 +1500,11 @@ def overwrite_partition_transaction(
             if stage_path is None:
                 stage = f"data-{uuid.uuid4().hex}"
                 stage_path = os.path.join(table_dir, stage)
-                batch_df.write.mode("overwrite").partitionBy(
-                    partition_col
-                ).parquet(stage_path)
+                # logical -> stable physical names (column mapping); an
+                # old-name or dropped-name column is rejected here
+                _to_physical_batch(batch_df, cur).write.mode(
+                    "overwrite"
+                ).partitionBy(partition_col).parquet(stage_path)
                 written = {
                     n for n in os.listdir(stage_path) if n.startswith(prefix)
                 }
@@ -1548,7 +1563,9 @@ def overwrite_partition_transaction(
                                 f"{table_dir}; nothing published"
                             )
                 staged_stats = (
-                    _collect_stage_stats(stage_path, written, stats_cols)
+                    _collect_stage_stats(
+                        stage_path, written, _physical_names(stats_cols, cur)
+                    )
                     if stats_cols and written
                     else {}
                 )
@@ -1556,7 +1573,8 @@ def overwrite_partition_transaction(
                     _collect_stage_blooms(
                         stage_path=stage_path, spark=spark,
                         partition_col=partition_col, written=written,
-                        bloom_cols=bloom_cols, m=bloom_bits, k=bloom_hashes,
+                        bloom_cols=_physical_names(bloom_cols, cur),
+                        m=bloom_bits, k=bloom_hashes,
                     )
                     if bloom_cols and written
                     else {}
@@ -1601,6 +1619,7 @@ def overwrite_partition_transaction(
                 manifest["bloom"] = new_bloom
             if cur.get("constraints"):
                 manifest["constraints"] = cur["constraints"]
+            _carry_column_map(manifest, cur)
             if cur.get("dv"):
                 manifest["dv"] = cur["dv"]
                 manifest["dv_key"] = cur["dv_key"]
@@ -1883,6 +1902,21 @@ def tombstone_keys(
                 f"{table_dir} tombstones key {cur['dv_key']!r}; "
                 f"delete supplied {key_col!r}"
             )
+        cmap = _column_map(cur)
+        bad = [
+            k for k in kcols
+            if k in cmap or k in set(cmap.values())
+            or k in _dropped_physical(cur)
+        ]
+        if bad:
+            # the dv files and the read-side anti-join address the key
+            # by PHYSICAL name; a renamed/dropped key column would
+            # silently hide nothing (or the wrong rows)
+            raise ValueError(
+                f"key column(s) {bad!r} are renamed or dropped in "
+                f"{table_dir}; tombstone on the current physical names "
+                "or rewrite the table"
+            )
         if batch_id is not None and batch_id in committed_batch_ids(table_dir):
             return
         stage = f"data-{uuid.uuid4().hex}"
@@ -1902,6 +1936,7 @@ def tombstone_keys(
             for k in (
                 "partition_col", "partitions", "stats", "bloom",
                 "constraints", "legacy_layouts",
+                "column_map", "dropped_columns",
             )
             if k in cur
         }
@@ -2011,8 +2046,9 @@ def _refuse_column_mapped(manifest: dict, what: str) -> None:
     if _column_map(manifest) or _dropped_physical(manifest):
         raise ValueError(
             f"{what} over a column-mapped table (RENAME/DROP COLUMN "
-            "history) is not supported yet; run rename_column back to "
-            "the physical names first, or rewrite the table"
+            "history) is not supported yet; run "
+            "materialize_column_mapping first (one rewrite commit, "
+            "clears the map), or rename_column back"
         )
 
 
@@ -2190,6 +2226,7 @@ def evolve_partition_column(
         }
         if cur.get("constraints"):
             manifest["constraints"] = cur["constraints"]
+        _carry_column_map(manifest, cur)
         if cur.get("dv"):
             # outstanding tombstones survive the spec change — dropping
             # them here would resurrect deleted rows on the next read
@@ -2348,6 +2385,40 @@ def drop_column(
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
 
 
+def materialize_column_mapping(
+    spark: SparkSession, table_dir: str, stats_cols: list[str] | None = None
+) -> int | None:
+    """Fold the column mapping in: ONE rewrite commit restates every
+    partition under the LOGICAL names (renamed columns physically
+    renamed, dropped columns physically gone) and CLEARS the map — the
+    deferred rewrite `rename_column`/`drop_column` let you postpone,
+    and the escape hatch that re-enables MERGE/UPDATE/DELETE and the
+    commitlog stream on a mapped table. The logical state is unchanged,
+    so the commit is tagged ``data_change: false`` (feeds and additive
+    consumers skip it, exactly like compaction). Earlier versions keep
+    their own maps (time travel unaffected). ``stats_cols`` are the
+    LOGICAL (= new physical) names. Returns the new version, or None
+    when the table has no mapping."""
+    cur = current_commit(table_dir)
+    if not (_column_map(cur) or _dropped_physical(cur)):
+        return None
+    committed_partition_transaction(
+        spark,
+        table_dir,
+        cur["partition_col"],
+        # re-read the head INSIDE compute (same rationale as
+        # materialize_tombstones): a rename committed concurrently must
+        # be folded by the rewrite that is about to CLEAR the map — the
+        # CAS retry re-runs compute against the new head
+        lambda base: _to_logical(base, current_commit(table_dir)),
+        affected=None,
+        stats_cols=stats_cols,
+        _drop_map=True,
+        data_change=False,
+    )
+    return current_commit(table_dir)["version"]
+
+
 def migrate_legacy_layouts(
     spark: SparkSession, table_dir: str, stats_cols: list[str] | None = None
 ) -> int | None:
@@ -2432,6 +2503,7 @@ def migrate_legacy_layouts(
             manifest["stats"] = new_stats
         if cur.get("constraints"):
             manifest["constraints"] = cur["constraints"]
+        _carry_column_map(manifest, cur)
         if cur.get("dv"):
             manifest["dv"] = cur["dv"]
             manifest["dv_key"] = cur["dv_key"]
@@ -2492,7 +2564,9 @@ def clone_table_shallow(
         "batch_ids": [],
         "op": "clone",
     }
-    for k in ("stats", "bloom", "constraints"):
+    for k in (
+        "stats", "bloom", "constraints", "column_map", "dropped_columns",
+    ):
         if src.get(k):
             manifest[k] = src[k]
     if src.get("dv"):
@@ -2543,7 +2617,7 @@ def restore_table_version(table_dir: str, version: int) -> int:
             if k in (
                 "dir", "partition_col", "partitions", "stats", "bloom",
                 "constraints", "mor", "dirs", "legacy_layouts", "dv",
-                "dv_key",
+                "dv_key", "column_map", "dropped_columns",
             )
         }
         manifest["version"] = cur["version"] + 1
@@ -3127,7 +3201,8 @@ def read_table_changes_typed(
                 else None
             )
             before = read_keyed_table(
-                spark, table_dir, version=v - 1, prune=prune
+                spark, table_dir, version=v - 1, prune=prune,
+                _logical=False,
             )
             if before is None:
                 continue
@@ -3140,7 +3215,12 @@ def read_table_changes_typed(
             out = deleted if out is None else out.unionByName(
                 deleted, allowMissingColumns=True
             )
-    return out
+    # surface the END version's LOGICAL schema (Delta CDF reads a range
+    # with the end schema): frames and sidecars are physical throughout,
+    # and rename is metadata-only, so one final projection is coherent
+    # for the whole range
+    end_m = by_v.get(hi) or (by_v[max(by_v)] if by_v else {})
+    return _to_logical(out, end_m)
 
 
 def apply_typed_changes(feed: DataFrame, cols: list[str]) -> DataFrame:
@@ -3880,6 +3960,7 @@ def merge_into_table(
                 "merge computed against the current layout would miss "
                 "their rows — run migrate_legacy_layouts first"
             )
+        _refuse_column_mapped(cur, "MERGE INTO")
         if cur.get("dv") and _dv_keys(cur) != keys:
             raise ValueError(
                 f"{table_dir} tombstones key {cur.get('dv_key')!r}; a merge "
@@ -4485,6 +4566,7 @@ def merge_into_table(
                 manifest["bloom"] = new_bloom
             if cur.get("constraints"):
                 manifest["constraints"] = cur["constraints"]
+            _carry_column_map(manifest, cur)
             if new_dv:
                 manifest["dv"] = new_dv
                 manifest["dv_key"] = dv_key
@@ -4572,6 +4654,7 @@ def update_table(
                 "update computed against the current layout would miss "
                 "their rows — run migrate_legacy_layouts first"
             )
+        _refuse_column_mapped(cur, "UPDATE")
         if batch_id is not None and batch_id in committed_batch_ids(table_dir):
             return {"version": cur["version"], "updated": 0, "carried": 0,
                     "replayed": True}
@@ -4773,6 +4856,7 @@ def update_table(
                 manifest["bloom"] = new_bloom
             if cur.get("constraints"):
                 manifest["constraints"] = cur["constraints"]
+            _carry_column_map(manifest, cur)
             if cur.get("dv"):
                 manifest["dv"] = cur["dv"]
                 manifest["dv_key"] = cur["dv_key"]
@@ -4871,6 +4955,7 @@ def delete_table(
                 "delete computed against the current layout would miss "
                 "their rows — run migrate_legacy_layouts first"
             )
+        _refuse_column_mapped(cur, "DELETE")
         if batch_id is not None and batch_id in committed_batch_ids(table_dir):
             return {"version": cur["version"], "deleted": 0, "carried": 0,
                     "replayed": True}
@@ -5004,6 +5089,7 @@ def delete_table(
                 manifest["bloom"] = new_bloom
             if cur.get("constraints"):
                 manifest["constraints"] = cur["constraints"]
+            _carry_column_map(manifest, cur)
             if cur.get("dv"):
                 manifest["dv"] = cur["dv"]
                 manifest["dv_key"] = cur["dv_key"]

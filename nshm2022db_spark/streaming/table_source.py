@@ -105,6 +105,14 @@ def _plan_changes(table_dir: str, start: int, end: int) -> list[dict]:
                 "table; the commitlog stream source reads those only"
             )
         op = m.get("op")
+        if m.get("column_map") or m.get("dropped_columns"):
+            # the stream reads parquet files directly (physical names);
+            # serving them under a rename would silently emit OLD names
+            raise ValueError(
+                f"commit {v} of {table_dir} is column-mapped "
+                "(RENAME/DROP COLUMN); the commitlog stream does not "
+                "project the map yet — consume the batch feed"
+            )
         if op not in _ADDITIVE_OPS:
             if op == "rewrite" and m.get("data_change") is False:
                 # compaction / Z-order (Delta's dataChange=false): a
@@ -241,6 +249,13 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
             )
         op = m.get("op")
         if op in ("set-constraints", "evolve"):
+            if m.get("column_map") or m.get("dropped_columns"):
+                raise ValueError(
+                    f"commit {v} of {table_dir} is column-mapped "
+                    "(RENAME/DROP COLUMN); the typed commitlog stream "
+                    "does not project the map yet — consume "
+                    "read_table_changes_typed in batch"
+                )
             continue
         if op not in (
             "append", "overwrite", "rewrite", "delete", "merge", "update"
@@ -248,6 +263,13 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
             raise ValueError(
                 f"commit {v} is {op!r} — its row images are not defined "
                 "by a single commit's files; consume it via a recompute"
+            )
+        if m.get("column_map") or m.get("dropped_columns"):
+            raise ValueError(
+                f"commit {v} of {table_dir} is column-mapped "
+                "(RENAME/DROP COLUMN); the typed commitlog stream does "
+                "not project the map yet — consume "
+                "read_table_changes_typed in batch"
             )
         if op == "rewrite" and m.get("data_change") is False:
             continue  # compaction (dataChange=false): restatement only

@@ -1,0 +1,306 @@
+"""Column mapping (Delta's columnMapping mode=name, r12 — VERDICT r11
+stretch #5): RENAME/DROP COLUMN as metadata-only ``op: "evolve"``
+commits. Physical parquet names never change; every read projects
+through the manifest's logical→physical map, appends translate
+incoming logical names (and reject stale ones), time travel is
+map-correct per version, the typed feed serves the END version's
+logical schema, and operations whose artifacts address columns by
+physical name refuse the remap."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.streaming.sinks import (
+    append_partition_transaction,
+    compact_partition_table,
+    current_commit,
+    delete_table,
+    drop_column,
+    merge_into_table,
+    read_keyed_table,
+    read_table_changes,
+    read_table_changes_typed,
+    rename_column,
+    set_table_constraints,
+    tombstone_keys,
+    update_table,
+)
+
+
+def _seed(spark, d, **kw):
+    append_partition_transaction(
+        spark, d, "day",
+        spark.createDataFrame(
+            [(k, float(k), "x" * k, "a" if k < 5 else "b") for k in range(10)],
+            "k long, v double, s string, day string",
+        ),
+        stats_cols=["k"], **kw,
+    )
+
+
+class TestRenameColumn:
+    def test_metadata_only_rename_and_read(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        before = dict(current_commit(d)["partitions"])
+        ver = rename_column(spark, d, "v", "score")
+        cur = current_commit(d)
+        assert cur["version"] == ver and cur["op"] == "evolve"
+        assert cur["column_map"] == {"score": "v"}
+        # metadata-only: every partition mapping carried byte-identical,
+        # the commit's stage dir is empty
+        assert cur["partitions"] == before
+        assert os.listdir(os.path.join(d, cur["dir"])) == []
+        t = read_keyed_table(spark, d)
+        assert "score" in t.columns and "v" not in t.columns
+        assert {(r.k, r.score) for r in t.collect()} == {
+            (k, float(k)) for k in range(10)
+        }
+
+    def test_time_travel_is_map_correct(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        old = read_keyed_table(spark, d, version=1)
+        assert "v" in old.columns and "score" not in old.columns
+        new = read_keyed_table(spark, d, version=2)
+        assert "score" in new.columns
+
+    def test_append_translates_new_name_rejects_old(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        batch = spark.createDataFrame(
+            [(100, 100.0, "zz", "c")], "k long, score double, s string, day string"
+        )
+        append_partition_transaction(spark, d, "day", batch, stats_cols=["k"])
+        t = read_keyed_table(spark, d)
+        assert {r.score for r in t.filter("day = 'c'").collect()} == {100.0}
+        # the staged file carries the stable PHYSICAL name
+        entry = current_commit(d)["partitions"]["day=c"]
+        stage = entry[0] if isinstance(entry, list) else entry
+        raw = spark.read.parquet(os.path.join(d, stage, "day=c"))
+        assert "v" in raw.columns and "score" not in raw.columns
+        # an old-name append is a caller bug, not a new column
+        stale = spark.createDataFrame(
+            [(101, 1.0, "q", "c")], "k long, v double, s string, day string"
+        )
+        with pytest.raises(ValueError, match="renamed to 'score'"):
+            append_partition_transaction(spark, d, "day", stale)
+
+    def test_prune_uses_logical_names(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "k", "id")
+        pruned = read_keyed_table(spark, d, prune={"id": (7, 7)}).filter(
+            "id = 7"
+        )
+        full = read_keyed_table(spark, d).filter("id = 7")
+        assert sorted(r.id for r in pruned.collect()) == sorted(
+            r.id for r in full.collect()
+        ) == [7]
+
+    def test_rename_back_clears_map(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        rename_column(spark, d, "score", "v")
+        cur = current_commit(d)
+        assert "column_map" not in cur
+        assert "v" in read_keyed_table(spark, d).columns
+
+    def test_refusals(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        with pytest.raises(ValueError, match="partition column"):
+            rename_column(spark, d, "day", "dt")
+        with pytest.raises(ValueError, match="no column"):
+            rename_column(spark, d, "nope", "x")
+        with pytest.raises(ValueError, match="already exists"):
+            rename_column(spark, d, "v", "k")
+        tombstone_keys(spark, d, "k", spark.createDataFrame([(3,)], "k long"))
+        with pytest.raises(ValueError, match="tombstone key"):
+            rename_column(spark, d, "k", "id")
+        set_table_constraints(spark, d, ["v >= 0"])
+        with pytest.raises(ValueError, match="constraint"):
+            rename_column(spark, d, "v", "score")
+
+    def test_compaction_carries_the_map(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        append_partition_transaction(
+            spark, d, "day",
+            spark.createDataFrame(
+                [(200, 1.5, "y", "a")],
+                "k long, score double, s string, day string",
+            ),
+        )
+        compact_partition_table(spark, d, max_files_per_partition=0)
+        cur = current_commit(d)
+        assert cur["column_map"] == {"score": "v"}
+        t = read_keyed_table(spark, d)
+        assert "score" in t.columns and t.count() == 11
+
+
+class TestDropColumn:
+    def test_metadata_only_drop_and_time_travel(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        before = dict(current_commit(d)["partitions"])
+        drop_column(spark, d, "s")
+        cur = current_commit(d)
+        assert cur["op"] == "evolve" and cur["dropped_columns"] == ["s"]
+        assert cur["partitions"] == before
+        t = read_keyed_table(spark, d)
+        assert "s" not in t.columns and t.count() == 10
+        assert "s" in read_keyed_table(spark, d, version=1).columns
+
+    def test_readd_dropped_name_rejected(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        drop_column(spark, d, "s")
+        batch = spark.createDataFrame(
+            [(50, 2.0, "new", "a")], "k long, v double, s string, day string"
+        )
+        with pytest.raises(ValueError, match="dropped"):
+            append_partition_transaction(spark, d, "day", batch)
+
+    def test_drop_renamed_column_records_physical(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "s", "text")
+        drop_column(spark, d, "text")
+        cur = current_commit(d)
+        assert cur["dropped_columns"] == ["s"] and "column_map" not in cur
+        assert "text" not in read_keyed_table(spark, d).columns
+
+
+class TestMappedFeedsAndGuards:
+    def test_typed_feed_serves_end_schema(self, spark, tmp_path):
+        """Images from commits BEFORE the rename surface under the
+        renamed (end-version) logical name — one coherent schema for
+        the whole range, Delta CDF's end-schema contract."""
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        append_partition_transaction(
+            spark, d, "day",
+            spark.createDataFrame(
+                [(300, 3.0, "w", "b")],
+                "k long, score double, s string, day string",
+            ),
+        )
+        feed = read_table_changes_typed(spark, d, 0)
+        assert "score" in feed.columns and "v" not in feed.columns
+        by_v = {
+            r.k: r.score
+            for r in feed.filter("_commit_version = 1").collect()
+        }
+        assert by_v[4] == 4.0  # pre-rename image, end-schema name
+        assert {
+            r.k for r in feed.filter("_commit_version = 3").collect()
+        } == {300}
+        untyped = read_table_changes(spark, d, 0)
+        assert "score" in untyped.columns and "v" not in untyped.columns
+
+    def test_feed_range_ending_before_rename_keeps_old_name(
+        self, spark, tmp_path
+    ):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        feed = read_table_changes_typed(spark, d, 0, to_version=1)
+        assert "v" in feed.columns and "score" not in feed.columns
+
+    def test_dml_and_stream_refuse_mapped_tables(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.table_source import (
+            register_commitlog_source,
+        )
+
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        with pytest.raises(ValueError, match="column-mapped"):
+            update_table(spark, d, {"score": "score + 1"}, where="k = 1")
+        with pytest.raises(ValueError, match="column-mapped"):
+            delete_table(spark, d, where="k = 1")
+        with pytest.raises(ValueError, match="column-mapped"):
+            merge_into_table(
+                spark, d,
+                spark.createDataFrame([(1, 9.0)], "k long, score double"),
+                ["k"], when_matched_update={"score": "s.score"},
+            )
+        register_commitlog_source(spark)
+        q = (
+            spark.readStream.format("commitlog")
+            .option("path", d)
+            .option("changeTypes", "true")
+            .load()
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cm_guard")
+            .start()
+        )
+        try:
+            with pytest.raises(Exception, match="column-mapped"):
+                q.processAllAvailable()
+                raise RuntimeError(str(q.exception()))
+        finally:
+            q.stop()
+            spark.catalog.dropTempView("cm_guard")
+
+    def test_materialize_clears_map_and_reenables_dml(self, spark, tmp_path):
+        """The escape hatch: one data_change=false rewrite restates the
+        table under the logical names, clears the map, re-enables DML;
+        feeds skip it, time travel keeps per-version maps."""
+        from nshm2022db_spark.streaming.sinks import (
+            materialize_column_mapping,
+        )
+
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        drop_column(spark, d, "s")
+        ver = materialize_column_mapping(spark, d, stats_cols=["k"])
+        cur = current_commit(d)
+        assert cur["version"] == ver
+        assert "column_map" not in cur and "dropped_columns" not in cur
+        assert cur.get("data_change") is False
+        t = read_keyed_table(spark, d)
+        assert set(t.columns) == {"k", "score", "day"} and t.count() == 10
+        # physically logical now
+        entry = cur["partitions"]["day=a"]
+        stage = entry[-1] if isinstance(entry, list) else entry
+        raw = spark.read.parquet(os.path.join(d, stage, "day=a"))
+        assert "score" in raw.columns and "s" not in raw.columns
+        # feeds skip the restatement; DML works again
+        feed = read_table_changes_typed(spark, d, 3)
+        assert feed is None
+        m = update_table(spark, d, {"score": "score + 1"}, where="k = 0")
+        assert m["updated"] == 1
+        # pre-materialize versions keep their own map
+        assert "score" in read_keyed_table(spark, d, version=2).columns
+        assert materialize_column_mapping(spark, d) is None  # no-op now
+
+    def test_tombstone_on_unmapped_key_still_works(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        # a RENAMED column cannot key tombstones (dv files address the
+        # physical name) — checked on a table with no dv_key yet
+        with pytest.raises(ValueError, match="renamed or dropped"):
+            tombstone_keys(
+                spark, d, "score",
+                spark.createDataFrame([(1.0,)], "score double"),
+            )
+        # an identity-mapped key on the same mapped table works fine
+        tombstone_keys(spark, d, "k", spark.createDataFrame([(2,)], "k long"))
+        t = read_keyed_table(spark, d)
+        assert sorted(r.k for r in t.collect()) == [
+            0, 1, 3, 4, 5, 6, 7, 8, 9
+        ]

@@ -225,33 +225,33 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
-            # NEW in r11: composite-key merge-delete over tuple
-            # deletion vectors (VERDICT r10 #2) and baseline JPEG
-            # decode (VERDICT r10 stretch #8)
-            "merge_delete_composite",
-            "multimodal_decode_jpeg",
-            # NEW in r11: standalone UPDATE (DML triad third leg)
-            "update_where_partition",
-            # own expressions changed in r11: the typed-feed trio's
-            # shared 5-commit history now carries an update-clause
-            # merge (CDC sidecar pre/post images) and a
-            # dataChange=false compaction (VERDICT r10 #1)
+            # NEW in r12: first-class predicate DELETE with the CDC
+            # delete-image sidecar (VERDICT r11 #1) and column mapping
+            # (metadata-only RENAME/DROP, VERDICT r11 stretch #5)
+            "delete_where_cdc",
+            "rename_column_read",
+            # shared primitives changed in r12, one in-window
+            # representative per changed code path (the registry.py
+            # window comment lists the mapping): the typed feed's
+            # op=delete routing + end-schema column-map projection, the
+            # typed stream planner, the untyped feed's end-manifest
+            # tracking, DML guards + manifest map carry, tombstone_keys'
+            # mapped-key guard, append/overwrite staging translation,
+            # read_keyed_table's logical projection, the rewrite
+            # transaction's map carry, and _rebase_conflict's
+            # delete-transparency + map-change detection
             "table_changes_typed",
             "cdc_apply_typed",
             "stream_table_changes_typed",
-            # shared primitives changed in r11, one in-window
-            # representative each: merge_into_table (mixed-key
-            # tombstone guard, insert-extend economics, bloom-probe
-            # pruning, CDC sidecar write), compaction's data_change
-            # tag, the untyped feed's dataChange skip, and
-            # maintain_incremental_agg's compaction skip
-            "merge_into_conditional",
-            "merge_schema_evolution",
-            "stream_merge_conditional",
-            "zorder_clustered_scan",
-            "rowgroup_skip_scan",
             "table_changes_feed",
             "cdc_incremental_agg",
+            "merge_into_conditional",
+            "update_where_partition",
+            "delete_tombstone_mor",
+            "overwrite_partition_transaction",
+            "bloom_skip_scan",
+            "compact_small_files",
+            "commit_rebase_stats",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

@@ -251,6 +251,9 @@ LADDER = [
     # partition rewrite at land; the timed warm path reads the typed
     # feed — insert images O(table) + two O(deleted-rows) sidecars)
     "delete_where_cdc",
+    # r12: metadata-only RENAME/DROP COLUMN then a mapped read (two
+    # generations through the logical projection; cost is the scan)
+    "rename_column_read",
 ]
 
 
