@@ -821,8 +821,13 @@ def committed_partition_transaction(
             if e in new_parts and e not in written
         }
         if stats_cols and written:
+            # staged files carry PHYSICAL names — except a materialize
+            # (_drop_map), whose stage IS the new logical-named basis
+            scols = stats_cols if _drop_map else _physical_names(
+                stats_cols, cur
+            )
             new_stats.update(
-                _collect_stage_stats(stage_path, written, stats_cols)
+                _collect_stage_stats(stage_path, written, scols)
             )
         # blooms: same carry-or-recompute contract as stats — rewritten
         # entries get fresh bitmaps (or none: bloom-less = never pruned)
@@ -832,10 +837,13 @@ def committed_partition_transaction(
             if e in new_parts and e not in written
         }
         if bloom_cols and written:
+            bcols = bloom_cols if _drop_map else _physical_names(
+                bloom_cols, cur
+            )
             new_bloom.update(
                 _collect_stage_blooms(
                     spark, stage_path, partition_col, written,
-                    bloom_cols, bloom_bits, bloom_hashes,
+                    bcols, bloom_bits, bloom_hashes,
                 )
             )
         manifest = {
@@ -906,6 +914,10 @@ def set_table_constraints(
             raise ValueError(
                 f"{table_dir} is not a partition-mapped committed table"
             )
+        # constraints are enforced against PHYSICAL staged frames on every
+        # later write; an expression written against the logical view
+        # would then fail to resolve (r12 review #2)
+        _refuse_column_mapped(cur, "set_table_constraints")
         existing = read_keyed_table(spark, table_dir)
         bad = _first_violation(existing, exprs)
         if bad is not None:
@@ -1964,6 +1976,31 @@ def _carry_column_map(manifest: dict, cur: dict) -> None:
             manifest[k] = cur[k]
 
 
+def _check_map_stable(by_v: dict, m: dict, table_dir: str) -> None:
+    """A ``data_change: false`` rewrite that CHANGED the column-mapping
+    metadata is `materialize_column_mapping`: it re-based the files'
+    PHYSICAL names, so frames before and after it do not share a
+    physical schema and one end-of-range projection cannot serve both.
+    A feed whose range spans it must raise (Delta CDF's incompatible-
+    schema-change error) rather than emit a silently mixed frame where
+    pre-materialize rows read NULL under the new names (r12 review #1).
+    Plain compactions (map unchanged) pass; the nearest retained
+    earlier manifest stands in for a vacuumed v-1."""
+    if not (m.get("op") == "rewrite" and m.get("data_change") is False):
+        return
+    v = m["version"]
+    earlier = [k for k in by_v if k < v]
+    prev = by_v[max(earlier)] if earlier else {}
+    for k in _SCHEMA_MAP_KEYS:
+        if m.get(k) != prev.get(k):
+            raise ValueError(
+                f"commit {v} of {table_dir} materialized a column "
+                "mapping (physical rename); a change feed cannot span "
+                f"it — read up to version {v - 1} and from {v} "
+                "separately"
+            )
+
+
 def _column_map(manifest: dict) -> dict:
     """``{logical: physical}`` for renamed columns (identity entries
     never stored); ``{}`` when the table has no column mapping."""
@@ -2203,6 +2240,19 @@ def evolve_partition_column(
             )
         if cur["partition_col"] == new_partition_col:
             return cur["version"]  # already that spec: no-op
+        cmap = _column_map(cur)
+        if (
+            new_partition_col in cmap
+            or new_partition_col in set(cmap.values())
+            or new_partition_col in _dropped_physical(cur)
+        ):
+            # appends translate batches to PHYSICAL names before
+            # partitionBy, so a renamed/dropped partition column would
+            # brick every later write (r12 review #4)
+            raise ValueError(
+                f"{new_partition_col!r} is renamed or dropped in "
+                f"{table_dir}; materialize_column_mapping first"
+            )
         legacy = list(cur.get("legacy_layouts", []))
         old = {
             "partition_col": cur["partition_col"],
@@ -2305,9 +2355,27 @@ def rename_column(
                 f"{new!r} is a dropped column's physical name; reusing "
                 "it would collide with its retained file data"
             )
+        if new.startswith("_") or not re.fullmatch(r"[A-Za-z0-9_]+", new):
+            # "_"-prefixed names collide with the feeds' metadata
+            # columns (_commit_version/_change_type/_commit_timestamp);
+            # dotted/quoted names break Column resolution in the
+            # projection (r12 review #6)
+            raise ValueError(
+                f"{new!r} is not a valid logical column name (plain "
+                "identifier, no leading underscore)"
+            )
         _check_mappable(cur, old, "rename")
         cmap = dict(_column_map(cur))
         phys = cmap.pop(old, old)
+        if new != phys and new in set(cmap.values()):
+            # the new logical name would shadow ANOTHER column's stable
+            # physical name — _to_physical_batch could then no longer
+            # tell a legitimate append apart from a stale-name one
+            # (r12 review #3)
+            raise ValueError(
+                f"{new!r} is another column's physical name; pick a "
+                "name not in the physical schema"
+            )
         if new != phys:
             cmap[new] = phys
         stage = f"data-{uuid.uuid4().hex}"
@@ -2805,12 +2873,16 @@ def read_table_changes(
     # the feed surfaces the END version's LOGICAL schema (Delta CDF
     # reads a range with the end schema): frames are physical, one
     # projection at the end maps them — rename is metadata-only, so
-    # physical names are stable across the whole range
+    # physical names are stable across the whole range; the one commit
+    # that re-bases them (materialize_column_mapping) raises via
+    # _check_map_stable below
     end_m: dict = {}
     # ``history`` lets a caller iterating many version ranges (the
     # incremental maintainer) pay the full commit-log scan ONCE instead
     # of once per range — O(V) metadata cost over a refresh, not O(V²)
-    for m in history if history is not None else table_history(table_dir):
+    hist = history if history is not None else table_history(table_dir)
+    by_v = {m["version"]: m for m in hist}
+    for m in hist:
         v = m["version"]
         republished = m.get("dir") in seen_dirs
         if m.get("dir"):
@@ -2824,9 +2896,12 @@ def read_table_changes(
         if republished:
             continue  # metadata-only re-publish (RESTORE)
         if m.get("op") == "rewrite" and m.get("data_change") is False:
-            # compaction / Z-order / materialization: provably a
-            # restatement (Delta's dataChange=false) — emitting its
-            # stage would replay unchanged rows as "changes"
+            # compaction / Z-order / tombstone materialization: provably
+            # a restatement (Delta's dataChange=false) — emitting its
+            # stage would replay unchanged rows as "changes". A
+            # column-mapping materialize is the exception: it re-based
+            # the physical names, so the range cannot span it.
+            _check_map_stable(by_v, m, table_dir)
             continue
         if "partitions" not in m:
             raise ValueError(
@@ -2980,7 +3055,10 @@ def read_table_changes_typed(
         if op == "rewrite" and m.get("data_change") is False:
             # compaction / Z-order / tombstone materialization: the
             # commit provably restates rows (Delta's dataChange=false)
-            # — no images, and no diff base needed
+            # — no images, and no diff base needed. A column-mapping
+            # materialize re-based the physical names, so a range
+            # spanning it must raise instead (r12 review #1).
+            _check_map_stable(by_v, m, table_dir)
             continue
         if op in ("merge", "update", "delete") and m.get("cdc"):
             # Delta's _change_data path: the merge/update/delete

@@ -248,14 +248,18 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                 "commitlog stream reads those only"
             )
         op = m.get("op")
+        # ONE hoisted guard ahead of the op dispatch (r12 review #7):
+        # the stream reads parquet files directly (physical names), so
+        # ANY mapped commit — metadata-only or row-moving — would
+        # silently emit old names
+        if m.get("column_map") or m.get("dropped_columns"):
+            raise ValueError(
+                f"commit {v} of {table_dir} is column-mapped "
+                "(RENAME/DROP COLUMN); the typed commitlog stream does "
+                "not project the map yet — consume "
+                "read_table_changes_typed in batch"
+            )
         if op in ("set-constraints", "evolve"):
-            if m.get("column_map") or m.get("dropped_columns"):
-                raise ValueError(
-                    f"commit {v} of {table_dir} is column-mapped "
-                    "(RENAME/DROP COLUMN); the typed commitlog stream "
-                    "does not project the map yet — consume "
-                    "read_table_changes_typed in batch"
-                )
             continue
         if op not in (
             "append", "overwrite", "rewrite", "delete", "merge", "update"
@@ -263,13 +267,6 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
             raise ValueError(
                 f"commit {v} is {op!r} — its row images are not defined "
                 "by a single commit's files; consume it via a recompute"
-            )
-        if m.get("column_map") or m.get("dropped_columns"):
-            raise ValueError(
-                f"commit {v} of {table_dir} is column-mapped "
-                "(RENAME/DROP COLUMN); the typed commitlog stream does "
-                "not project the map yet — consume "
-                "read_table_changes_typed in batch"
             )
         if op == "rewrite" and m.get("data_change") is False:
             continue  # compaction (dataChange=false): restatement only

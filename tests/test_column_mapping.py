@@ -129,6 +129,90 @@ class TestRenameColumn:
         with pytest.raises(ValueError, match="constraint"):
             rename_column(spark, d, "v", "score")
 
+    def test_new_name_cannot_shadow_another_physical(self, spark, tmp_path):
+        """r12 review #3: after rename(v->score), renaming k to 'v'
+        (score's physical name) would make stale-name detection
+        ambiguous — refuse; renaming score BACK to v stays legal."""
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        with pytest.raises(ValueError, match="physical name"):
+            rename_column(spark, d, "k", "v")
+        rename_column(spark, d, "score", "v")  # rename-back unaffected
+
+    def test_reserved_and_invalid_new_names_refused(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        for bad in ("_commit_version", "_x", "a.b", "a b", ""):
+            with pytest.raises(ValueError):
+                rename_column(spark, d, "v", bad)
+
+    def test_set_constraints_refused_on_mapped_table(self, spark, tmp_path):
+        """r12 review #2: constraints are enforced against PHYSICAL
+        staged frames — a logical-view expression would brick every
+        later write. Works again after materialize."""
+        from nshm2022db_spark.streaming.sinks import (
+            materialize_column_mapping,
+        )
+
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        with pytest.raises(ValueError, match="column-mapped"):
+            set_table_constraints(spark, d, ["score >= 0"])
+        materialize_column_mapping(spark, d)
+        set_table_constraints(spark, d, ["score >= 0"])
+        append_partition_transaction(
+            spark, d, "day",
+            spark.createDataFrame(
+                [(77, 7.0, "q", "a")],
+                "k long, score double, s string, day string",
+            ),
+        )
+        assert read_keyed_table(spark, d).count() == 11
+
+    def test_evolve_partition_to_mapped_name_refused(self, spark, tmp_path):
+        """r12 review #4: evolving the partition spec onto a renamed or
+        dropped column would brick appends (batches translate to
+        physical names before partitionBy)."""
+        from nshm2022db_spark.streaming.sinks import (
+            evolve_partition_column,
+        )
+
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        with pytest.raises(ValueError, match="renamed or dropped"):
+            evolve_partition_column(spark, d, "score")
+        with pytest.raises(ValueError, match="renamed or dropped"):
+            evolve_partition_column(spark, d, "v")
+
+    def test_rewrite_stats_translate_to_physical(self, spark, tmp_path):
+        """r12 review #5: a rewrite transaction given LOGICAL stats_cols
+        (materialize_tombstones is the mapped-table caller) must record
+        stats under the PHYSICAL footer name instead of silently
+        dropping every entry's stats; compaction (which passes the
+        manifest's own physical keys) must keep them too."""
+        from nshm2022db_spark.streaming.sinks import (
+            materialize_tombstones,
+        )
+
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        tombstone_keys(spark, d, "k", spark.createDataFrame([(3,)], "k long"))
+        rename_column(spark, d, "v", "score")
+        materialize_tombstones(spark, d, stats_cols=["score"])
+        st = current_commit(d)["stats"]
+        assert st and all("v" in s["cols"] for s in st.values())
+        compact_partition_table(spark, d, max_files_per_partition=0)
+        st2 = current_commit(d)["stats"]
+        assert st2 and all("v" in s["cols"] for s in st2.values())
+        # the logical prune still goes through those stats
+        pruned = read_keyed_table(
+            spark, d, prune={"score": (7.0, 7.0)}
+        ).filter("score = 7.0")
+        assert [r.k for r in pruned.collect()] == [7]
+
     def test_compaction_carries_the_map(self, spark, tmp_path):
         d = str(tmp_path / "t")
         _seed(spark, d)
@@ -278,9 +362,15 @@ class TestMappedFeedsAndGuards:
         stage = entry[-1] if isinstance(entry, list) else entry
         raw = spark.read.parquet(os.path.join(d, stage, "day=a"))
         assert "score" in raw.columns and "s" not in raw.columns
-        # feeds skip the restatement; DML works again
-        feed = read_table_changes_typed(spark, d, 3)
-        assert feed is None
+        # a feed RANGE spanning the materialize raises (it re-based the
+        # physical names — Delta CDF's incompatible-schema-change error,
+        # r12 review #1); from the materialize version onward it's clean
+        with pytest.raises(ValueError, match="materialized a column"):
+            read_table_changes_typed(spark, d, 0)
+        with pytest.raises(ValueError, match="materialized a column"):
+            read_table_changes(spark, d, 3)
+        assert read_table_changes_typed(spark, d, ver) is None
+        # DML works again
         m = update_table(spark, d, {"score": "score + 1"}, where="k = 0")
         assert m["updated"] == 1
         # pre-materialize versions keep their own map
