@@ -1150,7 +1150,10 @@ def append_partition_transaction(
                             },
                         )
                         try:
-                            verdict = audit(staged)
+                            # audits are written against the table's
+                            # LOGICAL schema; the staged frame carries
+                            # physical names (r12 review sweep 2 #2)
+                            verdict = audit(_to_logical(staged, cur))
                         except Exception:
                             shutil.rmtree(stage_path, ignore_errors=True)
                             stage_path = None
@@ -1188,7 +1191,10 @@ def append_partition_transaction(
                     )
                     if audit is not None:
                         try:
-                            verdict = audit(staged)
+                            # audits are written against the table's
+                            # LOGICAL schema; the staged frame carries
+                            # physical names (r12 review sweep 2 #2)
+                            verdict = audit(_to_logical(staged, cur))
                         except Exception:
                             shutil.rmtree(stage_path, ignore_errors=True)
                             stage_path = None
@@ -1497,7 +1503,10 @@ def overwrite_partition_transaction(
                             else batch_df.limit(0)
                         )
                         try:
-                            verdict = audit(staged)
+                            # audits are written against the table's
+                            # LOGICAL schema; the staged frame carries
+                            # physical names (r12 review sweep 2 #2)
+                            verdict = audit(_to_logical(staged, cur))
                         except Exception:
                             shutil.rmtree(stage_path, ignore_errors=True)
                             stage_path = None
@@ -1562,7 +1571,10 @@ def overwrite_partition_transaction(
                         )
                     if audit is not None:
                         try:
-                            verdict = audit(staged)
+                            # audits are written against the table's
+                            # LOGICAL schema; the staged frame carries
+                            # physical names (r12 review sweep 2 #2)
+                            verdict = audit(_to_logical(staged, cur))
                         except Exception:
                             shutil.rmtree(stage_path, ignore_errors=True)
                             stage_path = None
@@ -1976,7 +1988,9 @@ def _carry_column_map(manifest: dict, cur: dict) -> None:
             manifest[k] = cur[k]
 
 
-def _check_map_stable(by_v: dict, m: dict, table_dir: str) -> None:
+def _check_map_stable(
+    by_v: dict, m: dict, table_dir: str, from_version: int
+) -> None:
     """A ``data_change: false`` rewrite that CHANGED the column-mapping
     metadata is `materialize_column_mapping`: it re-based the files'
     PHYSICAL names, so frames before and after it do not share a
@@ -1989,6 +2003,12 @@ def _check_map_stable(by_v: dict, m: dict, table_dir: str) -> None:
     if not (m.get("op") == "rewrite" and m.get("data_change") is False):
         return
     v = m["version"]
+    if from_version >= v - 1:
+        # the materialize is the range's first commit and emits nothing
+        # itself: no pre-materialize frame can mix in, so a cursor
+        # consumer sitting just below it advances normally instead of
+        # wedging (r12 review sweep 2 #3)
+        return
     earlier = [k for k in by_v if k < v]
     prev = by_v[max(earlier)] if earlier else {}
     for k in _SCHEMA_MAP_KEYS:
@@ -2794,7 +2814,16 @@ def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
     for n in os.listdir(table_dir):
         p = os.path.join(table_dir, n)
         if (
-            (n.startswith("data-") or n.startswith("cdc-"))
+            (
+                n.startswith("data-")
+                or n.startswith("cdc-")
+                # DML decision-scan materializations (merge/update/
+                # delete scratch) are cleaned by an in-process finally;
+                # a SIGKILLed writer leaks one holding full-row copies
+                # incl. rows a GDPR delete meant to erase (r12 review
+                # sweep 2 #4) — never manifest-referenced, safe to sweep
+                or n.startswith("scratch-")
+            )
             and n not in referenced
             and os.path.isdir(p)
             and now - os.path.getmtime(p) > grace_sec
@@ -2901,7 +2930,7 @@ def read_table_changes(
             # stage would replay unchanged rows as "changes". A
             # column-mapping materialize is the exception: it re-based
             # the physical names, so the range cannot span it.
-            _check_map_stable(by_v, m, table_dir)
+            _check_map_stable(by_v, m, table_dir, from_version)
             continue
         if "partitions" not in m:
             raise ValueError(
@@ -3058,7 +3087,7 @@ def read_table_changes_typed(
             # — no images, and no diff base needed. A column-mapping
             # materialize re-based the physical names, so a range
             # spanning it must raise instead (r12 review #1).
-            _check_map_stable(by_v, m, table_dir)
+            _check_map_stable(by_v, m, table_dir, from_version)
             continue
         if op in ("merge", "update", "delete") and m.get("cdc"):
             # Delta's _change_data path: the merge/update/delete
@@ -3438,6 +3467,19 @@ def maintain_incremental_agg(
         op = m.get("op")
         if op == "rewrite" and m.get("data_change") is False:
             continue  # compaction: restatement, nothing to fold
+        prev_m = hist.get(v - 1, {}) if v > 1 else {}
+        if any(m.get(k) != prev_m.get(k) for k in _SCHEMA_MAP_KEYS):
+            # a RENAME/DROP COLUMN (or its materialize) changes the
+            # LOGICAL names the per-version deltas surface — folding
+            # across it would union old- and new-named measures as two
+            # NULL-padded columns and silently diverge from a recompute
+            # (r12 review sweep 2 #1). Folds resumed on a table whose
+            # map is stable (even non-empty) stay sound.
+            raise ValueError(
+                f"source commit {v} renamed/dropped columns; additive "
+                "incremental maintenance cannot span a schema rename — "
+                "recompute the aggregate from the current table instead"
+            )
         if op not in ("append", "set-constraints", "evolve"):
             # Refuse everything an additive fold cannot express: rewrites
             # double-count, deletes/restores change state without add
@@ -4758,6 +4800,12 @@ def update_table(
         if eq and scan_parts:
             scan_parts = dict(_bloom_prune(spark, cur, scan_parts, eq))
         scanned_vals = {e.split("=", 1)[1] for e in scan_parts}
+        if not scan_parts:
+            # every partition disproven: O(manifest) no-op — the full
+            # mergeSchema resolve below reads every live footer, which
+            # a pruned-empty update must not pay (r12 review sweep 2
+            # #6; SET-column name validation is skipped on this path)
+            return {"version": cur["version"], "updated": 0, "carried": 0}
 
         # full-table schema (plan resolve, zero jobs) so a pruned base
         # missing evolved columns still projects them as typed NULLs
@@ -5050,6 +5098,11 @@ def delete_table(
                 for e, d in scan_parts.items()
                 if e.split("=", 1)[1] in allowed
             }
+        if not scan_parts:
+            # every partition disproven/out of scope: O(manifest) no-op
+            # without the full-footer mergeSchema resolve below (r12
+            # review sweep 2 #6)
+            return {"version": cur["version"], "deleted": 0, "carried": 0}
 
         # full-table schema (plan resolve, zero jobs) so a pruned base
         # missing evolved columns still projects them as typed NULLs

@@ -368,7 +368,7 @@ class TestMappedFeedsAndGuards:
         with pytest.raises(ValueError, match="materialized a column"):
             read_table_changes_typed(spark, d, 0)
         with pytest.raises(ValueError, match="materialized a column"):
-            read_table_changes(spark, d, 3)
+            read_table_changes(spark, d, 2)
         assert read_table_changes_typed(spark, d, ver) is None
         # DML works again
         m = update_table(spark, d, {"score": "score + 1"}, where="k = 0")
@@ -376,6 +376,105 @@ class TestMappedFeedsAndGuards:
         # pre-materialize versions keep their own map
         assert "score" in read_keyed_table(spark, d, version=2).columns
         assert materialize_column_mapping(spark, d) is None  # no-op now
+
+    def test_maintain_refuses_spanning_a_rename(self, spark, tmp_path):
+        """r12 sweep 2 #1: an additive fold across a RENAME would union
+        old- and new-named measures as NULL-padded columns — the rename
+        commit must raise like any other non-additive op."""
+        from nshm2022db_spark.streaming.sinks import (
+            maintain_incremental_agg,
+        )
+
+        d = str(tmp_path / "t")
+        dest = str(tmp_path / "agg")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        with pytest.raises(ValueError, match="cannot span a schema rename"):
+            maintain_incremental_agg(
+                spark, d, dest,
+                # folds v1 fine (stable column); v2's rename must raise
+                agg=lambda delta: delta.groupBy("day").agg(
+                    F.sum("k").alias("s")
+                ),
+                merge=lambda base, add: add if base is None else
+                base.unionByName(add).groupBy("day").agg(
+                    F.sum("s").alias("s")
+                ),
+            )
+
+    def test_audit_sees_logical_schema(self, spark, tmp_path):
+        """r12 sweep 2 #2: WAP audits are written against the table's
+        logical schema; the staged frame carries physical names."""
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        seen = {}
+
+        def audit(staged):
+            seen["cols"] = set(staged.columns)
+            return staged.filter("score >= 0").count() == staged.count()
+
+        append_partition_transaction(
+            spark, d, "day",
+            spark.createDataFrame(
+                [(40, 4.0, "q", "a")],
+                "k long, score double, s string, day string",
+            ),
+            audit=audit,
+        )
+        assert "score" in seen["cols"] and "v" not in seen["cols"]
+        assert read_keyed_table(spark, d).count() == 11
+
+    def test_feed_cursor_at_materialize_advances(self, spark, tmp_path):
+        """r12 sweep 2 #3: a consumer whose cursor sits one below the
+        materialize version reads an empty-but-legal range instead of
+        wedging (the materialize itself emits nothing)."""
+        from nshm2022db_spark.streaming.sinks import (
+            materialize_column_mapping,
+        )
+
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        mver = materialize_column_mapping(spark, d)
+        assert read_table_changes_typed(spark, d, mver - 1) is None
+        assert read_table_changes(spark, d, mver - 1) is None
+        with pytest.raises(ValueError, match="materialized a column"):
+            read_table_changes_typed(spark, d, mver - 2)
+
+    def test_vacuum_sweeps_dml_scratch(self, spark, tmp_path):
+        """r12 sweep 2 #4: a SIGKILLed DML writer's scratch-* decision
+        materialization (full-row copies, incl. rows a GDPR delete
+        meant to erase) must fall to vacuum, not live forever."""
+        import time as _time
+
+        from nshm2022db_spark.streaming.sinks import vacuum_uncommitted
+
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        leak = os.path.join(d, "scratch-deadbeef")
+        os.makedirs(leak)
+        os.utime(leak, (_time.time() - 7200, _time.time() - 7200))
+        removed = vacuum_uncommitted(d, grace_sec=3600)
+        assert "scratch-deadbeef" in removed and not os.path.isdir(leak)
+
+    def test_pruned_empty_dml_is_metadata_only_noop(self, spark, tmp_path):
+        """r12 sweep 2 #6: a fully-disproven UPDATE/DELETE returns
+        without the full-footer schema resolve (no version bump)."""
+        from nshm2022db_spark.streaming.sinks import current_commit
+
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        v = current_commit(d)["version"]
+        m = update_table(
+            spark, d, {"v": "0.0"}, where="k = 999",
+            prune={"k": (999, 999)},
+        )
+        assert m == {"version": v, "updated": 0, "carried": 0}
+        m2 = delete_table(
+            spark, d, where="k = 999", prune={"k": (999, 999)}
+        )
+        assert m2 == {"version": v, "deleted": 0, "carried": 0}
 
     def test_tombstone_on_unmapped_key_still_works(self, spark, tmp_path):
         d = str(tmp_path / "t")
