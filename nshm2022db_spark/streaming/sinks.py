@@ -2095,11 +2095,14 @@ def _physical_names(names, manifest: dict):
 
 
 def _refuse_column_mapped(manifest: dict, what: str) -> None:
-    """DML writers whose expressions/keys run against PHYSICAL reads
-    refuse column-mapped tables up front — a logical-name predicate
-    silently matching nothing (or an old-name column match) is far
-    worse than this error. Disclosed boundary (Delta itself shipped
-    column mapping with an operation blocklist first)."""
+    """Writers whose expressions/keys run against PHYSICAL frames
+    (MERGE's clause engine, constraint enforcement) refuse
+    column-mapped tables up front — a logical-name predicate silently
+    matching nothing (or an old-name column match) is far worse than
+    this error. UPDATE/DELETE lift the restriction by running their
+    decision frame on the logical view (r12); MERGE keeps it.
+    Disclosed boundary (Delta itself shipped column mapping with an
+    operation blocklist first)."""
     if _column_map(manifest) or _dropped_physical(manifest):
         raise ValueError(
             f"{what} over a column-mapped table (RENAME/DROP COLUMN "
@@ -2149,7 +2152,10 @@ def _carry_stats_blooms(
         if e in new_parts and e not in written
     }
     if stats_cols and written:
-        staged_stats = _collect_stage_stats(stage_path, written, stats_cols)
+        # staged footers carry PHYSICAL names (column mapping, r12)
+        staged_stats = _collect_stage_stats(
+            stage_path, written, _physical_names(stats_cols, cur)
+        )
         for e in written:
             v = e.split("=", 1)[1]
             if v in extend_vals and e in cur["partitions"]:
@@ -4774,7 +4780,6 @@ def update_table(
                 "update computed against the current layout would miss "
                 "their rows — run migrate_legacy_layouts first"
             )
-        _refuse_column_mapped(cur, "UPDATE")
         if batch_id is not None and batch_id in committed_batch_ids(table_dir):
             return {"version": cur["version"], "updated": 0, "carried": 0,
                     "replayed": True}
@@ -4791,11 +4796,20 @@ def update_table(
             )
         pcol = cur["partition_col"]
         prefix = f"{pcol}="
+        # column mapping (r12): the whole decision frame runs in
+        # LOGICAL names — ``where``/``set_exprs``/``prune``/
+        # ``stats_cols`` are what the user sees — and translates back
+        # to the stable PHYSICAL names exactly twice: at the survivor
+        # stage and at the CDC sidecar (both on-disk artifacts). A
+        # rewritten partition physically sheds DROPPED columns' data
+        # (state-identical: the current version never projects them,
+        # old versions keep their old dirs).
+        cmap = _column_map(cur)
         # full prune spec support, same as read_keyed_table: range/null
         # bounds through stats, ("eq", v) probes through stats' (v, v)
         # degenerate range AND the Bloom bitmaps (r11 review — passing
         # the raw eq tuple into _stats_prune mis-compared it as bounds)
-        base_prune, eq = _split_prune(prune)
+        base_prune, eq = _split_prune(_physical_names(prune, cur))
         scan_parts = dict(_stats_prune(cur, base_prune))
         if eq and scan_parts:
             scan_parts = dict(_bloom_prune(spark, cur, scan_parts, eq))
@@ -4807,9 +4821,10 @@ def update_table(
             # #6; SET-column name validation is skipped on this path)
             return {"version": cur["version"], "updated": 0, "carried": 0}
 
-        # full-table schema (plan resolve, zero jobs) so a pruned base
-        # missing evolved columns still projects them as typed NULLs
-        full = _read_partition_map(spark, table_dir, cur)
+        # full-table LOGICAL schema (plan resolve, zero jobs) so a
+        # pruned base missing evolved columns still projects them as
+        # typed NULLs
+        full = _to_logical(_read_partition_map(spark, table_dir, cur), cur)
         tcols = list(full.columns)
         ttypes = dict(zip(full.schema.names, [f.dataType for f in full.schema]))
         for c in set_exprs:
@@ -4829,13 +4844,18 @@ def update_table(
         )
         if base is None:
             return {"version": cur["version"], "updated": 0, "carried": 0}
-        have = set(base.columns)
+        have = set(base.columns)  # PHYSICAL names on disk
         dec = base.select(
             *[
-                F.col(c) if c in have else F.lit(None).cast(ttypes[c]).alias(c)
+                (
+                    F.col(cmap.get(c, c))
+                    if cmap.get(c, c) in have
+                    else F.lit(None).cast(ttypes[c])
+                ).alias(c)
                 for c in tcols
             ]
         )
+        lhave = {c for c in tcols if cmap.get(c, c) in have}
         # NULL predicate = not matched (Delta's UPDATE rule)
         upd = F.coalesce(
             F.expr(where) if where is not None else F.lit(True), F.lit(False)
@@ -4868,7 +4888,7 @@ def update_table(
             # pre-image carrier for the CDC sidecar (updated rows only)
             F.when(
                 F.col("_upd"),
-                F.struct(*[F.col(c) for c in tcols if c in have]),
+                F.struct(*[F.col(c) for c in tcols if c in lhave]),
             ).alias("_pre"),
         )
 
@@ -4912,6 +4932,8 @@ def update_table(
                 dec.join(F.broadcast(vals_df), pcol, "inner")
                 .filter(F.col("_rw") | F.col("_upd"))
                 .drop("_upd", "_t_part", "_rw", "_pre")
+                # back to the stable PHYSICAL names for the staged files
+                .select(*[F.col(c).alias(cmap.get(c, c)) for c in tcols])
             )
             stage_rows.write.mode("overwrite").partitionBy(pcol).parquet(
                 stage_path
@@ -4935,9 +4957,10 @@ def update_table(
 
             if change_data:
                 # same sidecar contract as MERGE: exact pre/post pairs,
-                # carried rows absent
+                # carried rows absent; the sidecar stores PHYSICAL
+                # names so the feeds' one end-projection is uniform
                 pre_fields, cur_fields, _img = _cdc_image_parts(
-                    tcols, ttypes, have
+                    tcols, ttypes, lhave
                 )
                 cdc_rows = (
                     dec.filter(F.col("_upd"))
@@ -4950,6 +4973,10 @@ def update_table(
                         ).alias("_c")
                     )
                     .select("_c.*")
+                    .select(
+                        *[F.col(c).alias(cmap.get(c, c)) for c in tcols],
+                        F.col("_change_type"),
+                    )
                 )
                 cdc_stage = f"cdc-{uuid.uuid4().hex}"
                 cdc_rows.write.mode("overwrite").parquet(
@@ -5081,13 +5108,18 @@ def delete_table(
                 "delete computed against the current layout would miss "
                 "their rows — run migrate_legacy_layouts first"
             )
-        _refuse_column_mapped(cur, "DELETE")
         if batch_id is not None and batch_id in committed_batch_ids(table_dir):
             return {"version": cur["version"], "deleted": 0, "carried": 0,
                     "replayed": True}
         pcol = cur["partition_col"]
         prefix = f"{pcol}="
-        base_prune, eq = _split_prune(prune)
+        # column mapping (r12): decision frame in LOGICAL names,
+        # translated back to the stable PHYSICAL names at the survivor
+        # stage and the CDC sidecar (same contract as update_table); a
+        # rewritten partition physically sheds dropped columns' data
+        # (state-identical)
+        cmap = _column_map(cur)
+        base_prune, eq = _split_prune(_physical_names(prune, cur))
         scan_parts = dict(_stats_prune(cur, base_prune))
         if eq and scan_parts:
             scan_parts = dict(_bloom_prune(spark, cur, scan_parts, eq))
@@ -5104,9 +5136,10 @@ def delete_table(
             # review sweep 2 #6)
             return {"version": cur["version"], "deleted": 0, "carried": 0}
 
-        # full-table schema (plan resolve, zero jobs) so a pruned base
-        # missing evolved columns still projects them as typed NULLs
-        full = _read_partition_map(spark, table_dir, cur)
+        # full-table LOGICAL schema (plan resolve, zero jobs) so a
+        # pruned base missing evolved columns still projects them as
+        # typed NULLs
+        full = _to_logical(_read_partition_map(spark, table_dir, cur), cur)
         tcols = list(full.columns)
         ttypes = dict(zip(full.schema.names, [f.dataType for f in full.schema]))
 
@@ -5123,11 +5156,13 @@ def delete_table(
         )
         if base is None:
             return {"version": cur["version"], "deleted": 0, "carried": 0}
-        have = set(base.columns)
+        have = set(base.columns)  # PHYSICAL names on disk
         dec = base.select(
             *[
                 (
-                    F.col(c) if c in have else F.lit(None).cast(ttypes[c])
+                    F.col(cmap.get(c, c))
+                    if cmap.get(c, c) in have
+                    else F.lit(None).cast(ttypes[c])
                 ).cast(ttypes[c]).alias(c)
                 for c in tcols
             ]
@@ -5177,6 +5212,8 @@ def delete_table(
                 .withColumn(pcol, F.col(pcol).cast("string"))
                 .join(F.broadcast(vals_df), pcol, "inner")
                 .drop("_del")
+                # back to the stable PHYSICAL names for the staged files
+                .select(*[F.col(c).alias(cmap.get(c, c)) for c in tcols])
             )
             stage_rows.write.mode("overwrite").partitionBy(pcol).parquet(
                 stage_path
@@ -5189,8 +5226,12 @@ def delete_table(
             if change_data:
                 # Delta's _change_data for DELETE: one full-row image
                 # per deleted row, tagged 'delete'; carried rows absent
+                # sidecar stores PHYSICAL names (feeds end-project once)
                 cdc_rows = dec.filter(F.col("_del")).select(
-                    *[F.col(c).cast(ttypes[c]).alias(c) for c in tcols],
+                    *[
+                        F.col(c).cast(ttypes[c]).alias(cmap.get(c, c))
+                        for c in tcols
+                    ],
                     F.lit("delete").alias("_change_type"),
                 )
                 cdc_stage = f"cdc-{uuid.uuid4().hex}"

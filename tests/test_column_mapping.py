@@ -301,7 +301,48 @@ class TestMappedFeedsAndGuards:
         feed = read_table_changes_typed(spark, d, 0, to_version=1)
         assert "v" in feed.columns and "score" not in feed.columns
 
-    def test_dml_and_stream_refuse_mapped_tables(self, spark, tmp_path):
+    def test_update_delete_run_logically_on_mapped_tables(
+        self, spark, tmp_path
+    ):
+        """UPDATE/DELETE accept LOGICAL names on a mapped table (r12):
+        the decision frame runs on the logical view, staged files and
+        CDC sidecars carry the stable physical names, and the typed
+        feed serves the end-schema logical names."""
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        m = update_table(
+            spark, d, {"score": "score * 10"}, where="k = 2",
+            stats_cols=["k"],
+        )
+        assert m["updated"] == 1
+        m2 = delete_table(spark, d, where="score = 9.0")  # k=9
+        assert m2["deleted"] == 1
+        t = read_keyed_table(spark, d)
+        got = {r.k: r.score for r in t.collect()}
+        assert got[2] == 20.0 and 9 not in got and len(got) == 9
+        # staged files + CDC sidecar carry the PHYSICAL name
+        cur = current_commit(d)
+        entry = cur["partitions"]["day=b"]
+        stage = entry[-1] if isinstance(entry, list) else entry
+        raw = spark.read.parquet(os.path.join(d, stage, "day=b"))
+        assert "v" in raw.columns and "score" not in raw.columns
+        cdc_raw = spark.read.parquet(os.path.join(d, cur["cdc"]))
+        assert "v" in cdc_raw.columns
+        # the typed feed serves logical names for every image
+        feed = read_table_changes_typed(spark, d, 1)
+        assert "score" in feed.columns and "v" not in feed.columns
+        by = {
+            (r._change_type, r.k): r.score
+            for r in feed.collect()
+        }
+        assert by[("update_preimage", 2)] == 2.0
+        assert by[("update_postimage", 2)] == 20.0
+        assert by[("delete", 9)] == 9.0
+        # stats recorded under the physical footer name for rewrites
+        assert all("k" in s["cols"] for s in cur["stats"].values())
+
+    def test_merge_and_stream_refuse_mapped_tables(self, spark, tmp_path):
         from nshm2022db_spark.streaming.table_source import (
             register_commitlog_source,
         )
@@ -309,10 +350,6 @@ class TestMappedFeedsAndGuards:
         d = str(tmp_path / "t")
         _seed(spark, d)
         rename_column(spark, d, "v", "score")
-        with pytest.raises(ValueError, match="column-mapped"):
-            update_table(spark, d, {"score": "score + 1"}, where="k = 1")
-        with pytest.raises(ValueError, match="column-mapped"):
-            delete_table(spark, d, where="k = 1")
         with pytest.raises(ValueError, match="column-mapped"):
             merge_into_table(
                 spark, d,
