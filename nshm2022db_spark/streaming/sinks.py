@@ -3473,8 +3473,16 @@ def maintain_incremental_agg(
         op = m.get("op")
         if op == "rewrite" and m.get("data_change") is False:
             continue  # compaction: restatement, nothing to fold
-        prev_m = hist.get(v - 1, {}) if v > 1 else {}
-        if any(m.get(k) != prev_m.get(k) for k in _SCHEMA_MAP_KEYS):
+        # nearest RETAINED earlier manifest (same fallback as
+        # _check_map_stable): v-1 may be folded-and-vacuumed, and a
+        # stable carried map compared against a defaulted {} would
+        # falsely read as a rename and wedge the maintainer forever
+        # (r12 review sweep 3 #1)
+        earlier = [k for k in hist if k < v]
+        prev_m = hist[max(earlier)] if earlier else None
+        if prev_m is not None and any(
+            m.get(k) != prev_m.get(k) for k in _SCHEMA_MAP_KEYS
+        ):
             # a RENAME/DROP COLUMN (or its materialize) changes the
             # LOGICAL names the per-version deltas surface — folding
             # across it would union old- and new-named measures as two

@@ -439,6 +439,50 @@ class TestMappedFeedsAndGuards:
                 ),
             )
 
+    def test_maintain_stable_map_clone_not_a_false_rename(
+        self, spark, tmp_path
+    ):
+        """r12 sweep 3 #1: a commit whose predecessor is absent (a
+        CLONE's v1 carries the source's map with no prior manifest)
+        must not read its stable carried map as a rename and wedge the
+        maintainer — only an actual map CHANGE between retained
+        manifests raises."""
+        from nshm2022db_spark.streaming.sinks import (
+            clone_table_shallow,
+            maintain_incremental_agg,
+        )
+
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        c = str(tmp_path / "c")
+        clone_table_shallow(d, c)
+        assert current_commit(c)["column_map"] == {"score": "v"}
+        # stable-map appends onto the clone
+        append_partition_transaction(
+            spark, c, "day",
+            spark.createDataFrame(
+                [(200, 2.0, "y", "a")],
+                "k long, score double, s string, day string",
+            ),
+        )
+
+        def agg(delta):
+            return delta.groupBy("day").agg(F.count("*").alias("n"))
+
+        def merge(base, add):
+            return add if base is None else base.unionByName(add).groupBy(
+                "day"
+            ).agg(F.sum("n").alias("n"))
+
+        dest = str(tmp_path / "agg")
+        # v1 clone is op="clone" (not additive) — the maintainer's op
+        # gate raises on it, but it must be the OP error, not a bogus
+        # "schema rename" one from the {} predecessor comparison
+        with pytest.raises(ValueError) as ei:
+            maintain_incremental_agg(spark, c, dest, agg=agg, merge=merge)
+        assert "rename" not in str(ei.value)
+
     def test_audit_sees_logical_schema(self, spark, tmp_path):
         """r12 sweep 2 #2: WAP audits are written against the table's
         logical schema; the staged frame carries physical names."""
