@@ -251,7 +251,12 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
         # ONE hoisted guard ahead of the op dispatch (r12 review #7):
         # the stream reads parquet files directly (physical names), so
         # ANY mapped commit — metadata-only or row-moving — would
-        # silently emit old names
+        # silently emit old names. Raising is also the SEMANTICALLY
+        # right call, not just unimplemented: a Spark stream's schema
+        # is fixed at start, so a mid-stream rename cannot be served
+        # anyway — Delta streams likewise fail on schema change and
+        # require a restart (schema tracking); restart this stream
+        # from the post-rename version, or materialize the map
         if m.get("column_map") or m.get("dropped_columns"):
             raise ValueError(
                 f"commit {v} of {table_dir} is column-mapped "

@@ -574,3 +574,146 @@ class TestMappedFeedsAndGuards:
         assert sorted(r.k for r in t.collect()) == [
             0, 1, 3, 4, 5, 6, 7, 8, 9
         ]
+
+
+class TestMappingModel:
+    """Model-based property test: a random valid sequence of
+    rename / drop / append / UPDATE / DELETE / compact / materialize
+    against a pandas twin — the logical view must equal the model after
+    every sequence, whatever interleaving hypothesis finds."""
+
+    @staticmethod
+    def _ops():
+        from hypothesis import strategies as st
+
+        return st.lists(
+            st.tuples(
+                st.sampled_from(
+                    ["rename", "drop", "append", "update", "delete",
+                     "compact", "materialize"]
+                ),
+                st.integers(0, 9),
+            ),
+            min_size=3,
+            max_size=7,
+        )
+
+    def test_logical_state_matches_pandas_model(self, spark):
+        import shutil
+        import tempfile
+
+        import pandas as pd
+        from hypothesis import given, settings
+
+        from nshm2022db_spark.streaming.sinks import (
+            compact_partition_table,
+            materialize_column_mapping,
+        )
+
+        pool = ["c1", "c2", "c3", "c4", "c5"]
+
+        @settings(max_examples=5, deadline=None)
+        @given(self._ops())
+        def run(ops):
+            d = tempfile.mkdtemp(prefix="cmprop")
+            try:
+                path = os.path.join(d, "t")
+                # model: k long, a double, b string, day string
+                model = pd.DataFrame(
+                    {
+                        "k": range(12),
+                        "a": [float(i) for i in range(12)],
+                        "b": [f"s{i}" for i in range(12)],
+                        "day": ["x" if i % 2 else "y" for i in range(12)],
+                    }
+                )
+                append_partition_transaction(
+                    spark, path, "day",
+                    spark.createDataFrame(
+                        model, "k long, a double, b string, day string"
+                    ),
+                    stats_cols=["k"],
+                )
+                fresh = list(pool)
+                next_k = [100]
+                for op, n in ops:
+                    data_cols = [c for c in model.columns if c != "day"]
+                    if op == "rename" and fresh:
+                        old = data_cols[n % len(data_cols)]
+                        if old == "k":
+                            continue  # keep the predicate key stable
+                        new = fresh.pop(0)
+                        rename_column(spark, path, old, new)
+                        model = model.rename(columns={old: new})
+                    elif op == "drop":
+                        cands = [c for c in data_cols if c != "k"]
+                        if len(data_cols) <= 2 or not cands:
+                            continue
+                        col = cands[n % len(cands)]
+                        drop_column(spark, path, col)
+                        model = model.drop(columns=[col])
+                    elif op == "append":
+                        k = next_k[0]
+                        next_k[0] += 1
+                        row = {"k": k, "day": "x" if n % 2 else "z"}
+                        for c in model.columns:
+                            if c in ("k", "day"):
+                                continue
+                            row[c] = float(k) if model[c].dtype == float else f"s{k}"
+                        schema = ", ".join(
+                            f"{c} " + (
+                                "long" if c == "k"
+                                else "double" if model[c].dtype == float
+                                else "string"
+                            )
+                            for c in model.columns
+                        )
+                        append_partition_transaction(
+                            spark, path,
+                            "day",
+                            spark.createDataFrame(
+                                pd.DataFrame([row])[list(model.columns)],
+                                schema,
+                            ),
+                        )
+                        model = pd.concat(
+                            [model, pd.DataFrame([row])], ignore_index=True
+                        )
+                    elif op == "update":
+                        fcols = [
+                            c for c in model.columns
+                            if c not in ("k", "day") and model[c].dtype == float
+                        ]
+                        if not fcols:
+                            continue
+                        c = fcols[n % len(fcols)]
+                        update_table(
+                            spark, path, {c: f"{c} + 1000"},
+                            where=f"k % 3 = {n % 3}",
+                        )
+                        sel = model["k"] % 3 == (n % 3)
+                        model.loc[sel, c] = model.loc[sel, c] + 1000
+                    elif op == "delete":
+                        delete_table(spark, path, where=f"k % 5 = {n % 5}")
+                        model = model[model["k"] % 5 != (n % 5)]
+                    elif op == "compact":
+                        compact_partition_table(
+                            spark, path, max_files_per_partition=0
+                        )
+                    elif op == "materialize":
+                        materialize_column_mapping(spark, path)
+                got = read_keyed_table(spark, path)
+                assert sorted(got.columns) == sorted(model.columns)
+                g = sorted(
+                    tuple(r[c] for c in sorted(model.columns))
+                    for r in got.collect()
+                )
+                m = sorted(
+                    tuple(row[c] for c in sorted(model.columns))
+                    for _, row in model.iterrows()
+                )
+                assert g == m
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        run()
