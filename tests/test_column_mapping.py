@@ -717,3 +717,32 @@ class TestMappingModel:
                 shutil.rmtree(d, ignore_errors=True)
 
         run()
+
+
+class TestMappedPlanShape:
+    def test_column_pruning_pushes_through_the_map(self, spark, tmp_path):
+        """The logical projection is a pure alias select, so Catalyst
+        pushes column pruning straight through it: a 2-column read of a
+        renamed table scans exactly the 2 PHYSICAL columns (the wide
+        string column never leaves parquet)."""
+        d = str(tmp_path / "t")
+        append_partition_transaction(
+            spark, d, "day",
+            spark.range(100).select(
+                F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"),
+                F.lpad(F.col("id").cast("string"), 200, "x").alias("s"),
+                (F.col("id") % 4).cast("string").alias("day"),
+            ),
+            stats_cols=["k"],
+        )
+        rename_column(spark, d, "v", "score")
+        t = read_keyed_table(spark, d).select("k", "score").filter("k < 10")
+        fmt = t._jdf.queryExecution().explainString(
+            t.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        reads = [ln for ln in fmt.splitlines() if "ReadSchema" in ln]
+        assert reads, fmt
+        for ln in reads:
+            assert "s:string" not in ln and '"s"' not in ln, ln
+            assert "v:double" in ln, ln
