@@ -4772,8 +4772,11 @@ def update_table(
     ``update_postimage`` pairs; ``change_data=False`` opts out and the
     typed feeds fall back to map-diff pair images). Concurrency: the
     update re-runs on CAS conflict; disjoint concurrent appends rebase
-    over a published update exactly as over a merge. Returns
-    ``{"version", "updated", "carried"}``."""
+    over a published update exactly as over a merge. On a
+    column-mapped table (RENAME/DROP COLUMN history) everything here
+    is the LOGICAL schema — predicate, SET targets, prune, stats_cols
+    — and the staged files / CDC sidecar keep the stable physical
+    names. Returns ``{"version", "updated", "carried"}``."""
     if not set_exprs:
         raise ValueError("update_table needs a non-empty SET map")
     for _ in range(max_retries):
@@ -5097,7 +5100,9 @@ def delete_table(
     diff). Concurrency: the delete re-runs on CAS conflict; a disjoint
     concurrent append REBASES over a published delete exactly as over
     a merge (`_rebase_conflict` — the touched entries show up in the
-    map diff). ``batch_id`` gives foreachBatch replay idempotence.
+    map diff). ``batch_id`` gives foreachBatch replay idempotence. On
+    a column-mapped table the predicate/prune/stats names are LOGICAL;
+    staged survivors and the sidecar keep the physical names.
     Returns ``{"version", "deleted", "carried"}``."""
     if where is None:
         raise ValueError(
