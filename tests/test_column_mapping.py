@@ -590,7 +590,7 @@ class TestMappingModel:
             st.tuples(
                 st.sampled_from(
                     ["rename", "drop", "append", "update", "delete",
-                     "compact", "materialize"]
+                     "compact", "materialize", "tombstone"]
                 ),
                 st.integers(0, 9),
             ),
@@ -696,6 +696,22 @@ class TestMappingModel:
                     elif op == "delete":
                         delete_table(spark, path, where=f"k % 5 = {n % 5}")
                         model = model[model["k"] % 5 != (n % 5)]
+                    elif op == "tombstone":
+                        # MOR delete on the (never-renamed) key column:
+                        # hides the keys from every read — including the
+                        # model, which tracks visible rows only
+                        keys = [
+                            int(k) for k in model["k"] if k % 7 == n % 7
+                        ]
+                        if not keys:
+                            continue
+                        tombstone_keys(
+                            spark, path, "k",
+                            spark.createDataFrame(
+                                [(k,) for k in keys], "k long"
+                            ),
+                        )
+                        model = model[~model["k"].isin(keys)]
                     elif op == "compact":
                         compact_partition_table(
                             spark, path, max_files_per_partition=0
