@@ -185,6 +185,9 @@ HEADLINE = [
     "delete_where_cdc",
     # r12: column mapping — rename/drop then the mapped two-generation read
     "rename_column_read",
+    # r12: codec-variant corpus (palette/16-bit/Adam7 PNG, RLE/565/32
+    # BMP, progressive JPEG) decoded end-to-end
+    "multimodal_decode_variants",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

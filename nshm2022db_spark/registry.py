@@ -184,8 +184,21 @@ _DRIVER_ORDER = [
     #     committed_partition_transaction rewrite (map carry) ->
     #     compact_small_files; _rebase_conflict (op=delete transparency
     #     + map-change detection) -> commit_rebase_stats:
+    # (a2) NEW in r12 (second leg): the codec-variant corpus —
+    #     palette/16-bit/Adam7 PNG, RLE8/565/32-bit BMP, progressive
+    #     JPEG, one closed-form oracle (VERDICT r11 missing #3); plus
+    #     one in-window representative per REWRITTEN codec primitive:
+    #     decode_png (generalized filter core all PNG paths share) ->
+    #     multimodal_decode_png; decode_bmp (restructured, 24-bit
+    #     branch moved) -> multimodal_decode_pixels; decode_jpeg
+    #     (multi-scan rework, baseline loop relocated) ->
+    #     multimodal_decode_jpeg:
     "delete_where_cdc",
     "rename_column_read",
+    "multimodal_decode_variants",
+    "multimodal_decode_png",
+    "multimodal_decode_pixels",
+    "multimodal_decode_jpeg",
     "table_changes_typed",
     "cdc_apply_typed",
     "stream_table_changes_typed",
@@ -234,15 +247,18 @@ _DRIVER_ORDER = [
     "geojson_scan",
     "merge_upsert",
     "advanced_query_negation",
+    # --- 50-query window boundary (driver gate cap observed r01-r11) ---
+    # Tail head — FIRST PRIORITY for the round-13 window: the four rows
+    # the r12 codec-variant additions displaced (advanced_query_or_bounds
+    # and approx_percentile_bound still carry r8 evidence; the DSL
+    # sibling advanced_query_negation stayed in-window for that family),
+    # then the remaining r9-evidence rows (dsir_select first), the r10
+    # rows, the rows-only geometry row, and the r11/r12-fresh
+    # displacements last:
     "advanced_query_or_bounds",
     "approx_percentile_bound",
     "hybrid_search_rrf",
     "stream_overwrite_refresh",
-    # --- 50-query window boundary (driver gate cap observed r01-r11) ---
-    # Tail head — FIRST PRIORITY for the round-13 window: the remaining
-    # r9-evidence rows (stalest oracle-able evidence after this
-    # rotation, dsir_select first), then the r10 rows, the rows-only
-    # geometry row, and the r11/r12-fresh displacements last:
     "dsir_select",
     "bpe_encode_learned",
     "lm_bigram_assoc",
@@ -276,7 +292,6 @@ _DRIVER_ORDER = [
     "jsonl_scan",
     "knn_quantized",
     "left_join_count",
-    "multimodal_decode_pixels",
     "multimodal_wav_decode",
     "pivot_wide",
     "point_lookup",
@@ -284,7 +299,6 @@ _DRIVER_ORDER = [
     "range_join_events",
     "scalar_max",
     "stream_incremental_rollup",
-    "multimodal_decode_png",
     "split_leakage_free",
     "stream_upsert_table",
     "stream_upsert_mor",
@@ -323,7 +337,6 @@ _DRIVER_ORDER = [
     "epoch_shuffle",
     "events_locf",
     "merge_delete_composite",
-    "multimodal_decode_jpeg",
     "merge_schema_evolution",
     "stream_merge_conditional",
     "zorder_clustered_scan",

@@ -252,6 +252,14 @@ class TestDriverOrder:
             "bloom_skip_scan",
             "compact_small_files",
             "commit_rebase_stats",
+            # NEW in r12 (second leg): the codec-variant corpus, plus
+            # one in-window representative per rewritten codec
+            # primitive (decode_png filter core, decode_bmp
+            # restructure, decode_jpeg multi-scan rework)
+            "multimodal_decode_variants",
+            "multimodal_decode_png",
+            "multimodal_decode_pixels",
+            "multimodal_decode_jpeg",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

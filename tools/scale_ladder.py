@@ -254,6 +254,11 @@ LADDER = [
     # r12: metadata-only RENAME/DROP COLUMN then a mapped read (two
     # generations through the logical projection; cost is the scan)
     "rename_column_read",
+    # r12: the codec-variant corpus (palette/16-bit/Adam7 PNG,
+    # RLE/565/32-bit BMP, progressive JPEG) — map-only chained
+    # mapInPandas over documents, scan-linear by construction; the
+    # per-doc entropy/filter decode is the honest cost
+    "multimodal_decode_variants",
 ]
 
 
