@@ -453,3 +453,139 @@ class TestQuantizationLaws:
                 assert abs(c * qs - x) <= qs / 2 + 1e-12
             else:
                 assert c == 0  # numerically-zero vector codes to zero
+
+
+class TestCodecRoundTripLaws:
+    """r12: randomized round-trip laws for the codec variants. The
+    example-based tests pin known shapes; these explore arbitrary
+    dims/contents within the formats' envelopes."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40), h=st.integers(1, 40),
+        c=st.sampled_from([1, 2, 3, 4]),
+        depth16=st.booleans(), interlace=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_any_shape_depth_interlace_roundtrips(
+        self, w, h, c, depth16, interlace, seed
+    ):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_png, encode_png,
+        )
+
+        rng = np.random.RandomState(seed % 2**32)
+        if depth16:
+            img = rng.randint(0, 65536, (h, w, c)).astype(np.uint16)
+        else:
+            img = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+        out = decode_png(encode_png(img, interlace=interlace))
+        if c == 1:
+            out = out[..., None]
+        assert out.dtype == img.dtype
+        assert np.array_equal(out, img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 33), h=st.integers(1, 17),
+        depth=st.sampled_from([1, 2, 4, 8]),
+        trns_len=st.integers(0, 8), interlace=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_palette_roundtrips(
+        self, w, h, depth, trns_len, interlace, seed
+    ):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_png, encode_png_palette,
+        )
+
+        rng = np.random.RandomState(seed % 2**32)
+        n = 1 << depth
+        pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+        trns = (
+            rng.randint(0, 256, min(trns_len, n)).astype(np.uint8)
+            if trns_len else None
+        )
+        out = decode_png(
+            encode_png_palette(idx, pal, depth, trns=trns, interlace=interlace)
+        )
+        if trns is None or len(trns) == 0:
+            assert np.array_equal(out, pal[idx])
+        else:
+            alpha = np.full(n, 255, np.uint8)
+            alpha[: len(trns)] = trns
+            exp = np.concatenate([pal[idx], alpha[idx][..., None]], -1)
+            assert np.array_equal(out, exp)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 30), h=st.integers(1, 20),
+        variant=st.sampled_from(["pal1", "pal4", "pal8", "rle8", "rle4",
+                                 "b555", "b565", "b32"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_bmp_variants_roundtrip(self, w, h, variant, seed):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_bmp, encode_bmp16, encode_bmp32, encode_bmp_palette,
+            encode_bmp_rle4, encode_bmp_rle8,
+        )
+
+        rng = np.random.RandomState(seed % 2**32)
+        if variant in ("pal1", "pal4", "pal8", "rle8", "rle4"):
+            bpp = {"pal1": 1, "pal4": 4, "pal8": 8,
+                   "rle8": 8, "rle4": 4}[variant]
+            n = 1 << bpp
+            pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+            # low-cardinality indices so RLE runs actually form
+            idx = rng.randint(0, min(n, 4), (h, w)).astype(np.uint8)
+            if variant == "rle8":
+                blob = encode_bmp_rle8(idx, pal)
+            elif variant == "rle4":
+                blob = encode_bmp_rle4(idx, pal)
+            else:
+                blob = encode_bmp_palette(idx, pal, bpp)
+            assert np.array_equal(decode_bmp(blob), pal[idx])
+            return
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        if variant == "b32":
+            assert np.array_equal(decode_bmp(encode_bmp32(img)), img)
+            return
+        fmt = variant[1:]
+        out = decode_bmp(encode_bmp16(img, fmt))
+        shifts = (3, 2, 3) if fmt == "565" else (3, 3, 3)
+        exp = np.stack(
+            [
+                (img[..., i].astype(np.int64) >> s) * 255
+                // ((1 << (8 - s)) - 1)
+                for i, s in enumerate(shifts)
+            ],
+            -1,
+        ).astype(np.uint8)
+        assert np.array_equal(out, exp)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 40), h=st.integers(1, 40),
+        color=st.booleans(), subsample=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_progressive_jpeg_equals_baseline(
+        self, w, h, color, subsample, seed
+    ):
+        """The strongest codec law in the repo: a progressive file
+        carries the same quantized coefficients as the baseline file of
+        the same pixels, so the decodes must be BIT-IDENTICAL — any
+        slip in spectral selection, successive approximation, EOB runs,
+        or the non-interleaved component grid breaks equality."""
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+        )
+
+        rng = np.random.RandomState(seed % 2**32)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        sub = subsample and color
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsample=sub))
+        assert np.array_equal(base, prog)
