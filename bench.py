@@ -188,6 +188,8 @@ HEADLINE = [
     # r12: codec-variant corpus (palette/16-bit/Adam7 PNG, RLE/565/32
     # BMP, progressive JPEG) decoded end-to-end
     "multimodal_decode_variants",
+    # r12: perceptual-hash image dedup over really-decoded PNGs
+    "dedup_image_ahash",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

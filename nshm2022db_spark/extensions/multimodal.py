@@ -2832,3 +2832,124 @@ def multimodal_decode_variants(spark: SparkSession, sf: str) -> DataFrame:
         F.round("mean_v", 6).alias("mean_v"),
         "wsum",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (r12): the multimodal twin of the text
+# near-dup family. aHash (average hash) over REALLY-decoded images:
+# 16x16 gray -> 2x2 block sums -> bit = cell brighter than the image
+# mean -> 64-bit hash split into two BIGINT halves -> exact groupBy.
+# The corpus builds near-duplicate groups BY CONSTRUCTION: doc_id // 4
+# picks a base image, doc_id % 4 adds a uniform brightness shift delta.
+# A constant shift moves every cell sum by 4*delta and the total by
+# 256*delta, so cell_sum*64 > total is INVARIANT (64*4d == 256d) — the
+# classic aHash brightness-invariance, exact in integers, which is what
+# lets DuckDB recompute the hash closed-form with no codec.
+_AHASH_BASE = "(3 * x * x + 7 * y + 5 * g + x * y) % 200"
+_AHASH_G = "(media_id // 4) % 997"
+_AHASH_DELTA = "media_id % 4"
+
+
+def _ahash_pixels(mid: int) -> np.ndarray:
+    g = (mid // 4) % 997
+    delta = mid % 4
+    xx, yy = np.meshgrid(np.arange(16, dtype=np.int64),
+                         np.arange(16, dtype=np.int64))
+    return ((3 * xx * xx + 7 * yy + 5 * g + xx * yy) % 200 + delta).astype(
+        np.uint8
+    )
+
+
+def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode each gray PNG back to pixels and reduce to the 64-bit
+    average hash (two BIGINT halves — bit 63 would overflow a single
+    signed value)."""
+    for pdf in batches:
+        out = []
+        for mid, blob in zip(pdf["media_id"], pdf["media"]):
+            img = decode_png(bytes(blob)).astype(np.int64)
+            cells = img.reshape(8, 2, 8, 2).sum((1, 3))  # (cy, cx)
+            total = int(img.sum())
+            bits = (cells * 64 > total).astype(np.int64)
+            idx = np.arange(64).reshape(8, 8)
+            lo = int((bits * ((idx < 32) << idx.clip(max=31))).sum())
+            hi = int((bits * ((idx >= 32) << (idx - 32).clip(min=0))).sum())
+            out.append((int(mid), hi, lo))
+        yield pd.DataFrame(out, columns=["media_id", "hash_hi", "hash_lo"])
+
+
+@register(
+    "dedup_image_ahash",
+    f"""WITH ids AS (SELECT doc_id AS media_id,
+                            {_AHASH_G.replace('media_id', 'doc_id')} AS g,
+                            {_AHASH_DELTA.replace('media_id', 'doc_id')}
+                                AS delta
+                     FROM documents),
+        xs AS (SELECT media_id, g, delta, unnest(range(0, 16)) AS x
+               FROM ids),
+        px AS (SELECT media_id, g, delta, x, unnest(range(0, 16)) AS y
+               FROM xs),
+        vals AS (SELECT media_id, x, y,
+                        ({_AHASH_BASE}) + delta AS v
+                 FROM px),
+        cells AS (SELECT media_id, (y // 2) * 8 + (x // 2) AS idx,
+                         SUM(v) AS cs
+                  FROM vals GROUP BY media_id, (y // 2) * 8 + (x // 2)),
+        tot AS (SELECT media_id, SUM(cs) AS total
+                FROM cells GROUP BY media_id),
+        bits AS (SELECT c.media_id, c.idx,
+                        CASE WHEN c.cs * 64 > t.total THEN 1 ELSE 0 END AS b
+                 FROM cells c JOIN tot t ON c.media_id = t.media_id),
+        hashes AS (SELECT media_id,
+                          CAST(SUM(CASE WHEN idx >= 32
+                                        THEN b * (1::BIGINT << (idx - 32))
+                                        ELSE 0 END) AS BIGINT) AS hash_hi,
+                          CAST(SUM(CASE WHEN idx < 32
+                                        THEN b * (1::BIGINT << idx)
+                                        ELSE 0 END) AS BIGINT) AS hash_lo
+                   FROM bits GROUP BY media_id)
+        SELECT hash_hi, hash_lo,
+               COUNT(*) AS n_images,
+               MIN(media_id) AS keeper,
+               CAST(SUM(media_id) AS BIGINT) AS member_sum
+        FROM hashes GROUP BY hash_hi, hash_lo""",
+)
+def dedup_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE dedup (r12) — the multimodal twin
+    of the text near-dup family: every document becomes a REAL gray PNG
+    (the r12 grayscale codec path), the decode stage computes the
+    64-bit average hash (8x8 grid of brighter-than-mean bits over 2x2
+    block sums), and an exact groupBy on the hash collapses perceptual
+    duplicates. The corpus plants duplicate groups by construction:
+    four brightness-shifted variants per base image, which aHash is
+    invariant to by integer arithmetic (cell_sum*64 vs total both shift
+    by 256*delta) — so the oracle recomputes hashes closed-form and the
+    groups must match EXACTLY, keeper and membership checksum included.
+    Scale shape: encode/decode/hash are chained map-only mapInPandas
+    (binary never leaves executors); the only shuffle is the final
+    hash groupBy — 64 well-mixed bits, no skew; at 100 TB this is the
+    same one-shuffle profile as dedup_exact."""
+    ids = read_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": [
+                        encode_png(_ahash_pixels(int(m)))
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    hashes = ids.mapInPandas(
+        encode_batches, "media_id long, media binary"
+    ).mapInPandas(_ahash_batches, "media_id long, hash_hi long, hash_lo long")
+    return hashes.groupBy("hash_hi", "hash_lo").agg(
+        F.count("*").alias("n_images"),
+        F.min("media_id").alias("keeper"),
+        F.sum("media_id").alias("member_sum"),
+    )

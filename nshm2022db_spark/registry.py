@@ -199,6 +199,10 @@ _DRIVER_ORDER = [
     "multimodal_decode_png",
     "multimodal_decode_pixels",
     "multimodal_decode_jpeg",
+    # (a3) NEW in r12 (third leg): perceptual-hash image dedup over
+    #     really-decoded gray PNGs (aHash groupBy; brightness-shifted
+    #     near-dup groups collapse exactly):
+    "dedup_image_ahash",
     "table_changes_typed",
     "cdc_apply_typed",
     "stream_table_changes_typed",
@@ -245,16 +249,19 @@ _DRIVER_ORDER = [
     "csv_scan_join",
     "ragged_csv_roundtrip",
     "geojson_scan",
-    "merge_upsert",
     "advanced_query_negation",
     # --- 50-query window boundary (driver gate cap observed r01-r11) ---
-    # Tail head — FIRST PRIORITY for the round-13 window: the four rows
-    # the r12 codec-variant additions displaced (advanced_query_or_bounds
+    # Tail head — FIRST PRIORITY for the round-13 window: the five rows
+    # the r12 codec-variant/ahash additions displaced (merge_upsert's
+    # merge path keeps r12-fresh in-window siblings:
+    # merge_into_conditional + delete_tombstone_mor; it and
+    # advanced_query_or_bounds
     # and approx_percentile_bound still carry r8 evidence; the DSL
     # sibling advanced_query_negation stayed in-window for that family),
     # then the remaining r9-evidence rows (dsir_select first), the r10
     # rows, the rows-only geometry row, and the r11/r12-fresh
     # displacements last:
+    "merge_upsert",
     "advanced_query_or_bounds",
     "approx_percentile_bound",
     "hybrid_search_rrf",

@@ -260,6 +260,8 @@ class TestDriverOrder:
             "multimodal_decode_png",
             "multimodal_decode_pixels",
             "multimodal_decode_jpeg",
+            # NEW in r12 (third leg): perceptual-hash image dedup
+            "dedup_image_ahash",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

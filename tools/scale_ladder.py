@@ -259,6 +259,9 @@ LADDER = [
     # mapInPandas over documents, scan-linear by construction; the
     # per-doc entropy/filter decode is the honest cost
     "multimodal_decode_variants",
+    # r12: perceptual-hash image dedup — map-only encode/decode/hash,
+    # ONE shuffle (the 64-bit-hash groupBy), dedup_exact's profile
+    "dedup_image_ahash",
 ]
 
 
