@@ -964,11 +964,14 @@ def _encode_blocks(
     return pred
 
 
-def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+def _fdct_quant(
+    plane: np.ndarray, qtab: np.ndarray, center: float = 128.0
+) -> np.ndarray:
     """(H, W) int plane (H, W multiples of 8) -> quantized (nby, nbx, 8, 8)
-    coefficient blocks, vectorized across all blocks."""
+    coefficient blocks, vectorized across all blocks. ``center`` is the
+    level shift: 128 for 8-bit precision, 2048 for 12-bit."""
     h, w = plane.shape
-    f = plane.astype(np.float64) - 128.0
+    f = plane.astype(np.float64) - center
     blocks = f.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
     coef = np.einsum("ux,byxz,vz->byuv", _DCT8, blocks, _DCT8)
     return np.round(coef / qtab).astype(np.int64)
@@ -993,8 +996,22 @@ def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
     ).astype(np.int64)
 
 
+# 12-bit precision tables (T.81 extended sequential): DC categories
+# 0..15 (16 codes of length 5, Kraft 16/32), AC (run, size) with size
+# 1..14 plus EOB/ZRL (226 codes of length 8, Kraft 226/256).
+_DC_SYMS_12 = list(range(16))
+_DC_BITS_12 = [0] * 16
+_DC_BITS_12[4] = 16
+_AC_SYMS_12 = sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_AC_BITS_12 = [0] * 16
+_AC_BITS_12[7] = 226
+
+
 def encode_jpeg(
-    pixels: np.ndarray, subsample: bool = False, restart_interval: int = 0
+    pixels: np.ndarray, subsample: bool = False,
+    restart_interval: int = 0, precision: int = 8,
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a REAL
     baseline-sequential JPEG (SOI + DQT + SOF0 + DHT + SOS + EOI, the
@@ -1003,15 +1020,27 @@ def encode_jpeg(
     interleave Y00 Y01 Y10 Y11 Cb Cr), else 4:4:4.
     ``restart_interval=N`` (grayscale) emits a DRI segment and RSTn
     markers every N MCUs with DC-predictor resets — the resync
-    machinery real encoders emit and the decoder must honor."""
+    machinery real encoders emit and the decoder must honor.
+    ``precision=12`` (grayscale, r12) writes an EXTENDED SEQUENTIAL
+    (SOF1) file with 12-bit samples (uint16 input in 0..4095, level
+    shift 2048) and the wider 12-bit Huffman tables."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
-    dc_enc = _huff_encode_table(_DC_BITS, _DC_SYMS)
-    ac_enc = _huff_encode_table(_AC_BITS, _AC_SYMS)
+    if precision == 12:
+        if not gray:
+            raise ValueError("12-bit encode supports grayscale only")
+        dc_enc = _huff_encode_table(_DC_BITS_12, _DC_SYMS_12)
+        ac_enc = _huff_encode_table(_AC_BITS_12, _AC_SYMS_12)
+    elif precision == 8:
+        dc_enc = _huff_encode_table(_DC_BITS, _DC_SYMS)
+        ac_enc = _huff_encode_table(_AC_BITS, _AC_SYMS)
+    else:
+        raise ValueError("precision must be 8 or 12")
+    center = float(1 << (precision - 1))
     bw = _BitWriter()
     if gray:
         plane = _pad_to(pixels.astype(np.int64), 8)
-        blocks = _fdct_quant(plane, _JPEG_QTAB)
+        blocks = _fdct_quant(plane, _JPEG_QTAB, center)
         nby, nbx = blocks.shape[:2]
         pred = 0
         seen = rst = 0
@@ -1076,13 +1105,19 @@ def encode_jpeg(
     qbody = bytes([0]) + bytes(
         int(_JPEG_QTAB.reshape(64)[_ZIGZAG][i]) for i in range(64)
     )
-    sof_body = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+    sof_body = struct.pack(">BHHB", precision, h, w, len(comps)) + b"".join(
         struct.pack(">BBB", cid, samp, q) for cid, samp, q in comps
     )
-    dht = (
-        seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMS))
-        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMS))
-    )
+    if precision == 12:
+        dht = (
+            seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS_12) + bytes(_DC_SYMS_12))
+            + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS_12) + bytes(_AC_SYMS_12))
+        )
+    else:
+        dht = (
+            seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMS))
+            + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMS))
+        )
     sos_body = bytes([len(comps)]) + b"".join(
         struct.pack(">BB", cid, 0x00) for cid, _, _ in comps
     ) + bytes([0, 63, 0])
@@ -1091,10 +1126,12 @@ def encode_jpeg(
         if gray and restart_interval
         else b""
     )
+    # 12-bit is not legal baseline: write SOF1 (extended sequential)
+    sof_marker = 0xFFC1 if precision == 12 else 0xFFC0
     return (
         b"\xff\xd8"
         + seg(0xFFDB, qbody)
-        + seg(0xFFC0, sof_body)
+        + seg(sof_marker, sof_body)
         + dht
         + dri
         + seg(0xFFDA, sos_body)
@@ -1647,7 +1684,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     r11 missing #3's JPEG leg). Progressive files accumulate
     coefficients across any number of scans (spectral selection +
     successive approximation, DC and AC initial/refinement passes, EOB
-    runs); arithmetic coding and 12-bit precision still raise
+    runs); 12-bit precision decodes too (SOF1/SOF2, uint16 output,
+    16-bit DQT accepted — r12); only arithmetic coding still raises
     ValueError (disclosed boundary). Entropy decode walks compressed
     bytes; the IDCT runs as ONE einsum per component at the end."""
     if data[:2] != b"\xff\xd8":
@@ -1657,6 +1695,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     progressive = False
+    precision = 8
     interval = 0
     coef: dict[int, np.ndarray] | None = None
     geom = None
@@ -1673,19 +1712,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         (length,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + length]
         pos += 2 + length
-        if marker == 0xDB:  # DQT (possibly several tables)
+        if marker == 0xDB:  # DQT (possibly several tables, 8/16-bit)
             o = 0
             while o < len(body):
-                prec, tid = body[o] >> 4, body[o] & 0xF
-                if prec:
-                    raise ValueError("16-bit quant tables not baseline")
-                flat = np.frombuffer(
-                    body, np.uint8, 64, o + 1
-                ).astype(np.int64)
+                qprec, tid = body[o] >> 4, body[o] & 0xF
+                if qprec:
+                    flat = np.frombuffer(body, ">u2", 64, o + 1).astype(
+                        np.int64
+                    )
+                    o += 129
+                else:
+                    flat = np.frombuffer(body, np.uint8, 64, o + 1).astype(
+                        np.int64
+                    )
+                    o += 65
                 q = np.zeros(64, np.int64)
                 q[_ZIGZAG] = flat
                 qtabs[tid] = q.reshape(8, 8)
-                o += 65
         elif marker == 0xC4:  # DHT (possibly several tables)
             o = 0
             while o < len(body):
@@ -1698,8 +1741,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise ValueError("only 8-bit JPEG decodes natively")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("12-bit precision is not legal baseline")
+            if prec not in (8, 12):
+                raise ValueError("only 8/12-bit JPEG decodes natively")
             comps = []
             for i in range(nc):
                 cid, samp, qid = struct.unpack_from(">BBB", body, 6 + 3 * i)
@@ -1708,6 +1753,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             vmax = max(c[2] for c in comps)
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            precision = prec
             sof = (h, w, comps)
             geom = (mcux, mcuy, hmax, vmax)
             # per-component MCU-padded coefficient store, ZIGZAG order
@@ -1757,6 +1803,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # inverse zigzag (vectorized), dequant + ONE batched IDCT per comp
     h, w, comps = sof
     mcux, mcuy, hmax, vmax = geom
+    center = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
     planes = {}
     for cid, ch, cv, qid in comps:
         zz = coef[cid]
@@ -1766,21 +1815,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         px = np.einsum("xu,byuv,vz->byxz", _DCT8.T, cq, _DCT8)
         nby, nbx = px.shape[:2]
         plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        plane = np.clip(np.round(plane + center), 0, maxv)
         # upsample to full resolution (pixel replication)
         plane = plane.repeat(vmax // cv, 0).repeat(hmax // ch, 1)
         planes[cid] = plane[:h, :w]
     if len(comps) == 1:
-        return planes[comps[0][0]].astype(np.uint8)
+        return planes[comps[0][0]].astype(dtype)
     y = planes[comps[0][0]]
-    cb = planes[comps[1][0]] - 128.0
-    cr = planes[comps[2][0]] - 128.0
+    cb = planes[comps[1][0]] - center
+    cr = planes[comps[2][0]] - center
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(
-        np.round(np.stack([r, g, b], -1)), 0, 255
-    ).astype(np.uint8)
+        np.round(np.stack([r, g, b], -1)), 0, maxv
+    ).astype(dtype)
 
 
 def decode_image_real(data: bytes) -> tuple[int, int, str]:
@@ -1816,17 +1865,17 @@ def decode_image_real(data: bytes) -> tuple[int, int, str]:
             img = decode_jpeg(data)
             return img.shape[1], img.shape[0], "JPEG"
         except ValueError:
-            # sequential AND progressive Huffman 8-bit decode natively
-            # (r12); only arithmetic coding and 12-bit precision defer
+            # sequential AND progressive Huffman, 8- and 12-bit, decode
+            # natively (r12); only arithmetic coding defers
             if not HAVE_PIL:
                 raise
     if not HAVE_PIL:
         raise NotImplementedError(
-            "exotic image variant (arithmetic-coded or 12-bit JPEG, "
+            "exotic image variant (arithmetic-coded JPEG, "
             "BI_JPEG/BI_PNG-embedded BMP) requires PIL, which is not "
             "available in this container; all legal PNGs, common BMPs "
             "(24/32/16-bit, palettized, RLE), and sequential + "
-            "progressive Huffman JPEG decode natively"
+            "progressive Huffman JPEG at 8/12-bit decode natively"
         )
     raise NotImplementedError("wire PIL here when the codec image is available")
 

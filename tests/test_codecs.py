@@ -521,8 +521,8 @@ class TestJPEG:
             decode_jpeg(bytes(data))
         data = bytearray(encode_jpeg(_jpeg_pixels(1)))
         sof = data.find(b"\xff\xc0")
-        data[sof + 4] = 12  # 12-bit precision
-        with pytest.raises(ValueError, match="8-bit"):
+        data[sof + 4] = 10  # precision 10 exists nowhere in T.81
+        with pytest.raises(ValueError, match="8/12-bit"):
             decode_jpeg(bytes(data))
 
     def test_progressive_decodes_identically_to_baseline(self):
@@ -567,6 +567,45 @@ class TestJPEG:
             assert np.array_equal(
                 decode_jpeg(encode_jpeg_progressive(img)), img
             )
+
+    def test_12bit_extended_sequential(self):
+        """r12: 12-bit precision (SOF1, level shift 2048, the wider
+        Huffman tables) decodes natively to uint16. Block-constant
+        values with even offsets from 2048 round-trip EXACTLY (DC quant
+        step 16 divides 8*(v-2048)); a gradient is tolerance-pinned."""
+        rng = np.random.RandomState(12)
+        vals = (rng.randint(0, 2048, (2, 3)) * 2).astype(np.int64)
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint16)
+        blob = encode_jpeg(img, precision=12)
+        assert b"\xff\xc1" in blob  # SOF1, not baseline
+        out = decode_jpeg(blob)
+        assert out.dtype == np.uint16 and np.array_equal(out, img)
+        xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+        grad = ((xx * 150 + yy * 90) % 4096).astype(np.uint16)
+        out = decode_jpeg(encode_jpeg(grad, precision=12))
+        assert np.abs(out.astype(int) - grad.astype(int)).max() < 200
+
+    def test_16bit_quant_table_accepted(self):
+        """A DQT with 16-bit values (precision nibble 1) must parse —
+        hand-patch the 8-bit table into the wide layout."""
+        img = _jpeg_pixels(5)
+        blob = encode_jpeg(img)
+        dqt = blob.find(b"\xff\xdb")
+        # original segment: marker(2) len(2) id(1) 64 bytes
+        vals = blob[dqt + 5 : dqt + 5 + 64]
+        wide = b"".join(bytes([0, v]) for v in vals)
+        newseg = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128) + bytes([0x10]) + wide
+        patched = blob[:dqt] + newseg + blob[dqt + 4 + 65 :]
+        assert np.array_equal(decode_jpeg(patched), decode_jpeg(blob))
+
+    def test_12bit_baseline_marker_rejected(self):
+        blob = bytearray(encode_jpeg(
+            np.full((8, 8), 2048, np.uint16), precision=12
+        ))
+        sof = bytes(blob).find(b"\xff\xc1")
+        blob[sof + 1] = 0xC0  # claim baseline with 12-bit precision
+        with pytest.raises(ValueError, match="not legal baseline"):
+            decode_jpeg(bytes(blob))
 
     def test_progressive_stream_contains_eobn_and_sof2(self):
         blob = encode_jpeg_progressive(_jpeg_pixels(3))
