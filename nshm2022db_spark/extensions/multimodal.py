@@ -284,7 +284,7 @@ def _bmp_rle_decode(
             else:
                 vals = np.full(n, v, np.uint8)
             end = min(x + n, w)
-            if y < h:
+            if y < h and end > x:  # cursor may sit past the row already
                 out[y, x:end] = vals[: end - x]
             x += n
             continue
@@ -309,7 +309,7 @@ def _bmp_rle_decode(
                 vals = np.frombuffer(data, np.uint8, v, pos)
                 pos += (v + 1) // 2 * 2
             end = min(x + v, w)
-            if y < h:
+            if y < h and end > x:
                 out[y, x:end] = vals[: end - x]
             x += v
     return out[::-1]  # RLE BMPs are always bottom-up

@@ -589,3 +589,92 @@ class TestCodecRoundTripLaws:
         base = decode_jpeg(encode_jpeg(img, subsample=sub))
         prog = decode_jpeg(encode_jpeg_progressive(img, subsample=sub))
         assert np.array_equal(base, prog)
+
+
+class TestProgressiveScanCodecLaws:
+    """r12 review sweep: the progressive AC scan encoder/decoder pair
+    exercised DIRECTLY on synthetic coefficient blocks — random images
+    rarely produce ZRL-in-refinement (16+ zero-history positions before
+    a newly-significant coefficient) or long EOB runs with buffered
+    correction bits, so this pins those paths on purpose."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        nblocks=st.integers(1, 12),
+        density=st.floats(0.0, 0.4),
+        band=st.sampled_from([(1, 5), (6, 63), (1, 63)]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_ac_first_then_refine_reconstructs_exactly(
+        self, nblocks, density, band, seed
+    ):
+        from nshm2022db_spark.extensions.multimodal import (
+            _AC_BITS_PROG, _AC_SYMS_PROG, _ac_first_block,
+            _ac_refine_block, _BitReader, _BitWriter, _enc_ac_first,
+            _enc_ac_refine, _huff_decode_table, _huff_encode_table,
+        )
+
+        rng = np.random.RandomState(seed % 2**32)
+        ss, se = band
+        blocks = np.zeros((nblocks, 64), np.int64)
+        mask = rng.rand(nblocks, se - ss + 1) < density
+        vals = rng.randint(-40, 41, (nblocks, se - ss + 1))
+        blocks[:, ss : se + 1] = np.where(mask, vals, 0)
+        al = 1
+        ac_enc = _huff_encode_table(_AC_BITS_PROG, _AC_SYMS_PROG)
+        ac_dec = _huff_decode_table(_AC_BITS_PROG, _AC_SYMS_PROG)
+        # initial scan at Al=1, refinement at Ah=1/Al=0 — decode must
+        # reproduce the full-precision band exactly
+        bw1 = _BitWriter()
+        _enc_ac_first(bw1, blocks, ss, se, al, ac_enc)
+        first = bw1.flush() + b"\xff\xd9"
+        got = np.zeros((nblocks, 64), np.int64)
+        br = _BitReader(first, 0)
+        eob = 0
+        for i in range(nblocks):
+            eob = _ac_first_block(br, ac_dec, got[i], ss, se, al, eob)
+        exp_first = (np.sign(blocks) * (np.abs(blocks) >> al)) << al
+        assert np.array_equal(
+            got[:, ss : se + 1], exp_first[:, ss : se + 1]
+        )
+        bw2 = _BitWriter()
+        _enc_ac_refine(bw2, blocks, ss, se, 0, ac_enc)
+        refine = bw2.flush() + b"\xff\xd9"
+        br2 = _BitReader(refine, 0)
+        eob = 0
+        for i in range(nblocks):
+            eob = _ac_refine_block(br2, ac_dec, got[i], ss, se, 0, eob)
+        assert np.array_equal(got[:, ss : se + 1], blocks[:, ss : se + 1])
+
+    def test_zrl_in_refinement_explicit(self):
+        """A newly-significant +-1 after 20 zero-history positions with
+        history coefficients interleaved — the ZRL + buffered-correction
+        interleave that random content almost never produces."""
+        from nshm2022db_spark.extensions.multimodal import (
+            _AC_BITS_PROG, _AC_SYMS_PROG, _ac_first_block,
+            _ac_refine_block, _BitReader, _BitWriter, _enc_ac_first,
+            _enc_ac_refine, _huff_decode_table, _huff_encode_table,
+        )
+
+        blocks = np.zeros((2, 64), np.int64)
+        blocks[0, 2] = 7    # history (|v|>>1 == 3)
+        blocks[0, 40] = -1  # newly significant, 37 zero-history gap
+        blocks[0, 63] = 1
+        blocks[1, 5] = -2   # second block: history + trailing EOB
+        ss, se = 1, 63
+        ac_enc = _huff_encode_table(_AC_BITS_PROG, _AC_SYMS_PROG)
+        ac_dec = _huff_decode_table(_AC_BITS_PROG, _AC_SYMS_PROG)
+        got = np.zeros((2, 64), np.int64)
+        bw1 = _BitWriter()
+        _enc_ac_first(bw1, blocks, ss, se, 1, ac_enc)
+        br = _BitReader(bw1.flush() + b"\xff\xd9", 0)
+        eob = 0
+        for i in range(2):
+            eob = _ac_first_block(br, ac_dec, got[i], ss, se, 1, eob)
+        bw2 = _BitWriter()
+        _enc_ac_refine(bw2, blocks, ss, se, 0, ac_enc)
+        br2 = _BitReader(bw2.flush() + b"\xff\xd9", 0)
+        eob = 0
+        for i in range(2):
+            eob = _ac_refine_block(br2, ac_dec, got[i], ss, se, 0, eob)
+        assert np.array_equal(got, blocks)
