@@ -424,3 +424,28 @@ class TestRound9Plans:
         assert plan.count("Arguments: hashpartitioning") <= 2
         assert "Expand" not in plan  # min!=max, not countDistinct
         assert "CartesianProduct" not in plan
+
+
+class TestR12CodecQueryPlans:
+    """r12: the codec-corpus queries must keep their scale shapes —
+    decode is map-only (chained mapInPandas, no exchange); the aHash
+    dedup's ONLY shuffle is the final hash groupBy."""
+
+    def test_decode_variants_is_exchange_free(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.multimodal import (
+            multimodal_decode_variants,
+        )
+
+        plan = _plan(multimodal_decode_variants(spark, sf_dir))
+        assert "Exchange" not in plan
+        # formatted explain names nodes twice (tree + detail)
+        assert plan.count("MapInPandas") == 4  # encode + decode stages
+
+    def test_image_ahash_single_hash_exchange(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.multimodal import dedup_image_ahash
+
+        plan = _plan(dedup_image_ahash(spark, sf_dir))
+        # one partial+final HashAggregate pair over ONE hash exchange
+        assert plan.count("hashpartitioning(") == 1
+        assert "SortAggregate" not in plan
+        assert plan.count("MapInPandas") == 4  # 2 stages, named twice
