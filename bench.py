@@ -190,6 +190,8 @@ HEADLINE = [
     "multimodal_decode_variants",
     # r12: perceptual-hash image dedup over really-decoded PNGs
     "dedup_image_ahash",
+    # r12: real video — MJPEG AVI container + per-frame JPEG decode
+    "multimodal_video_frames",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -861,8 +861,11 @@ _AC_BITS = [0] * 16
 _AC_BITS[7] = 162  # 162 codes of length 8
 
 
-def _huff_encode_table(bits: list[int], syms: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) for a canonical (bits, huffval) table."""
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_encode_cached(bits: tuple, syms: tuple) -> dict[int, tuple[int, int]]:
     out: dict[int, tuple[int, int]] = {}
     code, i = 0, 0
     for ln in range(1, 17):
@@ -874,8 +877,16 @@ def _huff_encode_table(bits: list[int], syms: list[int]) -> dict[int, tuple[int,
     return out
 
 
-def _huff_decode_table(bits: list[int], syms: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol for canonical reconstruction."""
+def _huff_encode_table(bits, syms) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for a canonical (bits, huffval) table.
+    Memoized: corpus queries decode thousands of small files carrying
+    the SAME in-file tables — rebuilding the dict per file dominated
+    the per-frame cost before the cache."""
+    return _huff_encode_cached(tuple(bits), tuple(syms))
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_decode_cached(bits: tuple, syms: tuple) -> dict[tuple[int, int], int]:
     out: dict[tuple[int, int], int] = {}
     code, i = 0, 0
     for ln in range(1, 17):
@@ -885,6 +896,12 @@ def _huff_decode_table(bits: list[int], syms: list[int]) -> dict[tuple[int, int]
             i += 1
         code <<= 1
     return out
+
+
+def _huff_decode_table(bits, syms) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for canonical reconstruction (memoized,
+    same rationale as _huff_encode_table)."""
+    return _huff_decode_cached(tuple(bits), tuple(syms))
 
 
 class _BitWriter:
@@ -3001,4 +3018,234 @@ def dedup_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_images"),
         F.min("media_id").alias("keeper"),
         F.sum("media_id").alias("member_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI (r12): REAL video decode. AVI is a RIFF container
+# (same chunk discipline as WAV); an MJPEG stream's '00dc' chunks are
+# each a complete JPEG — which the in-repo JPEG codec decodes. This
+# upgrades the video modality from fake-metadata to real byte-level
+# work: container walk + per-frame entropy decode.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Encode grayscale frames as a REAL Motion-JPEG AVI: RIFF('AVI ')
+    with LIST(hdrl) (avih + one 'vids'/'MJPG' stream header), a
+    LIST(movi) of '00dc' chunks (each a complete baseline JPEG, padded
+    to RIFF's 2-byte alignment) and an idx1 index."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share one size")
+    blobs = [encode_jpeg(f) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    maxbuf = max(len(b) for b in blobs)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, maxbuf * fps, 0, 0x10, len(blobs), 0, 1,
+        maxbuf, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI4H", 0, 0, 0, 0, 1, fps, 0,
+                      len(blobs), maxbuf, -1, 0, 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        _BMP_INFO, 40, w, h, 1, 24, struct.unpack("<I", b"MJPG")[0],
+        w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = b"".join(chunk(b"00dc", b) for b in blobs)
+    movi = lst(b"movi", movi_chunks)
+    # idx1 offsets are relative to the start of the movi LIST body
+    idx, off = [], 4  # past the 'movi' fourcc
+    for b in blobs:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(b)))
+        off += 8 + len(b) + (len(b) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, list[np.ndarray]]:
+    """Decode a Motion-JPEG AVI → (fps, frames): RIFF walk validating
+    the AVI fourcc, stream-header scan for the 'vids' rate, then every
+    '00dc'/'00db' chunk in LIST(movi) through the in-repo JPEG decoder.
+    Frame count is cross-checked against the avih header."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    fps, declared, frames = None, None, []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, declared
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)  # past the list kind fourcc
+            elif cid == b"avih":
+                declared = struct.unpack_from("<I", data, body + 16)[0]
+            elif cid == b"strh" and data[body : body + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", data, body + 20)
+                if scale:
+                    fps = rate // scale
+            elif cid in (b"00dc", b"00db"):
+                frames.append(decode_jpeg(data[body : body + size]))
+            pos = body + size + (size & 1)  # RIFF 2-byte alignment
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if not frames:
+        raise ValueError("no MJPEG frames in AVI")
+    if declared is not None and declared != len(frames):
+        raise ValueError("AVI frame count disagrees with avih header")
+    return fps or 0, frames
+
+
+# Video corpus: per media_id, n = 2 + id % 4 frames of block-constant
+# EVEN-valued gray (the DC-exact trick — the lossy per-frame JPEG
+# round-trips bit-exactly, so the oracle is closed-form), frame f's
+# block (bx, by) value:
+_VID_N = "2 + media_id % 2"
+_VID_NBX = "2 + media_id % 2"
+_VID_BLOCK_V = "((media_id * 31 + f * 17 + bx * 7 + by * 13) % 128) * 2"
+
+
+def _video_frames(mid: int) -> list[np.ndarray]:
+    n = 2 + mid % 2
+    nbx, nby = 2 + mid % 2, 2
+    out = []
+    for f in range(n):
+        bx, by = np.meshgrid(np.arange(nbx, dtype=np.int64),
+                             np.arange(nby, dtype=np.int64))
+        vals = ((mid * 31 + f * 17 + bx * 7 + by * 13) % 128) * 2
+        out.append(
+            np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+        )
+    return out
+
+
+def _decode_video_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Container walk + per-frame JPEG decode, then FRAME SAMPLING
+    (every 2nd frame) and a per-media reduction whose frame-weighted
+    checksum pins which frames were kept and where each block landed."""
+    for pdf in batches:
+        out = []
+        for mid, blob in zip(pdf["media_id"], pdf["media"]):
+            fps, frames = decode_avi_mjpeg(bytes(blob))
+            sampled = frames[::2]
+            h, w = frames[0].shape
+            tot, wsum = 0, 0
+            for si, f in enumerate(sampled):
+                a = f.astype(np.int64)
+                tot += int(a.sum())
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                wsum += int(((xx + 2 * yy + 1) * a).sum()) * (2 * si + 1)
+            out.append(
+                (
+                    int(mid), len(frames), len(sampled), w, h, fps,
+                    float(len(frames)) / fps,
+                    float(tot) / (len(sampled) * h * w),
+                    wsum,
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "media_id", "n_frames", "n_sampled", "width", "height",
+                "fps", "duration_s", "mean_px", "wsum",
+            ],
+        )
+
+
+@register(
+    "multimodal_video_frames",
+    f"""WITH ids AS (SELECT doc_id AS media_id,
+                            {_VID_N.replace('media_id', 'doc_id')} AS n,
+                            {_VID_NBX.replace('media_id', 'doc_id')} AS nbx
+                     FROM documents),
+        fr AS (SELECT media_id, n, nbx, unnest(range(0, n)) AS f
+               FROM ids),
+        sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+        bx_ AS (SELECT media_id, n, nbx, f,
+                       unnest(range(0, nbx)) AS bx
+                FROM sampled),
+        blocks AS (SELECT media_id, n, nbx, f, bx,
+                          unnest(range(0, 2)) AS by
+                   FROM bx_),
+        vals AS (SELECT media_id, n, nbx, f, bx, by,
+                        {_VID_BLOCK_V} AS v
+                 FROM blocks)
+        SELECT media_id,
+               MAX(n)::INTEGER AS n_frames,
+               ((MAX(n) + 1) // 2)::INTEGER AS n_sampled,
+               (MAX(nbx) * 8)::INTEGER AS width,
+               16 AS height,
+               10 AS fps,
+               ROUND(MAX(n) / 10.0, 6) AS duration_s,
+               ROUND(SUM(v)::DOUBLE * 64
+                     / (((MAX(n) + 1) // 2) * 16 * MAX(nbx) * 8), 6)
+                   AS mean_px,
+               CAST(SUM(v * (512 * bx + 1024 * by + 736) * (f + 1))
+                    AS BIGINT) AS wsum
+        FROM vals GROUP BY media_id""",
+)
+def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video decode end-to-end (r12): every document becomes an
+    actual Motion-JPEG AVI (RIFF container with avih/strh headers,
+    '00dc' JPEG chunks, idx1 index), which the decode stage walks and
+    decodes frame-by-frame through the in-repo JPEG codec, then
+    FRAME-SAMPLES (every 2nd frame) — the training-pipeline video
+    primitive, previously covered only by the deterministic fake.
+    Block-constant even-valued frames make the lossy per-frame JPEG
+    bit-exact, so DuckDB recomputes everything closed-form: the
+    frame-index-weighted block checksum pins WHICH frames the sampler
+    kept and WHERE every block landed (sampled frame si carries weight
+    2*si+1 = f+1 since f = 2*si). Two chained map-only mapInPandas
+    stages; at 100 TB this is scan-shaped with zero shuffles."""
+    ids = read_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": [
+                        encode_avi_mjpeg(_video_frames(int(m)))
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    decoded = ids.mapInPandas(
+        encode_batches, "media_id long, media binary"
+    ).mapInPandas(
+        _decode_video_batches,
+        "media_id long, n_frames int, n_sampled int, width int, "
+        "height int, fps int, duration_s double, mean_px double, "
+        "wsum long",
+    )
+    return decoded.select(
+        "media_id", "n_frames", "n_sampled", "width", "height", "fps",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_px", 6).alias("mean_px"),
+        "wsum",
     )

@@ -203,6 +203,9 @@ _DRIVER_ORDER = [
     #     really-decoded gray PNGs (aHash groupBy; brightness-shifted
     #     near-dup groups collapse exactly):
     "dedup_image_ahash",
+    # (a4) NEW in r12 (fourth leg): REAL video — Motion-JPEG AVI
+    #     container walk + per-frame JPEG decode + frame sampling:
+    "multimodal_video_frames",
     "table_changes_typed",
     "cdc_apply_typed",
     "stream_table_changes_typed",
@@ -248,7 +251,6 @@ _DRIVER_ORDER = [
     "join_5way_agg",
     "csv_scan_join",
     "ragged_csv_roundtrip",
-    "geojson_scan",
     "advanced_query_negation",
     # --- 50-query window boundary (driver gate cap observed r01-r11) ---
     # Tail head — FIRST PRIORITY for the round-13 window: the five rows
@@ -260,7 +262,9 @@ _DRIVER_ORDER = [
     # sibling advanced_query_negation stayed in-window for that family),
     # then the remaining r9-evidence rows (dsir_select first), the r10
     # rows, the rows-only geometry row, and the r11/r12-fresh
-    # displacements last:
+    # displacements last. geojson_scan joined the displaced set for the
+    # r12 video query (its source untouched since r8):
+    "geojson_scan",
     "merge_upsert",
     "advanced_query_or_bounds",
     "approx_percentile_bound",

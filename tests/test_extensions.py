@@ -262,6 +262,8 @@ class TestDriverOrder:
             "multimodal_decode_jpeg",
             # NEW in r12 (third leg): perceptual-hash image dedup
             "dedup_image_ahash",
+            # NEW in r12 (fourth leg): real Motion-JPEG AVI video decode
+            "multimodal_video_frames",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

@@ -262,6 +262,9 @@ LADDER = [
     # r12: perceptual-hash image dedup — map-only encode/decode/hash,
     # ONE shuffle (the 64-bit-hash groupBy), dedup_exact's profile
     "dedup_image_ahash",
+    # r12: real MJPEG-AVI video decode + frame sampling — map-only,
+    # per-frame entropy decode is the honest cost
+    "multimodal_video_frames",
 ]
 
 
