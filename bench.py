@@ -192,6 +192,8 @@ HEADLINE = [
     "dedup_image_ahash",
     # r12: real video — MJPEG AVI container + per-frame JPEG decode
     "multimodal_video_frames",
+    # r12: 2:1 PCM resample over decoded WAV
+    "multimodal_audio_resample",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

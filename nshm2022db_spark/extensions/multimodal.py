@@ -3249,3 +3249,111 @@ def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
         F.round("mean_px", 6).alias("mean_px"),
         "wsum",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio resample (r12): 2:1 box decimation over REALLY-decoded PCM —
+# the sample-rate-normalization step of an audio training pipeline.
+# Output sample j = floor((s[2j] + s[2j+1]) / 2), computed via a
+# shifted non-negative division ((a + b + 131072) // 2 - 65536) so
+# Spark/NumPy and DuckDB agree exactly regardless of each engine's
+# negative-division convention (int16 sums are >= -131072).
+# ---------------------------------------------------------------------------
+
+
+def _resample_2to1(s: np.ndarray) -> np.ndarray:
+    n2 = len(s) // 2
+    a = s[: 2 * n2 : 2].astype(np.int64)
+    b = s[1 : 2 * n2 : 2].astype(np.int64)
+    return (a + b + 131072) // 2 - 65536
+
+
+def _resample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for mid, blob in zip(pdf["media_id"], pdf["media"]):
+            rate, s = decode_wav(bytes(blob))
+            r = _resample_2to1(s)
+            i = np.arange(len(r))
+            out.append(
+                (
+                    int(mid), rate, rate // 2, len(s), len(r),
+                    float(np.abs(r).mean()),
+                    int((i * r).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "media_id", "rate_in", "rate_out", "n_in", "n_out",
+                "mean_abs", "wsum",
+            ],
+        )
+
+
+@register(
+    "multimodal_audio_resample",
+    f"""WITH audio AS (
+            SELECT doc_id AS media_id,
+                   {_WAV_N.replace('media_id', 'doc_id')} AS n,
+                   doc_id % 256 AS seed
+            FROM documents WHERE doc_id % 3 = 1),
+        idx AS (SELECT media_id, n, seed,
+                       unnest(range(0, n // 2)) AS j
+                FROM audio),
+        pairs AS (SELECT media_id, n, j,
+                         ({_WAV_SAMPLE.replace('i', '(2 * j)')}) AS a,
+                         ({_WAV_SAMPLE.replace('i', '(2 * j + 1)')}) AS b
+                  FROM idx),
+        res AS (SELECT media_id, n, j,
+                       (a + b + 131072) // 2 - 65536 AS s
+                FROM pairs)
+        SELECT media_id,
+               {SAMPLE_RATE} AS rate_in,
+               {SAMPLE_RATE // 2} AS rate_out,
+               MAX(n) AS n_in,
+               COUNT(*) AS n_out,
+               ROUND(AVG(ABS(s)), 6) AS mean_abs,
+               CAST(SUM(j * s) AS BIGINT) AS wsum
+        FROM res GROUP BY media_id""",
+)
+def multimodal_audio_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio resampling (r12): audio documents become actual PCM16
+    WAVs, the decode stage parses them back (RIFF chunk walk) and
+    2:1 box-decimates the samples — the rate-normalization primitive of
+    an audio training pipeline. The division is shifted non-negative so
+    both engines floor identically; the index-weighted checksum pins
+    every output sample's position and value. Two chained map-only
+    mapInPandas stages, zero shuffles — scan-shaped at any scale."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": [
+                        encode_wav(_wav_samples(int(m)), SAMPLE_RATE)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    ids = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    res = ids.mapInPandas(
+        encode_batches, "media_id long, media binary"
+    ).mapInPandas(
+        _resample_batches,
+        "media_id long, rate_in int, rate_out int, n_in long, "
+        "n_out long, mean_abs double, wsum long",
+    )
+    return res.select(
+        "media_id", "rate_in", "rate_out", "n_in", "n_out",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "wsum",
+    )

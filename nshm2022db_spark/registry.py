@@ -206,6 +206,7 @@ _DRIVER_ORDER = [
     # (a4) NEW in r12 (fourth leg): REAL video — Motion-JPEG AVI
     #     container walk + per-frame JPEG decode + frame sampling:
     "multimodal_video_frames",
+    "multimodal_audio_resample",
     "table_changes_typed",
     "cdc_apply_typed",
     "stream_table_changes_typed",
@@ -249,7 +250,6 @@ _DRIVER_ORDER = [
     "weighted_branch_merge",
     "join_dim_hierarchy",
     "join_5way_agg",
-    "csv_scan_join",
     "ragged_csv_roundtrip",
     "advanced_query_negation",
     # --- 50-query window boundary (driver gate cap observed r01-r11) ---
@@ -263,8 +263,10 @@ _DRIVER_ORDER = [
     # then the remaining r9-evidence rows (dsir_select first), the r10
     # rows, the rows-only geometry row, and the r11/r12-fresh
     # displacements last. geojson_scan joined the displaced set for the
-    # r12 video query (its source untouched since r8):
+    # r12 video query (its source untouched since r8), as did
+    # csv_scan_join for the audio-resample query:
     "geojson_scan",
+    "csv_scan_join",
     "merge_upsert",
     "advanced_query_or_bounds",
     "approx_percentile_bound",

@@ -264,6 +264,8 @@ class TestDriverOrder:
             "dedup_image_ahash",
             # NEW in r12 (fourth leg): real Motion-JPEG AVI video decode
             "multimodal_video_frames",
+            # NEW in r12 (fifth leg): 2:1 PCM resample over decoded WAV
+            "multimodal_audio_resample",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

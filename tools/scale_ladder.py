@@ -265,6 +265,8 @@ LADDER = [
     # r12: real MJPEG-AVI video decode + frame sampling — map-only,
     # per-frame entropy decode is the honest cost
     "multimodal_video_frames",
+    # r12: 2:1 PCM box decimation over decoded WAV — map-only
+    "multimodal_audio_resample",
 ]
 
 
