@@ -1167,7 +1167,7 @@ _AC_BITS_PROG[7] = len(_AC_SYMS_PROG)
 
 def _enc_ac_first(bw: _BitWriter, blocks, ss, se, al, ac_enc) -> None:
     """Progressive AC initial scan over one component's blocks (T.81
-    G.1.2.2 / the reference encoder's algorithm): point-transformed
+    G.1.2.2's flowchart): point-transformed
     band coefficients with ZRL runs, EOB runs accumulated across empty
     band-ends and flushed as EOBn symbols."""
     eobrun = 0
@@ -1217,8 +1217,8 @@ def _enc_ac_first(bw: _BitWriter, blocks, ss, se, al, ac_enc) -> None:
 def _enc_ac_refine(bw: _BitWriter, blocks, ss, se, al, ac_enc) -> None:
     """Progressive AC refinement scan (T.81 G.1.2.3): correction bits
     for already-nonzero coefficients buffered and interleaved with
-    newly-significant ±1 symbols and EOB runs, mirroring the reference
-    encoder's BR/BE buffering exactly."""
+    newly-significant ±1 symbols and EOB runs, the standard
+    correction-bit buffering (T.81 G.1.2.3)."""
     eobrun = 0
     be: list[int] = []  # correction bits pending behind the EOB run
 
