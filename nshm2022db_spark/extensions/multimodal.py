@@ -273,6 +273,8 @@ def _bmp_rle_decode(
     end-of-line, end-of-bitmap, and delta (dx, dy position jump).
     Undefined pixels (skipped by EOL/delta/EOB) stay 0 per the format's
     convention. The scan is O(compressed bytes)."""
+    if h * w > 1 << 28:  # ValueError contract, not a MemoryError
+        raise ValueError("implausible RLE BMP dimensions")
     out = np.zeros((h, w), np.uint8)
     pos, x, y = pixoff, 0, 0
     while pos + 1 < len(data):
@@ -767,19 +769,23 @@ def decode_png(data: bytes) -> np.ndarray:
     s = _PNG_SAMPLES[ctype_n]
     bpp = _png_bytes_pp(depth, s)
     raw = zlib.decompress(b"".join(idat))
+    # validate the FULL expected payload length before allocating the
+    # sample grid — a crafted IHDR with absurd dims must fail with the
+    # ValueError contract, not a MemoryError at np.zeros
+    passes = list(_png_pass_dims(w, h, bool(interlace)))
+    expected = sum(
+        ph * (1 + (pw * depth * s + 7) // 8) for *_, pw, ph in passes
+    )
+    if expected != len(raw):
+        raise ValueError("PNG pixel payload size mismatch")
     dtype = np.uint16 if depth == 16 else np.uint8
     samples = np.zeros((h, w, s), dtype)
     off = 0
-    for x0, y0, dx, dy, pw, ph in _png_pass_dims(w, h, bool(interlace)):
+    for x0, y0, dx, dy, pw, ph in passes:
         rowbytes = (pw * depth * s + 7) // 8
-        need = ph * (1 + rowbytes)
-        if off + need > len(raw):
-            raise ValueError("PNG pixel payload size mismatch")
         rows = _unfilter_rows(raw, off, ph, rowbytes, bpp)
         samples[y0::dy, x0::dx] = _deserialize_samples(rows, pw, s, depth)
-        off += need
-    if off != len(raw):
-        raise ValueError("PNG pixel payload size mismatch")
+        off += ph * (1 + rowbytes)
     if ctype_n == 3:
         pal = np.frombuffer(plte, np.uint8)
         if len(pal) % 3:
@@ -1771,6 +1777,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             precision = prec
+            if h * w > 1 << 28:  # ValueError contract, not MemoryError
+                raise ValueError("implausible JPEG dimensions")
             sof = (h, w, comps)
             geom = (mcux, mcuy, hmax, vmax)
             # per-component MCU-padded coefficient store, ZIGZAG order
@@ -3090,14 +3098,16 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, list[np.ndarray]]:
         raise ValueError("not a RIFF/AVI file")
     fps, declared, frames = None, None, []
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
         nonlocal fps, declared
+        if depth > 32:  # ValueError contract, not a RecursionError
+            raise ValueError("AVI LIST nesting too deep")
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             (size,) = struct.unpack_from("<I", data, pos + 4)
             body = pos + 8
             if cid == b"LIST":
-                walk(body + 4, body + size)  # past the list kind fourcc
+                walk(body + 4, body + size, depth + 1)  # past the kind
             elif cid == b"avih":
                 declared = struct.unpack_from("<I", data, body + 16)[0]
             elif cid == b"strh" and data[body : body + 4] == b"vids":

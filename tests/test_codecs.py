@@ -688,3 +688,52 @@ class TestAVIMJPEG:
         assert frames is not None
         _, out = decode_avi_mjpeg(encode_avi_mjpeg(frames))
         assert len(out) == 3  # walk stayed aligned through odd chunks
+
+
+class TestMalformedInputHardening:
+    """r12 hardening sweep: crafted headers with absurd dimensions or
+    pathological nesting must fail with the ValueError contract
+    decode_image_real's fallback catches — never MemoryError (huge
+    allocation before any payload check) or RecursionError."""
+
+    def test_png_absurd_dims_valueerror_before_alloc(self):
+        import zlib
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        bad = sig + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2**24, 2**24, 8, 2, 0, 0, 0)
+        ) + chunk(b"IDAT", zlib.compress(bytes(10))) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="payload size"):
+            decode_png(bad)
+
+    def test_jpeg_absurd_dims_valueerror(self):
+        data = bytearray(encode_jpeg(_jpeg_pixels(1)))
+        sof = bytes(data).find(b"\xff\xc0")
+        struct.pack_into(">HH", data, sof + 5, 60000, 60000)
+        with pytest.raises(ValueError, match="implausible"):
+            decode_jpeg(bytes(data))
+
+    def test_rle_bmp_absurd_dims_valueerror(self):
+        from nshm2022db_spark.extensions.multimodal import _bmp_assemble
+
+        pal = np.zeros((256, 3), np.uint8)
+        blob = bytearray(_bmp_assemble(4, 3, 8, 1, b"\x00\x01", pal))
+        struct.pack_into("<ii", blob, 18, 2**20, 2**20)
+        with pytest.raises(ValueError, match="implausible"):
+            decode_bmp(bytes(blob))
+
+    def test_avi_deep_nesting_valueerror(self):
+        from nshm2022db_spark.extensions.multimodal import decode_avi_mjpeg
+
+        deep = b""
+        for _ in range(40):
+            deep = b"LIST" + struct.pack("<I", len(deep) + 4) + b"xxxx" + deep
+        avi = b"RIFF" + struct.pack("<I", 4 + len(deep)) + b"AVI " + deep
+        with pytest.raises(ValueError, match="nesting too deep"):
+            decode_avi_mjpeg(avi)
