@@ -194,6 +194,8 @@ HEADLINE = [
     "multimodal_video_frames",
     # r12: 2:1 PCM resample over decoded WAV
     "multimodal_audio_resample",
+    # r12: product-quantized ANN with ADC + exact rescore
+    "knn_pq_adc",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from nshm2022db_spark.functions.portable import (
     duck_dot,
     duck_hyperplane_dot,
+    duck_sqdist,
     spark_dot,
     spark_hyperplane_dot,
 )
@@ -1102,3 +1103,229 @@ def knn_index_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return _ivf_probe_and_rank(emb, cents, lists_for)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + ADC (r12): the 100 TB ANN memory play beyond
+# scalar int8 — vectors become m-subspace codebook indices (here m=8
+# subspaces x 16 centroids = 8 bytes/vector vs 256 for float32), and
+# query-to-vector distance is estimated by Asymmetric Distance
+# Computation: a per-query lookup table of query-subvector-to-centroid
+# distances, summed over the code. Codebook = the first 16 vectors'
+# subvectors (deterministic; quality is the overfetch+rescore's job,
+# exactly as in knn_quantized). Every float path uses ONE fold order —
+# sequential NumPy float64 == duck_sqdist's list fold == the Spark
+# aggregate — so the oracle pins the ADC ranking bit-for-bit.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8           # subspaces (DIM 64 -> sub-dim 8)
+PQ_K = 16          # centroids per subspace (4-bit codes)
+PQ_SUB = DIM // PQ_M
+PQ_OVERFETCH = 4   # ADC stage keeps K * this candidates per query
+
+
+def _pq_codebook(spark: SparkSession, sf: str) -> "np.ndarray":
+    """(m, k, sub) float64 codebook from the first PQ_K vectors —
+    a bounded driver-side collect (16 rows), the same budget class as
+    the IVF centroid cache."""
+    import numpy as np
+
+    rows = (
+        read_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cb = np.array([r.embedding for r in rows], np.float64)  # (k, DIM)
+    return cb.reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2)
+
+
+def _pq_sqdists(V: "np.ndarray", cb: "np.ndarray") -> "np.ndarray":
+    """(n, m, k) sub-distances with the portable fold's exact op order:
+    per-element (x - y)^2 then a SEQUENTIAL sum over the sub-dim (NumPy
+    reduces a length-8 contiguous axis left-to-right, the same IEEE op
+    sequence as duck_sqdist's fold)."""
+    import numpy as np
+
+    sub = V.reshape(len(V), PQ_M, 1, PQ_SUB)
+    return ((sub - cb[None]) ** 2).sum(-1)
+
+
+_PQ_ORACLE = f"""WITH subs AS (
+        SELECT vec_id, j,
+               list_slice(embedding, j * {PQ_SUB} + 1,
+                          j * {PQ_SUB} + {PQ_SUB}) AS sub
+        FROM (SELECT vec_id, embedding,
+                     unnest(range(0, {PQ_M})) AS j
+              FROM embeddings)),
+    cb AS (SELECT j, vec_id AS c, sub AS cent
+           FROM subs WHERE vec_id < {PQ_K}),
+    dists AS (
+        SELECT s.vec_id, s.j, cb.c,
+               {duck_sqdist('s.sub', 'cb.cent')} AS d
+        FROM subs s JOIN cb ON cb.j = s.j),
+    codes AS (
+        SELECT vec_id, j, c AS code, d
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                           ORDER BY d, c) AS rk
+              FROM dists)
+        WHERE rk = 1),
+    adcj AS (
+        SELECT qd.vec_id AS query_id, co.vec_id AS neighbor_id,
+               qd.j, qd.d
+        FROM dists qd
+        JOIN codes co ON co.j = qd.j AND co.code = qd.c
+        WHERE qd.vec_id < {N_QUERIES} AND co.vec_id <> qd.vec_id),
+    adcp AS (
+        SELECT query_id, neighbor_id,
+               {', '.join(f"MAX(CASE WHEN j = {j} THEN d END) AS d{j}"
+                          for j in range(PQ_M))}
+        FROM adcj GROUP BY query_id, neighbor_id),
+    adcv AS (SELECT query_id, neighbor_id,
+                    {'(' * (PQ_M - 1)}d0{''.join(f" + d{j})" for j in range(1, PQ_M))}
+                        AS adc
+             FROM adcp),
+    cand AS (
+        SELECT query_id, neighbor_id, adc
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY adc, neighbor_id)
+                           AS ark
+              FROM adcv)
+        WHERE ark <= {KNN_K * PQ_OVERFETCH}),
+    nv AS (SELECT vec_id, embedding,
+                  sqrt({duck_dot('embedding', 'embedding')}) AS enorm
+           FROM embeddings),
+    rescored AS (
+        SELECT c.query_id, c.neighbor_id, c.adc,
+               {duck_dot('q.embedding', 'e.embedding')}
+                   / (q.enorm * e.enorm) AS cos
+        FROM cand c
+        JOIN nv e ON e.vec_id = c.neighbor_id
+        JOIN nv q ON q.vec_id = c.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM rescored)
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos,
+           ROUND(adc, 6) AS adc, rank
+    FROM ranked WHERE rank <= {KNN_K}"""
+
+
+@register("knn_pq_adc", _PQ_ORACLE)
+def knn_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized ANN with Asymmetric Distance Computation and
+    exact rescore — the memory play past int8 (knn_quantized): each
+    vector is encoded DISTRIBUTED (an Arrow-batched mapInPandas argmin
+    over the broadcast 16x8x8 codebook) into 8 four-bit codes, 32x
+    smaller than float32. Query time builds a per-query 8x16 lookup
+    table of query-subvector-to-centroid distances driver-side (40
+    bounded rows), broadcasts it, and the candidate scan is ONE
+    JVM-side fold per (query, vector): sum over subspaces of
+    LUT[j][code_j] — no float vectors move. Top K*{PQ_OVERFETCH}
+    candidates per query are rescored with the full-precision cosine
+    (vectors fetched BY ID, the production ANN-store shape shared with
+    knn_quantized). Emitting both `cos` (exact) and `adc` (the PQ
+    estimate) makes the quantization error oracle-observable. All
+    distance arithmetic shares one fold order (portable.spark/
+    duck_sqdist == sequential NumPy float64), so DuckDB pins the codes,
+    the ADC ranking, and the final top-k bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    cb = _pq_codebook(spark, sf)
+    emb = _with_norm(read_table(spark, sf, "embeddings"), "embedding", "enorm")
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "codes": []})
+                continue
+            V = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            codes = _pq_sqdists(V, cb).argmin(-1)  # ties -> lowest c
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": [c.astype(np.int32) for c in codes],
+                }
+            )
+
+    coded = read_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding"
+    ).mapInPandas(encode, "vec_id long, codes array<int>")
+    # per-query LUTs: 5 queries x 8 subspaces x 16 centroids, computed
+    # driver-side with the same sequential-fold NumPy ops
+    qrows = (
+        read_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    Q = np.array([r.embedding for r in qrows], np.float64)
+    luts = _pq_sqdists(Q, cb)  # (nq, m, k)
+    lut_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(r.vec_id), [[float(v) for v in row] for row in luts[i]])
+                for i, r in enumerate(qrows)
+            ],
+            "query_id long, lut array<array<double>>",
+        )
+    )
+    adc_expr = (
+        "aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = (
+        coded.join(lut_df, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(adc_expr).alias("adc"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= KNN_K * PQ_OVERFETCH)
+        .select("query_id", "neighbor_id", "adc")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("enorm").alias("qnorm"),
+        )
+    )
+    rescored = (
+        emb.select("vec_id", "embedding", "enorm")
+        .join(F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id"))
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            (
+                F.expr(spark_dot("qe", "embedding"))
+                / (F.col("qnorm") * F.col("enorm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos"), 6).alias("cos"),
+            F.round(F.col("adc"), 6).alias("adc"),
+            "rank",
+        )
+    )

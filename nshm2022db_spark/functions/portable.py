@@ -212,3 +212,24 @@ def minhash_params(k: int) -> list[tuple[int, int, int]]:
         b = state % P
         params.append((i, a, b))
     return params
+
+
+def spark_sqdist(a: str, b: str) -> str:
+    """Squared L2 distance with the SAME left-to-right fold order as
+    duck_sqdist (and as a sequential NumPy subtract-square-sum in
+    float64) — the PQ encode/ADC primitive (r12)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def duck_sqdist(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+        f"* ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), (acc, v) -> acc + v)"
+    )

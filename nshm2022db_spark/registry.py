@@ -207,6 +207,9 @@ _DRIVER_ORDER = [
     #     container walk + per-frame JPEG decode + frame sampling:
     "multimodal_video_frames",
     "multimodal_audio_resample",
+    # (a6) NEW in r12 (sixth leg): product-quantized ANN with ADC +
+    #     exact rescore (the memory play past int8):
+    "knn_pq_adc",
     "table_changes_typed",
     "cdc_apply_typed",
     "stream_table_changes_typed",
@@ -250,7 +253,6 @@ _DRIVER_ORDER = [
     "weighted_branch_merge",
     "join_dim_hierarchy",
     "join_5way_agg",
-    "ragged_csv_roundtrip",
     "advanced_query_negation",
     # --- 50-query window boundary (driver gate cap observed r01-r11) ---
     # Tail head — FIRST PRIORITY for the round-13 window: the five rows
@@ -264,9 +266,11 @@ _DRIVER_ORDER = [
     # rows, the rows-only geometry row, and the r11/r12-fresh
     # displacements last. geojson_scan joined the displaced set for the
     # r12 video query (its source untouched since r8), as did
-    # csv_scan_join for the audio-resample query:
+    # csv_scan_join for the audio-resample query and
+    # ragged_csv_roundtrip for knn_pq_adc:
     "geojson_scan",
     "csv_scan_join",
+    "ragged_csv_roundtrip",
     "merge_upsert",
     "advanced_query_or_bounds",
     "approx_percentile_bound",

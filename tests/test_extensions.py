@@ -51,6 +51,38 @@ class TestPortablePrimitives:
             ).fetchone()[0]
             assert sv == dv, s
 
+    def test_sqdist_fold_bitwise_identical(self, spark):
+        """r12 (PQ): the squared-distance fold must agree bit-for-bit
+        across Spark, DuckDB, and the sequential NumPy sum the PQ
+        encoder uses."""
+        import duckdb as ddb
+        import numpy as np
+
+        from nshm2022db_spark.functions.portable import (
+            duck_sqdist,
+            spark_sqdist,
+        )
+
+        con = ddb.connect()
+        a = [0.1, -2.5, 3.375, 1e-7, 42.0, -1e5, 0.0, 7.25]
+        b = [2.5, 0.125, -1.0, 1e7, -42.0, 1e-9, 3.0, -7.25]
+        sv = spark.range(1).select(
+            F.expr(
+                spark_sqdist(
+                    f"array({','.join(map(str, a))})",
+                    f"array({','.join(map(str, b))})",
+                )
+            ).alias("d")
+        ).collect()[0].d
+        dv = con.sql(
+            f"SELECT {duck_sqdist(f'[{str(a)[1:-1]}]', f'[{str(b)[1:-1]}]')} AS d"
+        ).fetchone()[0]
+        aa, bb = np.array(a, np.float64), np.array(b, np.float64)
+        s = 0.0
+        for x, y in zip(aa, bb):
+            s += (x - y) * (x - y)
+        assert sv == dv == s
+
     def test_dot_fold_bitwise_identical(self, spark):
         con = duckdb.connect()
         a = [0.1, -0.25, 3.375, 1e-7]
@@ -266,6 +298,8 @@ class TestDriverOrder:
             "multimodal_video_frames",
             # NEW in r12 (fifth leg): 2:1 PCM resample over decoded WAV
             "multimodal_audio_resample",
+            # NEW in r12 (sixth leg): product-quantized ANN (ADC)
+            "knn_pq_adc",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

@@ -441,6 +441,17 @@ class TestR12CodecQueryPlans:
         # formatted explain names nodes twice (tree + detail)
         assert plan.count("MapInPandas") == 4  # encode + decode stages
 
+    def test_pq_adc_scan_broadcasts_luts(self, spark, sf_dir):
+        """r12 (PQ): the ADC candidate stage must be a broadcast
+        nested-loop against the 5-row LUT relation — the code scan
+        never shuffles, and no float vectors move through the window
+        exchange (codes + adc only)."""
+        from nshm2022db_spark.extensions.similarity import knn_pq_adc
+
+        plan = _plan(knn_pq_adc(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+
     def test_image_ahash_single_hash_exchange(self, spark, sf_dir):
         from nshm2022db_spark.extensions.multimodal import dedup_image_ahash
 

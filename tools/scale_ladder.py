@@ -267,6 +267,10 @@ LADDER = [
     "multimodal_video_frames",
     # r12: 2:1 PCM box decimation over decoded WAV — map-only
     "multimodal_audio_resample",
+    # r12: PQ encode (map-only argmin over the broadcast codebook) +
+    # ADC candidate scan (one fold per pair, no float vectors moved) +
+    # by-id rescore — the knn_quantized scale profile at 32x compression
+    "knn_pq_adc",
 ]
 
 
