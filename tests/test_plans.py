@@ -426,8 +426,8 @@ class TestRound9Plans:
         assert "CartesianProduct" not in plan
 
 
-class TestR12CodecQueryPlans:
-    """r12: the codec-corpus queries must keep their scale shapes —
+class TestR12QueryPlans:
+    """r12: the new queries must keep their scale shapes —
     decode is map-only (chained mapInPandas, no exchange); the aHash
     dedup's ONLY shuffle is the final hash groupBy."""
 
