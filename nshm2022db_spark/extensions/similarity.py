@@ -1143,13 +1143,19 @@ def _pq_codebook(spark: SparkSession, sf: str) -> "np.ndarray":
 
 def _pq_sqdists(V: "np.ndarray", cb: "np.ndarray") -> "np.ndarray":
     """(n, m, k) sub-distances with the portable fold's exact op order:
-    per-element (x - y)^2 then a SEQUENTIAL sum over the sub-dim (NumPy
-    reduces a length-8 contiguous axis left-to-right, the same IEEE op
-    sequence as duck_sqdist's fold)."""
-    import numpy as np
-
+    per-element (x - y)^2 then an EXPLICIT left-to-right accumulation
+    over the sub-dim. np.sum would NOT do: NumPy's pairwise reduction
+    reorders even a length-8 axis ((t0+t4)+(t1+t5)... under the 8-lane
+    unroll), drifting a last-ulp from duck_sqdist's sequential fold —
+    caught by the property test's explicit-fold probe. The vectorized
+    loop below is 8 array adds in index order, bit-identical to the
+    SQL fold and the Spark aggregate."""
     sub = V.reshape(len(V), PQ_M, 1, PQ_SUB)
-    return ((sub - cb[None]) ** 2).sum(-1)
+    t = (sub - cb[None]) ** 2  # (n, m, k, sub)
+    d = t[..., 0].copy()
+    for i in range(1, PQ_SUB):
+        d = d + t[..., i]
+    return d
 
 
 _PQ_ORACLE = f"""WITH subs AS (

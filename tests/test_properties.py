@@ -678,3 +678,65 @@ class TestProgressiveScanCodecLaws:
         for i in range(2):
             eob = _ac_refine_block(br2, ac_dec, got[i], ss, se, 0, eob)
         assert np.array_equal(got, blocks)
+
+
+class TestAVIAndPQLaws:
+    """r12 final sweep: randomized laws for the AVI container and the
+    PQ encode/ADC invariants."""
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        nframes=st.integers(1, 6),
+        w=st.integers(1, 5), h=st.integers(1, 4),
+        fps=st.integers(1, 60),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_avi_mjpeg_frame_count_and_fps_roundtrip(
+        self, nframes, w, h, fps, seed
+    ):
+        """Any frame stack round-trips through the container with the
+        frame COUNT and fps exact; pixel content is within the JPEG
+        tolerance of a direct encode/decode of the same frame."""
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_avi_mjpeg, decode_jpeg, encode_avi_mjpeg, encode_jpeg,
+        )
+
+        rng = np.random.RandomState(seed % 2**32)
+        frames = [
+            rng.randint(0, 256, (h * 8, w * 8)).astype(np.uint8)
+            for _ in range(nframes)
+        ]
+        got_fps, out = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps))
+        assert got_fps == fps and len(out) == nframes
+        for f, o in zip(frames, out):
+            direct = decode_jpeg(encode_jpeg(f))
+            assert np.array_equal(o, direct)  # container adds NOTHING
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(17, 60),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_pq_encode_invariants(self, n, seed):
+        """Codes are in range, a codebook vector encodes to ITSELF
+        (zero distance to its own subvectors), and the sequential
+        sub-distance matches an explicit Python fold."""
+        from nshm2022db_spark.extensions.similarity import (
+            PQ_K, PQ_M, PQ_SUB, _pq_sqdists,
+        )
+
+        rng = np.random.RandomState(seed % 2**32)
+        V = rng.randn(n, PQ_M * PQ_SUB)
+        cb = V[:PQ_K].reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2)
+        d = _pq_sqdists(V, cb)
+        codes = d.argmin(-1)
+        assert codes.min() >= 0 and codes.max() < PQ_K
+        # codebook rows encode to their own index in every subspace
+        for c in range(PQ_K):
+            assert (codes[c] == c).all()
+        # sequential-fold agreement at one probed cell
+        i, j, c = n - 1, PQ_M - 1, PQ_K - 1
+        s = 0.0
+        for x, y in zip(V[i, j * PQ_SUB:(j + 1) * PQ_SUB], cb[j, c]):
+            s += (x - y) * (x - y)
+        assert d[i, j, c] == s
