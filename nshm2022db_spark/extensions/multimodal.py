@@ -38,7 +38,9 @@ off the driver. Frame sampling is pure column math (codegen, no Python).
 
 from __future__ import annotations
 
+import functools
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -61,6 +63,23 @@ except ImportError:
 # ---------------------------------------------------------------------------
 # Pure-NumPy uncompressed codecs (no external deps).
 # ---------------------------------------------------------------------------
+
+def _decode_boundary(fn):
+    """Converge every parse failure on malformed media to the
+    ValueError contract decode_image_real's fallback tier catches —
+    a truncated header otherwise escapes as struct.error, a short
+    RLE/entropy stream as IndexError, a corrupt DEFLATE as zlib.error
+    (r12 review: fuzzing surfaced all three)."""
+
+    @functools.wraps(fn)
+    def wrap(*a, **k):
+        try:
+            return fn(*a, **k)
+        except (struct.error, IndexError, zlib.error) as e:
+            raise ValueError(f"malformed media stream: {e}") from e
+
+    return wrap
+
 
 _BMP_HEADER = "<2sIHHI"  # magic, file size, 2x reserved, pixel offset
 _BMP_INFO = "<IiiHHIIiiII"  # BITMAPINFOHEADER
@@ -295,6 +314,8 @@ def _bmp_rle_decode(
         elif v == 1:  # end of bitmap
             break
         elif v == 2:  # delta jump
+            if pos + 1 >= len(data):
+                raise ValueError("truncated RLE delta escape")
             x += data[pos]
             y += data[pos + 1]
             pos += 2
@@ -325,6 +346,7 @@ def _mask_shift_width(mask: int) -> tuple[int, int]:
     return shift, mask >> shift
 
 
+@_decode_boundary
 def decode_bmp(data: bytes) -> np.ndarray:
     """Decode a BMP to an (h, w, 3) uint8 RGB array — every common
     variant, pure struct + NumPy (r12, VERDICT r11 missing #3's BMP
@@ -350,10 +372,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("BMP palette index out of range")
         return pal[idx]
-    if comp == 3:  # BI_BITFIELDS: 3 DWORD masks follow the info header
+    if comp == 3:  # BI_BITFIELDS
         if bpp not in (16, 32):
             raise ValueError("BI_BITFIELDS requires 16/32-bit pixels")
-        rmask, gmask, bmask = struct.unpack_from("<III", data, 14 + info_size)
+        # the three DWORD masks sit right after the 40-byte core fields
+        # in EVERY layout: appended for biSize=40, embedded as the
+        # bV4*Mask fields for V2/V3/V4/V5 — file offset 54 either way
+        # (r12 review: reading at 14+biSize returned pixel bytes as
+        # masks for V4-header files and decoded silently wrong colors)
+        rmask, gmask, bmask = struct.unpack_from("<III", data, 14 + 40)
     elif comp == 0:
         rmask = gmask = bmask = 0
     else:
@@ -705,6 +732,7 @@ _PNG_DEPTHS = {
 }
 
 
+@_decode_boundary
 def decode_png(data: bytes) -> np.ndarray:
     """Decode ANY legal PNG variant to a NumPy array — pure stdlib zlib
     + NumPy, no codec library: chunk walk with per-chunk CRC
@@ -768,15 +796,19 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("palette PNG missing PLTE chunk")
     s = _PNG_SAMPLES[ctype_n]
     bpp = _png_bytes_pp(depth, s)
-    raw = zlib.decompress(b"".join(idat))
-    # validate the FULL expected payload length before allocating the
-    # sample grid — a crafted IHDR with absurd dims must fail with the
-    # ValueError contract, not a MemoryError at np.zeros
+    # compute the FULL expected payload length BEFORE inflating and cap
+    # the inflate at it — a high-ratio DEFLATE bomb must not materialize
+    # gigabytes before the size check (r12 review), and a crafted IHDR
+    # with absurd dims must fail with ValueError, not MemoryError
     passes = list(_png_pass_dims(w, h, bool(interlace)))
     expected = sum(
         ph * (1 + (pw * depth * s + 7) // 8) for *_, pw, ph in passes
     )
-    if expected != len(raw):
+    if expected > 1 << 30:
+        raise ValueError("implausible PNG dimensions")
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected or dec.unconsumed_tail:
         raise ValueError("PNG pixel payload size mismatch")
     dtype = np.uint16 if depth == 16 else np.uint8
     samples = np.zeros((h, w, s), dtype)
@@ -865,9 +897,6 @@ _DC_BITS = [0] * 16
 _DC_BITS[3] = 12  # 12 codes of length 4 (index 3 = length 4)
 _AC_BITS = [0] * 16
 _AC_BITS[7] = 162  # 162 codes of length 8
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=64)
@@ -1019,6 +1048,24 @@ def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
     ).astype(np.int64)
 
 
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    """One marker segment: 2-byte marker + 2-byte length + body
+    (shared by both encoders so a layout change cannot desync the
+    progressive==baseline bit-identity law)."""
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_dqt_segment() -> bytes:
+    """The quant table in zigzag order — single source for both the
+    baseline and progressive encoders."""
+    return _jpeg_seg(
+        0xFFDB,
+        bytes([0]) + bytes(
+            int(_JPEG_QTAB.reshape(64)[_ZIGZAG][i]) for i in range(64)
+        ),
+    )
+
+
 # 12-bit precision tables (T.81 extended sequential): DC categories
 # 0..15 (16 codes of length 5, Kraft 16/32), AC (run, size) with size
 # 1..14 plus EOB/ZRL (226 codes of length 8, Kraft 226/256).
@@ -1121,13 +1168,7 @@ def encode_jpeg(
                         )
             comps = [(1, 0x11, 0), (2, 0x11, 0), (3, 0x11, 0)]
     data = bw.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    qbody = bytes([0]) + bytes(
-        int(_JPEG_QTAB.reshape(64)[_ZIGZAG][i]) for i in range(64)
-    )
+    seg = _jpeg_seg
     sof_body = struct.pack(">BHHB", precision, h, w, len(comps)) + b"".join(
         struct.pack(">BBB", cid, samp, q) for cid, samp, q in comps
     )
@@ -1153,7 +1194,7 @@ def encode_jpeg(
     sof_marker = 0xFFC1 if precision == 12 else 0xFFC0
     return (
         b"\xff\xd8"
-        + seg(0xFFDB, qbody)
+        + _jpeg_dqt_segment()
         + seg(sof_marker, sof_body)
         + dht
         + dri
@@ -1347,8 +1388,7 @@ def encode_jpeg_progressive(
             for bx in range(cw):
                 yield zzc[cid][by, bx]
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
+    seg = _jpeg_seg
 
     def sos(scomps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
         body = bytes([len(scomps)]) + b"".join(
@@ -1357,12 +1397,7 @@ def encode_jpeg_progressive(
         return seg(0xFFDA, body)
 
     out = bytearray(b"\xff\xd8")
-    out += seg(
-        0xFFDB,
-        bytes([0]) + bytes(
-            int(_JPEG_QTAB.reshape(64)[_ZIGZAG][i]) for i in range(64)
-        ),
-    )
+    out += _jpeg_dqt_segment()
     out += seg(
         0xFFC2,
         struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
@@ -1698,6 +1733,7 @@ def _decode_scan_progressive(
             seen += 1
 
 
+@_decode_boundary
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline-sequential (SOF0/SOF1) OR progressive (SOF2)
     JPEG — 8-bit, Huffman, grayscale or YCbCr with any 1-2 sampling
@@ -1732,6 +1768,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2  # standalone markers carry no length
             continue
+        if pos + 4 > len(data):  # segment header truncated
+            raise ValueError("truncated JPEG segment")
         (length,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + length]
         pos += 2 + length
@@ -1768,6 +1806,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("12-bit precision is not legal baseline")
             if prec not in (8, 12):
                 raise ValueError("only 8/12-bit JPEG decodes natively")
+            if nc not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG supported")
             comps = []
             for i in range(nc):
                 cid, samp, qid = struct.unpack_from(">BBB", body, 6 + 3 * i)
@@ -3089,6 +3129,7 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_decode_boundary
 def decode_avi_mjpeg(data: bytes) -> tuple[int, list[np.ndarray]]:
     """Decode a Motion-JPEG AVI → (fps, frames): RIFF walk validating
     the AVI fourcc, stream-header scan for the 'vids' rate, then every
@@ -3123,10 +3164,12 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, list[np.ndarray]]:
         raise ValueError("no MJPEG frames in AVI")
     if declared is not None and declared != len(frames):
         raise ValueError("AVI frame count disagrees with avih header")
-    return fps or 0, frames
+    if not fps or fps <= 0:
+        raise ValueError("missing or invalid vids stream header")
+    return fps, frames
 
 
-# Video corpus: per media_id, n = 2 + id % 4 frames of block-constant
+# Video corpus: per media_id, n = 2 + id % 2 frames of block-constant
 # EVEN-valued gray (the DC-exact trick — the lossy per-frame JPEG
 # round-trips bit-exactly, so the oracle is closed-form), frame f's
 # block (bx, by) value:

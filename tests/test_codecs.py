@@ -709,7 +709,7 @@ class TestMalformedInputHardening:
         bad = sig + chunk(
             b"IHDR", struct.pack(">IIBBBBB", 2**24, 2**24, 8, 2, 0, 0, 0)
         ) + chunk(b"IDAT", zlib.compress(bytes(10))) + chunk(b"IEND", b"")
-        with pytest.raises(ValueError, match="payload size"):
+        with pytest.raises(ValueError, match="implausible|payload size"):
             decode_png(bad)
 
     def test_jpeg_absurd_dims_valueerror(self):
@@ -736,4 +736,122 @@ class TestMalformedInputHardening:
             deep = b"LIST" + struct.pack("<I", len(deep) + 4) + b"xxxx" + deep
         avi = b"RIFF" + struct.pack("<I", 4 + len(deep)) + b"AVI " + deep
         with pytest.raises(ValueError, match="nesting too deep"):
+            decode_avi_mjpeg(avi)
+
+
+class TestR12ReviewFindings:
+    """Regressions for the r12 post-landing review: V4-header mask
+    offset, the ValueError boundary on every decoder, the PNG inflate
+    cap, and the AVI fps guard."""
+
+    def test_bitfields_masks_read_from_v4_header(self):
+        """A 565 BMP with a 108-byte BITMAPV4HEADER must decode the
+        same pixels as the 40-byte-header file — the masks sit at file
+        offset 54 in BOTH layouts (the old code read them at
+        14+biSize, i.e. pixel data, and returned silently wrong
+        colors)."""
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+        blob = encode_bmp16(img, "565")
+        exp = decode_bmp(blob)
+        # rebuild with biSize=108: header + 68 extra zero bytes after
+        # the masks, pixel offset shifted accordingly
+        pixoff = struct.unpack_from("<I", blob, 10)[0]
+        masks = blob[54:66]
+        v4 = bytearray(blob[:14])
+        info = bytearray(blob[14:54])
+        struct.pack_into("<I", info, 0, 108)  # biSize
+        payload = blob[pixoff:]
+        new_pixoff = 14 + 108
+        struct.pack_into("<I", v4, 10, new_pixoff)
+        v4blob = bytes(v4) + bytes(info) + masks + bytes(108 - 40 - 12) + payload
+        assert np.array_equal(decode_bmp(v4blob), exp)
+
+    @pytest.mark.parametrize(
+        "blob",
+        [b"\xff\xd8\xff\xdb",              # truncated segment header
+         b"\xff\xd8\xff\xdb\x00\x40" + bytes(8),  # truncated body
+         b"\xff\xd8\xff\xc0\x00\x0b" + bytes(9)],  # short SOF
+    )
+    def test_truncated_jpeg_raises_valueerror(self, blob):
+        with pytest.raises(ValueError):
+            decode_jpeg(blob)
+
+    def test_two_component_jpeg_rejected(self):
+        data = bytearray(encode_jpeg(_jpeg_pixels(1)))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 9] = 2  # claim 2 components
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(data))
+
+    def test_png_inflate_capped_at_expected_payload(self):
+        """A 1x1 PNG whose IDAT inflates to far more than the expected
+        payload must be rejected without materializing the bomb."""
+        import zlib
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        bomb = zlib.compress(bytes(50_000_000))  # ~50 MB of zeros
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", bomb)
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="payload size"):
+            decode_png(blob)
+
+    def test_truncated_idat_zlib_error_becomes_valueerror(self):
+        import zlib
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        blob = encode_png(g)
+        # corrupt the deflate payload of the first IDAT (keep CRC valid
+        # by rebuilding the chunk)
+        i = blob.find(b"IDAT")
+        ln = struct.unpack_from(">I", blob, i - 4)[0]
+        body = bytearray(blob[i + 4 : i + 4 + ln])
+        body[2:] = body[2:][::-1]  # scramble past the zlib header
+        rebuilt = blob[: i - 4] + chunk(b"IDAT", bytes(body)) + blob[i + 8 + ln :]
+        with pytest.raises(ValueError):
+            decode_png(rebuilt)
+
+    def test_rle_truncated_delta_valueerror(self):
+        from nshm2022db_spark.extensions.multimodal import _bmp_assemble
+
+        pal = np.zeros((256, 3), np.uint8)
+        blob = _bmp_assemble(4, 3, 8, 1, b"\x00\x02", pal)  # delta, no operands
+        with pytest.raises(ValueError):
+            decode_bmp(blob)
+
+    def test_avi_missing_vids_header_valueerror(self):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_avi_mjpeg, encode_avi_mjpeg, _video_frames,
+        )
+
+        blob = bytearray(encode_avi_mjpeg(_video_frames(1)))
+        i = bytes(blob).find(b"strh") + 8
+        blob[i : i + 4] = b"auds"  # no video stream header remains
+        with pytest.raises(ValueError, match="vids"):
+            decode_avi_mjpeg(bytes(blob))
+
+    def test_truncated_avih_valueerror(self):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_avi_mjpeg,
+        )
+
+        deep = b"avih" + struct.pack("<I", 8) + bytes(8)  # too short
+        body = b"AVI " + b"LIST" + struct.pack("<I", 4 + len(deep)) + b"hdrl" + deep
+        avi = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError):
             decode_avi_mjpeg(avi)
