@@ -196,6 +196,8 @@ HEADLINE = [
     "multimodal_audio_resample",
     # r12: product-quantized ANN with ADC + exact rescore
     "knn_pq_adc",
+    # r12: real GIF decode (LZW, interlace, animation)
+    "multimodal_decode_gif",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -1925,6 +1925,13 @@ def decode_image_real(data: bytes) -> tuple[int, int, str]:
             # depths (BI_JPEG/BI_PNG embeddings) land here
             if not HAVE_PIL:
                 raise
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            frames, _ = decode_gif(data)
+            return frames[0].shape[1], frames[0].shape[0], "GIF"
+        except ValueError:
+            if not HAVE_PIL:
+                raise
     if data[:2] == b"\xff\xd8":
         try:
             img = decode_jpeg(data)
@@ -3408,5 +3415,368 @@ def multimodal_audio_resample(spark: SparkSession, sf: str) -> DataFrame:
     return res.select(
         "media_id", "rate_in", "rate_out", "n_in", "n_out",
         F.round("mean_abs", 6).alias("mean_abs"),
+        "wsum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF (r12): the remaining ubiquitous web-corpus image format — LZW
+# with variable code widths (LSB-first bit packing, clear/EOI codes,
+# 12-bit table cap with mid-stream resets), global color table, the
+# 4-pass GIF interlace, and multi-frame animation (GIF89a graphic
+# control extensions). Pure Python/NumPy, like the other codecs.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices: "np.ndarray", mcs: int) -> bytes:
+    """GIF-flavor LZW: emit CLEAR, then string codes with the width
+    growing as the table fills ('late change': width bumps when the
+    next free code hits 1<<width), resetting at 4096."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    put(clear, width)
+    data = indices.reshape(-1).tolist()
+    cur = data[0]
+    for k in data[1:]:
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+            continue
+        put(cur, width)
+        if next_code < 4096:
+            table[(cur, k)] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:  # table full: reset mid-stream
+            put(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = mcs + 1
+        cur = k
+    put(cur, width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n: int) -> "np.ndarray":
+    """Inverse of _gif_lzw_encode: returns exactly n palette indices.
+    Handles the code-equals-next 'KwKwK' case and mid-stream clears."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = acc = nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out = bytearray()
+    width = mcs + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while len(out) < n:
+        code = get(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        # the decoder's table lags the encoder by ONE entry (the first
+        # code after a clear appends nothing), so the width grows at
+        # (1<<width) - 1 — the classic LZW late-change off-by-one
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != n:
+        raise ValueError("GIF pixel count mismatch")
+    return np.frombuffer(bytes(out), np.uint8)
+
+
+def _gif_subblocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        part = payload[i : i + 255]
+        out.append(len(part))
+        out += part
+    out.append(0)
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start row, step)
+
+
+def _gif_interleave(indices: "np.ndarray") -> "np.ndarray":
+    rows = [indices[s::p] for s, p in _GIF_PASSES]
+    return np.concatenate(rows, axis=0)
+
+
+def _gif_deinterleave(rows: "np.ndarray", h: int) -> "np.ndarray":
+    out = np.empty_like(rows)
+    at = 0
+    for s, p in _GIF_PASSES:
+        cnt = len(range(s, h, p))
+        out[s::p] = rows[at : at + cnt]
+        at += cnt
+    return out
+
+
+def encode_gif(
+    frames: "list[np.ndarray] | np.ndarray", palette: "np.ndarray",
+    interlace: bool = False, delay_cs: int = 4,
+) -> bytes:
+    """Encode one (h, w) index grid — or a list of them for an animated
+    GIF89a — against an (n, 3) palette: logical screen descriptor,
+    global color table padded to a power of two, per-frame graphic
+    control extensions when animated, optional interlace, real LZW."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all frames must share one size")
+    nbits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << nbits, 3), np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(2, nbits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (nbits - 1), 0, 0)
+    out += table.tobytes()
+    for f in frames:
+        if int(f.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        if len(frames) > 1:  # graphic control extension per frame
+            out += b"\x21\xf9" + bytes([4]) + struct.pack(
+                "<BHB", 0, delay_cs, 0
+            ) + b"\x00"
+        out += b"," + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+        )
+        rows = _gif_interleave(f) if interlace else f
+        out.append(mcs)
+        out += _gif_subblocks(
+            _gif_lzw_encode(rows.astype(np.uint8), mcs)
+        )
+    out += b";"
+    return bytes(out)
+
+
+@_decode_boundary
+def decode_gif(data: bytes) -> "tuple[list[np.ndarray], int]":
+    """Decode a GIF87a/89a → (list of (h, w, 3) RGB frames, delay in
+    centiseconds): screen descriptor, global/local color tables, the
+    4-pass interlace, LZW with mid-stream clears, extension skipping,
+    multi-frame animation."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    w, h, packed, _, _ = struct.unpack_from("<HHBBB", data, 6)
+    if h * w > 1 << 28:
+        raise ValueError("implausible GIF dimensions")
+    pos = 13
+    gpal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gpal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    frames: list[np.ndarray] = []
+    delay = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: read delay from GCE, skip the rest
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] == 4:
+                delay = struct.unpack_from("<H", data, pos + 2)[0]
+            while data[pos] != 0:  # sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, fw, fh, ip = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        pal = gpal
+        if ip & 0x80:  # local color table
+            n = 2 << (ip & 0x07)
+            pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), mcs, fw * fh).reshape(fh, fw)
+        if ip & 0x40:
+            idx = _gif_deinterleave(idx, fh)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        frames.append(np.ascontiguousarray(pal[idx]))
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return frames, delay
+
+
+# GIF corpus: shared dims, 16-entry formula palette (the variants
+# query's closed-form palette), per-frame shifted index pattern,
+# alternating interlace, 1-3 frames (animated for nf > 1).
+_GIF_NF = "1 + media_id % 3"
+_GIF_IDX = "(x + 2 * y + 3 * f + seed) % 16"
+
+
+def _gif_media(mid: int) -> bytes:
+    nf = 1 + mid % 3
+    seed = mid % 256
+    w, h = 4 + mid % 13, 4 + (mid * 7) % 11
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.int64),
+                         np.arange(h, dtype=np.int64))
+    frames = [
+        ((xx + 2 * yy + 3 * f + seed) % 16).astype(np.uint8)
+        for f in range(nf)
+    ]
+    return encode_gif(
+        frames, _variant_palette(seed), interlace=(mid % 2 == 0)
+    )
+
+
+def _decode_gif_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for mid, blob in zip(pdf["media_id"], pdf["media"]):
+            frames, delay = decode_gif(bytes(blob))
+            h, w = frames[0].shape[:2]
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            tot, wsum = 0, 0
+            for f, img in enumerate(frames):
+                s = img.astype(np.int64).sum(-1)
+                tot += int(s.sum())
+                wsum += int(((xx + 2 * yy + 1) * s).sum()) * (f + 1)
+            out.append(
+                (
+                    int(mid), len(frames), w, h, delay,
+                    float(tot) / (len(frames) * h * w * 3),
+                    wsum,
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "media_id", "n_frames", "width", "height", "delay_cs",
+                "mean_v", "wsum",
+            ],
+        )
+
+
+@register(
+    "multimodal_decode_gif",
+    f"""WITH ids AS (
+            SELECT doc_id AS media_id,
+                   {_GIF_NF.replace('media_id', 'doc_id')} AS nf,
+                   doc_id % 256 AS seed,
+                   {_BMP_DIMS[0].replace('media_id', 'doc_id')} AS w,
+                   {_BMP_DIMS[1].replace('media_id', 'doc_id')} AS h
+            FROM documents),
+        fr AS (SELECT media_id, nf, seed, w, h,
+                      unnest(range(0, nf)) AS f
+               FROM ids),
+        xs AS (SELECT media_id, nf, seed, w, h, f,
+                      unnest(range(0, w)) AS x
+               FROM fr),
+        px AS (SELECT media_id, nf, seed, w, h, f, x,
+                      unnest(range(0, h)) AS y
+               FROM xs),
+        smp AS (SELECT media_id, nf, w, h, f, x, y,
+                       {_VAR_PAL_SUM.format(i=f"({_GIF_IDX})")} AS s
+                FROM px)
+        SELECT media_id,
+               MAX(nf)::INTEGER AS n_frames,
+               MAX(w)::INTEGER AS width,
+               MAX(h)::INTEGER AS height,
+               CASE WHEN MAX(nf) > 1 THEN 4 ELSE 0 END::INTEGER
+                   AS delay_cs,
+               ROUND(SUM(s)::DOUBLE / (MAX(nf) * MAX(w) * MAX(h) * 3), 6)
+                   AS mean_v,
+               CAST(SUM((x + 2 * y + 1) * s * (f + 1)) AS BIGINT) AS wsum
+        FROM smp GROUP BY media_id""",
+)
+def multimodal_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF decode end-to-end (r12): every document becomes an
+    actual GIF — 16-color global table from the closed-form palette,
+    real LZW with variable code widths, 4-pass interlace on even ids,
+    GIF89a animation (1-3 frames, graphic control extensions) — parsed
+    back byte-for-byte by decode_gif. The frame-weighted
+    position checksum pins the LZW stream, the interlace scatter, the
+    palette lookup, and WHICH frames exist; the delay column pins the
+    extension walk. Two chained map-only mapInPandas stages, zero
+    shuffles — the scan shape of every codec query here."""
+    ids = read_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": [
+                        _gif_media(int(m)) for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    decoded = ids.mapInPandas(
+        encode_batches, "media_id long, media binary"
+    ).mapInPandas(
+        _decode_gif_batches,
+        "media_id long, n_frames int, width int, height int, "
+        "delay_cs int, mean_v double, wsum long",
+    )
+    return decoded.select(
+        "media_id", "n_frames", "width", "height", "delay_cs",
+        F.round("mean_v", 6).alias("mean_v"),
         "wsum",
     )

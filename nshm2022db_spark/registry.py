@@ -210,6 +210,9 @@ _DRIVER_ORDER = [
     # (a6) NEW in r12 (sixth leg): product-quantized ANN with ADC +
     #     exact rescore (the memory play past int8):
     "knn_pq_adc",
+    # (a7) NEW in r12 (seventh leg): real GIF — LZW, interlace,
+    #     animation — decoded end-to-end:
+    "multimodal_decode_gif",
     "table_changes_typed",
     "cdc_apply_typed",
     "stream_table_changes_typed",
@@ -252,7 +255,6 @@ _DRIVER_ORDER = [
     "anomaly_mad",
     "weighted_branch_merge",
     "join_dim_hierarchy",
-    "join_5way_agg",
     "advanced_query_negation",
     # --- 50-query window boundary (driver gate cap observed r01-r11) ---
     # Tail head — FIRST PRIORITY for the round-13 window: the five rows
@@ -267,10 +269,13 @@ _DRIVER_ORDER = [
     # displacements last. geojson_scan joined the displaced set for the
     # r12 video query (its source untouched since r8), as did
     # csv_scan_join for the audio-resample query and
-    # ragged_csv_roundtrip for knn_pq_adc:
+    # ragged_csv_roundtrip for knn_pq_adc and join_5way_agg for the
+    # GIF query (its 5-way broadcast star keeps in-window siblings:
+    # join_dim_hierarchy + the agg family):
     "geojson_scan",
     "csv_scan_join",
     "ragged_csv_roundtrip",
+    "join_5way_agg",
     "merge_upsert",
     "advanced_query_or_bounds",
     "approx_percentile_bound",

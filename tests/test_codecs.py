@@ -855,3 +855,82 @@ class TestR12ReviewFindings:
         avi = b"RIFF" + struct.pack("<I", len(body)) + body
         with pytest.raises(ValueError):
             decode_avi_mjpeg(avi)
+
+
+class TestGIF:
+    """r12: pure-Python/NumPy GIF — LZW with variable code widths and
+    mid-stream resets, 4-pass interlace, GIF89a animation."""
+
+    @pytest.mark.parametrize("n,shape", [(4, (7, 9)), (16, (16, 16)),
+                                         (256, (40, 60)), (3, (1, 1)),
+                                         (2, (5, 3))])
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_single_frame_roundtrip(self, n, shape, interlace):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        rng = np.random.default_rng(n + shape[0])
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, shape, dtype=np.uint8)
+        frames, delay = decode_gif(encode_gif(idx, pal, interlace=interlace))
+        assert len(frames) == 1 and delay == 0
+        assert np.array_equal(frames[0], pal[idx])
+
+    def test_animated_frames_and_delay(self):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        fr = [rng.integers(0, 16, (12, 10), dtype=np.uint8)
+              for _ in range(4)]
+        frames, delay = decode_gif(encode_gif(fr, pal, delay_cs=7))
+        assert len(frames) == 4 and delay == 7
+        for a, b in zip(fr, frames):
+            assert np.array_equal(b, pal[a])
+
+    def test_lzw_width_growth_and_table_reset(self):
+        """A 2-color 60k-pixel image drives the code width to 12 bits
+        and forces the 4096-entry table reset; a 256-color image starts
+        at width 9 — both must round-trip exactly."""
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        rng = np.random.default_rng(12)
+        idx = rng.integers(0, 2, (200, 300), dtype=np.uint8)
+        pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+        frames, _ = decode_gif(encode_gif(idx, pal2))
+        assert np.array_equal(frames[0], pal2[idx])
+        idx = rng.integers(0, 256, (120, 150), dtype=np.uint8)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        frames, _ = decode_gif(encode_gif(idx, pal))
+        assert np.array_equal(frames[0], pal[idx])
+
+    def test_rejects_malformed(self):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"RIFF" + bytes(16))
+        pal = np.zeros((4, 3), np.uint8)
+        blob = bytearray(encode_gif(np.zeros((4, 4), np.uint8), pal))
+        blob = blob[: len(blob) // 2]  # truncate mid-stream
+        with pytest.raises(ValueError):
+            decode_gif(bytes(blob))
+        # absurd dims
+        bad = bytearray(encode_gif(np.zeros((4, 4), np.uint8), pal))
+        struct.pack_into("<HH", bad, 6, 65535, 65535)
+        with pytest.raises(ValueError, match="implausible"):
+            decode_gif(bytes(bad))
+
+    def test_decode_image_real_reports_gif(self):
+        from nshm2022db_spark.extensions.multimodal import encode_gif
+
+        pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+        idx = np.zeros((6, 9), np.uint8)
+        w, h, fmt = decode_image_real(encode_gif(idx, pal))
+        assert (w, h, fmt) == (9, 6, "GIF")

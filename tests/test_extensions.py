@@ -300,6 +300,9 @@ class TestDriverOrder:
             "multimodal_audio_resample",
             # NEW in r12 (sixth leg): product-quantized ANN (ADC)
             "knn_pq_adc",
+            # NEW in r12 (seventh leg): real GIF decode (LZW/interlace/
+            # animation)
+            "multimodal_decode_gif",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

@@ -271,6 +271,8 @@ LADDER = [
     # ADC candidate scan (one fold per pair, no float vectors moved) +
     # by-id rescore — the knn_quantized scale profile at 32x compression
     "knn_pq_adc",
+    # r12: real GIF decode (LZW + interlace + animation) — map-only
+    "multimodal_decode_gif",
 ]
 
 
