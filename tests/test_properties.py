@@ -740,3 +740,42 @@ class TestAVIAndPQLaws:
         for x, y in zip(V[i, j * PQ_SUB:(j + 1) * PQ_SUB], cb[j, c]):
             s += (x - y) * (x - y)
         assert d[i, j, c] == s
+
+
+class TestGIFLZWLaws:
+    """r12: randomized GIF round-trip — the LZW width-growth/reset
+    logic and the interlace scatter explored over arbitrary palette
+    sizes, dims, and frame counts."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        nbits=st.integers(1, 8),
+        w=st.integers(1, 40), h=st.integers(1, 30),
+        nframes=st.integers(1, 3),
+        interlace=st.booleans(),
+        low_card=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_gif_roundtrip(self, nbits, w, h, nframes, interlace,
+                           low_card, seed):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        rng = np.random.RandomState(seed % 2**32)
+        n = 1 << nbits
+        pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+        # low-cardinality indices make long runs (deep LZW chains and,
+        # for big dims, table resets); full-cardinality stresses width
+        hi = 2 if (low_card and n > 2) else n
+        frames = [
+            rng.randint(0, hi, (h, w)).astype(np.uint8)
+            for _ in range(nframes)
+        ]
+        got, delay = decode_gif(
+            encode_gif(frames, pal, interlace=interlace)
+        )
+        assert len(got) == nframes
+        assert delay == (4 if nframes > 1 else 0)
+        for f, g in zip(frames, got):
+            assert np.array_equal(g, pal[f])
