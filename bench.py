@@ -198,6 +198,8 @@ HEADLINE = [
     "knn_pq_adc",
     # r12: real GIF decode (LZW, interlace, animation)
     "multimodal_decode_gif",
+    # r12: TIFF decode (IFD walk, none/LZW+predictor/PackBits)
+    "multimodal_decode_tiff",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

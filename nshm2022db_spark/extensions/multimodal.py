@@ -1925,6 +1925,15 @@ def decode_image_real(data: bytes) -> tuple[int, int, str]:
             # depths (BI_JPEG/BI_PNG embeddings) land here
             if not HAVE_PIL:
                 raise
+    if data[:2] in (b"II", b"MM") and len(data) > 4 and data[2:4] in (
+        b"\x2a\x00", b"\x00\x2a"
+    ):
+        try:
+            img = decode_tiff(data)
+            return img.shape[1], img.shape[0], "TIFF"
+        except ValueError:
+            if not HAVE_PIL:
+                raise
     if data[:6] in (b"GIF87a", b"GIF89a"):
         try:
             frames, _ = decode_gif(data)
@@ -3777,6 +3786,514 @@ def multimodal_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
     )
     return decoded.select(
         "media_id", "n_frames", "width", "height", "delay_cs",
+        F.round("mean_v", 6).alias("mean_v"),
+        "wsum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TIFF (r12): the last common raster format — IFD tag walk (both byte
+# orders), strip organization, and three codecs: uncompressed,
+# PackBits (RLE), and TIFF-flavor LZW (MSB-first bit packing,
+# EARLY-change code widths — one code sooner than GIF — with the
+# optional horizontal-differencing predictor). Gray, RGB, and palette.
+# ---------------------------------------------------------------------------
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW (spec section 13): codes MSB-first, CLEAR=256, EOI=257,
+    table strings from 258; width grows EARLY (at next_code == 2^w - 1)
+    and the table resets at 4094."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    width = 9
+    table: dict[bytes, int] = {}
+    next_code = 258
+    put(256, width)  # CLEAR
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if len(nxt) == 1 or nxt in table:
+            cur = nxt
+            continue
+        put(cur[0] if len(cur) == 1 else table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code >= 4094:
+            put(256, width)
+            table.clear()
+            next_code = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        put(cur[0] if len(cur) == 1 else table[cur], width)
+    put(257, width)  # EOI
+    if nbits:
+        put(0, 8 - nbits)  # flush
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, n: int) -> bytes:
+    """Inverse: returns exactly n bytes. Early-change accounting: the
+    decoder's table lags by one, so width grows at 2^w - 2."""
+    pos = acc = nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        v = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        return v
+
+    out = bytearray()
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while len(out) < n:
+        code = get(width)
+        if code == 256:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1  # early change, one-entry decoder lag
+        prev = entry
+    if len(out) != n:
+        raise ValueError("TIFF strip byte count mismatch")
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits: literal runs (header 0..127 → n+1 literals) and
+    replicate runs (header -1..-127 → 1-n copies of the next byte)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (
+            i + run < len(data) and data[i + run] == data[i] and run < 128
+        ):
+            run += 1
+        if run >= 2:
+            out.append(257 - run)  # -(run-1) as unsigned
+            out.append(data[i])
+            i += run
+            continue
+        lit = i
+        while (
+            i < len(data) and i - lit < 128
+            and not (
+                i + 2 < len(data)
+                and data[i] == data[i + 1] == data[i + 2]
+            )
+        ):
+            i += 1
+        out.append(i - lit - 1)
+        out += data[lit:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, n: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < n and i < len(data):
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # replicate 257-h copies
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+    if len(out) != n:
+        raise ValueError("PackBits strip byte count mismatch")
+    return bytes(out)
+
+
+def _tiff_predict(rows: "np.ndarray", spp: int) -> "np.ndarray":
+    """Horizontal differencing (predictor 2): per row, per channel,
+    store deltas from the left neighbor (mod 256)."""
+    out = rows.astype(np.int16).reshape(rows.shape[0], -1, spp)
+    d = out.copy()
+    d[:, 1:] = out[:, 1:] - out[:, :-1]
+    return (d % 256).astype(np.uint8).reshape(rows.shape)
+
+
+def _tiff_unpredict(rows: "np.ndarray", spp: int) -> "np.ndarray":
+    r = rows.reshape(rows.shape[0], -1, spp).astype(np.int64)
+    return (
+        r.cumsum(axis=1) % 256
+    ).astype(np.uint8).reshape(rows.shape)
+
+
+def encode_tiff(
+    pixels: "np.ndarray", compression: int = 1,
+    predictor: bool = False, palette: "np.ndarray | None" = None,
+    big_endian: bool = False, rows_per_strip: int = 4,
+) -> bytes:
+    """Encode (h, w) gray, (h, w, 3) RGB, or (h, w) palette indices
+    (with ``palette``) as a REAL TIFF: II or MM byte order, an IFD with
+    the baseline tag set, multiple strips, compression 1 (none),
+    5 (LZW, optionally with the horizontal predictor), or 32773
+    (PackBits)."""
+    e = ">" if big_endian else "<"
+    if palette is not None:
+        h, w = pixels.shape
+        spp, photo = 1, 3
+    elif pixels.ndim == 2:
+        h, w = pixels.shape
+        spp, photo = 1, 1
+    else:
+        h, w, spp = pixels.shape
+        photo = 2
+    flat = pixels.reshape(h, w * spp).astype(np.uint8)
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        rows = flat[y0 : y0 + rows_per_strip]
+        if predictor:
+            rows = _tiff_predict(rows, spp)
+        raw = rows.tobytes()
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    nstrips = len(strips)
+
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def ent(tag, typ, count, value):
+        entries.append((tag, typ, count, value))
+
+    ent(256, 3, 1, w)
+    ent(257, 3, 1, h)
+    if spp == 3:
+        ent(258, 3, 3, b"bits")  # placeholder, patched below
+    else:
+        ent(258, 3, 1, 8)
+    ent(259, 3, 1, compression)
+    ent(262, 3, 1, photo)
+    ent(273, 4, nstrips, b"offsets")
+    ent(277, 3, 1, spp)
+    ent(278, 3, 1, rows_per_strip)
+    ent(279, 4, nstrips, b"counts")
+    if predictor:
+        ent(317, 3, 1, 2)
+    if palette is not None:
+        ent(320, 3, 3 * len(palette), b"colormap")
+    entries.sort(key=lambda x: x[0])
+
+    # layout: header(8) + IFD + external arrays + strip data
+    ifd_size = 2 + 12 * len(entries) + 4
+    pos = 8 + ifd_size
+    ext = bytearray()
+
+    def ext_put(b: bytes) -> int:
+        nonlocal pos
+        off = pos
+        ext.extend(b)
+        pos += len(b)
+        return off
+
+    # external payloads
+    offsets_needed = {}
+    if spp == 3:
+        offsets_needed[258] = ext_put(struct.pack(f"{e}3H", 8, 8, 8))
+    if palette is not None:
+        # TIFF colormap: 16-bit, all reds then greens then blues
+        cm = np.zeros(3 * len(palette), np.uint16)
+        for c in range(3):
+            cm[c * len(palette):(c + 1) * len(palette)] = (
+                palette[:, c].astype(np.uint16) * 257
+            )
+        offsets_needed[320] = ext_put(cm.astype(np.dtype(f"{e}u2")).tobytes())
+    strip_offs = []
+    # reserve the offsets/counts arrays first when nstrips > 1
+    if nstrips > 1:
+        off_273 = pos
+        pos += 4 * nstrips
+        off_279 = pos
+        pos += 4 * nstrips
+        ext.extend(bytes(8 * nstrips))  # patched below
+    for s in strips:
+        strip_offs.append(pos)
+        ext.extend(s)
+        pos += len(s)
+    if nstrips > 1:
+        struct.pack_into(
+            f"{e}{nstrips}I", ext, off_273 - (8 + ifd_size), *strip_offs
+        )
+        struct.pack_into(
+            f"{e}{nstrips}I", ext, off_279 - (8 + ifd_size),
+            *[len(s) for s in strips],
+        )
+
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(f"{e}HI", 42, 8)
+    out += struct.pack(f"{e}H", len(entries))
+    for tag, typ, count, value in entries:
+        if tag == 273:
+            v = strip_offs[0] if nstrips == 1 else off_273
+        elif tag == 279:
+            v = len(strips[0]) if nstrips == 1 else off_279
+        elif tag == 258 and spp == 3:
+            v = offsets_needed[258]
+        elif tag == 320:
+            v = offsets_needed[320]
+        else:
+            v = value
+        if typ == 3 and count == 1:
+            # SHORT left-justified in the 4-byte value field (both
+            # byte orders put it in bytes 8-9 of the entry)
+            out += struct.pack(f"{e}HHI", tag, typ, count)
+            out += struct.pack(f"{e}H", v) + b"\x00\x00"
+        else:
+            out += struct.pack(f"{e}HHII", tag, typ, count, v)
+    out += struct.pack(f"{e}I", 0)  # no next IFD
+    out += ext
+    return bytes(out)
+
+
+@_decode_boundary
+def decode_tiff(data: bytes) -> "np.ndarray":
+    """Decode a baseline TIFF: II/MM byte order, first IFD, gray/RGB/
+    palette photometrics, strips, compression none/LZW/PackBits, the
+    horizontal predictor. Returns (h, w) gray or (h, w, 3) RGB
+    uint8."""
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    magic, ifd_off = struct.unpack_from(f"{e}HI", data, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (nent,) = struct.unpack_from(f"{e}H", data, ifd_off)
+    tags = {}
+    for i in range(nent):
+        tag, typ, count, raw = struct.unpack_from(
+            f"{e}HHI4s", data, ifd_off + 2 + 12 * i
+        )
+        if typ == 3 and count == 1:
+            (v,) = struct.unpack(f"{e}H", raw[:2])
+            tags[tag] = (typ, count, v)
+        else:
+            (v,) = struct.unpack(f"{e}I", raw)
+            tags[tag] = (typ, count, v)
+
+    def arr(tag, fmt_char):
+        typ, count, v = tags[tag]
+        if count == 1:
+            return [v]
+        size = struct.calcsize(f"{e}{fmt_char}")
+        return list(struct.unpack_from(f"{e}{count}{fmt_char}", data, v))
+
+    w = tags[256][2]
+    h = tags[257][2]
+    if h * w > 1 << 28:
+        raise ValueError("implausible TIFF dimensions")
+    comp = tags.get(259, (3, 1, 1))[2]
+    photo = tags.get(262, (3, 1, 1))[2]
+    spp = tags.get(277, (3, 1, 1))[2]
+    rps = tags.get(278, (3, 1, h))[2]
+    pred = tags.get(317, (3, 1, 1))[2]
+    if 258 in tags:
+        bits = arr(258, "H")
+        if any(b != 8 for b in bits):
+            raise ValueError("only 8-bit TIFF samples decode natively")
+    offs = arr(273, "I")
+    cnts = arr(279, "I")
+    rows = np.zeros((h, w * spp), np.uint8)
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        y0 = i * rps
+        nrows = min(rps, h - y0)
+        need = nrows * w * spp
+        raw = data[o : o + c]
+        if comp == 5:
+            raw = _tiff_lzw_decode(raw, need)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, need)
+        elif comp != 1:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+        elif len(raw) < need:
+            raise ValueError("TIFF strip byte count mismatch")
+        chunk = np.frombuffer(raw, np.uint8, need).reshape(nrows, w * spp)
+        if pred == 2:
+            chunk = _tiff_unpredict(chunk, spp)
+        rows[y0 : y0 + nrows] = chunk
+    if photo == 3:  # palette
+        typ, count, v = tags[320]
+        n = count // 3
+        cm = np.array(
+            struct.unpack_from(f"{e}{count}H", data, v), np.uint32
+        ).reshape(3, n)
+        pal = (cm // 257).astype(np.uint8).T  # 16-bit -> 8-bit
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("TIFF palette index out of range")
+        return pal[idx]
+    if spp == 3:
+        return rows.reshape(h, w, 3)
+    return rows[:, :w]
+
+
+# TIFF corpus: media_id % 4 picks the codec/photometric combination;
+# odd ids write big-endian (MM) files. Pixel formulas are the shared
+# closed-form set.
+def _tiff_media(mid: int) -> bytes:
+    v = mid % 4
+    seed = mid % 256
+    w, h = 4 + mid % 13, 4 + (mid * 7) % 11
+    be = bool(mid % 2)
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.int64),
+                         np.arange(h, dtype=np.int64))
+    if v == 0:  # uncompressed gray
+        g = ((3 * xx + 5 * yy + 2 * seed) % 256).astype(np.uint8)
+        return encode_tiff(g, compression=1, big_endian=be)
+    if v == 1:  # LZW + horizontal predictor, RGB
+        return encode_tiff(
+            _bmp_pixels(mid), compression=5, predictor=True, big_endian=be
+        )
+    if v == 2:  # PackBits gray with runs (x//3 plateaus)
+        g = (((xx // 3) * 7 + yy + seed) % 256).astype(np.uint8)
+        return encode_tiff(g, compression=32773, big_endian=be)
+    idx = ((xx + 2 * yy + seed) % 16).astype(np.uint8)  # LZW palette
+    return encode_tiff(
+        idx, compression=5, palette=_variant_palette(seed), big_endian=be
+    )
+
+
+def _decode_tiff_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for mid, blob in zip(pdf["media_id"], pdf["media"]):
+            img = decode_tiff(bytes(blob))
+            if img.ndim == 2:
+                img = img[..., None]
+            a = img.astype(np.int64)
+            h, w, c = a.shape
+            s = a.sum(-1)
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            out.append(
+                (
+                    int(mid), int(mid % 4), w, h, c, h * w,
+                    float(s.sum()) / (h * w * c),
+                    int(((xx + 2 * yy + 1) * s).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "media_id", "variant", "width", "height", "channels",
+                "n_pixels", "mean_v", "wsum",
+            ],
+        )
+
+
+@register(
+    "multimodal_decode_tiff",
+    f"""WITH base AS (
+            SELECT doc_id AS media_id,
+                   doc_id % 4 AS v,
+                   doc_id % 256 AS seed,
+                   {_BMP_DIMS[0].replace('media_id', 'doc_id')} AS w,
+                   {_BMP_DIMS[1].replace('media_id', 'doc_id')} AS h
+            FROM documents),
+        xs AS (SELECT media_id, v, seed, w, h,
+                      unnest(range(0, w)) AS x
+               FROM base),
+        px AS (SELECT media_id, v, seed, w, h, x,
+                      unnest(range(0, h)) AS y
+               FROM xs),
+        smp AS (SELECT media_id, v, w, h, x, y,
+                       CASE v
+                         WHEN 0 THEN (3 * x + 5 * y + 2 * seed) % 256
+                         WHEN 1 THEN ({_PX_R}) + ({_PX_G}) + ({_PX_B})
+                         WHEN 2 THEN ((x // 3) * 7 + y + seed) % 256
+                         ELSE {_VAR_PAL_SUM.format(i=f"({_VAR_IDX0})")}
+                       END AS s,
+                       CASE v WHEN 1 THEN 3 WHEN 3 THEN 3 ELSE 1 END AS c
+                FROM px)
+        SELECT media_id,
+               MAX(v)::INTEGER AS variant,
+               MAX(w)::INTEGER AS width,
+               MAX(h)::INTEGER AS height,
+               MAX(c)::INTEGER AS channels,
+               COUNT(*) AS n_pixels,
+               ROUND(SUM(s)::DOUBLE / (COUNT(*) * MAX(c)), 6) AS mean_v,
+               CAST(SUM((x + 2 * y + 1) * s) AS BIGINT) AS wsum
+        FROM smp GROUP BY media_id""",
+)
+def multimodal_decode_tiff(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL TIFF decode end-to-end (r12, the last common raster
+    format): every document becomes an actual TIFF cycling the codec
+    matrix — uncompressed gray, LZW with the horizontal predictor
+    (RGB), PackBits runs (gray), and LZW palette — with odd ids
+    written big-endian (MM), so the IFD walk, both byte orders, all
+    three codecs, the predictor, and the 16-bit colormap all sit on
+    one closed-form oracle. Two chained map-only mapInPandas stages,
+    zero shuffles."""
+    ids = read_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": [
+                        _tiff_media(int(m)) for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    decoded = ids.mapInPandas(
+        encode_batches, "media_id long, media binary"
+    ).mapInPandas(
+        _decode_tiff_batches,
+        "media_id long, variant int, width int, height int, "
+        "channels int, n_pixels long, mean_v double, wsum long",
+    )
+    return decoded.select(
+        "media_id", "variant", "width", "height", "channels", "n_pixels",
         F.round("mean_v", 6).alias("mean_v"),
         "wsum",
     )

@@ -213,6 +213,9 @@ _DRIVER_ORDER = [
     # (a7) NEW in r12 (seventh leg): real GIF — LZW, interlace,
     #     animation — decoded end-to-end:
     "multimodal_decode_gif",
+    # (a8) NEW in r12 (eighth leg): TIFF — IFD walk, both byte orders,
+    #     none/LZW(+predictor)/PackBits, palette colormap:
+    "multimodal_decode_tiff",
     "table_changes_typed",
     "cdc_apply_typed",
     "stream_table_changes_typed",
@@ -254,7 +257,6 @@ _DRIVER_ORDER = [
     "session_funnel",
     "anomaly_mad",
     "weighted_branch_merge",
-    "join_dim_hierarchy",
     "advanced_query_negation",
     # --- 50-query window boundary (driver gate cap observed r01-r11) ---
     # Tail head — FIRST PRIORITY for the round-13 window: the five rows
@@ -270,12 +272,13 @@ _DRIVER_ORDER = [
     # r12 video query (its source untouched since r8), as did
     # csv_scan_join for the audio-resample query and
     # ragged_csv_roundtrip for knn_pq_adc and join_5way_agg for the
-    # GIF query (its 5-way broadcast star keeps in-window siblings:
-    # join_dim_hierarchy + the agg family):
+    # GIF query and join_dim_hierarchy for the TIFF query (the
+    # broadcast-dim star keeps the advanced_query family in-window):
     "geojson_scan",
     "csv_scan_join",
     "ragged_csv_roundtrip",
     "join_5way_agg",
+    "join_dim_hierarchy",
     "merge_upsert",
     "advanced_query_or_bounds",
     "approx_percentile_bound",

@@ -303,6 +303,9 @@ class TestDriverOrder:
             # NEW in r12 (seventh leg): real GIF decode (LZW/interlace/
             # animation)
             "multimodal_decode_gif",
+            # NEW in r12 (eighth leg): TIFF (IFD walk, both byte
+            # orders, none/LZW+predictor/PackBits, palette)
+            "multimodal_decode_tiff",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

@@ -273,6 +273,8 @@ LADDER = [
     "knn_pq_adc",
     # r12: real GIF decode (LZW + interlace + animation) — map-only
     "multimodal_decode_gif",
+    # r12: TIFF decode (IFD walk, 3 codecs, both byte orders) — map-only
+    "multimodal_decode_tiff",
 ]
 
 
