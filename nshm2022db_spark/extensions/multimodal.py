@@ -3578,6 +3578,8 @@ def encode_gif(
     if isinstance(frames, np.ndarray):
         frames = [frames]
     h, w = frames[0].shape
+    if h == 0 or w == 0:
+        raise ValueError("GIF frames must be non-empty")
     if any(f.shape != (h, w) for f in frames):
         raise ValueError("all frames must share one size")
     nbits = max(1, int(len(palette) - 1).bit_length())
@@ -4130,6 +4132,8 @@ def decode_tiff(data: bytes) -> "np.ndarray":
     comp = tags.get(259, (3, 1, 1))[2]
     photo = tags.get(262, (3, 1, 1))[2]
     spp = tags.get(277, (3, 1, 1))[2]
+    if spp not in (1, 3):  # also caps the row-buffer allocation
+        raise ValueError(f"unsupported TIFF samples-per-pixel {spp}")
     rps = tags.get(278, (3, 1, h))[2]
     pred = tags.get(317, (3, 1, 1))[2]
     if 258 in tags:
