@@ -75,7 +75,7 @@ def _decode_boundary(fn):
     def wrap(*a, **k):
         try:
             return fn(*a, **k)
-        except (struct.error, IndexError, zlib.error) as e:
+        except (struct.error, IndexError, KeyError, zlib.error) as e:
             raise ValueError(f"malformed media stream: {e}") from e
 
     return wrap
@@ -3644,6 +3644,16 @@ def decode_gif(data: bytes) -> "tuple[list[np.ndarray], int]":
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
         left, top, fw, fh, ip = struct.unpack_from("<HHHHB", data, pos + 1)
         pos += 10
+        if fw * fh > 1 << 28:  # same bomb class the PNG cap closes
+            raise ValueError("implausible GIF frame dimensions")
+        if left or top or fw != w or fh != h:
+            # sub-rectangle frame deltas need compositing (disposal
+            # methods) — raise so the fallback tier engages instead of
+            # silently returning uncomposited partial frames
+            raise ValueError(
+                "GIF sub-rectangle frames (compositing) not supported "
+                "natively"
+            )
         pal = gpal
         if ip & 0x80:  # local color table
             n = 2 << (ip & 0x07)
@@ -3972,6 +3982,8 @@ def encode_tiff(
     5 (LZW, optionally with the horizontal predictor), or 32773
     (PackBits)."""
     e = ">" if big_endian else "<"
+    if pixels.size == 0:
+        raise ValueError("TIFF image must be non-empty")
     if palette is not None:
         h, w = pixels.shape
         spp, photo = 1, 3
@@ -4106,42 +4118,53 @@ def decode_tiff(data: bytes) -> "np.ndarray":
     if magic != 42:
         raise ValueError("bad TIFF magic")
     (nent,) = struct.unpack_from(f"{e}H", data, ifd_off)
-    tags = {}
+    tags: dict[int, tuple[int, int, bytes]] = {}
     for i in range(nent):
         tag, typ, count, raw = struct.unpack_from(
             f"{e}HHI4s", data, ifd_off + 2 + 12 * i
         )
-        if typ == 3 and count == 1:
-            (v,) = struct.unpack(f"{e}H", raw[:2])
-            tags[tag] = (typ, count, v)
-        else:
-            (v,) = struct.unpack(f"{e}I", raw)
-            tags[tag] = (typ, count, v)
+        tags[tag] = (typ, count, raw)
+    for req in (256, 257, 273, 279):
+        if req not in tags:
+            raise ValueError(f"TIFF missing required tag {req}")
 
-    def arr(tag, fmt_char):
-        typ, count, v = tags[tag]
-        if count == 1:
-            return [v]
-        size = struct.calcsize(f"{e}{fmt_char}")
-        return list(struct.unpack_from(f"{e}{count}{fmt_char}", data, v))
+    def val(tag, default=None):
+        """Scalar tag value honoring the DECLARED type (SHORT/LONG)."""
+        if tag not in tags:
+            return default
+        typ, _, raw = tags[tag]
+        fmt = "H" if typ == 3 else "I"
+        return struct.unpack_from(f"{e}{fmt}", raw)[0]
 
-    w = tags[256][2]
-    h = tags[257][2]
+    def arr(tag):
+        """Array tag values honoring the declared type: inline when
+        they fit the 4-byte value field (e.g. TWO SHORT strip offsets,
+        legal per TIFF 6.0), external at the offset otherwise."""
+        typ, count, raw = tags[tag]
+        fmt = "H" if typ == 3 else "I"
+        size = 2 if typ == 3 else 4
+        if count * size <= 4:
+            return list(struct.unpack_from(f"{e}{count}{fmt}", raw))
+        (off,) = struct.unpack(f"{e}I", raw)
+        return list(struct.unpack_from(f"{e}{count}{fmt}", data, off))
+
+    w = val(256)
+    h = val(257)
     if h * w > 1 << 28:
         raise ValueError("implausible TIFF dimensions")
-    comp = tags.get(259, (3, 1, 1))[2]
-    photo = tags.get(262, (3, 1, 1))[2]
-    spp = tags.get(277, (3, 1, 1))[2]
+    comp = val(259, 1)
+    photo = val(262, 1)
+    spp = val(277, 1)
     if spp not in (1, 3):  # also caps the row-buffer allocation
         raise ValueError(f"unsupported TIFF samples-per-pixel {spp}")
-    rps = tags.get(278, (3, 1, h))[2]
-    pred = tags.get(317, (3, 1, 1))[2]
+    rps = val(278, h)
+    pred = val(317, 1)
     if 258 in tags:
-        bits = arr(258, "H")
+        bits = arr(258)
         if any(b != 8 for b in bits):
             raise ValueError("only 8-bit TIFF samples decode natively")
-    offs = arr(273, "I")
-    cnts = arr(279, "I")
+    offs = arr(273)
+    cnts = arr(279)
     rows = np.zeros((h, w * spp), np.uint8)
     for i, (o, c) in enumerate(zip(offs, cnts)):
         y0 = i * rps
@@ -4161,10 +4184,13 @@ def decode_tiff(data: bytes) -> "np.ndarray":
             chunk = _tiff_unpredict(chunk, spp)
         rows[y0 : y0 + nrows] = chunk
     if photo == 3:  # palette
-        typ, count, v = tags[320]
+        if 320 not in tags:
+            raise ValueError("palette TIFF missing ColorMap tag")
+        _, count, raw = tags[320]
+        (cm_off,) = struct.unpack(f"{e}I", raw)
         n = count // 3
         cm = np.array(
-            struct.unpack_from(f"{e}{count}H", data, v), np.uint32
+            struct.unpack_from(f"{e}{count}H", data, cm_off), np.uint32
         ).reshape(3, n)
         pal = (cm // 257).astype(np.uint8).T  # 16-bit -> 8-bit
         idx = rows[:, :w]

@@ -1018,3 +1018,70 @@ class TestTIFF:
         for be in (False, True):
             w, h, fmt = decode_image_real(encode_tiff(img, big_endian=be))
             assert (w, h, fmt) == (8, 6, "TIFF")
+
+
+class TestGIFTIFFReviewFindings:
+    """Second review sweep over the GIF/TIFF legs: missing-tag
+    KeyErrors, the per-frame GIF dimension bomb, silent sub-rectangle
+    mis-decodes, SHORT-typed inline strip arrays, and the empty-encode
+    guard."""
+
+    def test_tiff_missing_required_tags_valueerror(self):
+        from nshm2022db_spark.extensions.multimodal import decode_tiff
+
+        blob = b"II*\x00\x08\x00\x00\x00\x00\x00"  # empty IFD
+        with pytest.raises(ValueError, match="required tag"):
+            decode_tiff(blob)
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_image_real(blob)  # falls through, never KeyError
+
+    def test_gif_frame_dims_bomb_rejected(self):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        pal = np.zeros((4, 3), np.uint8)
+        g = bytearray(encode_gif(np.zeros((4, 4), np.uint8), pal))
+        i = bytes(g).find(b",")
+        struct.pack_into("<HH", g, i + 5, 65535, 65535)
+        with pytest.raises(ValueError, match="implausible GIF frame"):
+            decode_gif(bytes(g))
+
+    def test_gif_subrectangle_frames_raise_not_misdecode(self):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        pal = np.zeros((4, 3), np.uint8)
+        g = bytearray(encode_gif(np.zeros((6, 6), np.uint8), pal))
+        i = bytes(g).find(b",")
+        struct.pack_into("<HH", g, i + 1, 1, 1)
+        struct.pack_into("<HH", g, i + 5, 5, 5)
+        with pytest.raises(ValueError, match="compositing"):
+            decode_gif(bytes(g))
+
+    def test_tiff_short_typed_inline_strip_arrays(self):
+        """TIFF 6.0 allows SHORT for StripOffsets/ByteCounts; with two
+        strips the pair fits INLINE in the value field — legal output
+        of older writers that the typed arr() must parse."""
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_tiff, encode_tiff,
+        )
+
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        blob = bytearray(encode_tiff(img, rows_per_strip=4))
+        (nent,) = struct.unpack_from("<H", blob, 8)
+        for j in range(nent):
+            off = 10 + 12 * j
+            tag, typ, count, raw = struct.unpack_from("<HHI4s", blob, off)
+            if tag in (273, 279):
+                (aoff,) = struct.unpack("<I", raw)
+                v1, v2 = struct.unpack_from("<2I", blob, aoff)
+                struct.pack_into("<HHIHH", blob, off, tag, 3, 2, v1, v2)
+        assert np.array_equal(decode_tiff(bytes(blob)), img)
+
+    def test_encode_tiff_empty_rejected(self):
+        from nshm2022db_spark.extensions.multimodal import encode_tiff
+
+        with pytest.raises(ValueError, match="non-empty"):
+            encode_tiff(np.zeros((0, 5), np.uint8))
