@@ -803,6 +803,7 @@ def committed_partition_transaction(
                 ),
                 cur["constraints"],
                 stage_path,
+                manifest=cur,
             )
         claimed = (
             set(cur["partitions"]) | written
@@ -905,7 +906,16 @@ def set_table_constraints(
     needed at the write site (the difference from the per-call
     ``audit``). Like Delta, adding a constraint first validates the
     EXISTING data (one scan) and refuses if any current row violates
-    it. Metadata-only commit; returns the new version."""
+    it. Metadata-only commit; returns the new version.
+
+    Expressions are LOGICAL-schema SQL — on a column-mapped table
+    (RENAME/DROP COLUMN history, r13) declare in the CURRENT names;
+    the validation scan below reads the logical view (a stale physical
+    name fails to resolve, loudly), and every later write enforces on
+    its staged frame projected through the then-current map
+    (`_enforce_constraints`). Renaming or dropping a column a
+    constraint references keeps refusing (`_check_mappable`), so a
+    declared expression's names never silently decouple."""
     for e in exprs:
         F.expr(e)  # fail fast on unparseable expressions
     for _ in range(10):
@@ -914,10 +924,6 @@ def set_table_constraints(
             raise ValueError(
                 f"{table_dir} is not a partition-mapped committed table"
             )
-        # constraints are enforced against PHYSICAL staged frames on every
-        # later write; an expression written against the logical view
-        # would then fail to resolve (r12 review #2)
-        _refuse_column_mapped(cur, "set_table_constraints")
         existing = read_keyed_table(spark, table_dir)
         bad = _first_violation(existing, exprs)
         if bad is not None:
@@ -959,15 +965,25 @@ def _first_violation(df: DataFrame | None, exprs: list[str]) -> str | None:
 
 
 def _enforce_constraints(
-    staged: DataFrame, exprs: list[str] | None, stage_path: str
+    staged: DataFrame, exprs: list[str] | None, stage_path: str,
+    manifest: dict | None = None,
 ) -> None:
     """Validate a staged write against the table's CHECK constraints
     BEFORE its manifest CAS — the constraint half of write-audit-
     publish: on violation the stage is deleted and the transaction
-    fails loudly; readers never saw a row."""
+    fails loudly; readers never saw a row.
+
+    Constraint expressions are LOGICAL-schema SQL (r13 — declared and
+    enforced in the names the user sees): pass the commit ``manifest``
+    so a column-mapped table's physical staged frame projects through
+    its map first. Pre-rename constraints keep resolving — a column a
+    constraint references refuses RENAME/DROP (`_check_mappable`), so
+    its logical name never moves. Safe on an already-logical frame
+    (materialize's stage): `_to_logical` only renames PHYSICAL names,
+    which rename_column keeps disjoint from live logical ones."""
     if not exprs:
         return
-    bad = _first_violation(staged, exprs)
+    bad = _first_violation(_to_logical(staged, manifest or {}), exprs)
     if bad is not None:
         shutil.rmtree(stage_path, ignore_errors=True)
         raise ConstraintViolation(
@@ -1187,7 +1203,8 @@ def append_partition_transaction(
                         },
                     )
                     _enforce_constraints(
-                        staged, cur.get("constraints"), stage_path
+                        staged, cur.get("constraints"), stage_path,
+                        manifest=cur,
                     )
                     if audit is not None:
                         try:
@@ -1567,7 +1584,8 @@ def overwrite_partition_transaction(
                     )
                     if written:
                         _enforce_constraints(
-                            staged, cur.get("constraints"), stage_path
+                            staged, cur.get("constraints"), stage_path,
+                            manifest=cur,
                         )
                     if audit is not None:
                         try:
@@ -2094,24 +2112,6 @@ def _physical_names(names, manifest: dict):
     return [cmap.get(c, c) for c in names]
 
 
-def _refuse_column_mapped(manifest: dict, what: str) -> None:
-    """Writers whose expressions/keys run against PHYSICAL frames
-    (MERGE's clause engine, constraint enforcement) refuse
-    column-mapped tables up front — a logical-name predicate silently
-    matching nothing (or an old-name column match) is far worse than
-    this error. UPDATE/DELETE lift the restriction by running their
-    decision frame on the logical view (r12); MERGE keeps it.
-    Disclosed boundary (Delta itself shipped column mapping with an
-    operation blocklist first)."""
-    if _column_map(manifest) or _dropped_physical(manifest):
-        raise ValueError(
-            f"{what} over a column-mapped table (RENAME/DROP COLUMN "
-            "history) is not supported yet; run "
-            "materialize_column_mapping first (one rewrite commit, "
-            "clears the map), or rename_column back"
-        )
-
-
 def _dv_keys(manifest: dict) -> list[str]:
     """The manifest's tombstone key COLUMNS as a list — ``dv_key`` is a
     plain string for single-column keys (the pre-r11 format, kept for
@@ -2332,7 +2332,11 @@ def _check_mappable(cur: dict, col: str, action: str) -> None:
             "the layout's directory names — evolve the partition spec "
             "instead"
         )
-    if col in _dv_keys(cur):
+    # dv files carry PHYSICAL key names (tombstone_keys enforces
+    # unmapped keys; a mapped MERGE writes its dv under the physical
+    # names, r13) — compare through the map so renaming the LOGICAL
+    # name of a dv-keyed column still refuses
+    if _column_map(cur).get(col, col) in _dv_keys(cur):
         raise ValueError(
             f"cannot {action} tombstone key column {col!r}; the "
             "deletion-vector files carry it by name — "
@@ -3963,6 +3967,17 @@ def merge_into_table(
     not part of the output (the SET/INSERT expressions can still READ
     them via ``s.<col>``).
 
+    On a column-mapped table (RENAME/DROP COLUMN history, r13 —
+    VERDICT r12 #1) everything the caller writes is the LOGICAL
+    schema — merge keys, clause conditions and SET/INSERT expressions
+    (``s.col``/``t.col``), ``stats_cols``, the source's columns — and
+    the decision frame runs on the logical view exactly like
+    UPDATE/DELETE; the staged files, CDC sidecar, and dv key files
+    keep the stable PHYSICAL names, and ``evolve_schema=True``
+    source-only columns join the map as identity entries (their names
+    may not collide with dropped or other columns' physical names —
+    rename_column's own rules).
+
     Returns ``{"version", "updated", "deleted", "inserted",
     "carried"}`` (Delta's operationMetrics)."""
     if isinstance(when_not_matched_insert, dict) and not when_not_matched_insert:
@@ -4094,12 +4109,22 @@ def merge_into_table(
                 "merge computed against the current layout would miss "
                 "their rows — run migrate_legacy_layouts first"
             )
-        _refuse_column_mapped(cur, "MERGE INTO")
-        if cur.get("dv") and _dv_keys(cur) != keys:
+        # column mapping (r13 — the VERDICT r12 #1 lift): like
+        # UPDATE/DELETE, the whole decision frame runs in LOGICAL
+        # names — keys, clause expressions (``s.col``/``t.col``), the
+        # insert map, stats_cols, the source's columns — and translates
+        # to the stable PHYSICAL names exactly three times: stats/bloom
+        # pruning lookups, the staged files, and the on-disk sidecars
+        # (CDC images + dv key files). The reference's J13 upsert
+        # (nshmdb.py:263-266) is the degenerate MERGE and must survive
+        # a rename without a rewrite.
+        cmap = _column_map(cur)
+        pkeys = [cmap.get(k, k) for k in keys]
+        if cur.get("dv") and _dv_keys(cur) != pkeys:
             raise ValueError(
                 f"{table_dir} tombstones key {cur.get('dv_key')!r}; a merge "
-                f"on {keys!r} cannot maintain the deletion vectors — "
-                "materialize_tombstones first"
+                f"on {keys!r} (physical {pkeys!r}) cannot maintain the "
+                "deletion vectors — materialize_tombstones first"
             )
         if batch_id is not None and batch_id in committed_batch_ids(table_dir):
             return {"version": cur["version"], "updated": 0, "deleted": 0,
@@ -4115,8 +4140,8 @@ def merge_into_table(
                 *[F.max(k).alias(f"_hi{i}") for i, k in enumerate(keys)],
             ).collect()[0]  # 1-row bounds job (sanctioned shape)
             prune = {
-                k: (b[f"_lo{i}"], b[f"_hi{i}"])
-                for i, k in enumerate(keys)
+                pkeys[i]: (b[f"_lo{i}"], b[f"_hi{i}"])
+                for i in range(len(keys))
                 if b[f"_lo{i}"] is not None
             }
             scan_parts = _stats_prune(cur, prune)
@@ -4127,7 +4152,7 @@ def merge_into_table(
             and any(
                 c in specs
                 for specs in cur["bloom"].values()
-                for c in keys
+                for c in pkeys
             )
         ):
             # bloom-probe refinement (VERDICT r10 stretch #7): one
@@ -4150,11 +4175,11 @@ def merge_into_table(
                 # ONE probe-position job per (column, spec) across all
                 # keys, and one bitmap decode per (entry, column) —
                 # not per (key, entry) (r11 review #3)
-                for c in keys:
+                for c, pc in zip(keys, pkeys):
                     for spec in {
                         (sp["m"], sp["k"], sp["t"])
                         for e in scan_parts
-                        for sp in [blooms.get(e, {}).get(c)]
+                        for sp in [blooms.get(e, {}).get(pc)]
                         if sp is not None and "t" in sp
                     }:
                         _bloom_probes_prefetch(
@@ -4168,26 +4193,31 @@ def merge_into_table(
                         bits_of[ck] = base64.b64decode(sp["bits"])
                     return bits_of[ck]
 
-                def _may(entry: str, c: str, v) -> bool:
-                    sp = blooms.get(entry, {}).get(c)
+                def _may(entry: str, pc: str, v) -> bool:
+                    sp = blooms.get(entry, {}).get(pc)
                     if sp is None or v is None or "t" not in sp:
                         return True
                     return _bloom_may_contain(
-                        spark, sp, v, bits=_entry_bits(entry, c, sp)
+                        spark, sp, v, bits=_entry_bits(entry, pc, sp)
                     )
 
                 scan_parts = {
                     entry: dirname
                     for entry, dirname in scan_parts.items()
                     if any(
-                        all(_may(entry, c, row[c]) for c in keys)
+                        all(
+                            _may(entry, pc, row[c])
+                            for c, pc in zip(keys, pkeys)
+                        )
                         for row in ks
                     )
                 }
         scanned_vals = {e.split("=", 1)[1] for e in scan_parts}
 
-        # target schema from the full map (plan resolve, zero jobs)
-        full = _read_partition_map(spark, table_dir, cur)
+        # target LOGICAL schema from the full map (plan resolve, zero
+        # jobs) — on a mapped table the merge surface is the logical
+        # view throughout
+        full = _to_logical(_read_partition_map(spark, table_dir, cur), cur)
         tcols = list(full.columns)
         ttypes = dict(zip(full.schema.names, [f.dataType for f in full.schema]))
         base_cols = set(tcols)
@@ -4201,6 +4231,22 @@ def merge_into_table(
             )
             for c in source.columns:
                 if c not in base_cols:
+                    # joining a mapped table's schema: the new column
+                    # maps to itself, so its name must not collide with
+                    # retained dropped data or another column's stable
+                    # physical name (rename_column's own rules)
+                    if c in _dropped_physical(cur):
+                        raise ValueError(
+                            f"evolved column {c!r} was dropped from this "
+                            "table (metadata-only); its physical data "
+                            "still exists — pick a different name"
+                        )
+                    if c in set(cmap.values()):
+                        raise ValueError(
+                            f"evolved column {c!r} is another column's "
+                            "physical name; pick a name not in the "
+                            "physical schema"
+                        )
                     tcols.append(c)
                     ttypes[c] = src_types[c]
         for k in keys:
@@ -4218,6 +4264,23 @@ def merge_into_table(
                     {"partition_col": pcol, "partitions": scan_parts},
                 ),
             )
+            if base is not None and (cmap or _dropped_physical(cur)):
+                # mapped table: lift the physical base read to the
+                # LOGICAL view once, padding columns the pruned scan
+                # lacks as typed NULLs — the tombstone anti-join above
+                # ran first (dv key files carry physical names)
+                bhave = set(base.columns)
+                base = base.select(
+                    *[
+                        (
+                            F.col(cmap.get(c, c))
+                            if cmap.get(c, c) in bhave
+                            else F.lit(None).cast(ttypes[c])
+                        ).alias(c)
+                        for c in tcols
+                        if c in base_cols
+                    ]
+                )
 
         # ---- the one-shuffle decision pass ----
         s2 = source.select(
@@ -4471,7 +4534,16 @@ def merge_into_table(
                                 os.path.join(table_dir, d)
                                 for d in cur["dv"]
                             ]
-                        ).distinct(),
+                        )
+                        # dv files carry PHYSICAL key names; the
+                        # decision frame is logical
+                        .select(
+                            *[
+                                F.col(pk).alias(k)
+                                for k, pk in zip(keys, pkeys)
+                            ]
+                        )
+                        .distinct(),
                         on=keys,
                         how="left_semi",
                     )
@@ -4487,8 +4559,8 @@ def merge_into_table(
                             "stats": cur.get("stats", {}),
                         },
                         {
-                            k: (rb[f"_lo{i}"], rb[f"_hi{i}"])
-                            for i, k in enumerate(keys)
+                            pkeys[i]: (rb[f"_lo{i}"], rb[f"_hi{i}"])
+                            for i in range(len(keys))
                         },
                     )
                     rewrite_vals |= {
@@ -4557,6 +4629,12 @@ def merge_into_table(
                         | F.col("_action").isin("insert", "update")
                     )
                     .drop("_action", "_t_part", "_rw", "_pre")
+                    # back to the stable PHYSICAL names for the staged
+                    # files (evolved source-only columns map to
+                    # themselves)
+                    .select(
+                        *[F.col(c).alias(cmap.get(c, c)) for c in tcols]
+                    )
                 )
                 stage_rows.write.mode("overwrite").partitionBy(pcol).parquet(
                     stage_path
@@ -4578,13 +4656,18 @@ def merge_into_table(
                         ),
                         cur["constraints"],
                         stage_path,
+                        manifest=cur,
                     )
 
             # ---- deletion-vector bookkeeping ----
             new_dv = cur.get("dv", [])
             dv_key = cur.get("dv_key")
             if tomb_vals or (new_dv and n_ins):
-                dv_key = _dv_key_field(keys)
+                # dv files carry the PHYSICAL key names (the whole
+                # read/typed-feed side addresses them that way); the
+                # consolidation joins run in logical names and the
+                # final write aliases back
+                dv_key = _dv_key_field(pkeys)
                 tomb_df = None
                 if tomb_vals:
                     tp_df = spark.createDataFrame(
@@ -4598,9 +4681,18 @@ def merge_into_table(
                 if new_dv and n_ins:
                     # consolidate: re-inserted keys must leave the DV or
                     # the old tombstone hides the new row
-                    old_keys = spark.read.parquet(
-                        *[os.path.join(table_dir, d) for d in new_dv]
-                    ).distinct()
+                    old_keys = (
+                        spark.read.parquet(
+                            *[os.path.join(table_dir, d) for d in new_dv]
+                        )
+                        .select(
+                            *[
+                                F.col(pk).alias(k)
+                                for k, pk in zip(keys, pkeys)
+                            ]
+                        )
+                        .distinct()
+                    )
                     ins_keys = (
                         dec.filter(F.col("_action") == "insert")
                         .select(*keys)
@@ -4614,7 +4706,9 @@ def merge_into_table(
                     )
                     new_dv = []
                 dv_stage = f"data-{uuid.uuid4().hex}"
-                tomb_df.distinct().write.mode("overwrite").parquet(
+                tomb_df.distinct().select(
+                    *[F.col(k).alias(pk) for k, pk in zip(keys, pkeys)]
+                ).write.mode("overwrite").parquet(
                     os.path.join(table_dir, dv_stage)
                 )
                 new_dv = new_dv + [dv_stage]
@@ -4679,6 +4773,13 @@ def merge_into_table(
                         ).alias("_c")
                     )
                     .select("_c.*")
+                    # the sidecar stores PHYSICAL names (update_table's
+                    # contract) so the feeds' one end-projection is
+                    # uniform across the DML triad
+                    .select(
+                        *[F.col(c).alias(cmap.get(c, c)) for c in tcols],
+                        F.col("_change_type"),
+                    )
                 )
                 cdc_stage = f"cdc-{uuid.uuid4().hex}"
                 cdc_rows.write.mode("overwrite").parquet(
@@ -4964,6 +5065,7 @@ def update_table(
                     ),
                     cur["constraints"],
                     stage_path,
+                    manifest=cur,
                 )
 
             if change_data:

@@ -74,7 +74,71 @@ _KEYSET_CACHE: dict = {}
 _ADDITIVE_OPS = ("append", "set-constraints", "evolve")
 
 
-def _plan_changes(table_dir: str, start: int, end: int) -> list[dict]:
+def _materialize_versions(hist: list[dict]) -> list[int]:
+    """Versions at which `materialize_column_mapping` re-based the
+    table's PHYSICAL names: ``data_change: false`` rewrites whose
+    column-mapping metadata differs from their predecessor's (plain
+    compactions carry the map unchanged). The nearest retained earlier
+    manifest stands in for a vacuumed one, like `_check_map_stable`."""
+    by_v = {m["version"]: m for m in hist}
+    out = []
+    for v, m in by_v.items():
+        if m.get("op") == "rewrite" and m.get("data_change") is False:
+            earlier = [k for k in by_v if k < v]
+            prev = by_v[max(earlier)] if earlier else {}
+            if any(
+                m.get(k) != prev.get(k)
+                for k in ("column_map", "dropped_columns")
+            ):
+                out.append(v)
+    return sorted(out)
+
+
+def _check_stream_map(
+    m: dict, map_meta: tuple, map_version: int, table_dir: str,
+    mats: list[int],
+) -> None:
+    """Column-mapping admission for one planned commit (r13 — VERDICT
+    r12 #2). A commit v serves correctly through the map the stream
+    captured at start iff the PHYSICAL names it staged are the ones
+    that map addresses:
+
+    * v ≤ map_version AND no materialize re-based the physical names
+      in (v, map_version] — rename/drop are metadata-only, so physical
+      names are stable across them and one logical projection covers
+      the whole span (the batch feeds' end-of-range rule, end = the
+      captured head). A materialize between them means v's files carry
+      pre-re-base names the captured map does not address — raise,
+      even when the materialize commit itself falls outside this
+      micro-batch's range (batch splitting must not hide it);
+    * v > map_version with UNCHANGED map metadata. A change there is a
+      schema change the stream's fixed schema cannot express — raise
+      for a restart, Delta's streaming schema-change behavior (a
+      post-start materialize always changes the metadata: it clears a
+      non-empty map, so it is caught here too)."""
+    v = m["version"]
+    if v <= map_version:
+        if any(v < mv <= map_version for mv in mats):
+            raise ValueError(
+                f"commit {v} of {table_dir} predates a column-mapping "
+                "materialize (physical rename); its files cannot be "
+                "served under the current schema — start the stream "
+                "from the materialize version or later"
+            )
+        return
+    if (m.get("column_map"), m.get("dropped_columns")) != map_meta:
+        raise ValueError(
+            f"commit {v} of {table_dir} changed the column mapping "
+            "(RENAME/DROP COLUMN) after this stream started; a stream's "
+            "schema is fixed at start — restart the stream to pick up "
+            "the new logical schema"
+        )
+
+
+def _plan_changes(
+    table_dir: str, start: int, end: int,
+    map_meta: tuple = (None, None), map_version: int = 0,
+) -> list[dict]:
     """Driver-side plan of the add-rows feed for versions (start, end]:
     one dict per (commit, partition entry) with the entry's immutable
     file list. Metadata-only commits plan nothing; a RESTORE (or any
@@ -82,11 +146,19 @@ def _plan_changes(table_dir: str, start: int, end: int) -> list[dict]:
     `read_table_changes`'s snapshot diff, a version-cursor stream
     cannot re-attribute republished rows without double-counting.
     Never touches Spark — this is the metadata half,
-    `CommitLogStreamReader.read` is the data half."""
+    `CommitLogStreamReader.read` is the data half.
+
+    ``map_meta``/``map_version`` are the column-mapping metadata the
+    reader captured at stream start: mapped commits in range serve
+    through that map (the executor projects physical file names to the
+    stream's logical schema); a LATER map change raises (restart), and
+    a materialize in range raises via `_check_map_stable` (it re-based
+    the physical names, so one projection cannot span it)."""
     from nshm2022db_spark.streaming.sinks import table_history
 
     out: list[dict] = []
     hist = table_history(table_dir)
+    mats = _materialize_versions(hist)
     have = {m["version"] for m in hist}
     for v in range(start + 1, end + 1):
         if v not in have:
@@ -105,19 +177,14 @@ def _plan_changes(table_dir: str, start: int, end: int) -> list[dict]:
                 "table; the commitlog stream source reads those only"
             )
         op = m.get("op")
-        if m.get("column_map") or m.get("dropped_columns"):
-            # the stream reads parquet files directly (physical names);
-            # serving them under a rename would silently emit OLD names
-            raise ValueError(
-                f"commit {v} of {table_dir} is column-mapped "
-                "(RENAME/DROP COLUMN); the commitlog stream does not "
-                "project the map yet — consume the batch feed"
-            )
+        _check_stream_map(m, map_meta, map_version, table_dir, mats)
         if op not in _ADDITIVE_OPS:
             if op == "rewrite" and m.get("data_change") is False:
                 # compaction / Z-order (Delta's dataChange=false): a
                 # provable restatement — the stream keeps flowing
-                # across table maintenance instead of dying on it
+                # across table maintenance instead of dying on it (a
+                # materialize is caught by _check_stream_map above for
+                # every commit BELOW it; itself it stages nothing)
                 continue
             raise ValueError(
                 f"commit {v} of {table_dir} is {op!r} — a streaming "
@@ -204,7 +271,10 @@ def _dv_added_bounds(
     return bounds, True
 
 
-def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
+def _typed_plan(
+    table_dir: str, start: int, end: int,
+    map_meta: tuple = (None, None), map_version: int = 0,
+) -> list[dict]:
     """Driver-side plan of the TYPED change feed for versions
     (start, end] — the streaming half of `read_table_changes_typed`
     (sinks.py), unit for unit:
@@ -234,6 +304,7 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
 
     hist = table_history(table_dir)
     by_v = {m["version"]: m for m in hist}
+    mats = _materialize_versions(hist)
     units: list[dict] = []
     for v in range(start + 1, end + 1):
         m = by_v.get(v)
@@ -248,22 +319,15 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                 "commitlog stream reads those only"
             )
         op = m.get("op")
-        # ONE hoisted guard ahead of the op dispatch (r12 review #7):
-        # the stream reads parquet files directly (physical names), so
-        # ANY mapped commit — metadata-only or row-moving — would
-        # silently emit old names. Raising is also the SEMANTICALLY
-        # right call, not just unimplemented: a Spark stream's schema
-        # is fixed at start, so a mid-stream rename cannot be served
-        # anyway — Delta streams likewise fail on schema change and
-        # require a restart (schema tracking); restart this stream
-        # from the post-rename version, or materialize the map
-        if m.get("column_map") or m.get("dropped_columns"):
-            raise ValueError(
-                f"commit {v} of {table_dir} is column-mapped "
-                "(RENAME/DROP COLUMN); the typed commitlog stream does "
-                "not project the map yet — consume "
-                "read_table_changes_typed in batch"
-            )
+        # ONE hoisted map guard ahead of the op dispatch (r13 — the
+        # r12 refusal lifted): commits covered by the map the stream
+        # captured at start serve through it (the executor projects
+        # physical file names to the stream's logical schema — rename
+        # and drop are metadata-only, so physical names are stable); a
+        # LATER map change is a schema change the fixed stream schema
+        # cannot express and raises for a restart, Delta's own
+        # streaming schema-change behavior
+        _check_stream_map(m, map_meta, map_version, table_dir, mats)
         if op in ("set-constraints", "evolve"):
             continue
         if op not in (
@@ -274,7 +338,10 @@ def _typed_plan(table_dir: str, start: int, end: int) -> list[dict]:
                 "by a single commit's files; consume it via a recompute"
             )
         if op == "rewrite" and m.get("data_change") is False:
-            continue  # compaction (dataChange=false): restatement only
+            # compaction (dataChange=false): restatement only — a
+            # materialize is caught by _check_stream_map above for
+            # every commit BELOW it; itself it stages nothing
+            continue
         if op in ("merge", "update", "delete") and m.get("cdc"):
             # the merge's/update's/delete's _change_data sidecar holds its exact images
             # (update pre/post pairs, deletes, inserts) — plan one unit
@@ -533,6 +600,27 @@ def table_stream_schema(
     # TIMESTAMP_NTZ, matching what read_keyed_table's batch scan of the
     # same files yields (a stream consumer needing watermarking casts to
     # TIMESTAMP explicitly, the events.py discipline)
+    # project the merged PHYSICAL schema through the head's column map
+    # (r13): renamed fields surface under their logical names, dropped
+    # physical fields disappear — the stream's schema is the same
+    # logical view every batch read of the head serves
+    from nshm2022db_spark.streaming.sinks import (
+        _column_map,
+        _dropped_physical,
+    )
+
+    cmap = _column_map(cur)  # {logical: physical}
+    dropped = _dropped_physical(cur)
+    if cmap or dropped:
+        inv = {ph: lg for lg, ph in cmap.items()}
+        merged = pa.schema(
+            [
+                (f.with_name(inv[f.name]) if f.name in inv else f)
+                for f in merged
+                if f.name not in dropped
+            ],
+            metadata=merged.metadata,
+        )
     spark_schema = from_arrow_schema(merged, prefer_timestamp_ntz=True)
     spark_schema = spark_schema.add(pcol, "string").add(
         "_commit_version", "long"
@@ -587,6 +675,25 @@ class CommitLogStreamReader(DataSourceStreamReader):
         self._typed = str(options.get("changetypes", "")).lower() in (
             "true", "1", "yes",
         )
+        # column-mapping capture (r13): the stream serves every commit
+        # through the map current at START — physical names are stable
+        # across rename/drop (metadata-only), so one logical projection
+        # covers the whole history up to here; a LATER map change
+        # raises at plan time for a restart (Delta's schema-change
+        # rule). Ships to executors with the reader for read()'s
+        # field-name translation.
+        from nshm2022db_spark.streaming.sinks import (
+            _column_map,
+            _dropped_physical,
+            current_commit,
+        )
+
+        head_m = current_commit(self._path)
+        self._cmap = dict(_column_map(head_m))  # {logical: physical}
+        self._map_meta = (
+            head_m.get("column_map"), head_m.get("dropped_columns"),
+        )
+        self._map_version = head_m.get("version", 0)
         # admission-control floor: the newest offset THIS process has
         # planned or committed. Spark 4.1.2's call order (probed, both
         # paths): FRESH start = latestOffset() BEFORE initialOffset(),
@@ -651,7 +758,10 @@ class CommitLogStreamReader(DataSourceStreamReader):
         self._observed = True
         self._floor = max(self._floor, end["version"])
         if self._typed:
-            plan = _typed_plan(self._path, start["version"], end["version"])
+            plan = _typed_plan(
+                self._path, start["version"], end["version"],
+                map_meta=self._map_meta, map_version=self._map_version,
+            )
             return [
                 CommitLogPartition(
                     p["files"], p["pcol"], p["value"], p["version"],
@@ -660,7 +770,10 @@ class CommitLogStreamReader(DataSourceStreamReader):
                 )
                 for p in plan
             ]
-        plan = _plan_changes(self._path, start["version"], end["version"])
+        plan = _plan_changes(
+            self._path, start["version"], end["version"],
+            map_meta=self._map_meta, map_version=self._map_version,
+        )
         return [
             CommitLogPartition(p["files"], p["pcol"], p["value"], p["version"])
             for p in plan
@@ -788,10 +901,15 @@ class CommitLogStreamReader(DataSourceStreamReader):
                         if partition.ts is not None
                         else pa.nulls(n, type=field.type)
                     )
-                elif field.name in t.column_names:
-                    arr = t.column(field.name).cast(field.type)
-                else:  # schema evolution: column added by a later commit
-                    arr = pa.nulls(n, type=field.type)
+                else:
+                    # the stream's schema is LOGICAL; data files (and
+                    # CDC sidecars) carry the stable PHYSICAL names —
+                    # translate through the captured map (r13)
+                    phys = self._cmap.get(field.name, field.name)
+                    if phys in t.column_names:
+                        arr = t.column(phys).cast(field.type)
+                    else:  # schema evolution: column added later
+                        arr = pa.nulls(n, type=field.type)
                 cols.append(arr)
             out = pa.table(cols, schema=target)
             yield from out.to_batches()

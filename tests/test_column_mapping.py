@@ -147,10 +147,10 @@ class TestRenameColumn:
             with pytest.raises(ValueError):
                 rename_column(spark, d, "v", bad)
 
-    def test_set_constraints_refused_on_mapped_table(self, spark, tmp_path):
-        """r12 review #2: constraints are enforced against PHYSICAL
-        staged frames — a logical-view expression would brick every
-        later write. Works again after materialize."""
+    def test_set_constraints_survives_materialize(self, spark, tmp_path):
+        """A constraint declared in LOGICAL names on a mapped table
+        (r13 — the r12 refusal lifted) keeps enforcing after
+        materialize folds the map in (the names become physical)."""
         from nshm2022db_spark.streaming.sinks import (
             materialize_column_mapping,
         )
@@ -158,10 +158,8 @@ class TestRenameColumn:
         d = str(tmp_path / "t")
         _seed(spark, d)
         rename_column(spark, d, "v", "score")
-        with pytest.raises(ValueError, match="column-mapped"):
-            set_table_constraints(spark, d, ["score >= 0"])
-        materialize_column_mapping(spark, d)
         set_table_constraints(spark, d, ["score >= 0"])
+        materialize_column_mapping(spark, d)
         append_partition_transaction(
             spark, d, "day",
             spark.createDataFrame(
@@ -342,38 +340,46 @@ class TestMappedFeedsAndGuards:
         # stats recorded under the physical footer name for rewrites
         assert all("k" in s["cols"] for s in cur["stats"].values())
 
-    def test_merge_and_stream_refuse_mapped_tables(self, spark, tmp_path):
-        from nshm2022db_spark.streaming.table_source import (
-            register_commitlog_source,
-        )
+    def test_set_constraints_in_logical_names_on_mapped_table(
+        self, spark, tmp_path
+    ):
+        """r13 stretch: rename → constrain (logical names) → append —
+        the constraint enforces on every later write, projected
+        through the map; a violating batch never publishes."""
+        from nshm2022db_spark.streaming.sinks import ConstraintViolation
 
         d = str(tmp_path / "t")
         _seed(spark, d)
         rename_column(spark, d, "v", "score")
-        with pytest.raises(ValueError, match="column-mapped"):
+        set_table_constraints(spark, d, ["score >= 0.0"])
+        ok = spark.createDataFrame(
+            [(50, 5.0, "y", "c")], "k long, score double, s string, day string"
+        )
+        append_partition_transaction(spark, d, "day", ok)
+        bad = spark.createDataFrame(
+            [(51, -1.0, "n", "c")], "k long, score double, s string, day string"
+        )
+        v_before = current_commit(d)["version"]
+        with pytest.raises(ConstraintViolation):
+            append_partition_transaction(spark, d, "day", bad)
+        assert current_commit(d)["version"] == v_before
+        # a stale PHYSICAL name fails the declaration scan loudly
+        with pytest.raises(Exception, match="v"):
+            set_table_constraints(spark, d, ["v > 0"])
+        # the constrained logical column now refuses RENAME
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            rename_column(spark, d, "score", "points")
+        # mapped MERGE/UPDATE also enforce the logical constraint
+        with pytest.raises(ConstraintViolation):
+            update_table(spark, d, {"score": "-score - 1"}, where="k = 1")
+        with pytest.raises(ConstraintViolation):
             merge_into_table(
                 spark, d,
-                spark.createDataFrame([(1, 9.0)], "k long, score double"),
+                spark.createDataFrame([(1, -9.0)], "k long, score double"),
                 ["k"], when_matched_update={"score": "s.score"},
             )
-        register_commitlog_source(spark)
-        q = (
-            spark.readStream.format("commitlog")
-            .option("path", d)
-            .option("changeTypes", "true")
-            .load()
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("cm_guard")
-            .start()
-        )
-        try:
-            with pytest.raises(Exception, match="column-mapped"):
-                q.processAllAvailable()
-                raise RuntimeError(str(q.exception()))
-        finally:
-            q.stop()
-            spark.catalog.dropTempView("cm_guard")
+        t = read_keyed_table(spark, d)
+        assert {r.score for r in t.filter("k = 1").collect()} == {1.0}
 
     def test_materialize_clears_map_and_reenables_dml(self, spark, tmp_path):
         """The escape hatch: one data_change=false rewrite restates the
@@ -574,6 +580,192 @@ class TestMappedFeedsAndGuards:
         assert sorted(r.k for r in t.collect()) == [
             0, 1, 3, 4, 5, 6, 7, 8, 9
         ]
+
+
+class TestMappedMerge:
+    """MERGE INTO through column mapping (r13 — VERDICT r12 #1): keys,
+    clause expressions, and the insert map are LOGICAL; staged files,
+    CDC sidecar, and dv key files carry the stable PHYSICAL names."""
+
+    def test_merge_full_surface_across_renames(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        rename_column(spark, d, "k", "id")
+        before = dict(current_commit(d)["partitions"])
+        src = spark.createDataFrame(
+            [(2, 222.0), (100, 100.0)], "id long, score double"
+        )
+        m = merge_into_table(
+            spark, d, src, ["id"],
+            when_matched_update={"score": "s.score"},
+            when_not_matched_insert={
+                "id": "s.id", "score": "s.score", "s": "'new'",
+                "day": "'c'",
+            },
+            stats_cols=["id"],
+        )
+        assert m["updated"] == 1 and m["inserted"] == 1
+        t = read_keyed_table(spark, d)
+        got = {r.id: r.score for r in t.collect()}
+        assert got[2] == 222.0 and got[100] == 100.0 and len(got) == 11
+        cur = current_commit(d)
+        # the map carried forward; stats recorded under physical names
+        assert cur["column_map"] == {"score": "v", "id": "k"}
+        assert all("k" in s["cols"] for s in cur["stats"].values())
+        # day=b never held id 2 or 100: stats-pruned, entry untouched
+        assert cur["partitions"]["day=b"] == before["day=b"]
+        # staged files + CDC sidecar carry the PHYSICAL names
+        entry = cur["partitions"]["day=a"]
+        stage = entry[-1] if isinstance(entry, list) else entry
+        raw = spark.read.parquet(os.path.join(d, stage, "day=a"))
+        assert {"k", "v"} <= set(raw.columns) and "id" not in raw.columns
+        cdc_raw = spark.read.parquet(os.path.join(d, cur["cdc"]))
+        assert {"k", "v", "_change_type"} <= set(cdc_raw.columns)
+        # the typed feed serves logical names with exact pair images
+        feed = read_table_changes_typed(spark, d, 3)
+        assert {"id", "score"} <= set(feed.columns)
+        by = {(r._change_type, r.id): r.score for r in feed.collect()}
+        assert by[("update_preimage", 2)] == 2.0
+        assert by[("update_postimage", 2)] == 222.0
+        assert by[("insert", 100)] == 100.0
+        # a stale physical-name key is a caller bug, loudly
+        with pytest.raises(ValueError, match="not a target column"):
+            merge_into_table(
+                spark, d,
+                spark.createDataFrame([(1, 1.0)], "k long, score double"),
+                ["k"], when_matched_update={"score": "s.score"},
+            )
+
+    def test_merge_delete_writes_physical_dv(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "k", "id")
+        src = spark.createDataFrame([(i,) for i in range(5, 10)], "id long")
+        m = merge_into_table(spark, d, src, ["id"], when_matched_delete=True)
+        assert m["deleted"] == 5
+        cur = current_commit(d)
+        # delete-only partition day=b tombstoned, not rewritten; the dv
+        # file and dv_key use the PHYSICAL name
+        assert cur["dv_key"] == "k"
+        dv_raw = spark.read.parquet(os.path.join(d, cur["dv"][0]))
+        assert dv_raw.columns == ["k"]
+        assert sorted(r.k for r in dv_raw.collect()) == [5, 6, 7, 8, 9]
+        t = read_keyed_table(spark, d)
+        assert sorted(r.id for r in t.collect()) == [0, 1, 2, 3, 4]
+        # renaming the dv-keyed LOGICAL column now refuses (the dv
+        # addresses its physical name)
+        with pytest.raises(ValueError, match="tombstone key"):
+            rename_column(spark, d, "id", "doc")
+        # typed feed reconstructs delete images under logical names
+        feed = read_table_changes_typed(spark, d, 2)
+        dels = {
+            r.id for r in feed.filter("_change_type = 'delete'").collect()
+        }
+        assert dels == {5, 6, 7, 8, 9}
+
+    def test_merge_reinsert_consolidates_mapped_dv(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "k", "id")
+        merge_into_table(
+            spark, d,
+            spark.createDataFrame([(i,) for i in range(5, 10)], "id long"),
+            ["id"], when_matched_delete=True,
+        )
+        # re-insert a tombstoned key: the dv must lose it AND the stale
+        # physical rows must purge in the same commit
+        m = merge_into_table(
+            spark, d,
+            spark.createDataFrame([(7, 777.0)], "id long, v double"),
+            ["id"],
+            when_not_matched_insert={
+                "id": "s.id", "v": "s.v", "s": "'re'",
+                "day": "'b'",
+            },
+        )
+        assert m["inserted"] == 1
+        cur = current_commit(d)
+        dv_keys = {
+            r.k
+            for r in spark.read.parquet(
+                *[os.path.join(d, dd) for dd in cur["dv"]]
+            ).collect()
+        }
+        assert dv_keys == {5, 6, 8, 9}
+        t = read_keyed_table(spark, d)
+        got = {r.id: r.v for r in t.collect()}
+        assert got[7] == 777.0
+        assert sorted(got) == [0, 1, 2, 3, 4, 7]
+
+    def test_merge_evolve_schema_joins_the_map(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        drop_column(spark, d, "s")
+        # a source-only column may not reuse a dropped physical name …
+        with pytest.raises(ValueError, match="dropped"):
+            merge_into_table(
+                spark, d,
+                spark.createDataFrame(
+                    [(1, "zz")], "k long, s string"
+                ),
+                ["k"], evolve_schema=True,
+                when_matched_update={"s": "s.s"},
+            )
+        # … nor another column's physical name
+        with pytest.raises(ValueError, match="physical name"):
+            merge_into_table(
+                spark, d,
+                spark.createDataFrame([(1, 5.0)], "k long, v double"),
+                ["k"], evolve_schema=True,
+                when_matched_update={"v": "s.v"},
+            )
+        m = merge_into_table(
+            spark, d,
+            spark.createDataFrame(
+                [(1, 1.5), (200, 2.5)], "k long, extra double"
+            ),
+            ["k"], evolve_schema=True,
+            when_matched_update={"extra": "s.extra"},
+            when_not_matched_insert={
+                "k": "s.k", "score": "0.0", "extra": "s.extra",
+                "day": "'c'",
+            },
+        )
+        assert m["updated"] == 1 and m["inserted"] == 1
+        t = read_keyed_table(spark, d)
+        got = {r.k: r.extra for r in t.collect()}
+        assert got[1] == 1.5 and got[200] == 2.5
+        assert got[0] is None  # old generations read the column as NULL
+        # the new column is identity-mapped: staged file carries it
+        # under its own name next to the physical 'v'
+        cur = current_commit(d)
+        entry = cur["partitions"]["day=a"]
+        stage = entry[-1] if isinstance(entry, list) else entry
+        raw = spark.read.parquet(os.path.join(d, stage, "day=a"))
+        assert {"v", "extra"} <= set(raw.columns)
+        assert "score" not in raw.columns
+
+    def test_j13_upsert_survives_rename(self, spark, tmp_path):
+        """The reference's INSERT OR IGNORE upsert (nshmdb.py:263-266)
+        is the degenerate MERGE — it must work regardless of
+        schema-evolution history."""
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "k", "nshm_id")
+        src = spark.createDataFrame(
+            [(3, -1.0, "dup", "a"), (300, 30.0, "new", "c")],
+            "nshm_id long, v double, s string, day string",
+        )
+        m = merge_into_table(
+            spark, d, src, ["nshm_id"], when_not_matched_insert=True
+        )
+        assert m["inserted"] == 1 and m["updated"] == 0
+        t = read_keyed_table(spark, d)
+        got = {r.nshm_id: r.v for r in t.collect()}
+        assert got[3] == 3.0  # INSERT OR IGNORE: existing row untouched
+        assert got[300] == 30.0 and len(got) == 11
 
 
 class TestMappingModel:

@@ -760,3 +760,243 @@ class TestTypedStream:
         )
         with pytest.raises(ValueError, match="legacy"):
             _typed_plan(d, 0, current_commit(d)["version"])
+
+
+class TestMappedStream:
+    """The commitlog source over column-mapped tables (r13 — VERDICT
+    r12 #2): every commit projects through the map the stream captured
+    at start (physical names are stable across rename/drop, so one
+    logical projection spans the history, the batch feeds' rule with
+    end = the captured head); a LATER map change raises for a restart
+    (Delta's streaming schema-change behavior), and commits predating
+    a materialize refuse (their physical names were re-based)."""
+
+    def _stream(self, spark, d, **opts):
+        register_commitlog_source(spark)
+        reader = spark.readStream.format("commitlog").option("path", d)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def _mapped_history(self, spark):
+        from nshm2022db_spark.streaming.sinks import rename_column
+
+        d = tempfile.mkdtemp(prefix="tsrc_map_")
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 0, 4), batch_id=0
+        )
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 4, 7, day="2024-01-02"),
+            batch_id=1,
+        )
+        rename_column(spark, d, "v", "score")  # v3: metadata-only
+        append_partition_transaction(
+            spark, d, "day",
+            spark.range(7, 9).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).cast("double").alias("score"),
+                F.lit("2024-01-03").alias("day"),
+            ),
+            batch_id=2,
+        )
+        return d
+
+    def test_untyped_stream_serves_logical_names(self, spark):
+        from nshm2022db_spark.streaming.sinks import read_table_changes
+
+        d = self._mapped_history(spark)
+        got = self._stream(spark, d, maxVersionsPerBatch=1)
+        assert "score" in got.columns and "v" not in got.columns
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_map_u")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "select k, score, day, _commit_version from tsrc_map_u"
+        ).collect()
+        spark.catalog.dropTempView("tsrc_map_u")
+        # stream equals the batch feed over the same range (end = head)
+        batch = read_table_changes(spark, d, 0).select(
+            "k", "score", "day", "_commit_version"
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
+        # old commits' physical 'v' data surfaces under 'score'
+        by_v = {}
+        for r in rows:
+            by_v.setdefault(r._commit_version, set()).add((r.k, r.score))
+        assert by_v[1] == {(k, k * 10.0) for k in range(0, 4)}
+        assert by_v[4] == {(k, k * 10.0) for k in range(7, 9)}
+
+    def test_typed_stream_equals_batch_across_rename_and_dml(self, spark):
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_table_changes_typed,
+            update_table,
+        )
+
+        d = self._mapped_history(spark)
+        # v5: mapped UPDATE (CDC sidecar in physical names)
+        update_table(spark, d, {"score": "score + 1"}, where="k = 1")
+        # v6: mapped MERGE (update pair + insert images)
+        merge_into_table(
+            spark, d,
+            spark.createDataFrame(
+                [(2, 222.0), (100, 1.0)], "k long, score double"
+            ),
+            ["k"],
+            when_matched_update={"score": "s.score"},
+            when_not_matched_insert={
+                "k": "s.k", "score": "s.score", "day": "'2024-02-01'",
+            },
+        )
+        got = self._stream(spark, d, changeTypes="true", maxVersionsPerBatch=1)
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_map_t")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "select k, score, day, _commit_version, _change_type "
+            "from tsrc_map_t"
+        ).collect()
+        spark.catalog.dropTempView("tsrc_map_t")
+        batch = read_table_changes_typed(spark, d, 0).select(
+            "k", "score", "day", "_commit_version", "_change_type"
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
+        by = {}
+        for r in rows:
+            by.setdefault((r._commit_version, r._change_type), set()).add(
+                (r.k, r.score)
+            )
+        assert by[(5, "update_preimage")] == {(1, 10.0)}
+        assert by[(5, "update_postimage")] == {(1, 11.0)}
+        assert by[(6, "update_postimage")] == {(2, 222.0)}
+        assert by[(6, "insert")] == {(100, 1.0)}
+
+    def test_mid_stream_rename_raises_then_restart_serves(self, spark):
+        from nshm2022db_spark.streaming.sinks import rename_column
+
+        d = tempfile.mkdtemp(prefix="tsrc_midmap_")
+        ckpt = tempfile.mkdtemp(prefix="tsrc_midmap_ckpt_")
+        out_dir = tempfile.mkdtemp(prefix="tsrc_midmap_out_")
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 0, 4), batch_id=0
+        )
+
+        # a LIVE stream cannot express the rename: its reader captured
+        # the pre-rename map, so the next micro-batch raises
+        got = self._stream(spark, d, maxVersionsPerBatch=1)
+        q = (
+            got.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # serves v1 under the original names
+            rename_column(spark, d, "v", "score")
+            append_partition_transaction(
+                spark, d, "day",
+                spark.range(4, 6).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") * 10).cast("double").alias("score"),
+                    F.lit("2024-01-02").alias("day"),
+                ),
+                batch_id=1,
+            )
+            with pytest.raises(Exception, match="changed the column mapping"):
+                q.processAllAvailable()
+                raise RuntimeError(str(q.exception()))
+        finally:
+            q.stop()
+        # a RESTARTED stream picks up the new logical schema and serves
+        # the remaining commits from the checkpoint into the same sink
+        # (its file-metadata log continues; the dir now holds both
+        # schemas, so the readback merges them)
+        got = self._stream(spark, d, maxVersionsPerBatch=1)
+        assert "score" in got.columns
+        q = (
+            got.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.read.option("mergeSchema", "true").parquet(out_dir)
+        first = rows.filter("_commit_version = 1").collect()
+        assert {(r.k, r.v) for r in first} == {(k, k * 10.0) for k in range(4)}
+        rest = rows.filter("_commit_version = 3").collect()
+        assert {(r.k, r.score) for r in rest} == {(4, 40.0), (5, 50.0)}
+        # exactly-once across the failed batch: nothing re-emitted
+        assert rows.count() == 6
+
+    def test_stream_refuses_pre_materialize_commits(self, spark):
+        from nshm2022db_spark.streaming.sinks import (
+            current_commit,
+            materialize_column_mapping,
+            rename_column,
+        )
+
+        d = tempfile.mkdtemp(prefix="tsrc_matmap_")
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 0, 4), batch_id=0
+        )
+        rename_column(spark, d, "v", "score")
+        materialize_column_mapping(spark, d)
+        mat_v = current_commit(d)["version"]
+        append_partition_transaction(
+            spark, d, "day",
+            spark.range(4, 6).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).cast("double").alias("score"),
+                F.lit("2024-01-02").alias("day"),
+            ),
+            batch_id=1,
+        )
+        # from 0: commit 1's files carry pre-re-base names — refuse
+        q = (
+            self._stream(spark, d)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_matmap_bad")
+            .start()
+        )
+        try:
+            with pytest.raises(Exception, match="materialize"):
+                q.processAllAvailable()
+                raise RuntimeError(str(q.exception()))
+        finally:
+            q.stop()
+            spark.catalog.dropTempView("tsrc_matmap_bad")
+        # from the materialize version: clean
+        got = self._stream(spark, d, startingVersion=mat_v)
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_matmap_ok")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("select k, score from tsrc_matmap_ok").collect()
+        spark.catalog.dropTempView("tsrc_matmap_ok")
+        assert {(r.k, r.score) for r in rows} == {(4, 40.0), (5, 50.0)}
