@@ -200,6 +200,10 @@ HEADLINE = [
     "multimodal_decode_gif",
     # r12: TIFF decode (IFD walk, none/LZW+predictor/PackBits)
     "multimodal_decode_tiff",
+    # r13: MERGE INTO through column mapping (typed-feed image rollup)
+    "merge_mapped_cdc",
+    # r13: the typed commitlog stream over a column-mapped table
+    "stream_mapped_changes",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

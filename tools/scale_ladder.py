@@ -275,6 +275,14 @@ LADDER = [
     "multimodal_decode_gif",
     # r12: TIFF decode (IFD walk, 3 codecs, both byte orders) — map-only
     "multimodal_decode_tiff",
+    # r13: MERGE through column mapping — decision scan + O(changed
+    # partitions) rewrite + change-sized CDC sidecar; the renames are
+    # O(manifest), so the exponent is the merge's own
+    "merge_mapped_cdc",
+    # r13: the typed commitlog stream over a mapped table — per-commit
+    # micro-batches; the map projection is a per-batch Arrow
+    # field-name translation, zero extra jobs
+    "stream_mapped_changes",
 ]
 
 
