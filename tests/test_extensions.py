@@ -257,55 +257,35 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
-            # NEW in r12: first-class predicate DELETE with the CDC
-            # delete-image sidecar (VERDICT r11 #1) and column mapping
-            # (metadata-only RENAME/DROP, VERDICT r11 stretch #5)
-            "delete_where_cdc",
-            "rename_column_read",
-            # shared primitives changed in r12, one in-window
+            # NEW in r13: MERGE INTO through column mapping (typed-feed
+            # image rollup), the typed commitlog stream over a mapped
+            # table (shared oracle -> stream-equals-batch value-pinned
+            # by the gate), and the IVF-PQ composition
+            "merge_mapped_cdc",
+            "stream_mapped_changes",
+            "knn_ivfpq",
+            # shared primitives changed in r13, one in-window
             # representative per changed code path (the registry.py
-            # window comment lists the mapping): the typed feed's
-            # op=delete routing + end-schema column-map projection, the
-            # typed stream planner, the untyped feed's end-manifest
-            # tracking, DML guards + manifest map carry, tombstone_keys'
-            # mapped-key guard, append/overwrite staging translation,
-            # read_keyed_table's logical projection, the rewrite
-            # transaction's map carry, and _rebase_conflict's
-            # delete-transparency + map-change detection
-            "table_changes_typed",
-            "cdc_apply_typed",
-            "stream_table_changes_typed",
-            "table_changes_feed",
-            "cdc_incremental_agg",
+            # window comment lists the mapping): merge_into_table's
+            # logical decision frame + physical staging/sidecar/dv +
+            # evolve-joins-map + consolidation through the map;
+            # _enforce_constraints' logical projection at all five
+            # write paths; set_table_constraints' lifted guard; the
+            # commitlog stream planner/reader/schema map handling;
+            # _check_mappable's through-the-map dv-key comparison
             "merge_into_conditional",
+            "merge_delete_composite",
+            "merge_schema_evolution",
+            "stream_merge_conditional",
+            "merge_upsert",
             "update_where_partition",
-            "delete_tombstone_mor",
+            "delete_where_cdc",
+            "constrained_land",
             "overwrite_partition_transaction",
-            "bloom_skip_scan",
             "compact_small_files",
-            "commit_rebase_stats",
-            # NEW in r12 (second leg): the codec-variant corpus, plus
-            # one in-window representative per rewritten codec
-            # primitive (decode_png filter core, decode_bmp
-            # restructure, decode_jpeg multi-scan rework)
-            "multimodal_decode_variants",
-            "multimodal_decode_png",
-            "multimodal_decode_pixels",
-            "multimodal_decode_jpeg",
-            # NEW in r12 (third leg): perceptual-hash image dedup
-            "dedup_image_ahash",
-            # NEW in r12 (fourth leg): real Motion-JPEG AVI video decode
-            "multimodal_video_frames",
-            # NEW in r12 (fifth leg): 2:1 PCM resample over decoded WAV
-            "multimodal_audio_resample",
-            # NEW in r12 (sixth leg): product-quantized ANN (ADC)
-            "knn_pq_adc",
-            # NEW in r12 (seventh leg): real GIF decode (LZW/interlace/
-            # animation)
-            "multimodal_decode_gif",
-            # NEW in r12 (eighth leg): TIFF (IFD walk, both byte
-            # orders, none/LZW+predictor/PackBits, palette)
-            "multimodal_decode_tiff",
+            "stream_table_source",
+            "stream_table_changes_typed",
+            "rename_column_read",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

@@ -460,3 +460,23 @@ class TestR12QueryPlans:
         assert plan.count("hashpartitioning(") == 1
         assert "SortAggregate" not in plan
         assert plan.count("MapInPandas") == 4  # 2 stages, named twice
+
+
+class TestR13QueryPlans:
+    """r13: IVF-PQ must keep the composition's scale shape — the code
+    scan joins the (probe x LUT) relation via broadcast (never a
+    shuffle of the codes), and only codes + adc cross the candidate
+    window exchange; the rescore fetches float vectors by id through
+    broadcast joins."""
+
+    def test_ivfpq_broadcasts_probes_and_luts(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.similarity import knn_ivfpq
+
+        plan = _plan(knn_ivfpq(spark, sf_dir))
+        # the ADC scan's probe/LUT join and the rescore's cand/query
+        # joins are all broadcast — a SortMergeJoin anywhere means a
+        # full shuffle of the corpus-sized side
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        # the index build is one assignment shuffle + a map-only encode
+        assert plan.count("MapInPandas") == 2  # one stage, named twice

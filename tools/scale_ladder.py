@@ -283,6 +283,9 @@ LADDER = [
     # micro-batches; the map projection is a per-batch Arrow
     # field-name translation, zero extra jobs
     "stream_mapped_changes",
+    # r13: IVF-PQ — probe-pruned ADC scan over 8-byte codes + by-id
+    # rescore; candidates scale with nprobe/nlist of the corpus
+    "knn_ivfpq",
 ]
 
 
