@@ -64,6 +64,14 @@ except ImportError:
 # Pure-NumPy uncompressed codecs (no external deps).
 # ---------------------------------------------------------------------------
 
+# Cumulative decoded-size cap for multi-frame containers (GIF frames,
+# AVI MJPEG frames — ADVICE r12): per-frame dimension caps alone still
+# let a small crafted file with MANY frames force multi-GB totals
+# (LZW expands ~1000x). Mirrors the PNG inflate cap; module-level so
+# tests can exercise the trip cheaply.
+_DECODE_TOTAL_BUDGET = 1 << 30
+
+
 def _decode_boundary(fn):
     """Converge every parse failure on malformed media to the
     ValueError contract decode_image_real's fallback tier catches —
@@ -365,7 +373,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
     )
     topdown, h = h < 0, abs(h)
     if comp in (1, 2):  # RLE8 / RLE4
-        if (comp == 1) != (bpp == 8) or topdown:
+        # explicit pairing (ADVICE r12): comp 1 (RLE8) requires bpp 8,
+        # comp 2 (RLE4) requires bpp 4 — the old XOR-style check let a
+        # comp=2/bpp=1 file through to the nibble decoder, failing
+        # later (or silently decoding) via the palette-range check
+        if bpp != (8 if comp == 1 else 4) or topdown:
             raise ValueError("malformed RLE BMP (bpp/compression mismatch)")
         pal = _bmp_color_table(data, info_size, bpp, clr_used)
         idx = _bmp_rle_decode(data, pixoff, w, h, nibble=(comp == 2))
@@ -1762,6 +1774,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker code — 0xFF followed by another 0xFF is padding, not a
+        # marker start (ADVICE r12; also covers the post-SOS resume,
+        # which re-enters here pointing at the first 0xFF of a run)
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:
             break
@@ -3154,9 +3174,13 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, list[np.ndarray]]:
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     fps, declared, frames = None, None, []
+    # cumulative decoded-pixel budget across frames (ADVICE r12): each
+    # frame is capped individually inside decode_jpeg, but a crafted
+    # file with many max-size frames could still force multi-GB totals
+    decoded_budget = _DECODE_TOTAL_BUDGET
 
     def walk(pos: int, end: int, depth: int = 0) -> None:
-        nonlocal fps, declared
+        nonlocal fps, declared, decoded_budget
         if depth > 32:  # ValueError contract, not a RecursionError
             raise ValueError("AVI LIST nesting too deep")
         while pos + 8 <= end:
@@ -3172,7 +3196,11 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, list[np.ndarray]]:
                 if scale:
                     fps = rate // scale
             elif cid in (b"00dc", b"00db"):
-                frames.append(decode_jpeg(data[body : body + size]))
+                frame = decode_jpeg(data[body : body + size])
+                decoded_budget -= frame.nbytes
+                if decoded_budget < 0:
+                    raise ValueError("implausible AVI total decoded size")
+                frames.append(frame)
             pos = body + size + (size & 1)  # RIFF 2-byte alignment
 
     walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
@@ -3627,6 +3655,7 @@ def decode_gif(data: bytes) -> "tuple[list[np.ndarray], int]":
         pos += 3 * n
     frames: list[np.ndarray] = []
     delay = 0
+    decoded_budget = _DECODE_TOTAL_BUDGET  # cumulative RGB bytes
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
@@ -3669,6 +3698,13 @@ def decode_gif(data: bytes) -> "tuple[list[np.ndarray], int]":
             lzw += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
+        # per-frame dims are capped above, but LZW expands ~1000x: a
+        # small crafted file with MANY frames could still force
+        # multi-GB totals — cap the CUMULATIVE decoded size like the
+        # PNG inflate cap (ADVICE r12)
+        decoded_budget -= fw * fh * 3
+        if decoded_budget < 0:
+            raise ValueError("implausible GIF total decoded size")
         idx = _gif_lzw_decode(bytes(lzw), mcs, fw * fh).reshape(fh, fw)
         if ip & 0x40:
             idx = _gif_deinterleave(idx, fh)

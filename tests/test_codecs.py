@@ -1085,3 +1085,69 @@ class TestGIFTIFFReviewFindings:
 
         with pytest.raises(ValueError, match="non-empty"):
             encode_tiff(np.zeros((0, 5), np.uint8))
+
+
+class TestR13AdviceHardening:
+    """ADVICE r12: (1) cumulative decoded-size budgets for multi-frame
+    containers, (2) T.81 fill bytes before JPEG markers, (3) explicit
+    RLE-BMP comp/bpp pairing."""
+
+    def test_gif_cumulative_budget_trips(self, monkeypatch):
+        from nshm2022db_spark.extensions import multimodal as mm
+
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        fr = [rng.integers(0, 4, (20, 20), dtype=np.uint8)
+              for _ in range(3)]
+        blob = mm.encode_gif(fr, pal)
+        frames, _ = mm.decode_gif(blob)  # fine at the real budget
+        assert len(frames) == 3
+        # 2 frames fit (2*1200 bytes), the third trips the cumulative cap
+        monkeypatch.setattr(mm, "_DECODE_TOTAL_BUDGET", 2 * 20 * 20 * 3)
+        with pytest.raises(ValueError, match="total decoded size"):
+            mm.decode_gif(blob)
+
+    def test_avi_cumulative_budget_trips(self, monkeypatch):
+        from nshm2022db_spark.extensions import multimodal as mm
+
+        frames = mm._video_frames(1)  # 3 gray frames
+        blob = mm.encode_avi_mjpeg(frames, fps=10)
+        fps, out = mm.decode_avi_mjpeg(blob)
+        assert len(out) == len(frames)
+        monkeypatch.setattr(
+            mm, "_DECODE_TOTAL_BUDGET", sum(f.nbytes for f in frames[:-1])
+        )
+        with pytest.raises(ValueError, match="total decoded size"):
+            mm.decode_avi_mjpeg(blob)
+
+    def test_jpeg_fill_bytes_before_markers(self):
+        """T.81 B.1.1.2: runs of 0xFF fill bytes may precede any
+        marker — a conforming third-party file must decode, including
+        fill bytes ahead of EOI after the entropy-coded scan."""
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        img = _jpeg_pixels(7)
+        blob = encode_jpeg(img)
+        ref = decode_jpeg(blob)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        # fill bytes after SOI (before the first table marker) and
+        # before EOI
+        padded = (
+            blob[:2] + b"\xff" * 5 + blob[2:-2] + b"\xff" * 3 + blob[-2:]
+        )
+        out = decode_jpeg(padded)
+        assert np.array_equal(out, ref)
+
+    def test_rle4_wrong_bpp_rejected_upfront(self):
+        from nshm2022db_spark.extensions.multimodal import (
+            _bmp_assemble, decode_bmp,
+        )
+
+        pal = np.zeros((16, 3), np.uint8)
+        # comp=2 (RLE4) with bpp=1: must fail the pairing check, not
+        # wander into the nibble decoder
+        blob = bytearray(_bmp_assemble(4, 3, 1, 2, b"\x00\x01", pal))
+        with pytest.raises(ValueError, match="bpp/compression mismatch"):
+            decode_bmp(bytes(blob))
