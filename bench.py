@@ -206,6 +206,8 @@ HEADLINE = [
     "stream_mapped_changes",
     # r13: IVF-PQ composition (probed lists x ADC codes + exact rescore)
     "knn_ivfpq",
+    # r13: GIF animation compositing (sub-rect deltas + transparency)
+    "multimodal_decode_gif_anim",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -3598,18 +3598,40 @@ def _gif_deinterleave(rows: "np.ndarray", h: int) -> "np.ndarray":
 def encode_gif(
     frames: "list[np.ndarray] | np.ndarray", palette: "np.ndarray",
     interlace: bool = False, delay_cs: int = 4,
+    boxes: "list[tuple[int, int]] | None" = None,
+    disposals: "list[int] | None" = None,
+    transparent: "int | None" = None,
 ) -> bytes:
     """Encode one (h, w) index grid — or a list of them for an animated
     GIF89a — against an (n, 3) palette: logical screen descriptor,
     global color table padded to a power of two, per-frame graphic
-    control extensions when animated, optional interlace, real LZW."""
+    control extensions when animated, optional interlace, real LZW.
+
+    Animation deltas (r13): ``boxes`` places each frame at (left, top)
+    on the logical screen (frames may then differ in size — the
+    sub-rectangle delta encoding real animated GIFs use),
+    ``disposals`` sets each frame's disposal method (0/1 leave, 2
+    restore-to-background, 3 restore-to-previous), and ``transparent``
+    marks one palette index as see-through in the compositor."""
     if isinstance(frames, np.ndarray):
         frames = [frames]
-    h, w = frames[0].shape
-    if h == 0 or w == 0:
+    if any(f.shape[0] == 0 or f.shape[1] == 0 for f in frames):
         raise ValueError("GIF frames must be non-empty")
-    if any(f.shape != (h, w) for f in frames):
-        raise ValueError("all frames must share one size")
+    if boxes is None:
+        h, w = frames[0].shape
+        if any(f.shape != (h, w) for f in frames):
+            raise ValueError(
+                "all frames must share one size (or pass boxes)"
+            )
+        boxes = [(0, 0)] * len(frames)
+    else:
+        if len(boxes) != len(frames):
+            raise ValueError("boxes must match frames 1:1")
+        w = max(lf + f.shape[1] for (lf, _), f in zip(boxes, frames))
+        h = max(tp + f.shape[0] for (_, tp), f in zip(boxes, frames))
+    disposals = disposals or [0] * len(frames)
+    if len(disposals) != len(frames):
+        raise ValueError("disposals must match frames 1:1")
     nbits = max(1, int(len(palette) - 1).bit_length())
     table = np.zeros((1 << nbits, 3), np.uint8)
     table[: len(palette)] = palette
@@ -3617,15 +3639,20 @@ def encode_gif(
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (nbits - 1), 0, 0)
     out += table.tobytes()
-    for f in frames:
+    for f, (left, top), disp in zip(frames, boxes, disposals):
         if int(f.max(initial=0)) >= len(palette):
             raise ValueError("palette index out of range")
-        if len(frames) > 1:  # graphic control extension per frame
+        if len(frames) > 1 or disp or transparent is not None:
+            # graphic control extension: disposal bits 2-4, bit 0 the
+            # transparency flag; last byte the transparent index
+            packed = (disp & 7) << 2 | (transparent is not None)
             out += b"\x21\xf9" + bytes([4]) + struct.pack(
-                "<BHB", 0, delay_cs, 0
+                "<BHB", packed, delay_cs,
+                transparent if transparent is not None else 0,
             ) + b"\x00"
         out += b"," + struct.pack(
-            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+            "<HHHHB", left, top, f.shape[1], f.shape[0],
+            0x40 if interlace else 0,
         )
         rows = _gif_interleave(f) if interlace else f
         out.append(mcs)
@@ -3640,11 +3667,16 @@ def encode_gif(
 def decode_gif(data: bytes) -> "tuple[list[np.ndarray], int]":
     """Decode a GIF87a/89a → (list of (h, w, 3) RGB frames, delay in
     centiseconds): screen descriptor, global/local color tables, the
-    4-pass interlace, LZW with mid-stream clears, extension skipping,
-    multi-frame animation."""
+    4-pass interlace, LZW with mid-stream clears, multi-frame
+    animation — and full COMPOSITING (r13, the last native-GIF
+    boundary erased): sub-rectangle frame deltas land on the logical
+    screen at their (left, top), transparent-index pixels leave the
+    canvas showing through, and the GCE disposal methods replay
+    (0/1 leave, 2 restore-to-background, 3 restore-to-previous). Each
+    emitted frame is the full composited screen, what a viewer shows."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
-    w, h, packed, _, _ = struct.unpack_from("<HHBBB", data, 6)
+    w, h, packed, bg, _ = struct.unpack_from("<HHBBB", data, 6)
     if h * w > 1 << 28:
         raise ValueError("implausible GIF dimensions")
     pos = 13
@@ -3656,15 +3688,27 @@ def decode_gif(data: bytes) -> "tuple[list[np.ndarray], int]":
     frames: list[np.ndarray] = []
     delay = 0
     decoded_budget = _DECODE_TOTAL_BUDGET  # cumulative RGB bytes
+    # the compositing canvas starts as the background color (viewers
+    # differ on background-vs-transparent for the virgin canvas; with
+    # an RGB output the background color is the faithful choice)
+    bg_rgb = (
+        gpal[bg] if gpal is not None and bg < len(gpal)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    disp = 0
+    tidx: "int | None" = None
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: read delay from GCE, skip the rest
+        if b == 0x21:  # extension: GCE feeds the compositor, rest skip
             label = data[pos + 1]
             pos += 2
             if label == 0xF9 and data[pos] == 4:
-                delay = struct.unpack_from("<H", data, pos + 2)[0]
+                gp, delay, ti = struct.unpack_from("<BHB", data, pos + 1)
+                disp = (gp >> 2) & 0x7
+                tidx = ti if gp & 0x1 else None
             while data[pos] != 0:  # sub-blocks
                 pos += 1 + data[pos]
             pos += 1
@@ -3675,14 +3719,8 @@ def decode_gif(data: bytes) -> "tuple[list[np.ndarray], int]":
         pos += 10
         if fw * fh > 1 << 28:  # same bomb class the PNG cap closes
             raise ValueError("implausible GIF frame dimensions")
-        if left or top or fw != w or fh != h:
-            # sub-rectangle frame deltas need compositing (disposal
-            # methods) — raise so the fallback tier engages instead of
-            # silently returning uncomposited partial frames
-            raise ValueError(
-                "GIF sub-rectangle frames (compositing) not supported "
-                "natively"
-            )
+        if left + fw > w or top + fh > h:
+            raise ValueError("GIF frame rectangle exceeds the screen")
         pal = gpal
         if ip & 0x80:  # local color table
             n = 2 << (ip & 0x07)
@@ -3710,7 +3748,21 @@ def decode_gif(data: bytes) -> "tuple[list[np.ndarray], int]":
             idx = _gif_deinterleave(idx, fh)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("GIF palette index out of range")
-        frames.append(np.ascontiguousarray(pal[idx]))
+        # composite the delta onto the canvas; disposal 3 needs the
+        # pre-frame state back afterwards
+        prev = canvas.copy() if disp == 3 else None
+        region = canvas[top : top + fh, left : left + fw]
+        if tidx is not None:
+            mask = idx != tidx
+            region[mask] = pal[idx][mask]
+        else:
+            region[:] = pal[idx]
+        frames.append(canvas.copy())
+        if disp == 2:  # restore background over the frame rectangle
+            canvas[top : top + fh, left : left + fw] = bg_rgb
+        elif disp == 3 and prev is not None:  # restore previous
+            canvas = prev
+        disp, tidx = 0, None  # a GCE governs only the NEXT image
     if not frames:
         raise ValueError("no image data in GIF")
     return frames, delay
@@ -3821,6 +3873,143 @@ def multimodal_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "media": [
                         _gif_media(int(m)) for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    decoded = ids.mapInPandas(
+        encode_batches, "media_id long, media binary"
+    ).mapInPandas(
+        _decode_gif_batches,
+        "media_id long, n_frames int, width int, height int, "
+        "delay_cs int, mean_v double, wsum long",
+    )
+    return decoded.select(
+        "media_id", "n_frames", "width", "height", "delay_cs",
+        F.round("mean_v", 6).alias("mean_v"),
+        "wsum",
+    )
+
+
+# Animated-delta GIF corpus (r13 — exercises the compositor in the
+# oracle gate): frame 0 is a full-screen base, frames 1..nd are
+# sub-rectangle deltas at formula-determined (left, top), with palette
+# index 7 transparent on every third media id. All formulas are shared
+# verbatim with the SQL oracle, which recomputes each composited pixel
+# as the LAST covering opaque writer (arg_max over the frame chain).
+_GIF_ANIM_ND = "1 + media_id % 2"
+# the base frame AVOIDS the transparent index (7 -> 6 remap when
+# transparency is on): the GCE governs frame 0 too, so a transparent
+# base pixel would show the virgin background — a different (also
+# valid) image; keeping the base opaque makes "canvas shows through"
+# attributable to the DELTAS alone
+_GIF_ANIM_BASE = (
+    "CASE WHEN tr AND (x + 2 * y + seed) % 16 = 7 THEN 6"
+    " ELSE (x + 2 * y + seed) % 16 END"
+)
+# local-coordinate delta formula for frame g >= 1
+_GIF_ANIM_DELTA = "(dx + 3 * dy + 5 * g + seed) % 16"
+
+
+def _gif_anim_media(mid: int) -> bytes:
+    seed = mid % 256
+    w, h = 4 + mid % 13, 4 + (mid * 7) % 11
+    nd = 1 + mid % 2
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.int64),
+                         np.arange(h, dtype=np.int64))
+    base = (xx + 2 * yy + seed) % 16
+    if mid % 3 == 0:  # transparency on: keep the base frame opaque
+        base = np.where(base == 7, 6, base)
+    frames = [base.astype(np.uint8)]
+    boxes = [(0, 0)]
+    fw, fh = max(1, w // 2), max(1, h // 2)
+    dxx, dyy = np.meshgrid(np.arange(fw, dtype=np.int64),
+                           np.arange(fh, dtype=np.int64))
+    for g in range(1, nd + 1):
+        left = (g * 3) % (w - fw + 1)
+        top = (g * 5) % (h - fh + 1)
+        frames.append(((dxx + 3 * dyy + 5 * g + seed) % 16).astype(np.uint8))
+        boxes.append((left, top))
+    return encode_gif(
+        frames, _variant_palette(seed), boxes=boxes,
+        transparent=7 if mid % 3 == 0 else None,
+    )
+
+
+@register(
+    "multimodal_decode_gif_anim",
+    f"""WITH ids AS (
+            SELECT doc_id AS media_id,
+                   ({_GIF_ANIM_ND.replace('media_id', 'doc_id')}) + 1 AS nf,
+                   doc_id % 256 AS seed,
+                   (doc_id % 3 = 0) AS tr,
+                   {_BMP_DIMS[0].replace('media_id', 'doc_id')} AS w,
+                   {_BMP_DIMS[1].replace('media_id', 'doc_id')} AS h
+            FROM documents),
+        fr AS (SELECT *, unnest(range(0, nf)) AS f FROM ids),
+        xs AS (SELECT *, unnest(range(0, w)) AS x FROM fr),
+        px AS (SELECT *, unnest(range(0, h)) AS y FROM xs),
+        pxg AS (SELECT *, unnest(range(0, f + 1)) AS g FROM px),
+        cov AS (
+            SELECT media_id, nf, w, h, f, x, y, g,
+                   CASE WHEN g = 0 THEN {_GIF_ANIM_BASE}
+                        ELSE ((x - ((g * 3) % (w - GREATEST(1, w // 2) + 1)))
+                              + 3 * (y - ((g * 5) % (h - GREATEST(1, h // 2) + 1)))
+                              + 5 * g + seed) % 16 END AS idx,
+                   (g = 0 OR (
+                        x >= (g * 3) % (w - GREATEST(1, w // 2) + 1)
+                    AND x <  (g * 3) % (w - GREATEST(1, w // 2) + 1)
+                             + GREATEST(1, w // 2)
+                    AND y >= (g * 5) % (h - GREATEST(1, h // 2) + 1)
+                    AND y <  (g * 5) % (h - GREATEST(1, h // 2) + 1)
+                             + GREATEST(1, h // 2))) AS covered,
+                   tr, seed
+            FROM pxg),
+        smp AS (
+            SELECT media_id, nf, w, h, f, x, y,
+                   arg_max(idx, g) AS widx
+            FROM cov
+            WHERE covered AND NOT (g > 0 AND tr AND idx = 7)
+            GROUP BY media_id, nf, w, h, f, x, y),
+        vals AS (SELECT media_id, nf, w, h, f, x, y,
+                        {_VAR_PAL_SUM.format(i="widx")} AS s
+                 FROM (SELECT *, media_id % 256 AS seed FROM smp))
+        SELECT media_id,
+               MAX(nf)::INTEGER AS n_frames,
+               MAX(w)::INTEGER AS width,
+               MAX(h)::INTEGER AS height,
+               4::INTEGER AS delay_cs,
+               ROUND(SUM(s)::DOUBLE / (MAX(nf) * MAX(w) * MAX(h) * 3), 6)
+                   AS mean_v,
+               CAST(SUM((x + 2 * y + 1) * s * (f + 1)) AS BIGINT) AS wsum
+        FROM vals GROUP BY media_id""",
+)
+def multimodal_decode_gif_anim(spark: SparkSession, sf: str) -> DataFrame:
+    """GIF animation COMPOSITING decoded end-to-end (r13 — the last
+    native-GIF boundary erased): every document becomes an animated
+    GIF whose frames 1..nd are SUB-RECTANGLE deltas (the delta
+    encoding real animated GIFs use) with palette index 7 transparent
+    on every third id; decode_gif replays the compositor — each delta
+    lands at its (left, top), transparent pixels leave the prior
+    canvas showing — and the frame-weighted position checksum over the
+    COMPOSITED full-screen frames pins placement, transparency, and
+    the carry of untouched canvas regions. The oracle recomputes each
+    pixel as its last covering opaque writer (arg_max over the frame
+    chain). Same two chained map-only mapInPandas stages as every
+    codec query — zero shuffles. Disposal methods 2/3 are pinned by
+    unit tests (tests/test_codecs.py::TestGIFCompositing); the corpus
+    keeps disposal 0 so the oracle stays one arg_max."""
+    ids = read_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": [
+                        _gif_anim_media(int(m)) for m in pdf["media_id"]
                     ],
                 }
             )

@@ -190,9 +190,26 @@ _DRIVER_ORDER = [
     #     window boundary. After this window no driver evidence older
     #     than r9 remains; the r14 priority is the rest of the r9
     #     block (except_types .. window_running_sum at the tail head).
+    # (a2) NEW in r13 late leg: GIF animation COMPOSITING
+    #     (sub-rectangle deltas + transparency + disposal — the last
+    #     native-GIF boundary erased), with one in-window
+    #     representative per codec primitive the hardening sweep and
+    #     the compositor touched: decode_gif/encode_gif ->
+    #     multimodal_decode_gif; decode_jpeg (fill-byte marker walk)
+    #     -> multimodal_decode_jpeg; decode_bmp (RLE pairing) ->
+    #     multimodal_decode_pixels; decode_avi_mjpeg (cumulative
+    #     budget) -> multimodal_video_frames. Displaced to the tail
+    #     head (r14 priority): decontaminate_ngram, dedup_incremental,
+    #     distinct_ordered, embedding_random_projection,
+    #     events_sessionize.
     "merge_mapped_cdc",
     "stream_mapped_changes",
     "knn_ivfpq",
+    "multimodal_decode_gif_anim",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_pixels",
+    "multimodal_video_frames",
     "merge_into_conditional",
     "merge_delete_composite",
     "merge_schema_evolution",
@@ -235,23 +252,19 @@ _DRIVER_ORDER = [
     "conditional_agg_membership",
     "count_distinct",
     "decontaminate_bloom",
+    # --- 50-query window boundary (driver gate cap observed r01-r12) ---
+    # Tail head - FIRST PRIORITY for the round-14 window: the five
+    # displaced r9 rows above, then the remaining r9 block.
     "decontaminate_ngram",
     "dedup_incremental",
     "distinct_ordered",
     "embedding_random_projection",
     "events_sessionize",
-    # --- 50-query window boundary (driver gate cap observed r01-r12) ---
-    # Tail head — FIRST PRIORITY for the round-14 window: the
-    # remaining r9-evidence rows, stalest first.
     "multimodal_decode_variants",
     "multimodal_decode_png",
-    "multimodal_decode_pixels",
-    "multimodal_decode_jpeg",
     "dedup_image_ahash",
-    "multimodal_video_frames",
     "multimodal_audio_resample",
     "knn_pq_adc",
-    "multimodal_decode_gif",
     "multimodal_decode_tiff",
     "table_changes_typed",
     "cdc_apply_typed",

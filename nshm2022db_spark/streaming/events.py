@@ -20,6 +20,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nshm2022db_spark.queries.mapped_cdc import (
+    MAPPED_MERGE_CDC_ORACLE,
+    _mapped_merge_history,
+)
 from nshm2022db_spark.registry import register
 from nshm2022db_spark.sources import read_table
 from nshm2022db_spark.sources.parquet import (
@@ -651,13 +655,7 @@ def stream_table_changes_typed(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(bronze, ignore_errors=True)
 
 
-def _mapped_cdc_oracle():
-    from nshm2022db_spark.queries.pipeline import MAPPED_MERGE_CDC_ORACLE
-
-    return MAPPED_MERGE_CDC_ORACLE
-
-
-@register("stream_mapped_changes", _mapped_cdc_oracle())
+@register("stream_mapped_changes", MAPPED_MERGE_CDC_ORACLE)
 def stream_mapped_changes(spark: SparkSession, sf: str) -> DataFrame:
     """The typed commitlog STREAM over a column-mapped table (r13 —
     VERDICT r12 #2, the table_source.py refusal replaced with the
@@ -679,7 +677,6 @@ def stream_mapped_changes(spark: SparkSession, sf: str) -> DataFrame:
     read path — zero extra jobs, zero shuffles."""
     import tempfile
 
-    from nshm2022db_spark.queries.pipeline import _mapped_merge_history
     from nshm2022db_spark.streaming.table_source import (
         register_commitlog_source,
     )

@@ -1047,7 +1047,9 @@ class TestGIFTIFFReviewFindings:
         with pytest.raises(ValueError, match="implausible GIF frame"):
             decode_gif(bytes(g))
 
-    def test_gif_subrectangle_frames_raise_not_misdecode(self):
+    def test_gif_frame_rect_exceeding_screen_raises(self):
+        """r13 (compositing landed): an out-of-bounds frame rectangle
+        must raise, never write past the canvas."""
         from nshm2022db_spark.extensions.multimodal import (
             decode_gif, encode_gif,
         )
@@ -1055,9 +1057,8 @@ class TestGIFTIFFReviewFindings:
         pal = np.zeros((4, 3), np.uint8)
         g = bytearray(encode_gif(np.zeros((6, 6), np.uint8), pal))
         i = bytes(g).find(b",")
-        struct.pack_into("<HH", g, i + 1, 1, 1)
-        struct.pack_into("<HH", g, i + 5, 5, 5)
-        with pytest.raises(ValueError, match="compositing"):
+        struct.pack_into("<HH", g, i + 1, 3, 3)  # 6x6 frame at (3,3)
+        with pytest.raises(ValueError, match="exceeds the screen"):
             decode_gif(bytes(g))
 
     def test_tiff_short_typed_inline_strip_arrays(self):
@@ -1151,3 +1152,93 @@ class TestR13AdviceHardening:
         blob = bytearray(_bmp_assemble(4, 3, 1, 2, b"\x00\x01", pal))
         with pytest.raises(ValueError, match="bpp/compression mismatch"):
             decode_bmp(bytes(blob))
+
+
+class TestGIFCompositing:
+    """r13: the last native-GIF boundary erased — sub-rectangle frame
+    deltas composite onto the logical screen with transparency and the
+    GCE disposal methods; every emitted frame is the full composited
+    canvas (what a viewer shows)."""
+
+    @staticmethod
+    def _codec():
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        return decode_gif, encode_gif
+
+    def test_subrect_delta_composites_onto_canvas(self):
+        decode_gif, encode_gif = self._codec()
+        rng = np.random.default_rng(1)
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        base = rng.integers(0, 8, (10, 12), dtype=np.uint8)
+        delta = rng.integers(0, 8, (4, 5), dtype=np.uint8)
+        blob = encode_gif(
+            [base, delta], pal, boxes=[(0, 0), (3, 2)]
+        )
+        frames, _ = decode_gif(blob)
+        assert len(frames) == 2
+        assert np.array_equal(frames[0], pal[base])
+        want = pal[base].copy()
+        want[2:6, 3:8] = pal[delta]
+        assert np.array_equal(frames[1], want)
+
+    def test_transparent_index_shows_canvas_through(self):
+        decode_gif, encode_gif = self._codec()
+        pal = np.array(
+            [[10, 10, 10], [200, 0, 0], [0, 200, 0], [9, 9, 9]], np.uint8
+        )
+        base = np.full((6, 6), 1, np.uint8)
+        delta = np.array([[2, 3], [3, 2]], np.uint8)  # 3 = transparent
+        blob = encode_gif(
+            [base, delta], pal, boxes=[(0, 0), (2, 2)], transparent=3
+        )
+        frames, _ = decode_gif(blob)
+        want = pal[base].copy()
+        want[2, 2] = pal[2]
+        want[3, 3] = pal[2]  # transparent cells keep the base color
+        assert np.array_equal(frames[1], want)
+
+    def test_disposal_background_and_previous(self):
+        decode_gif, encode_gif = self._codec()
+        pal = np.array(
+            [[5, 6, 7], [200, 0, 0], [0, 200, 0], [0, 0, 200]], np.uint8
+        )
+        base = np.full((5, 5), 1, np.uint8)
+        d2 = np.full((2, 2), 2, np.uint8)  # disposal 2: then background
+        d3 = np.full((2, 2), 3, np.uint8)  # disposal 3: then previous
+        blob = encode_gif(
+            [base, d2, d3, d3], pal,
+            boxes=[(0, 0), (1, 1), (3, 3), (0, 0)],
+            disposals=[0, 2, 3, 0],
+        )
+        frames, _ = decode_gif(blob)
+        # frame 1: d2 painted over base
+        want1 = pal[base].copy()
+        want1[1:3, 1:3] = pal[2]
+        assert np.array_equal(frames[1], want1)
+        # frame 2: d2's rect restored to BACKGROUND (palette[0] — the
+        # screen descriptor's background index), d3 painted at (3,3)
+        want2 = pal[base].copy()
+        want2[1:3, 1:3] = pal[0]
+        want2[3:5, 3:5] = pal[3]
+        assert np.array_equal(frames[2], want2)
+        # frame 3: d3's rect RESTORED TO PREVIOUS (base showing again
+        # under it), the final delta painted at (0,0)
+        want3 = pal[base].copy()
+        want3[1:3, 1:3] = pal[0]
+        want3[0:2, 0:2] = pal[3]
+        assert np.array_equal(frames[3], want3)
+
+    def test_full_frame_files_unchanged(self):
+        """The pre-r13 full-frame path must be byte-compatible: no
+        boxes → identical output to before the compositor landed."""
+        decode_gif, encode_gif = self._codec()
+        rng = np.random.default_rng(9)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        fr = [rng.integers(0, 16, (9, 7), dtype=np.uint8) for _ in range(3)]
+        frames, delay = decode_gif(encode_gif(fr, pal, delay_cs=6))
+        assert len(frames) == 3 and delay == 6
+        for a, b in zip(fr, frames):
+            assert np.array_equal(b, pal[a])

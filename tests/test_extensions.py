@@ -264,6 +264,16 @@ class TestDriverOrder:
             "merge_mapped_cdc",
             "stream_mapped_changes",
             "knn_ivfpq",
+            # NEW in r13 late leg: GIF animation compositing, plus one
+            # representative per codec primitive the compositor and the
+            # ADVICE hardening sweep touched (decode_gif/encode_gif,
+            # decode_jpeg fill bytes, decode_bmp RLE pairing,
+            # decode_avi_mjpeg cumulative budget)
+            "multimodal_decode_gif_anim",
+            "multimodal_decode_gif",
+            "multimodal_decode_jpeg",
+            "multimodal_decode_pixels",
+            "multimodal_video_frames",
             # shared primitives changed in r13, one in-window
             # representative per changed code path (the registry.py
             # window comment lists the mapping): merge_into_table's

@@ -286,6 +286,8 @@ LADDER = [
     # r13: IVF-PQ — probe-pruned ADC scan over 8-byte codes + by-id
     # rescore; candidates scale with nprobe/nlist of the corpus
     "knn_ivfpq",
+    # r13: GIF compositing corpus — map-only, per-doc composite cost
+    "multimodal_decode_gif_anim",
 ]
 
 
