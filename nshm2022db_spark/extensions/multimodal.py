@@ -3739,8 +3739,11 @@ def decode_gif(data: bytes) -> "tuple[list[np.ndarray], int]":
         # per-frame dims are capped above, but LZW expands ~1000x: a
         # small crafted file with MANY frames could still force
         # multi-GB totals — cap the CUMULATIVE decoded size like the
-        # PNG inflate cap (ADVICE r12)
-        decoded_budget -= fw * fh * 3
+        # PNG inflate cap (ADVICE r12). Charge the EMITTED canvas
+        # (h*w*3 — every composited frame is a full-screen copy), not
+        # the delta rectangle: a huge-screen GIF with hundreds of 1x1
+        # deltas allocates canvases, not deltas (r13 review #1)
+        decoded_budget -= h * w * 3
         if decoded_budget < 0:
             raise ValueError("implausible GIF total decoded size")
         idx = _gif_lzw_decode(bytes(lzw), mcs, fw * fh).reshape(fh, fw)

@@ -1353,7 +1353,7 @@ def knn_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
 
 _IVFPQ_ORACLE = f"""WITH {_DUCK_IVF_CENTS},
     lists AS (
-        SELECT e.vec_id, any_value(e.embedding) AS embedding,
+        SELECT e.vec_id,
                arg_max(c1.centroid_id, {_duck_cos('e.embedding', 'c1.cv')})
                    AS centroid_id
         FROM embeddings e CROSS JOIN c1 GROUP BY e.vec_id),

@@ -105,3 +105,20 @@ def _mapped_merge_history(spark: SparkSession, ev: DataFrame, path: str):
     )
 
 
+
+
+def mapped_cdc_rollup(feed: DataFrame) -> DataFrame:
+    """The per-(commit, change_type) integer-checksum rollup BOTH
+    consumers must apply identically — the stream-equals-batch pin is
+    only meaningful if the aggregates cannot drift apart (r13 review
+    #4). Per-row FLOOR before the sum keeps every aggregate an
+    order-independent integer, bit-exact cross-engine."""
+    return feed.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.sum("uid").cast("long").alias("uid_sum"),
+        F.sum(F.floor("score")).cast("long").alias("fscore_sum"),
+    )

@@ -23,6 +23,7 @@ from nshm2022db_spark.sources.scratch import is_landed, mark_landed, scratch_pat
 from nshm2022db_spark.queries.mapped_cdc import (  # noqa: F401
     MAPPED_MERGE_CDC_ORACLE,
     _mapped_merge_history,
+    mapped_cdc_rollup,
 )
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity ends a session
@@ -2109,15 +2110,7 @@ def merge_mapped_cdc(spark: SparkSession, sf: str) -> DataFrame:
         _mapped_merge_history(spark, ev, path)
         mark_landed(base)
     feed = read_table_changes_typed(spark, path, from_version=0)
-    return feed.groupBy(
-        F.col("_commit_version").alias("commit_version"),
-        F.col("_change_type").alias("change_type"),
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("event_id").cast("long").alias("id_sum"),
-        F.sum("uid").cast("long").alias("uid_sum"),
-        F.sum(F.floor("score")).cast("long").alias("fscore_sum"),
-    )
+    return mapped_cdc_rollup(feed)
 
 
 DIFF_DELETE_MOD = 53  # keys dropped in the "new" snapshot

@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from nshm2022db_spark.queries.mapped_cdc import (
     MAPPED_MERGE_CDC_ORACLE,
     _mapped_merge_history,
+    mapped_cdc_rollup,
 )
 from nshm2022db_spark.registry import register
 from nshm2022db_spark.sources import read_table
@@ -696,15 +697,7 @@ def stream_mapped_changes(spark: SparkSession, sf: str) -> DataFrame:
             .option("maxVersionsPerBatch", 1)
             .load()
         )
-        agg = stream.groupBy(
-            F.col("_commit_version").alias("commit_version"),
-            F.col("_change_type").alias("change_type"),
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("event_id").cast("long").alias("id_sum"),
-            F.sum("uid").cast("long").alias("uid_sum"),
-            F.sum(F.floor("score")).cast("long").alias("fscore_sum"),
-        )
+        agg = mapped_cdc_rollup(stream)
         return _run_to_memory(agg, f"stream_mapped_{next(_counter)}")
     finally:
         import shutil

@@ -1996,6 +1996,26 @@ def tombstone_keys(
 _SCHEMA_MAP_KEYS = ("column_map", "dropped_columns")
 
 
+def _map_meta(manifest: dict) -> tuple:
+    """The manifest's column-mapping metadata as one comparable tuple —
+    THE definition of "the map changed" every consumer (batch feeds,
+    the stream admission in table_source.py) must share; adding a key
+    to _SCHEMA_MAP_KEYS updates them all at once (r13 review #2)."""
+    return tuple(manifest.get(k) for k in _SCHEMA_MAP_KEYS)
+
+
+def _is_materialize(by_v: dict, m: dict) -> bool:
+    """True when ``m`` is a `materialize_column_mapping` commit: a
+    ``data_change: false`` rewrite whose mapping metadata differs from
+    its predecessor's (plain compactions carry the map unchanged). The
+    nearest retained earlier manifest stands in for a vacuumed one."""
+    if not (m.get("op") == "rewrite" and m.get("data_change") is False):
+        return False
+    earlier = [k for k in by_v if k < m["version"]]
+    prev = by_v[max(earlier)] if earlier else {}
+    return _map_meta(m) != _map_meta(prev)
+
+
 def _carry_column_map(manifest: dict, cur: dict) -> None:
     """Carry the column-mapping metadata (logical→physical rename map +
     dropped physical names) forward onto a new manifest — every commit
@@ -2027,16 +2047,13 @@ def _check_map_stable(
         # consumer sitting just below it advances normally instead of
         # wedging (r12 review sweep 2 #3)
         return
-    earlier = [k for k in by_v if k < v]
-    prev = by_v[max(earlier)] if earlier else {}
-    for k in _SCHEMA_MAP_KEYS:
-        if m.get(k) != prev.get(k):
-            raise ValueError(
-                f"commit {v} of {table_dir} materialized a column "
-                "mapping (physical rename); a change feed cannot span "
-                f"it — read up to version {v - 1} and from {v} "
-                "separately"
-            )
+    if _is_materialize(by_v, m):
+        raise ValueError(
+            f"commit {v} of {table_dir} materialized a column "
+            "mapping (physical rename); a change feed cannot span "
+            f"it — read up to version {v - 1} and from {v} "
+            "separately"
+        )
 
 
 def _column_map(manifest: dict) -> dict:

@@ -76,22 +76,13 @@ _ADDITIVE_OPS = ("append", "set-constraints", "evolve")
 
 def _materialize_versions(hist: list[dict]) -> list[int]:
     """Versions at which `materialize_column_mapping` re-based the
-    table's PHYSICAL names: ``data_change: false`` rewrites whose
-    column-mapping metadata differs from their predecessor's (plain
-    compactions carry the map unchanged). The nearest retained earlier
-    manifest stands in for a vacuumed one, like `_check_map_stable`."""
+    table's PHYSICAL names — delegates the detection to sinks'
+    `_is_materialize` so the batch feeds and the stream admission share
+    ONE definition of a map re-base (r13 review #2)."""
+    from nshm2022db_spark.streaming.sinks import _is_materialize
+
     by_v = {m["version"]: m for m in hist}
-    out = []
-    for v, m in by_v.items():
-        if m.get("op") == "rewrite" and m.get("data_change") is False:
-            earlier = [k for k in by_v if k < v]
-            prev = by_v[max(earlier)] if earlier else {}
-            if any(
-                m.get(k) != prev.get(k)
-                for k in ("column_map", "dropped_columns")
-            ):
-                out.append(v)
-    return sorted(out)
+    return sorted(v for v, m in by_v.items() if _is_materialize(by_v, m))
 
 
 def _check_stream_map(
@@ -126,7 +117,9 @@ def _check_stream_map(
                 "from the materialize version or later"
             )
         return
-    if (m.get("column_map"), m.get("dropped_columns")) != map_meta:
+    from nshm2022db_spark.streaming.sinks import _map_meta
+
+    if _map_meta(m) != map_meta:
         raise ValueError(
             f"commit {v} of {table_dir} changed the column mapping "
             "(RENAME/DROP COLUMN) after this stream started; a stream's "
@@ -688,11 +681,11 @@ class CommitLogStreamReader(DataSourceStreamReader):
             current_commit,
         )
 
+        from nshm2022db_spark.streaming.sinks import _map_meta
+
         head_m = current_commit(self._path)
         self._cmap = dict(_column_map(head_m))  # {logical: physical}
-        self._map_meta = (
-            head_m.get("column_map"), head_m.get("dropped_columns"),
-        )
+        self._map_meta = _map_meta(head_m)
         self._map_version = head_m.get("version", 0)
         # admission-control floor: the newest offset THIS process has
         # planned or committed. Spark 4.1.2's call order (probed, both

@@ -1242,3 +1242,25 @@ class TestGIFCompositing:
         assert len(frames) == 3 and delay == 6
         for a, b in zip(fr, frames):
             assert np.array_equal(b, pal[a])
+
+
+class TestR13ReviewFindings:
+    def test_gif_budget_charges_emitted_canvas_not_delta(self, monkeypatch):
+        """r13 review #1: the cumulative budget must count the FULL
+        composited canvas each frame emits (h*w*3), not the delta
+        rectangle — a huge-screen GIF with hundreds of 1x1 deltas
+        allocates canvases, not deltas."""
+        from nshm2022db_spark.extensions import multimodal as mm
+
+        pal = np.zeros((4, 3), np.uint8)
+        base = np.zeros((20, 20), np.uint8)
+        deltas = [np.zeros((1, 1), np.uint8) for _ in range(4)]
+        blob = mm.encode_gif(
+            [base] + deltas, pal, boxes=[(0, 0)] + [(1, 1)] * 4
+        )
+        frames, _ = mm.decode_gif(blob)
+        assert len(frames) == 5
+        # 3 canvases fit; the 4th trips even though its DELTA is 3 bytes
+        monkeypatch.setattr(mm, "_DECODE_TOTAL_BUDGET", 3 * 20 * 20 * 3)
+        with pytest.raises(ValueError, match="total decoded size"):
+            mm.decode_gif(blob)

@@ -147,6 +147,13 @@ class TestSkewUnderLoad:
             # isolate the salting effect from AQE's own mitigations
             "spark.sql.adaptive.skewJoin.enabled": "false",
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            # the 2x-slack bound below assumes the 8 salted hot buckets
+            # rarely collide: with the session's reducer count tied to
+            # SPARK_GRAFT_CPUS, an 8-cpu iteration session hashes 8
+            # buckets into 8 partitions and the birthday collisions
+            # break the bound — pin the reducer count the property is
+            # stated against
+            "spark.sql.shuffle.partitions": "32",
         }
         prev = {k: spark.conf.get(k) for k in confs}
         try:
