@@ -208,6 +208,8 @@ HEADLINE = [
     "knn_ivfpq",
     # r13: GIF animation compositing (sub-rect deltas + transparency)
     "multimodal_decode_gif_anim",
+    # r13: the materialized IVF-PQ index (partition-pruned probes)
+    "knn_ivfpq_lakehouse",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

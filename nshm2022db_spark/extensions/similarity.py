@@ -1430,41 +1430,14 @@ _IVFPQ_ORACLE = f"""WITH {_DUCK_IVF_CENTS},
     FROM ranked WHERE rank <= {KNN_K}"""
 
 
-@register("knn_ivfpq", _IVFPQ_ORACLE)
-def knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-PQ: inverted lists x product quantization — the FAISS index
-    layout that serves billion-vector ANN (VERDICT r12 #6). Train =
-    knn_ivf's one-k-means-step centroids (memoized per corpus) +
-    knn_pq_adc's 16x8x8 codebook. Index = ONE pass over the corpus:
-    each vector's argmax-cosine list assignment (one shuffle, map-side
-    partial max_by) chained into a map-only Arrow-batched encode that
-    turns it into 8 four-bit codes — after which the float vector is
-    only ever fetched BY ID for the rescore.
-
-    Query = probe nprobe={IVF_NPROBE} nearest lists by centroid cosine
-    (8-row broadcast), ADC-scan ONLY those lists' codes with the
-    per-query broadcast LUT (one JVM-side fold per candidate — no
-    float vectors move), overfetch K*{PQ_OVERFETCH}, exact-cosine
-    rescore by id, top {KNN_K}. Emitting both `cos` and `adc` keeps
-    the quantization error oracle-observable.
-
-    Scale shape (the 100 TB composition argument): the corpus at rest
-    is 8 bytes/vector of codes PARTITIONED BY list id — a probe reads
-    nprobe/nlist of the index (partition pruning does it when the
-    codes land as a list-partitioned table, cf. knn_index_lakehouse),
-    and the ADC scan's per-candidate cost is m=8 table lookups. nlist
-    follows the count-derived tier table, nprobe trades recall for
-    scan fraction, and the rescore touches K*overfetch full vectors
-    per query — the only float I/O in the whole serving path."""
+def _pq_encode_batches(cb: "np.ndarray"):
+    """Arrow-batched mapInPandas encoder: (vec_id, pcid, embedding) ->
+    (vec_id, pcid, codes) — the at-rest 8-byte/vector index row. The
+    argmin ties to the lowest centroid, matching the oracle's
+    ROW_NUMBER tie-break."""
     import numpy as np
     import pandas as pd
 
-    cb = _pq_codebook(spark, sf)
-    emb = read_table(spark, sf, "embeddings")
-    cents = _trained_centroids(spark, sf)
-
-    # index build: assignment (one shuffle) chained into a map-only
-    # encode — (vec_id, pcid, codes), the at-rest 8-byte/vector index
     def encode(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -1482,14 +1455,23 @@ def knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    coded = (
-        _assign_lists(emb, cents)
-        .select(
-            "vec_id", "embedding",
-            F.col("centroid_id").cast("string").alias("pcid"),
-        )
-        .mapInPandas(encode, "vec_id long, pcid string, codes array<int>")
-    )
+    return encode
+
+
+def _ivfpq_query(
+    spark: SparkSession, sf: str, cb: "np.ndarray", cents: DataFrame,
+    coded_for,
+) -> DataFrame:
+    """The shared IVF-PQ QUERY path (knn_ivfpq and the materialized
+    knn_ivfpq_lakehouse must return byte-identical results against one
+    oracle, so probe selection, the ADC scan, and the rescore live
+    once — the `_ivf_probe_and_rank` discipline). ``coded_for(probes)``
+    supplies the candidate code relation exposing (vec_id, pcid,
+    codes) — inline assignment+encode, or the committed index read
+    pruned to the probed lists."""
+    import numpy as np
+
+    emb = read_table(spark, sf, "embeddings")
 
     # probe selection: knn_ivf's rule (qcos desc, centroid_id ties)
     centsn = _with_norm(cents, "cv", "cnorm")
@@ -1543,7 +1525,7 @@ def knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     scored = (
-        coded.alias("l")
+        coded_for(probes).alias("l")
         .join(
             probe_luts.alias("p"),
             (F.col("l.pcid") == F.col("p.pcid"))
@@ -1601,3 +1583,121 @@ def knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register("knn_ivfpq", _IVFPQ_ORACLE)
+def knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ: inverted lists x product quantization — the FAISS index
+    layout that serves billion-vector ANN (VERDICT r12 #6). Train =
+    knn_ivf's one-k-means-step centroids (memoized per corpus) +
+    knn_pq_adc's 16x8x8 codebook. Index = ONE pass over the corpus:
+    each vector's argmax-cosine list assignment (one shuffle, map-side
+    partial max_by) chained into a map-only Arrow-batched encode that
+    turns it into 8 four-bit codes — after which the float vector is
+    only ever fetched BY ID for the rescore.
+
+    Query = probe nprobe={IVF_NPROBE} nearest lists by centroid cosine
+    (8-row broadcast), ADC-scan ONLY those lists' codes with the
+    per-query broadcast LUT (one JVM-side fold per candidate — no
+    float vectors move), overfetch K*{PQ_OVERFETCH}, exact-cosine
+    rescore by id, top {KNN_K}. Emitting both `cos` and `adc` keeps
+    the quantization error oracle-observable. The shared query path
+    (`_ivfpq_query`) also serves the MATERIALIZED index variant
+    (`knn_ivfpq_lakehouse`) against the same oracle.
+
+    Scale shape (the 100 TB composition argument): the corpus at rest
+    is 8 bytes/vector of codes PARTITIONED BY list id — a probe reads
+    nprobe/nlist of the index (partition pruning does it when the
+    codes land as a list-partitioned table — knn_ivfpq_lakehouse), and
+    the ADC scan's per-candidate cost is m=8 table lookups. nlist
+    follows the count-derived tier table, nprobe trades recall for
+    scan fraction, and the rescore touches K*overfetch full vectors
+    per query — the only float I/O in the whole serving path."""
+    cb = _pq_codebook(spark, sf)
+    emb = read_table(spark, sf, "embeddings")
+    cents = _trained_centroids(spark, sf)
+
+    def coded_for(probes):
+        # inline index build: assignment (one shuffle) chained into a
+        # map-only encode — (vec_id, pcid, codes)
+        return (
+            _assign_lists(emb, cents)
+            .select(
+                "vec_id", "embedding",
+                F.col("centroid_id").cast("string").alias("pcid"),
+            )
+            .mapInPandas(
+                _pq_encode_batches(cb),
+                "vec_id long, pcid string, codes array<int>",
+            )
+        )
+
+    return _ivfpq_query(spark, sf, cb, cents, coded_for)
+
+
+@register("knn_ivfpq_lakehouse", _IVFPQ_ORACLE)
+def knn_ivfpq_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
+    """The production form of `knn_ivfpq` (the `knn_index_lakehouse`
+    discipline applied to the PQ index): the (vec_id, codes) rows —
+    8 bytes/vector, no floats — are a MATERIALIZED commit-log table
+    PARTITIONED BY list id, built once and grown INCREMENTALLY (a
+    held-out tenth arrives later: centroid assignment + PQ encode are
+    a broadcast-and-map-only pass over just the batch, appended in one
+    O(batch) commit — the corpus is never re-encoded). Queries touch
+    only their nprobe probed lists: the probe filter on the partition
+    column collapses unprobed lists before any file opens — at 100 TB
+    a probe reads nprobe/nlist of an index that is already 32x smaller
+    than the vectors. Same oracle as `knn_ivfpq`: materializing the
+    index changes WHERE bytes live, never the answer."""
+    from nshm2022db_spark.sources.scratch import (
+        is_landed,
+        mark_landed,
+        scratch_path,
+    )
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        committed_partition_transaction,
+        read_keyed_table,
+    )
+
+    cb = _pq_codebook(spark, sf)
+    emb = read_table(spark, sf, "embeddings")
+    cents = _trained_centroids(spark, sf)
+
+    def build(rows: DataFrame) -> DataFrame:
+        return (
+            _assign_lists(rows, cents)
+            .select(
+                "vec_id", "embedding",
+                F.col("centroid_id").cast("string").alias("pcid"),
+            )
+            .mapInPandas(
+                _pq_encode_batches(cb),
+                "vec_id long, pcid string, codes array<int>",
+            )
+            .select(
+                "vec_id", "codes", F.col("pcid").alias("centroid_id")
+            )
+        )
+
+    base = scratch_path("ivfpq_index_lakehouse_r13", sf)
+    path = os.path.join(base, "pq_lists")
+    if not is_landed(base):
+        initial = build(emb.filter(F.col("vec_id") % 10 != 0))
+        committed_partition_transaction(
+            spark, path, "centroid_id", lambda b: initial
+        )
+        late = build(emb.filter(F.col("vec_id") % 10 == 0))
+        append_partition_transaction(spark, path, "centroid_id", late)
+        mark_landed(base)
+    idx = read_keyed_table(spark, path)
+
+    def coded_for(probes):
+        probed_ids = sorted(
+            {r["pcid"] for r in probes.select("pcid").collect()}
+        )
+        return idx.filter(
+            F.col("centroid_id").isin(probed_ids)
+        ).withColumn("pcid", F.col("centroid_id"))
+
+    return _ivfpq_query(spark, sf, cb, cents, coded_for)

@@ -205,6 +205,7 @@ _DRIVER_ORDER = [
     "merge_mapped_cdc",
     "stream_mapped_changes",
     "knn_ivfpq",
+    "knn_ivfpq_lakehouse",
     "multimodal_decode_gif_anim",
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
@@ -251,10 +252,11 @@ _DRIVER_ORDER = [
     "asof_nearest_ge_per_key",
     "conditional_agg_membership",
     "count_distinct",
-    "decontaminate_bloom",
     # --- 50-query window boundary (driver gate cap observed r01-r12) ---
-    # Tail head - FIRST PRIORITY for the round-14 window: the five
-    # displaced r9 rows above, then the remaining r9 block.
+    # Tail head - FIRST PRIORITY for the round-14 window: the six
+    # displaced r9 rows above (decontaminate_bloom joined them for
+    # knn_ivfpq_lakehouse), then the remaining r9 block.
+    "decontaminate_bloom",
     "decontaminate_ngram",
     "dedup_incremental",
     "distinct_ordered",

@@ -264,6 +264,7 @@ class TestDriverOrder:
             "merge_mapped_cdc",
             "stream_mapped_changes",
             "knn_ivfpq",
+            "knn_ivfpq_lakehouse",
             # NEW in r13 late leg: GIF animation compositing, plus one
             # representative per codec primitive the compositor and the
             # ADVICE hardening sweep touched (decode_gif/encode_gif,
@@ -678,6 +679,46 @@ class TestKnnIndexLakehouse:
         )
         assert "PartitionFilters" in plan
         assert "centroid_id" in plan
+
+
+class TestKnnIvfpqLakehouse:
+    def test_matches_inline_ivfpq(self, spark, sf_dir):
+        """Materializing the PQ codes (and growing the index with an
+        incremental append) must not change a single neighbor, cosine,
+        adc estimate, or rank vs the inline IVF-PQ."""
+        from nshm2022db_spark.extensions.similarity import (
+            knn_ivfpq,
+            knn_ivfpq_lakehouse,
+        )
+
+        a = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos, r.adc)
+            for r in knn_ivfpq(spark, sf_dir).collect()
+        }
+        b = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos, r.adc)
+            for r in knn_ivfpq_lakehouse(spark, sf_dir).collect()
+        }
+        assert a == b and a
+
+    def test_probe_filter_reaches_partition_pruning(self, spark, sf_dir):
+        """The probed-list filter must prune at the code table's
+        partition level (PartitionFilters on centroid_id) — a probe
+        reads nprobe/nlist of the 8-byte/vector index, never all
+        lists — and the candidate scan must stay broadcast (no
+        SortMergeJoin of the code relation)."""
+        from nshm2022db_spark.extensions.similarity import (
+            knn_ivfpq_lakehouse,
+        )
+
+        plan = (
+            knn_ivfpq_lakehouse(spark, sf_dir)
+            ._jdf.queryExecution()
+            .toString()
+        )
+        assert "PartitionFilters" in plan
+        assert "centroid_id" in plan
+        assert "SortMergeJoin" not in plan
 
 
 class TestBpeEncode:

@@ -288,6 +288,9 @@ LADDER = [
     "knn_ivfpq",
     # r13: GIF compositing corpus — map-only, per-doc composite cost
     "multimodal_decode_gif_anim",
+    # r13: materialized IVF-PQ — probe cost = nprobe/nlist of the
+    # 8-byte/vector code table (partition-pruned)
+    "knn_ivfpq_lakehouse",
 ]
 
 
