@@ -210,6 +210,8 @@ HEADLINE = [
     "multimodal_decode_gif_anim",
     # r13: the materialized IVF-PQ index (partition-pruned probes)
     "knn_ivfpq_lakehouse",
+    # r13: SemDeDup — semantic-cluster-scoped near-dup pruning
+    "dedup_semdedup",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

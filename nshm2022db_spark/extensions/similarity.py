@@ -650,17 +650,24 @@ def _refine_centroids(assigned: DataFrame) -> DataFrame:
 _TRAINED: dict[tuple[str, float], tuple[list, object]] = {}
 
 
-def _trained_centroids(spark: SparkSession, sf: str) -> DataFrame:
+def _trained_centroids(
+    spark: SparkSession, sf: str, nlist_of=None, tag: str = "ivf",
+) -> DataFrame:
+    """Memoized one-k-means-step centroids. ``nlist_of(count)`` picks
+    the list count (default: the IVF search tier); ``tag`` keys the
+    cache per policy — SemDeDup trains with a fixed-OCCUPANCY nlist
+    (clusters ∝ corpus), the search indexes with the sqrt-balance
+    tier, and the two must not share cache entries."""
     import os
 
     try:
         mtime = os.path.getmtime(os.path.join(sf, "embeddings.parquet"))
     except OSError:
         mtime = -1.0
-    key = (sf, mtime)
+    key = (sf, mtime, tag)
     if key not in _TRAINED:
         emb = read_table(spark, sf, "embeddings")
-        nlist = _ivf_nlist_py(emb.count())
+        nlist = (nlist_of or _ivf_nlist_py)(emb.count())
         seeds = emb.filter(
             (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_LO + nlist)
         ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
@@ -1103,6 +1110,124 @@ def knn_index_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return _ivf_probe_and_rank(emb, cents, lists_for)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r13): cluster-scoped semantic dedup — the Abbas et al. 2023
+# pattern for pruning semantically redundant training data at scale.
+# Where dedup_embedding_cosine blocks by LSH sign buckets (exact recall
+# via pigeonhole), SemDeDup blocks by SEMANTIC cluster: embeddings join
+# their argmax-cosine IVF centroid, and only cluster-mates are ever
+# compared — cross-cluster near-dups are out of contract BY DESIGN
+# (that approximation is what makes the method linear-ish at corpus
+# scale; nlist grows with the count tier, so per-cluster pair work
+# stays bounded). Keep rule: a vector drops iff a LOWER-id cluster-mate
+# has cosine >= the threshold — referencing ids, not kept-status, so
+# the rule is one self-join, not an iterative closure.
+# ---------------------------------------------------------------------------
+
+# SemDeDup cluster count targets FIXED OCCUPANCY (the published method
+# runs #clusters ∝ corpus size — per-cluster pair work is quadratic in
+# occupancy, so holding occupancy constant is what makes the whole
+# dedup scan-linear; the IVF search tier's sqrt-balance would grow
+# occupancy with the corpus and the pair join super-linearly — measured
+# α 1.32 before this split, α ≈ 1 after).
+SEMDEDUP_TARGET_OCC = 250
+
+
+def _semdedup_nlist_py(c: int) -> int:
+    return max(8, (c + SEMDEDUP_TARGET_OCC - 1) // SEMDEDUP_TARGET_OCC)
+
+
+_SEMDEDUP_NLIST_SQL = (
+    f"GREATEST(8, (c + {SEMDEDUP_TARGET_OCC - 1}) // {SEMDEDUP_TARGET_OCC})"
+)
+
+_DUCK_SEM_CENTS = _DUCK_IVF_CENTS.replace(
+    _ivf_nlist_case_sql("c"), _SEMDEDUP_NLIST_SQL
+)
+
+
+_SEMDEDUP_ORACLE = f"""WITH {_DUCK_SEM_CENTS},
+    lists AS (
+        SELECT e.vec_id, any_value(e.embedding) AS embedding,
+               arg_max(c1.centroid_id, {_duck_cos('e.embedding', 'c1.cv')})
+                   AS centroid_id
+        FROM embeddings e CROSS JOIN c1 GROUP BY e.vec_id),
+    drops AS (
+        SELECT DISTINCT y.vec_id
+        FROM lists x JOIN lists y
+          ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        WHERE {_duck_cos('x.embedding', 'y.embedding')} >= {COS_TAU})
+    SELECT l.centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(d.vec_id), 0) AS BIGINT) AS drop_id_sum,
+           CAST(COALESCE(SUM(CASE WHEN d.vec_id IS NULL THEN l.vec_id END),
+                         0) AS BIGINT) AS kept_id_sum
+    FROM lists l LEFT JOIN (SELECT vec_id FROM drops) d
+      ON d.vec_id = l.vec_id
+    GROUP BY l.centroid_id"""
+
+
+@register("dedup_semdedup", _SEMDEDUP_ORACLE)
+def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup — SEMANTIC-cluster-scoped near-dup pruning (the
+    published LLM-corpus curation pattern: cluster the embedding space,
+    then drop within-cluster semantic redundancy; cross-cluster pairs
+    are never compared, which is the scalability contract). Clusters
+    are knn_ivf's trained centroids (memoized per corpus); the keep
+    rule is deterministic — a vector drops iff a LOWER-id cluster-mate
+    has cosine >= {COS_TAU} — one self-join per cluster, no iterative
+    closure. Returns the per-cluster curation report (totals, drops,
+    id checksums), the frame a corpus-pruning pipeline feeds its
+    sampling stage.
+
+    Scale shape: centroid assignment is one broadcast-and-aggregate
+    pass; the pair join shuffles ONCE on centroid_id and its work is
+    quadratic only in per-cluster occupancy, which the count-derived
+    nlist tier bounds (the published method's own trade — they run
+    ~50k clusters at 100 TB for exactly this reason). The blocked
+    relation stages once (localCheckpoint) so the self-join's two
+    sides and the report scan do not re-run assignment, mirroring
+    dedup_embedding_cosine's at-scale write-then-join design."""
+    emb = read_table(spark, sf, "embeddings")
+    cents = _trained_centroids(
+        spark, sf, nlist_of=_semdedup_nlist_py, tag="semdedup"
+    )
+    a = _assign_lists(emb, cents).localCheckpoint()
+    drops = (
+        a.alias("x")
+        .join(
+            a.alias("y"),
+            (F.col("x.centroid_id") == F.col("y.centroid_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(
+            F.expr(spark_dot("x.embedding", "y.embedding"))
+            / (F.col("x.enorm") * F.col("y.enorm"))
+            >= COS_TAU
+        )
+        .select(F.col("y.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        a.join(drops, "vec_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("_dropped").cast("long").alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("_dropped").isNotNull(), F.col("vec_id"))),
+                F.lit(0),
+            ).cast("long").alias("drop_id_sum"),
+            F.coalesce(
+                F.sum(F.when(F.col("_dropped").isNull(), F.col("vec_id"))),
+                F.lit(0),
+            ).cast("long").alias("kept_id_sum"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

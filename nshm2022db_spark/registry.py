@@ -206,6 +206,7 @@ _DRIVER_ORDER = [
     "stream_mapped_changes",
     "knn_ivfpq",
     "knn_ivfpq_lakehouse",
+    "dedup_semdedup",
     "multimodal_decode_gif_anim",
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
@@ -251,11 +252,11 @@ _DRIVER_ORDER = [
     "asof_nearest_ge",
     "asof_nearest_ge_per_key",
     "conditional_agg_membership",
-    "count_distinct",
     # --- 50-query window boundary (driver gate cap observed r01-r12) ---
-    # Tail head - FIRST PRIORITY for the round-14 window: the six
-    # displaced r9 rows above (decontaminate_bloom joined them for
-    # knn_ivfpq_lakehouse), then the remaining r9 block.
+    # Tail head - FIRST PRIORITY for the round-14 window: the seven
+    # displaced r9 rows above (count_distinct joined them for
+    # dedup_semdedup), then the remaining r9 block.
+    "count_distinct",
     "decontaminate_bloom",
     "decontaminate_ngram",
     "dedup_incremental",

@@ -265,6 +265,7 @@ class TestDriverOrder:
             "stream_mapped_changes",
             "knn_ivfpq",
             "knn_ivfpq_lakehouse",
+            "dedup_semdedup",
             # NEW in r13 late leg: GIF animation compositing, plus one
             # representative per codec primitive the compositor and the
             # ADVICE hardening sweep touched (decode_gif/encode_gif,

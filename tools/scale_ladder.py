@@ -291,6 +291,9 @@ LADDER = [
     # r13: materialized IVF-PQ — probe cost = nprobe/nlist of the
     # 8-byte/vector code table (partition-pruned)
     "knn_ivfpq_lakehouse",
+    # r13: SemDeDup — per-cluster quadratic pair work bounded by the
+    # count-derived nlist tier (the published method's own trade)
+    "dedup_semdedup",
 ]
 
 
