@@ -167,8 +167,11 @@ _DRIVER_ORDER = [
     # the standing tail contract):
     # (a) NEW in r13: MERGE INTO through column mapping + the typed
     #     commitlog stream over a mapped table (one shared oracle, so
-    #     stream-equals-batch is value-pinned by the gate itself) and
-    #     the IVF-PQ composition;
+    #     stream-equals-batch is value-pinned by the gate itself), the
+    #     IVF-PQ composition — inline AND materialized (the lakehouse
+    #     form shares the oracle: where bytes live must not change the
+    #     answer) — and SemDeDup (cluster-scoped semantic dedup with
+    #     fixed-occupancy clustering);
     # (b) shared primitives changed in r13, one in-window
     #     representative each: merge_into_table (logical decision
     #     frame, physical staging/sidecar/dv, evolve-joins-map,
@@ -201,7 +204,7 @@ _DRIVER_ORDER = [
     #     budget) -> multimodal_video_frames. Displaced to the tail
     #     head (r14 priority): decontaminate_ngram, dedup_incremental,
     #     distinct_ordered, embedding_random_projection,
-    #     events_sessionize.
+    #     events_sessionize, decontaminate_bloom, count_distinct.
     "merge_mapped_cdc",
     "stream_mapped_changes",
     "knn_ivfpq",
