@@ -747,6 +747,55 @@ class TestMappedMerge:
         assert {"v", "extra"} <= set(raw.columns)
         assert "score" not in raw.columns
 
+    def test_mapped_merge_bloom_prune_skips_partitions(
+        self, spark, tmp_path
+    ):
+        """The merge's bloom-probe refinement looks bitmaps up by the
+        PHYSICAL key name after a rename: a one-key CDC source must
+        leave the partition whose bloom disproves it untouched."""
+        d = str(tmp_path / "t")
+        _seed(spark, d, bloom_cols=["k"])
+        rename_column(spark, d, "k", "id")
+        before = dict(current_commit(d)["partitions"])
+        m = merge_into_table(
+            spark, d,
+            spark.createDataFrame([(2, 99.0)], "id long, v double"),
+            ["id"], when_matched_update={"v": "s.v"},
+            stats_cols=["id"],
+        )
+        assert m["updated"] == 1
+        cur = current_commit(d)
+        # id=2 lives only in day=a; day=b's stats/bloom disprove it
+        assert cur["partitions"]["day=b"] == before["day=b"]
+        assert cur["partitions"]["day=a"] != before["day=a"]
+        t = read_keyed_table(spark, d)
+        assert {r.v for r in t.filter("id = 2").collect()} == {99.0}
+
+    def test_mapped_merge_by_source_clause(self, spark, tmp_path):
+        """WHEN NOT MATCHED BY SOURCE in logical names on a mapped
+        table: target rows absent from the source update/delete."""
+        d = str(tmp_path / "t")
+        _seed(spark, d)
+        rename_column(spark, d, "v", "score")
+        m = merge_into_table(
+            spark, d,
+            spark.createDataFrame(
+                [(i,) for i in range(5)], "k long"
+            ),
+            ["k"],
+            when_matched_update={"score": "t.score"},  # carry
+            when_not_matched_by_source=[
+                ("update", "t.k < 8", {"score": "t.score + 100"}),
+                ("delete", None),
+            ],
+        )
+        assert m["updated"] == 3 + 5 and m["deleted"] == 2  # 5,6,7 upd; 8,9 del
+        t = read_keyed_table(spark, d)
+        got = {r.k: r.score for r in t.collect()}
+        assert got[5] == 105.0 and got[6] == 106.0 and got[7] == 107.0
+        assert 8 not in got and 9 not in got
+        assert got[0] == 0.0  # matched rows carried
+
     def test_j13_upsert_survives_rename(self, spark, tmp_path):
         """The reference's INSERT OR IGNORE upsert (nshmdb.py:263-266)
         is the degenerate MERGE — it must work regardless of
