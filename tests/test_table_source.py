@@ -1000,3 +1000,36 @@ class TestMappedStream:
         rows = spark.sql("select k, score from tsrc_matmap_ok").collect()
         spark.catalog.dropTempView("tsrc_matmap_ok")
         assert {(r.k, r.score) for r in rows} == {(4, 40.0), (5, 50.0)}
+
+    def test_batch_splitting_cannot_hide_a_materialize(self, spark):
+        """r13 review-hardened guard: with maxVersionsPerBatch=1 the
+        materialize commit lands in its own micro-batch, so a
+        range-local check would never see pre-re-base commits and the
+        materialize in one range — the admission must still refuse the
+        pre-materialize commits (their files carry re-based-away
+        physical names)."""
+        from nshm2022db_spark.streaming.sinks import (
+            materialize_column_mapping,
+            rename_column,
+        )
+
+        d = tempfile.mkdtemp(prefix="tsrc_matsplit_")
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 0, 4), batch_id=0
+        )
+        rename_column(spark, d, "v", "score")
+        materialize_column_mapping(spark, d)
+        q = (
+            self._stream(spark, d, maxVersionsPerBatch=1)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_matsplit")
+            .start()
+        )
+        try:
+            with pytest.raises(Exception, match="materialize"):
+                q.processAllAvailable()
+                raise RuntimeError(str(q.exception()))
+        finally:
+            q.stop()
+            spark.catalog.dropTempView("tsrc_matsplit")
