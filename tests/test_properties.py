@@ -779,3 +779,74 @@ class TestGIFLZWLaws:
         assert delay == (4 if nframes > 1 else 0)
         for f, g in zip(frames, got):
             assert np.array_equal(g, pal[f])
+
+
+class TestGifCompositorLaws:
+    """Property: decode_gif(encode_gif(frames, boxes, disposals,
+    transparent)) equals an independent straight-line compositor model
+    (paint region, honor transparency, apply disposal) for arbitrary
+    delta animations — the law the r13 compositing leg rests on."""
+
+    @staticmethod
+    def _model(screen_hw, pal, frames, boxes, disposals, transparent, bg):
+        h, w = screen_hw
+        bg_rgb = pal[bg] if bg < len(pal) else np.zeros(3, np.uint8)
+        canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+        out = []
+        for f, (left, top), disp in zip(frames, boxes, disposals):
+            fh, fw = f.shape
+            prev = canvas.copy() if disp == 3 else None
+            region = canvas[top : top + fh, left : left + fw]
+            if transparent is not None:
+                m = f != transparent
+                region[m] = pal[f][m]
+            else:
+                region[:] = pal[f]
+            out.append(canvas.copy())
+            if disp == 2:
+                canvas[top : top + fh, left : left + fw] = bg_rgb
+            elif disp == 3:
+                canvas = prev
+        return out
+
+    @given(st.data())
+    @settings(max_examples=25, deadline=None)
+    def test_decode_matches_model(self, data):
+        from nshm2022db_spark.extensions.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        rng_seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.default_rng(rng_seed)
+        h = data.draw(st.integers(3, 12))
+        w = data.draw(st.integers(3, 12))
+        npal = data.draw(st.sampled_from([4, 8, 16]))
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        transparent = data.draw(
+            st.one_of(st.none(), st.integers(0, npal - 1))
+        )
+        nf = data.draw(st.integers(1, 4))
+        frames, boxes, disposals = [], [], []
+        # frame 0 full-screen so the first canvas is fully defined
+        frames.append(rng.integers(0, npal, (h, w), dtype=np.uint8))
+        boxes.append((0, 0))
+        disposals.append(data.draw(st.integers(0, 3)))
+        for _ in range(nf - 1):
+            fh = data.draw(st.integers(1, h))
+            fw = data.draw(st.integers(1, w))
+            top = data.draw(st.integers(0, h - fh))
+            left = data.draw(st.integers(0, w - fw))
+            frames.append(rng.integers(0, npal, (fh, fw), dtype=np.uint8))
+            boxes.append((left, top))
+            disposals.append(data.draw(st.integers(0, 3)))
+        blob = encode_gif(
+            frames, pal, boxes=boxes, disposals=disposals,
+            transparent=transparent,
+        )
+        got, _ = decode_gif(blob)
+        want = self._model(
+            (h, w), pal, frames, boxes, disposals, transparent, bg=0
+        )
+        assert len(got) == len(want)
+        for g, m in zip(got, want):
+            assert np.array_equal(g, m)
