@@ -1033,3 +1033,51 @@ class TestMappedStream:
         finally:
             q.stop()
             spark.catalog.dropTempView("tsrc_matsplit")
+
+    def test_typed_stream_dv_fallback_across_renamed_key(self, spark):
+        """change_data=False merge on a mapped table with a RENAMED
+        merge key: the delete images reconstruct from the dv key diff
+        (physical key names in the dv files and stats pruning), and
+        the stream emits them under the LOGICAL names — equal to the
+        batch feed."""
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_table_changes_typed,
+            rename_column,
+        )
+
+        d = tempfile.mkdtemp(prefix="tsrc_dvmap_")
+        append_partition_transaction(
+            spark, d, "day", _mkrows(spark, 0, 8), batch_id=0
+        )
+        rename_column(spark, d, "k", "id")
+        m = merge_into_table(
+            spark, d,
+            spark.createDataFrame([(i,) for i in range(0, 8)], "id long"),
+            ["id"], when_matched_delete="s.id % 2 = 0",
+            change_data=False,
+        )
+        assert m["deleted"] == 4
+        got = (
+            self._stream(spark, d, changeTypes="true", maxVersionsPerBatch=1)
+        )
+        q = (
+            got.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsrc_dvmap")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "select id, v, _commit_version, _change_type from tsrc_dvmap"
+        ).collect()
+        spark.catalog.dropTempView("tsrc_dvmap")
+        batch = read_table_changes_typed(spark, d, 0).select(
+            "id", "v", "_commit_version", "_change_type"
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
+        dels = {r.id for r in rows if r._change_type == "delete"}
+        assert dels == {0, 2, 4, 6}
