@@ -212,6 +212,12 @@ HEADLINE = [
     "knn_ivfpq_lakehouse",
     # r13: SemDeDup — semantic-cluster-scoped near-dup pruning
     "dedup_semdedup",
+    # r13: streaming first-writer-wins simhash-band admission
+    "stream_neardup_admission",
+    # r13: tfidf answered from the incrementally-MERGEd inverted index
+    "tfidf_index_incremental",
+    # r13: catalog-level atomic multi-table publish (protocol proof)
+    "catalog_atomic_publish",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)
@@ -233,6 +239,8 @@ CONTRACT_QUERIES = {
     "commit_rebase_stats",           # 9-commit 8-thread write-race proof:
     # its wall time tracks the transaction CONTRACT (serialized CAS
     # ledger + rebase re-manifests), not a query plan
+    "catalog_atomic_publish",        # 6-commit 2-publish crash-proof:
+    # wall time tracks the multi-table commit protocol, not a plan
 }
 
 

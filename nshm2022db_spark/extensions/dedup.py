@@ -15,6 +15,8 @@ and AQE skew-join splits the rest.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -696,6 +698,180 @@ _DUCK_SIMHASH = f"""
 """
 
 _BAND_MASK = (1 << SIMHASH_BAND_SPAN) - 1
+
+
+def _simhash_fold_udf():
+    """Arrow-batched vectorized simhash fold: array<long> of distinct
+    shingle hashes → the 60-bit sketch. Pure int64 NumPy — exactly
+    `_simhash`'s arithmetic (±1 per bit summed over the shingle set,
+    bit set iff the sum is positive), so the grouped SUM, this fold,
+    and the DuckDB oracle agree bit-for-bit.
+
+    A Pandas UDF on purpose, not higher-order Column functions: the
+    fold was first written as aggregate()/zip_with() lambdas, but HOF
+    lambdas evaluate INTERPRETED (outside whole-stage codegen) and the
+    60-wide per-shingle step made the sketch ~50× slower than the
+    codegen'd grouped form — the vectorized Arrow batch is the fast
+    path here, same discipline as the codec family's mapInPandas."""
+    @F.pandas_udf("long")
+    def fold(sh: pd.Series) -> pd.Series:
+        j30 = np.arange(30, dtype=np.int64)
+        j60 = np.arange(SIMHASH_BITS, dtype=np.int64)
+        out = np.zeros(len(sh), dtype=np.int64)
+        for i, arr in enumerate(sh):
+            x = np.asarray(arr, dtype=np.int64)
+            if x.size == 0:
+                continue  # upstream filter drops empties; belt-and-braces
+            x2 = (x * SIMHASH_A + SIMHASH_B) % P
+            bits = np.concatenate(
+                (((x[:, None] >> j30) & 1), ((x2[:, None] >> j30) & 1)),
+                axis=1,
+            )
+            s = (2 * bits - 1).sum(axis=0)
+            out[i] = ((s > 0).astype(np.int64) << j60).sum()
+        return pd.Series(out)
+
+    return fold
+
+
+# Lazily memoized UDF object (creating a pandas_udf parses its DDL type,
+# which needs an ACTIVE SparkContext — module import must stay
+# session-free); one object per process after first use.
+_SIMHASH_FOLD_MEMO: list = []
+
+
+def _simhash_fold():
+    if not _SIMHASH_FOLD_MEMO:
+        _SIMHASH_FOLD_MEMO.append(_simhash_fold_udf())
+    return _SIMHASH_FOLD_MEMO[0]
+
+
+def simhash_per_row(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) computed ROW-AT-A-TIME — no groupBy, so it runs
+    STATELESSLY on a stream (the streaming admission operator reserves
+    its one stateful slot for the band index itself). Exactly
+    `_simhash`'s arithmetic over the same distinct-shingle set: the
+    per-bit sum of ±1 commutes, so the per-row fold and the grouped SUM
+    agree bit-for-bit (pinned by test_simhash_per_row_matches_grouped).
+    Docs with fewer than 3 tokens have no shingles and drop out,
+    matching the grouped form (no shingle rows → no simhash row) and
+    the DuckDB oracle. Shingle hashing stays in Catalyst expressions;
+    only the 60-bit fold crosses to Arrow (see _simhash_fold_udf for
+    why)."""
+    # The no-shingle guard filters on a CHEAP precondition (token count
+    # >= 3 ⟺ at least one 3-gram) BEFORE any hashing: a filter placed
+    # after the sh projection gets predicate-pushed below it and the
+    # whole token+shingle hash chain re-evaluates INTERPRETED inside
+    # the Filter — measured 25× slower than the projection itself.
+    return (
+        docs.filter(F.expr(f"size({spark_tokens('text')}) >= 3"))
+        .select(
+            "doc_id",
+            F.expr(spark_token_hashes(spark_tokens("text"))).alias("hx"),
+        )
+        .select("doc_id", F.expr(spark_shingle_hashes("hx")).alias("sh"))
+        .select("doc_id", _simhash_fold()(F.col("sh")).alias("simhash"))
+    )
+
+
+def simhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, byte) — the {SIMHASH_BANDS} band keys of each
+    (doc_id, simhash) row, the blocking layout every simhash consumer
+    joins on."""
+    return sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)])).alias(
+            "band_id"
+        ),
+    ).select(
+        "doc_id",
+        "band_id",
+        F.expr(
+            f"shiftright(simhash, {SIMHASH_BAND_SPAN} * band_id) & {_BAND_MASK}"
+        ).alias("byte"),
+    )
+
+
+# First-writer-wins admission over simhash band buckets: a doc is admitted
+# iff it owns (is the minimum doc_id of) EVERY one of its band buckets; a
+# blocked doc reports the earliest owner that beat it. MIN is order-free,
+# so the verdicts are independent of arrival/micro-batch order — the
+# property that lets the streaming form share this exact batch oracle.
+SIMHASH_ADMIT_ORACLE = f"""
+    WITH {_DUCK_SIMHASH},
+    bands AS (SELECT doc_id, b.band_id,
+                     (simhash >> ({SIMHASH_BAND_SPAN} * b.band_id)) & {_BAND_MASK} AS byte
+              FROM sh, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band_id) b),
+    firsts AS (SELECT band_id, byte, MIN(doc_id) AS first_doc
+               FROM bands GROUP BY 1, 2)
+    SELECT b.doc_id,
+           bool_and(f.first_doc = b.doc_id) AS admitted,
+           MIN(CASE WHEN f.first_doc < b.doc_id THEN f.first_doc END) AS blocked_by
+    FROM bands b JOIN firsts f USING (band_id, byte)
+    GROUP BY b.doc_id
+"""
+
+
+@register("stream_neardup_admission", SIMHASH_ADMIT_ORACLE)
+def stream_neardup_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming NEAR-dup admission — the ingest-time form of
+    dedup_simhash: documents arrive as a stream (3-file replay, real
+    micro-batches), each computes its 60-bit simhash STATELESSLY per
+    row (simhash_per_row — array fold, no pre-aggregation), explodes
+    into its 4 band keys, and the one stateful operator maintains the
+    band index: first-writer-wins per occupied (band_id, byte) bucket.
+    A doc is admitted iff it owns every one of its buckets; a blocked
+    doc reports the earliest owner that beat it.
+
+    Determinism under ANY micro-batch split: the index state is
+    MIN(doc_id) per bucket — order-free — so stream equals batch by
+    construction, and the shared SIMHASH_ADMIT_ORACLE value-pins it
+    (test_stream_neardup_admission_batch_split additionally pins a
+    1-file vs 3-file replay equal).
+
+    Scale shape: state is one long per OCCUPIED band bucket (≈4 per
+    distinct doc) — this IS the dedup index, the same table
+    dedup_index_lakehouse materializes; in production the firsts
+    relation sinks to a keyed table partitioned by band_id instead of
+    a memory sink, and each micro-batch's admissions come from one
+    (band_id, byte) join against it. The per-row sketch keeps the
+    stream side shuffle-free up to the single keyed aggregation; the
+    decision join back over the static corpus shuffles once on
+    (band_id, byte). Recall matches dedup_simhash's pigeonhole
+    argument: hamming ≤ {SIMHASH_HAMMING_MAX} over {SIMHASH_BANDS}
+    bands forces a shared untouched band, so every true near-dup pair
+    collides in some bucket and at most one of the two is admitted."""
+    from nshm2022db_spark.streaming.events import docs_stream, run_to_memory
+
+    docs = docs_stream(spark, sf)
+    # One replay file per micro-batch reads as ONE partition (a small
+    # parquet file never splits), which would serialize the sketch fold
+    # — the batch's entire cost — on a single core. Spread it across
+    # the executors before the stateful agg; at 100 TB the source's own
+    # partitioning (Kafka partitions / many files per trigger) does
+    # this for free, so the explicit repartition is the replay
+    # harness's stand-in, not an extra production shuffle.
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    firsts = (
+        simhash_bands(simhash_per_row(docs))
+        .groupBy("band_id", "byte")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    streamed = run_to_memory(firsts, "stream_admit")
+    static_bands = simhash_bands(
+        simhash_per_row(read_table(spark, sf, "documents").select("doc_id", "text"))
+    )
+    return (
+        static_bands.join(streamed, ["band_id", "byte"])
+        .groupBy("doc_id")
+        .agg(
+            F.expr("bool_and(first_doc = doc_id)").alias("admitted"),
+            F.min(
+                F.expr("CASE WHEN first_doc < doc_id THEN first_doc END")
+            ).alias("blocked_by"),
+        )
+    )
 
 
 @register(

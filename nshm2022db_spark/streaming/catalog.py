@@ -1,0 +1,255 @@
+"""Catalog-level ATOMIC multi-table publish.
+
+A warehouse operation routinely spans tables — an inverted index is
+postings + document frequencies + corpus size; a medallion hop rewrites
+a fact AND its rollup — but per-table commit logs (this repo's, Delta's,
+Iceberg's without a transactional catalog) only make each table
+individually atomic: a reader between two commits observes table A's new
+version next to table B's old one. The CATALOG closes that gap the way
+Iceberg's REST/Nessie catalogs do, on the same CAS-log protocol every
+table here already uses:
+
+* per-table commits stay exactly as they are — each table's own log is
+  still the source of truth for single-table readers;
+* a catalog commit atomically re-points a SNAPSHOT VECTOR
+  ``{name: (table_dir, version)}`` — one ``os.link`` CAS, so catalog
+  readers switch from one CONSISTENT vector to the next and can never
+  see a torn set;
+* a writer that dies after its table commits but before the catalog CAS
+  leaves newer per-table versions unreferenced: the catalog keeps
+  serving the previous consistent vector (Iceberg's
+  uncommitted-snapshot semantics, lifted to catalog scope), and the
+  orphaned versions remain ordinary time-travel history;
+* CAS losers RETRY on a fresh read of the catalog, re-applying only
+  their own updates — publishers of DISJOINT table sets therefore
+  both land (vector merge), the catalog analogue of the per-table
+  rebase rule.
+
+Scale shape: a catalog commit is one tiny JSON manifest naming
+(dir, version) pairs — O(tables), independent of data size; reads
+resolve through the pinned per-table versions' own manifests, so all
+existing pruning (partition map, stats, Blooms, column maps) applies
+unchanged. At 100 TB the catalog is the coordination point for
+multi-table pipelines exactly because it never touches data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nshm2022db_spark.registry import register
+from nshm2022db_spark.sources import read_table
+
+_COMMITS = "_commits"
+
+
+def current_catalog(catalog_dir: str) -> dict:
+    """The latest committed catalog manifest
+    ``{version, tables: {name: {dir, version}}}`` — version 0 with an
+    empty vector before the first publish (mirrors
+    sinks.current_commit; the log is append-only, names sort by
+    version)."""
+    log = os.path.join(catalog_dir, _COMMITS)
+    try:
+        names = sorted(n for n in os.listdir(log) if n.endswith(".json"))
+    except FileNotFoundError:
+        names = []
+    for n in reversed(names):
+        try:
+            with open(os.path.join(log, n)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue  # torn concurrent write of a NEWER name: fall back
+    return {"version": 0, "tables": {}}
+
+
+def _try_commit_catalog(catalog_dir: str, manifest: dict) -> bool:
+    """Claim ``manifest['version']`` by atomically linking the fully
+    written manifest into the catalog log — the same conditional-put
+    CAS as sinks.try_commit."""
+    log = os.path.join(catalog_dir, _COMMITS)
+    os.makedirs(log, exist_ok=True)
+    manifest.setdefault("committed_at", time.time())
+    fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, os.path.join(log, f"{manifest['version']:020d}.json"))
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        os.unlink(tmp)
+
+
+def catalog_publish(
+    catalog_dir: str,
+    updates: dict[str, tuple[str, int]],
+    max_retries: int = 10,
+) -> dict:
+    """Atomically re-point the catalog's snapshot vector for the named
+    tables: ``updates`` maps table name -> (table_dir, version) — the
+    versions the caller just committed through the per-table logs.
+    Unnamed tables carry forward; a CAS loser re-reads and re-applies
+    ONLY its own updates, so concurrent publishers of disjoint sets
+    both land. Returns the published manifest."""
+    for _ in range(max_retries):
+        cur = current_catalog(catalog_dir)
+        tables = dict(cur.get("tables", {}))
+        for name, (d, v) in updates.items():
+            tables[name] = {"dir": os.path.abspath(d), "version": int(v)}
+        m = {"version": cur["version"] + 1, "tables": tables}
+        if _try_commit_catalog(catalog_dir, m):
+            return m
+    raise RuntimeError(
+        f"catalog_publish lost the CAS {max_retries} times in {catalog_dir}"
+    )
+
+
+def read_catalog_table(
+    spark: SparkSession,
+    catalog_dir: str,
+    name: str,
+    snapshot: dict | None = None,
+) -> DataFrame | None:
+    """Read a table AT the catalog's pinned version (None if the catalog
+    doesn't reference it). Pass ``snapshot`` (a ``current_catalog``
+    result) to read SEVERAL tables from ONE consistent vector while
+    publishers race — grabbing the snapshot once is the whole point."""
+    from nshm2022db_spark.streaming.sinks import read_keyed_table
+
+    cur = snapshot if snapshot is not None else current_catalog(catalog_dir)
+    ent = cur.get("tables", {}).get(name)
+    if ent is None:
+        return None
+    return read_keyed_table(spark, ent["dir"], version=ent["version"])
+
+
+# ---------------------------------------------------------------------------
+# Registered proof query
+# ---------------------------------------------------------------------------
+
+_CATALOG_ORACLE = """
+    SELECT event_type,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           COUNT(*) AS n,
+           TRUE AS initial_consistent,
+           TRUE AS mid_crash_consistent,
+           TRUE AS final_consistent
+    FROM events GROUP BY event_type
+"""
+
+
+def _vector_consistent(spark: SparkSession, catalog_dir: str) -> bool:
+    """The cross-table invariant of the proof pair: the totals table's
+    grand sums equal the rollup table's column sums — true only when
+    the catalog serves BOTH tables from the same publish."""
+    snap = current_catalog(catalog_dir)
+    x = read_catalog_table(spark, catalog_dir, "by_type", snapshot=snap)
+    y = read_catalog_table(spark, catalog_dir, "totals", snapshot=snap)
+    xs = x.agg(
+        F.sum("id_sum").alias("id_sum"), F.sum("n").alias("n")
+    ).collect()[0]
+    ys = y.collect()[0]
+    return (xs["id_sum"], xs["n"]) == (ys["id_sum"], ys["n"])
+
+
+@register("catalog_atomic_publish", _CATALOG_ORACLE)
+def catalog_atomic_publish(spark: SparkSession, sf: str) -> DataFrame:
+    """Atomic multi-table publish, proven mid-flight: a per-event_type
+    rollup table and a 1-row grand-totals table must always agree
+    (SUM over one == the other — a torn read breaks it). The flow:
+
+    1. build both from HALF the events, commit each, catalog-publish
+       v1 — the catalog read is consistent (``initial_consistent``);
+    2. commit the FULL rollup to the by_type table and CRASH before
+       the catalog publish — a direct table read now sees the new
+       version, but the catalog still serves the OLD CONSISTENT pair
+       (``mid_crash_consistent``: the invariant holds AND the catalog
+       demonstrably pins the pre-crash version);
+    3. commit the full totals and catalog-publish both — the catalog
+       flips to the new consistent vector in one CAS
+       (``final_consistent``), and the rollup it serves is the oracle's
+       full-corpus answer.
+
+    The three booleans are bounded scalar checks (1-row aggregates of
+    the two proof tables — the sanctioned driver-side scalar budget);
+    the returned rollup itself stays distributed. Per-call scratch is
+    reaped (the protocol re-runs by design — its cost IS the measured
+    thing, same family as commit_rebase_stats)."""
+    from nshm2022db_spark.streaming.events import _reap_scratch
+    from nshm2022db_spark.streaming.sinks import (
+        current_commit,
+        overwrite_partition_transaction,
+    )
+
+    events = read_table(spark, sf, "events").select(
+        "event_id", "event_type", (F.col("event_id") % 2 == 0).alias("half")
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def totals(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.count(F.lit(1)).alias("n"),
+        ).withColumn("pk", F.lit(0))
+
+    cat = tempfile.mkdtemp(prefix="catalog_")
+    x_dir = os.path.join(cat, "by_type")
+    y_dir = os.path.join(cat, "totals")
+
+    # stage 1: consistent v1 pair from half the corpus, published atomically
+    half = events.filter("half")
+    overwrite_partition_transaction(spark, x_dir, "event_type", rollup(half))
+    overwrite_partition_transaction(spark, y_dir, "pk", totals(half))
+    catalog_publish(
+        cat,
+        {
+            "by_type": (x_dir, current_commit(x_dir)["version"]),
+            "totals": (y_dir, current_commit(y_dir)["version"]),
+        },
+    )
+    initial_ok = _vector_consistent(spark, cat)
+    pinned_x = current_catalog(cat)["tables"]["by_type"]["version"]
+
+    # stage 2: the by_type table advances; the writer "crashes" before
+    # the catalog publish — the catalog must keep serving the old pair
+    overwrite_partition_transaction(spark, x_dir, "event_type", rollup(events))
+    mid_ok = (
+        _vector_consistent(spark, cat)
+        and current_catalog(cat)["tables"]["by_type"]["version"] == pinned_x
+        and current_commit(x_dir)["version"] > pinned_x
+    )
+
+    # stage 3: finish the pair and flip the catalog in one CAS
+    overwrite_partition_transaction(spark, y_dir, "pk", totals(events))
+    catalog_publish(
+        cat,
+        {
+            "by_type": (x_dir, current_commit(x_dir)["version"]),
+            "totals": (y_dir, current_commit(y_dir)["version"]),
+        },
+    )
+    final_ok = _vector_consistent(spark, cat)
+
+    out = read_catalog_table(spark, cat, "by_type").select(
+        "event_type",
+        "id_sum",
+        "n",
+        F.lit(initial_ok).alias("initial_consistent"),
+        F.lit(mid_ok).alias("mid_crash_consistent"),
+        F.lit(final_ok).alias("final_consistent"),
+    )
+    return _reap_scratch(out, spark, cat)

@@ -1255,3 +1255,54 @@ def stream_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
             <= 0.05 * F.col("exact_u")
         ).alias("within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup admission (documents stream, simhash band index)
+# ---------------------------------------------------------------------------
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def _docs_stream_split(spark: SparkSession, sf: str, n_files: int = 3) -> str:
+    """Scratch dir holding the documents table split across ``n_files``
+    parquet files so a maxFilesPerTrigger=1 replay yields real
+    micro-batches (same pattern as _stream_dir_split for events)."""
+    from nshm2022db_spark.sources.scratch import is_landed, mark_landed, scratch_path
+
+    d = scratch_path(f"docs_stream_split{n_files}", sf)
+    if not is_landed(d):
+        read_table(spark, sf, "documents").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "files"))
+        mark_landed(d)
+    return os.path.join(d, "files")
+
+
+def docs_stream(spark: SparkSession, sf: str, n_files: int = 3) -> DataFrame:
+    """File-source documents stream over the split scratch dir — the
+    replay harness for document-shaped streaming operators (the
+    registered consumer lives in extensions.dedup:
+    stream_neardup_admission). ``n_files`` controls how many real
+    micro-batches the replay yields (1 = single batch, for
+    batch-split-insensitivity tests)."""
+    return (
+        _replay_session(spark)
+        .readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_stream_split(spark, sf, n_files))
+    )
+
+
+def run_to_memory(agg: DataFrame, kind: str) -> DataFrame:
+    """Public wrapper over _run_to_memory with a collision-free sink
+    name, for registered queries defined outside this module."""
+    return _run_to_memory(agg, f"{kind}_{next(_counter)}")

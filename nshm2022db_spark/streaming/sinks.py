@@ -1767,6 +1767,8 @@ def compact_partition_table(
     sort_within: list[str] | None = None,
     max_records_per_file: int | None = None,
     cluster_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> list[str]:
     """OPTIMIZE as a commit: rewrite fragmented partitions of a
     partition-mapped committed table into one file each, published as a
@@ -1829,13 +1831,19 @@ def compact_partition_table(
     if not frag:
         return []
     values = [e.split("=", 1)[1] for e in frag]
-    stats_cols = sorted(
+    # skipping metadata to (re)write: explicit arguments win — after a
+    # merge/append EXTENDED every entry, the manifest records no stats
+    # or blooms at all, so deriving from it alone could never
+    # re-establish skipping; passing the columns here is Delta's
+    # "configure the bloom index on OPTIMIZE" knob — otherwise inherit
+    # whatever the current manifest still records
+    stats_cols = stats_cols or sorted(
         {c for s in cur.get("stats", {}).values() for c in s["cols"]}
     ) or None
     # recompute blooms for rewritten entries so equality skipping keeps
     # working across compactions; spec (m, k) inherited from the table
     blo = cur.get("bloom", {})
-    bloom_cols = sorted({c for e in blo.values() for c in e}) or None
+    bloom_cols = bloom_cols or sorted({c for e in blo.values() for c in e}) or None
     bloom_spec = next((s for e in blo.values() for s in e.values()), None)
 
     if cluster_by and sort_within:

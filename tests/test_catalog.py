@@ -1,0 +1,117 @@
+"""Catalog-level atomic multi-table publish (streaming/catalog.py)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from nshm2022db_spark.streaming.catalog import (
+    catalog_publish,
+    current_catalog,
+    read_catalog_table,
+)
+from nshm2022db_spark.streaming.sinks import (
+    append_partition_transaction,
+    current_commit,
+    overwrite_partition_transaction,
+)
+
+
+def _land(spark, d, rows):
+    df = spark.createDataFrame(rows, "k string, v long")
+    overwrite_partition_transaction(spark, d, "k", df)
+    return current_commit(d)["version"]
+
+
+class TestCatalogAtomicPublish:
+    def test_crash_between_commits_keeps_old_vector(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        va = _land(spark, a, [("x", 1)])
+        vb = _land(spark, b, [("x", 10)])
+        catalog_publish(cat, {"a": (a, va), "b": (b, vb)})
+        # writer advances table a, then "crashes" before the publish
+        _land(spark, a, [("x", 2)])
+        got_a = {r.v for r in read_catalog_table(spark, cat, "a").collect()}
+        got_b = {r.v for r in read_catalog_table(spark, cat, "b").collect()}
+        assert got_a == {1} and got_b == {10}
+        # the orphaned version is still plain time-travel history
+        assert current_commit(a)["version"] > va
+
+    def test_snapshot_reads_are_stable_across_publishes(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        va = _land(spark, a, [("x", 1)])
+        catalog_publish(cat, {"a": (a, va)})
+        snap = current_catalog(cat)
+        va2 = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, va2)})
+        pinned = {r.v for r in read_catalog_table(spark, cat, "a", snapshot=snap).collect()}
+        live = {r.v for r in read_catalog_table(spark, cat, "a").collect()}
+        assert pinned == {1} and live == {2}
+
+    def test_unknown_table_reads_none(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        assert read_catalog_table(spark, cat, "missing") is None
+
+    def test_racing_disjoint_publishers_both_land(self, spark, tmp_path):
+        """CAS losers retry on a fresh read applying only their own
+        updates, so concurrent publishers of DISJOINT table sets merge
+        instead of clobbering each other."""
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        va = _land(spark, a, [("x", 1)])
+        vb = _land(spark, b, [("x", 10)])
+        n_each = 5
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def worker(name, d, v):
+            try:
+                barrier.wait()
+                for _ in range(n_each):
+                    catalog_publish(cat, {name: (d, v)})
+            except Exception as ex:  # pragma: no cover - surfaced below
+                errs.append(ex)
+
+        ts = [
+            threading.Thread(target=worker, args=("a", a, va)),
+            threading.Thread(target=worker, args=("b", b, vb)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        cur = current_catalog(cat)
+        # every publish landed as its own version, none lost
+        assert cur["version"] == 2 * n_each
+        assert set(cur["tables"]) == {"a", "b"}
+        assert cur["tables"]["a"]["version"] == va
+        assert cur["tables"]["b"]["version"] == vb
+
+    def test_publish_carries_unnamed_tables_forward(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        va = _land(spark, a, [("x", 1)])
+        vb = _land(spark, b, [("x", 10)])
+        catalog_publish(cat, {"a": (a, va), "b": (b, vb)})
+        va2 = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, va2)})
+        cur = current_catalog(cat)
+        assert cur["tables"]["b"]["version"] == vb
+        assert {r.v for r in read_catalog_table(spark, cat, "a").collect()} == {2}
+
+    def test_registered_query_consistency_booleans(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        out = QUERIES["catalog_atomic_publish"](spark, sf_dir).collect()
+        assert out
+        assert all(
+            r.initial_consistent and r.mid_crash_consistent and r.final_consistent
+            for r in out
+        )

@@ -308,3 +308,69 @@ class TestQualityUpsample:
 
         plan = quality_upsample(spark, sf_dir)._jdf.queryExecution().toString()
         assert "Exchange" not in plan
+
+
+class TestTfidfIndexIncremental:
+    """Incrementally-maintained inverted index (postings/df/meta
+    lakehouse tables) — search parity, build idempotence, and the
+    point-probe pruning claim."""
+
+    def test_matches_inline_search(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        idx = sorted(
+            tuple(r)
+            for r in QUERIES["tfidf_index_incremental"](spark, sf_dir).collect()
+        )
+        inline = sorted(
+            tuple(r) for r in QUERIES["tfidf_search"](spark, sf_dir).collect()
+        )
+        assert idx == inline
+
+    def test_point_probe_prunes_buckets(self, spark, sf_dir):
+        """After the post-merge compaction re-established term blooms,
+        an ("eq", term) probe opens only the term's bucket."""
+        import os
+
+        from nshm2022db_spark.registry import QUERIES
+        from nshm2022db_spark.sources.scratch import scratch_path
+        from nshm2022db_spark.streaming.sinks import read_keyed_table
+
+        QUERIES["tfidf_index_incremental"](spark, sf_dir).collect()
+        post_dir = os.path.join(scratch_path("tfidf_index_r13", sf_dir), "postings")
+        full = read_keyed_table(spark, post_dir)
+        pruned = read_keyed_table(
+            spark, post_dir, prune={"term": ("eq", TFIDF_TERMS[0])}
+        )
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+    def test_retry_merge_noops(self, spark, sf_dir):
+        """A crashed-and-retried build re-issues the delta merge with the
+        same batch_id: the ledger makes it a no-op — df counts do not
+        double."""
+        import os
+
+        from nshm2022db_spark.registry import QUERIES
+        from nshm2022db_spark.sources.scratch import scratch_path
+        from nshm2022db_spark.streaming.sinks import (
+            merge_into_table,
+            read_keyed_table,
+        )
+
+        QUERIES["tfidf_index_incremental"](spark, sf_dir).collect()
+        df_dir = os.path.join(scratch_path("tfidf_index_r13", sf_dir), "df")
+        before = sorted(
+            tuple(r) for r in read_keyed_table(spark, df_dir).collect()
+        )
+        replay = spark.createDataFrame(
+            [(TFIDF_TERMS[0], 10_000, 0)], "term string, df long, bucket int"
+        )
+        merge_into_table(
+            spark, df_dir, replay, keys=["term"],
+            when_matched_update={"df": "s.df + t.df"},
+            when_not_matched_insert=True, batch_id=1,
+        )
+        after = sorted(
+            tuple(r) for r in read_keyed_table(spark, df_dir).collect()
+        )
+        assert after == before

@@ -266,6 +266,11 @@ class TestDriverOrder:
             "knn_ivfpq",
             "knn_ivfpq_lakehouse",
             "dedup_semdedup",
+            # NEW in r13 continuation leg: streaming first-writer-wins
+            # simhash-band admission + the incrementally-MERGEd
+            # inverted index
+            "stream_neardup_admission",
+            "tfidf_index_incremental",
             # NEW in r13 late leg: GIF animation compositing, plus one
             # representative per codec primitive the compositor and the
             # ADVICE hardening sweep touched (decode_gif/encode_gif,
@@ -833,3 +838,57 @@ class TestWinnowing:
             for r in text_winnow_fingerprints(spark, d).collect()
         }
         assert got == {i: reference(t) for i, t in enumerate(texts)}
+
+
+class TestStreamNeardupAdmission:
+    """stream_neardup_admission + the per-row simhash primitive."""
+
+    def test_simhash_per_row_matches_grouped(self, spark, sf_dir):
+        from nshm2022db_spark.extensions.dedup import _simhash, simhash_per_row
+        from nshm2022db_spark.sources import read_table
+
+        grouped = {r.doc_id: r.simhash for r in _simhash(spark, sf_dir).collect()}
+        per_row = {
+            r.doc_id: r.simhash
+            for r in simhash_per_row(
+                read_table(spark, sf_dir, "documents").select("doc_id", "text")
+            ).collect()
+        }
+        assert per_row == grouped
+
+    def test_stream_neardup_admission_batch_split(self, spark, sf_dir):
+        """The band-index state (MIN per bucket) is order-free, so a
+        single-batch replay and a 3-micro-batch replay agree exactly."""
+        from nshm2022db_spark.extensions.dedup import simhash_bands, simhash_per_row
+        from nshm2022db_spark.streaming.events import docs_stream, run_to_memory
+
+        def firsts(n_files):
+            f = (
+                simhash_bands(
+                    simhash_per_row(docs_stream(spark, sf_dir, n_files=n_files))
+                )
+                .groupBy("band_id", "byte")
+                .agg(F.min("doc_id").alias("first_doc"))
+            )
+            return sorted(tuple(r) for r in run_to_memory(f, "t_admit").collect())
+
+        assert firsts(1) == firsts(3)
+
+    def test_verdicts_and_near_dup_exclusion(self, spark, sf_dir):
+        """Admitted rows carry no blocker; blocked rows name an earlier
+        owner; and no dedup_simhash near-dup PAIR survives with both
+        sides admitted (the pigeonhole recall argument made concrete)."""
+        from nshm2022db_spark.registry import QUERIES
+
+        out = QUERIES["stream_neardup_admission"](spark, sf_dir).collect()
+        assert any(not r.admitted for r in out)  # planted dups exist
+        admitted = {}
+        for r in out:
+            admitted[r.doc_id] = r.admitted
+            if r.admitted:
+                assert r.blocked_by is None
+            else:
+                assert r.blocked_by is not None and r.blocked_by < r.doc_id
+        pairs = QUERIES["dedup_simhash"](spark, sf_dir).collect()
+        for p in pairs:
+            assert not (admitted[p.doc_a] and admitted[p.doc_b])

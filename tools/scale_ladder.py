@@ -294,6 +294,17 @@ LADDER = [
     # r13: SemDeDup — per-cluster quadratic pair work bounded by the
     # count-derived nlist tier (the published method's own trade)
     "dedup_semdedup",
+    # r13 continuation: streaming band admission — per-row sketch
+    # (scan-linear) + one keyed agg whose state is the occupied-bucket
+    # count; the decision join shuffles once on (band_id, byte)
+    "stream_neardup_admission",
+    # r13 continuation: the index BUILD is corpus-linear but one-time
+    # (the warm-up lands it, so timed runs measure the QUERY side);
+    # probes are bloom-pruned point reads of 3 terms' buckets — flat
+    "tfidf_index_incremental",
+    # r13 continuation: 6 table commits + 2 catalog CAS publishes per
+    # call — protocol floor plus two scan-linear event rollups
+    "catalog_atomic_publish",
 ]
 
 
