@@ -218,6 +218,8 @@ HEADLINE = [
     "tfidf_index_incremental",
     # r13: catalog-level atomic multi-table publish (protocol proof)
     "catalog_atomic_publish",
+    # r13: the inverted index maintained by a streaming foreachBatch writer
+    "stream_index_maintenance",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -148,128 +148,38 @@ IDX_DELTA_MOD = 5  # doc_id % 5 == 0 plays the freshly-crawled delta batch
 IDX_BUCKETS = 8  # term-hash partition buckets of the postings/df tables
 
 
-@register("tfidf_index_incremental", _TFIDF_ORACLE)
-def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
-    """tfidf_search answered from a MATERIALIZED inverted index that is
-    maintained INCREMENTALLY — the 100 TB search story: you cannot
-    re-scan the corpus per query (tfidf_search's two narrow passes are
-    fine per query only while the corpus fits a scan budget) nor
-    rebuild the index per ingest batch. Three lakehouse tables,
-    partitioned by a term-hash bucket:
-
-    * ``postings`` (term, doc_id, tf) — built once over the base corpus
-      (doc_id % {IDX_DELTA_MOD} != 0), then the delta batch MERGEs in
-      as pure inserts (O(batch tokens), appended generations — no
-      rewrite);
-    * ``df`` (term, df) — the delta's per-term doc counts MERGE with an
-      ADDITIVE update (``df = s.df + t.df``), the arithmetic-merge
-      pattern a statistics sidecar needs (new terms insert);
-    * ``meta`` (metric, v) — corpus size N, merged additively the same
-      way.
-
-    All five commits carry a fixed ``batch_id``, so a concurrent or
-    crashed-and-retried build no-ops instead of double-counting — the
-    foreachBatch idempotence contract reused as build idempotence.
-
-    The query side is three POINT PROBES into the index: each term
-    reads the postings through an ``("eq", term)`` prune (manifest
-    stats + term Blooms drop every partition but the term's bucket;
-    merge-appended generations are stat-less until compaction and
-    always read — safe, just unpruned), pivots to per-doc tf columns,
-    and joins the 1-row broadcast stats frame (df/N). Scoring, ordering
-    and the oracle are tfidf_search's verbatim — maintaining the index
-    incrementally must not move a single score."""
-    import os as _os
-
-    from nshm2022db_spark.sources.scratch import (
-        is_landed,
-        mark_landed,
-        scratch_path,
+def _index_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, bucket) postings of a documents frame — token
+    counts per (doc, term) over the lowercased whitespace tokens, keyed
+    into the term-hash bucket the index tables partition by."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(spark_tokens(spark_ascii_lower("text")))).alias("term"),
     )
-    from nshm2022db_spark.streaming.sinks import (
-        append_partition_transaction,
-        compact_partition_table,
-        merge_into_table,
-        read_keyed_table,
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(IDX_BUCKETS)))
     )
 
-    base = scratch_path("tfidf_index_r13", sf)
-    post_dir = _os.path.join(base, "postings")
-    df_dir = _os.path.join(base, "df")
-    meta_dir = _os.path.join(base, "meta")
-    is_delta = F.col("doc_id") % IDX_DELTA_MOD == 0
 
-    def postings(docs: DataFrame) -> DataFrame:
-        toks = docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(spark_tokens(spark_ascii_lower("text")))
-            ).alias("term"),
-        )
-        return (
-            toks.groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .withColumn("bucket", F.pmod(F.hash("term"), F.lit(IDX_BUCKETS)))
-        )
+def _index_df_counts(post: DataFrame) -> DataFrame:
+    """(term, df, bucket) per-term document frequencies of a postings
+    frame (postings only hold tf > 0, so a row count per term IS df)."""
+    return (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(IDX_BUCKETS)))
+    )
 
-    def df_counts(post: DataFrame) -> DataFrame:
-        return (
-            post.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .withColumn("bucket", F.pmod(F.hash("term"), F.lit(IDX_BUCKETS)))
-        )
 
-    if not is_landed(base):
-        docs = read_table(spark, sf, "documents")
-        bpost = postings(docs.filter(~is_delta))
-        append_partition_transaction(
-            spark, post_dir, "bucket", bpost,
-            stats_cols=["doc_id"], bloom_cols=["term"], batch_id=0,
-        )
-        append_partition_transaction(
-            spark, df_dir, "bucket", df_counts(bpost),
-            bloom_cols=["term"], batch_id=0,
-        )
-        n_base = docs.filter(~is_delta).count()
-        meta0 = spark.createDataFrame(
-            [("n_docs", n_base, 0)], "metric string, v long, pk int"
-        )
-        append_partition_transaction(spark, meta_dir, "pk", meta0, batch_id=0)
-
-        dpost = postings(docs.filter(is_delta))
-        merge_into_table(
-            spark, post_dir, dpost, keys=["term", "doc_id"],
-            when_not_matched_insert=True, batch_id=1,
-        )
-        merge_into_table(
-            spark, df_dir, df_counts(dpost), keys=["term"],
-            when_matched_update={"df": "s.df + t.df"},
-            when_not_matched_insert=True, batch_id=1,
-        )
-        n_delta = docs.filter(is_delta).count()
-        metad = spark.createDataFrame(
-            [("n_docs", n_delta, 0)], "metric string, v long, pk int"
-        )
-        merge_into_table(
-            spark, meta_dir, metad, keys=["metric"],
-            when_matched_update={"v": "s.v + t.v"},
-            when_not_matched_insert=True, batch_id=1,
-        )
-        # OPTIMIZE after ingest: the merge APPENDED generations to every
-        # touched bucket, and extended entries drop their stats/blooms
-        # (stat-less = never pruned = safe) — compaction rewrites them
-        # and RECOMPUTES both, so the point probes below prune again.
-        # This is the maintenance rhythm of a real inverted index:
-        # cheap stat-less appends per batch, periodic compaction to
-        # restore skipping (pinned by test_point_probe_prunes_buckets).
-        compact_partition_table(
-            spark, post_dir, max_files_per_partition=1,
-            stats_cols=["doc_id"], bloom_cols=["term"],
-        )
-        compact_partition_table(
-            spark, df_dir, max_files_per_partition=1, bloom_cols=["term"]
-        )
-        mark_landed(base)
+def _tfidf_probe_index(
+    spark: SparkSession, post_dir: str, df_dir: str, meta_dir: str
+) -> DataFrame:
+    """The query side shared by every index variant: three bloom-pruned
+    point probes into the postings, the 3-row df probe + 1-row N frame
+    broadcast, tfidf_search's exact scoring/order/limit."""
+    from nshm2022db_spark.streaming.sinks import read_keyed_table
 
     probes = [
         read_keyed_table(spark, post_dir, prune={"term": ("eq", t)}).filter(
@@ -326,6 +236,214 @@ def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("ROUND(_score, 6)").alias("tfidf_score"),
         )
     )
+
+
+@register("tfidf_index_incremental", _TFIDF_ORACLE)
+def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """tfidf_search answered from a MATERIALIZED inverted index that is
+    maintained INCREMENTALLY — the 100 TB search story: you cannot
+    re-scan the corpus per query (tfidf_search's two narrow passes are
+    fine per query only while the corpus fits a scan budget) nor
+    rebuild the index per ingest batch. Three lakehouse tables,
+    partitioned by a term-hash bucket:
+
+    * ``postings`` (term, doc_id, tf) — built once over the base corpus
+      (doc_id % {IDX_DELTA_MOD} != 0), then the delta batch MERGEs in
+      as pure inserts (O(batch tokens), appended generations — no
+      rewrite);
+    * ``df`` (term, df) — the delta's per-term doc counts MERGE with an
+      ADDITIVE update (``df = s.df + t.df``), the arithmetic-merge
+      pattern a statistics sidecar needs (new terms insert);
+    * ``meta`` (metric, v) — corpus size N, merged additively the same
+      way.
+
+    All five commits carry a fixed ``batch_id``, so a concurrent or
+    crashed-and-retried build no-ops instead of double-counting — the
+    foreachBatch idempotence contract reused as build idempotence.
+
+    The query side is three POINT PROBES into the index: each term
+    reads the postings through an ``("eq", term)`` prune (manifest
+    stats + term Blooms drop every partition but the term's bucket;
+    merge-appended generations are stat-less until compaction and
+    always read — safe, just unpruned), pivots to per-doc tf columns,
+    and joins the 1-row broadcast stats frame (df/N). Scoring, ordering
+    and the oracle are tfidf_search's verbatim — maintaining the index
+    incrementally must not move a single score."""
+    import os as _os
+
+    from nshm2022db_spark.sources.scratch import (
+        is_landed,
+        mark_landed,
+        scratch_path,
+    )
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        compact_partition_table,
+        merge_into_table,
+        read_keyed_table,
+    )
+
+    base = scratch_path("tfidf_index_r13", sf)
+    post_dir = _os.path.join(base, "postings")
+    df_dir = _os.path.join(base, "df")
+    meta_dir = _os.path.join(base, "meta")
+    is_delta = F.col("doc_id") % IDX_DELTA_MOD == 0
+    postings, df_counts = _index_postings, _index_df_counts
+
+    if not is_landed(base):
+        docs = read_table(spark, sf, "documents")
+        bpost = postings(docs.filter(~is_delta))
+        append_partition_transaction(
+            spark, post_dir, "bucket", bpost,
+            stats_cols=["doc_id"], bloom_cols=["term"], batch_id=0,
+        )
+        append_partition_transaction(
+            spark, df_dir, "bucket", df_counts(bpost),
+            bloom_cols=["term"], batch_id=0,
+        )
+        n_base = docs.filter(~is_delta).count()
+        meta0 = spark.createDataFrame(
+            [("n_docs", n_base, 0)], "metric string, v long, pk int"
+        )
+        append_partition_transaction(spark, meta_dir, "pk", meta0, batch_id=0)
+
+        dpost = postings(docs.filter(is_delta))
+        merge_into_table(
+            spark, post_dir, dpost, keys=["term", "doc_id"],
+            when_not_matched_insert=True, batch_id=1,
+        )
+        merge_into_table(
+            spark, df_dir, df_counts(dpost), keys=["term"],
+            when_matched_update={"df": "s.df + t.df"},
+            when_not_matched_insert=True, batch_id=1,
+        )
+        n_delta = docs.filter(is_delta).count()
+        metad = spark.createDataFrame(
+            [("n_docs", n_delta, 0)], "metric string, v long, pk int"
+        )
+        merge_into_table(
+            spark, meta_dir, metad, keys=["metric"],
+            when_matched_update={"v": "s.v + t.v"},
+            when_not_matched_insert=True, batch_id=1,
+        )
+        # OPTIMIZE after ingest: the merge APPENDED generations to every
+        # touched bucket, and extended entries drop their stats/blooms
+        # (stat-less = never pruned = safe) — compaction rewrites them
+        # and RECOMPUTES both, so the point probes below prune again.
+        # This is the maintenance rhythm of a real inverted index:
+        # cheap stat-less appends per batch, periodic compaction to
+        # restore skipping (pinned by test_point_probe_prunes_buckets).
+        compact_partition_table(
+            spark, post_dir, max_files_per_partition=1,
+            stats_cols=["doc_id"], bloom_cols=["term"],
+        )
+        compact_partition_table(
+            spark, df_dir, max_files_per_partition=1, bloom_cols=["term"]
+        )
+        mark_landed(base)
+
+    return _tfidf_probe_index(spark, post_dir, df_dir, meta_dir)
+
+
+@register("stream_index_maintenance", _TFIDF_ORACLE)
+def stream_index_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """The inverted index maintained by a STREAMING writer — the form a
+    continuously-crawling corpus actually runs: documents arrive as a
+    3-micro-batch replay and each batch foreachBatch-commits its own
+    delta into the same three tables tfidf_index_incremental builds —
+    postings as pure inserts, df and N as ADDITIVE merges
+    (``df = s.df + t.df``). Every commit carries the micro-batch's
+    ``batch_id``, so a replayed batch (checkpoint restart, at-least-once
+    upstream) no-ops instead of double-counting — the exactly-once
+    contract for arithmetic state, where a double-apply is silent
+    corruption rather than a duplicate row. A closing compaction
+    re-establishes the term Blooms the merge-extended entries dropped
+    (the stats_cols/bloom_cols OPTIMIZE overrides), then the SAME probe
+    path answers the search.
+
+    Oracle: tfidf_search's verbatim — so streamed-index ==
+    batch-incremental-index == inline-scan is value-pinned three ways
+    by the gate. Per-call scratch, reaped (the per-batch commit
+    protocol is the measured thing, same family as
+    stream_merge_conditional).
+
+    Scale shape: per micro-batch the cost is O(batch tokens) postings
+    insert + a df merge bounded by the batch's distinct terms + a 1-row
+    N merge; the corpus is never re-scanned. At 100 TB this is the
+    index-maintenance half of a search pipeline as one exactly-once
+    streaming job."""
+    import os as _os
+    import tempfile
+
+    from nshm2022db_spark.streaming.events import _reap_scratch, docs_stream
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        compact_partition_table,
+        current_commit,
+        merge_into_table,
+    )
+
+    root = tempfile.mkdtemp(prefix="tfidf_stream_idx_")
+    post_dir = _os.path.join(root, "postings")
+    df_dir = _os.path.join(root, "df")
+    meta_dir = _os.path.join(root, "meta")
+    ckpt = _os.path.join(root, "ckpt")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        bpost = _index_postings(batch_df)
+        first = current_commit(post_dir)["version"] == 0
+        # Postings always APPEND, never MERGE: each document arrives in
+        # exactly one micro-batch, so its (term, doc_id) keys are new by
+        # construction — a merge's decision scan over the grown table
+        # would pay O(index) per batch for what is an O(batch) insert
+        # (measured ~2× the whole job at sf0.1). Re-delivery of a whole
+        # batch is the one duplication mode left, and batch_id no-ops
+        # it. df/meta genuinely need the additive merge.
+        append_partition_transaction(
+            s, post_dir, "bucket", bpost,
+            stats_cols=["doc_id"], bloom_cols=["term"], batch_id=batch_id,
+        )
+        if first:
+            append_partition_transaction(
+                s, df_dir, "bucket", _index_df_counts(bpost),
+                bloom_cols=["term"], batch_id=batch_id,
+            )
+        else:
+            merge_into_table(
+                s, df_dir, _index_df_counts(bpost), keys=["term"],
+                when_matched_update={"df": "s.df + t.df"},
+                when_not_matched_insert=True, batch_id=batch_id,
+            )
+        meta = s.createDataFrame(
+            [("n_docs", batch_df.count(), 0)], "metric string, v long, pk int"
+        )
+        if first:
+            append_partition_transaction(s, meta_dir, "pk", meta, batch_id=batch_id)
+        else:
+            merge_into_table(
+                s, meta_dir, meta, keys=["metric"],
+                when_matched_update={"v": "s.v + t.v"},
+                when_not_matched_insert=True, batch_id=batch_id,
+            )
+
+    q = (
+        docs_stream(spark, sf)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    compact_partition_table(
+        spark, post_dir, max_files_per_partition=1,
+        stats_cols=["doc_id"], bloom_cols=["term"],
+    )
+    compact_partition_table(
+        spark, df_dir, max_files_per_partition=1, bloom_cols=["term"]
+    )
+    out = _tfidf_probe_index(spark, post_dir, df_dir, meta_dir)
+    return _reap_scratch(out, spark, root)
 
 
 # ---------------------------------------------------------------------------

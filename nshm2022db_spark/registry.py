@@ -216,12 +216,16 @@ _DRIVER_ORDER = [
     #     parameterizes (the new stats_cols/bloom_cols OPTIMIZE
     #     overrides); dedup_simhash and tfidf_search share only
     #     UNCHANGED constants/expressions with the new queries, so they
-    #     keep their fresh tail evidence. Displaced to the tail head
-    #     (r14 priority, joining the seven r9 rows listed below):
-    #     asof_nearest_ge, asof_nearest_ge_per_key,
-    #     conditional_agg_membership.
+    #     keep their fresh tail evidence.
+    #     stream_index_maintenance is the streamed form of the index
+    #     (per-micro-batch foreachBatch merges, exactly-once by
+    #     batch_id), sharing tfidf_search's oracle. Displaced to the
+    #     tail head (r14 priority, joining the seven r9 rows listed
+    #     below): any_value_carry, asof_nearest_ge,
+    #     asof_nearest_ge_per_key, conditional_agg_membership.
     "stream_neardup_admission",
     "tfidf_index_incremental",
+    "stream_index_maintenance",
     "catalog_atomic_publish",
     "merge_mapped_cdc",
     "stream_mapped_changes",
@@ -269,12 +273,12 @@ _DRIVER_ORDER = [
     "rollup_agg",
     "advanced_query_dsl",
     "anti_join_missing",
-    "any_value_carry",
     # --- 50-query window boundary (driver gate cap observed r01-r12) ---
-    # Tail head - FIRST PRIORITY for the round-14 window: the three rows
+    # Tail head - FIRST PRIORITY for the round-14 window: the four rows
     # the continuation leg displaced, the seven displaced r9 rows below
     # (count_distinct joined them for dedup_semdedup), then the
     # remaining r9 block.
+    "any_value_carry",
     "asof_nearest_ge",
     "asof_nearest_ge_per_key",
     "conditional_agg_membership",

@@ -374,3 +374,18 @@ class TestTfidfIndexIncremental:
             tuple(r) for r in read_keyed_table(spark, df_dir).collect()
         )
         assert after == before
+
+    def test_stream_maintenance_matches_inline(self, spark, sf_dir):
+        """The streamed index answers exactly like the inline scan (and
+        therefore like the batch-incremental index — all three share
+        one oracle)."""
+        from nshm2022db_spark.registry import QUERIES
+
+        streamed = sorted(
+            tuple(r)
+            for r in QUERIES["stream_index_maintenance"](spark, sf_dir).collect()
+        )
+        inline = sorted(
+            tuple(r) for r in QUERIES["tfidf_search"](spark, sf_dir).collect()
+        )
+        assert streamed == inline

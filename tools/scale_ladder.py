@@ -305,6 +305,10 @@ LADDER = [
     # r13 continuation: 6 table commits + 2 catalog CAS publishes per
     # call — protocol floor plus two scan-linear event rollups
     "catalog_atomic_publish",
+    # r13 continuation: per-micro-batch index maintenance — 3 batches x
+    # (postings insert + additive df/N merges) + closing compaction;
+    # commit-protocol floor plus batch-linear postings
+    "stream_index_maintenance",
 ]
 
 
