@@ -292,7 +292,10 @@ def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
     if not is_landed(base):
         docs = read_table(spark, sf, "documents")
-        bpost = postings(docs.filter(~is_delta))
+        # one tokenize pass per half: the postings append and the df
+        # rollup both consume the persisted frame (review-sweep fix —
+        # the unpersisted form re-tokenized the corpus per consumer)
+        bpost = postings(docs.filter(~is_delta)).persist()
         append_partition_transaction(
             spark, post_dir, "bucket", bpost,
             stats_cols=["doc_id"], bloom_cols=["term"], batch_id=0,
@@ -306,8 +309,9 @@ def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
             [("n_docs", n_base, 0)], "metric string, v long, pk int"
         )
         append_partition_transaction(spark, meta_dir, "pk", meta0, batch_id=0)
+        bpost.unpersist()
 
-        dpost = postings(docs.filter(is_delta))
+        dpost = postings(docs.filter(is_delta)).persist()
         merge_into_table(
             spark, post_dir, dpost, keys=["term", "doc_id"],
             when_not_matched_insert=True, batch_id=1,
@@ -326,6 +330,7 @@ def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
             when_matched_update={"v": "s.v + t.v"},
             when_not_matched_insert=True, batch_id=1,
         )
+        dpost.unpersist()
         # OPTIMIZE after ingest: the merge APPENDED generations to every
         # touched bucket, and extended entries drop their stats/blooms
         # (stat-less = never pruned = safe) — compaction rewrites them
@@ -343,6 +348,66 @@ def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
         mark_landed(base)
 
     return _tfidf_probe_index(spark, post_dir, df_dir, meta_dir)
+
+
+def _index_apply_batch(
+    batch_df: DataFrame, batch_id: int, post_dir: str, df_dir: str, meta_dir: str
+) -> None:
+    """One micro-batch's index delta as three idempotent commits —
+    module-level (not a closure) so the crash-replay test can drive it
+    directly. One tokenize pass feeds all three: the postings append
+    and the df rollup both consume the persisted bpost, and N counts
+    the batch's rows.
+
+    Postings always APPEND, never MERGE: each document arrives in
+    exactly one micro-batch, so its (term, doc_id) keys are new by
+    construction — a merge's decision scan over the grown table would
+    pay O(index) per batch for what is an O(batch) insert (measured
+    ~2× the whole job at sf0.1). Re-delivery of a whole batch is the
+    one duplication mode left, and batch_id no-ops it. df/meta
+    genuinely need the additive merge, and their append-vs-merge
+    choice is made PER TARGET TABLE from its OWN log: a crash after
+    batch 0's postings commit replays with post_dir at v1 but df_dir
+    still empty, and a merge into an empty table raises — a single
+    shared first-batch flag broke exactly this restart path (pinned by
+    test_crash_replay_of_first_batch_noops_cleanly)."""
+    from nshm2022db_spark.streaming.sinks import (
+        append_partition_transaction,
+        current_commit,
+        merge_into_table,
+    )
+
+    s = batch_df.sparkSession
+    bpost = _index_postings(batch_df).persist()
+    try:
+        append_partition_transaction(
+            s, post_dir, "bucket", bpost,
+            stats_cols=["doc_id"], bloom_cols=["term"], batch_id=batch_id,
+        )
+        if current_commit(df_dir)["version"] == 0:
+            append_partition_transaction(
+                s, df_dir, "bucket", _index_df_counts(bpost),
+                bloom_cols=["term"], batch_id=batch_id,
+            )
+        else:
+            merge_into_table(
+                s, df_dir, _index_df_counts(bpost), keys=["term"],
+                when_matched_update={"df": "s.df + t.df"},
+                when_not_matched_insert=True, batch_id=batch_id,
+            )
+        meta = s.createDataFrame(
+            [("n_docs", batch_df.count(), 0)], "metric string, v long, pk int"
+        )
+        if current_commit(meta_dir)["version"] == 0:
+            append_partition_transaction(s, meta_dir, "pk", meta, batch_id=batch_id)
+        else:
+            merge_into_table(
+                s, meta_dir, meta, keys=["metric"],
+                when_matched_update={"v": "s.v + t.v"},
+                when_not_matched_insert=True, batch_id=batch_id,
+            )
+    finally:
+        bpost.unpersist()
 
 
 @register("stream_index_maintenance", _TFIDF_ORACLE)
@@ -376,12 +441,7 @@ def stream_index_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from nshm2022db_spark.streaming.events import _reap_scratch, docs_stream
-    from nshm2022db_spark.streaming.sinks import (
-        append_partition_transaction,
-        compact_partition_table,
-        current_commit,
-        merge_into_table,
-    )
+    from nshm2022db_spark.streaming.sinks import compact_partition_table
 
     root = tempfile.mkdtemp(prefix="tfidf_stream_idx_")
     post_dir = _os.path.join(root, "postings")
@@ -389,43 +449,9 @@ def stream_index_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     meta_dir = _os.path.join(root, "meta")
     ckpt = _os.path.join(root, "ckpt")
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        bpost = _index_postings(batch_df)
-        first = current_commit(post_dir)["version"] == 0
-        # Postings always APPEND, never MERGE: each document arrives in
-        # exactly one micro-batch, so its (term, doc_id) keys are new by
-        # construction — a merge's decision scan over the grown table
-        # would pay O(index) per batch for what is an O(batch) insert
-        # (measured ~2× the whole job at sf0.1). Re-delivery of a whole
-        # batch is the one duplication mode left, and batch_id no-ops
-        # it. df/meta genuinely need the additive merge.
-        append_partition_transaction(
-            s, post_dir, "bucket", bpost,
-            stats_cols=["doc_id"], bloom_cols=["term"], batch_id=batch_id,
-        )
-        if first:
-            append_partition_transaction(
-                s, df_dir, "bucket", _index_df_counts(bpost),
-                bloom_cols=["term"], batch_id=batch_id,
-            )
-        else:
-            merge_into_table(
-                s, df_dir, _index_df_counts(bpost), keys=["term"],
-                when_matched_update={"df": "s.df + t.df"},
-                when_not_matched_insert=True, batch_id=batch_id,
-            )
-        meta = s.createDataFrame(
-            [("n_docs", batch_df.count(), 0)], "metric string, v long, pk int"
-        )
-        if first:
-            append_partition_transaction(s, meta_dir, "pk", meta, batch_id=batch_id)
-        else:
-            merge_into_table(
-                s, meta_dir, meta, keys=["metric"],
-                when_matched_update={"v": "s.v + t.v"},
-                when_not_matched_insert=True, batch_id=batch_id,
-            )
+    apply_batch = lambda df, bid: _index_apply_batch(  # noqa: E731
+        df, bid, post_dir, df_dir, meta_dir
+    )
 
     q = (
         docs_stream(spark, sf)

@@ -35,58 +35,40 @@ multi-table pipelines exactly because it never touches data.
 
 from __future__ import annotations
 
-import json
 import os
 import tempfile
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nshm2022db_spark.registry import register
 from nshm2022db_spark.sources import read_table
-
-_COMMITS = "_commits"
+from nshm2022db_spark.streaming.sinks import (
+    _COMMITS,
+    _read_json,
+    try_commit,
+)
 
 
 def current_catalog(catalog_dir: str) -> dict:
     """The latest committed catalog manifest
     ``{version, tables: {name: {dir, version}}}`` — version 0 with an
-    empty vector before the first publish (mirrors
-    sinks.current_commit; the log is append-only, names sort by
-    version)."""
+    empty vector before the first publish. Same append-only log scan
+    as sinks.current_commit, built on the same primitives: manifests
+    are linked fully-written (try_commit), so a missing file can only
+    be a concurrent retention unlink of an OLDER name (_read_json's
+    FileNotFoundError tolerance); anything else — corruption, IO
+    faults — propagates instead of silently serving a stale vector."""
     log = os.path.join(catalog_dir, _COMMITS)
     try:
         names = sorted(n for n in os.listdir(log) if n.endswith(".json"))
     except FileNotFoundError:
         names = []
     for n in reversed(names):
-        try:
-            with open(os.path.join(log, n)) as f:
-                return json.load(f)
-        except (OSError, json.JSONDecodeError):
-            continue  # torn concurrent write of a NEWER name: fall back
+        m = _read_json(os.path.join(log, n))
+        if m is not None:
+            return m
     return {"version": 0, "tables": {}}
-
-
-def _try_commit_catalog(catalog_dir: str, manifest: dict) -> bool:
-    """Claim ``manifest['version']`` by atomically linking the fully
-    written manifest into the catalog log — the same conditional-put
-    CAS as sinks.try_commit."""
-    log = os.path.join(catalog_dir, _COMMITS)
-    os.makedirs(log, exist_ok=True)
-    manifest.setdefault("committed_at", time.time())
-    fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        try:
-            os.link(tmp, os.path.join(log, f"{manifest['version']:020d}.json"))
-            return True
-        except FileExistsError:
-            return False
-    finally:
-        os.unlink(tmp)
 
 
 def catalog_publish(
@@ -106,7 +88,9 @@ def catalog_publish(
         for name, (d, v) in updates.items():
             tables[name] = {"dir": os.path.abspath(d), "version": int(v)}
         m = {"version": cur["version"] + 1, "tables": tables}
-        if _try_commit_catalog(catalog_dir, m):
+        # the SAME os.link conditional-put every table's log uses —
+        # the catalog is just one more CAS log (sinks.try_commit)
+        if try_commit(catalog_dir, m):
             return m
     raise RuntimeError(
         f"catalog_publish lost the CAS {max_retries} times in {catalog_dir}"

@@ -4,15 +4,12 @@ from __future__ import annotations
 
 import threading
 
-import pytest
-
 from nshm2022db_spark.streaming.catalog import (
     catalog_publish,
     current_catalog,
     read_catalog_table,
 )
 from nshm2022db_spark.streaming.sinks import (
-    append_partition_transaction,
     current_commit,
     overwrite_partition_transaction,
 )

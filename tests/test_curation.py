@@ -389,3 +389,40 @@ class TestTfidfIndexIncremental:
             tuple(r) for r in QUERIES["tfidf_search"](spark, sf_dir).collect()
         )
         assert streamed == inline
+
+    def test_crash_replay_of_first_batch_noops_cleanly(self, spark, tmp_path):
+        """A crash after batch 0's postings commit replays the whole
+        batch: the replay must neither raise (the old shared
+        first-batch flag routed df into a merge on an EMPTY table) nor
+        double-count (batch_id no-ops the already-landed postings)."""
+        from nshm2022db_spark.extensions.curation import _index_apply_batch, _index_postings
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+        )
+
+        batch = spark.createDataFrame(
+            [(1, "spark merge spark vector", "en", "s", 1),
+             (2, "vector vector merge plan", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        clean = str(tmp_path / "clean")
+        _index_apply_batch(batch, 0, f"{clean}/p", f"{clean}/d", f"{clean}/m")
+
+        crashed = str(tmp_path / "crashed")
+        # simulate the partial batch 0: ONLY the postings landed
+        append_partition_transaction(
+            spark, f"{crashed}/p", "bucket", _index_postings(batch),
+            stats_cols=["doc_id"], bloom_cols=["term"], batch_id=0,
+        )
+        # checkpoint restart re-delivers batch 0 in full
+        _index_apply_batch(batch, 0, f"{crashed}/p", f"{crashed}/d", f"{crashed}/m")
+
+        for sub in ("p", "d", "m"):
+            a = sorted(
+                tuple(r) for r in read_keyed_table(spark, f"{clean}/{sub}").collect()
+            )
+            b = sorted(
+                tuple(r) for r in read_keyed_table(spark, f"{crashed}/{sub}").collect()
+            )
+            assert a == b, sub

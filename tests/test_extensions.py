@@ -267,10 +267,13 @@ class TestDriverOrder:
             "knn_ivfpq_lakehouse",
             "dedup_semdedup",
             # NEW in r13 continuation leg: streaming first-writer-wins
-            # simhash-band admission + the incrementally-MERGEd
-            # inverted index
+            # simhash-band admission, the incrementally-MERGEd
+            # inverted index, its streamed foreachBatch form, and the
+            # catalog-level atomic multi-table publish
             "stream_neardup_admission",
             "tfidf_index_incremental",
+            "stream_index_maintenance",
+            "catalog_atomic_publish",
             # NEW in r13 late leg: GIF animation compositing, plus one
             # representative per codec primitive the compositor and the
             # ADVICE hardening sweep touched (decode_gif/encode_gif,
