@@ -116,6 +116,55 @@ def read_catalog_table(
     return read_keyed_table(spark, ent["dir"], version=ent["version"])
 
 
+def catalog_vacuum(catalog_dir: str, keep_last_snapshots: int = 1) -> dict:
+    """Catalog-driven retention — the loop-closer for the orphaned
+    versions atomic publish leaves behind: protect, for every table the
+    last ``keep_last_snapshots`` catalog snapshots reference, the PINNED
+    versions and everything newer (an in-flight writer's commits land at
+    the head and must survive), then vacuum each table's older history
+    through the table's own ``vacuum_versions`` (which already handles
+    shared data dirs, clone reference safety, and batch-id ledger
+    preservation). Catalog manifests older than the protected window
+    retire with the same unlink discipline — the newest is never
+    touched. Tables the protected snapshots do NOT reference are left
+    alone entirely: the catalog only ever reclaims history it pins.
+
+    Returns ``{"tables": {dir: vacuum report}, "catalog_versions":
+    [...]}``. Cost is O(manifests) — no data is read; deletion is the
+    table vacuum's own data-dir reclaim."""
+    from nshm2022db_spark.streaming.sinks import table_history, vacuum_versions
+
+    if keep_last_snapshots < 1:
+        raise ValueError("keep_last_snapshots must be >= 1")
+    log = os.path.join(catalog_dir, _COMMITS)
+    try:
+        names = sorted(n for n in os.listdir(log) if n.endswith(".json"))
+    except FileNotFoundError:
+        names = []
+    protected_names = names[-keep_last_snapshots:]
+    pins: dict[str, int] = {}
+    for n in protected_names:
+        m = _read_json(os.path.join(log, n))
+        if m is None:
+            continue
+        for ent in m.get("tables", {}).values():
+            d, v = ent["dir"], int(ent["version"])
+            pins[d] = min(pins.get(d, v), v)
+    reports = {}
+    for d, min_pin in pins.items():
+        hist = table_history(d)
+        keep = sum(1 for m in hist if m["version"] >= min_pin)
+        reports[d] = vacuum_versions(d, max(keep, 1))
+    dropped = []
+    for n in names[:-keep_last_snapshots]:
+        try:
+            os.unlink(os.path.join(log, n))
+            dropped.append(int(n.split(".")[0]))
+        except FileNotFoundError:
+            pass
+    return {"tables": reports, "catalog_versions": dropped}
+
+
 # ---------------------------------------------------------------------------
 # Registered proof query
 # ---------------------------------------------------------------------------

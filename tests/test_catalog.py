@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import threading
 
 from nshm2022db_spark.streaming.catalog import (
@@ -112,3 +113,65 @@ class TestCatalogAtomicPublish:
             r.initial_consistent and r.mid_crash_consistent and r.final_consistent
             for r in out
         )
+
+
+class TestCatalogVacuum:
+    def test_vacuum_keeps_pinned_and_newer_drops_older(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.catalog import catalog_vacuum
+        from nshm2022db_spark.streaming.sinks import read_keyed_table, table_history
+
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        _land(spark, a, [("x", 1)])                       # v1
+        v2 = _land(spark, a, [("x", 2)])                  # v2
+        catalog_publish(cat, {"a": (a, v2)})              # snapshot pins v2
+        v3 = _land(spark, a, [("x", 3)])                  # v3 (unpublished head)
+        catalog_publish(cat, {"a": (a, v3)})              # snapshot pins v3
+
+        rep = catalog_vacuum(cat, keep_last_snapshots=1)  # protect v3 onward
+        versions = [m["version"] for m in table_history(a)]
+        assert versions == [v3]
+        assert rep["tables"][os.path.abspath(a)]["versions"] == [1, v2]
+        # the protected catalog read still serves
+        assert {r.v for r in read_catalog_table(spark, cat, "a").collect()} == {3}
+
+    def test_vacuum_protects_older_snapshot_window(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.catalog import catalog_vacuum
+        from nshm2022db_spark.streaming.sinks import table_history
+
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        v1 = _land(spark, a, [("x", 1)])
+        catalog_publish(cat, {"a": (a, v1)})
+        v2 = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, v2)})
+        v3 = _land(spark, a, [("x", 3)])
+        catalog_publish(cat, {"a": (a, v3)})
+
+        rep = catalog_vacuum(cat, keep_last_snapshots=2)  # protect v2, v3
+        versions = [m["version"] for m in table_history(a)]
+        assert versions == [v2, v3]
+        # the older protected snapshot still reads consistently
+        snaps = current_catalog(cat)
+        assert snaps["tables"]["a"]["version"] == v3
+        old = read_catalog_table(
+            spark, cat, "a",
+            snapshot={"version": 0, "tables": {"a": {"dir": a, "version": v2}}},
+        )
+        assert {r.v for r in old.collect()} == {2}
+        # one catalog manifest (the first) retired
+        assert rep["catalog_versions"] == [1]
+
+    def test_vacuum_leaves_unreferenced_tables_alone(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.catalog import catalog_vacuum
+        from nshm2022db_spark.streaming.sinks import table_history
+
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        va = _land(spark, a, [("x", 1)])
+        catalog_publish(cat, {"a": (a, va)})
+        _land(spark, b, [("x", 1)])
+        _land(spark, b, [("x", 2)])  # b has history but no catalog pin
+        catalog_vacuum(cat, keep_last_snapshots=1)
+        assert len(table_history(b)) == 2
