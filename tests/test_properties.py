@@ -850,3 +850,66 @@ class TestGifCompositorLaws:
         assert len(got) == len(want)
         for g, m in zip(got, want):
             assert np.array_equal(g, m)
+
+
+class TestSimhashFoldModel:
+    """The Arrow-batched per-row simhash fold against an INDEPENDENT
+    pure-Python model (tokens → char-hash fold → distinct 3-gram
+    combines → ±1 bit sums → sign bits) over seeded random strings —
+    the parity the streaming admission operator rides on. Unlike the
+    jaccard family, simhash does NOT ascii-lower its tokens; the model
+    reflects that."""
+
+    @staticmethod
+    def _py_simhash(text):
+        from nshm2022db_spark.functions.portable import P
+        from nshm2022db_spark.extensions.dedup import (
+            SIMHASH_A,
+            SIMHASH_B,
+            SIMHASH_BITS,
+        )
+
+        toks = TestPortableRandomized._py_tokens(text)
+        hx = [TestPortableRandomized._py_char_hash(t) for t in toks]
+        seen, sh = set(), []
+        for i in range(len(hx) - 2):
+            x = (hx[i] * 961 + hx[i + 1] * 31 + hx[i + 2]) % P
+            if x not in seen:
+                seen.add(x)
+                sh.append(x)
+        if not sh:
+            return None
+        sums = [0] * SIMHASH_BITS
+        for x in sh:
+            x2 = (x * SIMHASH_A + SIMHASH_B) % P
+            for j in range(SIMHASH_BITS):
+                bit = (x >> j) & 1 if j < 30 else (x2 >> (j - 30)) & 1
+                sums[j] += 1 if bit else -1
+        return sum(1 << j for j in range(SIMHASH_BITS) if sums[j] > 0)
+
+    def test_random_strings_agree_with_model(self, spark):
+        import random
+
+        from nshm2022db_spark.extensions.dedup import simhash_per_row
+
+        rng = random.Random(20260816)
+        words = ["spark", "Merge", "VECTOR", "a", "bb", "x1", "\x7e", "ok"]
+        texts = [
+            "",  # no tokens
+            "one two",  # < 3 tokens -> no shingles -> dropped
+            "one two three",  # exactly one shingle
+            "dup dup dup dup dup",  # all shingles identical -> 1 distinct
+        ] + [
+            " ".join(rng.choice(words) for _ in range(rng.randrange(0, 40)))
+            for _ in range(60)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.simhash for r in simhash_per_row(df).collect()}
+        expected = {
+            i: self._py_simhash(t)
+            for i, t in enumerate(texts)
+            if self._py_simhash(t) is not None
+        }
+        assert got == expected
