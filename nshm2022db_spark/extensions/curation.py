@@ -378,6 +378,10 @@ def _index_apply_batch(
     )
 
     s = batch_df.sparkSession
+    # batch_df is persisted too: n_docs (the count() below) is a second
+    # action on it, and without the persist the micro-batch SOURCE is
+    # re-read once per batch just for the row count (ADVICE r13).
+    batch_df = batch_df.persist()
     bpost = _index_postings(batch_df).persist()
     try:
         append_partition_transaction(
@@ -408,6 +412,7 @@ def _index_apply_batch(
             )
     finally:
         bpost.unpersist()
+        batch_df.unpersist()
 
 
 @register("stream_index_maintenance", _TFIDF_ORACLE)

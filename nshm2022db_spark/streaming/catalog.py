@@ -45,9 +45,22 @@ from nshm2022db_spark.registry import register
 from nshm2022db_spark.sources import read_table
 from nshm2022db_spark.streaming.sinks import (
     _COMMITS,
+    _is_manifest,
     _read_json,
     try_commit,
 )
+
+
+def _catalog_manifest_names(catalog_dir: str) -> list[str]:
+    """Sorted catalog manifest names — the SAME _is_manifest filter the
+    per-table log scan uses, so a ledger checkpoint (*.checkpoint.json)
+    landing in a catalog dir (or a catalog_dir pointed at a table dir)
+    is never parsed as a snapshot vector (ADVICE r13)."""
+    log = os.path.join(catalog_dir, _COMMITS)
+    try:
+        return sorted(n for n in os.listdir(log) if _is_manifest(n))
+    except FileNotFoundError:
+        return []
 
 
 def current_catalog(catalog_dir: str) -> dict:
@@ -60,11 +73,7 @@ def current_catalog(catalog_dir: str) -> dict:
     FileNotFoundError tolerance); anything else — corruption, IO
     faults — propagates instead of silently serving a stale vector."""
     log = os.path.join(catalog_dir, _COMMITS)
-    try:
-        names = sorted(n for n in os.listdir(log) if n.endswith(".json"))
-    except FileNotFoundError:
-        names = []
-    for n in reversed(names):
+    for n in reversed(_catalog_manifest_names(catalog_dir)):
         m = _read_json(os.path.join(log, n))
         if m is not None:
             return m
@@ -132,15 +141,12 @@ def catalog_vacuum(catalog_dir: str, keep_last_snapshots: int = 1) -> dict:
     Returns ``{"tables": {dir: vacuum report}, "catalog_versions":
     [...]}``. Cost is O(manifests) — no data is read; deletion is the
     table vacuum's own data-dir reclaim."""
-    from nshm2022db_spark.streaming.sinks import table_history, vacuum_versions
+    from nshm2022db_spark.streaming.sinks import vacuum_versions
 
     if keep_last_snapshots < 1:
         raise ValueError("keep_last_snapshots must be >= 1")
     log = os.path.join(catalog_dir, _COMMITS)
-    try:
-        names = sorted(n for n in os.listdir(log) if n.endswith(".json"))
-    except FileNotFoundError:
-        names = []
+    names = _catalog_manifest_names(catalog_dir)
     protected_names = names[-keep_last_snapshots:]
     pins: dict[str, int] = {}
     for n in protected_names:
@@ -152,9 +158,11 @@ def catalog_vacuum(catalog_dir: str, keep_last_snapshots: int = 1) -> dict:
             pins[d] = min(pins.get(d, v), v)
     reports = {}
     for d, min_pin in pins.items():
-        hist = table_history(d)
-        keep = sum(1 for m in hist if m["version"] >= min_pin)
-        reports[d] = vacuum_versions(d, max(keep, 1))
+        # protect BY VERSION inside the vacuum's own single history
+        # read — a commit landing between our pin computation and the
+        # vacuum can only add newer (still-protected) versions, never
+        # shift a count window over the pinned one (ADVICE r13)
+        reports[d] = vacuum_versions(d, 1, keep_from_version=min_pin)
     dropped = []
     for n in names[:-keep_last_snapshots]:
         try:

@@ -2765,7 +2765,9 @@ def restore_table_version(table_dir: str, version: int) -> int:
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
 
 
-def vacuum_versions(table_dir: str, keep_last: int) -> dict:
+def vacuum_versions(
+    table_dir: str, keep_last: int, keep_from_version: int | None = None
+) -> dict:
     """Retention: drop all but the last ``keep_last`` committed versions
     and delete the data dirs ONLY they referenced. Order matters for
     crash safety: manifests are unlinked FIRST (a crash mid-way leaves
@@ -2776,11 +2778,22 @@ def vacuum_versions(table_dir: str, keep_last: int) -> dict:
     the retention trade, same as any table format's VACUUM. The batch-id
     ledger SURVIVES: dropped manifests' ids are rolled into a ledger
     checkpoint before unlinking, so replay idempotence is unaffected by
-    retention."""
+    retention.
+
+    ``keep_from_version`` protects BY VERSION, not by count: every
+    version >= it survives regardless of how many there are. This is
+    the race-free pin a coordinating caller (catalog_vacuum) needs —
+    the drop set is decided from ONE history read inside this call, so
+    a commit landing between the caller's snapshot and this vacuum can
+    only ADD protected (newer) versions, never shift a count-based
+    window over the pinned one (ADVICE r13)."""
     hist = table_history(table_dir)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    drop, keep = hist[:-keep_last], hist[-keep_last:]
+    cut = len(hist) - keep_last
+    if keep_from_version is not None:
+        cut = min(cut, sum(1 for m in hist if m["version"] < keep_from_version))
+    drop, keep = hist[: max(cut, 0)], hist[max(cut, 0) :]
     if not drop:
         return {"versions": [], "dirs": []}
 

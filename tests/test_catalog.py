@@ -175,3 +175,62 @@ class TestCatalogVacuum:
         _land(spark, b, [("x", 2)])  # b has history but no catalog pin
         catalog_vacuum(cat, keep_last_snapshots=1)
         assert len(table_history(b)) == 2
+
+    def test_keep_from_version_survives_concurrent_commits(self, spark, tmp_path):
+        """The ADVICE r13 race, made deterministic: vacuum protects BY
+        VERSION inside one history read, so commits landing after the
+        pin was computed cannot shift a count window over it."""
+        from nshm2022db_spark.streaming.sinks import (
+            read_keyed_table,
+            table_history,
+            vacuum_versions,
+        )
+
+        a = str(tmp_path / "a")
+        _land(spark, a, [("x", 1)])          # v1
+        v2 = _land(spark, a, [("x", 2)])     # v2 — the pinned version
+        # concurrent writers land AFTER the caller decided min_pin=v2;
+        # a count-based keep (2 at pin time) would now drop v2 itself
+        _land(spark, a, [("x", 3)])
+        _land(spark, a, [("x", 4)])
+        vacuum_versions(a, 1, keep_from_version=v2)
+        versions = [m["version"] for m in table_history(a)]
+        assert versions == [v2, v2 + 1, v2 + 2]
+        # the pinned snapshot still reads
+        got = {r.v for r in read_keyed_table(spark, a, version=v2).collect()}
+        assert got == {2}
+
+    def test_keep_from_version_still_respects_keep_last(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import table_history, vacuum_versions
+
+        a = str(tmp_path / "a")
+        _land(spark, a, [("x", 1)])
+        _land(spark, a, [("x", 2)])
+        v3 = _land(spark, a, [("x", 3)])
+        # pin is NEWER than keep_last's window start: keep_last=2 wins
+        # (keep_from_version only widens protection, never narrows it)
+        vacuum_versions(a, 2, keep_from_version=v3)
+        assert [m["version"] for m in table_history(a)] == [v3 - 1, v3]
+
+    def test_catalog_ignores_ledger_checkpoints(self, spark, tmp_path):
+        """A *.checkpoint.json in the catalog log dir (ledger artifact,
+        or a catalog_dir mistakenly pointed at a table dir) must never
+        be parsed as a snapshot vector (ADVICE r13)."""
+        import json
+
+        from nshm2022db_spark.streaming.catalog import catalog_vacuum
+        from nshm2022db_spark.streaming.sinks import _COMMITS
+
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        va = _land(spark, a, [("x", 1)])
+        catalog_publish(cat, {"a": (a, va)})
+        ckpt = os.path.join(cat, _COMMITS, f"{99:020d}.checkpoint.json")
+        with open(ckpt, "w") as f:
+            json.dump({"version": 99, "batch_ids": []}, f)
+        cur = current_catalog(cat)
+        assert cur["version"] == 1 and "a" in cur["tables"]
+        rep = catalog_vacuum(cat, keep_last_snapshots=1)
+        # the checkpoint was neither retired as a snapshot nor unlinked
+        assert rep["catalog_versions"] == []
+        assert os.path.exists(ckpt)
