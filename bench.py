@@ -220,6 +220,8 @@ HEADLINE = [
     "catalog_atomic_publish",
     # r13: the inverted index maintained by a streaming foreachBatch writer
     "stream_index_maintenance",
+    # r14: catalog time travel — a past publish's multi-table vector
+    "catalog_time_travel",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)
@@ -243,6 +245,8 @@ CONTRACT_QUERIES = {
     # ledger + rebase re-manifests), not a query plan
     "catalog_atomic_publish",        # 6-commit 2-publish crash-proof:
     # wall time tracks the multi-table commit protocol, not a plan
+    "catalog_time_travel",           # 6-commit 2-publish + AS OF resolve:
+    # wall time tracks the same commit protocol, not a plan
 }
 
 

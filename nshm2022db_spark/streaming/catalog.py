@@ -106,18 +106,98 @@ def catalog_publish(
     )
 
 
+def catalog_at(
+    catalog_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> dict:
+    """Catalog TIME TRAVEL: the snapshot vector as of a past catalog
+    ``version`` or wall-clock instant (``as_of``, epoch seconds against
+    each manifest's ``committed_at``) — the catalog-level AS OF an
+    Iceberg REST/Nessie catalog serves, and what a 100 TB lakehouse
+    reader uses for a REPRODUCIBLE multi-table training snapshot: one
+    historical vector, every table at the version that was live
+    together.
+
+    Retention is the boundary, same contract as per-table time travel:
+    a version ``catalog_vacuum`` retired REFUSES (ValueError) rather
+    than silently serving a neighbor — the retained manifests tell us
+    exactly whether the requested instant predates the earliest one.
+    Version 0 / an instant before the first publish resolve to the
+    empty pre-publish vector only when version 1 is still retained
+    (i.e. nothing was vacuumed out from under the request).
+
+    O(manifests): resolves purely on the tiny JSON log, no data read;
+    the returned vector feeds ``read_catalog_table(snapshot=...)`` so
+    all per-table pruning applies unchanged."""
+    if (version is None) == (as_of is None):
+        raise ValueError("pass exactly one of version / as_of")
+    log = os.path.join(catalog_dir, _COMMITS)
+    names = _catalog_manifest_names(catalog_dir)
+    earliest = int(names[0].split(".")[0]) if names else 1
+    head = int(names[-1].split(".")[0]) if names else 0
+    if version is not None:
+        if version == 0 and earliest <= 1:
+            return {"version": 0, "tables": {}}
+        if version < earliest:
+            raise ValueError(
+                f"catalog version {version} was vacuumed from {catalog_dir}; "
+                f"earliest retained is {earliest}"
+            )
+        if version > head:
+            raise ValueError(
+                f"catalog version {version} not committed yet in "
+                f"{catalog_dir}; head is {head}"
+            )
+        m = _read_json(os.path.join(log, f"{version:020d}.json"))
+        if m is None:  # unlinked by a concurrent vacuum after our listing
+            raise ValueError(
+                f"catalog version {version} was vacuumed from {catalog_dir}"
+            )
+        return m
+    best = None
+    for n in names:
+        m = _read_json(os.path.join(log, n))
+        if m is None:
+            continue
+        ts = m.get("committed_at")
+        if ts is not None and ts <= as_of:
+            best = m if best is None or m["version"] > best["version"] else best
+    if best is not None:
+        return best
+    if earliest <= 1:
+        return {"version": 0, "tables": {}}  # instant predates first publish
+    raise ValueError(
+        f"catalog state as of {as_of} was vacuumed from {catalog_dir}; "
+        f"earliest retained version is {earliest}"
+    )
+
+
 def read_catalog_table(
     spark: SparkSession,
     catalog_dir: str,
     name: str,
     snapshot: dict | None = None,
+    catalog_version: int | None = None,
+    catalog_as_of: float | None = None,
 ) -> DataFrame | None:
     """Read a table AT the catalog's pinned version (None if the catalog
-    doesn't reference it). Pass ``snapshot`` (a ``current_catalog``
-    result) to read SEVERAL tables from ONE consistent vector while
-    publishers race — grabbing the snapshot once is the whole point."""
+    doesn't reference it). Pass ``snapshot`` (a ``current_catalog`` /
+    ``catalog_at`` result) to read SEVERAL tables from ONE consistent
+    vector while publishers race — grabbing the snapshot once is the
+    whole point. ``catalog_version`` / ``catalog_as_of`` are shorthand
+    for ``snapshot=catalog_at(...)``: a single-table historical read
+    through the catalog's own time travel."""
     from nshm2022db_spark.streaming.sinks import read_keyed_table
 
+    if sum(x is not None for x in (snapshot, catalog_version, catalog_as_of)) > 1:
+        raise ValueError(
+            "pass at most one of snapshot / catalog_version / catalog_as_of"
+        )
+    if catalog_version is not None or catalog_as_of is not None:
+        snapshot = catalog_at(
+            catalog_dir, version=catalog_version, as_of=catalog_as_of
+        )
     cur = snapshot if snapshot is not None else current_catalog(catalog_dir)
     ent = cur.get("tables", {}).get(name)
     if ent is None:
@@ -188,11 +268,13 @@ _CATALOG_ORACLE = """
 """
 
 
-def _vector_consistent(spark: SparkSession, catalog_dir: str) -> bool:
+def _vector_consistent(
+    spark: SparkSession, catalog_dir: str, snapshot: dict | None = None
+) -> bool:
     """The cross-table invariant of the proof pair: the totals table's
     grand sums equal the rollup table's column sums — true only when
     the catalog serves BOTH tables from the same publish."""
-    snap = current_catalog(catalog_dir)
+    snap = snapshot if snapshot is not None else current_catalog(catalog_dir)
     x = read_catalog_table(spark, catalog_dir, "by_type", snapshot=snap)
     y = read_catalog_table(spark, catalog_dir, "totals", snapshot=snap)
     xs = x.agg(
@@ -292,5 +374,119 @@ def catalog_atomic_publish(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(initial_ok).alias("initial_consistent"),
         F.lit(mid_ok).alias("mid_crash_consistent"),
         F.lit(final_ok).alias("final_consistent"),
+    )
+    return _reap_scratch(out, spark, cat)
+
+
+_TIME_TRAVEL_ORACLE = """
+    SELECT event_type,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           COUNT(*) AS n,
+           TRUE AS historical_consistent,
+           TRUE AS head_consistent,
+           TRUE AS head_advanced
+    FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+"""
+
+
+@register("catalog_time_travel", _TIME_TRAVEL_ORACLE)
+def catalog_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Catalog-level AS OF: the multi-table snapshot vector of a PAST
+    publish stays readable — and stays CONSISTENT — while the head
+    moves on. The reproducible-training-snapshot flow at 100 TB: pin
+    catalog version N once, and every table read through that vector is
+    the exact set that was live together, no matter how many publishes
+    land afterwards.
+
+    1. publish v1: rollup + grand-totals pair built from HALF the
+       events (same cross-table invariant as catalog_atomic_publish);
+    2. advance BOTH tables to the full corpus and publish v2 — the
+       head vector now serves the full answer;
+    3. ``catalog_at(version=1)`` resolves the RETIRED-from-head vector:
+       the historical pair must still agree with each other AND the
+       same instant must resolve by TIMESTAMP (``as_of`` between the
+       two publishes → version 1) — ``historical_consistent``;
+    4. the head read stays consistent (``head_consistent``) and
+       demonstrably moved past the pinned versions (``head_advanced``).
+
+    The RETURNED rollup is the v1 historical read itself, so the oracle
+    (half-corpus GROUP BY) hash-pins that time travel serves the OLD
+    data, not a relabeled head. Booleans are bounded scalar checks; the
+    rollup stays distributed. Vacuum-boundary refusal (reads past
+    ``catalog_vacuum`` raise) is pinned in tests/test_catalog.py —
+    exercising retention here would delete the history the oracle
+    reads."""
+    import time as _time
+
+    from nshm2022db_spark.streaming.events import _reap_scratch
+    from nshm2022db_spark.streaming.sinks import (
+        current_commit,
+        overwrite_partition_transaction,
+    )
+
+    events = read_table(spark, sf, "events").select(
+        "event_id", "event_type", (F.col("event_id") % 2 == 0).alias("half")
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def totals(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.count(F.lit(1)).alias("n"),
+        ).withColumn("pk", F.lit(0))
+
+    cat = tempfile.mkdtemp(prefix="catalog_tt_")
+    x_dir = os.path.join(cat, "by_type")
+    y_dir = os.path.join(cat, "totals")
+
+    half = events.filter("half")
+    overwrite_partition_transaction(spark, x_dir, "event_type", rollup(half))
+    overwrite_partition_transaction(spark, y_dir, "pk", totals(half))
+    catalog_publish(
+        cat,
+        {
+            "by_type": (x_dir, current_commit(x_dir)["version"]),
+            "totals": (y_dir, current_commit(y_dir)["version"]),
+        },
+    )
+    t_between = _time.time()  # an instant when v1 was the live vector
+    v1_pins = {
+        n: e["version"] for n, e in current_catalog(cat)["tables"].items()
+    }
+
+    overwrite_partition_transaction(spark, x_dir, "event_type", rollup(events))
+    overwrite_partition_transaction(spark, y_dir, "pk", totals(events))
+    catalog_publish(
+        cat,
+        {
+            "by_type": (x_dir, current_commit(x_dir)["version"]),
+            "totals": (y_dir, current_commit(y_dir)["version"]),
+        },
+    )
+
+    hist = catalog_at(cat, version=1)
+    hist_ok = (
+        _vector_consistent(spark, cat, snapshot=hist)
+        and hist["tables"]["by_type"]["version"] == v1_pins["by_type"]
+        and catalog_at(cat, as_of=t_between)["version"] == 1
+    )
+    head = current_catalog(cat)
+    head_ok = _vector_consistent(spark, cat, snapshot=head)
+    advanced = head["version"] == 2 and all(
+        head["tables"][n]["version"] > v for n, v in v1_pins.items()
+    )
+
+    out = read_catalog_table(spark, cat, "by_type", snapshot=hist).select(
+        "event_type",
+        "id_sum",
+        "n",
+        F.lit(hist_ok).alias("historical_consistent"),
+        F.lit(head_ok).alias("head_consistent"),
+        F.lit(advanced).alias("head_advanced"),
     )
     return _reap_scratch(out, spark, cat)

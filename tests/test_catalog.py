@@ -115,6 +115,98 @@ class TestCatalogAtomicPublish:
         )
 
 
+class TestCatalogTimeTravel:
+    def test_version_travel_serves_old_consistent_vector(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.catalog import catalog_at
+
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        va = _land(spark, a, [("x", 1)])
+        vb = _land(spark, b, [("x", 10)])
+        catalog_publish(cat, {"a": (a, va), "b": (b, vb)})
+        va2 = _land(spark, a, [("x", 2)])
+        vb2 = _land(spark, b, [("x", 20)])
+        catalog_publish(cat, {"a": (a, va2), "b": (b, vb2)})
+
+        old = catalog_at(cat, version=1)
+        got_a = {r.v for r in read_catalog_table(spark, cat, "a", snapshot=old).collect()}
+        got_b = {r.v for r in read_catalog_table(spark, cat, "b", snapshot=old).collect()}
+        assert got_a == {1} and got_b == {10}
+        # shorthand single-table form
+        got = {
+            r.v
+            for r in read_catalog_table(
+                spark, cat, "a", catalog_version=1
+            ).collect()
+        }
+        assert got == {1}
+
+    def test_as_of_travel_resolves_by_commit_time(self, spark, tmp_path):
+        import time
+
+        from nshm2022db_spark.streaming.catalog import catalog_at
+
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        va = _land(spark, a, [("x", 1)])
+        catalog_publish(cat, {"a": (a, va)})
+        t_mid = time.time()
+        va2 = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, va2)})
+        assert catalog_at(cat, as_of=t_mid)["version"] == 1
+        assert catalog_at(cat, as_of=time.time())["version"] == 2
+        # an instant before the first publish: the empty pre-publish vector
+        assert catalog_at(cat, as_of=t_mid - 1e6) == {"version": 0, "tables": {}}
+
+    def test_version_zero_and_argument_validation(self, tmp_path):
+        import pytest
+
+        from nshm2022db_spark.streaming.catalog import catalog_at
+
+        cat = str(tmp_path / "cat")
+        assert catalog_at(cat, version=0) == {"version": 0, "tables": {}}
+        with pytest.raises(ValueError, match="exactly one"):
+            catalog_at(cat)
+        with pytest.raises(ValueError, match="exactly one"):
+            catalog_at(cat, version=1, as_of=1.0)
+        with pytest.raises(ValueError, match="not committed"):
+            catalog_at(cat, version=3)
+
+    def test_vacuum_boundary_refuses_instead_of_misserving(self, spark, tmp_path):
+        """Reads past catalog_vacuum's retention boundary REFUSE — the
+        same contract as per-table restore, never a silently relabeled
+        neighbor snapshot."""
+        import pytest
+
+        from nshm2022db_spark.streaming.catalog import catalog_at, catalog_vacuum
+
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        for i in range(1, 4):
+            v = _land(spark, a, [("x", i)])
+            catalog_publish(cat, {"a": (a, v)})
+        catalog_vacuum(cat, keep_last_snapshots=1)  # only catalog v3 retained
+        with pytest.raises(ValueError, match="vacuumed"):
+            catalog_at(cat, version=1)
+        with pytest.raises(ValueError, match="vacuumed"):
+            catalog_at(cat, version=0)  # pre-publish vector is gone too
+        with pytest.raises(ValueError, match="vacuumed"):
+            catalog_at(cat, as_of=0.0)
+        # the retained head still travels
+        assert catalog_at(cat, version=3)["tables"]["a"]["version"] == 3
+
+    def test_registered_time_travel_query(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        out = QUERIES["catalog_time_travel"](spark, sf_dir).collect()
+        assert out
+        assert all(
+            r.historical_consistent and r.head_consistent and r.head_advanced
+            for r in out
+        )
+
+
 class TestCatalogVacuum:
     def test_vacuum_keeps_pinned_and_newer_drops_older(self, spark, tmp_path):
         from nshm2022db_spark.streaming.catalog import catalog_vacuum

@@ -309,6 +309,10 @@ LADDER = [
     # (postings insert + additive df/N merges) + closing compaction;
     # commit-protocol floor plus batch-linear postings
     "stream_index_maintenance",
+    # r14: catalog time travel — same 6-commit 2-publish protocol floor
+    # as catalog_atomic_publish plus an O(manifests) AS OF resolve; the
+    # data term is two scan-linear event rollups
+    "catalog_time_travel",
 ]
 
 
