@@ -222,6 +222,10 @@ HEADLINE = [
     "stream_index_maintenance",
     # r14: catalog time travel — a past publish's multi-table vector
     "catalog_time_travel",
+    # r14: BM25 ranking, inline scan form
+    "bm25_search",
+    # r14: BM25 served from the streaming-maintained inverted index
+    "bm25_index_stream",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

@@ -149,9 +149,18 @@ IDX_BUCKETS = 8  # term-hash partition buckets of the postings/df tables
 
 
 def _index_postings(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, tf, bucket) postings of a documents frame — token
-    counts per (doc, term) over the lowercased whitespace tokens, keyed
-    into the term-hash bucket the index tables partition by."""
+    """(doc_id, term, tf, dl, bucket) postings of a documents frame —
+    token counts per (doc, term) over the lowercased whitespace tokens,
+    keyed into the term-hash bucket the index tables partition by.
+
+    ``dl`` is the document's TOTAL token count denormalized onto every
+    posting row (Lucene's per-doc norms, stored with the postings): a
+    length-normalized scorer (BM25) then gets dl straight out of the
+    term's point probe — no doc-keyed length join at query time, which
+    at 100 TB would shuffle a candidate set against a corpus-sized
+    lengths table per query. Cost: 8 bytes/posting and one extra
+    doc-keyed exchange at BUILD time (the window below), paid once per
+    ingest batch instead of once per query."""
     toks = docs.select(
         "doc_id",
         F.explode(F.expr(spark_tokens(spark_ascii_lower("text")))).alias("term"),
@@ -159,7 +168,25 @@ def _index_postings(docs: DataFrame) -> DataFrame:
     return (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
+        )
         .withColumn("bucket", F.pmod(F.hash("term"), F.lit(IDX_BUCKETS)))
+    )
+
+
+def _index_meta_rows(spark: SparkSession, docs: DataFrame, bpost: DataFrame):
+    """The corpus-statistics rows a scorer needs from the meta table:
+    ``n_docs`` (ALL docs, including token-less ones — they carry 0
+    toward sum_dl but do count toward N/avgdl) and ``sum_dl`` (total
+    token count, summed off the already-persisted postings so the
+    corpus is not re-tokenized). Both are additive under the
+    ``v = s.v + t.v`` meta merge, so per-batch rows accumulate to the
+    exact corpus totals."""
+    total = bpost.agg(F.sum("tf").cast("long").alias("t")).collect()[0]["t"]
+    return spark.createDataFrame(
+        [("n_docs", docs.count(), 0), ("sum_dl", total or 0, 0)],
+        "metric string, v long, pk int",
     )
 
 
@@ -283,7 +310,9 @@ def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
         read_keyed_table,
     )
 
-    base = scratch_path("tfidf_index_r13", sf)
+    # r14 key bump: the index schema gained per-posting dl + the sum_dl
+    # meta metric (BM25's length stats); an r13 landing lacks them
+    base = scratch_path("tfidf_index_r14", sf)
     post_dir = _os.path.join(base, "postings")
     df_dir = _os.path.join(base, "df")
     meta_dir = _os.path.join(base, "meta")
@@ -304,10 +333,7 @@ def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
             spark, df_dir, "bucket", df_counts(bpost),
             bloom_cols=["term"], batch_id=0,
         )
-        n_base = docs.filter(~is_delta).count()
-        meta0 = spark.createDataFrame(
-            [("n_docs", n_base, 0)], "metric string, v long, pk int"
-        )
+        meta0 = _index_meta_rows(spark, docs.filter(~is_delta), bpost)
         append_partition_transaction(spark, meta_dir, "pk", meta0, batch_id=0)
         bpost.unpersist()
 
@@ -321,10 +347,7 @@ def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
             when_matched_update={"df": "s.df + t.df"},
             when_not_matched_insert=True, batch_id=1,
         )
-        n_delta = docs.filter(is_delta).count()
-        metad = spark.createDataFrame(
-            [("n_docs", n_delta, 0)], "metric string, v long, pk int"
-        )
+        metad = _index_meta_rows(spark, docs.filter(is_delta), dpost)
         merge_into_table(
             spark, meta_dir, metad, keys=["metric"],
             when_matched_update={"v": "s.v + t.v"},
@@ -399,9 +422,7 @@ def _index_apply_batch(
                 when_matched_update={"df": "s.df + t.df"},
                 when_not_matched_insert=True, batch_id=batch_id,
             )
-        meta = s.createDataFrame(
-            [("n_docs", batch_df.count(), 0)], "metric string, v long, pk int"
-        )
+        meta = _index_meta_rows(s, batch_df, bpost)
         if current_commit(meta_dir)["version"] == 0:
             append_partition_transaction(s, meta_dir, "pk", meta, batch_id=batch_id)
         else:
@@ -475,6 +496,236 @@ def stream_index_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = _tfidf_probe_index(spark, post_dir, df_dir, meta_dir)
     return _reap_scratch(out, spark, root)
+
+
+# ---------------------------------------------------------------------------
+# BM25 — the standard ranking over the same index (Robertson/Spärck Jones;
+# k1/b saturation + length normalization, Lucene's +1 IDF so scores stay
+# non-negative). A PURE SCORING CHANGE on the postings/df/meta tables: the
+# postings carry dl, the meta table carries sum_dl, and everything else —
+# probes, pruning, maintenance, idempotence — is the TF-IDF machinery
+# verbatim.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = "1.2"  # term-frequency saturation (literal string: both engines
+BM25_B = "0.75"  # parse the identical double)  # length-normalization mix
+
+
+def _bm25_score(n: str, sum_dl: str, prefix: str, dl: str) -> str:
+    """Σ_i idf_i · tf_i(k1+1) / (tf_i + k1(1 − b + b·dl/avgdl)) in FIXED
+    term order, idf_i = ln(1 + (N − df_i + 0.5)/(df_i + 0.5)) (always
+    ≥ 0), avgdl expanded as sum_dl/N so dl/avgdl = dl·N/sum_dl — every
+    operand a per-row double op, so Spark and DuckDB produce the same
+    bits (no data-ordered float SUM anywhere)."""
+    parts = []
+    for i in range(len(TFIDF_TERMS)):
+        idf = (
+            f"ln(1.0 + (CAST({n} AS DOUBLE) - CAST({prefix}df{i} AS DOUBLE)"
+            f" + 0.5) / (CAST({prefix}df{i} AS DOUBLE) + 0.5))"
+        )
+        rel_dl = (
+            f"CAST({dl} AS DOUBLE) * CAST({n} AS DOUBLE) / "
+            f"CAST(greatest({sum_dl}, 1) AS DOUBLE)"
+        )
+        parts.append(
+            f"{idf} * (CAST({prefix}tf{i} AS DOUBLE) * (1.0 + {BM25_K1})) / "
+            f"(CAST({prefix}tf{i} AS DOUBLE) + {BM25_K1} * "
+            f"(1.0 - {BM25_B} + {BM25_B} * {rel_dl}))"
+        )
+    return " + ".join(parts)
+
+
+_BM25_ORACLE = f"""
+    WITH tf AS (
+        SELECT doc_id,
+               CAST(len({duck_tokens(duck_ascii_lower('text'))}) AS BIGINT) AS dl,
+               {', '.join(f"{_tf(w, True)} AS tf{i}" for i, w in enumerate(TFIDF_TERMS))}
+        FROM documents),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl,
+               {', '.join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                          for i in range(len(TFIDF_TERMS)))}
+        FROM tf)
+    SELECT doc_id,
+           {', '.join(f"tf{i}" for i in range(len(TFIDF_TERMS)))},
+           dl,
+           ROUND({_bm25_score('n', 'sum_dl', '', 'dl')}, 6) AS bm25_score
+    FROM tf, stats
+    WHERE {_bm25_score('n', 'sum_dl', '', 'dl')} > 0
+    ORDER BY {_bm25_score('n', 'sum_dl', '', 'dl')} DESC, doc_id
+    LIMIT {TFIDF_K}
+"""
+
+
+def _bm25_finish(scored: DataFrame) -> DataFrame:
+    """Shared tail: positive-score filter, top-k (TakeOrderedAndProject),
+    fixed-precision rounding — tfidf_search's discipline."""
+    return (
+        scored.filter(F.col("_score") > 0)
+        .orderBy(F.col("_score").desc(), "doc_id")
+        .limit(TFIDF_K)
+        .select(
+            "doc_id",
+            *[f"tf{i}" for i in range(len(TFIDF_TERMS))],
+            "dl",
+            F.expr("ROUND(_score, 6)").alias("bm25_score"),
+        )
+    )
+
+
+@register("bm25_search", _BM25_ORACLE)
+def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k documents by BM25 for the fixed query-term set — the
+    ranking a search user actually expects (tf saturation: a term's
+    50th occurrence adds ~nothing; length normalization: long documents
+    stop winning on bulk).
+
+    Same Spark-first shape as tfidf_search: per-doc tf and dl are
+    MAP-SIDE array ops on the token array (no explode, no (doc, term)
+    shuffle); corpus stats (N, sum_dl for avgdl, per-term df) are ONE
+    1-row aggregate broadcast back over the scan; top-k plans as
+    TakeOrderedAndProject. sum_dl is an exact integer SUM, so avgdl is
+    order-independent and the doubles reproduce bit-for-bit."""
+    tf_cols = [
+        F.expr(_tf(w, False)).alias(f"tf{i}") for i, w in enumerate(TFIDF_TERMS)
+    ]
+    tf = (
+        read_table(spark, sf, "documents")
+        .select("doc_id", F.expr(spark_tokens(spark_ascii_lower("text"))).alias("tk"))
+        .select("doc_id", F.size("tk").cast("long").alias("dl"), *tf_cols)
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(TFIDF_TERMS))
+        ],
+    )
+    scored = tf.join(F.broadcast(stats)).select(
+        "doc_id",
+        *[f"tf{i}" for i in range(len(TFIDF_TERMS))],
+        "dl",
+        F.expr(_bm25_score("n", "sum_dl", "", "dl")).alias("_score"),
+    )
+    return _bm25_finish(scored)
+
+
+def _bm25_probe_index(
+    spark: SparkSession, post_dir: str, df_dir: str, meta_dir: str
+) -> DataFrame:
+    """BM25 answered from the SAME index tables the TF-IDF probe reads —
+    the scoring swap is the whole diff. Each query term is one
+    bloom-pruned point probe; dl rides in the posting rows (denormalized
+    at build), so no doc-keyed length join happens at query time; N and
+    sum_dl come from the 2-row meta table pivoted to one broadcast
+    stats row."""
+    from nshm2022db_spark.streaming.sinks import read_keyed_table
+
+    probes = [
+        read_keyed_table(spark, post_dir, prune={"term": ("eq", t)}).filter(
+            F.col("term") == t
+        )
+        for t in TFIDF_TERMS
+    ]
+    post = probes[0]
+    for p in probes[1:]:
+        post = post.unionByName(p)
+    tfw = post.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf{i}")
+            for i, t in enumerate(TFIDF_TERMS)
+        ],
+        F.max("dl").cast("long").alias("dl"),  # same value on every posting
+    )
+    dprobes = [
+        read_keyed_table(spark, df_dir, prune={"term": ("eq", t)}).filter(
+            F.col("term") == t
+        )
+        for t in TFIDF_TERMS
+    ]
+    dfr = dprobes[0]
+    for p in dprobes[1:]:
+        dfr = dfr.unionByName(p)
+    df_row = dfr.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("df"))), F.lit(0)
+            ).alias(f"df{i}")
+            for i, t in enumerate(TFIDF_TERMS)
+        ]
+    )
+    meta = read_keyed_table(spark, meta_dir).agg(
+        F.max(F.when(F.col("metric") == "n_docs", F.col("v"))).alias("n"),
+        F.max(F.when(F.col("metric") == "sum_dl", F.col("v"))).alias("sum_dl"),
+    )
+    stats = df_row.crossJoin(meta)
+    scored = tfw.join(F.broadcast(stats)).select(
+        "doc_id",
+        *[f"tf{i}" for i in range(len(TFIDF_TERMS))],
+        "dl",
+        F.expr(_bm25_score("n", "sum_dl", "", "dl")).alias("_score"),
+    )
+    return _bm25_finish(scored)
+
+
+@register("bm25_index_stream", _BM25_ORACLE)
+def bm25_index_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 served from the STREAMING-MAINTAINED inverted index — the
+    end-state search story: documents arrive as a micro-batch replay,
+    each batch foreachBatch-commits its index delta (postings inserts
+    carrying dl, ADDITIVE df and n_docs/sum_dl merges, exactly-once by
+    batch_id — _index_apply_batch verbatim), a closing compaction
+    restores the term Blooms, and the probe scores BM25.
+
+    The oracle is bm25_search's inline-scan SQL, so
+    streamed-index == inline-scan is value-pinned by the gate — the
+    BM25 leg of the same three-way pin the TF-IDF family carries
+    (stream_index_maintenance == tfidf_index_incremental ==
+    tfidf_search). The index lands once per corpus (scratch-memoized):
+    the measured thing is the QUERY side — bloom-pruned point probes +
+    a 2-row meta pivot, flat in corpus size."""
+    import os as _os
+
+    from nshm2022db_spark.sources.scratch import (
+        is_landed,
+        mark_landed,
+        scratch_path,
+    )
+    from nshm2022db_spark.streaming.events import docs_stream
+    from nshm2022db_spark.streaming.sinks import compact_partition_table
+
+    base = scratch_path("bm25_stream_idx_r14", sf)
+    post_dir = _os.path.join(base, "postings")
+    df_dir = _os.path.join(base, "df")
+    meta_dir = _os.path.join(base, "meta")
+
+    if not is_landed(base):
+        ckpt = _os.path.join(base, "ckpt")
+        apply_batch = lambda df, bid: _index_apply_batch(  # noqa: E731
+            df, bid, post_dir, df_dir, meta_dir
+        )
+        q = (
+            docs_stream(spark, sf)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        compact_partition_table(
+            spark, post_dir, max_files_per_partition=1,
+            stats_cols=["doc_id"], bloom_cols=["term"],
+        )
+        compact_partition_table(
+            spark, df_dir, max_files_per_partition=1, bloom_cols=["term"]
+        )
+        mark_landed(base)
+
+    return _bm25_probe_index(spark, post_dir, df_dir, meta_dir)
 
 
 # ---------------------------------------------------------------------------

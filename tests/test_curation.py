@@ -337,7 +337,7 @@ class TestTfidfIndexIncremental:
         from nshm2022db_spark.streaming.sinks import read_keyed_table
 
         QUERIES["tfidf_index_incremental"](spark, sf_dir).collect()
-        post_dir = os.path.join(scratch_path("tfidf_index_r13", sf_dir), "postings")
+        post_dir = os.path.join(scratch_path("tfidf_index_r14", sf_dir), "postings")
         full = read_keyed_table(spark, post_dir)
         pruned = read_keyed_table(
             spark, post_dir, prune={"term": ("eq", TFIDF_TERMS[0])}
@@ -358,7 +358,7 @@ class TestTfidfIndexIncremental:
         )
 
         QUERIES["tfidf_index_incremental"](spark, sf_dir).collect()
-        df_dir = os.path.join(scratch_path("tfidf_index_r13", sf_dir), "df")
+        df_dir = os.path.join(scratch_path("tfidf_index_r14", sf_dir), "df")
         before = sorted(
             tuple(r) for r in read_keyed_table(spark, df_dir).collect()
         )
@@ -426,3 +426,81 @@ class TestTfidfIndexIncremental:
                 tuple(r) for r in read_keyed_table(spark, f"{crashed}/{sub}").collect()
             )
             assert a == b, sub
+
+    def test_postings_carry_dl_and_meta_tracks_sum_dl(self, spark, tmp_path):
+        """The BM25 length stats ride the index: every posting row of a
+        doc carries its total token count, and the meta table holds the
+        additive sum_dl alongside n_docs."""
+        from nshm2022db_spark.extensions.curation import _index_apply_batch
+        from nshm2022db_spark.streaming.sinks import read_keyed_table
+
+        batch = spark.createDataFrame(
+            [(1, "spark merge spark vector", "en", "s", 1),
+             (2, "vector plan", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        t = str(tmp_path / "idx")
+        _index_apply_batch(batch, 0, f"{t}/p", f"{t}/d", f"{t}/m")
+        dls = {
+            (r.doc_id, r.dl)
+            for r in read_keyed_table(spark, f"{t}/p").select("doc_id", "dl").collect()
+        }
+        assert dls == {(1, 4), (2, 2)}
+        meta = {
+            r.metric: r.v for r in read_keyed_table(spark, f"{t}/m").collect()
+        }
+        assert meta == {"n_docs": 2, "sum_dl": 6}
+        # a second batch merges ADDITIVELY into both metrics
+        batch2 = spark.createDataFrame(
+            [(3, "merge", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        _index_apply_batch(batch2, 1, f"{t}/p", f"{t}/d", f"{t}/m")
+        meta = {
+            r.metric: r.v for r in read_keyed_table(spark, f"{t}/m").collect()
+        }
+        assert meta == {"n_docs": 3, "sum_dl": 7}
+
+
+class TestBm25:
+    def test_stream_index_matches_inline(self, spark, sf_dir):
+        """BM25 from the streaming-maintained index == the inline scan
+        (they share one oracle; this pins it test-side too)."""
+        from nshm2022db_spark.registry import QUERIES
+
+        streamed = sorted(
+            tuple(r) for r in QUERIES["bm25_index_stream"](spark, sf_dir).collect()
+        )
+        inline = sorted(
+            tuple(r) for r in QUERIES["bm25_search"](spark, sf_dir).collect()
+        )
+        assert streamed == inline and streamed
+
+    def test_length_normalization_and_saturation(self, spark):
+        """The two properties BM25 adds over TF-IDF: at equal tf a
+        SHORTER doc scores higher (length normalization), and doubling
+        an already-high tf moves the score sublinearly (saturation)."""
+        from nshm2022db_spark.extensions.curation import _bm25_score
+
+        rows = spark.createDataFrame(
+            # (tf0, dl): same tf different lengths; then saturating tf.
+            # tf1=tf2=0 zeroes the other terms' contributions, so the
+            # full 3-term score IS the single-term score.
+            [(2, 10, "short"), (2, 100, "long"),
+             (10, 50, "tf10"), (20, 50, "tf20"), (1, 50, "tf1"), (2, 50, "tf2")],
+            "tf0 int, dl int, tag string",
+        ).selectExpr(
+            "tag",
+            "tf0", "0 AS tf1", "0 AS tf2",
+            "100 AS df0", "100 AS df1", "100 AS df2",
+            "dl",
+        ).selectExpr(
+            "tag",
+            # corpus stats: N=1000 docs, sum_dl=50000 → avgdl=50
+            f"{_bm25_score('1000', '50000', '', 'dl')} AS s",
+        )
+        s = {r.tag: r.s for r in rows.collect()}
+        assert s["short"] > s["long"] > 0
+        gain_low = s["tf2"] - s["tf1"]
+        gain_high = s["tf20"] - s["tf10"]
+        assert gain_high < gain_low  # saturation: later occurrences add less

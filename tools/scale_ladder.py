@@ -313,6 +313,13 @@ LADDER = [
     # as catalog_atomic_publish plus an O(manifests) AS OF resolve; the
     # data term is two scan-linear event rollups
     "catalog_time_travel",
+    # r14: BM25 inline — two narrow corpus passes (map-side tf/dl + one
+    # 1-row stats broadcast), scan-linear like tfidf_search
+    "bm25_search",
+    # r14: BM25 from the streaming-maintained index — build lands once
+    # in warm-up; timed runs are bloom-pruned point probes + a 2-row
+    # meta pivot, flat in corpus
+    "bm25_index_stream",
 ]
 
 
