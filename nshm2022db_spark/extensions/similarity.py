@@ -1463,17 +1463,24 @@ def knn_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF-PQ (r13 — VERDICT r12 #6): the FAISS-shaped 100 TB ANN end-state,
-# composed from parts this module already proves exact — knn_ivf's
-# inverted lists prune the candidate space at partition level, and
-# knn_pq_adc's 8-byte codes + per-query ADC LUTs score inside each
-# probed list, with the exact-cosine rescore on the overfetch. Codes
-# encode the RAW vectors (FAISS's by_residual=false mode — residual
-# encoding would break the shared-LUT oracle identity; disclosed), so
-# the ADC estimate is knn_pq_adc's, merely restricted to probed lists.
-# Every float path shares the portable sequential fold, so DuckDB pins
-# list assignment, probe selection, the ADC ranking, and the final
-# top-k bit-for-bit.
+# IVF-PQ (r13 — VERDICT r12 #6; r14 residual encoding): the FAISS-shaped
+# 100 TB ANN end-state, composed from parts this module already proves
+# exact — knn_ivf's inverted lists prune the candidate space at
+# partition level, and knn_pq_adc's 8-byte codes + per-query ADC LUTs
+# score inside each probed list, with the exact-cosine rescore on the
+# overfetch. Since r14 the codes encode the RESIDUAL (x − centroid of
+# x's list) — the published IVF-ADC formulation (Jégou, Douze, Schmid,
+# "Product Quantization for Nearest Neighbor Search", IVFADC): within a
+# list the residuals span a tighter cell around the origin than the raw
+# vectors span around the corpus mean, so the same 8-byte budget buys
+# materially less quantization error. The price is a LUT per (query,
+# PROBED LIST) instead of per query — the query's own residual differs
+# per probed centroid — which stays a bounded driver-side computation
+# (nq × nprobe ≤ 10 rows here; at any scale it is nq·nprobe·m·k doubles,
+# independent of corpus size). Every float path shares the portable
+# sequential fold, so DuckDB pins list assignment, probe selection, the
+# residual codes, the per-list ADC ranking, and the final top-k
+# bit-for-bit.
 # ---------------------------------------------------------------------------
 
 _IVFPQ_ORACLE = f"""WITH {_DUCK_IVF_CENTS},
@@ -1491,13 +1498,20 @@ _IVFPQ_ORACLE = f"""WITH {_DUCK_IVF_CENTS},
         FROM embeddings q CROSS JOIN c1 WHERE q.vec_id < {N_QUERIES}),
     probes AS (SELECT query_id, centroid_id FROM qp
                WHERE prk <= {IVF_NPROBE}),
+    resid AS (
+        SELECT e.vec_id,
+               list_transform(range(1, {DIM + 1}),
+                              i -> e.embedding[i] - c.cv[i]) AS r
+        FROM embeddings e
+        JOIN lists l ON l.vec_id = e.vec_id
+        JOIN c1 c ON c.centroid_id = l.centroid_id),
     subs AS (
         SELECT vec_id, j,
-               list_slice(embedding, j * {PQ_SUB} + 1,
+               list_slice(r, j * {PQ_SUB} + 1,
                           j * {PQ_SUB} + {PQ_SUB}) AS sub
-        FROM (SELECT vec_id, embedding,
+        FROM (SELECT vec_id, r,
                      unnest(range(0, {PQ_M})) AS j
-              FROM embeddings)),
+              FROM resid)),
     cb AS (SELECT j, vec_id AS c, sub AS cent
            FROM subs WHERE vec_id < {PQ_K}),
     dists AS (
@@ -1510,15 +1524,32 @@ _IVFPQ_ORACLE = f"""WITH {_DUCK_IVF_CENTS},
                                            ORDER BY d, c) AS rk
               FROM dists)
         WHERE rk = 1),
+    qresid AS (
+        SELECT p.query_id, p.centroid_id,
+               list_transform(range(1, {DIM + 1}),
+                              i -> q.embedding[i] - c.cv[i]) AS r
+        FROM probes p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN c1 c ON c.centroid_id = p.centroid_id),
+    qsubs AS (
+        SELECT query_id, centroid_id, j,
+               list_slice(r, j * {PQ_SUB} + 1,
+                          j * {PQ_SUB} + {PQ_SUB}) AS sub
+        FROM (SELECT query_id, centroid_id, r,
+                     unnest(range(0, {PQ_M})) AS j
+              FROM qresid)),
+    qdists AS (
+        SELECT qs.query_id, qs.centroid_id, qs.j, cb.c,
+               {duck_sqdist('qs.sub', 'cb.cent')} AS d
+        FROM qsubs qs JOIN cb ON cb.j = qs.j),
     adcj AS (
-        SELECT qd.vec_id AS query_id, co.vec_id AS neighbor_id,
+        SELECT qd.query_id, l.vec_id AS neighbor_id,
                qd.j, qd.d
-        FROM dists qd
-        JOIN codes co ON co.j = qd.j AND co.code = qd.c
-        JOIN lists l ON l.vec_id = co.vec_id
-        JOIN probes p ON p.query_id = qd.vec_id
-                     AND p.centroid_id = l.centroid_id
-        WHERE qd.vec_id < {N_QUERIES} AND co.vec_id <> qd.vec_id),
+        FROM qdists qd
+        JOIN lists l ON l.centroid_id = qd.centroid_id
+        JOIN codes co ON co.vec_id = l.vec_id
+                     AND co.j = qd.j AND co.code = qd.c
+        WHERE l.vec_id <> qd.query_id),
     adcp AS (
         SELECT query_id, neighbor_id,
                {', '.join(f"MAX(CASE WHEN j = {j} THEN d END) AS d{j}"
@@ -1555,23 +1586,48 @@ _IVFPQ_ORACLE = f"""WITH {_DUCK_IVF_CENTS},
     FROM ranked WHERE rank <= {KNN_K}"""
 
 
-def _pq_encode_batches(cb: "np.ndarray"):
-    """Arrow-batched mapInPandas encoder: (vec_id, pcid, embedding) ->
-    (vec_id, pcid, codes) — the at-rest 8-byte/vector index row. The
-    argmin ties to the lowest centroid, matching the oracle's
-    ROW_NUMBER tie-break."""
+def _pq_residual_codebook(
+    spark: SparkSession, sf: str, cents: DataFrame
+) -> "np.ndarray":
+    """(m, k, sub) float64 RESIDUAL codebook: the first PQ_K vectors
+    minus their own argmax-cosine centroid — trained on the same
+    distribution the codes quantize (residuals), which is the point of
+    the IVF-ADC formulation. The assignment and subtraction run through
+    the engine's own portable ops (then a bounded 16-row collect), so
+    the codebook is bit-identical to the oracle's resid CTE rows."""
+    import numpy as np
+
+    emb = read_table(spark, sf, "embeddings").filter(F.col("vec_id") < PQ_K)
+    rows = (
+        _assign_lists(emb, cents)
+        .join(F.broadcast(cents), "centroid_id")
+        .select("vec_id", "embedding", "cv")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], np.float64)
+    C = np.array([r.cv for r in rows], np.float64)
+    return (X - C).reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2)
+
+
+def _pq_residual_encode_batches(cb: "np.ndarray"):
+    """Arrow-batched mapInPandas encoder for the RESIDUAL formulation:
+    (vec_id, pcid, embedding, cv) -> (vec_id, pcid, codes), quantizing
+    x − centroid(list(x)) against the residual codebook. The subtraction
+    is one exact IEEE op per element (no reordering hazard), so the
+    parity with the oracle's resid CTE is bit-for-bit; the argmin ties
+    to the lowest centroid, matching the ROW_NUMBER tie-break."""
     import numpy as np
     import pandas as pd
 
     def encode(batches):
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {"vec_id": [], "pcid": [], "codes": []}
-                )
+                yield pd.DataFrame({"vec_id": [], "pcid": [], "codes": []})
                 continue
             V = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
-            codes = _pq_sqdists(V, cb).argmin(-1)  # ties -> lowest c
+            C = np.stack(pdf["cv"].map(np.asarray)).astype(np.float64)
+            codes = _pq_sqdists(V - C, cb).argmin(-1)  # ties -> lowest c
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -1625,25 +1681,35 @@ def _ivfpq_query(
         )
     )
 
-    # per-query ADC LUTs (bounded driver rows, knn_pq_adc's budget),
-    # joined onto the probe set so each (query, list) probe carries its
-    # LUT into the candidate scan
+    # per-(query, PROBED LIST) ADC LUTs — the residual formulation's
+    # one structural change: the query's residual differs per probed
+    # centroid, so each probe row gets its own m x k table. All bounded
+    # driver-side work (nq x nprobe rows here; nq·nprobe·m·k doubles at
+    # any corpus size), the same budget class as the probe-id collect.
     qrows = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .orderBy("vec_id")
         .select("vec_id", "embedding")
         .collect()
     )
-    Q = np.array([r.embedding for r in qrows], np.float64)
-    luts = _pq_sqdists(Q, cb)  # (nq, m, k)
+    Qmap = {int(r.vec_id): np.array(r.embedding, np.float64) for r in qrows}
+    Cmap = {
+        str(r["centroid_id"]): np.array(r["cv"], np.float64)
+        for r in cents.collect()  # memoized bounded centroid set
+    }
+    probe_rows = sorted(
+        (int(r["query_id"]), str(r["pcid"])) for r in probes.collect()
+    )
+    RQ = np.stack([Qmap[qid] - Cmap[pcid] for qid, pcid in probe_rows])
+    luts = _pq_sqdists(RQ, cb)  # (nq * nprobe, m, k)
     lut_df = spark.createDataFrame(
         [
-            (int(r.vec_id), [[float(v) for v in row] for row in luts[i]])
-            for i, r in enumerate(qrows)
+            (qid, pcid, [[float(v) for v in row] for row in luts[i]])
+            for i, (qid, pcid) in enumerate(probe_rows)
         ],
-        "query_id long, lut array<array<double>>",
+        "query_id long, pcid string, lut array<array<double>>",
     )
-    probe_luts = F.broadcast(probes.join(F.broadcast(lut_df), "query_id"))
+    probe_luts = F.broadcast(lut_df)
 
     adc_expr = (
         "aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), "
@@ -1712,23 +1778,31 @@ def _ivfpq_query(
 
 @register("knn_ivfpq", _IVFPQ_ORACLE)
 def knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-PQ: inverted lists x product quantization — the FAISS index
-    layout that serves billion-vector ANN (VERDICT r12 #6). Train =
-    knn_ivf's one-k-means-step centroids (memoized per corpus) +
-    knn_pq_adc's 16x8x8 codebook. Index = ONE pass over the corpus:
-    each vector's argmax-cosine list assignment (one shuffle, map-side
-    partial max_by) chained into a map-only Arrow-batched encode that
-    turns it into 8 four-bit codes — after which the float vector is
-    only ever fetched BY ID for the rescore.
+    """IVF-PQ with RESIDUAL encoding: inverted lists x product
+    quantization over (x − centroid of x's list) — the published
+    IVF-ADC formulation (Jégou et al., PQ for NN search) and the FAISS
+    index layout that serves billion-vector ANN (VERDICT r12 #6, r13
+    raw-code first cut, r14 residuals). Train = knn_ivf's
+    one-k-means-step centroids (memoized per corpus) + a 16x8x8
+    codebook of the first {PQ_K} vectors' RESIDUALS. Index = ONE pass
+    over the corpus: each vector's argmax-cosine list assignment (one
+    shuffle, map-side partial max_by), centroid vectors riding the
+    broadcast join, chained into a map-only Arrow-batched residual
+    encode producing 8 four-bit codes — after which the float vector
+    is only ever fetched BY ID for the rescore.
 
     Query = probe nprobe={IVF_NPROBE} nearest lists by centroid cosine
-    (8-row broadcast), ADC-scan ONLY those lists' codes with the
-    per-query broadcast LUT (one JVM-side fold per candidate — no
-    float vectors move), overfetch K*{PQ_OVERFETCH}, exact-cosine
-    rescore by id, top {KNN_K}. Emitting both `cos` and `adc` keeps
-    the quantization error oracle-observable. The shared query path
-    (`_ivfpq_query`) also serves the MATERIALIZED index variant
-    (`knn_ivfpq_lakehouse`) against the same oracle.
+    (8-row broadcast), ADC-scan ONLY those lists' codes with a
+    broadcast LUT per (query, PROBED LIST) — the query residual
+    differs per probed centroid, the structural cost of residual
+    encoding, still nq·nprobe·m·k bounded driver-side doubles at any
+    corpus size — one JVM-side fold per candidate, no float vectors
+    moving. Overfetch K*{PQ_OVERFETCH}, exact-cosine rescore by id,
+    top {KNN_K}. Emitting both `cos` and `adc` keeps the quantization
+    error oracle-observable. The shared query path (`_ivfpq_query`)
+    also serves the MATERIALIZED index variant (`knn_ivfpq_lakehouse`)
+    against the same oracle. Recall@{KNN_K} vs raw-vector codes at the
+    same 8-byte budget: see PERF.md (r14).
 
     Scale shape (the 100 TB composition argument): the corpus at rest
     is 8 bytes/vector of codes PARTITIONED BY list id — a probe reads
@@ -1738,21 +1812,23 @@ def knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     follows the count-derived tier table, nprobe trades recall for
     scan fraction, and the rescore touches K*overfetch full vectors
     per query — the only float I/O in the whole serving path."""
-    cb = _pq_codebook(spark, sf)
     emb = read_table(spark, sf, "embeddings")
     cents = _trained_centroids(spark, sf)
+    cb = _pq_residual_codebook(spark, sf, cents)
 
     def coded_for(probes):
         # inline index build: assignment (one shuffle) chained into a
-        # map-only encode — (vec_id, pcid, codes)
+        # map-only RESIDUAL encode — the centroid vectors ride the
+        # broadcast join so the subtraction happens in the encoder
         return (
             _assign_lists(emb, cents)
+            .join(F.broadcast(cents), "centroid_id")
             .select(
-                "vec_id", "embedding",
+                "vec_id", "embedding", "cv",
                 F.col("centroid_id").cast("string").alias("pcid"),
             )
             .mapInPandas(
-                _pq_encode_batches(cb),
+                _pq_residual_encode_batches(cb),
                 "vec_id long, pcid string, codes array<int>",
             )
         )
@@ -1785,19 +1861,20 @@ def knn_ivfpq_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
         read_keyed_table,
     )
 
-    cb = _pq_codebook(spark, sf)
     emb = read_table(spark, sf, "embeddings")
     cents = _trained_centroids(spark, sf)
+    cb = _pq_residual_codebook(spark, sf, cents)
 
     def build(rows: DataFrame) -> DataFrame:
         return (
             _assign_lists(rows, cents)
+            .join(F.broadcast(cents), "centroid_id")
             .select(
-                "vec_id", "embedding",
+                "vec_id", "embedding", "cv",
                 F.col("centroid_id").cast("string").alias("pcid"),
             )
             .mapInPandas(
-                _pq_encode_batches(cb),
+                _pq_residual_encode_batches(cb),
                 "vec_id long, pcid string, codes array<int>",
             )
             .select(
@@ -1805,7 +1882,9 @@ def knn_ivfpq_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
 
-    base = scratch_path("ivfpq_index_lakehouse_r13", sf)
+    # r14 key bump: codes are residual-encoded now; an r13 landing
+    # holds raw-vector codes
+    base = scratch_path("ivfpq_index_lakehouse_r14", sf)
     path = os.path.join(base, "pq_lists")
     if not is_landed(base):
         initial = build(emb.filter(F.col("vec_id") % 10 != 0))
