@@ -226,6 +226,8 @@ HEADLINE = [
     "bm25_search",
     # r14: BM25 served from the streaming-maintained inverted index
     "bm25_index_stream",
+    # r14: streaming semantic (SemDeDup) admission
+    "stream_semdedup_admission",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)

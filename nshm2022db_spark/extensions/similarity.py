@@ -1231,6 +1231,201 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming semantic admission (r14 — VERDICT r13 #5): the SemDeDup
+# counterpart of stream_neardup_admission. Embeddings arrive as a real
+# micro-batch replay; each row assigns to its argmax-cosine cluster
+# STATELESSLY (Arrow-batched NumPy against the broadcast memoized
+# centroids, same sequential-fold bits as the batch path), and ONE
+# keyed-state operator per cluster maintains the seen set and re-derives
+# the admission report. The decision rule is dedup_semdedup's verbatim —
+# a vector drops iff a LOWER-id cluster-mate has cosine >= COS_TAU —
+# which is ORDER-FREE (it names ids, not arrival order), so the final
+# per-cluster report is identical under ANY micro-batch split, including
+# the id-scrambled split the replay harness produces. State per cluster
+# is its member set, bounded by the fixed-occupancy nlist rule
+# (SEMDEDUP_TARGET_OCC) — the same knob that bounds the batch form's
+# per-cluster pair work bounds this form's per-key state and per-batch
+# rescan (occ² sequential-fold cosines, ~μs at the 250-occupancy
+# target).
+# ---------------------------------------------------------------------------
+
+
+def _seq_dot_nd(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """Left-to-right sequential dot along the LAST axis — the portable
+    fold's exact op order (products first, then an in-order
+    accumulation; see _pq_sqdists for why np.sum would drift a
+    last-ulp)."""
+    P = A * B
+    acc = P[..., 0].copy()
+    for i in range(1, P.shape[-1]):
+        acc = acc + P[..., i]
+    return acc
+
+
+def _sem_assign_batches(cent_ids: list, C: "np.ndarray"):
+    """Arrow-batched per-row argmax-cosine centroid assignment:
+    (vec_id, embedding) -> (vec_id, centroid_id, embedding). cent_ids
+    is sorted ascending, so an (impossible-in-doubles) exact tie
+    resolves to the lowest centroid id. Bit-parity with _assign_lists'
+    fold is pinned by test_sem_assign_matches_batch."""
+    import numpy as np
+    import pandas as pd
+
+    cn = np.sqrt(_seq_dot_nd(C, C))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"vec_id": [], "centroid_id": [], "embedding": []}
+                )
+                continue
+            X = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            xn = np.sqrt(_seq_dot_nd(X, X))
+            cos = _seq_dot_nd(X[:, None, :], C[None]) / (xn[:, None] * cn[None])
+            k = cos.argmax(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "centroid_id": [int(cent_ids[j]) for j in k],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return assign
+
+
+def _update_sem_admit(key, pdfs, state):
+    """Per-cluster keyed state: the member set seen so far (ids + the
+    CAST-to-double embeddings, so the stored bits are exactly the fold
+    inputs). Each batch the cluster appears in merges its arrivals and
+    re-derives the full admission report from state — the re-derivation
+    is what makes the rule order-free under the id-scrambled replay: a
+    LOWER-id mate arriving in a LATER batch retroactively drops an
+    earlier arrival, exactly as the batch rule would have. Emits the
+    cluster's current report row; n_total strictly increases per
+    appearance, so the LAST report per cluster is the max-n_total row."""
+    import numpy as np
+    import pandas as pd
+
+    ids, flat = (
+        (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+    )
+    for pdf in pdfs:
+        for vid, emb in zip(pdf["vec_id"], pdf["embedding"]):
+            ids.append(int(vid))
+            flat.extend(np.asarray(emb, np.float64).tolist())
+    state.update((ids, flat))
+    n = len(ids)
+    V = np.array(flat, np.float64).reshape(n, DIM)
+    order = np.argsort(np.array(ids))
+    sid = np.array(ids)[order]
+    Vs = V[order]
+    norms = np.sqrt(_seq_dot_nd(Vs, Vs))
+    cos = _seq_dot_nd(Vs[:, None, :], Vs[None]) / (norms[:, None] * norms[None])
+    hit = (cos >= COS_TAU) & np.tril(np.ones((n, n), bool), -1)
+    dropped = hit.any(axis=1)  # j drops iff any lower-id mate i<j is close
+    yield pd.DataFrame(
+        {
+            "centroid_id": [int(key[0])],
+            "n_total": [n],
+            "n_dropped": [int(dropped.sum())],
+            "drop_id_sum": [int(sid[dropped].sum())],
+            "kept_id_sum": [int(sid[~dropped].sum())],
+        }
+    )
+
+
+@register("stream_semdedup_admission", _SEMDEDUP_ORACLE)
+def stream_semdedup_admission(
+    spark: SparkSession, sf: str, n_files: int = 3
+) -> DataFrame:
+    """SemDeDup as a STREAMING admission job — the ingest-time form: a
+    crawler's embeddings arrive in micro-batches and each cluster's
+    keyed state decides, continuously, which vectors are semantically
+    redundant. dedup_semdedup's oracle value-pins stream == batch: the
+    final per-cluster report must be byte-identical to the one-shot
+    batch computation no matter how the replay splits (pinned
+    additionally by the 1-file vs 3-file test; ``n_files`` is that
+    test's knob).
+
+    Scale shape: the assignment stage is map-only (broadcast centroids,
+    Arrow-batched NumPy); the ONE stateful shuffle keys by centroid_id;
+    per-key state and per-batch work are bounded by the fixed-occupancy
+    cluster rule (the published method's own trade). At 100 TB the
+    memory sink becomes a keyed table append and expired clusters age
+    out by watermark — the machinery is the stream_stateful_profile
+    pattern, the state-size argument is SemDeDup's."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from nshm2022db_spark.streaming import events as _events
+    from nshm2022db_spark.streaming.events import emb_stream
+
+    cents = _trained_centroids(
+        spark, sf, nlist_of=_semdedup_nlist_py, tag="semdedup"
+    )
+    import numpy as np
+
+    crows = sorted(
+        ((int(r["centroid_id"]), list(r["cv"])) for r in cents.collect())
+    )
+    cent_ids = [c for c, _ in crows]
+    C = np.array([v for _, v in crows], np.float64)
+
+    stream = emb_stream(spark, sf, n_files=n_files)
+    # spread the one-file micro-batch before the per-row assignment
+    # (the replay stand-in for a real source's own partitioning)
+    stream = stream.repartition(
+        stream.sparkSession.sparkContext.defaultParallelism
+    )
+    assigned = stream.select("vec_id", "embedding").mapInPandas(
+        _sem_assign_batches(cent_ids, C),
+        "vec_id long, centroid_id long, embedding array<float>",
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType(), False),
+            T.StructField("n_total", T.LongType(), False),
+            T.StructField("n_dropped", T.LongType(), False),
+            T.StructField("drop_id_sum", T.LongType(), False),
+            T.StructField("kept_id_sum", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("flat", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    updates = assigned.groupBy("centroid_id").applyInPandasWithState(
+        _update_sem_admit,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    mem = _events._run_to_memory(
+        updates, f"stream_semdedup_{next(_events._counter)}",
+        output_mode="update",
+    )
+    # latest report per cluster = the max-n_total row (strictly
+    # increasing per appearance)
+    return mem.groupBy("centroid_id").agg(
+        F.max_by(
+            F.struct("n_total", "n_dropped", "drop_id_sum", "kept_id_sum"),
+            F.col("n_total"),
+        ).alias("s")
+    ).select(
+        "centroid_id",
+        F.col("s.n_total").alias("n_total"),
+        F.col("s.n_dropped").alias("n_dropped"),
+        F.col("s.drop_id_sum").alias("drop_id_sum"),
+        F.col("s.kept_id_sum").alias("kept_id_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product quantization + ADC (r12): the 100 TB ANN memory play beyond
 # scalar int8 — vectors become m-subspace codebook indices (here m=8
 # subspaces x 16 centroids = 8 bytes/vector vs 256 for float32), and

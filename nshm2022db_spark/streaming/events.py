@@ -1302,6 +1302,38 @@ def docs_stream(spark: SparkSession, sf: str, n_files: int = 3) -> DataFrame:
     )
 
 
+_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)
+
+
+def emb_stream(spark: SparkSession, sf: str, n_files: int = 3) -> DataFrame:
+    """File-source embeddings stream — the replay harness for
+    vector-shaped streaming operators (registered consumer:
+    extensions.similarity.stream_semdedup_admission). Same split/replay
+    mechanics as docs_stream; note the repartition split makes arrival
+    order ARBITRARY w.r.t. vec_id, which is exactly what an order-free
+    streaming admission rule must survive."""
+    from nshm2022db_spark.sources.scratch import is_landed, mark_landed, scratch_path
+
+    d = scratch_path(f"emb_stream_split{n_files}", sf)
+    if not is_landed(d):
+        read_table(spark, sf, "embeddings").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "files"))
+        mark_landed(d)
+    return (
+        _replay_session(spark)
+        .readStream.schema(_EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "files"))
+    )
+
+
 def run_to_memory(agg: DataFrame, kind: str) -> DataFrame:
     """Public wrapper over _run_to_memory with a collision-free sink
     name, for registered queries defined outside this module."""

@@ -895,3 +895,60 @@ class TestStreamNeardupAdmission:
         pairs = QUERIES["dedup_simhash"](spark, sf_dir).collect()
         for p in pairs:
             assert not (admitted[p.doc_a] and admitted[p.doc_b])
+
+
+class TestStreamSemdedupAdmission:
+    def test_split_invariance_and_batch_equality(self, spark, sf_dir):
+        """The mate rule names ids, not arrival order, and each batch
+        re-derives the report from full state — so the id-scrambled
+        1-file and 3-file replays agree exactly, and both equal the
+        one-shot batch dedup_semdedup report (the shared oracle pins
+        the same equality in-gate)."""
+        from nshm2022db_spark.extensions.similarity import (
+            dedup_semdedup,
+            stream_semdedup_admission,
+        )
+
+        one = sorted(
+            tuple(r)
+            for r in stream_semdedup_admission(spark, sf_dir, n_files=1).collect()
+        )
+        three = sorted(
+            tuple(r)
+            for r in stream_semdedup_admission(spark, sf_dir, n_files=3).collect()
+        )
+        batch = sorted(tuple(r) for r in dedup_semdedup(spark, sf_dir).collect())
+        assert one == three == batch and batch
+
+    def test_sem_assign_matches_batch(self, spark, sf_dir):
+        """The Arrow-batched NumPy assignment reproduces _assign_lists'
+        fold bit-for-bit (same argmax over the same cosine doubles)."""
+        import numpy as np
+
+        from nshm2022db_spark.extensions.similarity import (
+            _assign_lists,
+            _sem_assign_batches,
+            _semdedup_nlist_py,
+            _trained_centroids,
+        )
+        from nshm2022db_spark.sources import read_table
+
+        cents = _trained_centroids(
+            spark, sf_dir, nlist_of=_semdedup_nlist_py, tag="semdedup"
+        )
+        emb = read_table(spark, sf_dir, "embeddings")
+        batch = {
+            r.vec_id: r.centroid_id
+            for r in _assign_lists(emb, cents).select("vec_id", "centroid_id").collect()
+        }
+        crows = sorted(
+            ((int(r["centroid_id"]), list(r["cv"])) for r in cents.collect())
+        )
+        per_row = emb.select("vec_id", "embedding").mapInPandas(
+            _sem_assign_batches(
+                [c for c, _ in crows], np.array([v for _, v in crows], np.float64)
+            ),
+            "vec_id long, centroid_id long, embedding array<float>",
+        )
+        stream = {r.vec_id: r.centroid_id for r in per_row.collect()}
+        assert stream == batch

@@ -320,6 +320,10 @@ LADDER = [
     # in warm-up; timed runs are bloom-pruned point probes + a 2-row
     # meta pivot, flat in corpus
     "bm25_index_stream",
+    # r14: streaming semantic admission — map-only assignment + one
+    # keyed-state shuffle; per-batch work is touched-clusters x occ²
+    # with occupancy fixed, so the replay cost tracks corpus linearly
+    "stream_semdedup_admission",
 ]
 
 
