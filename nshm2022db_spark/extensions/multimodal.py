@@ -1981,6 +1981,21 @@ def decode_image_real(data: bytes) -> tuple[int, int, str]:
     raise NotImplementedError("wire PIL here when the codec image is available")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a codec chain's input across the executors. The sf corpus
+    is ONE parquet file -> ONE scan partition, which serialized every
+    Python encode/decode chain on a single core (measured r14, PERF.md:
+    dedup_image_ahash's 32-core wall equaled its single-thread
+    projection; the 3-deposit "monotone riser" was that one core's
+    contention sensitivity). At 100 TB the source's own file count
+    provides the spread for free — the explicit repartition is the
+    testdata stand-in, not an extra production shuffle (the same note
+    as stream_neardup_admission's replay repartition). The shuffled
+    payload is just the id column; binary media is still born and
+    consumed executor-side."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def media_table(spark: SparkSession, sf: str) -> DataFrame:
     """documents → (media_id, media binary, media_type) with a cycling
     fake modality. Binary stays opaque until the decode stage."""
@@ -2200,7 +2215,11 @@ def bmp_media_table(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    ids = read_table(spark, sf, "documents").select(F.col("doc_id").alias("media_id"))
+    ids = _spread(
+        read_table(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
+    )
     return ids.mapInPandas(encode_batches, "media_id long, media binary")
 
 
@@ -2406,8 +2425,10 @@ def multimodal_decode_png(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    ids = read_table(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id")
+    ids = _spread(
+        read_table(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
     decoded = ids.mapInPandas(
         encode_batches, "media_id long, media binary"
@@ -2528,8 +2549,10 @@ def multimodal_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    ids = read_table(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id")
+    ids = _spread(
+        read_table(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
     decoded = ids.mapInPandas(
         encode_batches, "media_id long, media binary"
@@ -2621,7 +2644,7 @@ def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    audio_ids = (
+    audio_ids = _spread(
         read_table(spark, sf, "documents")
         .filter(F.col("doc_id") % 3 == 1)
         .select(F.col("doc_id").alias("media_id"))
@@ -2782,7 +2805,7 @@ def multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    audio_ids = (
+    audio_ids = _spread(
         read_table(spark, sf, "documents")
         .filter(F.col("doc_id") % 3 == 1)
         .select(F.col("doc_id").alias("media_id"))
@@ -2959,8 +2982,10 @@ def multimodal_decode_variants(spark: SparkSession, sf: str) -> DataFrame:
     palette entry, RLE run, 565 rescale, or progressive scan slip
     shifts it. The JPEG leg is the DC-exact even-constant corpus, so
     the lossy format participates in an exact-match oracle."""
-    ids = read_table(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id")
+    ids = _spread(
+        read_table(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3079,8 +3104,10 @@ def dedup_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
     (binary never leaves executors); the only shuffle is the final
     hash groupBy — 64 well-mixed bits, no skew; at 100 TB this is the
     same one-shuffle profile as dedup_exact."""
-    ids = read_table(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id")
+    ids = _spread(
+        read_table(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3316,8 +3343,10 @@ def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     kept and WHERE every block landed (sampled frame si carries weight
     2*si+1 = f+1 since f = 2*si). Two chained map-only mapInPandas
     stages; at 100 TB this is scan-shaped with zero shuffles."""
-    ids = read_table(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id")
+    ids = _spread(
+        read_table(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3865,8 +3894,10 @@ def multimodal_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
     palette lookup, and WHICH frames exist; the delay column pins the
     extension walk. Two chained map-only mapInPandas stages, zero
     shuffles — the scan shape of every codec query here."""
-    ids = read_table(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id")
+    ids = _spread(
+        read_table(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4002,8 +4033,10 @@ def multimodal_decode_gif_anim(spark: SparkSession, sf: str) -> DataFrame:
     codec query — zero shuffles. Disposal methods 2/3 are pinned by
     unit tests (tests/test_codecs.py::TestGIFCompositing); the corpus
     keeps disposal 0 so the oracle stays one arg_max."""
-    ids = read_table(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id")
+    ids = _spread(
+        read_table(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4528,8 +4561,10 @@ def multimodal_decode_tiff(spark: SparkSession, sf: str) -> DataFrame:
     three codecs, the predictor, and the 16-bit colormap all sit on
     one closed-form oracle. Two chained map-only mapInPandas stages,
     zero shuffles."""
-    ids = read_table(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id")
+    ids = _spread(
+        read_table(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -431,13 +431,18 @@ class TestR12QueryPlans:
     decode is map-only (chained mapInPandas, no exchange); the aHash
     dedup's ONLY shuffle is the final hash groupBy."""
 
-    def test_decode_variants_is_exchange_free(self, spark, sf_dir):
+    def test_decode_variants_single_spread_exchange(self, spark, sf_dir):
+        """Decode stays hash-exchange-free; the ONE exchange is the r14
+        id spread (round-robin over the id column — the testdata
+        stand-in for the source's own file parallelism, see _spread),
+        placed BEFORE the codec stages so they fan out."""
         from nshm2022db_spark.extensions.multimodal import (
             multimodal_decode_variants,
         )
 
         plan = _plan(multimodal_decode_variants(spark, sf_dir))
-        assert "Exchange" not in plan
+        assert plan.count("RoundRobinPartitioning(") == 1
+        assert "hashpartitioning(" not in plan
         # formatted explain names nodes twice (tree + detail)
         assert plan.count("MapInPandas") == 4  # encode + decode stages
 
@@ -456,8 +461,10 @@ class TestR12QueryPlans:
         from nshm2022db_spark.extensions.multimodal import dedup_image_ahash
 
         plan = _plan(dedup_image_ahash(spark, sf_dir))
-        # one partial+final HashAggregate pair over ONE hash exchange
+        # one partial+final HashAggregate pair over ONE hash exchange,
+        # plus the r14 id-spread round-robin before the codec stages
         assert plan.count("hashpartitioning(") == 1
+        assert plan.count("RoundRobinPartitioning(") == 1
         assert "SortAggregate" not in plan
         assert plan.count("MapInPandas") == 4  # 2 stages, named twice
 
