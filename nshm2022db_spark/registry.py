@@ -163,80 +163,88 @@ from nshm2022db_spark.streaming import catalog, events, joins, stateful  # noqa:
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # ROUND-13 WINDOW (VERDICT r12 next-round #1/#2/#6 + stretch #7 +
-    # the standing tail contract):
-    # (a) NEW in r13: MERGE INTO through column mapping + the typed
-    #     commitlog stream over a mapped table (one shared oracle, so
-    #     stream-equals-batch is value-pinned by the gate itself), the
-    #     IVF-PQ composition — inline AND materialized (the lakehouse
-    #     form shares the oracle: where bytes live must not change the
-    #     answer) — and SemDeDup (cluster-scoped semantic dedup with
-    #     fixed-occupancy clustering);
-    # (b) shared primitives changed in r13, one in-window
-    #     representative each: merge_into_table (logical decision
-    #     frame, physical staging/sidecar/dv, evolve-joins-map,
-    #     re-insert consolidation through the map) ->
-    #     merge_into_conditional / merge_delete_composite /
-    #     merge_schema_evolution / stream_merge_conditional /
-    #     merge_upsert; _enforce_constraints (logical projection, all
-    #     five write paths) -> constrained_land + update_where_partition
-    #     + delete_where_cdc + overwrite_partition_transaction +
-    #     compact_small_files; set_table_constraints (guard lifted) ->
-    #     constrained_land; the commitlog stream planner/reader/schema
-    #     (map capture + projection + materialize guard) ->
-    #     stream_table_source (untyped) + stream_table_changes_typed
-    #     (typed); _check_mappable (dv keys compared through the map)
-    #     -> rename_column_read;
-    # (c) tail refresh per the r12 tail-head contract: the EIGHT
-    #     remaining r8-evidence rows first (geojson_scan .. 
-    #     approx_percentile_bound), then the stalest r9 rows to the
-    #     window boundary. After this window no driver evidence older
-    #     than r9 remains; the r14 priority is the rest of the r9
-    #     block (except_types .. window_running_sum at the tail head).
-    # (a2) NEW in r13 late leg: GIF animation COMPOSITING
-    #     (sub-rectangle deltas + transparency + disposal — the last
-    #     native-GIF boundary erased), with one in-window
-    #     representative per codec primitive the hardening sweep and
-    #     the compositor touched: decode_gif/encode_gif ->
-    #     multimodal_decode_gif; decode_jpeg (fill-byte marker walk)
-    #     -> multimodal_decode_jpeg; decode_bmp (RLE pairing) ->
-    #     multimodal_decode_pixels; decode_avi_mjpeg (cumulative
-    #     budget) -> multimodal_video_frames. Displaced to the tail
-    #     head (r14 priority): decontaminate_ngram, dedup_incremental,
-    #     distinct_ordered, embedding_random_projection,
-    #     events_sessionize, decontaminate_bloom, count_distinct.
-    # (a3) NEW in r13 continuation leg: streaming first-writer-wins
-    #     simhash-band admission (shares the order-free band-index
-    #     oracle with the batch form), the incrementally-MERGEd
-    #     inverted index (tfidf_search's oracle verbatim — maintaining
-    #     the index must not move a score), and the catalog-level
-    #     atomic multi-table publish (consistency booleans value-pinned
-    #     in the gate). compact_small_files stays the in-window
-    #     representative of the compaction primitive the index build
-    #     parameterizes (the new stats_cols/bloom_cols OPTIMIZE
-    #     overrides); dedup_simhash and tfidf_search share only
-    #     UNCHANGED constants/expressions with the new queries, so they
-    #     keep their fresh tail evidence.
-    #     stream_index_maintenance is the streamed form of the index
-    #     (per-micro-batch foreachBatch merges, exactly-once by
-    #     batch_id), sharing tfidf_search's oracle. Displaced to the
-    #     tail head (r14 priority, joining the seven r9 rows listed
-    #     below): any_value_carry, asof_nearest_ge,
-    #     asof_nearest_ge_per_key, conditional_agg_membership.
-    "stream_neardup_admission",
+    # ROUND-14 WINDOW (VERDICT r13 next-round #1-#6 + the standing tail
+    # contract):
+    # (a) NEW in r14: catalog TIME TRAVEL (catalog_at version/as_of
+    #     resolution through retained snapshot vectors, vacuum-boundary
+    #     refusal — the returned rollup IS the historical read, so the
+    #     half-corpus oracle pins that travel serves OLD data), BM25
+    #     (inline two-pass + the streaming-maintained-index form, one
+    #     shared oracle so streamed-index == inline-scan is value-pinned
+    #     in-gate), and streaming SEMANTIC admission (SemDeDup as an
+    #     ingest job; shares dedup_semdedup's oracle, so stream ==
+    #     batch is the gate itself).
+    # (b) own-code changed in r14, in-window per the contract:
+    #     knn_ivfpq + knn_ivfpq_lakehouse (RESIDUAL encoding — oracle
+    #     rewritten, PERF.md recall/byte study), tfidf_index_incremental
+    #     + stream_index_maintenance (postings carry dl, meta carries
+    #     sum_dl for BM25), catalog_atomic_publish (catalog.py listing/
+    #     vacuum fixes), dedup_semdedup (its oracle now also pins the
+    #     streaming twin), and ALL 12 codec-chain queries (the _spread
+    #     head: single-partition scan serialization fixed — plan shape
+    #     changed, values must not have).
+    # (c) tail refresh per the r13 tail-head contract: the 24 remaining
+    #     r9-evidence rows (multimodal_wav_decode, the 25th, is already
+    #     in-window via (b)), then 4 stalest r10 rows to fill 50. After
+    #     this window no driver evidence older than r10 remains; the
+    #     r15 priority is the remaining r10 block (agg_pushdown_scan ..
+    #     window_running_sum at the tail head) and the r13-displaced
+    #     rows below the boundary.
+    "catalog_time_travel",
+    "bm25_search",
+    "bm25_index_stream",
+    "stream_semdedup_admission",
+    "knn_ivfpq",
+    "knn_ivfpq_lakehouse",
     "tfidf_index_incremental",
     "stream_index_maintenance",
     "catalog_atomic_publish",
-    "merge_mapped_cdc",
-    "stream_mapped_changes",
-    "knn_ivfpq",
-    "knn_ivfpq_lakehouse",
     "dedup_semdedup",
-    "multimodal_decode_gif_anim",
-    "multimodal_decode_gif",
+    "dedup_image_ahash",
+    "multimodal_video_frames",
+    "multimodal_decode_png",
     "multimodal_decode_jpeg",
     "multimodal_decode_pixels",
-    "multimodal_video_frames",
+    "multimodal_resize_downsample",
+    "multimodal_decode_variants",
+    "multimodal_wav_decode",
+    "multimodal_audio_energy",
+    "multimodal_decode_gif",
+    "multimodal_decode_gif_anim",
+    "multimodal_decode_tiff",
+    "point_lookup",
+    "range_filter",
+    "groupby_agg",
+    "having_postagg",
+    "conditional_agg_membership",
+    "count_distinct",
+    "any_value_carry",
+    "distinct_ordered",
+    "scalar_max",
+    "left_join_count",
+    "asof_nearest_ge",
+    "asof_nearest_ge_per_key",
+    "decontaminate_bloom",
+    "decontaminate_ngram",
+    "dedup_incremental",
+    "embedding_random_projection",
+    "events_sessionize",
+    "except_types",
+    "intersect_types",
+    "jsonl_scan",
+    "knn_quantized",
+    "pivot_wide",
+    "range_join_events",
+    "stream_incremental_rollup",
+    "scan_project",
+    "topk_global",
+    "union_all_stack",
+    "unpivot_long",
+    # --- 50-query window boundary (driver gate cap observed r01-r13) ---
+    # Displaced r13-fresh rows (r15 may rotate them as needed):
+    "stream_neardup_admission",
+    "merge_mapped_cdc",
+    "stream_mapped_changes",
     "merge_into_conditional",
     "merge_delete_composite",
     "merge_schema_evolution",
@@ -273,28 +281,9 @@ _DRIVER_ORDER = [
     "rollup_agg",
     "advanced_query_dsl",
     "anti_join_missing",
-    # --- 50-query window boundary (driver gate cap observed r01-r12) ---
-    # Tail head - FIRST PRIORITY for the round-14 window: the four rows
-    # the continuation leg displaced, the seven displaced r9 rows below
-    # (count_distinct joined them for dedup_semdedup), then the
-    # remaining r9 block.
-    "any_value_carry",
-    "asof_nearest_ge",
-    "asof_nearest_ge_per_key",
-    "conditional_agg_membership",
-    "count_distinct",
-    "decontaminate_bloom",
-    "decontaminate_ngram",
-    "dedup_incremental",
-    "distinct_ordered",
-    "embedding_random_projection",
-    "events_sessionize",
-    "multimodal_decode_variants",
-    "multimodal_decode_png",
-    "dedup_image_ahash",
+    # Remaining tail, stalest (r10) first within the prior ordering:
     "multimodal_audio_resample",
     "knn_pq_adc",
-    "multimodal_decode_tiff",
     "table_changes_typed",
     "cdc_apply_typed",
     "table_changes_feed",
@@ -328,20 +317,6 @@ _DRIVER_ORDER = [
     "anomaly_mad",
     "weighted_branch_merge",
     "advanced_query_negation",
-    "except_types",
-    "groupby_agg",
-    "having_postagg",
-    "intersect_types",
-    "jsonl_scan",
-    "knn_quantized",
-    "left_join_count",
-    "multimodal_wav_decode",
-    "pivot_wide",
-    "point_lookup",
-    "range_filter",
-    "range_join_events",
-    "scalar_max",
-    "stream_incremental_rollup",
     "split_leakage_free",
     "stream_upsert_table",
     "stream_upsert_mor",
@@ -349,17 +324,13 @@ _DRIVER_ORDER = [
     "tfidf_search",
     "scalar_string_format",
     "semi_join_membership",
-    "scan_project",
     "stream_dedup_events",
     "stream_session_window",
     "stream_sliding_window",
     "stream_windowed_distinct",
     "surrogate_keys_dense",
     "table_profile",
-    "topk_global",
     "topk_per_group",
-    "union_all_stack",
-    "unpivot_long",
     "value_histogram",
     "window_range_frame",
     "window_running_sum",
@@ -387,8 +358,6 @@ _DRIVER_ORDER = [
     "knn_index_lakehouse",
     "manifest_count_scan",
     "manifest_skip_scan",
-    "multimodal_audio_energy",
-    "multimodal_resize_downsample",
     "null_skip_scan",
     "partition_evolution_read",
     "quality_upsample",

@@ -257,55 +257,37 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
-            # NEW in r13: MERGE INTO through column mapping (typed-feed
-            # image rollup), the typed commitlog stream over a mapped
-            # table (shared oracle -> stream-equals-batch value-pinned
-            # by the gate), and the IVF-PQ composition
-            "merge_mapped_cdc",
-            "stream_mapped_changes",
+            # NEW in r14: catalog time travel, BM25 (inline + the
+            # streaming-maintained-index form, one shared oracle), and
+            # streaming semantic admission (dedup_semdedup's oracle)
+            "catalog_time_travel",
+            "bm25_search",
+            "bm25_index_stream",
+            "stream_semdedup_admission",
+            # own expressions changed in r14: IVF-PQ residual encoding
+            # (oracle rewritten), the inverted index's dl/sum_dl
+            # additions, the catalog listing/vacuum fixes, and the
+            # semdedup oracle now pinning its streaming twin
             "knn_ivfpq",
             "knn_ivfpq_lakehouse",
-            "dedup_semdedup",
-            # NEW in r13 continuation leg: streaming first-writer-wins
-            # simhash-band admission, the incrementally-MERGEd
-            # inverted index, its streamed foreachBatch form, and the
-            # catalog-level atomic multi-table publish
-            "stream_neardup_admission",
             "tfidf_index_incremental",
             "stream_index_maintenance",
             "catalog_atomic_publish",
-            # NEW in r13 late leg: GIF animation compositing, plus one
-            # representative per codec primitive the compositor and the
-            # ADVICE hardening sweep touched (decode_gif/encode_gif,
-            # decode_jpeg fill bytes, decode_bmp RLE pairing,
-            # decode_avi_mjpeg cumulative budget)
-            "multimodal_decode_gif_anim",
-            "multimodal_decode_gif",
+            "dedup_semdedup",
+            # every codec chain gained the _spread head in r14 (plan
+            # changed; values must not have — all 12 re-oracled)
+            "dedup_image_ahash",
+            "multimodal_video_frames",
+            "multimodal_decode_png",
             "multimodal_decode_jpeg",
             "multimodal_decode_pixels",
-            "multimodal_video_frames",
-            # shared primitives changed in r13, one in-window
-            # representative per changed code path (the registry.py
-            # window comment lists the mapping): merge_into_table's
-            # logical decision frame + physical staging/sidecar/dv +
-            # evolve-joins-map + consolidation through the map;
-            # _enforce_constraints' logical projection at all five
-            # write paths; set_table_constraints' lifted guard; the
-            # commitlog stream planner/reader/schema map handling;
-            # _check_mappable's through-the-map dv-key comparison
-            "merge_into_conditional",
-            "merge_delete_composite",
-            "merge_schema_evolution",
-            "stream_merge_conditional",
-            "merge_upsert",
-            "update_where_partition",
-            "delete_where_cdc",
-            "constrained_land",
-            "overwrite_partition_transaction",
-            "compact_small_files",
-            "stream_table_source",
-            "stream_table_changes_typed",
-            "rename_column_read",
+            "multimodal_resize_downsample",
+            "multimodal_decode_variants",
+            "multimodal_wav_decode",
+            "multimodal_audio_energy",
+            "multimodal_decode_gif",
+            "multimodal_decode_gif_anim",
+            "multimodal_decode_tiff",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo
