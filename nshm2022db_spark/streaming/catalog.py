@@ -205,6 +205,28 @@ def read_catalog_table(
     return read_keyed_table(spark, ent["dir"], version=ent["version"])
 
 
+def catalog_rollback(catalog_dir: str, version: int, max_retries: int = 10) -> dict:
+    """Iceberg-style catalog ROLLBACK: re-publish the snapshot vector of
+    a retained historical version as the NEW head — a forward commit,
+    never a rewrite, so the botched publishes stay in history (auditable,
+    still time-travelable) while every catalog reader atomically snaps
+    back to the known-good multi-table state. Resolves through
+    ``catalog_at`` and therefore refuses past the vacuum boundary. The
+    CAS loop is ``catalog_publish``'s: a concurrent publisher can slip
+    in, and the rollback REPLACES the whole vector (unlike publish's
+    merge) because restoring a consistent past state is the point.
+    Returns the published manifest."""
+    target = dict(catalog_at(catalog_dir, version=version).get("tables", {}))
+    for _ in range(max_retries):
+        cur = current_catalog(catalog_dir)
+        m = {"version": cur["version"] + 1, "tables": dict(target)}
+        if try_commit(catalog_dir, m):
+            return m
+    raise RuntimeError(
+        f"catalog_rollback lost the CAS {max_retries} times in {catalog_dir}"
+    )
+
+
 def catalog_vacuum(catalog_dir: str, keep_last_snapshots: int = 1) -> dict:
     """Catalog-driven retention — the loop-closer for the orphaned
     versions atomic publish leaves behind: protect, for every table the

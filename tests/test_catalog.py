@@ -196,6 +196,39 @@ class TestCatalogTimeTravel:
         # the retained head still travels
         assert catalog_at(cat, version=3)["tables"]["a"]["version"] == 3
 
+    def test_rollback_republishes_historical_vector(self, spark, tmp_path):
+        """Rollback is a FORWARD commit of the old vector: readers snap
+        back atomically, history keeps the botched publish, and time
+        travel still reaches it."""
+        from nshm2022db_spark.streaming.catalog import catalog_at, catalog_rollback
+
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        v1 = _land(spark, a, [("x", 1)])
+        catalog_publish(cat, {"a": (a, v1)})
+        v2 = _land(spark, a, [("x", 2)])  # the "botched" publish
+        catalog_publish(cat, {"a": (a, v2)})
+
+        m = catalog_rollback(cat, 1)
+        assert m["version"] == 3 and m["tables"]["a"]["version"] == v1
+        assert {r.v for r in read_catalog_table(spark, cat, "a").collect()} == {1}
+        # history is append-only: the bad head is still travelable
+        assert catalog_at(cat, version=2)["tables"]["a"]["version"] == v2
+
+    def test_rollback_refuses_past_vacuum_boundary(self, spark, tmp_path):
+        import pytest
+
+        from nshm2022db_spark.streaming.catalog import catalog_rollback, catalog_vacuum
+
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        for i in range(1, 4):
+            v = _land(spark, a, [("x", i)])
+            catalog_publish(cat, {"a": (a, v)})
+        catalog_vacuum(cat, keep_last_snapshots=1)
+        with pytest.raises(ValueError, match="vacuumed"):
+            catalog_rollback(cat, 1)
+
     def test_registered_time_travel_query(self, spark, sf_dir):
         from nshm2022db_spark.registry import QUERIES
 
