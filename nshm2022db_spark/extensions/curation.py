@@ -47,7 +47,7 @@ from nshm2022db_spark.functions.portable import (
     spark_tokens,
 )
 from nshm2022db_spark.registry import register
-from nshm2022db_spark.sources import read_table
+from nshm2022db_spark.sources import read_table, spread
 
 # ---------------------------------------------------------------------------
 # TF-IDF relevance search
@@ -1392,9 +1392,15 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     constant, not corpus-scaling).
     Floats follow the lm-scorer discipline: per-doc sums of doubles
     are ROUND()ed identically on both sides, and the Gumbel key is
-    ordered on its rounded value with a doc_id tiebreak."""
+    ordered on its rounded value with a doc_id tiebreak. Both corpus
+    passes tokenize pre-exchange on the scan partition, so the scan is
+    spread (sources.spread; r14, 1.6x)."""
     toks = (
-        read_table(spark, sf, "documents")
+        spread(
+            read_table(spark, sf, "documents").select(
+                "doc_id", "lang", "text"
+            )
+        )
         .select(
             "doc_id",
             "lang",

@@ -23,7 +23,7 @@ from nshm2022db_spark.functions.portable import (
     spark_tokens,
 )
 from nshm2022db_spark.registry import register
-from nshm2022db_spark.sources import read_table
+from nshm2022db_spark.sources import read_table, spread
 
 STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -982,9 +982,11 @@ def text_novelty_score(spark: SparkSession, sf: str) -> DataFrame:
     map-side positional gram explode, ONE gram-keyed shuffle for
     document frequency, a join back, and a doc-keyed rollup — gram
     text as the key keeps the DuckDB oracle byte-identical (a 100 TB
-    run would hash it)."""
+    run would hash it). The gram explode is the measured hot path and
+    runs pre-exchange, so the scan is spread (sources.spread: the
+    one-file testdata scan is one partition; r14, 1.6x)."""
     grams = (
-        read_table(spark, sf, "documents")
+        spread(read_table(spark, sf, "documents").select("doc_id", "text"))
         .select("doc_id", F.split("text", " ").alias("a"))
         .filter(F.size("a") >= NOVELTY_GRAM)
         .select(
@@ -1084,10 +1086,11 @@ def text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     doc-keyed shuffle that the distinct and final rollup reuse (same
     partitioning, no second exchange); the (hash, rightmost-pos) pair
     packs into one BIGINT so the window needs plain MIN, not a struct
-    argmin."""
+    argmin. Gram hashing runs pre-exchange on the scan partition, so
+    the scan is spread (sources.spread; r14, 2x)."""
     k1 = WINNOW_K - 1
     grams = (
-        read_table(spark, sf, "documents")
+        spread(read_table(spark, sf, "documents").select("doc_id", "text"))
         .select("doc_id", F.split("text", " ").alias("a"))
         .filter(F.size("a") >= WINNOW_K)
         .select(

@@ -180,16 +180,25 @@ _DRIVER_ORDER = [
     #     + stream_index_maintenance (postings carry dl, meta carries
     #     sum_dl for BM25), catalog_atomic_publish (catalog.py listing/
     #     vacuum fixes), dedup_semdedup (its oracle now also pins the
-    #     streaming twin), and ALL 12 codec-chain queries (the _spread
+    #     streaming twin), ALL 12 codec-chain queries (the _spread
     #     head: single-partition scan serialization fixed — plan shape
-    #     changed, values must not have).
+    #     changed, values must not have), and the 3 text-lane spread
+    #     queries (sources.spread at the scan head:
+    #     text_winnow_fingerprints / text_novelty_score / dsir_select —
+    #     same plan-shape-changed-values-must-not-have contract; the
+    #     probe's other winners, dedup_substring_runs +
+    #     text_repetition_stats + hybrid_search_rrf +
+    #     dedup_embedding_cosine, are DEFERRED to r15 so this window
+    #     only displaces r10-evidence filler rows, never the r9 tail).
     # (c) tail refresh per the r13 tail-head contract: the 24 remaining
     #     r9-evidence rows (multimodal_wav_decode, the 25th, is already
-    #     in-window via (b)), then 4 stalest r10 rows to fill 50. After
-    #     this window no driver evidence older than r10 remains; the
-    #     r15 priority is the remaining r10 block (agg_pushdown_scan ..
-    #     window_running_sum at the tail head) and the r13-displaced
-    #     rows below the boundary.
+    #     in-window via (b)), then the stalest r10 row to fill 50.
+    #     After this window no driver evidence older than r10 remains;
+    #     the r15 priority is the remaining r10 block (scan_project,
+    #     topk_global, union_all_stack displaced here, then
+    #     agg_pushdown_scan .. window_running_sum at the tail head),
+    #     the deferred spread queries above, and the r13-displaced rows
+    #     below the boundary.
     "catalog_time_travel",
     "bm25_search",
     "bm25_index_stream",
@@ -212,6 +221,9 @@ _DRIVER_ORDER = [
     "multimodal_decode_gif",
     "multimodal_decode_gif_anim",
     "multimodal_decode_tiff",
+    "text_winnow_fingerprints",
+    "text_novelty_score",
+    "dsir_select",
     "point_lookup",
     "range_filter",
     "groupby_agg",
@@ -236,11 +248,12 @@ _DRIVER_ORDER = [
     "pivot_wide",
     "range_join_events",
     "stream_incremental_rollup",
+    "unpivot_long",
+    # --- 50-query window boundary (driver gate cap observed r01-r13) ---
+    # Displaced r10-evidence filler rows (r15 rotates these first):
     "scan_project",
     "topk_global",
     "union_all_stack",
-    "unpivot_long",
-    # --- 50-query window boundary (driver gate cap observed r01-r13) ---
     # Displaced r13-fresh rows (r15 may rotate them as needed):
     "stream_neardup_admission",
     "merge_mapped_cdc",
@@ -267,7 +280,6 @@ _DRIVER_ORDER = [
     "approx_percentile_bound",
     "hybrid_search_rrf",
     "stream_overwrite_refresh",
-    "dsir_select",
     "bpe_encode_learned",
     "lm_bigram_assoc",
     "doc_dedup_cross_shard",
@@ -368,8 +380,6 @@ _DRIVER_ORDER = [
     "snapshot_diff",
     "sql_api_pricing_summary",
     "stream_source_quota",
-    "text_novelty_score",
-    "text_winnow_fingerprints",
     "timeline_gapfill",
     "value_drift_trend",
     "lm_bigram_score",

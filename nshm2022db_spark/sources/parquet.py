@@ -84,6 +84,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Spread a compute-heavy scan across the executors. The sf testdata
+    tables are each ONE parquet file with ONE row group, so Spark cannot
+    split the scan and every map-side projection chain runs on a single
+    core — measured r14 (PERF.md): the 32-core wall of the gram-explode
+    text pipelines equaled their single-thread projection, exactly the
+    pathology the codec lane hit (multimodal._spread). At 100 TB the
+    source's own file count provides the spread for free — the explicit
+    round-robin repartition is the testdata stand-in, not an extra
+    production shuffle. Apply it ONLY where the measured map-side work
+    dominates the one extra pass over the pruned input columns (the r14
+    probe: winnow/novelty/dsir/substring-runs/repetition win 1.5-2.5x;
+    bpe_encode_learned and the ADC scans LOSE — their hot work already
+    sits post-exchange, so the spread is pure added shuffle)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All ten testdata tables as DataFrames keyed by name."""
     return {name: read_table(spark, sf_dir, name) for name in STAR_TABLES}

@@ -288,6 +288,11 @@ class TestDriverOrder:
             "multimodal_decode_gif",
             "multimodal_decode_gif_anim",
             "multimodal_decode_tiff",
+            # the text-lane sources.spread heads landed r14 (same
+            # plan-changed-values-must-not-have contract)
+            "text_winnow_fingerprints",
+            "text_novelty_score",
+            "dsir_select",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

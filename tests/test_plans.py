@@ -487,3 +487,50 @@ class TestR13QueryPlans:
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         # the index build is one assignment shuffle + a map-only encode
         assert plan.count("MapInPandas") == 2  # one stage, named twice
+
+
+class TestR14TextSpreadPlans:
+    """r14: the text-lane spread (sources.spread) — the three queries
+    whose measured hot path is a pre-exchange gram/token projection get
+    ONE round-robin spread per corpus scan of their plan (the testdata
+    one-file scan is one partition; at 100 TB the source's file count
+    provides this for free). Queries where the probe showed the spread
+    LOSES (bpe_encode_learned, knn_pq_adc, lm_bigram_score,
+    dedup_clusters) must stay spread-free."""
+
+    def test_winnow_one_spread_one_doc_exchange(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["text_winnow_fingerprints"](spark, sf_dir))
+        # one scan -> one spread; the window/distinct/rollup still reuse
+        # ONE doc-keyed exchange (the r11 shape, unchanged)
+        assert plan.count("RoundRobinPartitioning(") == 1
+        assert plan.count("Arguments: hashpartitioning") == 1
+
+    def test_novelty_spread_per_scan_side(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["text_novelty_score"](spark, sf_dir))
+        # the gram relation feeds both join sides and Spark plans each
+        # side's scan subtree independently -> one spread per side
+        assert plan.count("RoundRobinPartitioning(") == 2
+
+    def test_dsir_spread_keeps_broadcast_topk_shape(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["dsir_select"](spark, sf_dir))
+        # model pass + scoring pass + totals subtree each re-plan the
+        # tokenize scan -> one spread per subtree; the r9 pins hold:
+        # broadcast model join, TakeOrderedAndProject top-k, <= 3 hash
+        # exchanges (doc_id weight sum + two bounded model aggs)
+        assert plan.count("RoundRobinPartitioning(") == 3
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Arguments: hashpartitioning") <= 3
+
+    def test_probe_losers_stay_spread_free(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        for name in ("bpe_encode_learned", "lm_bigram_score"):
+            plan = _plan(QUERIES[name](spark, sf_dir))
+            assert "RoundRobinPartitioning(" not in plan, name
