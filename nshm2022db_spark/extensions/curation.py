@@ -338,20 +338,23 @@ def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
         bpost.unpersist()
 
         dpost = postings(docs.filter(is_delta)).persist()
+        # change_data=False on every index merge: nothing consumes the
+        # index tables' CDC feed (probes read the tables directly), and
+        # the sidecar write costs a flat ~0.4 s per commit (PERF.md r14)
         merge_into_table(
             spark, post_dir, dpost, keys=["term", "doc_id"],
-            when_not_matched_insert=True, batch_id=1,
+            when_not_matched_insert=True, batch_id=1, change_data=False,
         )
         merge_into_table(
             spark, df_dir, df_counts(dpost), keys=["term"],
             when_matched_update={"df": "s.df + t.df"},
-            when_not_matched_insert=True, batch_id=1,
+            when_not_matched_insert=True, batch_id=1, change_data=False,
         )
         metad = _index_meta_rows(spark, docs.filter(is_delta), dpost)
         merge_into_table(
             spark, meta_dir, metad, keys=["metric"],
             when_matched_update={"v": "s.v + t.v"},
-            when_not_matched_insert=True, batch_id=1,
+            when_not_matched_insert=True, batch_id=1, change_data=False,
         )
         dpost.unpersist()
         # OPTIMIZE after ingest: the merge APPENDED generations to every
@@ -417,10 +420,13 @@ def _index_apply_batch(
                 bloom_cols=["term"], batch_id=batch_id,
             )
         else:
+            # change_data=False: no consumer reads the index tables'
+            # CDC feed, and the sidecar costs ~0.4 s/commit (PERF r14)
             merge_into_table(
                 s, df_dir, _index_df_counts(bpost), keys=["term"],
                 when_matched_update={"df": "s.df + t.df"},
                 when_not_matched_insert=True, batch_id=batch_id,
+                change_data=False,
             )
         meta = _index_meta_rows(s, batch_df, bpost)
         if current_commit(meta_dir)["version"] == 0:
@@ -430,6 +436,7 @@ def _index_apply_batch(
                 s, meta_dir, meta, keys=["metric"],
                 when_matched_update={"v": "s.v + t.v"},
                 when_not_matched_insert=True, batch_id=batch_id,
+                change_data=False,
             )
     finally:
         bpost.unpersist()

@@ -248,12 +248,26 @@ _DRIVER_ORDER = [
     "pivot_wide",
     "range_join_events",
     "stream_incremental_rollup",
-    "unpivot_long",
+    # shared DML-primitive change in r14 leg 2 (_materialize_decision:
+    # merge/update/delete decision frames localCheckpoint instead of
+    # scratch-parquet; merge also batches bloom probes fold-side and
+    # this query's own call turns its unconsumed CDC sidecar off):
+    # stream_merge_conditional is the in-window representative — it
+    # drives merge's update AND delete clauses through BOTH delete
+    # routes (dv + rewrite). The plain UPDATE/DELETE reps
+    # (update_where_partition, delete_where_rewrite — same 2-line
+    # materialize swap, re-proven by the full local 3-scale sweep and
+    # their pytest pins) head the r15 rotation below.
+    "stream_merge_conditional",
     # --- 50-query window boundary (driver gate cap observed r01-r13) ---
-    # Displaced r10-evidence filler rows (r15 rotates these first):
+    # Displaced r10-evidence filler rows + the r14-leg-2 DML reps
+    # (r15 rotates these first):
+    "update_where_partition",
+    "delete_where_rewrite",
     "scan_project",
     "topk_global",
     "union_all_stack",
+    "unpivot_long",
     # Displaced r13-fresh rows (r15 may rotate them as needed):
     "stream_neardup_admission",
     "merge_mapped_cdc",
@@ -261,8 +275,6 @@ _DRIVER_ORDER = [
     "merge_into_conditional",
     "merge_delete_composite",
     "merge_schema_evolution",
-    "stream_merge_conditional",
-    "update_where_partition",
     "delete_where_cdc",
     "constrained_land",
     "rename_column_read",
@@ -358,7 +370,6 @@ _DRIVER_ORDER = [
     "dedup_index_lakehouse",
     "dedup_keep_best",
     "dedup_substring_runs",
-    "delete_where_rewrite",
     "epoch_shuffle",
     "events_locf",
     "zorder_clustered_scan",

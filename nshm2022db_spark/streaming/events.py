@@ -791,6 +791,10 @@ def stream_merge_conditional(spark: SparkSession, sf: str) -> DataFrame:
         when_matched_update_condition="s.op = 'upsert'",
         when_matched_delete="s.op = 'delete'",
         stats_cols=["user_id"],
+        # nothing consumes this table's change feed (the oracle reads
+        # final state); like Delta's CDF, the sidecar is opt-in — and
+        # it costs a flat ~0.4 s write per micro-batch commit (PERF r14)
+        change_data=False,
     )
     q.awaitTermination()
     out = read_keyed_table(spark, table_dir).groupBy("bucket").agg(

@@ -43,6 +43,7 @@ from __future__ import annotations
 import base64
 import contextlib
 import json
+import math
 import os
 import re
 import shutil
@@ -446,6 +447,12 @@ def _bloom_position_cols(col, m: int, k: int) -> list:
     so a probe literal of any compatible Python type agrees with the
     built bitmap."""
     s = col.cast("string")
+    # signed zero: CAST(-0.0 AS STRING) is '-0.0' but -0.0 = 0.0 in SQL
+    # equality — without canonicalizing, a 0.0 probe against a bitmap
+    # built over -0.0 rows finds zero bits and FALSELY prunes the
+    # partition holding its match (caught building the r14 probe-parity
+    # test). Normalize the one string form divergent equality produces.
+    s = F.when(s == "-0.0", F.lit("0.0")).otherwise(s)
     return [F.pmod(F.xxhash64(F.lit(i), s), F.lit(m)) for i in range(k)]
 
 
@@ -597,12 +604,45 @@ def _bloom_probes(
     return _PROBE_CACHE[ck]
 
 
+def _sql_probe_literal(v) -> str | None:
+    """``v`` as a FOLD-SAFE Spark SQL literal, or None when it has no
+    safe textual form (the caller falls back to the local-relation
+    job). Strings go hex-encoded — ``CAST(X'..' AS STRING)`` — so the
+    parser's quote/backslash escape rules can never reinterpret the
+    value; numeric forms round-trip exactly (Python repr is the
+    shortest round-trip form for floats, and Spark parses the
+    decimal/scientific literal to the same double)."""
+    if v is True or v is False:
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v) if -(2**63) <= v < 2**63 else None
+    if isinstance(v, float):
+        # explicit DOUBLE: a bare 12345678.0 parses as DECIMAL, whose
+        # canonical STRING form ('12345678.0') diverges from the
+        # double's ('1.2345678E7') — a float probing a string column
+        # must hash the same text the slow path's double literal does
+        return f"CAST({v!r} AS DOUBLE)" if math.isfinite(v) else None
+    if isinstance(v, str):
+        return f"CAST(X'{v.encode('utf-8').hex()}' AS STRING)"
+    return None
+
+
 def _bloom_probes_prefetch(
     spark: SparkSession, values: list, m: int, k: int, t: str
 ) -> None:
-    """Warm `_PROBE_CACHE` for MANY equality values with ONE local-
-    relation job (r11 review #3 — the per-key merge probing would
-    otherwise fire one driver job per distinct source key)."""
+    """Warm `_PROBE_CACHE` for MANY equality values at once (r11 review
+    #3 — the per-key merge probing would otherwise fire one driver job
+    per distinct source key).
+
+    Values with a fold-safe literal form (strings, longs, finite
+    doubles, bools — every key type the registered tables use) are
+    batched into a VALUES inline table: the probe projection is
+    deterministic expressions over a LocalRelation, so Catalyst's
+    ConvertToLocalRelation evaluates it AT PLAN TIME and the collect
+    returns driver-side without scheduling a single task (measured r14:
+    0.12 s vs 0.49 s for the createDataFrame job — which spread 31 rows
+    over defaultParallelism tasks — per merge commit). Exotic value
+    types keep the original one-job path."""
     todo = [
         v
         for v in dict.fromkeys(values)
@@ -611,14 +651,44 @@ def _bloom_probes_prefetch(
     ]
     if not todo:
         return
-    df = spark.createDataFrame([(i, v) for i, v in enumerate(todo)])
-    lit = df[1].try_cast(t)
-    cols = _bloom_position_cols(lit, m, k)
-    rows = df.select(
-        df[0].alias("_i"),
-        lit.isNull().alias("nul"),
-        *[c.alias(f"p{i}") for i, c in enumerate(cols)],
-    ).collect()
+    # one VALUES statement per type CLASS: an inline table demands one
+    # compatible type per column, and a mixed CDC key batch (ints and
+    # strings) is legal input (pinned by TestBloomProbeFastPath)
+    fast: dict[str, list] = {}
+    slow_idx = set(range(len(todo)))
+    for i, v in enumerate(todo):
+        sl = _sql_probe_literal(v)
+        if sl is not None:
+            fast.setdefault(type(v).__name__, []).append((i, sl))
+            slow_idx.discard(i)
+    slow = [(i, todo[i]) for i in slow_idx]
+    rows = []
+    for chunk_src in fast.values():
+        # chunk the VALUES text: thousands of CDC keys in one statement
+        # would push parser time past the job it replaces
+        for lo in range(0, len(chunk_src), 1024):
+            chunk = chunk_src[lo:lo + 1024]
+            vals_sql = ", ".join(f"({i}, {sl})" for i, sl in chunk)
+            df = spark.sql(
+                f"SELECT col1 AS _i, try_cast(col2 AS {t}) AS _v"
+                f" FROM VALUES {vals_sql}"
+            )
+            lit = df["_v"]
+            cols = _bloom_position_cols(lit, m, k)
+            rows += df.select(
+                df["_i"],
+                lit.isNull().alias("nul"),
+                *[c.alias(f"p{i}") for i, c in enumerate(cols)],
+            ).collect()
+    if slow:
+        df = spark.createDataFrame([(i, v) for i, v in slow])
+        lit = df[1].try_cast(t)
+        cols = _bloom_position_cols(lit, m, k)
+        rows += df.select(
+            df[0].alias("_i"),
+            lit.isNull().alias("nul"),
+            *[c.alias(f"p{i}") for i, c in enumerate(cols)],
+        ).collect()
     if len(_PROBE_CACHE) >= 4096:
         _PROBE_CACHE.clear()
     for r in rows:
@@ -2865,11 +2935,12 @@ def vacuum_uncommitted(table_dir: str, grace_sec: float = 3600.0) -> list[str]:
             (
                 n.startswith("data-")
                 or n.startswith("cdc-")
-                # DML decision-scan materializations (merge/update/
-                # delete scratch) are cleaned by an in-process finally;
-                # a SIGKILLed writer leaks one holding full-row copies
-                # incl. rows a GDPR delete meant to erase (r12 review
-                # sweep 2 #4) — never manifest-referenced, safe to sweep
+                # LEGACY decision-scan scratch dirs (pre-r14 writers
+                # materialized merge/update/delete frames to parquet; a
+                # SIGKILLed one leaks full-row copies incl. rows a GDPR
+                # delete meant to erase — r12 review sweep 2 #4). r14
+                # writers localCheckpoint instead (nothing on disk to
+                # leak), but old leftovers must still sweep
                 or n.startswith("scratch-")
             )
             and n not in referenced
@@ -3879,6 +3950,31 @@ def _merge_cond(cond, default: bool) -> "F.Column":
     return F.expr(cond)
 
 
+def _materialize_decision(dec: DataFrame) -> DataFrame:
+    """Materialize a DML decision frame ONCE for its 2-4 consumers (the
+    action rollup, the stage write, the tombstone keys, the CDC
+    images).
+
+    localCheckpoint(eager) instead of the old scratch-parquet round
+    trip: identical materialize-once semantics — consumers read stored
+    blocks, the plan never re-runs, so even a nondeterministic caller
+    SET/condition expression cannot diverge between consumers within an
+    attempt — but without the tiny-write job-scheduling floor (~0.4 s
+    per write at ANY size locally, PERF.md r14; measured 2.7× on the
+    materialize+consume cycle). Storage is MEMORY_AND_DISK on the
+    executors: memory pressure SPILLS, never recomputes; an executor
+    loss fails the job (lineage is truncated) and the commit retries
+    from the CAS base — fail-stop, the right failure mode for commit
+    machinery, vs. the silent recompute a plain persist() would risk.
+    A SIGKILLed writer also no longer leaks a full-row scratch dir
+    inside the table dir (the r12 GDPR sweep concern — block-manager
+    state dies with the JVM); vacuum keeps reaping legacy scratch-*
+    leftovers from older writers.
+
+    Callers release the blocks with .unpersist() in their finally."""
+    return dec.localCheckpoint(eager=True)
+
+
 def merge_into_table(
     spark: SparkSession,
     table_dir: str,
@@ -3927,10 +4023,10 @@ def merge_into_table(
     2-shuffle join MERGE: both sides shuffle once on the merge keys,
     each key-group sees the other side via a window max/count, and
     every clause evaluates in that single pass. The decision frame is
-    materialized to scratch once, then three cheap consumers (a
-    per-partition action rollup — bounded by the partition domain — the
-    stage write, and the tombstone keys) read it back without
-    recomputing the window.
+    materialized once (_materialize_decision: eager localCheckpoint),
+    then three cheap consumers (a per-partition action rollup — bounded
+    by the partition domain — the stage write, and the tombstone keys)
+    read the stored blocks without recomputing the window.
 
     Scale shape (the Delta MERGE cost model at partition granularity):
 
@@ -4481,7 +4577,7 @@ def merge_into_table(
             F.expr(f"t.{pcol}").cast("string").alias("_t_part"),
             # pre-image carrier for the CDC sidecar: update rows keep
             # their full BEFORE struct (NULL for everything else, so
-            # the scratch write stays change-sized on that column)
+            # the materialized frame stays change-sized on that column)
             (
                 F.when(F.col("_act").isin(*update_labels), F.col("t"))
                 if update_labels
@@ -4497,14 +4593,12 @@ def merge_into_table(
             ).alias("_pre"),
         )
 
-        scratch = os.path.join(table_dir, f"scratch-{uuid.uuid4().hex}")
         stage = f"data-{uuid.uuid4().hex}"
         stage_path = os.path.join(table_dir, stage)
         dv_stage = None
         cdc_stage = None
         try:
-            dec.write.mode("overwrite").parquet(scratch)
-            dec = spark.read.parquet(scratch)
+            dec = _materialize_decision(dec)
 
             # per-partition action rollup — bounded by the partition
             # domain (the repo's sanctioned bounded-collect shape)
@@ -4865,7 +4959,7 @@ def merge_into_table(
                     os.path.join(table_dir, cdc_stage), ignore_errors=True
                 )
         finally:
-            shutil.rmtree(scratch, ignore_errors=True)
+            dec.unpersist()
     raise RuntimeError(
         f"commit conflict persisted for {max_retries} retries on {table_dir}"
     )
@@ -5042,13 +5136,11 @@ def update_table(
             ).alias("_pre"),
         )
 
-        scratch = os.path.join(table_dir, f"scratch-{uuid.uuid4().hex}")
         stage = f"data-{uuid.uuid4().hex}"
         stage_path = os.path.join(table_dir, stage)
         cdc_stage = None
         try:
-            dec.write.mode("overwrite").parquet(scratch)
-            dec = spark.read.parquet(scratch)
+            dec = _materialize_decision(dec)
 
             rollup = (
                 dec.groupBy("_upd", "_t_part", F.col(pcol).alias("_p"))
@@ -5178,7 +5270,7 @@ def update_table(
                     os.path.join(table_dir, cdc_stage), ignore_errors=True
                 )
         finally:
-            shutil.rmtree(scratch, ignore_errors=True)
+            dec.unpersist()
     raise RuntimeError(
         f"commit conflict persisted for {max_retries} retries on {table_dir}"
     )
@@ -5325,7 +5417,6 @@ def delete_table(
             "_del", F.coalesce(F.expr(where), F.lit(False))
         )
 
-        scratch = os.path.join(table_dir, f"scratch-{uuid.uuid4().hex}")
         stage = f"data-{uuid.uuid4().hex}"
         stage_path = os.path.join(table_dir, stage)
         cdc_stage = None
@@ -5333,8 +5424,7 @@ def delete_table(
             # materialize the decision once: the rollup, the survivor
             # stage, and the CDC sidecar would otherwise each re-run
             # the scan (separate actions share no ReusedExchange)
-            dec.write.mode("overwrite").parquet(scratch)
-            dec = spark.read.parquet(scratch)
+            dec = _materialize_decision(dec)
 
             rollup = (
                 dec.groupBy("_del", F.col(pcol).cast("string").alias("_p"))
@@ -5432,7 +5522,7 @@ def delete_table(
                     os.path.join(table_dir, cdc_stage), ignore_errors=True
                 )
         finally:
-            shutil.rmtree(scratch, ignore_errors=True)
+            dec.unpersist()
     raise RuntimeError(
         f"commit conflict persisted for {max_retries} retries on {table_dir}"
     )

@@ -293,6 +293,12 @@ class TestDriverOrder:
             "text_winnow_fingerprints",
             "text_novelty_score",
             "dsir_select",
+            # r14 leg 2: shared DML materialize change (localCheckpoint
+            # decision frames + fold-side bloom probe batch) — this is
+            # the in-window rep driving merge update+delete through
+            # both delete routes, and its own call sheds the
+            # unconsumed CDC sidecar
+            "stream_merge_conditional",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo

@@ -5182,3 +5182,81 @@ class TestZorderExpr:
             )
             shifts = [int(s) for s in re.findall(r"<<\s*(\d+)", expr)]
             assert shifts and max(shifts) < 63, (n, max(shifts))
+
+
+class TestBloomProbeFastPath:
+    def test_values_fold_path_matches_job_path(self, spark):
+        """r14: the VALUES-inline-table probe batch (plan-time folded,
+        zero tasks) must produce bit-identical probe positions to the
+        single-value local-relation job for every fold-safe type —
+        including the strings the hex encoding exists for (quotes,
+        backslashes, newlines, unicode) and numeric/bool keys."""
+        from nshm2022db_spark.streaming.sinks import (
+            _PROBE_CACHE,
+            _bloom_probes,
+            _bloom_probes_prefetch,
+            _sql_probe_literal,
+        )
+
+        m, k = 2**14, 5
+        vals = [
+            "plain", "d'quote", 'a"b', "back\\slash", "new\nline",
+            "tab\tsep", "ünïcode✓", "", 5, -(2**62), True, False,
+            # 12345678.0: DECIMAL vs DOUBLE canonical strings diverge
+            # ('12345678.0' vs '1.2345678E7') — pins the explicit
+            # DOUBLE cast in _sql_probe_literal
+            0.1, 1e300, 2.5, 12345678.0,
+        ]
+        # fast path fills the cache under each value's own type name
+        _PROBE_CACHE.clear()
+        _bloom_probes_prefetch(spark, vals, m, k, "string")
+        fast = {
+            (type(v).__name__, v): _PROBE_CACHE[
+                (type(v).__name__, v, m, k, "string")
+            ]
+            for v in vals
+        }
+        # recompute each through the 1-row job path
+        _PROBE_CACHE.clear()
+        for v in vals:
+            assert _bloom_probes(spark, v, m, k, "string") == fast[
+                (type(v).__name__, v)
+            ], repr(v)
+        # exotic types (no fold-safe literal) fall back, still probe
+        assert _sql_probe_literal(float("nan")) is None
+        assert _sql_probe_literal(2**70) is None
+        assert _sql_probe_literal(b"bytes") is None
+        _PROBE_CACHE.clear()
+        _bloom_probes_prefetch(spark, [2**70], m, k, "decimal(25,0)")
+        # beyond-long ints can't ride the local-relation job either
+        # (LongType overflow → NULL literal) — the conservative cache
+        # entry is None: "cannot prune", never a false skip
+        assert _PROBE_CACHE[("int", 2**70, m, k, "decimal(25,0)")] is None
+
+    def test_signed_zero_probes_like_positive_zero(self, spark):
+        """-0.0 = 0.0 in SQL equality, but their canonical strings
+        differ — before the r14 normalization a 0.0 probe against a
+        bitmap built over -0.0 rows falsely pruned the partition
+        holding its match. Build-side and probe-side positions must
+        now coincide for both zeros."""
+        from pyspark.sql import functions as F
+
+        from nshm2022db_spark.streaming.sinks import _bloom_position_cols
+
+        row = spark.range(1).select(
+            *[
+                c.alias(f"n{i}")
+                for i, c in enumerate(
+                    _bloom_position_cols(F.lit(-0.0), 2**14, 5)
+                )
+            ],
+            *[
+                c.alias(f"p{i}")
+                for i, c in enumerate(
+                    _bloom_position_cols(F.lit(0.0), 2**14, 5)
+                )
+            ],
+        ).first()
+        assert [row[f"n{i}"] for i in range(5)] == [
+            row[f"p{i}"] for i in range(5)
+        ]
