@@ -259,6 +259,15 @@ _DRIVER_ORDER = [
     # materialize swap, re-proven by the full local 3-scale sweep and
     # their pytest pins) head the r15 rotation below.
     "stream_merge_conditional",
+    # Window note (r14 leg 3): stream_table_source /
+    # stream_table_changes_typed / stream_mapped_changes converted
+    # their immutable bronze SETUP builds to landed scratch (the
+    # batch-DML queries' is_landed pattern). Their registered
+    # expressions, replay paths, and oracles are byte-identical — only
+    # where the setup table lives changed — so they keep their
+    # r13-fresh window evidence rather than displacing protected
+    # r9-tail rows; re-proven this round by the full 194/194 sweep
+    # plus scoped sf0.01/sf0.1/sf1/bare runs and determinism stress.
     # --- 50-query window boundary (driver gate cap observed r01-r13) ---
     # Displaced r10-evidence filler rows + the r14-leg-2 DML reps
     # (r15 rotates these first):
