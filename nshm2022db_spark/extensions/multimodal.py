@@ -2644,7 +2644,13 @@ def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    audio_ids = _spread(
+    # NO _spread here (removed r14 after the canonical bench): the
+    # audio corpus is the small %3 subset and the WAV synth+decode is
+    # cheap — the spread's shuffle+task overhead measured 1.4-2x the
+    # single-partition chain it replaced (0.36->0.72 s wav decode).
+    # The image/video chains keep theirs: there the per-row decode
+    # dwarfs the spread cost.
+    audio_ids = (
         read_table(spark, sf, "documents")
         .filter(F.col("doc_id") % 3 == 1)
         .select(F.col("doc_id").alias("media_id"))
@@ -2805,7 +2811,13 @@ def multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    audio_ids = _spread(
+    # NO _spread here (removed r14 after the canonical bench): the
+    # audio corpus is the small %3 subset and the WAV synth+decode is
+    # cheap — the spread's shuffle+task overhead measured 1.4-2x the
+    # single-partition chain it replaced (0.36->0.72 s wav decode).
+    # The image/video chains keep theirs: there the per-row decode
+    # dwarfs the spread cost.
+    audio_ids = (
         read_table(spark, sf, "documents")
         .filter(F.col("doc_id") % 3 == 1)
         .select(F.col("doc_id").alias("media_id"))
