@@ -96,7 +96,13 @@ def catalog_publish(
         tables = dict(cur.get("tables", {}))
         for name, (d, v) in updates.items():
             tables[name] = {"dir": os.path.abspath(d), "version": int(v)}
-        m = {"version": cur["version"] + 1, "tables": tables}
+        # refs (named tags) carry forward through every publish — they
+        # are names on the version HISTORY, not part of the vector
+        m = {
+            "version": cur["version"] + 1,
+            "tables": tables,
+            "refs": dict(cur.get("refs", {})),
+        }
         # the SAME os.link conditional-put every table's log uses —
         # the catalog is just one more CAS log (sinks.try_commit)
         if try_commit(catalog_dir, m):
@@ -106,10 +112,99 @@ def catalog_publish(
     )
 
 
+_TAG_NAME_RE = None  # compiled lazily; module avoids importing re at top
+
+
+def _check_tag_name(name: str) -> None:
+    global _TAG_NAME_RE
+    if _TAG_NAME_RE is None:
+        import re
+
+        _TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+    if not isinstance(name, str) or not _TAG_NAME_RE.match(name):
+        raise ValueError(
+            f"invalid tag name {name!r}: use letters, digits, '.', '_', '-'"
+        )
+
+
+def catalog_tag(
+    catalog_dir: str,
+    name: str,
+    version: int | None = None,
+    replace: bool = False,
+    max_retries: int = 10,
+) -> dict:
+    """Create a NAMED TAG on a catalog version — Iceberg's refs at
+    catalog scope: ``catalog_at(tag='train-v1')`` resolves the tagged
+    multi-table vector forever after, and ``catalog_vacuum`` treats
+    tagged versions as protected snapshots (retention pinning is the
+    point of a tag: a 100 TB training run records 'train-v1' once and
+    the exact input set survives every later vacuum).
+
+    ``version`` defaults to the current head; the target must be a
+    RETAINED version (resolved through ``catalog_at``, so tagging a
+    vacuumed version refuses). Tags are IMMUTABLE like Iceberg's —
+    re-pointing an existing tag requires ``replace=True``. The tag
+    lands as its own catalog commit (Nessie's model: a ref change IS a
+    commit), carrying the head's table vector forward, so tagging
+    never perturbs what readers see and the tag operation itself is
+    auditable history. Returns the published manifest."""
+    _check_tag_name(name)
+    for _ in range(max_retries):
+        cur = current_catalog(catalog_dir)
+        target = cur["version"] if version is None else int(version)
+        if target < 1:
+            raise ValueError("cannot tag the empty pre-publish catalog")
+        # validates retention (vacuumed / not-yet-committed refuse)
+        catalog_at(catalog_dir, version=target)
+        refs = dict(cur.get("refs", {}))
+        if name in refs and refs[name] != target and not replace:
+            raise ValueError(
+                f"tag {name!r} already points at version {refs[name]}; "
+                "tags are immutable — pass replace=True to re-point"
+            )
+        refs[name] = target
+        m = {
+            "version": cur["version"] + 1,
+            "tables": dict(cur.get("tables", {})),
+            "refs": refs,
+        }
+        if try_commit(catalog_dir, m):
+            return m
+    raise RuntimeError(
+        f"catalog_tag lost the CAS {max_retries} times in {catalog_dir}"
+    )
+
+
+def catalog_tag_delete(
+    catalog_dir: str, name: str, max_retries: int = 10
+) -> dict:
+    """Drop a named tag (its version becomes ordinary vacuumable
+    history). Unknown names refuse — deleting a ref you think exists
+    but doesn't is a caller bug, not a no-op."""
+    for _ in range(max_retries):
+        cur = current_catalog(catalog_dir)
+        refs = dict(cur.get("refs", {}))
+        if name not in refs:
+            raise ValueError(f"tag {name!r} does not exist in {catalog_dir}")
+        del refs[name]
+        m = {
+            "version": cur["version"] + 1,
+            "tables": dict(cur.get("tables", {})),
+            "refs": refs,
+        }
+        if try_commit(catalog_dir, m):
+            return m
+    raise RuntimeError(
+        f"catalog_tag_delete lost the CAS {max_retries} times in {catalog_dir}"
+    )
+
+
 def catalog_at(
     catalog_dir: str,
     version: int | None = None,
     as_of: float | None = None,
+    tag: str | None = None,
 ) -> dict:
     """Catalog TIME TRAVEL: the snapshot vector as of a past catalog
     ``version`` or wall-clock instant (``as_of``, epoch seconds against
@@ -129,9 +224,18 @@ def catalog_at(
 
     O(manifests): resolves purely on the tiny JSON log, no data read;
     the returned vector feeds ``read_catalog_table(snapshot=...)`` so
-    all per-table pruning applies unchanged."""
-    if (version is None) == (as_of is None):
-        raise ValueError("pass exactly one of version / as_of")
+    all per-table pruning applies unchanged.
+
+    ``tag`` resolves a NAMED ref (catalog_tag) through the CURRENT
+    head's ref map — Iceberg's semantics: refs are live names, always
+    read from the latest metadata, never from historical manifests."""
+    if sum(x is not None for x in (version, as_of, tag)) != 1:
+        raise ValueError("pass exactly one of version / as_of / tag")
+    if tag is not None:
+        refs = current_catalog(catalog_dir).get("refs", {})
+        if tag not in refs:
+            raise ValueError(f"tag {tag!r} does not exist in {catalog_dir}")
+        version = int(refs[tag])
     log = os.path.join(catalog_dir, _COMMITS)
     names = _catalog_manifest_names(catalog_dir)
     earliest = int(names[0].split(".")[0]) if names else 1
@@ -156,14 +260,33 @@ def catalog_at(
             )
         return m
     best = None
+    next_retained = None  # smallest retained version ABOVE best
     for n in names:
         m = _read_json(os.path.join(log, n))
         if m is None:
             continue
         ts = m.get("committed_at")
         if ts is not None and ts <= as_of:
-            best = m if best is None or m["version"] > best["version"] else best
+            if best is None or m["version"] > best["version"]:
+                best = m
+                next_retained = None
+        elif best is not None and next_retained is None:
+            next_retained = m["version"]
     if best is not None:
+        # Tag-pinned retention leaves GAPS in the manifest sequence. If
+        # the version right after the match was dropped, a dropped
+        # manifest may have been the live vector at ``as_of`` — serving
+        # the older tagged neighbor would be a silently-wrong AS OF, so
+        # refuse exactly like the prefix boundary does. (names are
+        # version-sorted, so the first retained manifest above the
+        # match bounds the gap.)
+        nxt = next_retained if next_retained is not None else head + 1
+        if nxt > best["version"] + 1 and best["version"] < head:
+            raise ValueError(
+                f"catalog state as of {as_of} may be a vacuumed version in "
+                f"({best['version']}, {nxt}) of {catalog_dir}; the retained "
+                "neighbor cannot stand in for it"
+            )
         return best
     if earliest <= 1:
         return {"version": 0, "tables": {}}  # instant predates first publish
@@ -180,23 +303,30 @@ def read_catalog_table(
     snapshot: dict | None = None,
     catalog_version: int | None = None,
     catalog_as_of: float | None = None,
+    catalog_tag: str | None = None,
 ) -> DataFrame | None:
     """Read a table AT the catalog's pinned version (None if the catalog
     doesn't reference it). Pass ``snapshot`` (a ``current_catalog`` /
     ``catalog_at`` result) to read SEVERAL tables from ONE consistent
     vector while publishers race — grabbing the snapshot once is the
-    whole point. ``catalog_version`` / ``catalog_as_of`` are shorthand
-    for ``snapshot=catalog_at(...)``: a single-table historical read
-    through the catalog's own time travel."""
+    whole point. ``catalog_version`` / ``catalog_as_of`` /
+    ``catalog_tag`` are shorthand for ``snapshot=catalog_at(...)``: a
+    single-table historical read through the catalog's own time
+    travel (or a named tag)."""
     from nshm2022db_spark.streaming.sinks import read_keyed_table
 
-    if sum(x is not None for x in (snapshot, catalog_version, catalog_as_of)) > 1:
+    picked = (snapshot, catalog_version, catalog_as_of, catalog_tag)
+    if sum(x is not None for x in picked) > 1:
         raise ValueError(
-            "pass at most one of snapshot / catalog_version / catalog_as_of"
+            "pass at most one of snapshot / catalog_version / "
+            "catalog_as_of / catalog_tag"
         )
-    if catalog_version is not None or catalog_as_of is not None:
+    if any(x is not None for x in picked[1:]):
         snapshot = catalog_at(
-            catalog_dir, version=catalog_version, as_of=catalog_as_of
+            catalog_dir,
+            version=catalog_version,
+            as_of=catalog_as_of,
+            tag=catalog_tag,
         )
     cur = snapshot if snapshot is not None else current_catalog(catalog_dir)
     ent = cur.get("tables", {}).get(name)
@@ -219,7 +349,13 @@ def catalog_rollback(catalog_dir: str, version: int, max_retries: int = 10) -> d
     target = dict(catalog_at(catalog_dir, version=version).get("tables", {}))
     for _ in range(max_retries):
         cur = current_catalog(catalog_dir)
-        m = {"version": cur["version"] + 1, "tables": dict(target)}
+        # refs carry from the HEAD, not the target: tags are names on
+        # the history and must survive a vector rollback
+        m = {
+            "version": cur["version"] + 1,
+            "tables": dict(target),
+            "refs": dict(cur.get("refs", {})),
+        }
         if try_commit(catalog_dir, m):
             return m
     raise RuntimeError(
@@ -240,6 +376,11 @@ def catalog_vacuum(catalog_dir: str, keep_last_snapshots: int = 1) -> dict:
     touched. Tables the protected snapshots do NOT reference are left
     alone entirely: the catalog only ever reclaims history it pins.
 
+    TAGGED versions (catalog_tag) are protected snapshots too — the
+    Iceberg ref-pinning rule: a version named by any ref in the head's
+    ref map keeps its manifest AND its tables' pinned versions, however
+    old it is. Delete the tag and the next vacuum reclaims it.
+
     Returns ``{"tables": {dir: vacuum report}, "catalog_versions":
     [...]}``. Cost is O(manifests) — no data is read; deletion is the
     table vacuum's own data-dir reclaim."""
@@ -249,9 +390,13 @@ def catalog_vacuum(catalog_dir: str, keep_last_snapshots: int = 1) -> dict:
         raise ValueError("keep_last_snapshots must be >= 1")
     log = os.path.join(catalog_dir, _COMMITS)
     names = _catalog_manifest_names(catalog_dir)
-    protected_names = names[-keep_last_snapshots:]
+    refs = current_catalog(catalog_dir).get("refs", {})
+    tagged = {f"{int(v):020d}.json" for v in refs.values()}
+    protected_names = set(names[-keep_last_snapshots:]) | (
+        tagged & set(names)
+    )
     pins: dict[str, int] = {}
-    for n in protected_names:
+    for n in sorted(protected_names):
         m = _read_json(os.path.join(log, n))
         if m is None:
             continue
@@ -267,6 +412,8 @@ def catalog_vacuum(catalog_dir: str, keep_last_snapshots: int = 1) -> dict:
         reports[d] = vacuum_versions(d, 1, keep_from_version=min_pin)
     dropped = []
     for n in names[:-keep_last_snapshots]:
+        if n in protected_names:
+            continue  # tag-pinned: the named snapshot must stay readable
         try:
             os.unlink(os.path.join(log, n))
             dropped.append(int(n.split(".")[0]))
@@ -406,7 +553,8 @@ _TIME_TRAVEL_ORACLE = """
            COUNT(*) AS n,
            TRUE AS historical_consistent,
            TRUE AS head_consistent,
-           TRUE AS head_advanced
+           TRUE AS head_advanced,
+           TRUE AS tag_pinned
     FROM events WHERE event_id % 2 = 0 GROUP BY event_type
 """
 
@@ -429,15 +577,19 @@ def catalog_time_travel(spark: SparkSession, sf: str) -> DataFrame:
        same instant must resolve by TIMESTAMP (``as_of`` between the
        two publishes → version 1) — ``historical_consistent``;
     4. the head read stays consistent (``head_consistent``) and
-       demonstrably moved past the pinned versions (``head_advanced``).
+       demonstrably moved past the pinned versions (``head_advanced``);
+    5. (r14) v1 is TAGGED ``train-v1`` before the head moves, then
+       ``catalog_vacuum(keep_last_snapshots=1)`` runs: the untagged
+       tag-commit manifest (v2) retires and refuses afterwards, the
+       TAGGED v1 survives the vacuum (Iceberg's ref-pinned expiration)
+       and still serves a consistent pair by name, and an ``as_of``
+       instant that now falls in the retention GAP refuses instead of
+       silently serving the older tagged neighbor — ``tag_pinned``.
 
-    The RETURNED rollup is the v1 historical read itself, so the oracle
-    (half-corpus GROUP BY) hash-pins that time travel serves the OLD
-    data, not a relabeled head. Booleans are bounded scalar checks; the
-    rollup stays distributed. Vacuum-boundary refusal (reads past
-    ``catalog_vacuum`` raise) is pinned in tests/test_catalog.py —
-    exercising retention here would delete the history the oracle
-    reads."""
+    The RETURNED rollup is the post-vacuum TAG-resolved historical read
+    itself, so the oracle (half-corpus GROUP BY) hash-pins that the tag
+    serves the OLD data through retention, not a relabeled head.
+    Booleans are bounded scalar checks; the rollup stays distributed."""
     import time as _time
 
     from nshm2022db_spark.streaming.events import _reap_scratch
@@ -480,6 +632,7 @@ def catalog_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     v1_pins = {
         n: e["version"] for n, e in current_catalog(cat)["tables"].items()
     }
+    catalog_tag(cat, "train-v1", version=1)  # v2: the tag commit
 
     overwrite_partition_transaction(spark, x_dir, "event_type", rollup(events))
     overwrite_partition_transaction(spark, y_dir, "pk", totals(events))
@@ -499,16 +652,41 @@ def catalog_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
     head = current_catalog(cat)
     head_ok = _vector_consistent(spark, cat, snapshot=head)
-    advanced = head["version"] == 2 and all(
+    # v1 publish, v2 tag commit, v3 full publish
+    advanced = head["version"] == 3 and all(
         head["tables"][n]["version"] > v for n, v in v1_pins.items()
     )
 
-    out = read_catalog_table(spark, cat, "by_type", snapshot=hist).select(
+    # retention: keep the head; the untagged v2 retires, the TAGGED v1
+    # survives by name (ref-pinned expiration)
+    vac = catalog_vacuum(cat, keep_last_snapshots=1)
+    tagged = catalog_at(cat, tag="train-v1")
+    def _refuses(fn) -> bool:
+        try:
+            fn()
+            return False
+        except ValueError:
+            return True
+    tag_ok = (
+        2 in vac["catalog_versions"]
+        and 1 not in vac["catalog_versions"]
+        and tagged["version"] == 1
+        and _vector_consistent(spark, cat, snapshot=tagged)
+        # the retired tag-commit refuses; so does an as_of instant that
+        # now falls in the retention gap the tag created
+        and _refuses(lambda: catalog_at(cat, version=2))
+        and _refuses(lambda: catalog_at(cat, as_of=t_between))
+    )
+
+    out = read_catalog_table(
+        spark, cat, "by_type", catalog_tag="train-v1"
+    ).select(
         "event_type",
         "id_sum",
         "n",
         F.lit(hist_ok).alias("historical_consistent"),
         F.lit(head_ok).alias("head_consistent"),
         F.lit(advanced).alias("head_advanced"),
+        F.lit(tag_ok).alias("tag_pinned"),
     )
     return _reap_scratch(out, spark, cat)

@@ -359,3 +359,125 @@ class TestCatalogVacuum:
         # the checkpoint was neither retired as a snapshot nor unlinked
         assert rep["catalog_versions"] == []
         assert os.path.exists(ckpt)
+
+
+class TestCatalogTags:
+    def _publish_n(self, spark, tmp_path, n):
+        from nshm2022db_spark.streaming.catalog import catalog_publish
+
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        for i in range(1, n + 1):
+            va = _land(spark, a, [("x", i)])
+            catalog_publish(cat, {"a": (a, va)})
+        return cat, a
+
+    def test_tag_resolves_and_is_immutable(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_at,
+            catalog_tag,
+            catalog_tag_delete,
+        )
+        import pytest
+
+        cat, a = self._publish_n(spark, tmp_path, 2)  # catalog v1, v2
+        catalog_tag(cat, "train-v1", version=1)
+        got = read_catalog_table(spark, cat, "a", catalog_tag="train-v1")
+        assert {r.v for r in got.collect()} == {1}
+        assert catalog_at(cat, tag="train-v1")["version"] == 1
+        # tags are immutable without replace=True
+        with pytest.raises(ValueError, match="immutable"):
+            catalog_tag(cat, "train-v1", version=2)
+        catalog_tag(cat, "train-v1", version=2, replace=True)
+        assert catalog_at(cat, tag="train-v1")["version"] == 2
+        # unknown tag / bad names / unknown delete all refuse
+        with pytest.raises(ValueError, match="does not exist"):
+            catalog_at(cat, tag="nope")
+        with pytest.raises(ValueError, match="invalid tag name"):
+            catalog_tag(cat, "bad/name", version=1)
+        with pytest.raises(ValueError, match="does not exist"):
+            catalog_tag_delete(cat, "nope")
+        catalog_tag_delete(cat, "train-v1")
+        with pytest.raises(ValueError, match="does not exist"):
+            catalog_at(cat, tag="train-v1")
+
+    def test_tag_survives_publish_and_rollback(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_at,
+            catalog_publish,
+            catalog_rollback,
+            catalog_tag,
+        )
+
+        cat, a = self._publish_n(spark, tmp_path, 1)
+        catalog_tag(cat, "t1")  # default: current head (v1)
+        va = _land(spark, a, [("x", 9)])
+        catalog_publish(cat, {"a": (a, va)})
+        assert catalog_at(cat, tag="t1")["version"] == 1
+        catalog_rollback(cat, 1)
+        # refs ride the head: the rollback commit still carries the tag
+        assert catalog_at(cat, tag="t1")["version"] == 1
+
+    def test_vacuum_keeps_tagged_version_drops_untagged(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_at,
+            catalog_tag,
+            catalog_tag_delete,
+            catalog_vacuum,
+        )
+        import pytest
+
+        cat, a = self._publish_n(spark, tmp_path, 3)  # v1, v2, v3
+        catalog_tag(cat, "keep-v1", version=1)  # v4: the tag commit
+        rep = catalog_vacuum(cat, keep_last_snapshots=1)
+        # untagged v2/v3 retired; tagged v1 survived by name
+        assert set(rep["catalog_versions"]) == {2, 3}
+        assert catalog_at(cat, tag="keep-v1")["version"] == 1
+        got = read_catalog_table(spark, cat, "a", catalog_tag="keep-v1")
+        assert {r.v for r in got.collect()} == {1}
+        for v in (2, 3):
+            with pytest.raises(ValueError):
+                catalog_at(cat, version=v)
+        # tagging a vacuumed version refuses at creation
+        with pytest.raises(ValueError):
+            catalog_tag(cat, "too-late", version=2)
+        # delete the tag -> the next vacuum reclaims the version
+        catalog_tag_delete(cat, "keep-v1")
+        rep2 = catalog_vacuum(cat, keep_last_snapshots=1)
+        assert 1 in rep2["catalog_versions"]
+        with pytest.raises(ValueError):
+            catalog_at(cat, version=1)
+
+    def test_as_of_refuses_inside_tag_retention_gap(self, spark, tmp_path):
+        """An instant when a since-vacuumed version was live must refuse
+        rather than silently serve the older TAGGED neighbor."""
+        import time
+
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_at,
+            catalog_publish,
+            catalog_tag,
+            catalog_vacuum,
+        )
+        import pytest
+
+        cat, a = self._publish_n(spark, tmp_path, 1)  # v1
+        t_v1_live = time.time()
+        time.sleep(0.01)
+        va = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, va)})  # v2
+        time.sleep(0.01)
+        t_v2_live = time.time()
+        time.sleep(0.01)
+        va = _land(spark, a, [("x", 3)])
+        catalog_publish(cat, {"a": (a, va)})  # v3 (head)
+        catalog_tag(cat, "t1", version=1)  # v4
+        catalog_vacuum(cat, keep_last_snapshots=1)  # drops v2, v3
+        # v1 is retained, but its SUCCESSOR (v2) was dropped — any
+        # instant at-or-after v1 inside the gap is ambiguous and refuses
+        with pytest.raises(ValueError, match="vacuumed"):
+            catalog_at(cat, as_of=t_v1_live)
+        with pytest.raises(ValueError, match="vacuumed"):
+            catalog_at(cat, as_of=t_v2_live)
+        # the head instant always resolves
+        assert catalog_at(cat, as_of=time.time())["version"] == 4
