@@ -234,18 +234,20 @@ def _tfidf_probe_index(
     dfr = dprobes[0]
     for p in dprobes[1:]:
         dfr = dfr.unionByName(p)
+    # SUM, not MAX: the df/meta tables may hold one MERGED row per key
+    # (the batch-incremental path) or one DELTA row per micro-batch
+    # (the streaming path's MOR-counter appends, r14) — the additive
+    # fold is exact for both shapes (integer sums)
     df_row = dfr.agg(
         *[
             F.coalesce(
-                F.max(F.when(F.col("term") == t, F.col("df"))), F.lit(0)
+                F.sum(F.when(F.col("term") == t, F.col("df"))), F.lit(0)
             ).alias(f"df{i}")
             for i, t in enumerate(TFIDF_TERMS)
         ]
     )
-    n_row = (
-        read_keyed_table(spark, meta_dir)
-        .filter(F.col("metric") == "n_docs")
-        .select(F.col("v").alias("n"))
+    n_row = read_keyed_table(spark, meta_dir).agg(
+        F.sum(F.when(F.col("metric") == "n_docs", F.col("v"))).alias("n")
     )
     stats = df_row.crossJoin(n_row)
     scored = tfw.join(F.broadcast(stats)).select(
@@ -385,23 +387,21 @@ def _index_apply_batch(
     and the df rollup both consume the persisted bpost, and N counts
     the batch's rows.
 
-    Postings always APPEND, never MERGE: each document arrives in
-    exactly one micro-batch, so its (term, doc_id) keys are new by
-    construction — a merge's decision scan over the grown table would
-    pay O(index) per batch for what is an O(batch) insert (measured
-    ~2× the whole job at sf0.1). Re-delivery of a whole batch is the
-    one duplication mode left, and batch_id no-ops it. df/meta
-    genuinely need the additive merge, and their append-vs-merge
-    choice is made PER TARGET TABLE from its OWN log: a crash after
-    batch 0's postings commit replays with post_dir at v1 but df_dir
-    still empty, and a merge into an empty table raises — a single
-    shared first-batch flag broke exactly this restart path (pinned by
+    EVERYTHING appends, nothing merges (r14; postings since r13): each
+    document arrives in exactly one micro-batch, so posting keys are
+    new by construction, and the df/meta COUNTERS land as additive
+    delta generations the probes SUM-fold — the Hudi-MOR trade for
+    streaming counters, O(batch) per commit where the additive MERGE
+    paid an O(index) decision scan per batch (measured ~3 s/batch at
+    sf0.1; the r13 postings note, generalized). Re-delivery of a whole
+    batch is the one duplication mode left, and batch_id no-ops each
+    target table's commit from its OWN ledger — a crash between the
+    three commits replays only the missing ones, and appends are
+    restart-safe on EMPTY tables too, which retires the
+    merge-into-empty-raises restart hazard the old per-target
+    version-0 branch existed for (still pinned by
     test_crash_replay_of_first_batch_noops_cleanly)."""
-    from nshm2022db_spark.streaming.sinks import (
-        append_partition_transaction,
-        current_commit,
-        merge_into_table,
-    )
+    from nshm2022db_spark.streaming.sinks import append_partition_transaction
 
     s = batch_df.sparkSession
     # batch_df is persisted too: n_docs (the count() below) is a second
@@ -414,30 +414,21 @@ def _index_apply_batch(
             s, post_dir, "bucket", bpost,
             stats_cols=["doc_id"], bloom_cols=["term"], batch_id=batch_id,
         )
-        if current_commit(df_dir)["version"] == 0:
-            append_partition_transaction(
-                s, df_dir, "bucket", _index_df_counts(bpost),
-                bloom_cols=["term"], batch_id=batch_id,
-            )
-        else:
-            # change_data=False: no consumer reads the index tables'
-            # CDC feed, and the sidecar costs ~0.4 s/commit (PERF r14)
-            merge_into_table(
-                s, df_dir, _index_df_counts(bpost), keys=["term"],
-                when_matched_update={"df": "s.df + t.df"},
-                when_not_matched_insert=True, batch_id=batch_id,
-                change_data=False,
-            )
+        # df/meta land as ADDITIVE DELTA APPENDS, not merges (r14): a
+        # counter's streaming hot path is the Hudi-MOR trade — O(batch)
+        # generation appends, SUM-folded at the (term-scoped, bloom-
+        # pruned) probe — where the additive MERGE pays an O(index)
+        # decision scan per batch (measured ~3 s/batch at sf0.1, the
+        # same cost class the r13 postings-append note retired). The
+        # batch-incremental path (tfidf_index_incremental) keeps the
+        # MERGE form; the shared probes fold BOTH shapes identically.
+        # Re-delivered batches still no-op whole commits via batch_id.
+        append_partition_transaction(
+            s, df_dir, "bucket", _index_df_counts(bpost),
+            bloom_cols=["term"], batch_id=batch_id,
+        )
         meta = _index_meta_rows(s, batch_df, bpost)
-        if current_commit(meta_dir)["version"] == 0:
-            append_partition_transaction(s, meta_dir, "pk", meta, batch_id=batch_id)
-        else:
-            merge_into_table(
-                s, meta_dir, meta, keys=["metric"],
-                when_matched_update={"v": "s.v + t.v"},
-                when_not_matched_insert=True, batch_id=batch_id,
-                change_data=False,
-            )
+        append_partition_transaction(s, meta_dir, "pk", meta, batch_id=batch_id)
     finally:
         bpost.unpersist()
         batch_df.unpersist()
@@ -657,17 +648,19 @@ def _bm25_probe_index(
     dfr = dprobes[0]
     for p in dprobes[1:]:
         dfr = dfr.unionByName(p)
+    # SUM folds both table shapes — merged rows or per-batch MOR deltas
+    # (see _tfidf_probe_index); integer sums, exact either way
     df_row = dfr.agg(
         *[
             F.coalesce(
-                F.max(F.when(F.col("term") == t, F.col("df"))), F.lit(0)
+                F.sum(F.when(F.col("term") == t, F.col("df"))), F.lit(0)
             ).alias(f"df{i}")
             for i, t in enumerate(TFIDF_TERMS)
         ]
     )
     meta = read_keyed_table(spark, meta_dir).agg(
-        F.max(F.when(F.col("metric") == "n_docs", F.col("v"))).alias("n"),
-        F.max(F.when(F.col("metric") == "sum_dl", F.col("v"))).alias("sum_dl"),
+        F.sum(F.when(F.col("metric") == "n_docs", F.col("v"))).alias("n"),
+        F.sum(F.when(F.col("metric") == "sum_dl", F.col("v"))).alias("sum_dl"),
     )
     stats = df_row.crossJoin(meta)
     scored = tfw.join(F.broadcast(stats)).select(

@@ -430,9 +430,18 @@ class TestTfidfIndexIncremental:
     def test_postings_carry_dl_and_meta_tracks_sum_dl(self, spark, tmp_path):
         """The BM25 length stats ride the index: every posting row of a
         doc carries its total token count, and the meta table holds the
-        additive sum_dl alongside n_docs."""
+        additive n_docs/sum_dl counters. The streaming path lands the
+        counters as per-batch MOR DELTA rows (r14) — readers SUM-fold
+        per metric, which this reads exactly the way the probes do."""
         from nshm2022db_spark.extensions.curation import _index_apply_batch
         from nshm2022db_spark.streaming.sinks import read_keyed_table
+
+        def meta_folded(path):
+            rows = read_keyed_table(spark, path).collect()
+            out: dict[str, int] = {}
+            for r in rows:
+                out[r.metric] = out.get(r.metric, 0) + r.v
+            return out
 
         batch = spark.createDataFrame(
             [(1, "spark merge spark vector", "en", "s", 1),
@@ -446,20 +455,16 @@ class TestTfidfIndexIncremental:
             for r in read_keyed_table(spark, f"{t}/p").select("doc_id", "dl").collect()
         }
         assert dls == {(1, 4), (2, 2)}
-        meta = {
-            r.metric: r.v for r in read_keyed_table(spark, f"{t}/m").collect()
-        }
-        assert meta == {"n_docs": 2, "sum_dl": 6}
-        # a second batch merges ADDITIVELY into both metrics
+        assert meta_folded(f"{t}/m") == {"n_docs": 2, "sum_dl": 6}
+        # a second batch's deltas accumulate ADDITIVELY under the fold
         batch2 = spark.createDataFrame(
             [(3, "merge", "en", "s", 1)],
             "doc_id long, text string, lang string, source string, n_chars long",
         )
         _index_apply_batch(batch2, 1, f"{t}/p", f"{t}/d", f"{t}/m")
-        meta = {
-            r.metric: r.v for r in read_keyed_table(spark, f"{t}/m").collect()
-        }
-        assert meta == {"n_docs": 3, "sum_dl": 7}
+        assert meta_folded(f"{t}/m") == {"n_docs": 3, "sum_dl": 7}
+        # delta generations: one meta row per (metric, batch)
+        assert read_keyed_table(spark, f"{t}/m").count() == 4
 
 
 class TestBm25:
