@@ -1547,7 +1547,7 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
         for i, w in enumerate(TFIDF_TERMS)
     ]
     tf = (
-        read_table(spark, sf, "documents")
+        spread(read_table(spark, sf, "documents").select("doc_id", "text"))
         .select(
             "doc_id",
             F.expr(spark_tokens(spark_ascii_lower("text"))).alias("tk"),
@@ -1585,7 +1585,7 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     cos_top = (
-        emb.crossJoin(q)
+        spread(emb).crossJoin(q)
         .select(
             F.col("vec_id").alias("doc_id"),
             F.expr(_cos_expr("q", "embedding", False)).alias("c"),

@@ -33,7 +33,7 @@ from nshm2022db_spark.functions.portable import (
     spark_tokens,
 )
 from nshm2022db_spark.registry import register
-from nshm2022db_spark.sources import read_table
+from nshm2022db_spark.sources import read_table, spread
 
 # -- shared tuning knobs (identical on both engines) -------------------------
 JACCARD_TAU = 0.2
@@ -1095,9 +1095,9 @@ def dedup_substring_runs(spark: SparkSession, sf: str) -> DataFrame:
     duplicated positions. At 100 TB the gram key would be a 64-bit
     hash instead of the gram text (collision-tolerable for a filter);
     the text key here keeps the DuckDB oracle byte-identical."""
-    docs = read_table(spark, sf, "documents").select(
-        "doc_id", F.split("text", " ").alias("a")
-    )
+    docs = spread(
+        read_table(spark, sf, "documents").select("doc_id", "text")
+    ).select("doc_id", F.split("text", " ").alias("a"))
     grams = (
         docs.filter(F.size("a") >= SUBSTR_GRAM)
         .select(

@@ -366,7 +366,7 @@ def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     inlining (and re-evaluating) the tokenizer ~15x per row — measured
     8.4 s -> well under 1 s at sf0.1."""
     toks = (
-        read_table(spark, sf, "documents")
+        spread(read_table(spark, sf, "documents").select("doc_id", "text"))
         .select("doc_id", F.expr(spark_tokens(spark_ascii_lower("text"))).alias("tk"))
         .filter("size(tk) >= 2")
     )

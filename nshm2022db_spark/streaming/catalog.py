@@ -84,25 +84,54 @@ def catalog_publish(
     catalog_dir: str,
     updates: dict[str, tuple[str, int]],
     max_retries: int = 10,
+    branch: str | None = None,
 ) -> dict:
     """Atomically re-point the catalog's snapshot vector for the named
     tables: ``updates`` maps table name -> (table_dir, version) — the
     versions the caller just committed through the per-table logs.
     Unnamed tables carry forward; a CAS loser re-reads and re-applies
     ONLY its own updates, so concurrent publishers of disjoint sets
-    both land. Returns the published manifest."""
+    both land. Returns the published manifest.
+
+    ``branch`` addresses the publish to a NAMED BRANCH
+    (catalog_branch): the branch's own vector advances, MAIN's vector
+    is carried forward byte-for-byte — main readers cannot observe a
+    branch write (the Nessie staging model; catalog_promote merges the
+    branch back). A branch commit is an ordinary commit in the one
+    linear CAS log: ``tables`` stays main's vector, the branch's new
+    vector rides in ``branch_tables``, and the head's ``branches`` map
+    re-points at it."""
     for _ in range(max_retries):
         cur = current_catalog(catalog_dir)
-        tables = dict(cur.get("tables", {}))
+        if branch is not None and branch not in cur.get("branches", {}):
+            raise ValueError(
+                f"branch {branch!r} does not exist in {catalog_dir}"
+            )
+        base = (
+            dict(cur.get("tables", {}))
+            if branch is None
+            else dict(_resolve_branch_tables(catalog_dir, cur, branch))
+        )
         for name, (d, v) in updates.items():
-            tables[name] = {"dir": os.path.abspath(d), "version": int(v)}
-        # refs (named tags) carry forward through every publish — they
-        # are names on the version HISTORY, not part of the vector
+            base[name] = {"dir": os.path.abspath(d), "version": int(v)}
+        # refs (named tags/branches) carry forward through every
+        # publish — they are names on the history, not part of the
+        # vector
         m = {
             "version": cur["version"] + 1,
-            "tables": tables,
+            "tables": (
+                base if branch is None else dict(cur.get("tables", {}))
+            ),
             "refs": dict(cur.get("refs", {})),
+            **_branches_carry(cur),
         }
+        if branch is not None:
+            m["branch_of"] = branch
+            m["branch_tables"] = base
+            m["branches"][branch] = {
+                **m["branches"][branch],
+                "at": m["version"],
+            }
         # the SAME os.link conditional-put every table's log uses —
         # the catalog is just one more CAS log (sinks.try_commit)
         if try_commit(catalog_dir, m):
@@ -125,6 +154,197 @@ def _check_tag_name(name: str) -> None:
         raise ValueError(
             f"invalid tag name {name!r}: use letters, digits, '.', '_', '-'"
         )
+
+
+def _branches_carry(cur: dict) -> dict:
+    """The ``branches`` map carried into a successor manifest (deep
+    enough a CAS retry can't alias a stale read). Omitted when empty so
+    pre-branch catalogs keep their manifest shape byte-identical."""
+    b = cur.get("branches")
+    return {"branches": {k: dict(v) for k, v in b.items()}} if b else {}
+
+
+def _resolve_branch_tables(catalog_dir: str, cur: dict, name: str) -> dict:
+    """The snapshot vector at a branch's HEAD. ``branches[name]['at']``
+    names the catalog version holding it: a branch-addressed commit
+    carries it in ``branch_tables``; the creation target (an ordinary
+    main commit) carries it in ``tables``. Resolution goes through
+    ``catalog_at``, so a branch whose head manifest was vacuumed
+    refuses instead of serving a neighbor."""
+    ref = cur["branches"][name]
+    m = catalog_at(catalog_dir, version=int(ref["at"]))
+    if m.get("branch_of") == name:
+        return m.get("branch_tables", {})
+    return m.get("tables", {})
+
+
+def catalog_branch(
+    catalog_dir: str,
+    name: str,
+    version: int | None = None,
+    max_retries: int = 10,
+) -> dict:
+    """Create a WRITABLE NAMED BRANCH — the Nessie/Iceberg branch model
+    beside catalog_tag's immutable refs: ``catalog_publish(...,
+    branch=name)`` advances the branch head independently of main,
+    readers resolve it via ``catalog_at(branch=name)`` /
+    ``read_catalog_table(catalog_branch=name)``, and
+    ``catalog_promote`` merges it back in one atomic CAS. The staging
+    workflow a 100 TB training org runs: land + validate a curation
+    rebuild on ``staging`` while main keeps serving, then promote.
+
+    ``version`` is the fork point (default: current head; must be a
+    retained version). The branch records its ``base`` — the main
+    vector it forked from — which promotion uses for per-table
+    conflict detection. Branch heads are retention PINS like tags:
+    catalog_vacuum never retires the manifest a live branch resolves
+    through. Names share one namespace with tags (a ref must resolve
+    unambiguously). Branches are mutable by design, so re-creating an
+    existing branch refuses (delete it first)."""
+    _check_tag_name(name)
+    for _ in range(max_retries):
+        cur = current_catalog(catalog_dir)
+        target = cur["version"] if version is None else int(version)
+        if target < 1:
+            raise ValueError("cannot branch the empty pre-publish catalog")
+        # validates retention (vacuumed / not-yet-committed refuse)
+        catalog_at(catalog_dir, version=target)
+        if name in cur.get("refs", {}):
+            raise ValueError(
+                f"{name!r} already names a tag in {catalog_dir}; "
+                "tags and branches share one ref namespace"
+            )
+        branches = dict(_branches_carry(cur).get("branches", {}))
+        if name in branches:
+            raise ValueError(
+                f"branch {name!r} already exists at catalog version "
+                f"{branches[name]['at']}; delete it first"
+            )
+        branches[name] = {"at": target, "base": target}
+        m = {
+            "version": cur["version"] + 1,
+            "tables": dict(cur.get("tables", {})),
+            "refs": dict(cur.get("refs", {})),
+            "branches": branches,
+        }
+        if try_commit(catalog_dir, m):
+            # same post-CAS re-validation as catalog_tag: a vacuum
+            # racing the window between the retention check and the
+            # CAS could retire the fork target; roll back and refuse
+            # rather than leave a dangling branch (ADVICE r14 rule)
+            try:
+                catalog_at(catalog_dir, version=target)
+            except Exception:
+                catalog_branch_delete(catalog_dir, name)
+                raise ValueError(
+                    f"catalog version {target} was vacuumed while branching; "
+                    f"branch {name!r} rolled back"
+                )
+            return m
+    raise RuntimeError(
+        f"catalog_branch lost the CAS {max_retries} times in {catalog_dir}"
+    )
+
+
+def catalog_branch_delete(
+    catalog_dir: str, name: str, max_retries: int = 10
+) -> dict:
+    """Drop a branch ref (its commits become ordinary vacuumable
+    history — Nessie's delete-branch). Unknown names refuse, matching
+    catalog_tag_delete."""
+    for _ in range(max_retries):
+        cur = current_catalog(catalog_dir)
+        branches = dict(_branches_carry(cur).get("branches", {}))
+        if name not in branches:
+            raise ValueError(
+                f"branch {name!r} does not exist in {catalog_dir}"
+            )
+        del branches[name]
+        m = {
+            "version": cur["version"] + 1,
+            "tables": dict(cur.get("tables", {})),
+            "refs": dict(cur.get("refs", {})),
+        }
+        if branches:
+            m["branches"] = branches
+        if try_commit(catalog_dir, m):
+            return m
+    raise RuntimeError(
+        f"catalog_branch_delete lost the CAS {max_retries} times in "
+        f"{catalog_dir}"
+    )
+
+
+def catalog_promote(
+    catalog_dir: str,
+    name: str,
+    delete_branch: bool = True,
+    max_retries: int = 10,
+) -> dict:
+    """PROMOTE a branch into main — one atomic CAS commit, so every
+    main reader flips from the old vector to the merged one with no
+    torn state (the staging→main promotion the branch exists for).
+
+    Merge rule (Nessie's fast-forward-or-merge, per table): tables the
+    branch CHANGED since its fork base take the branch's version;
+    tables only MAIN changed keep main's; a table changed on BOTH
+    sides is a CONFLICT and the promotion refuses — resolving
+    divergent table histories is the caller's job (re-publish to the
+    branch from a fresh fork), never something to guess at. When main
+    hasn't moved since the fork this degenerates to a pure
+    fast-forward of the branch vector. The promotion commit is
+    auditable history (``promoted_from``); the branch ref is dropped
+    by default (Nessie merge-then-delete)."""
+    for _ in range(max_retries):
+        cur = current_catalog(catalog_dir)
+        branches = dict(_branches_carry(cur).get("branches", {}))
+        if name not in branches:
+            raise ValueError(
+                f"branch {name!r} does not exist in {catalog_dir}"
+            )
+        ref = branches[name]
+        br = _resolve_branch_tables(catalog_dir, cur, name)
+        base = catalog_at(catalog_dir, version=int(ref["base"])).get(
+            "tables", {}
+        )
+        main = dict(cur.get("tables", {}))
+        merged = dict(main)
+        for t, ent in br.items():
+            if ent == base.get(t):
+                continue  # branch didn't change it: keep main's view
+            if main.get(t) != base.get(t):
+                raise ValueError(
+                    f"promote conflict on table {t!r}: changed on both "
+                    f"main and branch {name!r} since fork base "
+                    f"{ref['base']} in {catalog_dir}"
+                )
+            merged[t] = dict(ent)
+        # a table the branch DELETED (absent from br, present in base)
+        # is dropped from main unless main also changed it
+        for t, ent in base.items():
+            if t not in br:
+                if main.get(t) != ent:
+                    raise ValueError(
+                        f"promote conflict on table {t!r}: deleted on "
+                        f"branch {name!r} but changed on main in "
+                        f"{catalog_dir}"
+                    )
+                merged.pop(t, None)
+        if delete_branch:
+            branches.pop(name, None)
+        m = {
+            "version": cur["version"] + 1,
+            "tables": merged,
+            "refs": dict(cur.get("refs", {})),
+            "promoted_from": {"branch": name, "at": int(ref["at"])},
+        }
+        if branches:
+            m["branches"] = branches
+        if try_commit(catalog_dir, m):
+            return m
+    raise RuntimeError(
+        f"catalog_promote lost the CAS {max_retries} times in {catalog_dir}"
+    )
 
 
 def catalog_tag(
@@ -158,6 +378,11 @@ def catalog_tag(
         # validates retention (vacuumed / not-yet-committed refuse)
         catalog_at(catalog_dir, version=target)
         refs = dict(cur.get("refs", {}))
+        if name in cur.get("branches", {}):
+            raise ValueError(
+                f"{name!r} already names a branch in {catalog_dir}; "
+                "tags and branches share one ref namespace"
+            )
         if name in refs and refs[name] != target and not replace:
             raise ValueError(
                 f"tag {name!r} already points at version {refs[name]}; "
@@ -168,8 +393,25 @@ def catalog_tag(
             "version": cur["version"] + 1,
             "tables": dict(cur.get("tables", {})),
             "refs": refs,
+            **_branches_carry(cur),
         }
         if try_commit(catalog_dir, m):
+            # The retention check above ran BEFORE the CAS: a
+            # concurrent catalog_vacuum that read refs in that window
+            # could have retired the target manifest, leaving a
+            # committed tag that dangles. Re-validate now that the tag
+            # is visible — vacuum respects visible tags, so a target
+            # that still resolves here stays protected from this point
+            # on; if it was retired in the window, roll the tag back
+            # and refuse (ADVICE r14).
+            try:
+                catalog_at(catalog_dir, version=target)
+            except Exception:
+                catalog_tag_delete(catalog_dir, name)
+                raise ValueError(
+                    f"catalog version {target} was vacuumed while tagging; "
+                    f"tag {name!r} rolled back"
+                )
             return m
     raise RuntimeError(
         f"catalog_tag lost the CAS {max_retries} times in {catalog_dir}"
@@ -192,6 +434,7 @@ def catalog_tag_delete(
             "version": cur["version"] + 1,
             "tables": dict(cur.get("tables", {})),
             "refs": refs,
+            **_branches_carry(cur),
         }
         if try_commit(catalog_dir, m):
             return m
@@ -205,6 +448,7 @@ def catalog_at(
     version: int | None = None,
     as_of: float | None = None,
     tag: str | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Catalog TIME TRAVEL: the snapshot vector as of a past catalog
     ``version`` or wall-clock instant (``as_of``, epoch seconds against
@@ -229,8 +473,24 @@ def catalog_at(
     ``tag`` resolves a NAMED ref (catalog_tag) through the CURRENT
     head's ref map — Iceberg's semantics: refs are live names, always
     read from the latest metadata, never from historical manifests."""
-    if sum(x is not None for x in (version, as_of, tag)) != 1:
-        raise ValueError("pass exactly one of version / as_of / tag")
+    if sum(x is not None for x in (version, as_of, tag, branch)) != 1:
+        raise ValueError(
+            "pass exactly one of version / as_of / tag / branch"
+        )
+    if branch is not None:
+        # branches are live refs like tags: resolved through the
+        # CURRENT head's branch map, serving the branch's OWN vector
+        cur = current_catalog(catalog_dir)
+        if branch not in cur.get("branches", {}):
+            raise ValueError(
+                f"branch {branch!r} does not exist in {catalog_dir}"
+            )
+        at = int(cur["branches"][branch]["at"])
+        return {
+            "version": at,
+            "tables": dict(_resolve_branch_tables(catalog_dir, cur, branch)),
+            "branch": branch,
+        }
     if tag is not None:
         refs = current_catalog(catalog_dir).get("refs", {})
         if tag not in refs:
@@ -304,6 +564,7 @@ def read_catalog_table(
     catalog_version: int | None = None,
     catalog_as_of: float | None = None,
     catalog_tag: str | None = None,
+    catalog_branch: str | None = None,
 ) -> DataFrame | None:
     """Read a table AT the catalog's pinned version (None if the catalog
     doesn't reference it). Pass ``snapshot`` (a ``current_catalog`` /
@@ -315,11 +576,14 @@ def read_catalog_table(
     travel (or a named tag)."""
     from nshm2022db_spark.streaming.sinks import read_keyed_table
 
-    picked = (snapshot, catalog_version, catalog_as_of, catalog_tag)
+    picked = (
+        snapshot, catalog_version, catalog_as_of, catalog_tag,
+        catalog_branch,
+    )
     if sum(x is not None for x in picked) > 1:
         raise ValueError(
             "pass at most one of snapshot / catalog_version / "
-            "catalog_as_of / catalog_tag"
+            "catalog_as_of / catalog_tag / catalog_branch"
         )
     if any(x is not None for x in picked[1:]):
         snapshot = catalog_at(
@@ -327,6 +591,7 @@ def read_catalog_table(
             version=catalog_version,
             as_of=catalog_as_of,
             tag=catalog_tag,
+            branch=catalog_branch,
         )
     cur = snapshot if snapshot is not None else current_catalog(catalog_dir)
     ent = cur.get("tables", {}).get(name)
@@ -355,6 +620,7 @@ def catalog_rollback(catalog_dir: str, version: int, max_retries: int = 10) -> d
             "version": cur["version"] + 1,
             "tables": dict(target),
             "refs": dict(cur.get("refs", {})),
+            **_branches_carry(cur),
         }
         if try_commit(catalog_dir, m):
             return m
@@ -390,8 +656,16 @@ def catalog_vacuum(catalog_dir: str, keep_last_snapshots: int = 1) -> dict:
         raise ValueError("keep_last_snapshots must be >= 1")
     log = os.path.join(catalog_dir, _COMMITS)
     names = _catalog_manifest_names(catalog_dir)
-    refs = current_catalog(catalog_dir).get("refs", {})
-    tagged = {f"{int(v):020d}.json" for v in refs.values()}
+    head = current_catalog(catalog_dir)
+    refs = head.get("refs", {})
+    branches = head.get("branches", {})
+    # tag targets AND live branch heads/bases are ref pins — a branch
+    # must survive vacuum both at its head (what it serves) and at its
+    # fork base (what promotion diffs against)
+    ref_versions = set(map(int, refs.values())) | {
+        int(b[k]) for b in branches.values() for k in ("at", "base")
+    }
+    tagged = {f"{v:020d}.json" for v in ref_versions}
     protected_names = set(names[-keep_last_snapshots:]) | (
         tagged & set(names)
     )
@@ -400,7 +674,12 @@ def catalog_vacuum(catalog_dir: str, keep_last_snapshots: int = 1) -> dict:
         m = _read_json(os.path.join(log, n))
         if m is None:
             continue
-        for ent in m.get("tables", {}).values():
+        # a branch commit pins BOTH vectors it carries: ``tables`` is
+        # main's carry-forward, ``branch_tables`` the branch's own
+        for ent in [
+            *m.get("tables", {}).values(),
+            *m.get("branch_tables", {}).values(),
+        ]:
             d, v = ent["dir"], int(ent["version"])
             pins[d] = min(pins.get(d, v), v)
     reports = {}
@@ -688,5 +967,139 @@ def catalog_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(head_ok).alias("head_consistent"),
         F.lit(advanced).alias("head_advanced"),
         F.lit(tag_ok).alias("tag_pinned"),
+    )
+    return _reap_scratch(out, spark, cat)
+
+
+_BRANCHES_ORACLE = """
+    SELECT event_type,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           COUNT(*) AS n,
+           TRUE AS branch_isolated,
+           TRUE AS branch_consistent,
+           TRUE AS promoted_atomic
+    FROM events GROUP BY event_type
+"""
+
+
+@register("catalog_branches", _BRANCHES_ORACLE)
+def catalog_branches(spark: SparkSession, sf: str) -> DataFrame:
+    """WRITABLE BRANCHES + atomic promotion — the staging→main
+    promotion workflow (Nessie's branch model at catalog scope; the
+    machinery catalog_tag's immutable refs point toward, VERDICT r14
+    #4). A 100 TB curation rebuild lands and validates on ``staging``
+    while main keeps serving; promotion is ONE CAS commit.
+
+    1. publish main v1: the rollup + grand-totals proof pair built
+       from HALF the events (the catalog_atomic_publish invariant);
+    2. ``catalog_branch('staging')`` forks at v1;
+    3. rebuild BOTH tables from the FULL corpus and
+       ``catalog_publish(branch='staging')`` — the branch head
+       advances; MAIN still serves the v1 vector even though direct
+       table reads already see the new versions
+       (``branch_isolated``: main's pinned versions are unchanged
+       AND its pair still agrees);
+    4. the branch read (``catalog_at(branch='staging')``) serves the
+       NEW consistent pair (``branch_consistent``);
+    5. ``catalog_promote('staging')`` fast-forwards main in one CAS:
+       the head now serves the branch's vector, the pair agrees, and
+       the branch ref is gone (``promoted_atomic``).
+
+    The RETURNED rollup is the post-promotion MAIN read — the
+    full-corpus oracle hash-pins that promotion served the branch's
+    data through main, not a relabeled half-build. Booleans are
+    bounded scalar checks; the rollup stays distributed. Per-call
+    scratch is reaped (protocol cost IS the measured thing, the
+    catalog_atomic_publish family)."""
+    from nshm2022db_spark.streaming.events import _reap_scratch
+    from nshm2022db_spark.streaming.sinks import (
+        current_commit,
+        overwrite_partition_transaction,
+    )
+
+    events = read_table(spark, sf, "events").select(
+        "event_id", "event_type", (F.col("event_id") % 2 == 0).alias("half")
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def totals(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.count(F.lit(1)).alias("n"),
+        ).withColumn("pk", F.lit(0))
+
+    cat = tempfile.mkdtemp(prefix="catalog_br_")
+    x_dir = os.path.join(cat, "by_type")
+    y_dir = os.path.join(cat, "totals")
+
+    half = events.filter("half")
+    overwrite_partition_transaction(spark, x_dir, "event_type", rollup(half))
+    overwrite_partition_transaction(spark, y_dir, "pk", totals(half))
+    catalog_publish(
+        cat,
+        {
+            "by_type": (x_dir, current_commit(x_dir)["version"]),
+            "totals": (y_dir, current_commit(y_dir)["version"]),
+        },
+    )
+    v1_pins = {
+        n: e["version"] for n, e in current_catalog(cat)["tables"].items()
+    }
+
+    catalog_branch(cat, "staging")  # v2: fork at v1
+
+    # the staging rebuild: both tables advance, the branch publish
+    # lands them on the branch head only
+    overwrite_partition_transaction(spark, x_dir, "event_type", rollup(events))
+    overwrite_partition_transaction(spark, y_dir, "pk", totals(events))
+    catalog_publish(
+        cat,
+        {
+            "by_type": (x_dir, current_commit(x_dir)["version"]),
+            "totals": (y_dir, current_commit(y_dir)["version"]),
+        },
+        branch="staging",
+    )  # v3: branch commit
+
+    main = current_catalog(cat)
+    isolated = (
+        {n: e["version"] for n, e in main["tables"].items()} == v1_pins
+        and current_commit(x_dir)["version"] > v1_pins["by_type"]
+        and _vector_consistent(spark, cat, snapshot=main)
+    )
+    br = catalog_at(cat, branch="staging")
+    branch_ok = _vector_consistent(spark, cat, snapshot=br) and all(
+        br["tables"][n]["version"] > v for n, v in v1_pins.items()
+    )
+
+    promoted = catalog_promote(cat, "staging")
+    head = current_catalog(cat)
+
+    def _refuses(fn) -> bool:
+        try:
+            fn()
+            return False
+        except ValueError:
+            return True
+
+    promote_ok = (
+        head["version"] == promoted["version"]
+        and head["tables"] == br["tables"]
+        and _vector_consistent(spark, cat, snapshot=head)
+        and _refuses(lambda: catalog_at(cat, branch="staging"))
+    )
+
+    out = read_catalog_table(spark, cat, "by_type").select(
+        "event_type",
+        "id_sum",
+        "n",
+        F.lit(isolated).alias("branch_isolated"),
+        F.lit(branch_ok).alias("branch_consistent"),
+        F.lit(promote_ok).alias("promoted_atomic"),
     )
     return _reap_scratch(out, spark, cat)

@@ -13,6 +13,7 @@ can observe streaming results synchronously.
 
 from __future__ import annotations
 
+import errno
 import itertools
 import os
 
@@ -717,8 +718,19 @@ def stream_mapped_changes(spark: SparkSession, sf: str) -> DataFrame:
         _mapped_merge_history(spark, ev, build)
         try:
             os.rename(build, bronze)
-        except OSError:
+        except OSError as exc:
+            # Only EEXIST/ENOTEMPTY mean another builder won the race;
+            # any other failure (EACCES, ENOSPC, EXDEV cross-device
+            # tmp) must NOT discard the build and mark an empty dir
+            # landed — that would persist a missing commit log for
+            # every later run in any process.
+            if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                raise
             shutil.rmtree(build, ignore_errors=True)  # lost the race
+        if not os.path.isdir(os.path.join(bronze, "_commits")):
+            raise RuntimeError(
+                f"mapped-history publish left no commit log at {bronze}"
+            )
         mark_landed(bronze)
     replay = _replay_session(spark)
     register_commitlog_source(replay)

@@ -432,6 +432,14 @@ def _collect_stage_stats(
 
 _BLOOM_BITS = 65536  # default m: 8 KiB/partition/col, <1% FP up to ~n=6800
 _BLOOM_HASHES = 5  # k: optimal for m/n ≈ 10
+# Bloom sidecar FORMAT version. v2 = signed-zero canonicalization in
+# the hash input (-0.0 and 0.0 share one canonical string). A bitmap
+# persisted by a pre-v2 writer hashed '-0.0' keys under a different
+# string than a v2 probe computes, so probing it could FALSELY prune
+# the partition holding the match — the probe side therefore treats
+# any spec whose ``v`` differs from the current format as no-bloom
+# (never prunes), exactly like the older pre-type-tag ``t`` gate.
+_BLOOM_FORMAT = 2
 # merge pruning probes blooms per source key only when the source's
 # distinct key set is at most this many (one limit-bounded job; the
 # driver-side probe loop is partitions x keys x k bit tests)
@@ -562,6 +570,7 @@ def _collect_stage_blooms(
             "m": m,
             "k": k,
             "t": types[r["_c"]],
+            "v": _BLOOM_FORMAT,
             "bits": base64.b64encode(bytes(bits)).decode("ascii"),
         }
     return out
@@ -727,6 +736,11 @@ def _bloom_may_contain(
     ``bits`` may carry the pre-decoded bitmap so callers probing many
     values against one entry decode it once (r11 review #3)."""
     if sp is None or v is None or "t" not in sp:
+        return True
+    if sp.get("v") != _BLOOM_FORMAT:
+        # sidecar written under an older hash-input format (pre
+        # signed-zero canonicalization): its bit positions don't match
+        # what today's probe computes, so it can never safely prune
         return True
     probes = _bloom_probes(spark, v, sp["m"], sp["k"], sp["t"])
     if probes is None:
@@ -1399,6 +1413,11 @@ def append_partition_transaction(
                             and osp["m"] == sp["m"]
                             and osp["k"] == sp["k"]
                             and osp.get("t") == sp.get("t")
+                            # OR-merging bitmaps hashed under different
+                            # format versions would mix incompatible
+                            # probe spaces; a version mismatch drops
+                            # the column's bloom instead (conservative)
+                            and osp.get("v") == sp.get("v")
                         ):
                             ob = base64.b64decode(osp["bits"])
                             nb = base64.b64decode(sp["bits"])
@@ -1406,6 +1425,7 @@ def append_partition_transaction(
                                 "m": sp["m"],
                                 "k": sp["k"],
                                 "t": sp["t"],
+                                "v": sp["v"],
                                 "bits": base64.b64encode(
                                     bytes(a | b for a, b in zip(ob, nb))
                                 ).decode("ascii"),

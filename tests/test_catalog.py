@@ -481,3 +481,206 @@ class TestCatalogTags:
             catalog_at(cat, as_of=t_v2_live)
         # the head instant always resolves
         assert catalog_at(cat, as_of=time.time())["version"] == 4
+
+    def test_tag_rolls_back_when_vacuum_races_the_cas(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """catalog_tag validates retention BEFORE its CAS commit; a
+        vacuum that retires the target manifest inside that window must
+        not leave a committed tag dangling at a version catalog_at can
+        no longer resolve (ADVICE r14). The post-CAS re-check rolls the
+        tag back and refuses."""
+        import pytest
+
+        from nshm2022db_spark.streaming import catalog as cat_mod
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_at,
+            catalog_tag,
+            catalog_vacuum,
+        )
+
+        cat, a = self._publish_n(spark, tmp_path, 3)  # v1, v2, v3
+        real = cat_mod.try_commit
+        fired = {"n": 0}
+
+        def racing_commit(table_dir, manifest):
+            # first commit attempt = the tag's winning CAS; run the
+            # racing vacuum just before it lands (the tag ref is not
+            # yet visible, so v1 is unprotected and retires)
+            if fired["n"] == 0 and "v1-tag" in manifest.get("refs", {}):
+                fired["n"] = 1
+                monkeypatch.setattr(cat_mod, "try_commit", real)
+                catalog_vacuum(cat, keep_last_snapshots=1)
+            return real(table_dir, manifest)
+
+        monkeypatch.setattr(cat_mod, "try_commit", racing_commit)
+        with pytest.raises(ValueError, match="vacuumed while tagging"):
+            catalog_tag(cat, "v1-tag", version=1)
+        assert fired["n"] == 1
+        # the tag did not survive: no dangling ref in the head
+        with pytest.raises(ValueError, match="does not exist"):
+            catalog_at(cat, tag="v1-tag")
+
+
+class TestCatalogBranches:
+    def _seed(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.catalog import catalog_publish
+
+        cat = str(tmp_path / "cat")
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        va = _land(spark, a, [("x", 1)])
+        vb = _land(spark, b, [("x", 10)])
+        catalog_publish(cat, {"a": (a, va), "b": (b, vb)})  # v1
+        return cat, a, b
+
+    def test_branch_isolation_and_fast_forward_promotion(
+        self, spark, tmp_path
+    ):
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_at,
+            catalog_branch,
+            catalog_promote,
+            catalog_publish,
+        )
+        import pytest
+
+        cat, a, b = self._seed(spark, tmp_path)
+        catalog_branch(cat, "staging")  # v2, fork at v1
+        va2 = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, va2)}, branch="staging")  # v3
+        # main is untouched; the branch serves the new version
+        got = {r.v for r in read_catalog_table(spark, cat, "a").collect()}
+        assert got == {1}
+        got = {
+            r.v
+            for r in read_catalog_table(
+                spark, cat, "a", catalog_branch="staging"
+            ).collect()
+        }
+        assert got == {2}
+        # branch vector carries the untouched table forward
+        br = catalog_at(cat, branch="staging")
+        assert {r.v for r in read_catalog_table(
+            spark, cat, "b", snapshot=br
+        ).collect()} == {10}
+        # fast-forward promotion: main flips to the branch vector in
+        # one commit and the branch ref is gone
+        catalog_promote(cat, "staging")
+        got = {r.v for r in read_catalog_table(spark, cat, "a").collect()}
+        assert got == {2}
+        with pytest.raises(ValueError, match="does not exist"):
+            catalog_at(cat, branch="staging")
+
+    def test_promotion_merges_disjoint_main_advance(self, spark, tmp_path):
+        """Main publishing a DIFFERENT table while the branch works is
+        the Nessie merge case: promotion keeps main's advance and takes
+        the branch's change."""
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_branch,
+            catalog_promote,
+            catalog_publish,
+        )
+
+        cat, a, b = self._seed(spark, tmp_path)
+        catalog_branch(cat, "staging")
+        va2 = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, va2)}, branch="staging")
+        vb2 = _land(spark, b, [("x", 20)])
+        catalog_publish(cat, {"b": (b, vb2)})  # main moves table b
+        catalog_promote(cat, "staging")
+        assert {r.v for r in read_catalog_table(spark, cat, "a").collect()} == {2}
+        assert {r.v for r in read_catalog_table(spark, cat, "b").collect()} == {20}
+
+    def test_promotion_conflict_refuses(self, spark, tmp_path):
+        """The SAME table changed on both sides since the fork refuses
+        — divergent table histories are never guessed at."""
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_branch,
+            catalog_promote,
+            catalog_publish,
+        )
+        import pytest
+
+        cat, a, b = self._seed(spark, tmp_path)
+        catalog_branch(cat, "staging")
+        va2 = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, va2)}, branch="staging")
+        va3 = _land(spark, a, [("x", 3)])
+        catalog_publish(cat, {"a": (a, va3)})  # main moves table a too
+        with pytest.raises(ValueError, match="promote conflict"):
+            catalog_promote(cat, "staging")
+        # the branch survives a refused promotion
+        got = {
+            r.v
+            for r in read_catalog_table(
+                spark, cat, "a", catalog_branch="staging"
+            ).collect()
+        }
+        assert got == {2}
+
+    def test_vacuum_pins_branch_head_and_base(self, spark, tmp_path):
+        """A live branch is a retention pin at BOTH its head (what it
+        serves) and its fork base (what promotion diffs against);
+        deleting the branch releases them."""
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_at,
+            catalog_branch,
+            catalog_branch_delete,
+            catalog_publish,
+            catalog_vacuum,
+        )
+        import pytest
+
+        cat, a, b = self._seed(spark, tmp_path)  # v1
+        catalog_branch(cat, "staging")  # v2, base=1
+        va2 = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, va2)}, branch="staging")  # v3 = head
+        va3 = _land(spark, a, [("x", 3)])
+        catalog_publish(cat, {"a": (a, va3)})  # v4 on main
+        rep = catalog_vacuum(cat, keep_last_snapshots=1)
+        # v2 (the branch-create commit) is unprotected history; v1
+        # (base) and v3 (branch head) survive with v4 (head)
+        assert set(rep["catalog_versions"]) == {2}
+        assert catalog_at(cat, version=1)["version"] == 1
+        got = {
+            r.v
+            for r in read_catalog_table(
+                spark, cat, "a", catalog_branch="staging"
+            ).collect()
+        }
+        assert got == {2}
+        # drop the branch: its commits become ordinary vacuumable
+        # history and the next vacuum reclaims them
+        catalog_branch_delete(cat, "staging")
+        rep2 = catalog_vacuum(cat, keep_last_snapshots=1)
+        assert {1, 3} <= set(rep2["catalog_versions"])
+        with pytest.raises(ValueError):
+            catalog_at(cat, version=3)
+
+    def test_ref_namespace_and_argument_validation(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_branch,
+            catalog_publish,
+            catalog_tag,
+        )
+        import pytest
+
+        cat, a, b = self._seed(spark, tmp_path)
+        catalog_tag(cat, "r1")
+        with pytest.raises(ValueError, match="namespace"):
+            catalog_branch(cat, "r1")
+        catalog_branch(cat, "dev")
+        with pytest.raises(ValueError, match="namespace"):
+            catalog_tag(cat, "dev")
+        with pytest.raises(ValueError, match="already exists"):
+            catalog_branch(cat, "dev")
+        with pytest.raises(ValueError, match="does not exist"):
+            catalog_publish(cat, {"a": (a, 1)}, branch="nope")
+
+    def test_registered_branches_query_booleans(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        row = QUERIES["catalog_branches"](spark, sf_dir).collect()[0]
+        assert row.branch_isolated and row.branch_consistent
+        assert row.promoted_atomic

@@ -2292,6 +2292,36 @@ class TestBloomTypeSafety:
         r = read_keyed_table(spark, t, prune={"lv": ("eq", "abc")})
         assert len(r.inputFiles()) > 0
 
+    def test_legacy_format_sidecar_never_prunes(self, spark, tmp_path):
+        """A bitmap persisted under an older hash-input format (no
+        ``v`` stamp — pre signed-zero canonicalization) hashed keys
+        under strings today's probe may not compute; the probe side
+        must treat it as no-bloom rather than risk false-pruning the
+        match's partition (ADVICE r14)."""
+        from nshm2022db_spark.streaming.sinks import (
+            _BLOOM_FORMAT,
+            _bloom_may_contain,
+            append_partition_transaction,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"k{i % 2}") for i in range(40)], "id long, k string"
+        )
+        append_partition_transaction(
+            spark, t, "k", df, bloom_cols=["id"], bloom_bits=8192
+        )
+        sp = table_history(t)[-1]["bloom"]["k=k0"]["id"]
+        assert sp["v"] == _BLOOM_FORMAT
+        # current-format spec proves an absent key absent...
+        assert _bloom_may_contain(spark, sp, 12345) is False
+        assert _bloom_may_contain(spark, sp, 4) is True
+        # ...but stripped of its format stamp (a pre-v2 writer's
+        # sidecar) the same bitmap can never prune
+        legacy = {k: v for k, v in sp.items() if k != "v"}
+        assert _bloom_may_contain(spark, legacy, 12345) is True
+
     def test_bad_bloom_geometry_rejected_before_staging(
         self, spark, tmp_path
     ):
