@@ -228,6 +228,10 @@ HEADLINE = [
     "bm25_index_stream",
     # r14: streaming semantic (SemDeDup) admission
     "stream_semdedup_admission",
+    # r15: writable catalog branches + atomic staging->main promotion
+    "catalog_branches",
+    # r15: IVF-PQ index maintained by a streaming foreachBatch writer
+    "knn_ivfpq_index_stream",
     # approx_percentile_bound stays out: like the oracled HLL contract
     # query, it times exact+sketch together (the sketch-only timing is
     # representative via percentile_agg's plan shape)
@@ -253,6 +257,8 @@ CONTRACT_QUERIES = {
     # wall time tracks the multi-table commit protocol, not a plan
     "catalog_time_travel",           # 6-commit 2-publish + AS OF resolve:
     # wall time tracks the same commit protocol, not a plan
+    "catalog_branches",              # branch + 2 publishes + promotion:
+    # wall time tracks the ref/commit protocol, not a plan
 }
 
 

@@ -112,7 +112,7 @@ def tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(_tf(w, False)).alias(f"tf{i}") for i, w in enumerate(TFIDF_TERMS)
     ]
     tf = (
-        read_table(spark, sf, "documents")
+        spread(read_table(spark, sf, "documents").select("doc_id", "text"))
         .select("doc_id", F.expr(spark_tokens(spark_ascii_lower("text"))).alias("tk"))
         .select("doc_id", *tf_cols)
     )
@@ -589,7 +589,7 @@ def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(_tf(w, False)).alias(f"tf{i}") for i, w in enumerate(TFIDF_TERMS)
     ]
     tf = (
-        read_table(spark, sf, "documents")
+        spread(read_table(spark, sf, "documents").select("doc_id", "text"))
         .select("doc_id", F.expr(spark_tokens(spark_ascii_lower("text"))).alias("tk"))
         .select("doc_id", F.size("tk").cast("long").alias("dl"), *tf_cols)
     )

@@ -679,6 +679,26 @@ def _trained_centroids(
     return spark.createDataFrame(rows, schema)
 
 
+def _trained_centroid_rows(
+    spark: SparkSession, sf: str, nlist_of=None, tag: str = "ivf"
+) -> list:
+    """The memoized centroid ROWS themselves — for driver-side probe
+    selection and LUT construction, where re-materializing a local
+    relation just to .collect() it again costs a whole Spark job
+    (~0.25 s of pure scheduling at sf0.1, r15 profile). Bounded
+    centroid set, the sanctioned scalar budget."""
+    import os
+
+    try:
+        mtime = os.path.getmtime(os.path.join(sf, "embeddings.parquet"))
+    except OSError:
+        mtime = -1.0
+    key = (sf, mtime, tag)
+    if key not in _TRAINED:
+        _trained_centroids(spark, sf, nlist_of, tag)
+    return _TRAINED[key][0]
+
+
 _DUCK_IVF_CENTS = f"""
         ivfn AS (SELECT {_ivf_nlist_case_sql('c')} AS nl
                  FROM (SELECT count(*) AS c FROM embeddings)),
@@ -1860,67 +1880,120 @@ def _pq_residual_encode_batches(cb: "np.ndarray"):
     return encode
 
 
+def _pq_assign_encode_batches(cent_ids: list, C: "np.ndarray", cb: "np.ndarray"):
+    """FUSED map-only index build: (vec_id, embedding) -> (vec_id,
+    pcid, codes) in one Arrow-batched pass — argmax-cosine list
+    assignment (_sem_assign_batches' exact arithmetic: sequential-order
+    dots, ascending cent_ids so ties resolve to the lowest id, the
+    bit-parity contract test_sem_assign_matches_batch pins) chained
+    into the residual PQ encode (x − centroid(list(x)) quantized
+    against cb, _pq_residual_encode_batches' exact op). r15: this
+    replaces assignment-as-aggregation (_assign_lists' corpus-wide
+    groupBy(vec_id) shuffle + a broadcast join to fetch cv) with ZERO
+    exchanges — at 100 TB the index build becomes a pure scan-side
+    pipe, and the encoded 8-byte codes are the only thing that ever
+    shuffles (into the list-partitioned landing)."""
+    import numpy as np
+    import pandas as pd
+
+    cn = np.sqrt(_seq_dot_nd(C, C))
+
+    def assign_encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "pcid": [], "codes": []})
+                continue
+            X = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            xn = np.sqrt(_seq_dot_nd(X, X))
+            cos = _seq_dot_nd(X[:, None, :], C[None]) / (xn[:, None] * cn[None])
+            k = cos.argmax(1)
+            codes = _pq_sqdists(X - C[k], cb).argmin(-1)  # ties -> lowest c
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pcid": [str(int(cent_ids[j])) for j in k],
+                    "codes": [c.astype(np.int32) for c in codes],
+                }
+            )
+
+    return assign_encode
+
+
+def _pq_coded_relation(rows: DataFrame, cent_rows: list, cb: "np.ndarray") -> DataFrame:
+    """The (vec_id, pcid, codes) code relation for a set of vectors —
+    the shared index-build pipe of knn_ivfpq / knn_ivfpq_lakehouse /
+    knn_ivfpq_index_stream. Map-only (see _pq_assign_encode_batches);
+    ``cent_rows`` is the memoized centroid row set (bounded, driver-
+    side — no collect job, r15)."""
+    import numpy as np
+
+    crows = sorted(
+        (int(r["centroid_id"]), list(r["cv"])) for r in cent_rows
+    )
+    cent_ids = [c for c, _ in crows]
+    C = np.array([v for _, v in crows], np.float64)
+    return rows.select("vec_id", "embedding").mapInPandas(
+        _pq_assign_encode_batches(cent_ids, C, cb),
+        "vec_id long, pcid string, codes array<int>",
+    )
+
+
 def _ivfpq_query(
-    spark: SparkSession, sf: str, cb: "np.ndarray", cents: DataFrame,
+    spark: SparkSession, sf: str, cb: "np.ndarray", cent_rows: list,
     coded_for,
 ) -> DataFrame:
     """The shared IVF-PQ QUERY path (knn_ivfpq and the materialized
     knn_ivfpq_lakehouse must return byte-identical results against one
     oracle, so probe selection, the ADC scan, and the rescore live
-    once — the `_ivf_probe_and_rank` discipline). ``coded_for(probes)``
+    once — the `_ivf_probe_and_rank` discipline). ``coded_for(pcids)``
     supplies the candidate code relation exposing (vec_id, pcid,
-    codes) — inline assignment+encode, or the committed index read
-    pruned to the probed lists."""
+    codes) for the probed list ids — inline assignment+encode, or the
+    committed index read pruned to those lists.
+
+    Probe selection runs DRIVER-SIDE (r15): nq query vectors against
+    the memoized centroid set, `_seq_dot_nd`'s fold-exact arithmetic
+    (the bit-parity contract test_sem_assign_matches_batch pins), order
+    by qcos desc with centroid_id tie-break — knn_ivf's rule, formerly
+    a crossJoin + window Spark job whose ~0.5 s was pure scheduling at
+    any corpus size (nq x nlist rows). One bounded job remains: the
+    nq-row query-vector fetch (pushed-down point scan)."""
     import numpy as np
 
     emb = read_table(spark, sf, "embeddings")
 
-    # probe selection: knn_ivf's rule (qcos desc, centroid_id ties)
-    centsn = _with_norm(cents, "cv", "cnorm")
-    qp = (
-        _with_norm(
-            emb.filter(F.col("vec_id") < N_QUERIES), "embedding", "qnorm"
-        )
-        .crossJoin(F.broadcast(centsn))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "centroid_id",
-            (
-                F.expr(spark_dot("embedding", "cv"))
-                / (F.col("qnorm") * F.col("cnorm"))
-            ).alias("qcos"),
-        )
+    # the only probe-side job: fetch the nq query vectors by id
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("qcos").desc(), F.col("centroid_id")
-    )
-    probes = (
-        qp.withColumn("prk", F.row_number().over(wp))
-        .filter(F.col("prk") <= IVF_NPROBE)
-        .select(
-            "query_id", F.col("centroid_id").cast("string").alias("pcid")
-        )
+    crows = sorted((int(r["centroid_id"]), list(r["cv"])) for r in cent_rows)
+    cent_ids = [c for c, _ in crows]
+    Q = np.array([r["embedding"] for r in qrows], np.float64)
+    C = np.array([v for _, v in crows], np.float64)
+    qn = np.sqrt(_seq_dot_nd(Q, Q))
+    cn = np.sqrt(_seq_dot_nd(C, C))
+    qcos = _seq_dot_nd(Q[:, None, :], C[None]) / (qn[:, None] * cn[None])
+    probe_rows = sorted(
+        (int(qr["vec_id"]), str(cent_ids[j]))
+        for qi, qr in enumerate(qrows)
+        for j in sorted(
+            range(len(cent_ids)),
+            key=lambda j: (-qcos[qi, j], cent_ids[j]),
+        )[:IVF_NPROBE]
     )
 
     # per-(query, PROBED LIST) ADC LUTs — the residual formulation's
     # one structural change: the query's residual differs per probed
     # centroid, so each probe row gets its own m x k table. All bounded
-    # driver-side work (nq x nprobe rows here; nq·nprobe·m·k doubles at
-    # any corpus size), the same budget class as the probe-id collect.
-    qrows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    Qmap = {int(r.vec_id): np.array(r.embedding, np.float64) for r in qrows}
-    Cmap = {
-        str(r["centroid_id"]): np.array(r["cv"], np.float64)
-        for r in cents.collect()  # memoized bounded centroid set
+    # driver-side work (nq x nprobe rows; nq·nprobe·m·k doubles at
+    # any corpus size).
+    Qmap = {
+        int(r["vec_id"]): np.array(r["embedding"], np.float64)
+        for r in qrows
     }
-    probe_rows = sorted(
-        (int(r["query_id"]), str(r["pcid"])) for r in probes.collect()
-    )
+    Cmap = {str(c): np.array(v, np.float64) for c, v in crows}
     RQ = np.stack([Qmap[qid] - Cmap[pcid] for qid, pcid in probe_rows])
     luts = _pq_sqdists(RQ, cb)  # (nq * nprobe, m, k)
     lut_df = spark.createDataFrame(
@@ -1936,8 +2009,9 @@ def _ivfpq_query(
         "aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), "
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    probed_ids = sorted({pcid for _, pcid in probe_rows})
     scored = (
-        coded_for(probes).alias("l")
+        coded_for(probed_ids).alias("l")
         .join(
             probe_luts.alias("p"),
             (F.col("l.pcid") == F.col("p.pcid"))
@@ -2036,25 +2110,16 @@ def knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_table(spark, sf, "embeddings")
     cents = _trained_centroids(spark, sf)
     cb = _pq_residual_codebook(spark, sf, cents)
+    cent_rows = _trained_centroid_rows(spark, sf)
 
-    def coded_for(probes):
-        # inline index build: assignment (one shuffle) chained into a
-        # map-only RESIDUAL encode — the centroid vectors ride the
-        # broadcast join so the subtraction happens in the encoder
-        return (
-            _assign_lists(emb, cents)
-            .join(F.broadcast(cents), "centroid_id")
-            .select(
-                "vec_id", "embedding", "cv",
-                F.col("centroid_id").cast("string").alias("pcid"),
-            )
-            .mapInPandas(
-                _pq_residual_encode_batches(cb),
-                "vec_id long, pcid string, codes array<int>",
-            )
-        )
+    def coded_for(pcids):
+        # inline index build: ONE fused map-only assign+encode pass
+        # (r15 — the corpus-wide groupBy(vec_id) assignment shuffle
+        # and the cv broadcast join are gone; see
+        # _pq_assign_encode_batches)
+        return _pq_coded_relation(emb, cent_rows, cb)
 
-    return _ivfpq_query(spark, sf, cb, cents, coded_for)
+    return _ivfpq_query(spark, sf, cb, cent_rows, coded_for)
 
 
 @register("knn_ivfpq_lakehouse", _IVFPQ_ORACLE)
@@ -2085,22 +2150,11 @@ def knn_ivfpq_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_table(spark, sf, "embeddings")
     cents = _trained_centroids(spark, sf)
     cb = _pq_residual_codebook(spark, sf, cents)
+    cent_rows = _trained_centroid_rows(spark, sf)
 
     def build(rows: DataFrame) -> DataFrame:
-        return (
-            _assign_lists(rows, cents)
-            .join(F.broadcast(cents), "centroid_id")
-            .select(
-                "vec_id", "embedding", "cv",
-                F.col("centroid_id").cast("string").alias("pcid"),
-            )
-            .mapInPandas(
-                _pq_residual_encode_batches(cb),
-                "vec_id long, pcid string, codes array<int>",
-            )
-            .select(
-                "vec_id", "codes", F.col("pcid").alias("centroid_id")
-            )
+        return _pq_coded_relation(rows, cent_rows, cb).select(
+            "vec_id", "codes", F.col("pcid").alias("centroid_id")
         )
 
     # r14 key bump: codes are residual-encoded now; an r13 landing
@@ -2117,15 +2171,12 @@ def knn_ivfpq_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
         mark_landed(base)
     idx = read_keyed_table(spark, path)
 
-    def coded_for(probes):
-        probed_ids = sorted(
-            {r["pcid"] for r in probes.select("pcid").collect()}
-        )
+    def coded_for(pcids):
         return idx.filter(
-            F.col("centroid_id").isin(probed_ids)
+            F.col("centroid_id").isin(list(pcids))
         ).withColumn("pcid", F.col("centroid_id"))
 
-    return _ivfpq_query(spark, sf, cb, cents, coded_for)
+    return _ivfpq_query(spark, sf, cb, cent_rows, coded_for)
 
 
 @register("knn_ivfpq_index_stream", _IVFPQ_ORACLE)
@@ -2162,26 +2213,14 @@ def knn_ivfpq_index_stream(spark: SparkSession, sf: str) -> DataFrame:
 
     cents = _trained_centroids(spark, sf)
     cb = _pq_residual_codebook(spark, sf, cents)
+    cent_rows = _trained_centroid_rows(spark, sf)
 
     def build(rows: DataFrame) -> DataFrame:
-        # identical encode chain to knn_ivfpq_lakehouse's build, on
-        # the BATCH's own session (centroids re-materialize from the
-        # _TRAINED memo — bounded rows, no cross-session DataFrame)
-        bc = _trained_centroids(rows.sparkSession, sf)
-        return (
-            _assign_lists(rows, bc)
-            .join(F.broadcast(bc), "centroid_id")
-            .select(
-                "vec_id", "embedding", "cv",
-                F.col("centroid_id").cast("string").alias("pcid"),
-            )
-            .mapInPandas(
-                _pq_residual_encode_batches(cb),
-                "vec_id long, pcid string, codes array<int>",
-            )
-            .select(
-                "vec_id", "codes", F.col("pcid").alias("centroid_id")
-            )
+        # identical encode chain to knn_ivfpq_lakehouse's build — the
+        # memoized centroid rows are session-free driver state, so the
+        # batch session needs no DataFrame re-materialization at all
+        return _pq_coded_relation(rows, cent_rows, cb).select(
+            "vec_id", "codes", F.col("pcid").alias("centroid_id")
         )
 
     base = scratch_path("ivfpq_index_stream_r15", sf)
@@ -2206,12 +2245,9 @@ def knn_ivfpq_index_stream(spark: SparkSession, sf: str) -> DataFrame:
         mark_landed(base)
     idx = read_keyed_table(spark, path)
 
-    def coded_for(probes):
-        probed_ids = sorted(
-            {r["pcid"] for r in probes.select("pcid").collect()}
-        )
+    def coded_for(pcids):
         return idx.filter(
-            F.col("centroid_id").isin(probed_ids)
+            F.col("centroid_id").isin(list(pcids))
         ).withColumn("pcid", F.col("centroid_id"))
 
-    return _ivfpq_query(spark, sf, cb, cents, coded_for)
+    return _ivfpq_query(spark, sf, cb, cent_rows, coded_for)

@@ -485,8 +485,12 @@ class TestR13QueryPlans:
         # full shuffle of the corpus-sized side
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-        # the index build is one assignment shuffle + a map-only encode
+        # r15: the index build is ONE fused map-only assign+encode pass
+        # (_pq_assign_encode_batches) — the corpus-wide groupBy(vec_id)
+        # assignment exchange is gone; the only hash exchange left is
+        # the bounded candidate window's query_id partitioning
         assert plan.count("MapInPandas") == 2  # one stage, named twice
+        assert "hashpartitioning(vec_id" not in plan
 
 
 class TestR14TextSpreadPlans:
@@ -534,3 +538,49 @@ class TestR14TextSpreadPlans:
         for name in ("bpe_encode_learned", "lm_bigram_score"):
             plan = _plan(QUERIES[name](spark, sf_dir))
             assert "RoundRobinPartitioning(" not in plan, name
+
+
+class TestR15SpreadPlans:
+    """r15: the deferred spread winners (VERDICT r14 #2/#6). Each
+    corpus-scan subtree carries exactly one round-robin spread (the
+    testdata one-file scan is one partition; at 100 TB the source's
+    file count provides this for free). dedup_embedding_cosine's
+    spread runs INSIDE its localCheckpoint materialization, so the
+    served plan shows the checkpoint scan, not the exchange — its pin
+    is the checkpoint itself (TestPlanShapes has it)."""
+
+    def test_substring_runs_spread_per_gram_subtree(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["dedup_substring_runs"](spark, sf_dir))
+        # the gram relation feeds the df-filter and the position join;
+        # Spark plans each side's scan subtree independently
+        assert plan.count("RoundRobinPartitioning(") == 2
+
+    def test_repetition_stats_single_spread_map_only(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["text_repetition_stats"](spark, sf_dir))
+        # one scan -> one spread; everything after stays map-only
+        assert plan.count("RoundRobinPartitioning(") == 1
+        assert plan.count("Arguments: hashpartitioning") == 0
+
+    def test_hybrid_rrf_spread_per_scan(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["hybrid_search_rrf"](spark, sf_dir))
+        # lexical tf scan (planned twice: stats agg + scored join) +
+        # the vector scan -> three spread subtrees, still zero wide
+        # exchanges (rank fusion runs over <= N-row lists)
+        assert plan.count("RoundRobinPartitioning(") == 3
+        assert plan.count("Arguments: hashpartitioning") == 0
+
+    def test_bm25_and_tfidf_spread_two_pass(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        for name in ("bm25_search", "tfidf_search"):
+            plan = _plan(QUERIES[name](spark, sf_dir))
+            # the tf relation is planned twice (stats agg + scored
+            # join) -> one spread per pass; no wide exchange
+            assert plan.count("RoundRobinPartitioning(") == 2, name
+            assert plan.count("Arguments: hashpartitioning") == 0, name

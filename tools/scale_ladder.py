@@ -324,6 +324,13 @@ LADDER = [
     # keyed-state shuffle; per-batch work is touched-clusters x occ²
     # with occupancy fixed, so the replay cost tracks corpus linearly
     "stream_semdedup_admission",
+    # r15: branch + 2 publishes + promotion — the catalog ref protocol
+    # floor (O(manifests) resolution) plus two scan-linear rollups
+    "catalog_branches",
+    # r15: streaming-built IVF-PQ index — build lands once in warm-up
+    # (map-only assign+encode per batch, O(batch) appends); timed runs
+    # are the partition-pruned probe path, knn_ivfpq_lakehouse's shape
+    "knn_ivfpq_index_stream",
 ]
 
 
