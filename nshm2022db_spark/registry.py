@@ -163,51 +163,121 @@ from nshm2022db_spark.streaming import catalog, events, joins, stateful  # noqa:
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # ROUND-14 WINDOW (VERDICT r13 next-round #1-#6 + the standing tail
+    # ROUND-15 WINDOW (VERDICT r14 next-round #1-#6 + the standing tail
     # contract):
-    # (a) NEW in r14: catalog TIME TRAVEL (catalog_at version/as_of
-    #     resolution through retained snapshot vectors, vacuum-boundary
-    #     refusal — the returned rollup IS the historical read, so the
-    #     half-corpus oracle pins that travel serves OLD data), BM25
-    #     (inline two-pass + the streaming-maintained-index form, one
-    #     shared oracle so streamed-index == inline-scan is value-pinned
-    #     in-gate), and streaming SEMANTIC admission (SemDeDup as an
-    #     ingest job; shares dedup_semdedup's oracle, so stream ==
-    #     batch is the gate itself).
-    # (b) own-code changed in r14, in-window per the contract:
-    #     knn_ivfpq + knn_ivfpq_lakehouse (RESIDUAL encoding — oracle
-    #     rewritten, PERF.md recall/byte study), tfidf_index_incremental
-    #     + stream_index_maintenance (postings carry dl, meta carries
-    #     sum_dl for BM25), catalog_atomic_publish (catalog.py listing/
-    #     vacuum fixes), dedup_semdedup (its oracle now also pins the
-    #     streaming twin), ALL 12 codec-chain queries (the _spread
-    #     head: single-partition scan serialization fixed — plan shape
-    #     changed, values must not have), and the 3 text-lane spread
-    #     queries (sources.spread at the scan head:
-    #     text_winnow_fingerprints / text_novelty_score / dsir_select —
-    #     same plan-shape-changed-values-must-not-have contract; the
-    #     probe's other winners, dedup_substring_runs +
-    #     text_repetition_stats + hybrid_search_rrf +
-    #     dedup_embedding_cosine, are DEFERRED to r15 so this window
-    #     only displaces r10-evidence filler rows, never the r9 tail).
-    # (c) tail refresh per the r13 tail-head contract: the 24 remaining
-    #     r9-evidence rows (multimodal_wav_decode, the 25th, is already
-    #     in-window via (b)), then the stalest r10 row to fill 50.
-    #     After this window no driver evidence older than r10 remains;
-    #     the r15 priority is the remaining r10 block (scan_project,
-    #     topk_global, union_all_stack displaced here, then
-    #     agg_pushdown_scan .. window_running_sum at the tail head),
-    #     the deferred spread queries above, and the r13-displaced rows
-    #     below the boundary.
-    "catalog_time_travel",
-    "bm25_search",
-    "bm25_index_stream",
-    "stream_semdedup_admission",
+    # (a) NEW in r15: catalog BRANCHES (writable named refs beside the
+    #     r14 tags — branch-addressed publishes, isolation from main,
+    #     one-CAS fast-forward-or-merge promotion, vacuum ref-pinning;
+    #     the full-corpus oracle pins that promotion served the
+    #     branch's data through main) and the STREAMING-MAINTAINED
+    #     IVF-PQ index (foreachBatch residual-encode, O(batch)
+    #     batch-id-idempotent appends into the list-partitioned code
+    #     table; shares knn_ivfpq's oracle so streamed == inline ==
+    #     batch-lakehouse is the gate itself).
+    # (b) own-code changed in r15, in-window per the contract:
+    #     knn_ivfpq + knn_ivfpq_lakehouse (fused map-only assign+encode
+    #     build, driver-side probe selection — plan changed, values
+    #     must not have), the six spread heads (dedup_substring_runs /
+    #     text_repetition_stats / hybrid_search_rrf /
+    #     dedup_embedding_cosine from the r14 probe table; bm25_search
+    #     / tfidf_search from the r15 probe — same contract),
+    #     catalog_time_travel + catalog_atomic_publish (catalog commits
+    #     carry the branches map; tag CAS re-validates post-commit),
+    #     stream_mapped_changes (bronze publish only treats
+    #     EEXIST/ENOTEMPTY as a lost race, refuses logless landings),
+    #     the bloom sidecar FORMAT gate (bloom_skip_scan as skip-scan
+    #     rep, merge_into_conditional as merge bloom-probe rep), and
+    #     the parked r14-leg-2 DML reps update_where_partition /
+    #     delete_where_rewrite (driver evidence at last).
+    # (c) the ENTIRE remaining r10-evidence block (VERDICT r14 #1):
+    #     the 33 rows fit the 33 free slots exactly, so after this
+    #     window the driver freshness floor is r11 repo-wide (sole
+    #     exception: rows-only geometry_planes, no oracle by design).
+    "catalog_branches",
+    "knn_ivfpq_index_stream",
     "knn_ivfpq",
     "knn_ivfpq_lakehouse",
+    "dedup_substring_runs",
+    "text_repetition_stats",
+    "hybrid_search_rrf",
+    "dedup_embedding_cosine",
+    "bm25_search",
+    "tfidf_search",
+    "catalog_time_travel",
+    "catalog_atomic_publish",
+    "stream_mapped_changes",
+    "bloom_skip_scan",
+    "merge_into_conditional",
+    "update_where_partition",
+    "delete_where_rewrite",
+    "agg_pushdown_scan",
+    "bloom_join_prefilter",
+    "bpe_encode_topk",
+    "bpe_pair_counts",
+    "bucket_by_cutpoints",
+    "chunk_documents",
+    "clone_evolve_read",
+    "cohort_retention",
+    "curation_pipeline",
+    "dedup_index_lakehouse",
+    "dedup_keep_best",
+    "epoch_shuffle",
+    "events_locf",
+    "scalar_string_format",
+    "scan_project",
+    "semi_join_membership",
+    "split_leakage_free",
+    "stream_cdc_rollup",
+    "stream_dedup_events",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_upsert_mor",
+    "stream_upsert_table",
+    "stream_windowed_distinct",
+    "surrogate_keys_dense",
+    "table_profile",
+    "topk_global",
+    "topk_per_group",
+    "union_all_stack",
+    "unpivot_long",
+    "value_histogram",
+    "window_range_frame",
+    "window_running_sum",
+    # --- 50-query window boundary (driver gate cap observed r01-r14) ---
+    # Displaced rows in prior order (r11 is the new stalest band; r16
+    # rotates from there):
+    "multimodal_audio_resample",
+    "knn_pq_adc",
+    "table_changes_typed",
+    "cdc_apply_typed",
+    "table_changes_feed",
+    "delete_tombstone_mor",
+    "cdc_incremental_agg",
+    "commit_rebase_stats",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "knn_bruteforce",
+    "knn_lsh_bucketed",
+    "knn_lsh_multiprobe",
+    "knn_ivf",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_pii_scrub",
+    "text_fingerprint",
+    "vocab_topk",
+    "explode_tokens",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "stream_static_join",
+    "stream_tumbling_window",
+    "stream_stream_join",
+    "stream_stateful_profile",
+    "stratified_sample",
+    "bm25_index_stream",
+    "stream_semdedup_admission",
     "tfidf_index_incremental",
     "stream_index_maintenance",
-    "catalog_atomic_publish",
     "dedup_semdedup",
     "dedup_image_ahash",
     "multimodal_video_frames",
@@ -248,40 +318,9 @@ _DRIVER_ORDER = [
     "pivot_wide",
     "range_join_events",
     "stream_incremental_rollup",
-    # shared DML-primitive change in r14 leg 2 (_materialize_decision:
-    # merge/update/delete decision frames localCheckpoint instead of
-    # scratch-parquet; merge also batches bloom probes fold-side and
-    # this query's own call turns its unconsumed CDC sidecar off):
-    # stream_merge_conditional is the in-window representative — it
-    # drives merge's update AND delete clauses through BOTH delete
-    # routes (dv + rewrite). The plain UPDATE/DELETE reps
-    # (update_where_partition, delete_where_rewrite — same 2-line
-    # materialize swap, re-proven by the full local 3-scale sweep and
-    # their pytest pins) head the r15 rotation below.
     "stream_merge_conditional",
-    # Window note (r14 leg 3): stream_table_source /
-    # stream_table_changes_typed / stream_mapped_changes converted
-    # their immutable bronze SETUP builds to landed scratch (the
-    # batch-DML queries' is_landed pattern). Their registered
-    # expressions, replay paths, and oracles are byte-identical — only
-    # where the setup table lives changed — so they keep their
-    # r13-fresh window evidence rather than displacing protected
-    # r9-tail rows; re-proven this round by the full 194/194 sweep
-    # plus scoped sf0.01/sf0.1/sf1/bare runs and determinism stress.
-    # --- 50-query window boundary (driver gate cap observed r01-r13) ---
-    # Displaced r10-evidence filler rows + the r14-leg-2 DML reps
-    # (r15 rotates these first):
-    "update_where_partition",
-    "delete_where_rewrite",
-    "scan_project",
-    "topk_global",
-    "union_all_stack",
-    "unpivot_long",
-    # Displaced r13-fresh rows (r15 may rotate them as needed):
     "stream_neardup_admission",
     "merge_mapped_cdc",
-    "stream_mapped_changes",
-    "merge_into_conditional",
     "merge_delete_composite",
     "merge_schema_evolution",
     "delete_where_cdc",
@@ -299,7 +338,6 @@ _DRIVER_ORDER = [
     "merge_upsert",
     "advanced_query_or_bounds",
     "approx_percentile_bound",
-    "hybrid_search_rrf",
     "stream_overwrite_refresh",
     "bpe_encode_learned",
     "lm_bigram_assoc",
@@ -314,73 +352,10 @@ _DRIVER_ORDER = [
     "rollup_agg",
     "advanced_query_dsl",
     "anti_join_missing",
-    # Remaining tail, stalest (r10) first within the prior ordering:
-    "multimodal_audio_resample",
-    "knn_pq_adc",
-    "table_changes_typed",
-    "cdc_apply_typed",
-    "table_changes_feed",
-    "delete_tombstone_mor",
-    "bloom_skip_scan",
-    "cdc_incremental_agg",
-    "commit_rebase_stats",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "knn_bruteforce",
-    "knn_lsh_bucketed",
-    "knn_lsh_multiprobe",
-    "knn_ivf",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "text_pii_scrub",
-    "text_fingerprint",
-    "text_repetition_stats",
-    "vocab_topk",
-    "explode_tokens",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "stream_static_join",
-    "stream_tumbling_window",
-    "stream_stream_join",
-    "stream_stateful_profile",
-    "stratified_sample",
     "session_funnel",
     "anomaly_mad",
     "weighted_branch_merge",
     "advanced_query_negation",
-    "split_leakage_free",
-    "stream_upsert_table",
-    "stream_upsert_mor",
-    "stream_cdc_rollup",
-    "tfidf_search",
-    "scalar_string_format",
-    "semi_join_membership",
-    "stream_dedup_events",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_windowed_distinct",
-    "surrogate_keys_dense",
-    "table_profile",
-    "topk_per_group",
-    "value_histogram",
-    "window_range_frame",
-    "window_running_sum",
-    "agg_pushdown_scan",
-    "bloom_join_prefilter",
-    "bpe_encode_topk",
-    "bpe_pair_counts",
-    "bucket_by_cutpoints",
-    "chunk_documents",
-    "clone_evolve_read",
-    "cohort_retention",
-    "curation_pipeline",
-    "dedup_index_lakehouse",
-    "dedup_keep_best",
-    "dedup_substring_runs",
-    "epoch_shuffle",
-    "events_locf",
     "zorder_clustered_scan",
     "rowgroup_skip_scan",
     "events_tumbling_window",

@@ -257,48 +257,34 @@ class TestDriverOrder:
         # in-window representative per changed code path; remaining
         # slots refresh the stalest tail rows.
         must_verify = {
-            # NEW in r14: catalog time travel, BM25 (inline + the
-            # streaming-maintained-index form, one shared oracle), and
-            # streaming semantic admission (dedup_semdedup's oracle)
-            "catalog_time_travel",
-            "bm25_search",
-            "bm25_index_stream",
-            "stream_semdedup_admission",
-            # own expressions changed in r14: IVF-PQ residual encoding
-            # (oracle rewritten), the inverted index's dl/sum_dl
-            # additions, the catalog listing/vacuum fixes, and the
-            # semdedup oracle now pinning its streaming twin
+            # NEW in r15: catalog branches (isolation + atomic
+            # promotion proof) and the streaming-maintained IVF-PQ
+            # index (knn_ivfpq's oracle pins streamed == inline)
+            "catalog_branches",
+            "knn_ivfpq_index_stream",
+            # own expressions changed in r15: the fused map-only
+            # IVF-PQ build + driver-side probe selection (plan
+            # changed, values must not have), the six spread heads,
+            # the catalog branches-map carry + tag post-CAS
+            # re-validation, the mapped-bronze publish race fix, and
+            # the bloom sidecar format gate (skip-scan + merge reps)
             "knn_ivfpq",
             "knn_ivfpq_lakehouse",
-            "tfidf_index_incremental",
-            "stream_index_maintenance",
+            "dedup_substring_runs",
+            "text_repetition_stats",
+            "hybrid_search_rrf",
+            "dedup_embedding_cosine",
+            "bm25_search",
+            "tfidf_search",
+            "catalog_time_travel",
             "catalog_atomic_publish",
-            "dedup_semdedup",
-            # every codec chain gained the _spread head in r14 (plan
-            # changed; values must not have — all 12 re-oracled)
-            "dedup_image_ahash",
-            "multimodal_video_frames",
-            "multimodal_decode_png",
-            "multimodal_decode_jpeg",
-            "multimodal_decode_pixels",
-            "multimodal_resize_downsample",
-            "multimodal_decode_variants",
-            "multimodal_wav_decode",
-            "multimodal_audio_energy",
-            "multimodal_decode_gif",
-            "multimodal_decode_gif_anim",
-            "multimodal_decode_tiff",
-            # the text-lane sources.spread heads landed r14 (same
-            # plan-changed-values-must-not-have contract)
-            "text_winnow_fingerprints",
-            "text_novelty_score",
-            "dsir_select",
-            # r14 leg 2: shared DML materialize change (localCheckpoint
-            # decision frames + fold-side bloom probe batch) — this is
-            # the in-window rep driving merge update+delete through
-            # both delete routes, and its own call sheds the
-            # unconsumed CDC sidecar
-            "stream_merge_conditional",
+            "stream_mapped_changes",
+            "bloom_skip_scan",
+            "merge_into_conditional",
+            # the r14-leg-2 DML reps whose driver evidence was parked
+            # below the boundary (VERDICT r14 #1 rotation head)
+            "update_where_partition",
+            "delete_where_rewrite",
         }
         # Names in must_verify that have not landed yet must be listed
         # here explicitly — anything else missing from QUERIES is a typo
