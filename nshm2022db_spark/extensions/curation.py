@@ -314,7 +314,10 @@ def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
     # r14 key bump: the index schema gained per-posting dl + the sum_dl
     # meta metric (BM25's length stats); an r13 landing lacks them
-    base = scratch_path("tfidf_index_r14", sf)
+    # r15 key bump: the bloom sidecar FORMAT changed (signed-zero
+    # canonicalization + version stamp); an r14 landing's legacy blooms
+    # would read as no-bloom and silently lose point-probe pruning
+    base = scratch_path("tfidf_index_r15", sf)
     post_dir = _os.path.join(base, "postings")
     df_dir = _os.path.join(base, "df")
     meta_dir = _os.path.join(base, "meta")
@@ -698,7 +701,7 @@ def bm25_index_stream(spark: SparkSession, sf: str) -> DataFrame:
     from nshm2022db_spark.streaming.events import docs_stream
     from nshm2022db_spark.streaming.sinks import compact_partition_table
 
-    base = scratch_path("bm25_stream_idx_r14", sf)
+    base = scratch_path("bm25_stream_idx_r15", sf)
     post_dir = _os.path.join(base, "postings")
     df_dir = _os.path.join(base, "df")
     meta_dir = _os.path.join(base, "meta")

@@ -1017,7 +1017,7 @@ def bloom_skip_scan(spark: SparkSession, sf: str) -> DataFrame:
         read_keyed_table,
     )
 
-    base = scratch_path("events_bloom_skip_r6b", sf)
+    base = scratch_path("events_bloom_skip_r15", sf)
     path = os.path.join(base, "events_by_type_bloom")
     if not is_landed(base):
         ev = read_table(spark, sf, "events").select(

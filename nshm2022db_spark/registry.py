@@ -189,6 +189,16 @@ _DRIVER_ORDER = [
     #     rep, merge_into_conditional as merge bloom-probe rep), and
     #     the parked r14-leg-2 DML reps update_where_partition /
     #     delete_where_rewrite (driver evidence at last).
+    # Window note (r15): the bloom sidecar format bump also bumped the
+    # LANDED index scratch keys (tfidf_index_r15 / bm25_stream_idx_r15
+    # / events_bloom_skip_r15) so those tables rebuild with v2 blooms
+    # and keep their point-probe pruning. tfidf_index_incremental and
+    # bm25_index_stream keep their r14-fresh evidence under the same
+    # rule as the r14 landed-scratch moves: registered expressions,
+    # probe paths, and oracles are byte-identical — only where the
+    # setup table lives changed; re-proven this round by scoped
+    # sf0.01/sf0.1/sf1/bare runs plus the full sweep (bloom_skip_scan,
+    # whose read PATH changed, IS in-window above).
     # (c) the ENTIRE remaining r10-evidence block (VERDICT r14 #1):
     #     the 33 rows fit the 33 free slots exactly, so after this
     #     window the driver freshness floor is r11 repo-wide (sole

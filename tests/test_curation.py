@@ -337,7 +337,7 @@ class TestTfidfIndexIncremental:
         from nshm2022db_spark.streaming.sinks import read_keyed_table
 
         QUERIES["tfidf_index_incremental"](spark, sf_dir).collect()
-        post_dir = os.path.join(scratch_path("tfidf_index_r14", sf_dir), "postings")
+        post_dir = os.path.join(scratch_path("tfidf_index_r15", sf_dir), "postings")
         full = read_keyed_table(spark, post_dir)
         pruned = read_keyed_table(
             spark, post_dir, prune={"term": ("eq", TFIDF_TERMS[0])}
@@ -358,7 +358,7 @@ class TestTfidfIndexIncremental:
         )
 
         QUERIES["tfidf_index_incremental"](spark, sf_dir).collect()
-        df_dir = os.path.join(scratch_path("tfidf_index_r14", sf_dir), "df")
+        df_dir = os.path.join(scratch_path("tfidf_index_r15", sf_dir), "df")
         before = sorted(
             tuple(r) for r in read_keyed_table(spark, df_dir).collect()
         )

@@ -364,6 +364,7 @@ class TestStatsPruningLaws:
             bloom[e] = {
                 "v": {
                     "m": m, "k": k, "t": "bigint",
+                    "v": sinks._BLOOM_FORMAT,  # current sidecar format
                     "bits": b64.b64encode(bytes(bits)).decode("ascii"),
                 }
             }
@@ -387,10 +388,16 @@ class TestStatsPruningLaws:
         # keyed probe (it proves the value was never inserted)
         zero = {
             "m": m, "k": k, "t": "bigint",
+            "v": sinks._BLOOM_FORMAT,
             "bits": b64.b64encode(bytes(m // 8)).decode("ascii"),
         }
         sinks._PROBE_CACHE[("int", probe, m, k, "bigint")] = pos[probe]
         assert not sinks._bloom_may_contain(None, zero, probe)
+        # ...but the SAME bitmap under an older (or missing) sidecar
+        # format can never prune — pre-canonicalization writers hashed
+        # through a different input form (ADVICE r14)
+        legacy = {kk: vv for kk, vv in zero.items() if kk != "v"}
+        assert sinks._bloom_may_contain(None, legacy, probe)
         sinks._PROBE_CACHE.clear()
 
     @given(
