@@ -312,6 +312,10 @@ def catalog_promote(
         for t, ent in br.items():
             if ent == base.get(t):
                 continue  # branch didn't change it: keep main's view
+            if ent == main.get(t):
+                continue  # main already holds the branch's version
+                # (an already-promoted table re-promotes as a no-op,
+                # Nessie's idempotent merge — not a conflict)
             if main.get(t) != base.get(t):
                 raise ValueError(
                     f"promote conflict on table {t!r}: changed on both "
@@ -320,10 +324,11 @@ def catalog_promote(
                 )
             merged[t] = dict(ent)
         # a table the branch DELETED (absent from br, present in base)
-        # is dropped from main unless main also changed it
+        # is dropped from main unless main independently changed it
+        # (main having ALSO deleted it is agreement, not a conflict)
         for t, ent in base.items():
             if t not in br:
-                if main.get(t) != ent:
+                if t in main and main[t] != ent:
                     raise ValueError(
                         f"promote conflict on table {t!r}: deleted on "
                         f"branch {name!r} but changed on main in "

@@ -684,3 +684,25 @@ class TestCatalogBranches:
         row = QUERIES["catalog_branches"](spark, sf_dir).collect()[0]
         assert row.branch_isolated and row.branch_consistent
         assert row.promoted_atomic
+
+    def test_repromotion_and_agreed_delete_are_not_conflicts(
+        self, spark, tmp_path
+    ):
+        """Nessie's idempotent merge: main already holding the branch's
+        exact version re-promotes as a no-op, and a table deleted on
+        BOTH sides is agreement — only independent divergence refuses."""
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_branch,
+            catalog_promote,
+            catalog_publish,
+        )
+
+        cat, a, b = self._seed(spark, tmp_path)
+        catalog_branch(cat, "staging")
+        va2 = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, va2)}, branch="staging")
+        catalog_promote(cat, "staging", delete_branch=False)
+        # main now equals the branch head; a second promotion must
+        # no-op, not refuse
+        catalog_promote(cat, "staging", delete_branch=True)
+        assert {r.v for r in read_catalog_table(spark, cat, "a").collect()} == {2}

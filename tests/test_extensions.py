@@ -931,3 +931,49 @@ class TestStreamSemdedupAdmission:
         )
         stream = {r.vec_id: r.centroid_id for r in per_row.collect()}
         assert stream == batch
+
+
+class TestPqFusedBuildParity:
+    def test_fused_assign_encode_matches_staged_chain(self, spark, sf_dir):
+        """The r15 fused map-only index build (_pq_assign_encode_batches)
+        must reproduce the r14 staged chain — _assign_lists aggregation,
+        cv broadcast join, residual encode — code for code, vector for
+        vector: same list assignment AND same quantized codes."""
+        from pyspark.sql import functions as F
+
+        from nshm2022db_spark.extensions.similarity import (
+            _assign_lists,
+            _pq_coded_relation,
+            _pq_residual_codebook,
+            _pq_residual_encode_batches,
+            _trained_centroid_rows,
+            _trained_centroids,
+        )
+        from nshm2022db_spark.sources import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        cents = _trained_centroids(spark, sf_dir)
+        cb = _pq_residual_codebook(spark, sf_dir, cents)
+        staged = {
+            r.vec_id: (r.pcid, tuple(r.codes))
+            for r in (
+                _assign_lists(emb, cents)
+                .join(F.broadcast(cents), "centroid_id")
+                .select(
+                    "vec_id", "embedding", "cv",
+                    F.col("centroid_id").cast("string").alias("pcid"),
+                )
+                .mapInPandas(
+                    _pq_residual_encode_batches(cb),
+                    "vec_id long, pcid string, codes array<int>",
+                )
+                .collect()
+            )
+        }
+        fused = {
+            r.vec_id: (r.pcid, tuple(r.codes))
+            for r in _pq_coded_relation(
+                emb, _trained_centroid_rows(spark, sf_dir), cb
+            ).collect()
+        }
+        assert fused == staged and fused
