@@ -649,7 +649,40 @@ def _refine_centroids(assigned: DataFrame) -> DataFrame:
 # testdata is regenerated in place at the same path within one process
 # (VERDICT r03 nit #8). Deterministic — fixed seeds + rounded means — so
 # caching cannot change results. 8 rows of 64 doubles per entry.
-_TRAINED: dict[tuple[str, float], tuple[list, object]] = {}
+_TRAINED: dict[tuple[str, float, str], tuple[list, object]] = {}
+
+
+def _trained_key(sf: str, tag: str) -> tuple[str, float, str]:
+    """THE memo key for per-corpus trained artifacts: (sf dir, corpus
+    mtime, policy tag). One implementation — the key used to check a
+    cache must be the same object used to store into it, or a corpus
+    regenerated between two getmtime calls leaves a KeyError window
+    (r15 review #5, which found this logic copy-pasted in three
+    places)."""
+    import os
+
+    try:
+        mtime = os.path.getmtime(os.path.join(sf, "embeddings.parquet"))
+    except OSError:
+        mtime = -1.0
+    return (sf, mtime, tag)
+
+
+def _trained_entry(
+    spark: SparkSession, sf: str, nlist_of=None, tag: str = "ivf"
+) -> tuple[list, object]:
+    """The memoized (rows, schema) pair, training once per key —
+    the single code path both public accessors share."""
+    key = _trained_key(sf, tag)
+    if key not in _TRAINED:
+        emb = read_table(spark, sf, "embeddings")
+        nlist = (nlist_of or _ivf_nlist_py)(emb.count())
+        seeds = emb.filter(
+            (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_LO + nlist)
+        ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+        refined = _refine_centroids(_assign_lists(emb, seeds))
+        _TRAINED[key] = (refined.collect(), refined.schema)
+    return _TRAINED[key]
 
 
 def _trained_centroids(
@@ -660,22 +693,7 @@ def _trained_centroids(
     cache per policy — SemDeDup trains with a fixed-OCCUPANCY nlist
     (clusters ∝ corpus), the search indexes with the sqrt-balance
     tier, and the two must not share cache entries."""
-    import os
-
-    try:
-        mtime = os.path.getmtime(os.path.join(sf, "embeddings.parquet"))
-    except OSError:
-        mtime = -1.0
-    key = (sf, mtime, tag)
-    if key not in _TRAINED:
-        emb = read_table(spark, sf, "embeddings")
-        nlist = (nlist_of or _ivf_nlist_py)(emb.count())
-        seeds = emb.filter(
-            (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_LO + nlist)
-        ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
-        refined = _refine_centroids(_assign_lists(emb, seeds))
-        _TRAINED[key] = (refined.collect(), refined.schema)
-    rows, schema = _TRAINED[key]
+    rows, schema = _trained_entry(spark, sf, nlist_of, tag)
     return spark.createDataFrame(rows, schema)
 
 
@@ -687,16 +705,7 @@ def _trained_centroid_rows(
     relation just to .collect() it again costs a whole Spark job
     (~0.25 s of pure scheduling at sf0.1, r15 profile). Bounded
     centroid set, the sanctioned scalar budget."""
-    import os
-
-    try:
-        mtime = os.path.getmtime(os.path.join(sf, "embeddings.parquet"))
-    except OSError:
-        mtime = -1.0
-    key = (sf, mtime, tag)
-    if key not in _TRAINED:
-        _trained_centroids(spark, sf, nlist_of, tag)
-    return _TRAINED[key][0]
+    return _trained_entry(spark, sf, nlist_of, tag)[0]
 
 
 _DUCK_IVF_CENTS = f"""
@@ -1808,7 +1817,7 @@ _IVFPQ_ORACLE = f"""WITH {_DUCK_IVF_CENTS},
 # table — knn_ivfpq_lakehouse materializes exactly that), deterministic
 # (fixed PQ_K rows, exact IEEE subtraction), bounded (m*k*sub doubles).
 # The mtime key invalidates on in-place corpus regeneration.
-_RESID_CB: dict[tuple[str, float], "object"] = {}
+_RESID_CB: dict[tuple[str, float, str], "object"] = {}
 
 
 def _pq_residual_codebook(
@@ -1829,13 +1838,8 @@ def _pq_residual_codebook(
     rather than silently reusing one trained against other residuals
     (ADVICE r14)."""
     import numpy as np
-    import os
 
-    try:
-        mtime = os.path.getmtime(os.path.join(sf, "embeddings.parquet"))
-    except OSError:
-        mtime = -1.0
-    key = (sf, mtime, tag)
+    key = _trained_key(sf, tag)
     if key not in _RESID_CB:
         emb = read_table(spark, sf, "embeddings").filter(F.col("vec_id") < PQ_K)
         rows = (
@@ -1975,13 +1979,25 @@ def _ivfpq_query(
     qn = np.sqrt(_seq_dot_nd(Q, Q))
     cn = np.sqrt(_seq_dot_nd(C, C))
     qcos = _seq_dot_nd(Q[:, None, :], C[None]) / (qn[:, None] * cn[None])
+
+    def _desc_key(qi):
+        # Spark's orderBy(desc) treats NaN as GREATEST (a zero-norm
+        # vector yields 0/0 = NaN); Python's sorted() with raw NaN
+        # keys is order-dependent — rank NaN explicitly first so the
+        # degenerate case stays deterministic and matches the window
+        # this replaced (r15 review #4)
+        def k(j):
+            v = qcos[qi, j]
+            if np.isnan(v):
+                return (0, 0.0, cent_ids[j])
+            return (1, -v, cent_ids[j])
+
+        return k
+
     probe_rows = sorted(
         (int(qr["vec_id"]), str(cent_ids[j]))
         for qi, qr in enumerate(qrows)
-        for j in sorted(
-            range(len(cent_ids)),
-            key=lambda j: (-qcos[qi, j], cent_ids[j]),
-        )[:IVF_NPROBE]
+        for j in sorted(range(len(cent_ids)), key=_desc_key(qi))[:IVF_NPROBE]
     )
 
     # per-(query, PROBED LIST) ADC LUTs — the residual formulation's
@@ -2208,6 +2224,7 @@ def knn_ivfpq_index_stream(spark: SparkSession, sf: str) -> DataFrame:
     from nshm2022db_spark.streaming.events import emb_stream
     from nshm2022db_spark.streaming.sinks import (
         append_partition_transaction,
+        compact_partition_table,
         read_keyed_table,
     )
 
@@ -2242,6 +2259,12 @@ def knn_ivfpq_index_stream(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # closing compaction, the bm25_index_stream discipline: each
+        # micro-batch committed one generation per touched list, and
+        # without this every probe pays per-batch file opens forever
+        # (r15 review #6); compaction is a dataChange=false rewrite,
+        # so the probe path and values are untouched
+        compact_partition_table(spark, path, max_files_per_partition=1)
         mark_landed(base)
     idx = read_keyed_table(spark, path)
 

@@ -127,6 +127,7 @@ def catalog_publish(
         }
         if branch is not None:
             m["branch_of"] = branch
+            m["branch_seq"] = cur["branches"][branch].get("seq")
             m["branch_tables"] = base
             m["branches"][branch] = {
                 **m["branches"][branch],
@@ -168,12 +169,17 @@ def _resolve_branch_tables(catalog_dir: str, cur: dict, name: str) -> dict:
     """The snapshot vector at a branch's HEAD. ``branches[name]['at']``
     names the catalog version holding it: a branch-addressed commit
     carries it in ``branch_tables``; the creation target (an ordinary
-    main commit) carries it in ``tables``. Resolution goes through
+    main commit) carries it in ``tables``. The ``seq`` check matches
+    the commit to THIS branch incarnation: a branch re-created under a
+    dead branch's name, forked at one of the dead branch's own
+    commits, must serve that manifest's MAIN vector — matching on the
+    name alone would resurrect the deleted branch's abandoned
+    ``branch_tables`` (r15 review #1). Resolution goes through
     ``catalog_at``, so a branch whose head manifest was vacuumed
     refuses instead of serving a neighbor."""
     ref = cur["branches"][name]
     m = catalog_at(catalog_dir, version=int(ref["at"]))
-    if m.get("branch_of") == name:
+    if m.get("branch_of") == name and m.get("branch_seq") == ref.get("seq"):
         return m.get("branch_tables", {})
     return m.get("tables", {})
 
@@ -220,7 +226,12 @@ def catalog_branch(
                 f"branch {name!r} already exists at catalog version "
                 f"{branches[name]['at']}; delete it first"
             )
-        branches[name] = {"at": target, "base": target}
+        # seq = the creation commit's own version: a unique incarnation
+        # id, so commits of a prior same-named (deleted) branch can
+        # never resolve as this branch's (r15 review #1)
+        branches[name] = {
+            "at": target, "base": target, "seq": cur["version"] + 1,
+        }
         m = {
             "version": cur["version"] + 1,
             "tables": dict(cur.get("tables", {})),
@@ -335,10 +346,23 @@ def catalog_promote(
                         f"{catalog_dir}"
                     )
                 merged.pop(t, None)
+        new_version = cur["version"] + 1
         if delete_branch:
             branches.pop(name, None)
+        else:
+            # the kept branch FAST-FORWARDS onto the merge result
+            # (Nessie's merge-then-continue): head and base both move
+            # to the promotion commit, whose ``tables`` IS the merged
+            # vector — without this, the branch's next promotion would
+            # falsely conflict against its own prior merge
+            # (r15 review #2)
+            branches[name] = {
+                "at": new_version,
+                "base": new_version,
+                "seq": ref.get("seq"),
+            }
         m = {
-            "version": cur["version"] + 1,
+            "version": new_version,
             "tables": merged,
             "refs": dict(cur.get("refs", {})),
             "promoted_from": {"branch": name, "at": int(ref["at"])},
@@ -393,6 +417,7 @@ def catalog_tag(
                 f"tag {name!r} already points at version {refs[name]}; "
                 "tags are immutable — pass replace=True to re-point"
             )
+        prev = refs.get(name)  # pre-existing target (replace=True case)
         refs[name] = target
         m = {
             "version": cur["version"] + 1,
@@ -408,11 +433,24 @@ def catalog_tag(
             # is visible — vacuum respects visible tags, so a target
             # that still resolves here stays protected from this point
             # on; if it was retired in the window, roll the tag back
-            # and refuse (ADVICE r14).
+            # and refuse (ADVICE r14). A replace=True re-point rolls
+            # back to the PREVIOUS target — the caller asked to move a
+            # tag, losing it entirely (and its retention pin) would be
+            # strictly worse (r15 review #3); only if the old target
+            # was itself retired in the same window does the tag drop.
             try:
                 catalog_at(catalog_dir, version=target)
             except Exception:
-                catalog_tag_delete(catalog_dir, name)
+                if prev is not None:
+                    try:
+                        catalog_tag(
+                            catalog_dir, name, version=int(prev),
+                            replace=True,
+                        )
+                    except Exception:
+                        catalog_tag_delete(catalog_dir, name)
+                else:
+                    catalog_tag_delete(catalog_dir, name)
                 raise ValueError(
                     f"catalog version {target} was vacuumed while tagging; "
                     f"tag {name!r} rolled back"

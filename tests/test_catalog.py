@@ -706,3 +706,101 @@ class TestCatalogBranches:
         # no-op, not refuse
         catalog_promote(cat, "staging", delete_branch=True)
         assert {r.v for r in read_catalog_table(spark, cat, "a").collect()} == {2}
+
+    def test_recreated_branch_does_not_resurrect_dead_vector(
+        self, spark, tmp_path
+    ):
+        """A branch re-created under a deleted branch's name, forked at
+        one of the DEAD branch's own commits, must serve that commit's
+        MAIN vector — matching on the ref name alone would resurrect
+        the abandoned branch_tables (r15 review #1)."""
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_branch,
+            catalog_branch_delete,
+            catalog_promote,
+            catalog_publish,
+            current_catalog,
+        )
+
+        cat, a, b = self._seed(spark, tmp_path)  # v1: a@1
+        catalog_branch(cat, "staging")  # v2
+        va2 = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, va2)}, branch="staging")  # v3
+        catalog_branch_delete(cat, "staging")  # v4: work abandoned
+        # re-fork at the dead branch's own commit (v3): its MAIN
+        # vector is still a@1
+        catalog_branch(cat, "staging", version=3)
+        got = {
+            r.v
+            for r in read_catalog_table(
+                spark, cat, "a", catalog_branch="staging"
+            ).collect()
+        }
+        assert got == {1}
+        # promoting the untouched re-fork is a pure no-op on main
+        catalog_promote(cat, "staging")
+        assert {r.v for r in read_catalog_table(spark, cat, "a").collect()} == {1}
+
+    def test_kept_branch_fast_forwards_through_promotion(
+        self, spark, tmp_path
+    ):
+        """delete_branch=False: the kept branch's head AND fork base
+        move onto the promotion commit, so continued branch work never
+        conflicts with its own prior merge (r15 review #2)."""
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_branch,
+            catalog_promote,
+            catalog_publish,
+        )
+
+        cat, a, b = self._seed(spark, tmp_path)
+        catalog_branch(cat, "staging")
+        va2 = _land(spark, a, [("x", 2)])
+        catalog_publish(cat, {"a": (a, va2)}, branch="staging")
+        catalog_promote(cat, "staging", delete_branch=False)
+        # continue working on the kept branch, then promote again
+        va3 = _land(spark, a, [("x", 3)])
+        catalog_publish(cat, {"a": (a, va3)}, branch="staging")
+        catalog_promote(cat, "staging")
+        assert {r.v for r in read_catalog_table(spark, cat, "a").collect()} == {3}
+
+    def test_tag_race_rollback_restores_previous_target(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A replace=True re-point that loses the vacuum race restores
+        the tag's PREVIOUS target instead of destroying the ref and
+        its retention pin (r15 review #3)."""
+        import pytest
+
+        from nshm2022db_spark.streaming import catalog as cat_mod
+        from nshm2022db_spark.streaming.catalog import (
+            catalog_at,
+            catalog_tag,
+            catalog_vacuum,
+        )
+
+        cat, a, b = self._seed(spark, tmp_path)  # v1
+        va2 = _land(spark, a, [("x", 2)])
+        cat_mod.catalog_publish(cat, {"a": (a, va2)})  # v2
+        va3 = _land(spark, a, [("x", 3)])
+        cat_mod.catalog_publish(cat, {"a": (a, va3)})  # v3 (head)
+        catalog_tag(cat, "t", version=2)  # v4: t -> 2
+        real = cat_mod.try_commit
+        fired = {"n": 0}
+
+        def racing_commit(table_dir, manifest):
+            # first CAS = the re-point to v1; vacuum retires v1 (not
+            # yet pinned) just before it lands — v2 stays pinned by
+            # the still-visible old ref
+            if fired["n"] == 0 and manifest.get("refs", {}).get("t") == 1:
+                fired["n"] = 1
+                monkeypatch.setattr(cat_mod, "try_commit", real)
+                catalog_vacuum(cat, keep_last_snapshots=1)
+            return real(table_dir, manifest)
+
+        monkeypatch.setattr(cat_mod, "try_commit", racing_commit)
+        with pytest.raises(ValueError, match="vacuumed while tagging"):
+            catalog_tag(cat, "t", version=1, replace=True)
+        assert fired["n"] == 1
+        # the tag survived, restored to its previous target
+        assert catalog_at(cat, tag="t")["version"] == 2
