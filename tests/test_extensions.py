@@ -977,3 +977,52 @@ class TestPqFusedBuildParity:
             ).collect()
         }
         assert fused == staged and fused
+
+
+class TestIvfpqStreamIndex:
+    def test_stream_index_compacts_and_retry_noops(self, spark, sf_dir):
+        """The streamed code table ends compacted (one file per probed
+        list, not one per micro-batch), and a replayed batch no-ops
+        through the batch-id ledger — df row counts do not double."""
+        import os
+
+        from nshm2022db_spark.extensions.similarity import (
+            knn_ivfpq_index_stream,
+            _pq_coded_relation,
+            _pq_residual_codebook,
+            _trained_centroid_rows,
+            _trained_centroids,
+        )
+        from nshm2022db_spark.sources import read_table
+        from nshm2022db_spark.sources.scratch import scratch_path
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            read_keyed_table,
+        )
+
+        knn_ivfpq_index_stream(spark, sf_dir).collect()  # land the index
+        path = os.path.join(
+            scratch_path("ivfpq_index_stream_r15", sf_dir), "pq_lists"
+        )
+        idx = read_keyed_table(spark, path)
+        n_before = idx.count()
+        assert n_before == read_table(spark, sf_dir, "embeddings").count()
+        # compacted: at most one parquet file per list partition
+        files = idx.inputFiles()
+        by_part: dict = {}
+        for f in files:
+            part = f.rsplit("/", 2)[-2]
+            by_part[part] = by_part.get(part, 0) + 1
+        assert by_part and max(by_part.values()) == 1, by_part
+        # re-deliver batch 0: the ledger makes it a no-op
+        cents = _trained_centroids(spark, sf_dir)
+        cb = _pq_residual_codebook(spark, sf_dir, cents)
+        cent_rows = _trained_centroid_rows(spark, sf_dir)
+        emb = read_table(spark, sf_dir, "embeddings")
+        codes = _pq_coded_relation(emb, cent_rows, cb).selectExpr(
+            "vec_id", "codes", "pcid as centroid_id"
+        )
+        append_partition_transaction(
+            spark, path, "centroid_id", codes, batch_id=0
+        )
+        assert read_keyed_table(spark, path).count() == n_before

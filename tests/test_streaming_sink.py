@@ -5290,3 +5290,53 @@ class TestBloomProbeFastPath:
         assert [row[f"n{i}"] for i in range(5)] == [
             row[f"p{i}"] for i in range(5)
         ]
+
+
+class TestBloomFormatMerge:
+    def test_version_mismatched_append_drops_column_bloom(
+        self, spark, tmp_path
+    ):
+        """An append OR-merging its fresh v2 bitmap into an entry whose
+        persisted bitmap carries another (or no) format version must
+        DROP that column's bloom rather than merge incompatible probe
+        spaces — bloom-less is always safe, a mixed bitmap is not."""
+        import json
+        import os
+
+        from nshm2022db_spark.streaming.sinks import (
+            _COMMITS,
+            append_partition_transaction,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"k{i % 2}") for i in range(20)], "id long, k string"
+        )
+        append_partition_transaction(
+            spark, t, "k", df, bloom_cols=["id"], bloom_bits=8192
+        )
+        # simulate a pre-v2 writer: strip the format stamp in the
+        # newest manifest on disk
+        log = os.path.join(t, _COMMITS)
+        name = sorted(
+            n for n in os.listdir(log)
+            if n.endswith(".json") and not n.endswith(".checkpoint.json")
+        )[-1]
+        p = os.path.join(log, name)
+        m = json.load(open(p))
+        for specs in m["bloom"].values():
+            for sp in specs.values():
+                sp.pop("v", None)
+        json.dump(m, open(p, "w"))
+        # a v2 append onto the legacy entry: the merge must not OR the
+        # two bitmaps; the touched column's bloom drops
+        df2 = spark.createDataFrame(
+            [(i, f"k{i % 2}") for i in range(20, 40)], "id long, k string"
+        )
+        append_partition_transaction(
+            spark, t, "k", df2, bloom_cols=["id"], bloom_bits=8192
+        )
+        cur = table_history(t)[-1]
+        for e in ("k=k0", "k=k1"):
+            assert "id" not in cur.get("bloom", {}).get(e, {})
