@@ -441,16 +441,26 @@ def catalog_tag(
             try:
                 catalog_at(catalog_dir, version=target)
             except Exception:
-                if prev is not None:
-                    try:
+                try:
+                    if prev is not None:
                         catalog_tag(
                             catalog_dir, name, version=int(prev),
                             replace=True,
                         )
-                    except Exception:
+                    else:
                         catalog_tag_delete(catalog_dir, name)
-                else:
-                    catalog_tag_delete(catalog_dir, name)
+                except Exception:
+                    # the restore itself lost a further race (prev was
+                    # retired too, or a NESTED rollback already dropped
+                    # the ref) — make sure the tag ends simply absent
+                    # rather than dangling, tolerating the
+                    # already-deleted case so the original error below
+                    # is never masked by a 'does not exist' from a
+                    # double delete (r15 review #2, follow-up pass)
+                    try:
+                        catalog_tag_delete(catalog_dir, name)
+                    except ValueError:
+                        pass
                 raise ValueError(
                     f"catalog version {target} was vacuumed while tagging; "
                     f"tag {name!r} rolled back"
