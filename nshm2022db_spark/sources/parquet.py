@@ -78,7 +78,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the scan."""
     if name == "events":
         ensure_nanos_as_long(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # footer-derived schema skips the per-read schema-inference Spark
+    # job (guide §1/§6); falls back to inference for any type outside
+    # the proven-safe map (e.g. the events table's nanos timestamps)
+    from nshm2022db_spark.streaming.sinks import _read_parquet_fast
+
+    df = _read_parquet_fast(spark, f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events_ts(df)
     return df

@@ -74,7 +74,9 @@ def _reap_scratch(df: DataFrame, spark: SparkSession, *dirs: str) -> DataFrame:
     try:
         res = os.path.join(_result_scratch_root(), f"res-{next(_counter)}")
         df.write.mode("overwrite").parquet(res)
-        return spark.read.parquet(res)
+        from nshm2022db_spark.streaming.sinks import _read_parquet_fast
+
+        return _read_parquet_fast(spark, res)
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -816,7 +818,9 @@ def stream_merge_conditional(spark: SparkSession, sf: str) -> DataFrame:
     )
     feed_stage = tempfile.mkdtemp(prefix="merge_stream_feed_")
     feed.write.mode("overwrite").parquet(feed_stage)
-    staged = spark.read.parquet(feed_stage)
+    from nshm2022db_spark.streaming.sinks import _read_parquet_fast
+
+    staged = _read_parquet_fast(spark, feed_stage)
     for i in range(3):  # one file per disjoint key slice = one batch
         staged.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode(
             "append"

@@ -313,7 +313,7 @@ def committed_transaction(
             return
         base = None
         if cur["version"] > 0:
-            base = spark.read.parquet(os.path.join(table_dir, cur["dir"]))
+            base = _read_parquet_fast(spark, os.path.join(table_dir, cur["dir"]))
         merged = compute(base)
         stage = f"data-{uuid.uuid4().hex}"
         stage_path = os.path.join(table_dir, stage)
@@ -474,6 +474,151 @@ def _check_bloom_spec(m: int, k: int) -> None:
         raise ValueError(f"bloom_hashes must be positive, got {k}")
 
 
+def _arrow_to_spark_type(at) -> "T.DataType | None":
+    """Spark read type for an Arrow footer type, WHITELISTED: only types
+    whose parquet→Spark inference mapping is unconditional (validated
+    against Spark's own inference over every testdata table + edge-case
+    writes, r15). None = not provably safe, caller must fall back to the
+    inference read. Deliberately excluded: ns/INT96 timestamps (the
+    nanosAsLong conf and INT96 rebase make their mapping conf-dependent),
+    non-UTC tz, uint widths, date64."""
+    import pyarrow as pa
+
+    ty = pa.types
+    if ty.is_boolean(at):
+        return T.BooleanType()
+    if ty.is_int8(at):
+        return T.ByteType()
+    if ty.is_int16(at):
+        return T.ShortType()
+    if ty.is_int32(at):
+        return T.IntegerType()
+    if ty.is_int64(at):
+        return T.LongType()
+    if ty.is_float32(at):
+        return T.FloatType()
+    if ty.is_float64(at):
+        return T.DoubleType()
+    if ty.is_string(at) or ty.is_large_string(at):
+        return T.StringType()
+    if ty.is_binary(at) or ty.is_large_binary(at):
+        return T.BinaryType()
+    if ty.is_date32(at):
+        return T.DateType()
+    if ty.is_timestamp(at):
+        if at.unit != "us":
+            return None
+        if at.tz is None:
+            return T.TimestampNTZType()
+        if at.tz in ("UTC", "+00:00"):
+            return T.TimestampType()
+        return None
+    if ty.is_decimal128(at):
+        return T.DecimalType(at.precision, at.scale)
+    if ty.is_list(at) or ty.is_large_list(at):
+        el = _arrow_to_spark_type(at.value_type)
+        return None if el is None else T.ArrayType(el, True)
+    if ty.is_struct(at):
+        fields = []
+        for i in range(at.num_fields):
+            f = at.field(i)
+            dt = _arrow_to_spark_type(f.type)
+            if dt is None:
+                return None
+            fields.append(T.StructField(f.name, dt, True))
+        return T.StructType(fields)
+    if ty.is_map(at):
+        kt = _arrow_to_spark_type(at.key_type)
+        vt = _arrow_to_spark_type(at.item_type)
+        if kt is None or vt is None:
+            return None
+        return T.MapType(kt, vt, True)
+    return None
+
+
+# (file list, sizes, mtimes) -> StructType | False ("unsafe, don't retry").
+# Committed data dirs are immutable and uuid-named, so a hit is always
+# valid; the stat tuple in the key still guards the theoretical rewrite.
+_FOOTER_SCHEMA_MEMO: dict = {}
+_FOOTER_SCHEMA_MEMO_CAP = 8192
+
+
+def _footer_schema(paths: list[str]) -> "T.StructType | None":
+    """Driver-side schema for the parquet files under ``paths`` (dirs or
+    files), via pyarrow footers — replaces Spark's schema-inference job
+    (guide §1/§6: one Spark job per un-schema'd read, plus its plan
+    resolve) with O(files) local metadata reads. Returns a schema ONLY
+    when every footer carries the identical Arrow schema and every type
+    is in the `_arrow_to_spark_type` whitelist; otherwise None and the
+    caller runs the exact mergeSchema inference read it always did (the
+    semantics-bearing path for schema evolution inside one dir)."""
+    files: list[tuple[str, int, int]] = []
+    try:
+        for p in paths:
+            if os.path.isfile(p):
+                st = os.stat(p)
+                files.append((p, st.st_size, st.st_mtime_ns))
+                continue
+            with os.scandir(p) as it:
+                for e in it:
+                    if e.is_dir():
+                        return None  # nested layout: let Spark resolve
+                    n = e.name
+                    if n.endswith(".parquet") or n.startswith("part-"):
+                        st = e.stat()
+                        files.append((e.path, st.st_size, st.st_mtime_ns))
+    except OSError:
+        return None
+    if not files:
+        return None
+    files.sort()
+    key = tuple(files)
+    hit = _FOOTER_SCHEMA_MEMO.get(key)
+    if hit is not None:
+        return hit or None
+    import pyarrow.parquet as pq
+
+    schema0 = None
+    try:
+        for f, _, _ in files:
+            s = pq.read_schema(f)
+            if schema0 is None:
+                schema0 = s
+            elif not s.equals(schema0):
+                schema0 = None  # intra-dir evolution: mergeSchema's job
+                break
+    except Exception:
+        schema0 = None
+    out: "T.StructType | None" = None
+    if schema0 is not None:
+        fields = []
+        for i in range(len(schema0)):
+            f = schema0.field(i)
+            dt = _arrow_to_spark_type(f.type)
+            if dt is None:
+                fields = None
+                break
+            fields.append(T.StructField(f.name, dt, True))
+        if fields is not None:
+            out = T.StructType(fields)
+    if len(_FOOTER_SCHEMA_MEMO) >= _FOOTER_SCHEMA_MEMO_CAP:
+        _FOOTER_SCHEMA_MEMO.clear()
+    _FOOTER_SCHEMA_MEMO[key] = out if out is not None else False
+    return out
+
+
+def _read_parquet_fast(spark: SparkSession, *paths: str) -> DataFrame:
+    """`spark.read.parquet(*paths)` minus the schema-inference Spark job
+    when the footers allow it (`_footer_schema`); byte-identical plan
+    semantics either way — the fast path only fires when every footer
+    agrees, which is exactly the case where inference returns the same
+    schema."""
+    fast = _footer_schema(list(paths))
+    if fast is not None:
+        return spark.read.schema(fast).parquet(*paths)
+    return spark.read.parquet(*paths)
+
+
 _INFERENCE_GUARD = threading.Lock()
 _INFERENCE_STATE: dict[int, list] = {}  # id(spark) -> [depth, saved value]
 
@@ -528,10 +673,20 @@ def _collect_stage_blooms(
     form of a double ('3.0') and probing with an int ('3') would
     otherwise be a silent false negative. NULLs are not inserted
     (equality against NULL is the ``"null"`` prune spec's job)."""
-    with _no_partition_inference(spark):
-        df = spark.read.option("basePath", stage_path).parquet(
-            *[os.path.join(stage_path, e) for e in sorted(written)]
+    paths = [os.path.join(stage_path, e) for e in sorted(written)]
+    fast = _footer_schema(paths)
+    if fast is not None and partition_col not in fast.fieldNames():
+        # zero-job read of the just-staged files (guide §1/§6) — the
+        # schema comes from their own footers; the dir-name partition
+        # column is supplied as string, same as the inference-off read
+        df = (
+            spark.read.schema(fast.add(partition_col, T.StringType()))
+            .option("basePath", stage_path)
+            .parquet(*paths)
         )
+    else:
+        with _no_partition_inference(spark):
+            df = spark.read.option("basePath", stage_path).parquet(*paths)
     types = dict(df.dtypes)
     cols = [c for c in bloom_cols if c in df.columns]
     if not cols:
@@ -2317,8 +2472,8 @@ def _apply_tombstones(
     dvs = manifest.get("dv", [])
     if not dvs or df is None:
         return df
-    keys = spark.read.parquet(
-        *[os.path.join(table_dir, d) for d in dvs]
+    keys = _read_parquet_fast(
+        spark, *[os.path.join(table_dir, d) for d in dvs]
     ).distinct()
     return df.join(F.broadcast(keys), on=_dv_keys(manifest), how="left_anti")
 
@@ -3233,7 +3388,7 @@ def read_table_changes_typed(
             # recorded exact row-level images (update pre/post pairs,
             # deletes, inserts; carried rows absent) at commit time —
             # read them directly, no diff base, no reconstruction joins
-            cdc = spark.read.parquet(os.path.join(table_dir, m["cdc"]))
+            cdc = _read_parquet_fast(spark, os.path.join(table_dir, m["cdc"]))
             cdc = cdc.withColumn(
                 "_commit_version", F.lit(v).cast("long")
             ).withColumn("_commit_timestamp", _commit_ts(v))
@@ -3341,8 +3496,8 @@ def read_table_changes_typed(
                 # key-set difference, not dir-list difference: the
                 # consolidated file holds old keys too.
                 cur_keys = (
-                    spark.read.parquet(
-                        *[os.path.join(table_dir, d) for d in m["dv"]]
+                    _read_parquet_fast(
+                        spark, *[os.path.join(table_dir, d) for d in m["dv"]]
                     ).distinct()
                     if m.get("dv")
                     else None
@@ -3350,8 +3505,9 @@ def read_table_changes_typed(
                 if cur_keys is not None:
                     kcols = _dv_keys(m)
                     if prev.get("dv"):
-                        prev_keys = spark.read.parquet(
-                            *[os.path.join(table_dir, d) for d in prev["dv"]]
+                        prev_keys = _read_parquet_fast(
+                            spark,
+                            *[os.path.join(table_dir, d) for d in prev["dv"]],
                         ).distinct()
                         added = cur_keys.join(
                             prev_keys, on=kcols, how="left_anti"
@@ -3428,8 +3584,8 @@ def read_table_changes_typed(
                             )
         else:  # op == "delete" with a new dv file: key tombstone commit
             kcols = _dv_keys(m)
-            keys = spark.read.parquet(
-                *[os.path.join(table_dir, d) for d in new_dv]
+            keys = _read_parquet_fast(
+                spark, *[os.path.join(table_dir, d) for d in new_dv]
             ).distinct()
             # narrow the prior-version read to partitions whose stats
             # can hold the deleted keys (the key file is O(deleted
@@ -3781,11 +3937,38 @@ def _read_partition_map(
     # exactly parquet's own evolution contract.
     for dirname, entries in sorted(by_dir.items()):
         root = os.path.normpath(os.path.join(table_dir, dirname))
+        # Footer fast path (guide §1/§6): committed entry dirs almost
+        # always hold ONE write's identically-schema'd files, so the
+        # schema is derivable driver-side and the read runs ZERO Spark
+        # jobs instead of one inference job per generation per read —
+        # the dominant job count in the commit-protocol queries. Falls
+        # back to the original mergeSchema read whenever footers differ
+        # or a type is outside the proven-safe map, and the fast path
+        # refuses dirs that already contain the partition column.
+        paths = [os.path.join(root, e) for e in entries]
+        fast = _footer_schema(paths)
+        if fast is not None and pcol in fast.fieldNames():
+            fast = None
         if len(entries) == 1:
             value = entries[0].split("=", 1)[1]
-            df = spark.read.option("mergeSchema", "true").parquet(
-                os.path.join(root, entries[0])
-            ).withColumn(pcol, F.lit(value))
+            if fast is not None:
+                df = spark.read.schema(fast).parquet(paths[0])
+            else:
+                df = spark.read.option("mergeSchema", "true").parquet(
+                    paths[0]
+                )
+            df = df.withColumn(pcol, F.lit(value))
+        elif fast is not None:
+            # partition-dir discovery with a user schema: the dir-name
+            # column takes the SUPPLIED string type (same raw values as
+            # the inference-off read — no numeric mutation), appended
+            # after the data columns exactly where discovery puts it
+            df = (
+                spark.read.schema(fast.add(pcol, T.StringType()))
+                .option("basePath", root)
+                .parquet(*paths)
+            )
+            df = df.withColumn(pcol, F.col(pcol).cast("string"))
         else:
             # Disable partition-dir type inference for this resolve:
             # inferred types mutate numeric-looking values ('007'->7,
@@ -3890,10 +4073,10 @@ def read_keyed_table(
                         ),
                     )
                     return _to_logical(df, m) if _logical else df
-                return spark.read.parquet(os.path.join(table_dir, m["dir"]))
+                return _read_parquet_fast(spark, os.path.join(table_dir, m["dir"]))
         legacy = os.path.join(table_dir, f"v{version}")
         if os.path.isdir(legacy):
-            return spark.read.parquet(legacy)
+            return _read_parquet_fast(spark, legacy)
         raise ValueError(f"version {version} not committed in {table_dir}")
     cur = current_commit(table_dir)
     if cur["version"] == 0:
@@ -3910,7 +4093,7 @@ def read_keyed_table(
             ),
         )
         return _to_logical(df, cur) if _logical else df
-    return spark.read.parquet(os.path.join(table_dir, cur["dir"]))
+    return _read_parquet_fast(spark, os.path.join(table_dir, cur["dir"]))
 
 
 def _read_all_layouts(
@@ -4681,11 +4864,12 @@ def merge_into_table(
                     dec.filter(F.col("_action") == "insert")
                     .select(*keys)
                     .join(
-                        spark.read.parquet(
+                        _read_parquet_fast(
+                            spark,
                             *[
                                 os.path.join(table_dir, d)
                                 for d in cur["dv"]
-                            ]
+                            ],
                         )
                         # dv files carry PHYSICAL key names; the
                         # decision frame is logical
@@ -4834,8 +5018,9 @@ def merge_into_table(
                     # consolidate: re-inserted keys must leave the DV or
                     # the old tombstone hides the new row
                     old_keys = (
-                        spark.read.parquet(
-                            *[os.path.join(table_dir, d) for d in new_dv]
+                        _read_parquet_fast(
+                            spark,
+                            *[os.path.join(table_dir, d) for d in new_dv],
                         )
                         .select(
                             *[
@@ -5791,8 +5976,8 @@ def read_keyed_mor(
     if "mor" not in cur:
         raise ValueError(f"{table_dir} is not a merge-on-read keyed table")
     mor = cur["mor"]
-    df = spark.read.parquet(
-        *[os.path.join(table_dir, d) for d in cur["dirs"]]
+    df = _read_parquet_fast(
+        spark, *[os.path.join(table_dir, d) for d in cur["dirs"]]
     )
     w = Window.partitionBy(*mor["keys"]).orderBy(
         F.col(mor["order_col"]).desc(),
