@@ -1227,6 +1227,15 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         spark, sf, nlist_of=_semdedup_nlist_py, tag="semdedup"
     )
     a = _assign_lists(emb, cents).localCheckpoint()
+    # Pin the pair stage's parallelism: the blocked relation is tiny in
+    # BYTES (ids + packed embeddings) but quadratic-in-occupancy in
+    # COMPUTE, so AQE's byte-targeted coalescing would fold the
+    # centroid_id shuffle down to 1-2 tasks and serialize the cosine
+    # work (measured 7.4 s on 2 tasks at sf0.1; ~2x faster spread).
+    # An explicit hash repartition is user-specified partitioning, which
+    # AQE preserves; both self-join sides reuse the one exchange.
+    a = a.repartition(a.sparkSession.sparkContext.defaultParallelism,
+                      "centroid_id")
     drops = (
         a.alias("x")
         .join(

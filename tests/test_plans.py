@@ -584,3 +584,16 @@ class TestR15SpreadPlans:
             # join) -> one spread per pass; no wide exchange
             assert plan.count("RoundRobinPartitioning(") == 2, name
             assert plan.count("Arguments: hashpartitioning") == 0, name
+
+    def test_semdedup_pair_stage_user_repartition(self, spark, sf_dir):
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["dedup_semdedup"](spark, sf_dir))
+        # r15: the blocked relation is tiny in bytes but quadratic-in-
+        # occupancy in compute, so AQE's byte-targeted coalescing folded
+        # the centroid_id exchange to 1-2 tasks (measured 7.4 s of
+        # serialized cosine work at sf0.1). The explicit hash
+        # repartition is user-specified partitioning, which AQE
+        # preserves; the relation feeds both self-join sides and the
+        # report scan -> one per planned subtree.
+        assert plan.count("REPARTITION_BY_NUM") == 3
