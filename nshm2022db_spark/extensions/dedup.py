@@ -968,12 +968,20 @@ def connected_components(
     # single-column aggregate, no comparison join needed.
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     converged = False
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         incoming = (
             both.join(labels, both.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("in_label"))
         )
+        # the convergence sum rides the checkpoint job as an observed
+        # metric (r15, guide §1): one job per round instead of
+        # checkpoint + a second full-scan agg. The observe node sits
+        # below the checkpoint, so it fires exactly once (the eager
+        # materialization) and the truncated lineage never re-fires it.
+        obs = Observation()
         labels = (
             labels.join(incoming, "doc_id", "left")
             .select(
@@ -982,9 +990,10 @@ def connected_components(
                     F.col("cluster_id"), F.coalesce(F.col("in_label"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            .observe(obs, F.sum("cluster_id").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             converged = True
             break

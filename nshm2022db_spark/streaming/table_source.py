@@ -18,9 +18,11 @@ the last committed micro-batch, and each emitted row carries its
 
 Scale shape: offsets and partition PLANNING are metadata-only driver
 work over the commit log (O(tail) manifests, never data); the DATA read
-fans out one `InputPartition` per (commit, partition entry) so executors
-read generation files in parallel, Arrow-batched end to end (planner
-hands pyarrow RecordBatches straight to Spark — no per-row Python). On
+plans one unit per (commit, partition entry) and byte-packs units into
+executor tasks against a maxPartitionBytes target (r15 — a tiny batch
+reads in one task, a real commit still fans out wide), Arrow-batched
+end to end (the reader hands pyarrow RecordBatches straight to Spark —
+no per-row Python). On
 a real cluster the commit log lives on shared storage exactly as every
 other reader in sinks.py assumes. Admission control via
 `maxVersionsPerBatch` bounds a micro-batch to N commits, so a source
@@ -626,12 +628,14 @@ def table_stream_schema(
 
 
 class CommitLogPartition(InputPartition):
-    """One (commit, partition entry) unit of parallel read work. Files
-    are immutable once committed, so capturing paths at plan time is
+    """One (commit, partition entry) unit of read work. Files are
+    immutable once committed, so capturing paths at plan time is
     race-free by construction. Typed-feed units additionally carry the
     image type, the commit timestamp, and the key-file lists for
     executor-side tombstone anti-filtering (``anti``) and
-    delete-image semi-filtering (``inc`` minus ``exc``)."""
+    delete-image semi-filtering (``inc`` minus ``exc``). Units are
+    byte-packed into ``CommitLogUnitGroup`` tasks at plan time — a unit
+    is the correctness boundary, not the parallelism unit."""
 
     def __init__(
         self, files: list[str], pcol: str, value: str, version: int,
@@ -653,6 +657,47 @@ class CommitLogPartition(InputPartition):
         self.exc = exc or []
 
 
+class CommitLogUnitGroup(InputPartition):
+    """One executor TASK: a byte-packed run of plan units (r15, guide
+    §6). A micro-batch over a day-partitioned table plans one unit per
+    (commit, partition entry); at sf that is ~30 units of ~25 KB each,
+    and one Python-source task per unit made the read stage pure
+    per-task overhead (measured 1.9-4.7 s/batch for <1 MB of data).
+    Packing mirrors Spark's own file-scan coalescing — cumulative
+    max(bytes, 0) + openCost per file against a maxPartitionBytes
+    target — so a real commit's worth of data still fans out wide
+    while a tiny batch reads in one task."""
+
+    def __init__(self, units: list[CommitLogPartition]):
+        self.units = units
+
+
+def _pack_units(
+    units: list[CommitLogPartition],
+    target_bytes: int,
+    open_cost: int,
+) -> list[CommitLogUnitGroup]:
+    groups: list[CommitLogUnitGroup] = []
+    cur: list[CommitLogPartition] = []
+    cost = 0
+    for u in units:
+        c = 0
+        for f in u.files:
+            try:
+                c += open_cost + max(os.path.getsize(f), 0)
+            except OSError:
+                c += open_cost
+        c = c or open_cost
+        if cur and cost + c > target_bytes:
+            groups.append(CommitLogUnitGroup(cur))
+            cur, cost = [], 0
+        cur.append(u)
+        cost += c
+    if cur:
+        groups.append(CommitLogUnitGroup(cur))
+    return groups
+
+
 class CommitLogStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self._path = options.get("path")
@@ -661,6 +706,13 @@ class CommitLogStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._start = int(options.get("startingversion", 0))
         self._max_versions = int(options.get("maxversionsperbatch", 0))
+        # task sizing for the unit packer (defaults mirror Spark's file
+        # scan: 128 MiB target, 4 MiB per-file open cost); override with
+        # .option("maxPartitionBytes", n) / .option("openCostInBytes", n)
+        self._target_bytes = int(
+            options.get("maxpartitionbytes", 128 << 20)
+        )
+        self._open_cost = int(options.get("opencostinbytes", 4 << 20))
         # typed mode (.option("changeTypes", "true")): emit the Delta
         # CDF surface — _change_type + _commit_timestamp per image —
         # and accept overwrite/rewrite/delete/merge commits (the
@@ -755,7 +807,7 @@ class CommitLogStreamReader(DataSourceStreamReader):
                 self._path, start["version"], end["version"],
                 map_meta=self._map_meta, map_version=self._map_version,
             )
-            return [
+            units = [
                 CommitLogPartition(
                     p["files"], p["pcol"], p["value"], p["version"],
                     ctype=p["ctype"], ts=p["ts"], key=p["key"],
@@ -763,17 +815,25 @@ class CommitLogStreamReader(DataSourceStreamReader):
                 )
                 for p in plan
             ]
-        plan = _plan_changes(
-            self._path, start["version"], end["version"],
-            map_meta=self._map_meta, map_version=self._map_version,
-        )
-        return [
-            CommitLogPartition(p["files"], p["pcol"], p["value"], p["version"])
-            for p in plan
-        ]
+        else:
+            plan = _plan_changes(
+                self._path, start["version"], end["version"],
+                map_meta=self._map_meta, map_version=self._map_version,
+            )
+            units = [
+                CommitLogPartition(
+                    p["files"], p["pcol"], p["value"], p["version"]
+                )
+                for p in plan
+            ]
+        return _pack_units(units, self._target_bytes, self._open_cost)
 
     # -- data read (executors) ------------------------------------------
-    def read(self, partition: CommitLogPartition) -> Iterator:
+    def read(self, partition: CommitLogUnitGroup) -> Iterator:
+        for unit in partition.units:
+            yield from self._read_unit(unit)
+
+    def _read_unit(self, partition: CommitLogPartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq

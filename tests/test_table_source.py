@@ -93,6 +93,46 @@ class TestPlanning:
             _plan_changes(d, 0, 1)
 
 
+class TestUnitPacking:
+    """r15: plan units byte-pack into executor tasks (guide §6) — the
+    unit stays the correctness boundary, the task count tracks bytes."""
+
+    def test_tiny_units_pack_into_one_task(self, bronze):
+        from nshm2022db_spark.streaming.table_source import (
+            CommitLogUnitGroup,
+            _pack_units,
+        )
+
+        r = CommitLogStreamReader(table_stream_schema(bronze), {"path": bronze})
+        groups = r.partitions({"version": 0}, {"version": 3})
+        assert all(isinstance(g, CommitLogUnitGroup) for g in groups)
+        # three tiny commits: KBs of data against a 128 MiB target with
+        # 4 MiB open cost -> well under the boundary, a handful of tasks
+        units = [u for g in groups for u in g.units]
+        assert {u.version for u in units} == {1, 2, 3}
+        assert len(groups) < len(units)
+        # no unit lost or duplicated by packing
+        assert sorted(f for u in units for f in u.files) == sorted(
+            f for p in _plan_changes(bronze, 0, 3) for f in p["files"]
+        )
+
+    def test_open_cost_splits_many_small_units(self, bronze):
+        from nshm2022db_spark.streaming.table_source import _pack_units
+
+        plan = _plan_changes(bronze, 0, 3)
+        from nshm2022db_spark.streaming.table_source import CommitLogPartition
+
+        units = [
+            CommitLogPartition(p["files"], p["pcol"], p["value"], p["version"])
+            for p in plan
+        ]
+        # open cost dominates tiny files: target of 2 open-costs ->
+        # ceil(n_files/2)-ish groups, always >= 2 for our 4 units
+        groups = _pack_units(units, target_bytes=2 << 20, open_cost=1 << 20)
+        assert len(groups) >= 2
+        assert [u for g in groups for u in g.units] == units
+
+
 class TestOffsets:
     def test_admission_control_bounds_batches(self, bronze):
         r = CommitLogStreamReader(
