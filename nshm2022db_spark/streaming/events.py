@@ -408,10 +408,20 @@ def stream_overwrite_refresh(spark: SparkSession, sf: str) -> DataFrame:
 
     def land_and_refresh(batch_df: DataFrame, bid: int) -> None:
         s = batch_df.sparkSession
-        append_partition_transaction(s, bronze, "day", batch_df, batch_id=bid)
-        # the batch's distinct days: a bounded driver-side list (the
-        # dataset's day domain), the repo-sanctioned collect shape
-        days = [r.day for r in batch_df.select("day").distinct().collect()]
+        written = append_partition_transaction(
+            s, bronze, "day", batch_df, batch_id=bid
+        )
+        # the batch's distinct days, read off the append's own written
+        # partition entries (r15, guide §1) — the old
+        # batch_df.distinct().collect() re-scanned the micro-batch
+        # source once per batch just to re-learn what the write already
+        # knew. The replayed-batch no-op (written=None) keeps the scan
+        # fallback: the bronze append skipped, but a crash between the
+        # two commits still needs the refresh to run.
+        if written is not None:
+            days = [e.split("=", 1)[1] for e in sorted(written)]
+        else:
+            days = [r.day for r in batch_df.select("day").distinct().collect()]
         if not days:
             return
         refreshed = (

@@ -1289,7 +1289,7 @@ def append_partition_transaction(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = _BLOOM_BITS,
     bloom_hashes: int = _BLOOM_HASHES,
-) -> None:
+) -> set[str] | None:
     """APPEND a batch to a partition-mapped table as one commit — the
     write path a time-partitioned streaming land needs. A partition-map
     entry may hold a LIST of data dirs (generations); appending extends
@@ -1307,6 +1307,12 @@ def append_partition_transaction(
     ``batch_id`` gives foreachBatch idempotence exactly like
     `committed_transaction`: a replayed micro-batch whose id is already
     in the log no-ops.
+
+    Returns the set of partition entries (``"col=value"`` dir names)
+    this commit wrote — a caller that needs the batch's touched
+    partitions (e.g. a refresh job) reads them here instead of paying a
+    second scan of the batch source (r15, guide §1). A batch-id no-op
+    returns None (the touched set is unknown without re-planning).
 
     ``audit`` enables WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern): after
     the batch is staged but BEFORE the manifest CAS, ``audit(staged_df)``
@@ -1368,7 +1374,7 @@ def append_partition_transaction(
             if batch_id is not None and batch_id in committed_batch_ids(
                 table_dir
             ):
-                return
+                return None
             if (
                 stage_path is not None
                 and cur["version"] > validated_base["version"]
@@ -1613,7 +1619,7 @@ def append_partition_transaction(
                 table_dir, manifest, stage_path, keep_stage_on_conflict=True
             ):
                 stage_path = None  # published: the stage is live table data
-                return
+                return written
             # CAS lost. Keep the stage; the NEXT iteration's top-of-loop
             # re-validation decides rebase vs discard against the head it
             # will actually manifest on (checking an intermediate head
