@@ -3762,14 +3762,20 @@ class TestMergeIntoTable:
         d = str(tmp_path / "t")
         self._seed(spark, d)
         batch = self._batch(spark, 50, 52, "c")
-        cls = type(spark.range(1))
-        orig = cls.write
+        # count STAGE attempts of this batch via _to_physical_batch —
+        # the append's stage-write pipeline is the only caller that
+        # receives the batch object (counting DataFrame.write by
+        # identity broke when the stage write gained its hash
+        # distribution wrapper)
+        import nshm2022db_spark.streaming.sinks as sinks_mod
+
+        orig_tpb = sinks_mod._to_physical_batch
         batch_writes = [0]
 
-        def counting_write(df):
+        def counting_tpb(df, manifest):
             if df is batch:
                 batch_writes[0] += 1
-            return orig.fget(df)
+            return orig_tpb(df, manifest)
 
         def audit(staged):
             if batch_writes[0] == 1 and current_commit(d)["version"] == 1:
@@ -3782,7 +3788,7 @@ class TestMergeIntoTable:
             return True
 
         with pytest.MonkeyPatch.context() as mp:
-            mp.setattr(cls, "write", property(counting_write))
+            mp.setattr(sinks_mod, "_to_physical_batch", counting_tpb)
             append_partition_transaction(
                 spark, d, "day", batch, audit=audit
             )
@@ -3811,14 +3817,17 @@ class TestMergeIntoTable:
         d = str(tmp_path / "t")
         self._seed(spark, d)
         batch = self._batch(spark, 50, 52, "b")
-        cls = type(spark.range(1))
-        orig = cls.write
+        # stage attempts counted via _to_physical_batch, as in the
+        # disjoint-rebase test above
+        import nshm2022db_spark.streaming.sinks as sinks_mod
+
+        orig_tpb = sinks_mod._to_physical_batch
         batch_writes = [0]
 
-        def counting_write(df):
+        def counting_tpb(df, manifest):
             if df is batch:
                 batch_writes[0] += 1
-            return orig.fget(df)
+            return orig_tpb(df, manifest)
 
         def audit(staged):
             if batch_writes[0] == 1 and current_commit(d)["version"] == 1:
@@ -3829,7 +3838,7 @@ class TestMergeIntoTable:
             return True
 
         with pytest.MonkeyPatch.context() as mp:
-            mp.setattr(cls, "write", property(counting_write))
+            mp.setattr(sinks_mod, "_to_physical_batch", counting_tpb)
             append_partition_transaction(
                 spark, d, "day", batch, audit=audit
             )
