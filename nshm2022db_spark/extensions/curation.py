@@ -404,18 +404,39 @@ def _index_apply_batch(
     merge-into-empty-raises restart hazard the old per-target
     version-0 branch existed for (still pinned by
     test_crash_replay_of_first_batch_noops_cleanly)."""
+    from pyspark.sql import Observation
+
     from nshm2022db_spark.streaming.sinks import append_partition_transaction
 
     s = batch_df.sparkSession
-    # batch_df is persisted too: n_docs (the count() below) is a second
-    # action on it, and without the persist the micro-batch SOURCE is
-    # re-read once per batch just for the row count (ADVICE r13).
-    batch_df = batch_df.persist()
-    bpost = _index_postings(batch_df).persist()
+    # batch_df is persisted too: the meta scalars are further consumers
+    # of it, and without the persist the micro-batch SOURCE would be
+    # re-read once per batch (ADVICE r13).
+    obs_docs, obs_dl = Observation(), Observation()
+    # the meta scalars (n_docs, sum_dl) RIDE the postings stage write as
+    # observed metrics (r15, guide §1) — the old explicit count() +
+    # agg().collect() paid two extra jobs per micro-batch for numbers
+    # an already-running action computes in passing
+    batch_df = batch_df.observe(
+        obs_docs, F.count(F.lit(1)).alias("n")
+    ).persist()
+    bpost = (
+        _index_postings(batch_df)
+        .observe(obs_dl, F.sum("tf").cast("long").alias("t"))
+        .persist()
+    )
     try:
-        append_partition_transaction(
+        # the hot-path commits are STAT-APPENDS ONLY — no per-batch term
+        # blooms (r15): every caller runs compact_partition_table with
+        # bloom_cols at the end of the stream, which rewrites the
+        # fragmented buckets and recomputes blooms anyway, so the
+        # per-batch bloom aggregation (one Spark job per bloomed commit)
+        # bought pruning nothing ever probed. Bloom-less = never pruned
+        # = always read — correctness unchanged, the Hudi rhythm: cheap
+        # appends per batch, compaction restores skipping.
+        written = append_partition_transaction(
             s, post_dir, "bucket", bpost,
-            stats_cols=["doc_id"], bloom_cols=["term"], batch_id=batch_id,
+            stats_cols=["doc_id"], batch_id=batch_id,
         )
         # df/meta land as ADDITIVE DELTA APPENDS, not merges (r14): a
         # counter's streaming hot path is the Hudi-MOR trade — O(batch)
@@ -427,10 +448,23 @@ def _index_apply_batch(
         # MERGE form; the shared probes fold BOTH shapes identically.
         # Re-delivered batches still no-op whole commits via batch_id.
         append_partition_transaction(
-            s, df_dir, "bucket", _index_df_counts(bpost),
-            bloom_cols=["term"], batch_id=batch_id,
+            s, df_dir, "bucket", _index_df_counts(bpost), batch_id=batch_id,
         )
-        meta = _index_meta_rows(s, batch_df, bpost)
+        if written is not None:
+            # the postings stage write materialized both observed frames
+            n_docs = int(obs_docs.get["n"])
+            sum_dl = int(obs_dl.get["t"] or 0)
+        else:
+            # replayed postings commit (crash between the three commits):
+            # no action fired the observations, so compute the scalars
+            # directly — the replay-only path, same values by definition
+            n_docs = batch_df.count()
+            row = bpost.agg(F.sum("tf").cast("long").alias("t")).collect()[0]
+            sum_dl = int(row["t"] or 0)
+        meta = s.createDataFrame(
+            [("n_docs", n_docs, 0), ("sum_dl", sum_dl, 0)],
+            "metric string, v long, pk int",
+        )
         append_partition_transaction(s, meta_dir, "pk", meta, batch_id=batch_id)
     finally:
         bpost.unpersist()

@@ -410,10 +410,12 @@ class TestTfidfIndexIncremental:
         _index_apply_batch(batch, 0, f"{clean}/p", f"{clean}/d", f"{clean}/m")
 
         crashed = str(tmp_path / "crashed")
-        # simulate the partial batch 0: ONLY the postings landed
+        # simulate the partial batch 0: ONLY the postings landed (the
+        # same stat-append-only shape _index_apply_batch commits — the
+        # per-batch blooms moved to the closing compaction in r15)
         append_partition_transaction(
             spark, f"{crashed}/p", "bucket", _index_postings(batch),
-            stats_cols=["doc_id"], bloom_cols=["term"], batch_id=0,
+            stats_cols=["doc_id"], batch_id=0,
         )
         # checkpoint restart re-delivers batch 0 in full
         _index_apply_batch(batch, 0, f"{crashed}/p", f"{crashed}/d", f"{crashed}/m")
