@@ -692,9 +692,28 @@ def _trained_centroids(
     the list count (default: the IVF search tier); ``tag`` keys the
     cache per policy — SemDeDup trains with a fixed-OCCUPANCY nlist
     (clusters ∝ corpus), the search indexes with the sqrt-balance
-    tier, and the two must not share cache entries."""
+    tier, and the two must not share cache entries.
+
+    The relation is built from an ARROW table, not the pickled rows:
+    a row-built createDataFrame makes every consuming action spawn a
+    defaultParallelism-task Python job just to re-deserialize the
+    driver-held centroids (guide §4 — profiled 0.31 s per knn_ivf /
+    dedup_semdedup call at sf0.1); the Arrow relation deserializes
+    JVM-side, losslessly (float64 arrays stay float64)."""
+    import pyarrow as pa
+
     rows, schema = _trained_entry(spark, sf, nlist_of, tag)
-    return spark.createDataFrame(rows, schema)
+    tbl = pa.table(
+        {
+            "centroid_id": pa.array(
+                [r["centroid_id"] for r in rows], pa.int64()
+            ),
+            "cv": pa.array(
+                [list(r["cv"]) for r in rows], pa.list_(pa.float64())
+            ),
+        }
+    )
+    return spark.createDataFrame(tbl, schema)
 
 
 def _trained_centroid_rows(

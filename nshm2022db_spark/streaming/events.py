@@ -970,10 +970,17 @@ def _run_to_memory(agg: DataFrame, name: str, output_mode: str = "complete") -> 
         q.processAllAvailable()
     finally:
         q.stop()
-    # Materialize before the in-memory sink table goes away.
+    # Materialize before the in-memory sink table goes away. The hop to
+    # the parent session rides ARROW (lossless: int64 stays int64 with
+    # nulls, NTZ timestamps round-trip exactly) instead of collected
+    # Row objects: a createDataFrame over pickled rows makes EVERY
+    # downstream action spawn 32 Python workers just to re-deserialize
+    # the driver-held result (guide §4 — measured 0.43 s vs 0.09 s per
+    # action on a 9.5k-row result at sf0.1); the Arrow relation
+    # deserializes JVM-side.
     out = spark.sql(f"SELECT * FROM {name}")
     home = getattr(spark, "_nshm_replay_parent", None) or spark
-    result = home.createDataFrame(out.collect(), out.schema)
+    result = home.createDataFrame(out.toArrow(), out.schema)
     spark.catalog.dropTempView(name)
     return result
 
