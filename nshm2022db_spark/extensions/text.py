@@ -424,16 +424,22 @@ def lm_unigram_score(spark: SparkSession, sf: str) -> DataFrame:
     limit first; same hazard class VERDICT r06 #2 / the r6 dedup-family
     de-hinting). Only the 1-row corpus total keeps its hint. The per-doc
     rollup is partial-aggregated on doc_id. AVG is a data-ordered float
-    sum, so both sides ROUND(, 4) — the standard discipline."""
+    sum, so both sides ROUND(, 4) — the standard discipline.
+
+    The scan is spread (sources.spread, r15): the model-table broadcast
+    builds each re-ran the tokenize on the one-file scan's single task.
+    The corpus total derives from the vocabulary counts (SUM over freq)
+    instead of a third full tokenize pass — same number by definition,
+    vocabulary-sized input."""
     tok = (
-        read_table(spark, sf, "documents")
+        spread(read_table(spark, sf, "documents").select("doc_id", "text"))
         .select(
             "doc_id",
             F.explode(F.expr(spark_tokens(spark_ascii_lower("text")))).alias("token"),
         )
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.agg(F.count(F.lit(1)).alias("t"))
+    total = freq.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t"))
     return (
         tok.join(freq, "token")
         .join(F.broadcast(total))
@@ -624,8 +630,16 @@ def lm_bigram_score(spark: SparkSession, sf: str) -> DataFrame:
     runtime size stats and falls back to (w1,w2)- / w-keyed shuffle
     joins at web scale. Only the 1-row corpus total keeps its hint;
     the per-doc rollup partial-aggregates on doc_id. AVG is a
-    data-ordered float sum → ROUND(,4) both sides."""
-    arr = read_table(spark, sf, "documents").select(
+    data-ordered float sum → ROUND(,4) both sides.
+
+    The scan is spread (sources.spread, r15 — profiled: the three
+    model broadcast builds re-ran the tokenize serially on the
+    one-file scan's single task, 1.7+2.0+0.6 s at sf0.1); the corpus
+    total derives from the unigram counts (SUM over c1) instead of a
+    third tokenize pass."""
+    arr = spread(
+        read_table(spark, sf, "documents").select("doc_id", "text")
+    ).select(
         "doc_id",
         F.expr(spark_tokens(spark_ascii_lower("text"))).alias("ts"),
     )
@@ -646,7 +660,7 @@ def lm_bigram_score(spark: SparkSession, sf: str) -> DataFrame:
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     tok = arr.select(F.explode("ts").alias("w"))
     c1 = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    tot = c1.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t"))
     p = (
         F.lit(LM_LAMBDA) * F.col("c12").cast("double") / F.col("cw1").cast("double")
         + F.lit(1 - LM_LAMBDA) * F.col("cw2").cast("double") / F.col("t").cast("double")
@@ -900,7 +914,15 @@ def lm_bigram_assoc(spark: SparkSession, sf: str) -> DataFrame:
     rows — both join sides are model tables (observed bigrams × unigram
     vocab), hint-free so AQE broadcasts the vocab at small scale and
     degrades to key-shuffled joins at web scale; the 1-row corpus total
-    is the only broadcast-pinned relation."""
+    is the only broadcast-pinned relation.
+
+    The corpus total derives from the unigram counts instead of a
+    third tokenize pass (r15). The scan is NOT spread: probed both
+    ways (interleaved A/B, 3 rounds) — unlike lm_bigram_score, the
+    model×model join shape overlaps its broadcast builds, and the
+    spread measured flat-to-slightly-worse, so it stays pinned
+    spread-free (the sources.spread discipline: apply only where
+    measured)."""
     arr = read_table(spark, sf, "documents").select(
         "doc_id",
         F.expr(spark_tokens(spark_ascii_lower("text"))).alias("ts"),
@@ -925,7 +947,7 @@ def lm_bigram_assoc(spark: SparkSession, sf: str) -> DataFrame:
     )
     tok = arr.select(F.explode("ts").alias("w"))
     c1 = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    tot = c1.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t"))
     pmi = F.log(
         F.col("c12").cast("double")
         * F.col("t").cast("double")

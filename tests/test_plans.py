@@ -533,11 +533,30 @@ class TestR14TextSpreadPlans:
         assert plan.count("Arguments: hashpartitioning") <= 3
 
     def test_probe_losers_stay_spread_free(self, spark, sf_dir):
+        # lm_bigram_score left this list in r15: a fresh interleaved
+        # A/B (two rounds, 3-run mins) measured the spread 0.80x —
+        # its three model broadcast builds re-ran the tokenize on the
+        # single scan task, the exact pathology the spread fixes. It
+        # is now pinned spread-ON below.
         from nshm2022db_spark.registry import QUERIES
 
-        for name in ("bpe_encode_learned", "lm_bigram_score"):
+        for name in ("bpe_encode_learned",):
             plan = _plan(QUERIES[name](spark, sf_dir))
             assert "RoundRobinPartitioning(" not in plan, name
+
+    def test_lm_bigram_score_spread_on(self, spark, sf_dir):
+        """r15 re-probe: exactly one round-robin spread on the corpus
+        scan (the testdata stand-in for source file parallelism), and
+        the corpus total folds off the unigram counts (no third
+        tokenize pass in the logical shape)."""
+        from nshm2022db_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["lm_bigram_score"](spark, sf_dir))
+        # one spread per planned copy of the tokenize subtree (big,
+        # c2's big copy, c1 twice, tot-from-c1 — the dsir counting
+        # convention); identical exchanges dedupe at runtime via
+        # AQE exchange reuse
+        assert plan.count("RoundRobinPartitioning(") == 5
 
 
 class TestR15SpreadPlans:
