@@ -859,8 +859,13 @@ def stream_neardup_admission(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("doc_id").alias("first_doc"))
     )
     streamed = run_to_memory(firsts, "stream_admit")
+    # the static decision side pays the same Arrow simhash fold over
+    # the whole corpus — spread it too (r15; the stream side above
+    # already was): the one-file scan ran the fold on a single task
     static_bands = simhash_bands(
-        simhash_per_row(read_table(spark, sf, "documents").select("doc_id", "text"))
+        simhash_per_row(
+            spread(read_table(spark, sf, "documents").select("doc_id", "text"))
+        )
     )
     return (
         static_bands.join(streamed, ["band_id", "byte"])

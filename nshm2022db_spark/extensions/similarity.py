@@ -1421,13 +1421,16 @@ def stream_semdedup_admission(
     from nshm2022db_spark.streaming import events as _events
     from nshm2022db_spark.streaming.events import emb_stream
 
-    cents = _trained_centroids(
-        spark, sf, nlist_of=_semdedup_nlist_py, tag="semdedup"
-    )
     import numpy as np
 
+    # the memoized centroid ROWS directly — materializing the relation
+    # just to .collect() it back cost one whole Spark job per call
+    # (the _trained_centroid_rows rationale, applied here in r15)
     crows = sorted(
-        ((int(r["centroid_id"]), list(r["cv"])) for r in cents.collect())
+        (int(r["centroid_id"]), list(r["cv"]))
+        for r in _trained_centroid_rows(
+            spark, sf, nlist_of=_semdedup_nlist_py, tag="semdedup"
+        )
     )
     cent_ids = [c for c, _ in crows]
     C = np.array([v for _, v in crows], np.float64)
