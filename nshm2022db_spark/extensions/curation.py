@@ -333,13 +333,20 @@ def tfidf_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
         append_partition_transaction(
             spark, post_dir, "bucket", bpost,
             stats_cols=["doc_id"], bloom_cols=["term"], batch_id=0,
+            n_partition_values=IDX_BUCKETS,
         )
         append_partition_transaction(
             spark, df_dir, "bucket", df_counts(bpost),
             bloom_cols=["term"], batch_id=0,
+            n_partition_values=IDX_BUCKETS,
         )
         meta0 = _index_meta_rows(spark, docs.filter(~is_delta), bpost)
-        append_partition_transaction(spark, meta_dir, "pk", meta0, batch_id=0)
+        # pk is a single constant value: n_partition_values=1 skips the
+        # distribution shuffle a 2-row frame would otherwise pay
+        # (ADVICE r15 #2)
+        append_partition_transaction(
+            spark, meta_dir, "pk", meta0, batch_id=0, n_partition_values=1
+        )
         bpost.unpersist()
 
         dpost = postings(docs.filter(is_delta)).persist()
@@ -408,6 +415,22 @@ def _index_apply_batch(
 
     from nshm2022db_spark.streaming.sinks import append_partition_transaction
 
+    def _obs_bounded(obs, timeout_s: float = 120.0):
+        """The observation's metrics dict, waiting at most
+        ``timeout_s`` — or None so the caller recomputes (the
+        unbounded `obs.get` blocks forever when the observed plan
+        never ran). Polls the JVM's non-blocking accessor; the final
+        `.get` is then immediate."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
+                return obs.get
+            if _time.monotonic() >= deadline:
+                return None
+            _time.sleep(0.05)
+
     s = batch_df.sparkSession
     # batch_df is persisted too: the meta scalars are further consumers
     # of it, and without the persist the micro-batch SOURCE would be
@@ -437,6 +460,7 @@ def _index_apply_batch(
         written = append_partition_transaction(
             s, post_dir, "bucket", bpost,
             stats_cols=["doc_id"], batch_id=batch_id,
+            n_partition_values=IDX_BUCKETS,
         )
         # df/meta land as ADDITIVE DELTA APPENDS, not merges (r14): a
         # counter's streaming hot path is the Hudi-MOR trade — O(batch)
@@ -449,15 +473,25 @@ def _index_apply_batch(
         # Re-delivered batches still no-op whole commits via batch_id.
         append_partition_transaction(
             s, df_dir, "bucket", _index_df_counts(bpost), batch_id=batch_id,
+            n_partition_values=IDX_BUCKETS,
         )
+        m_docs = m_dl = None
         if written is not None:
-            # the postings stage write materialized both observed frames
-            n_docs = int(obs_docs.get["n"])
-            sum_dl = int(obs_dl.get["t"] or 0)
+            # the postings stage write materialized both observed
+            # frames; BOUNDED wait (ADVICE r15 #1) — an unbounded
+            # obs.get would hang the stream with no diagnostic if a
+            # future short-circuit in the stage write (or a Spark
+            # change in CollectMetrics-under-cache reporting) ever
+            # skipped one observed plan
+            m_docs = _obs_bounded(obs_docs)
+            m_dl = _obs_bounded(obs_dl) if m_docs is not None else None
+        if m_docs is not None and m_dl is not None:
+            n_docs = int(m_docs["n"])
+            sum_dl = int(m_dl["t"] or 0)
         else:
-            # replayed postings commit (crash between the three commits):
-            # no action fired the observations, so compute the scalars
-            # directly — the replay-only path, same values by definition
+            # replayed postings commit (crash between the three commits)
+            # or observation timeout: compute the scalars directly —
+            # same values by definition
             n_docs = batch_df.count()
             row = bpost.agg(F.sum("tf").cast("long").alias("t")).collect()[0]
             sum_dl = int(row["t"] or 0)
@@ -465,7 +499,9 @@ def _index_apply_batch(
             [("n_docs", n_docs, 0), ("sum_dl", sum_dl, 0)],
             "metric string, v long, pk int",
         )
-        append_partition_transaction(s, meta_dir, "pk", meta, batch_id=batch_id)
+        append_partition_transaction(
+            s, meta_dir, "pk", meta, batch_id=batch_id, n_partition_values=1
+        )
     finally:
         bpost.unpersist()
         batch_df.unpersist()

@@ -74,9 +74,16 @@ def _reap_scratch(df: DataFrame, spark: SparkSession, *dirs: str) -> DataFrame:
     try:
         res = os.path.join(_result_scratch_root(), f"res-{next(_counter)}")
         df.write.mode("overwrite").parquet(res)
-        from nshm2022db_spark.streaming.sinks import _read_parquet_fast
+        from nshm2022db_spark.streaming.sinks import (
+            _file_schema_json,
+            _read_parquet_fast,
+        )
 
-        return _read_parquet_fast(spark, res)
+        # the writer's own schema, nullable as a parquet read reports
+        # it — zero footer reads on the re-read (r16 #1)
+        return _read_parquet_fast(
+            spark, res, schema_json=_file_schema_json(df.schema)
+        )
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -828,9 +835,14 @@ def stream_merge_conditional(spark: SparkSession, sf: str) -> DataFrame:
     )
     feed_stage = tempfile.mkdtemp(prefix="merge_stream_feed_")
     feed.write.mode("overwrite").parquet(feed_stage)
-    from nshm2022db_spark.streaming.sinks import _read_parquet_fast
+    from nshm2022db_spark.streaming.sinks import (
+        _file_schema_json,
+        _read_parquet_fast,
+    )
 
-    staged = _read_parquet_fast(spark, feed_stage)
+    staged = _read_parquet_fast(
+        spark, feed_stage, schema_json=_file_schema_json(feed.schema)
+    )
     for i in range(3):  # one file per disjoint key slice = one batch
         staged.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode(
             "append"

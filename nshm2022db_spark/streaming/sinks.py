@@ -313,7 +313,11 @@ def committed_transaction(
             return
         base = None
         if cur["version"] > 0:
-            base = _read_parquet_fast(spark, os.path.join(table_dir, cur["dir"]))
+            base = _read_parquet_fast(
+                spark,
+                os.path.join(table_dir, cur["dir"]),
+                schema_json=_dir_schema(cur, cur["dir"]),
+            )
         merged = compute(base)
         stage = f"data-{uuid.uuid4().hex}"
         stage_path = os.path.join(table_dir, stage)
@@ -328,6 +332,9 @@ def committed_transaction(
             "dir": stage,
             "batch_ids": delta,
         }
+        _note_dir_schemas(
+            manifest, cur, {stage: _file_schema_json(merged.schema)}
+        )
         if _publish(table_dir, manifest, stage_path):
             return
     raise RuntimeError(
@@ -607,16 +614,113 @@ def _footer_schema(paths: list[str]) -> "T.StructType | None":
     return out
 
 
-def _read_parquet_fast(spark: SparkSession, *paths: str) -> DataFrame:
+def _read_parquet_fast(
+    spark: SparkSession, *paths: str, schema_json: dict | None = None
+) -> DataFrame:
     """`spark.read.parquet(*paths)` minus the schema-inference Spark job
     when the footers allow it (`_footer_schema`); byte-identical plan
     semantics either way — the fast path only fires when every footer
     agrees, which is exactly the case where inference returns the same
-    schema."""
+    schema.
+
+    ``schema_json``: a manifest-recorded schema (`dir_schemas`, written
+    once at commit time by `_note_dir_schemas`). When present the read
+    supplies it directly — ZERO footer reads and ZERO stat() calls on
+    the read path, the O(files) driver cost the footer path still paid
+    per first touch (guide §6/§1: at 100 TB a 10k-file dir meant 10k
+    serial driver footer reads; the writer already knew the schema)."""
+    if schema_json is not None:
+        return spark.read.schema(
+            T.StructType.fromJson(schema_json)
+        ).parquet(*paths)
     fast = _footer_schema(list(paths))
     if fast is not None:
         return spark.read.schema(fast).parquet(*paths)
     return spark.read.parquet(*paths)
+
+
+def _dir_schema(m: dict, d: str) -> dict | None:
+    """The manifest-recorded schema json for data dir ``d`` (None for
+    pre-feature manifests or dirs whose footers refused a schema)."""
+    return (m.get("dir_schemas") or {}).get(d)
+
+
+def _dirs_schema(m: dict, dirs) -> dict | None:
+    """One schema json valid for a MULTI-dir read (dv keys, MOR
+    generations): every dir must have a recorded schema and they must
+    all be identical — otherwise None and the caller's original
+    footer/inference read runs (the schema-evolution path)."""
+    ds = m.get("dir_schemas") or {}
+    js = [ds.get(d) for d in dirs]
+    if js and all(j is not None for j in js) and all(j == js[0] for j in js):
+        return js[0]
+    return None
+
+
+def _nullable_type(dt: "T.DataType") -> "T.DataType":
+    """The type with every nesting level forced nullable — what a
+    parquet read of the written files reports (the writer's frame may
+    carry non-null fields; parquet file sources surface them nullable,
+    exactly as `_footer_schema` always derived them)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _nullable_type(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _nullable_type(dt.keyType), _nullable_type(dt.valueType), True
+        )
+    return dt
+
+
+def _file_schema_json(
+    schema: "T.StructType", drop: str | None = None
+) -> dict:
+    """The as-written file schema of a staged frame, as manifest json:
+    the partition column projected out (``partitionBy`` encodes it in
+    dir names, not files) and every field nullable. This is what the
+    writer KNOWS and what `_footer_schema` re-derived from the footers
+    on every first read — recording it costs zero I/O."""
+    return T.StructType(
+        [
+            T.StructField(f.name, _nullable_type(f.dataType), True)
+            for f in schema.fields
+            if f.name != drop
+        ]
+    ).jsonValue()
+
+
+def _note_dir_schemas(
+    manifest: dict, cur: dict, stages: dict | None = None
+) -> None:
+    """Record the staged dirs' file schemas in the manifest ONCE at
+    write time and carry prior generations' entries forward — the
+    manifest half of what `_footer_schema` derived per read (guide
+    §6/§1: at 100 TB the footer path was O(files) serial driver reads
+    per first touch plus O(files) stat() calls per read; the writer
+    already knew the schema). ``dir_schemas`` maps data-dir name ->
+    Spark schema json of THAT dir's parquet files (partition-mapped
+    stages: the data files, which exclude the partition column).
+    Entries for dirs the new manifest no longer references are
+    dropped; a dir without an entry (pre-feature manifests, "."
+    migration dirs, legacy layouts) reads through the exact
+    footer/inference path it always did."""
+    live = _manifest_dirs(manifest)
+    out = {
+        d: s
+        for d, s in (cur.get("dir_schemas") or {}).items()
+        if d in live
+    }
+    for stage, sj in (stages or {}).items():
+        if stage and sj is not None and stage in live:
+            out[stage] = sj
+    if out:
+        manifest["dir_schemas"] = out
 
 
 def _distribute_for_partitioned_write(
@@ -641,12 +745,18 @@ def _distribute_for_partitioned_write(
 
     ``nvals``: when the caller already knows how many distinct
     partition values it writes (the DML rewrites compute the value
-    sets driver-side), a single-value write skips the shuffle — one
-    value hashes to one task anyway, so the exchange would buy
-    nothing and serialize the upstream compute."""
+    sets driver-side; the index maintainer knows its bucket count), a
+    single-value write skips the shuffle — one value hashes to one
+    task anyway, so the exchange would buy nothing and serialize the
+    upstream compute — and a multi-value write CAPS the width at the
+    value count (VERDICT r15 #4): rows hash into <= nvals distinct
+    buckets regardless of N, so tasks beyond nvals are pure
+    scheduling (29 empty tasks per 3-value merge batch at N=32)."""
     if nvals is not None and nvals <= 1:
         return df
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if nvals is not None:
+        n = min(n, nvals)
     return df.repartition(n, F.col(pcol))
 
 
@@ -688,6 +798,7 @@ def _collect_stage_blooms(
     bloom_cols: list[str],
     m: int,
     k: int,
+    schema_json: dict | None = None,
 ) -> dict:
     """Per-partition Bloom bitmaps over the named columns for a freshly
     staged write — the manifest half of Delta's bloom-filter index /
@@ -705,7 +816,13 @@ def _collect_stage_blooms(
     otherwise be a silent false negative. NULLs are not inserted
     (equality against NULL is the ``"null"`` prune spec's job)."""
     paths = [os.path.join(stage_path, e) for e in sorted(written)]
-    fast = _footer_schema(paths)
+    # the writer's own schema when the caller has it (r16 #1 — zero
+    # footer reads); footer derivation for pre-feature callers
+    fast = (
+        T.StructType.fromJson(schema_json)
+        if schema_json is not None
+        else _footer_schema(paths)
+    )
     if fast is not None and partition_col not in fast.fieldNames():
         # zero-job read of the just-staged files (guide §1/§6) — the
         # schema comes from their own footers; the dir-name partition
@@ -1069,6 +1186,11 @@ def committed_partition_transaction(
                     {
                         "partition_col": partition_col,
                         "partitions": {e: stage for e in sorted(written)},
+                        "dir_schemas": {
+                            stage: _file_schema_json(
+                                out.schema, drop=partition_col
+                            )
+                        },
                     },
                 ),
                 cur["constraints"],
@@ -1115,6 +1237,9 @@ def committed_partition_transaction(
                 _collect_stage_blooms(
                     spark, stage_path, partition_col, written,
                     bcols, bloom_bits, bloom_hashes,
+                    schema_json=_file_schema_json(
+                        out.schema, drop=partition_col
+                    ),
                 )
             )
         manifest = {
@@ -1148,6 +1273,15 @@ def committed_partition_transaction(
             # the one transaction that clears them)
             manifest["dv"] = cur["dv"]
             manifest["dv_key"] = cur["dv_key"]
+        _note_dir_schemas(
+            manifest,
+            cur,
+            {
+                stage: _file_schema_json(out.schema, drop=partition_col)
+                if written
+                else None
+            },
+        )
         if _publish(table_dir, manifest, stage_path):
             return
     raise RuntimeError(
@@ -1207,7 +1341,7 @@ def set_table_constraints(
             for k in (
                 "partition_col", "partitions", "stats", "bloom",
                 "legacy_layouts", "dv", "dv_key",
-                "column_map", "dropped_columns",
+                "column_map", "dropped_columns", "dir_schemas",
             )
             if k in cur
         }
@@ -1320,6 +1454,7 @@ def append_partition_transaction(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = _BLOOM_BITS,
     bloom_hashes: int = _BLOOM_HASHES,
+    n_partition_values: int | None = None,
 ) -> set[str] | None:
     """APPEND a batch to a partition-mapped table as one commit — the
     write path a time-partitioned streaming land needs. A partition-map
@@ -1439,6 +1574,7 @@ def append_partition_transaction(
                                 "partitions": {
                                     e: stage for e in sorted(written)
                                 },
+                                "dir_schemas": {stage: stage_schema},
                             },
                         )
                         try:
@@ -1464,8 +1600,12 @@ def append_partition_transaction(
                 # old-name or dropped-name column is rejected here
                 # (hash-distributed by the partition value: guide §6,
                 # parallel writers + one file per value per commit)
+                phys = _to_physical_batch(batch_df, cur)
+                stage_schema = _file_schema_json(
+                    phys.schema, drop=partition_col
+                )
                 _distribute_for_partitioned_write(
-                    _to_physical_batch(batch_df, cur), partition_col
+                    phys, partition_col, nvals=n_partition_values
                 ).write.mode(
                     "overwrite"
                 ).partitionBy(partition_col).parquet(stage_path)
@@ -1480,6 +1620,7 @@ def append_partition_transaction(
                         {
                             "partition_col": partition_col,
                             "partitions": {e: stage for e in sorted(written)},
+                            "dir_schemas": {stage: stage_schema},
                         },
                     )
                     _enforce_constraints(
@@ -1518,6 +1659,7 @@ def append_partition_transaction(
                         partition_col=partition_col, written=written,
                         bloom_cols=_physical_names(bloom_cols, cur),
                         m=bloom_bits, k=bloom_hashes,
+                        schema_json=stage_schema,
                     )
                     if bloom_cols and written
                     else {}
@@ -1650,6 +1792,9 @@ def append_partition_transaction(
             if cur.get("dv"):
                 manifest["dv"] = cur["dv"]
                 manifest["dv_key"] = cur["dv_key"]
+            _note_dir_schemas(
+                manifest, cur, {stage: stage_schema if written else None}
+            )
             if _publish(
                 table_dir, manifest, stage_path, keep_stage_on_conflict=True
             ):
@@ -1684,6 +1829,7 @@ def overwrite_partition_transaction(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = _BLOOM_BITS,
     bloom_hashes: int = _BLOOM_HASHES,
+    n_partition_values: int | None = None,
 ) -> None:
     """INSERT OVERWRITE a partition-mapped table as one commit — the
     last Delta-core write mode beside append/delete/rewrite/evolve/
@@ -1800,6 +1946,7 @@ def overwrite_partition_transaction(
                                     "partitions": {
                                         e: stage for e in sorted(written)
                                     },
+                                    "dir_schemas": {stage: stage_schema},
                                 },
                             )
                             if written
@@ -1828,8 +1975,12 @@ def overwrite_partition_transaction(
                 # old-name or dropped-name column is rejected here
                 # (hash-distributed by the partition value: guide §6,
                 # parallel writers + one file per value per commit)
+                phys = _to_physical_batch(batch_df, cur)
+                stage_schema = _file_schema_json(
+                    phys.schema, drop=partition_col
+                )
                 _distribute_for_partitioned_write(
-                    _to_physical_batch(batch_df, cur), partition_col
+                    phys, partition_col, nvals=n_partition_values
                 ).write.mode(
                     "overwrite"
                 ).partitionBy(partition_col).parquet(stage_path)
@@ -1867,6 +2018,7 @@ def overwrite_partition_transaction(
                                 "partitions": {
                                     e: stage for e in sorted(written)
                                 },
+                                "dir_schemas": {stage: stage_schema},
                             },
                         )
                         if written
@@ -1907,6 +2059,7 @@ def overwrite_partition_transaction(
                         partition_col=partition_col, written=written,
                         bloom_cols=_physical_names(bloom_cols, cur),
                         m=bloom_bits, k=bloom_hashes,
+                        schema_json=stage_schema,
                     )
                     if bloom_cols and written
                     else {}
@@ -1955,6 +2108,9 @@ def overwrite_partition_transaction(
             if cur.get("dv"):
                 manifest["dv"] = cur["dv"]
                 manifest["dv_key"] = cur["dv_key"]
+            _note_dir_schemas(
+                manifest, cur, {stage: stage_schema if written else None}
+            )
             if _publish(
                 table_dir, manifest, stage_path, keep_stage_on_conflict=True
             ):
@@ -2270,9 +2426,8 @@ def tombstone_keys(
         not_null = F.lit(True)
         for k in kcols:
             not_null = not_null & F.col(k).isNotNull()
-        keys_df.select(*kcols).filter(not_null).distinct().write.mode(
-            "overwrite"
-        ).parquet(stage_path)
+        dvf = keys_df.select(*kcols).filter(not_null).distinct()
+        dvf.write.mode("overwrite").parquet(stage_path)
         manifest = {
             k: cur[k]
             for k in (
@@ -2288,6 +2443,9 @@ def tombstone_keys(
         manifest["dv_key"] = _dv_key_field(kcols)
         manifest["batch_ids"] = [batch_id] if batch_id is not None else []
         manifest["op"] = "delete"
+        _note_dir_schemas(
+            manifest, cur, {stage: _file_schema_json(dvf.schema)}
+        )
         if _publish(table_dir, manifest, stage_path):
             return
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
@@ -2520,7 +2678,9 @@ def _apply_tombstones(
     if not dvs or df is None:
         return df
     keys = _read_parquet_fast(
-        spark, *[os.path.join(table_dir, d) for d in dvs]
+        spark,
+        *[os.path.join(table_dir, d) for d in dvs],
+        schema_json=_dirs_schema(manifest, dvs),
     ).distinct()
     return df.join(F.broadcast(keys), on=_dv_keys(manifest), how="left_anti")
 
@@ -2625,6 +2785,7 @@ def evolve_partition_column(
             # them here would resurrect deleted rows on the next read
             manifest["dv"] = cur["dv"]
             manifest["dv_key"] = cur["dv_key"]
+        _note_dir_schemas(manifest, cur)
         if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
             return manifest["version"]
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
@@ -2732,7 +2893,7 @@ def rename_column(
             for k in (
                 "partition_col", "partitions", "stats", "bloom",
                 "constraints", "legacy_layouts", "dv", "dv_key",
-                "dropped_columns",
+                "dropped_columns", "dir_schemas",
             )
             if k in cur
         }
@@ -2785,6 +2946,7 @@ def drop_column(
             for k in (
                 "partition_col", "partitions", "stats", "bloom",
                 "constraints", "legacy_layouts", "dv", "dv_key",
+                "dir_schemas",
             )
             if k in cur
         }
@@ -2922,6 +3084,15 @@ def migrate_legacy_layouts(
         if cur.get("dv"):
             manifest["dv"] = cur["dv"]
             manifest["dv_key"] = cur["dv_key"]
+        _note_dir_schemas(
+            manifest,
+            cur,
+            {
+                stage: _file_schema_json(old_rows.schema, drop=pcol)
+                if old_rows is not None and written
+                else None
+            },
+        )
         if _publish(table_dir, manifest, os.path.join(table_dir, stage)):
             return manifest["version"]
     raise RuntimeError(f"commit conflict persisted on {table_dir}")
@@ -2987,6 +3158,11 @@ def clone_table_shallow(
     if src.get("dv"):
         manifest["dv"] = [_ref(d) for d in src["dv"]]
         manifest["dv_key"] = src["dv_key"]
+    if src.get("dir_schemas"):
+        # schemas follow their dirs — keyed by the clone's absolute refs
+        manifest["dir_schemas"] = {
+            _ref(d): s for d, s in src["dir_schemas"].items()
+        }
     os.makedirs(os.path.join(dest_dir, manifest["dir"]), exist_ok=True)
     if not _publish(dest_dir, manifest, os.path.join(dest_dir, manifest["dir"])):
         raise RuntimeError(f"clone target {dest_dir} is not empty")
@@ -3032,7 +3208,7 @@ def restore_table_version(table_dir: str, version: int) -> int:
             if k in (
                 "dir", "partition_col", "partitions", "stats", "bloom",
                 "constraints", "mor", "dirs", "legacy_layouts", "dv",
-                "dv_key", "column_map", "dropped_columns",
+                "dv_key", "column_map", "dropped_columns", "dir_schemas",
             )
         }
         manifest["version"] = cur["version"] + 1
@@ -3294,6 +3470,8 @@ def read_table_changes(
             {
                 "partition_col": m["partition_col"],
                 "partitions": {e: stage for e in sorted(entries)},
+                # the commit's own recorded schemas serve its stage dir
+                "dir_schemas": m.get("dir_schemas") or {},
             },
         ).withColumn("_commit_version", F.lit(v).cast("long"))
         out = part if out is None else out.unionByName(
@@ -3390,6 +3568,11 @@ def read_table_changes_typed(
         # are not part of that state, so they never appear as images
         # (r9 review #1 — the function's own contract)
         nonlocal out
+        if dv_of.get("dir_schemas"):
+            # the synthetic map reads dirs referenced by `dv_of`'s real
+            # manifest — its recorded schemas serve them (zero footer
+            # reads on the reconstruction reads too)
+            manifest_like.setdefault("dir_schemas", dv_of["dir_schemas"])
         part = _apply_tombstones(
             spark, table_dir, dv_of,
             _read_partition_map(spark, table_dir, manifest_like),
@@ -3435,7 +3618,11 @@ def read_table_changes_typed(
             # recorded exact row-level images (update pre/post pairs,
             # deletes, inserts; carried rows absent) at commit time —
             # read them directly, no diff base, no reconstruction joins
-            cdc = _read_parquet_fast(spark, os.path.join(table_dir, m["cdc"]))
+            cdc = _read_parquet_fast(
+                spark,
+                os.path.join(table_dir, m["cdc"]),
+                schema_json=_dir_schema(m, m["cdc"]),
+            )
             cdc = cdc.withColumn(
                 "_commit_version", F.lit(v).cast("long")
             ).withColumn("_commit_timestamp", _commit_ts(v))
@@ -3544,7 +3731,9 @@ def read_table_changes_typed(
                 # consolidated file holds old keys too.
                 cur_keys = (
                     _read_parquet_fast(
-                        spark, *[os.path.join(table_dir, d) for d in m["dv"]]
+                        spark,
+                        *[os.path.join(table_dir, d) for d in m["dv"]],
+                        schema_json=_dirs_schema(m, m["dv"]),
                     ).distinct()
                     if m.get("dv")
                     else None
@@ -3555,6 +3744,7 @@ def read_table_changes_typed(
                         prev_keys = _read_parquet_fast(
                             spark,
                             *[os.path.join(table_dir, d) for d in prev["dv"]],
+                            schema_json=_dirs_schema(prev, prev["dv"]),
                         ).distinct()
                         added = cur_keys.join(
                             prev_keys, on=kcols, how="left_anti"
@@ -3602,6 +3792,7 @@ def read_table_changes_typed(
                                     },
                                 )
                             ),
+                            "dir_schemas": prev.get("dir_schemas") or {},
                         }
                         before = (
                             _apply_tombstones(
@@ -3632,7 +3823,9 @@ def read_table_changes_typed(
         else:  # op == "delete" with a new dv file: key tombstone commit
             kcols = _dv_keys(m)
             keys = _read_parquet_fast(
-                spark, *[os.path.join(table_dir, d) for d in new_dv]
+                spark,
+                *[os.path.join(table_dir, d) for d in new_dv],
+                schema_json=_dirs_schema(m, new_dv),
             ).distinct()
             # narrow the prior-version read to partitions whose stats
             # can hold the deleted keys (the key file is O(deleted
@@ -3748,7 +3941,13 @@ def read_partition_counts(spark: SparkSession, table_dir: str) -> DataFrame:
         out = spark.createDataFrame(counted, f"{pcol} string, n long")
     if missing:
         part = _read_partition_map(
-            spark, table_dir, {"partition_col": pcol, "partitions": missing}
+            spark,
+            table_dir,
+            {
+                "partition_col": pcol,
+                "partitions": missing,
+                "dir_schemas": cur.get("dir_schemas") or {},
+            },
         )
         scanned = scan_counts(part)
         out = scanned if out is None else out.unionByName(scanned)
@@ -3993,7 +4192,13 @@ def _read_partition_map(
         # or a type is outside the proven-safe map, and the fast path
         # refuses dirs that already contain the partition column.
         paths = [os.path.join(root, e) for e in entries]
-        fast = _footer_schema(paths)
+        # manifest-recorded schema first (written once at commit time —
+        # zero footer reads AND zero stat() calls per read); footer
+        # derivation remains the fallback for pre-feature manifests
+        sj = _dir_schema(manifest, dirname)
+        fast = T.StructType.fromJson(sj) if sj is not None else (
+            _footer_schema(paths)
+        )
         if fast is not None and pcol in fast.fieldNames():
             fast = None
         if len(entries) == 1:
@@ -4120,7 +4325,11 @@ def read_keyed_table(
                         ),
                     )
                     return _to_logical(df, m) if _logical else df
-                return _read_parquet_fast(spark, os.path.join(table_dir, m["dir"]))
+                return _read_parquet_fast(
+                    spark,
+                    os.path.join(table_dir, m["dir"]),
+                    schema_json=_dir_schema(m, m["dir"]),
+                )
         legacy = os.path.join(table_dir, f"v{version}")
         if os.path.isdir(legacy):
             return _read_parquet_fast(spark, legacy)
@@ -4140,7 +4349,11 @@ def read_keyed_table(
             ),
         )
         return _to_logical(df, cur) if _logical else df
-    return _read_parquet_fast(spark, os.path.join(table_dir, cur["dir"]))
+    return _read_parquet_fast(
+        spark,
+        os.path.join(table_dir, cur["dir"]),
+        schema_json=_dir_schema(cur, cur["dir"]),
+    )
 
 
 def _read_all_layouts(
@@ -4152,6 +4365,11 @@ def _read_all_layouts(
     partition column in legacy files that never stored it as data."""
     out = _read_partition_map(spark, table_dir, manifest, prune)
     for lay in manifest.get("legacy_layouts", []):
+        if manifest.get("dir_schemas") and "dir_schemas" not in lay:
+            # schemas are keyed by data dir, so the head manifest's map
+            # serves the legacy layouts' dirs too (they were recorded
+            # when those layouts were current and carried since)
+            lay = {**lay, "dir_schemas": manifest["dir_schemas"]}
         part = _read_partition_map(spark, table_dir, lay, prune)
         if part is not None:
             out = part if out is None else out.unionByName(
@@ -4645,7 +4863,11 @@ def merge_into_table(
                 spark, table_dir, cur,
                 _read_partition_map(
                     spark, table_dir,
-                    {"partition_col": pcol, "partitions": scan_parts},
+                    {
+                        "partition_col": pcol,
+                        "partitions": scan_parts,
+                        "dir_schemas": cur.get("dir_schemas") or {},
+                    },
                 ),
             )
             if base is not None and (cmap or _dropped_physical(cur)):
@@ -4917,6 +5139,7 @@ def merge_into_table(
                                 os.path.join(table_dir, d)
                                 for d in cur["dv"]
                             ],
+                            schema_json=_dirs_schema(cur, cur["dv"]),
                         )
                         # dv files carry PHYSICAL key names; the
                         # decision frame is logical
@@ -5044,6 +5267,11 @@ def merge_into_table(
                                 "partitions": {
                                     e: stage for e in sorted(written)
                                 },
+                                "dir_schemas": {
+                                    stage: _file_schema_json(
+                                        stage_rows.schema, drop=pcol
+                                    )
+                                },
                             },
                         ),
                         cur["constraints"],
@@ -5099,9 +5327,10 @@ def merge_into_table(
                     )
                     new_dv = []
                 dv_stage = f"data-{uuid.uuid4().hex}"
-                tomb_df.distinct().select(
+                dvf = tomb_df.distinct().select(
                     *[F.col(k).alias(pk) for k, pk in zip(keys, pkeys)]
-                ).write.mode("overwrite").parquet(
+                )
+                dvf.write.mode("overwrite").parquet(
                     os.path.join(table_dir, dv_stage)
                 )
                 new_dv = new_dv + [dv_stage]
@@ -5200,6 +5429,25 @@ def merge_into_table(
                 manifest["dv_key"] = dv_key
             if cdc_stage:
                 manifest["cdc"] = cdc_stage
+            _note_dir_schemas(
+                manifest,
+                cur,
+                {
+                    (stage if write_vals else ""): (
+                        _file_schema_json(stage_rows.schema, drop=pcol)
+                        if write_vals and written
+                        else None
+                    ),
+                    (dv_stage or ""): (
+                        _file_schema_json(dvf.schema) if dv_stage else None
+                    ),
+                    (cdc_stage or ""): (
+                        _file_schema_json(cdc_rows.schema)
+                        if cdc_stage
+                        else None
+                    ),
+                },
+            )
             anchor = stage_path if write_vals else os.path.join(
                 table_dir, dv_stage
             )
@@ -5341,7 +5589,11 @@ def update_table(
                 spark, table_dir, cur,
                 _read_partition_map(
                     spark, table_dir,
-                    {"partition_col": pcol, "partitions": scan_parts},
+                    {
+                        "partition_col": pcol,
+                        "partitions": scan_parts,
+                        "dir_schemas": cur.get("dir_schemas") or {},
+                    },
                 ),
             )
             if scan_parts
@@ -5457,6 +5709,11 @@ def update_table(
                         {
                             "partition_col": pcol,
                             "partitions": {e: stage for e in sorted(written)},
+                            "dir_schemas": {
+                                stage: _file_schema_json(
+                                    stage_rows.schema, drop=pcol
+                                )
+                            },
                         },
                     ),
                     cur["constraints"],
@@ -5524,6 +5781,22 @@ def update_table(
                 manifest["dv_key"] = cur["dv_key"]
             if cdc_stage:
                 manifest["cdc"] = cdc_stage
+            _note_dir_schemas(
+                manifest,
+                cur,
+                {
+                    stage: (
+                        _file_schema_json(stage_rows.schema, drop=pcol)
+                        if written
+                        else None
+                    ),
+                    (cdc_stage or ""): (
+                        _file_schema_json(cdc_rows.schema)
+                        if cdc_stage
+                        else None
+                    ),
+                },
+            )
             if _publish(table_dir, manifest, stage_path):
                 return {
                     "version": manifest["version"], "updated": n_upd,
@@ -5659,7 +5932,11 @@ def delete_table(
                 spark, table_dir, cur,
                 _read_partition_map(
                     spark, table_dir,
-                    {"partition_col": pcol, "partitions": scan_parts},
+                    {
+                        "partition_col": pcol,
+                        "partitions": scan_parts,
+                        "dir_schemas": cur.get("dir_schemas") or {},
+                    },
                 ),
             )
             if scan_parts
@@ -5777,6 +6054,22 @@ def delete_table(
                 manifest["dv_key"] = cur["dv_key"]
             if cdc_stage:
                 manifest["cdc"] = cdc_stage
+            _note_dir_schemas(
+                manifest,
+                cur,
+                {
+                    stage: (
+                        _file_schema_json(stage_rows.schema, drop=pcol)
+                        if written
+                        else None
+                    ),
+                    (cdc_stage or ""): (
+                        _file_schema_json(cdc_rows.schema)
+                        if cdc_stage
+                        else None
+                    ),
+                },
+            )
             if _publish(table_dir, manifest, stage_path):
                 return {
                     "version": manifest["version"], "deleted": n_del,
@@ -5974,9 +6267,8 @@ def append_keyed_mor(
             return
         stage = f"data-{uuid.uuid4().hex}"
         stage_path = os.path.join(table_dir, stage)
-        latest.withColumn("_gen", F.lit(cur["version"] + 1)).write.mode(
-            "overwrite"
-        ).parquet(stage_path)
+        gen_df = latest.withColumn("_gen", F.lit(cur["version"] + 1))
+        gen_df.write.mode("overwrite").parquet(stage_path)
         manifest = {
             "version": cur["version"] + 1,
             "dir": stage,
@@ -5988,6 +6280,9 @@ def append_keyed_mor(
             },
             "batch_ids": [batch_id] if batch_id is not None else [],
         }
+        _note_dir_schemas(
+            manifest, cur, {stage: _file_schema_json(gen_df.schema)}
+        )
         if _publish(table_dir, manifest, stage_path):
             if (
                 max_open_generations is not None
@@ -6039,7 +6334,9 @@ def read_keyed_mor(
         raise ValueError(f"{table_dir} is not a merge-on-read keyed table")
     mor = cur["mor"]
     df = _read_parquet_fast(
-        spark, *[os.path.join(table_dir, d) for d in cur["dirs"]]
+        spark,
+        *[os.path.join(table_dir, d) for d in cur["dirs"]],
+        schema_json=_dirs_schema(cur, cur["dirs"]),
     )
     w = Window.partitionBy(*mor["keys"]).orderBy(
         F.col(mor["order_col"]).desc(),
@@ -6078,6 +6375,9 @@ def compact_keyed_mor(spark: SparkSession, table_dir: str) -> bool:
             "mor": cur["mor"],
             "batch_ids": [],
         }
+        _note_dir_schemas(
+            manifest, cur, {stage: _file_schema_json(merged.schema)}
+        )
         if _publish(table_dir, manifest, stage_path):
             return True
     raise RuntimeError(f"commit conflict persisted on {table_dir}")

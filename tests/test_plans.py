@@ -552,11 +552,14 @@ class TestR14TextSpreadPlans:
         from nshm2022db_spark.registry import QUERIES
 
         plan = _plan(QUERIES["lm_bigram_score"](spark, sf_dir))
-        # one spread per planned copy of the tokenize subtree (big,
-        # c2's big copy, c1 twice, tot-from-c1 — the dsir counting
-        # convention); identical exchanges dedupe at runtime via
-        # AQE exchange reuse
-        assert plan.count("RoundRobinPartitioning(") == 5
+        # the spread is present, and bounded by the number of planned
+        # copies of the tokenize subtree (ADVICE r15 #3: the exact
+        # subtree-duplication count is planner-internal — a Spark
+        # minor's exchange-reuse change must not fail this pin without
+        # a behavior regression); identical exchanges dedupe at
+        # runtime via AQE exchange reuse
+        n = plan.count("RoundRobinPartitioning(")
+        assert 1 <= n <= 6, n
 
 
 class TestR15SpreadPlans:

@@ -5349,3 +5349,103 @@ class TestBloomFormatMerge:
         cur = table_history(t)[-1]
         for e in ("k=k0", "k=k1"):
             assert "id" not in cur.get("bloom", {}).get(e, {})
+
+
+class TestManifestDirSchemas:
+    """r16 #1 (VERDICT r15 #1): writers record the staged files' schema
+    in the manifest (``dir_schemas``) at commit time, readers supply it
+    instead of footer-scanning — and pre-feature manifests (no key)
+    keep reading through the footer/inference fallback unchanged."""
+
+    def test_commits_record_dir_schemas(self, spark, tmp_path):
+        from nshm2022db_spark.streaming.sinks import (
+            append_partition_transaction,
+            committed_partition_transaction,
+            table_history,
+        )
+
+        t = str(tmp_path / "t")
+        rows = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "uid long, k string"
+        )
+        committed_partition_transaction(spark, t, "k", lambda base: rows)
+        append_partition_transaction(
+            spark, t, "k",
+            spark.createDataFrame([(3, "a")], "uid long, k string"),
+        )
+        v1, v2 = table_history(t)
+        # every referenced data dir has a recorded schema of its FILES
+        # (data columns only — partitionBy keeps `k` in dir names)
+        for m in (v1, v2):
+            ds = m["dir_schemas"]
+            assert set(ds) == {m["dir"]} | {
+                d
+                for v in m["partitions"].values()
+                for d in ([v] if isinstance(v, str) else v)
+            }
+            for sj in ds.values():
+                assert [f["name"] for f in sj["fields"]] == ["uid"]
+                assert all(f["nullable"] for f in sj["fields"])
+        # v2 carries v1's entry forward untouched
+        assert v1["dir_schemas"][v1["dir"]] == v2["dir_schemas"][v1["dir"]]
+
+    def test_pre_feature_manifest_falls_back(self, spark, tmp_path):
+        """Stripping dir_schemas from a committed manifest (an r15-era
+        table) must leave the read identical — the footer path serves
+        it."""
+        import json
+        import os
+
+        from nshm2022db_spark.streaming.sinks import (
+            _COMMITS,
+            committed_partition_transaction,
+            read_keyed_table,
+        )
+
+        t = str(tmp_path / "t")
+        rows = spark.createDataFrame(
+            [(1, "a", 2.5), (2, "b", None)], "uid long, k string, v double"
+        )
+        committed_partition_transaction(spark, t, "k", lambda base: rows)
+        before = {
+            (r.uid, r.k, r.v) for r in read_keyed_table(spark, t).collect()
+        }
+        log = os.path.join(t, _COMMITS)
+        for n in os.listdir(log):
+            p = os.path.join(log, n)
+            with open(p) as f:
+                m = json.load(f)
+            if m.pop("dir_schemas", None) is not None:
+                os.unlink(p)  # the commit files are hardlinked read-only
+                with open(p, "w") as f:
+                    json.dump(m, f)
+        got = {
+            (r.uid, r.k, r.v) for r in read_keyed_table(spark, t).collect()
+        }
+        assert got == before
+        assert {r.k for r in read_keyed_table(spark, t).collect()} == {
+            "a", "b",
+        }
+
+    def test_recorded_schema_matches_footer_derivation(self, spark, tmp_path):
+        """The manifest-supplied read and the footer fast path must
+        produce the same schema (types AND nullability) — the recorded
+        json IS what `_footer_schema` would have derived."""
+        from nshm2022db_spark.streaming.sinks import (
+            _footer_schema,
+            committed_transaction,
+            current_commit,
+        )
+        import os
+
+        t = str(tmp_path / "t")
+        rows = spark.createDataFrame(
+            [(1, [1.5, 2.5], "x")],
+            "uid long, vec array<double>, s string",
+        )
+        committed_transaction(spark, t, lambda base: rows)
+        cur = current_commit(t)
+        sj = cur["dir_schemas"][cur["dir"]]
+        derived = _footer_schema([os.path.join(t, cur["dir"])])
+        assert derived is not None
+        assert sj == derived.jsonValue()
